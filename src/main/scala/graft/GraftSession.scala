@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Local defaults target the test harness (`local[32]`, one JVM); the same
+  * settings are the ones that matter on a real cluster: AQE for runtime
+  * re-planning (skew joins, dynamic coalescing of shuffle partitions) and an
+  * explicit shuffle-partition count sized to the parallelism instead of the
+  * legacy default of 200.
+  */
+object GraftSession {
+
+  /** Build a local session. `cores` defaults to the driver-provided
+    * SPARK_GRAFT_CPUS so bench/verify runs match the harness sizing.
+    */
+  def local(appName: String = "graft",
+            cores: Option[Int] = None): SparkSession = {
+    val n = cores
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt))
+      .getOrElse(math.min(Runtime.getRuntime.availableProcessors(), 32))
+    configure(
+      SparkSession.builder().master(s"local[$n]").appName(appName), n
+    ).getOrCreate()
+  }
+
+  /** Apply graft's standard configuration to any builder (local or cluster).
+    * Kept separate so cluster deployments get identical semantics.
+    */
+  def configure(b: SparkSession.Builder,
+                shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+}
