@@ -26,9 +26,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes for stable compare
+    import datetime
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object and len(df) and isinstance(
+                df[c].dropna().iloc[0] if df[c].dropna().size else None,
+                datetime.date):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
