@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, shingling, language-ID scoring, quality metrics, and a
+  * rolling document fingerprint.
+  *
+  * Everything here is a pure per-row `Column` expression built from
+  * codegen'd built-ins (no UDFs, no shuffles): at 100 TB these run inside
+  * whole-stage codegen directly over the parquet scan and scale linearly.
+  * Fractional outputs are emitted as floor-scaled integers (`*_e6`) so
+  * results hash identically across engines (no float rounding ambiguity).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Mirrors `string_split(text, ' ')`: consecutive
+    * delimiters yield empty tokens in both Spark and DuckDB.
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokens: letter runs, digit runs, then any single
+    * non-space symbol. The pattern is dialect-portable (Java regex ≡ RE2).
+    */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Distinct word n-gram shingles (the unit set for Jaccard dedup).
+    * Empty for docs shorter than n words.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Small per-language stopword lists for the n-gram language-ID
+    * heuristic. Alphabetical language order is the documented tie-break.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "zu"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "les", "de", "et", "un", "est", "dans", "que"))
+
+  /** Count of words that hit a language's stopword list (with
+    * multiplicity — a frequency signal, not set membership).
+    */
+  def langScore(w: Column, lang: String): Column = {
+    val list = LangStopwords.toMap.apply(lang)
+    size(filter(w, x => x.isInCollection(list)))
+  }
+
+  /** Argmax language by [[langScore]], ties → alphabetically first. */
+  def langPredict(scores: Map[String, Column]): Column = {
+    val langs = LangStopwords.map(_._1) // alphabetical
+    langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val ge = langs.filter(_ > l)
+        .map(o => scores(l) >= scores(o)).reduce(_ && _)
+      when(ge, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Rolling polynomial fingerprint over words:
+    * h ← (h*31 + h24(word)) mod 1e9+7. Order-sensitive (unlike a plain
+    * sum), overflow-free (acc < 2^30, *31 + 2^24 < 2^35).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      words(text),
+      lit(0L),
+      (acc, w) => pmod(acc * 31 + PortableHash.h24(w), lit(1000000007L)))
+}

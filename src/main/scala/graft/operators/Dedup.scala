@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash, TextFunctions}
+
+/** Document deduplication operators for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, and SimHash.
+  *
+  * Scale design (the 100 TB shapes):
+  *  - Signatures (minhash, simhash, fingerprints) are per-row expressions
+  *    over the scan — no shuffle, linear in input.
+  *  - Pair generation NEVER does a cross join. Exact Jaccard uses a
+  *    shingle inverted index (shuffle keyed on shingle: candidate pairs
+  *    only materialize for docs that share a shingle). MinHash-LSH
+  *    shuffles on (band, bandKey) — O(n·bands) rows instead of O(n²) —
+  *    and only verified candidates touch the quadratic Jaccard math.
+  *  - Hot shingles (stopword runs) are the skew risk: AQE skew-join
+  *    handles moderate cases; for web-scale corpora drop shingles with
+  *    document frequency above a cap (they cannot contribute to a
+  *    high-Jaccard pair decision anyway) — see `maxShingleDf`.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one keeper (min id) per distinct text.
+    * Single hash-aggregate keyed on md5 — the grouping key is 32 hex chars
+    * instead of the full document, so shuffle volume is constant per row.
+    */
+  def exactByContent(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"),
+           count(lit(1)).as("n_copies"))
+
+  /** (doc_id, shingle) postings + per-doc set size — the inverted index.
+    * `maxShingleDf`: optionally drop shingles appearing in more than this
+    * many docs (web-scale skew guard); disabled (0) keeps exactness.
+    */
+  def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, maxShingleDf: Int = 0): DataFrame = {
+    val sets = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.shingles(col(textCol), n).as("sh"))
+    val postings = sets
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+              explode(col("sh")).as("shingle"))
+    if (maxShingleDf <= 0) postings
+    else {
+      val hot = postings.groupBy("shingle").count()
+        .filter(col("count") > maxShingleDf).select("shingle")
+      postings.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+    * Emits (doc_a, doc_b, inter_cnt, union_cnt) for pairs with
+    * J = inter/union ≥ num/den, compared in exact integer arithmetic
+    * (den·inter ≥ num·union) — no floats anywhere.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, num: Int, den: Int): DataFrame = {
+    val p = shinglePostings(docs, idCol, textCol, n)
+    val a = p.select(col("shingle"), col("doc_id").as("doc_a"),
+                     col("sz").as("sz_a"))
+    val b = p.select(col("shingle"), col("doc_id").as("doc_b"),
+                     col("sz").as("sz_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter_cnt"))
+      .withColumn("union_cnt", col("sz_a") + col("sz_b") - col("inter_cnt"))
+      .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+      .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+  }
+
+  /** MinHash signature (array<long>, length `numPerm`) of a shingle set:
+    * sig[i] = min over shingles of ((a_i·h32(s) + b_i) mod p). One md5 per
+    * shingle, then `numPerm` integer perms — all inside codegen.
+    */
+  def minhashSignature(shingleSet: Column, numPerm: Int): Column = {
+    val hs = transform(shingleSet, s => PortableHash.h32(s))
+    transform(
+      sequence(lit(0), lit(numPerm - 1)),
+      i => array_min(transform(hs, h => PortableHash.permHash(i, h))))
+  }
+
+  /** MinHash + banded LSH near-dup pairs, exact-verified.
+    *
+    * numPerm=128 split into 32 bands × 4 rows: a pair with true Jaccard J
+    * collides in ≥1 band with prob 1−(1−J⁴)³². At the verification
+    * threshold J=0.8 that is 1−5e−8 — recall is effectively exact, which
+    * is what lets the exact-Jaccard oracle double as this operator's
+    * correctness check. Candidates from band collisions are then verified
+    * with true Jaccard on the shingle-string sets (not the hashed sets, so
+    * h32 collisions cannot distort the decision) and filtered to
+    * J ≥ num/den in integer arithmetic.
+    */
+  def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, num: Int, den: Int,
+                        numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    val rows = numPerm / bands
+    val sets = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numPerm))
+
+    // (doc_id, band, bandKey): one row per band, key = joined band slice.
+    val banded = sets.select(
+      col("doc_id"),
+      explode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => struct(
+          b.as("band"),
+          concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
+                                   v => v.cast("string"))).as("key"))))
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    // Verify candidates with exact Jaccard over shingle strings.
+    val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter_cnt",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("union_cnt",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter_cnt"))
+      .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+      .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+  }
+
+  /** 32-bit SimHash over word occurrences: bit b of the signature is set
+    * iff Σ_words (2·bit_b(h32(w)) − 1) > 0. Pure nested-HOF expression —
+    * zero shuffle. Bit extraction uses floor(h/2^b) mod 2, which is exact
+    * in doubles for h < 2^32 (division by a power of two).
+    */
+  def simhash(text: Column): Column = {
+    val wh = transform(TextFunctions.words(text),
+                       w => PortableHash.h32(w))
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, b) => {
+        val bitSum = aggregate(
+          wh, lit(0L),
+          (s, h) =>
+            s + pmod(floor(h.cast("double") / pow(lit(2.0d), b))
+                       .cast("long"), lit(2L)) * 2 - 1)
+        acc + when(bitSum > 0, pow(lit(2.0d), b).cast("long"))
+          .otherwise(lit(0L))
+      })
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

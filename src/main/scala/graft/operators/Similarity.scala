@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over `array<float>` embedding columns: brute-force
+  * cosine top-k (the exactness baseline) and random-hyperplane LSH
+  * (the scale path), plus threshold near-dup pairs.
+  *
+  * Scale design: brute force is O(|Q|·n) — right when the query set is
+  * small enough to broadcast (|Q| rows replicated to every task; the
+  * corpus side streams straight off the scan, never shuffled). The LSH
+  * variant replaces the corpus sweep with a bucket equi-join: signatures
+  * are per-row expressions, candidates only materialize within buckets
+  * (shuffle keyed on (table, bucket)), and exact cosine runs on
+  * candidates only. Recall is tunable with tables × planes.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (qid, neighbor_id, rnk, sim_e6). Ranking uses the raw
+    * double (deterministic sequential-fold arithmetic), ties broken by
+    * neighbor id; sim is floor-scaled for exact comparison.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"),
+              e6(col("cos")).as("sim_e6"))
+  }
+
+  /** Multi-table random-hyperplane LSH bucket rows:
+    * (vec_id, t, bucket) for `tables` tables × `planesPerTable` sign bits.
+    * Deterministic integer hyperplanes (see [[VectorFunctions.planeDot]])
+    * so any engine can replicate the bucketing exactly.
+    */
+  def lshBuckets(emb: DataFrame, tables: Int, planesPerTable: Int)
+      : DataFrame = {
+    val nPlanes = tables * planesPerTable
+    val bits = transform(
+      sequence(lit(0), lit(nPlanes - 1)),
+      p => when(planeDot(col("embedding"), p, 64) >= 0, 1L).otherwise(0L))
+    emb
+      .withColumn("bits", bits)
+      .select(
+        col("vec_id"),
+        explode(transform(
+          sequence(lit(0), lit(tables - 1)),
+          t => struct(
+            t.as("t"),
+            aggregate(
+              sequence(lit(0), lit(planesPerTable - 1)),
+              lit(0L),
+              (acc, i) =>
+                acc + element_at(col("bits"), t * planesPerTable + i + 1) *
+                  pow(lit(2.0d), i).cast("long")).as("bucket"))))
+          .as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+  }
+
+  /** ANN top-k: candidates = union over tables of same-bucket vectors,
+    * then exact cosine + rank on candidates only.
+    * Output: (qid, neighbor_id, rnk, sim_e6).
+    */
+  def annTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
+              tables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+    val buckets = lshBuckets(emb, tables, planesPerTable)
+    val qb = buckets.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+    val cand = qb.join(buckets, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val qv = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cv = emb.select(col("vec_id"), col("embedding").as("cv"))
+    val scored = cand.join(broadcast(qv), "qid").join(cv, "vec_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"),
+              e6(col("cos")).as("sim_e6"))
+  }
+
+  /** Embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥
+    * minSimE6/1e6. Exact quadratic baseline — at corpus scale run
+    * [[annTopK]]-style bucketing first and verify candidates instead;
+    * this form exists as the correctness reference and for query sets
+    * small enough that O(n²) is the fastest plan (no index build).
+    */
+  def nearDupPairs(emb: DataFrame, minSimE6: Long): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim_e6", e6(cosine(col("va"), col("vb"))))
+      .filter(col("sim_e6") >= minSimE6)
+      .select("vec_a", "vec_b", "sim_e6")
+  }
+}

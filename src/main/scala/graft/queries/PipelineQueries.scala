@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data pipeline pack over `documents` / `embeddings`:
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine), similarity search (brute-force + LSH ANN), text
+  * analysis (language-ID, quality, tokens, fingerprint), and multimodal
+  * binary plumbing.
+  *
+  * Oracle discipline: every query has an exact DuckDB oracle. Similarity
+  * values are floor-scaled to integers; hash-derived outputs use the
+  * engine-portable md5 hash ([[graft.functions.PortableHash]]); MinHash's
+  * probabilistic stage is verified (candidates exact-checked against true
+  * Jaccard) so the exact-Jaccard SQL is a valid oracle (miss prob < 5e−8
+  * at the 0.8 threshold — see [[Dedup.minhashDedupPairs]]).
+  */
+object PipelineQueries {
+
+  // ------------------------------------------------------------- queries
+
+  /** Exact dedup by content hash (keeper = min doc_id per distinct text). */
+  def q20DedupExactDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactByContent(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("content_md5")
+
+  /** Exact 3-gram Jaccard near-dup pairs, J ≥ 1/2, via shingle
+    * inverted-index join (never a cross join).
+    */
+  def q21NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+                       n = 3, num = 1, den = 2)
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash(128) + LSH(32×4) candidates, exact-verified to J ≥ 4/5. */
+  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedupPairs(Tables.documents(s, dir), "doc_id", "text",
+                            n = 3, num = 4, den = 5)
+      .orderBy("doc_a", "doc_b")
+
+  /** 32-bit SimHash signature per document (zero-shuffle expression). */
+  def q23Simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10 (broadcast
+    * query side; corpus streams off the scan unshuffled).
+    */
+  def q24EmbedKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    Similarity.bruteForceTopK(emb, queries, k = 5)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** LSH ANN top-3 (4 tables × 4 hyperplanes) for vec_id < 20: bucket
+    * equi-join candidates, exact cosine on candidates only.
+    */
+  def q25AnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(Tables.embeddings(s, dir),
+                       queryPred = col("vec_id") < 20, k = 3)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("qid", "rnk")
+
+  /** n-gram language-ID heuristic: per-language stopword-hit scores,
+    * argmax with alphabetical tie-break.
+    */
+  def q26Langid(s: SparkSession, dir: String): DataFrame = {
+    val w = TextFunctions.words(col("text"))
+    val scores = TextFunctions.LangStopwords.map { case (l, _) =>
+      l -> TextFunctions.langScore(w, l).cast("long")
+    }.toMap
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id") +:
+          TextFunctions.LangStopwords.map { case (l, _) =>
+            scores(l).as(s"s_$l")
+          } :+
+          TextFunctions.langPredict(scores).as("lang_pred"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Quality metrics: char/word counts, avg word length, stopword ratio,
+    * and a keep/drop flag — the standard pre-training filter signals.
+    */
+  def q27Quality(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast("long")
+    val w = TextFunctions.words(col("text"))
+    val nWords = size(w).cast("long")
+    val nStop = TextFunctions.langScore(w, "en").cast("long")
+    val avgWlenE3 =
+      floor(lit(1000.0d) * (nChars - nWords + 1) / nWords).cast("long")
+    val stopE6 = floor(lit(1000000.0d) * nStop / nWords).cast("long")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nWords.as("n_words"),
+        avgWlenE3.as("avg_wlen_e3"),
+        stopE6.as("stop_e6"),
+        (nWords >= 20 && avgWlenE3 <= lit(12000L)).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def q28Tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(TextFunctions.words(col("text"))).cast("long").as("ws_tokens"),
+        size(TextFunctions.regexTokens(col("text"))).cast("long")
+          .as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** Rolling polynomial document fingerprint (order-sensitive hash). */
+  def q29Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Multimodal plumbing: binary payload + metadata → stub-decoded
+    * features via typed mapPartitions.
+    */
+  def q30Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s, Tables.documents(s, dir))
+      .toDF()
+      .orderBy("doc_id")
+
+  /** Embedding-cosine near-dup pairs (sim ≥ 0.4), exact baseline. */
+  def q31EmbedNeardup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
+      .orderBy("vec_a", "vec_b")
+
+  // -------------------------------------------------------------- wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact_docs" -> (q20DedupExactDocs _),
+    "q21_ngram_jaccard"    -> (q21NgramJaccard _),
+    "q22_minhash_lsh"      -> (q22MinhashLsh _),
+    "q23_simhash"          -> (q23Simhash _),
+    "q24_embed_knn"        -> (q24EmbedKnn _),
+    "q25_ann_lsh"          -> (q25AnnLsh _),
+    "q26_langid"           -> (q26Langid _),
+    "q27_quality"          -> (q27Quality _),
+    "q28_tokens"           -> (q28Tokens _),
+    "q29_fingerprint"      -> (q29Fingerprint _),
+    "q30_multimodal"       -> (q30Multimodal _),
+    "q31_embed_neardup"    -> (q31EmbedNeardup _)
+  )
+
+  /** Shared SQL fragment: distinct 3-gram shingle sets + sizes. */
+  private val shingleCte =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+      |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      |  FROM words WHERE len(w) >= 3)),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+      |  FROM sh a JOIN sh b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardSql(num: Int, den: Int): String =
+    s"""WITH $shingleCte
+       |SELECT doc_a, doc_b, inter_cnt,
+       |  sa.sz + sb.sz - inter_cnt AS union_cnt
+       |FROM pairs
+       |JOIN sz sa ON sa.doc_id = doc_a
+       |JOIN sz sb ON sb.doc_id = doc_b
+       |WHERE inter_cnt * $den >= (sa.sz + sb.sz - inter_cnt) * $num
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shared SQL fragment: exact cosine between embedding lists, with the
+    * same operand order as [[graft.functions.VectorFunctions.cosine]]
+    * (sequential fold, cast-then-multiply) for bit-identical doubles.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(64), i -> $a[i+1]::DOUBLE * $b[i+1]::DOUBLE))
+       | / (sqrt(list_sum(list_transform(range(64), i -> $a[i+1]::DOUBLE * $a[i+1]::DOUBLE)))
+       |   * sqrt(list_sum(list_transform(range(64), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE)))))"""
+      .stripMargin.replace("\n", "")
+
+  def oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact_docs" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
+    "q21_ngram_jaccard" -> jaccardSql(1, 2),
+    "q22_minhash_lsh"   -> jaccardSql(4, 5),
+    "q23_simhash" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |wh AS (SELECT doc_id,
+        |         ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, t.b AS b,
+        |    CASE WHEN SUM(((h >> t.b) & 1) * 2 - 1) > 0
+        |         THEN (1::BIGINT << t.b) ELSE 0 END AS v
+        |  FROM wh CROSS JOIN range(32) t(b)
+        |  GROUP BY doc_id, t.b)
+        |SELECT doc_id, CAST(SUM(v) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q24_embed_knn" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < 10),
+         |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |s AS (SELECT qid, vec_id, ${cosSql("qv", "cv")} AS cos
+         |      FROM q CROSS JOIN c WHERE vec_id <> qid),
+         |r AS (SELECT qid, vec_id, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM s)
+         |SELECT qid, vec_id AS neighbor_id, rnk,
+         |  CAST(floor(cos * 1000000) AS BIGINT) AS sim_e6
+         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "q25_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, p.p AS p,
+         |    CASE WHEN list_sum(list_transform(range(64),
+         |           d -> v[d+1]::DOUBLE * (((p.p*131 + d*37) % 7) - 3)::DOUBLE))
+         |         >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN range(16) p(p)),
+         |buck AS (
+         |  SELECT vec_id, p // 4 AS t,
+         |    SUM(bit * (1::BIGINT << (p % 4))) AS bucket
+         |  FROM sig GROUP BY vec_id, p // 4),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
+         |  FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+         |s AS (SELECT cand.qid, cand.vec_id, ${cosSql("qv", "cv")} AS cos
+         |      FROM cand
+         |      JOIN qe ON qe.qid = cand.qid
+         |      JOIN (SELECT vec_id, v AS cv FROM e) ce
+         |        ON ce.vec_id = cand.vec_id),
+         |r AS (SELECT qid, vec_id, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM s)
+         |SELECT qid, vec_id AS neighbor_id, rnk,
+         |  CAST(floor(cos * 1000000) AS BIGINT) AS sim_e6
+         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "q26_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','zu'))) AS s_de,
+        |  len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS s_en,
+        |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+        |  len(list_filter(w, x -> x IN ('le','les','de','et','un','est','dans','que'))) AS s_fr
+        |  FROM t)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q27_quality" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','and','of','to','in','is','it'))) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words,
+        |  CAST(floor(1000.0 * (n_chars - n_words + 1) / n_words) AS BIGINT)
+        |    AS avg_wlen_e3,
+        |  CAST(floor(1000000.0 * n_stop / n_words) AS BIGINT) AS stop_e6,
+        |  (n_words >= 20 AND
+        |   floor(1000.0 * (n_chars - n_words + 1) / n_words) <= 12000) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q28_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_concat([0::BIGINT],
+        |      list_transform(string_split(text, ' '),
+        |        w -> ('0x' || substr(md5(w), 1, 6))::BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_multimodal" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  ((doc_id % 64) + 1) * 16 AS width,
+        |  ((doc_id % 48) + 1) * 16 AS height,
+        |  ((doc_id % 64) + 1) * 16 * (((doc_id % 48) + 1) * 16) * 3
+        |    AS n_pixels,
+        |  CAST(list_sum(list_transform(range(16),
+        |    i -> ascii(substr(text, i + 1, 1)))) AS BIGINT) AS checksum16
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_embed_neardup" ->
+      s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM embeddings),
+         |b AS (SELECT vec_id AS vec_b, embedding AS vb FROM embeddings),
+         |s AS (SELECT vec_a, vec_b,
+         |        CAST(floor(${cosSql("va", "vb")} * 1000000) AS BIGINT)
+         |          AS sim_e6
+         |      FROM a JOIN b ON vec_a < vec_b)
+         |SELECT vec_a, vec_b, sim_e6 FROM s
+         |WHERE sim_e6 >= 400000 ORDER BY vec_a, vec_b""".stripMargin
+  )
+}
