@@ -83,6 +83,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns spark={list(got.columns)} duckdb={list(exp.columns)}")
             n_fail += 1
             continue
+        # dtype-sensitive, like the driver's hash compare: an uncast DuckDB
+        # SUM() comes back as HUGEINT (object/float dtype) and must fail
+        # here even when the values look equal.
+        bad_dtypes = [(c, str(got[c].dtype), str(exp[c].dtype))
+                      for c in got.columns
+                      if str(got[c].dtype) != str(exp[c].dtype)]
+        if bad_dtypes:
+            print(f"FAIL {name}: dtypes (col, spark, duckdb): {bad_dtypes}")
+            n_fail += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} duckdb={len(exp)}")
             n_fail += 1

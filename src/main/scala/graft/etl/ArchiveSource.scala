@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object ArchiveSource {
 
+  /** Synthetic status for a 200 response whose body is not valid JSON.
+    * The reference's `resp.json()` RAISES on a malformed body so the
+    * archive stays unprocessed and is retried next run
+    * (`fetch_and_post.py:73,340-344`); without this flag a parse failure
+    * would be indistinguishable from a genuinely empty archive and be
+    * permanently marked processed — silent data loss.
+    */
+  val ParseFailureStatus = 598
+
   /** S2: fetch + parse the archive list for one user. Driver-side. */
   def listArchives(fetcher: Fetcher, baseUrl: String, username: String)
       : Either[Int, Seq[String]] =
@@ -51,6 +60,16 @@ object ArchiveSource {
 
     fetched
       .withColumn("parsed", from_json(col("body"), Schemas.archiveType))
+      // from_json is PERMISSIVE (malformed → all-null struct), so test the
+      // body's JSON validity directly: get_json_object('$') is null iff the
+      // document doesn't parse. A parse failure is remapped to a failure
+      // status so callers ledger it like a failed fetch (→ retried next
+      // run) instead of recording an empty archive.
+      .withColumn("fetch_status",
+        when(col("fetch_status") === 200 &&
+               get_json_object(col("body"), "$").isNull,
+             lit(ParseFailureStatus))
+          .otherwise(col("fetch_status")))
       .select(col("username"), col("archive_url"), col("fetch_status"),
               explode_outer(col("parsed.games")).as("game"))
   }

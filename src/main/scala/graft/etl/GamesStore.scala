@@ -73,6 +73,15 @@ final class GamesStore(root: String) extends Serializable {
     * itself (intra-batch dedup), keeping rows with empty urls — the
     * reference appends those untracked (`fetch_and_post.py:362-370`).
     * Returns the number of rows appended.
+    *
+    * The deduped batch is STAGED to a temp dir before the append: the
+    * dedup plan reads `gamesPath` (the anti-join side), so appending from
+    * the live plan would race its own scan if any partition were
+    * recomputed mid-write (cache eviction / executor loss under a mere
+    * `cache()` could recompute the anti-join against a half-appended
+    * table, dropping or duplicating rows). Writing the staged parquet
+    * severs the read-write cycle deterministically; the append then only
+    * reads the staging dir.
     */
   def appendGames(spark: SparkSession, batch: DataFrame): Long = {
     val keyed   = batch.filter(length(trim(col("game_url"))) > 0)
@@ -82,12 +91,19 @@ final class GamesStore(root: String) extends Serializable {
       .join(existingGameUrls(spark), Seq("game_url"), "left_anti")
       .select(batch.columns.map(col).toSeq: _*)
       .union(unkeyed)
-    val staged = fresh.cache()
+    val stagingPath =
+      s"$root/_staging/games_${java.util.UUID.randomUUID().toString}"
+    fresh.write.mode("overwrite").parquet(stagingPath)
     try {
-      val n = staged.count()
+      val staged = spark.read.parquet(stagingPath)
+      val n = staged.count() // parquet footer counts — no recompute
       if (n > 0) staged.write.mode("append").parquet(gamesPath)
       n
-    } finally staged.unpersist()
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(stagingPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
   }
 
   /** K2: ledger append — one row per processed archive. */

@@ -27,15 +27,16 @@ object TextFunctions {
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** Distinct word n-gram shingles (the unit set for Jaccard dedup).
-    * Empty for docs shorter than n words.
+    * Empty for docs shorter than n words. Computed by the codegen'd
+    * [[WordShingles]] kernel — value-identical to the HOF form
+    * `array_distinct(transform(sequence(0, size(w)-n),
+    * i => concat_ws(" ", slice(w, i+1, n))))` it replaced, but a single
+    * compiled call per row instead of interpreted per-shingle lambdas.
     */
   def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(w) - n),
-        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    import org.apache.spark.sql.GraftColumns
+    GraftColumns.column(
+      WordShingles(GraftColumns.expression(words(text)), n))
   }
 
   /** Small per-language stopword lists for the n-gram language-ID

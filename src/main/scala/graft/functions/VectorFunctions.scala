@@ -1,28 +1,31 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumns}
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float>` embedding columns, as pure
-  * Catalyst expressions (codegen'd; no UDF, no UDT, no shuffle).
+/** Dense-vector math over `array<float>` embedding columns.
   *
-  * Arithmetic discipline: every element is cast to double FIRST and the
-  * accumulation is the sequential left-to-right fold of `aggregate` — the
-  * exact order an external SQL oracle (`list_sum(list_transform(...))`)
-  * uses, so cosine values are bit-identical across engines and can be
-  * compared exactly after floor-scaling.
+  * The kernel is [[DotFloat]], a codegen'd Catalyst expression (a tight
+  * primitive loop inside whole-stage codegen — the interpreted
+  * `aggregate`/`zip_with` HOF form it replaced was the bench bottleneck on
+  * pairwise similarity).
+  *
+  * Arithmetic discipline: every element is cast to double FIRST and
+  * accumulation is strictly left-to-right — the exact order an external SQL
+  * oracle (`list_sum(list_transform(...))`) uses, so cosine values are
+  * bit-identical across engines and can be compared exactly after
+  * floor-scaling.
   */
 object VectorFunctions {
 
-  /** Sequential sum of a double array (order-deterministic fold). */
-  private def fsum(arr: Column): Column =
-    aggregate(arr, lit(0.0d), (acc, x) => acc + x)
-
   def dot(a: Column, b: Column): Column =
-    fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    GraftColumns.column(DotFloat(
+      GraftColumns.expression(a), GraftColumns.expression(b)))
 
-  def norm2(a: Column): Column =
-    fsum(transform(a, x => x.cast("double") * x.cast("double")))
+  /** Squared L2 norm = dot(a, a): identical fold order to the oracle's
+    * `list_sum(list_transform(range(n), i -> a[i+1]::DOUBLE * a[i+1]::DOUBLE))`.
+    */
+  def norm2(a: Column): Column = dot(a, a)
 
   /** cosine(a,b) = dot/(sqrt(|a|²)·sqrt(|b|²)) — formula shape matters:
     * keep it identical to the oracle's.
@@ -36,13 +39,13 @@ object VectorFunctions {
   /** Signed projection of `vec` onto deterministic integer hyperplane `p`
     * (weights w(p,d) = ((p*131 + d*37) mod 7) − 3): the random-hyperplane
     * LSH bit. Integer weights keep the oracle replicable without a shared
-    * RNG; `p` may be a lambda variable.
+    * RNG. The weight vector is materialized as a float literal (ints in
+    * [−3,3] are exact in float) so the projection is a single [[DotFloat]]
+    * with the same cast-then-multiply, left-to-right double arithmetic as
+    * the oracle's `list_sum(list_transform(...))`.
     */
-  def planeDot(vec: Column, p: Column, dims: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(dims - 1)),
-      lit(0.0d),
-      (acc, d) =>
-        acc + element_at(vec, d + 1).cast("double") *
-          (pmod(p * 131 + d * 37, lit(7)) - 3).cast("double"))
+  def planeDot(vec: Column, p: Int, dims: Int): Column = {
+    val w = Array.tabulate(dims)(d => (((p * 131 + d * 37) % 7) - 3).toFloat)
+    dot(vec, typedlit(w))
+  }
 }

@@ -75,14 +75,19 @@ object Dedup {
   }
 
   /** MinHash signature (array<long>, length `numPerm`) of a shingle set:
-    * sig[i] = min over shingles of ((a_i·h32(s) + b_i) mod p). One md5 per
-    * shingle, then `numPerm` integer perms — all inside codegen.
+    * sig[i] = min over shingles of ((a_i·h32(s) + b_i) mod p), where h32
+    * and the perm family are [[PortableHash]]'s. Computed by the codegen'd
+    * [[graft.functions.MinHashSignature]] kernel: each shingle is
+    * md5-hashed exactly once, then updates all `numPerm` running minima
+    * with integer ops — one compiled call per row. (The original HOF form
+    * re-evaluated the hashed-shingle array per permutation inside
+    * interpreted lambdas — `numPerm`× the md5 work — which made signature
+    * build the dominant bench cost.)
     */
   def minhashSignature(shingleSet: Column, numPerm: Int): Column = {
-    val hs = transform(shingleSet, s => PortableHash.h32(s))
-    transform(
-      sequence(lit(0), lit(numPerm - 1)),
-      i => array_min(transform(hs, h => PortableHash.permHash(i, h))))
+    import org.apache.spark.sql.GraftColumns
+    GraftColumns.column(graft.functions.MinHashSignature(
+      GraftColumns.expression(shingleSet), numPerm))
   }
 
   /** MinHash + banded LSH near-dup pairs, exact-verified.
@@ -100,22 +105,29 @@ object Dedup {
                         n: Int, num: Int, den: Int,
                         numPerm: Int = 128, bands: Int = 32): DataFrame = {
     val rows = numPerm / bands
+    // Shingle sets fan out to three consumers (banding + both verify
+    // sides): persist so shingling/md5 runs once, not three times. On a
+    // cluster this is the same call — MEMORY_AND_DISK spills per executor;
+    // at true 100 TB scale you would checkpoint signatures to a table
+    // instead, but the operator shape is identical.
     val sets = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numPerm))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // (doc_id, band, bandKey): one row per band, key = joined band slice.
-    val banded = sets.select(
-      col("doc_id"),
-      explode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => struct(
-          b.as("band"),
-          concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
-                                   v => v.cast("string"))).as("key"))))
-        .as("bk"))
+    val banded = sets
+      .withColumn("sig", minhashSignature(col("sh"), numPerm))
+      .select(
+        col("doc_id"),
+        explode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => struct(
+            b.as("band"),
+            concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
+                                     v => v.cast("string"))).as("key"))))
+          .as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
     val cand = banded.as("x")
@@ -125,10 +137,14 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    // Verify candidates with exact Jaccard over shingle strings.
+    // Verify candidates with exact Jaccard over shingle strings. The
+    // candidate set is orders of magnitude smaller than the corpus, so it
+    // broadcasts into the first join (the persisted sets side streams,
+    // never shuffles); the joined-once result is small and AQE picks the
+    // strategy for the second join at runtime.
     val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    sa.join(broadcast(cand), "doc_a").join(sb, "doc_b")
       .withColumn("inter_cnt",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("union_cnt",

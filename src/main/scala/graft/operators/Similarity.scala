@@ -43,28 +43,24 @@ object Similarity {
     * (vec_id, t, bucket) for `tables` tables × `planesPerTable` sign bits.
     * Deterministic integer hyperplanes (see [[VectorFunctions.planeDot]])
     * so any engine can replicate the bucketing exactly.
+    *
+    * The per-table bucket ids are unrolled at plan-build time into plain
+    * (codegen'd) column arithmetic — each hyperplane projection is computed
+    * exactly once per row, vs. the earlier HOF form that re-evaluated the
+    * bit array per table inside interpreted lambdas.
     */
   def lshBuckets(emb: DataFrame, tables: Int, planesPerTable: Int)
       : DataFrame = {
-    val nPlanes = tables * planesPerTable
-    val bits = transform(
-      sequence(lit(0), lit(nPlanes - 1)),
-      p => when(planeDot(col("embedding"), p, 64) >= 0, 1L).otherwise(0L))
+    val tableBuckets = (0 until tables).map { t =>
+      val bucket = (0 until planesPerTable).map { i =>
+        val p = t * planesPerTable + i
+        when(planeDot(col("embedding"), p, 64) >= 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("t"), bucket.as("bucket"))
+    }
     emb
-      .withColumn("bits", bits)
-      .select(
-        col("vec_id"),
-        explode(transform(
-          sequence(lit(0), lit(tables - 1)),
-          t => struct(
-            t.as("t"),
-            aggregate(
-              sequence(lit(0), lit(planesPerTable - 1)),
-              lit(0L),
-              (acc, i) =>
-                acc + element_at(col("bits"), t * planesPerTable + i + 1) *
-                  pow(lit(2.0d), i).cast("long")).as("bucket"))))
-          .as("tb"))
+      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
 
@@ -101,10 +97,19 @@ object Similarity {
     * small enough that O(n²) is the fastest plan (no index build).
     */
   def nearDupPairs(emb: DataFrame, minSimE6: Long): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    // Precompute each vector's norm ONCE below the join (O(n) work) so the
+    // O(n²) pair loop does a single dot product per pair instead of three.
+    // sqrt(norm2(x)) here is the identical double to the one cosine()
+    // would compute per-pair, so sim values are unchanged bit-for-bit.
+    val prepped = emb.select(col("vec_id"), col("embedding"),
+      sqrt(norm2(col("embedding"))).as("nrm"))
+    val a = prepped.select(col("vec_id").as("vec_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = prepped.select(col("vec_id").as("vec_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("sim_e6", e6(cosine(col("va"), col("vb"))))
+      .withColumn("sim_e6",
+        e6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("sim_e6") >= minSimE6)
       .select("vec_a", "vec_b", "sim_e6")
   }

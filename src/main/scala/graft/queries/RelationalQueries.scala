@@ -300,11 +300,11 @@ object RelationalQueries {
     "q7_rolling_window" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
-        |         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f
+        |         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f
         |  FROM orders GROUP BY 1)
         |SELECT d, n, f,
-        |  SUM(n) OVER w AS rolling_n,
-        |  SUM(f) OVER w AS rolling_f,
+        |  CAST(SUM(n) OVER w AS BIGINT) AS rolling_n,
+        |  CAST(SUM(f) OVER w AS BIGINT) AS rolling_f,
         |  CAST(SUM(f) OVER w AS DOUBLE) / (SUM(n) OVER w) AS rolling_f_rate
         |FROM daily
         |WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 11 DAYS PRECEDING AND CURRENT ROW)
@@ -319,7 +319,7 @@ object RelationalQueries {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q9_regex_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(COALESCE(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS sum_k,
+        |  CAST(SUM(COALESCE(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k,
         |  MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q10_explode" ->

@@ -20,11 +20,17 @@ object DateDim {
       .withColumn("day", dayofmonth(col("date")))
 
   /** Date dim spanning the fact's min→max date (two-row aggregate on the
-    * fact, then the generated dim).
+    * fact, then the generated dim). An empty fact (or a filter context
+    * matching no rows) yields null min/max → an EMPTY dim with the same
+    * schema, so downstream scaffold joins produce empty frames instead of
+    * crashing.
     */
   def spanning(spark: SparkSession, fact: DataFrame, dateCol: String): DataFrame = {
     val row = fact.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
       .collect()(0)
-    range(spark, row.get(0).toString, row.get(1).toString)
+    if (row.isNullAt(0) || row.isNullAt(1))
+      range(spark, "1970-01-01", "1970-01-01").limit(0)
+    else
+      range(spark, row.get(0).toString, row.get(1).toString)
   }
 }
