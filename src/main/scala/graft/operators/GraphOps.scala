@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed iterative graph operators.
+  *
+  * [[connectedComponents]] turns near-duplicate PAIRS into dedup GROUPS
+  * (every doc labeled with the min doc id of its component) — the step a
+  * real dedup pipeline needs between pair generation and keeper selection.
+  */
+object GraphOps {
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * Each round every vertex takes the minimum label among itself and its
+    * neighbors; convergence in O(diameter) rounds. Near-dup components are
+    * tiny (dozens of docs), so the loop runs 2–4 rounds in practice; the
+    * per-round work is one shuffle join + one aggregate, fully
+    * distributed. `localCheckpoint` truncates the lineage each round so
+    * plan size stays constant regardless of iteration count (an unbounded
+    * iterative lineage would blow up optimizer time and executor stacks at
+    * scale). Termination is exact: stop when no label changed.
+    *
+    * Output: (vertex, component) — component = min vertex id reachable.
+    * Only vertices appearing in `edges` are labeled.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
+
+    var labels = sym.select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbor labels + own label, min per vertex
+      val prop = sym
+        .join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"))
+        .union(labels)
+        .groupBy("id")
+        .agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = prop.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1).count() > 0
+      labels = prop
+      converged = !changed
+      iter += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators: sessionization and as-of joins.
+  *
+  * Scale design: both operators are single-shuffle window plans keyed on
+  * the entity key — no per-row subqueries, no driver loops, no cross
+  * products. Per-key data volumes (one user's events / one customer's
+  * orders) bound the window buffers, so skew is the only risk; AQE's
+  * skew handling applies because the shuffle is a plain hash exchange.
+  */
+object TemporalOps {
+
+  /** Assign session ids per key: a new session starts when the gap from
+    * the previous event exceeds `gapUs` microseconds. Adds `session_id`
+    * (1-based, per key, in `tiebreak`-stable event-time order).
+    *
+    * Gap arithmetic is integer microseconds (`unix_micros`), so an
+    * external oracle (`epoch_us`) reproduces the split decisions exactly —
+    * no float time math.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 tiebreak: Seq[String], gapUs: Long): DataFrame = {
+    val orderCols: Seq[Column] = col("__us") +: tiebreak.map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__new_sess",
+        when(col("__us") - lag(col("__us"), 1).over(w) > gapUs ||
+               lag(col("__us"), 1).over(w).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new_sess")).over(w))
+      .drop("__us", "__new_sess")
+  }
+
+  /** As-of join: for each left row, attach the right row's time column
+    * value with the greatest `rightTime` ≤ `eventTime` for the same key
+    * (LEFT semantics: no prior right row → null).
+    *
+    * Plan shape: union both inputs into one keyed stream, sort per key by
+    * (time, right-before-left on ties), and carry the last non-null right
+    * time forward with a running `last(..., ignoreNulls)` window — the
+    * merge-join formulation of as-of. ONE shuffle on the key; contrast
+    * with the naive `JOIN ... WHERE rt <= et` + re-aggregate, which
+    * explodes to all matching pairs before collapsing.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, eventTime: String, rightTime: String): DataFrame = {
+    val leftCols = left.columns
+    val r = right.select(
+      col(key),
+      col(rightTime).cast("timestamp").as("__t"),
+      lit(1).as("__is_right"),
+      col(rightTime).as("__rt"))
+    val l = left.select(
+      (leftCols.map(col) :+
+        col(eventTime).cast("timestamp").as("__t") :+
+        lit(0).as("__is_right") :+
+        lit(null).cast(right.schema(rightTime).dataType).as("__rt")): _*)
+    // Right rows sort BEFORE left rows at equal time (ties are inclusive:
+    // eventTime >= rightTime), and ties among right rows carry the same
+    // __rt value, so the running last() is deterministic.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(rightTime, last(col("__rt"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .select((leftCols.map(col) :+ col(rightTime)): _*)
+  }
+}

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{PortableHash, TextFunctions}
+import graft.operators.{Dedup, GraphOps, TemporalOps}
+
+/** Advanced operator pack: sessionization, deterministic sampling splits,
+  * vocabulary building, TF-IDF, grouping-set rollup, dedup-group
+  * connected components, and as-of joins.
+  *
+  * These are the operations a large-scale training-data pipeline layers on
+  * top of the core dedup/similarity/text stack; each has an exact DuckDB
+  * oracle (integer or rational arithmetic only — no floats that could
+  * round differently across engines).
+  */
+object AdvancedQueries {
+
+  /** Session gap threshold: 6 hours, in microseconds. */
+  private val SessionGapUs = 21600000000L
+
+  /** §2.10-adjacent: sessionization over the event stream. Events are
+    * grouped per user into sessions split at gaps > 6h, then rolled up to
+    * per-user session stats. The windows shuffle ONCE on user_id; the gap
+    * test is an integer microsecond comparison (identical in any engine).
+    */
+  def q32Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val sess = TemporalOps.sessionize(
+      Tables.events(s, dir), "user_id", "ts", Seq("event_id"), SessionGapUs)
+    sess
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+           count(lit(1)).as("n_sessions"),
+           max(col("n")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  /** Deterministic train/val/test split by portable content-independent
+    * hash of the key — the standard reproducible holdout split. Pure
+    * per-row expression + one aggregate; no RNG, no driver state.
+    */
+  def q33HashSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        pmod(PortableHash.h32(col("doc_id").cast("string")), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("doc_id")).as("min_id"),
+           max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+
+  /** Vocabulary building: top-20 word bigrams by document frequency
+    * (distinct per doc), count-desc with lexical tie-break. The agg is a
+    * map-side-combined groupBy on the exploded shingles; the top-k is a
+    * TakeOrderedAndProject over the (small) aggregate.
+    */
+  def q34TopkNgrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("bigram").asc)
+      .limit(20)
+
+  /** TF-IDF in exact rational form: score_e6 = ⌊10^6·tf·N / (df·len)⌋
+    * over integers (same ordering as tf·log-idf for ranking the top term
+    * of each doc, but bit-exactly portable). Top-1 term per document.
+    * All inputs derive from ONE explode of the corpus, re-aggregated at
+    * three grains; N arrives via a broadcast 1-row cross join, never a
+    * driver-side collect.
+    */
+  def q35Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              explode(TextFunctions.words(col("text"))).as("term"))
+    val tf    = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dlen  = words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dlen, "doc_id")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_e6",
+        expr("(1000000 * tf * n_docs) DIV (df * n_words)"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("term").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("doc_id", "term", "tf", "df", "score_e6")
+      .orderBy("doc_id")
+  }
+
+  /** Grouping sets: ROLLUP over (priority, status) — subtotal and grand
+    * total rows with NULL group keys, one pass (Spark expands to a single
+    * Expand + HashAggregate).
+    */
+  def q36Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+             .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+               col("o_orderstatus").asc_nulls_first)
+
+  /** Dedup GROUPS (not just pairs): connected components over the exact
+    * Jaccard ≥ 1/2 near-dup graph, labels = min doc_id per component.
+    * Iterative distributed label propagation — see [[GraphOps]].
+    */
+  def q37DedupGroups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup
+      .jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+                    n = 3, num = 1, den = 2)
+      .select(col("doc_a"), col("doc_b"))
+    GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .toDF("doc_id", "component")
+      .orderBy("doc_id")
+  }
+
+  /** As-of join: each event picks the latest order date ≤ its timestamp
+    * for the same key — via the union-and-carry-forward window plan (one
+    * shuffle on the key, no per-row subquery). See [[TemporalOps.asofJoin]].
+    */
+  def q38AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    TemporalOps.asofJoin(
+        events, orders,
+        key = "user_id", eventTime = "ts", rightTime = "o_orderdate")
+      .withColumn("asof_date", col("o_orderdate").cast("date"))
+      .select("event_id", "user_id", "asof_date")
+      .orderBy("event_id")
+  }
+
+  // -------------------------------------------------------------- wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_sessionize"   -> (q32Sessionize _),
+    "q33_hash_split"   -> (q33HashSplit _),
+    "q34_topk_ngrams"  -> (q34TopkNgrams _),
+    "q35_tfidf"        -> (q35Tfidf _),
+    "q36_rollup"       -> (q36Rollup _),
+    "q37_dedup_groups" -> (q37DedupGroups _),
+    "q38_asof_join"    -> (q38AsofJoin _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q32_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, us,
+         |    CASE WHEN us - lag(us) OVER w IS NULL
+         |           OR us - lag(us) OVER w > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s2 AS (
+         |  SELECT user_id,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |      AS session_id
+         |  FROM m),
+         |per_sess AS (
+         |  SELECT user_id, session_id, COUNT(*) AS n
+         |  FROM s2 GROUP BY user_id, session_id)
+         |SELECT user_id,
+         |  CAST(SUM(n) AS BIGINT) AS n_events,
+         |  COUNT(*) AS n_sessions,
+         |  CAST(MAX(n) AS BIGINT) AS max_session_events
+         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q33_hash_split" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY split""".stripMargin,
+    "q34_topk_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 1),
+        |    i -> w[i+1] || ' ' || w[i+2])) AS shingle
+        |  FROM w WHERE len(w) >= 2))
+        |SELECT shingle AS bigram, COUNT(*) AS df
+        |FROM sh GROUP BY shingle
+        |ORDER BY df DESC, bigram ASC LIMIT 20""".stripMargin,
+    "q35_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM words GROUP BY doc_id, term),
+        |dlen AS (SELECT doc_id, COUNT(*) AS n_words
+        |         FROM words GROUP BY doc_id),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    (1000000 * tf.tf * nd.n_docs) // (dfreq.df * dlen.n_words)
+        |      AS score_e6
+        |  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (term), nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_e6 DESC, term ASC) AS rnk FROM scored)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, CAST(score_e6 AS BIGINT) AS score_e6
+        |FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+    "q36_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority ASC NULLS FIRST,
+        |         o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "q37_dedup_groups" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)
+        |SELECT a AS doc_id, MIN(b) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q38_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(o.o_orderdate AS DATE) AS asof_date
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin
+  )
+}

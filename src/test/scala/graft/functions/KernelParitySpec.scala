@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The codegen'd kernels (DotFloat, WordShingles, MinHashSignature) must
+  * be VALUE-IDENTICAL to the interpreted Column-function forms they
+  * replaced — that equivalence is what keeps the DuckDB oracles exact.
+  * Each test evaluates both forms over real testdata and compares.
+  */
+class KernelParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotFloat equals the sequential-fold HOF dot product bit-for-bit") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+    val hof = aggregate(
+      zip_with(col("va"), col("vb"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val diff = pairs
+      .select(VectorFunctions.dot(col("va"), col("vb")).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("WordShingles equals the array_distinct/transform/slice HOF form") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = split(col("text"), " ")
+    val hof = when(size(w) >= 3,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", slice(w, i + 1, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+    val diff = docs
+      .select(TextFunctions.shingles(col("text"), 3).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("WordShingles edge cases: short docs, duplicate windows, empties") {
+    val out = Seq(
+      "a b",            // shorter than n → empty
+      "a b c",          // exactly n → one shingle
+      "x y x y x y",    // duplicate windows collapse
+      ""                // empty text → [""] words → empty
+    ).toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq.empty)
+    assert(out(1) === Seq("a b c"))
+    assert(out(2) === Seq("x y x", "y x y"))
+    assert(out(3) === Seq.empty)
+  }
+
+  test("MinHashSignature equals the PortableHash column form per slot") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val sh = TextFunctions.shingles(col("text"), 3)
+    val hof = transform(
+      sequence(lit(0), lit(15)),
+      i => array_min(transform(
+        transform(sh, s => PortableHash.h32(s)),
+        h => PortableHash.permHash(i, h))))
+    val diff = docs
+      .filter(size(sh) > 0)
+      .select(graft.operators.Dedup.minhashSignature(sh, 16).as("fast"),
+              hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diff === 0)
+  }
+}

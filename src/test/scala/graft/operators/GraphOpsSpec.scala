@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels every vertex with its component min") {
+    // components: {1,2,3,4} (chain + triangle), {10,11}, {20,21,22} (star)
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L)
+    ).toDF("a", "b")
+    val out = GraphOps.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path (diameter > 1 round)") {
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = GraphOps.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(out.size === 12)
+    assert(out.values.toSet === Set(1L))
+  }
+
+  test("connectedComponents is idempotent for already-labeled components") {
+    val edges = Seq((5L, 6L)).toDF("a", "b")
+    val once = GraphOps.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toSet
+    assert(once === Set((5L, 5L), (6L, 5L)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (1L, 2L, ts("2024-01-01 00:30:00")), // gap = 30m = threshold → same
+      (1L, 3L, ts("2024-01-01 01:00:01")), // gap = 30m1s → new session
+      (2L, 4L, ts("2024-01-01 00:00:00"))  // other key: own session 1
+    ).toDF("user_id", "event_id", "t")
+    val out = TemporalOps
+      .sessionize(events, "user_id", "t", Seq("event_id"), gapUs = 1800000000L)
+      .select("user_id", "event_id", "session_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 2L), (2L, 4L, 1L)))
+  }
+
+  test("sessionize breaks timestamp ties deterministically") {
+    val t0 = ts("2024-01-01 00:00:00")
+    val events = Seq((1L, 2L, t0), (1L, 1L, t0)).toDF("user_id", "event_id", "t")
+    val out = TemporalOps
+      .sessionize(events, "user_id", "t", Seq("event_id"), gapUs = 1L)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toSet
+    // zero gap between the tied rows → one session regardless of order
+    assert(out === Set((1L, 1L), (2L, 1L)))
+  }
+
+  test("asofJoin picks latest right time <= event time, null when none") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-05 12:00:00")),
+      (11L, 1L, ts("2024-01-01 00:00:00")), // before any order → null
+      (12L, 1L, ts("2024-01-03 00:00:00")), // equality is inclusive
+      (13L, 2L, ts("2024-06-01 00:00:00"))  // key with no right rows
+    ).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (1L, ts("2024-01-02 00:00:00")),
+      (1L, ts("2024-01-03 00:00:00")),
+      (1L, ts("2024-01-09 00:00:00"))
+    ).toDF("user_id", "rt")
+    val out = TemporalOps.asofJoin(left, right, "user_id", "t", "rt")
+      .select(col("event_id"), col("rt").cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(10L).get.startsWith("2024-01-03"))
+    assert(out(11L).isEmpty)
+    assert(out(12L).get.startsWith("2024-01-03"))
+    assert(out(13L).isEmpty)
+  }
+}
