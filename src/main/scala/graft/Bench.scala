@@ -13,6 +13,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: touch each table family + compile the hot codegen
+    // kernels (md5/minhash, DotFloat) so the first TIMED query doesn't
+    // absorb one-off JVM/JIT/parquet-footer costs.
+    Seq("q1_agg", "q23_simhash", "q24_embed_knn", "q14_watermark")
+      .foreach { q =>
+        try SparkEntry.queries(q)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -42,6 +42,61 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Count of array elements contained in a fixed word set — the stopword
+  * frequency signal used by language-ID and quality scoring. Equals
+  * `size(filter(arr, x => x.isInCollection(words)))` but codegen'd: the
+  * HOF form is interpreted per element AND its CodegenFallback breaks the
+  * surrounding whole-stage-codegen span for the entire projection. The set
+  * is embedded once per task via `addReferenceObj` (UTF8String hash set,
+  * O(1) probes).
+  */
+case class WordSetCount(child: Expression, words: Seq[String])
+    extends ShingleKernelExpression {
+
+  @transient private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](words.size * 2)
+    words.foreach(w => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "word_set_count"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    var n = 0
+    var i = 0
+    val m = arr.numElements()
+    while (i < m) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set,
+      classOf[java.util.HashSet[_]].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = 0;
+         |int $m = $c.numElements();
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if (!$c.isNullAt($i) && $setRef.contains($c.getUTF8String($i))) $n++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordSetCount =
+    copy(child = newChild)
+}
+
 /** MinHash signature (`numPerm` slots) of a shingle array (see
   * [[ShingleUtil.minhashSig]]; values identical to the
   * [[PortableHash.permHash]]/[[PortableHash.h32]] column form).

@@ -49,11 +49,14 @@ object TextFunctions {
     "fr" -> Seq("le", "les", "de", "et", "un", "est", "dans", "que"))
 
   /** Count of words that hit a language's stopword list (with
-    * multiplicity — a frequency signal, not set membership).
+    * multiplicity — a frequency signal, not set membership). Codegen'd
+    * [[WordSetCount]] kernel, value-identical to
+    * `size(filter(w, _.isInCollection(list)))`.
     */
   def langScore(w: Column, lang: String): Column = {
-    val list = LangStopwords.toMap.apply(lang)
-    size(filter(w, x => x.isInCollection(list)))
+    import org.apache.spark.sql.GraftColumns
+    GraftColumns.column(
+      WordSetCount(GraftColumns.expression(w), LangStopwords.toMap.apply(lang)))
   }
 
   /** Argmax language by [[langScore]], ties → alphabetically first. */

@@ -39,7 +39,7 @@ object Dedup {
     */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, maxShingleDf: Int = 0): DataFrame = {
-    val sets = docs.select(
+    val sets = Partitioning.spread(docs).select(
       col(idCol).as("doc_id"),
       TextFunctions.shingles(col(textCol), n).as("sh"))
     val postings = sets
@@ -110,24 +110,27 @@ object Dedup {
     // cluster this is the same call — MEMORY_AND_DISK spills per executor;
     // at true 100 TB scale you would checkpoint signatures to a table
     // instead, but the operator shape is identical.
-    val sets = docs.select(
+    val sets = Partitioning.spread(docs).select(
       col(idCol).as("doc_id"),
       TextFunctions.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // (doc_id, band, bandKey): one row per band, key = joined band slice.
+    // (doc_id, band, bandKey): one row per band. Band keys are xxhash64 of
+    // the signature slice — an 8-byte join key instead of a joined-string
+    // key (smaller shuffle), unrolled per band at plan-build time so the
+    // whole projection is codegen'd. A key collision only ADDS a candidate
+    // pair, which exact verification then rejects — correctness is
+    // unaffected by the hash choice, so the fast engine-native hash is
+    // fine here (contrast with the oracle-visible PortableHash values).
     val banded = sets
       .withColumn("sig", minhashSignature(col("sh"), numPerm))
       .select(
         col("doc_id"),
-        explode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => struct(
-            b.as("band"),
-            concat_ws(",", transform(slice(col("sig"), b * rows + 1, lit(rows)),
-                                     v => v.cast("string"))).as("key"))))
-          .as("bk"))
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+                 xxhash64(slice(col("sig"), b * rows + 1, rows)).as("key"))
+        }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
     val cand = banded.as("x")

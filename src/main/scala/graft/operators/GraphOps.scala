@@ -36,6 +36,14 @@ object GraphOps {
       .withColumn("comp", col("id"))
       .localCheckpoint()
 
+    // Labels only ever DECREASE (min of self + neighbors), so the global
+    // label sum is a strictly decreasing convergence witness: unchanged
+    // sum ⟺ no label changed. One cheap aggregate per round instead of a
+    // join-and-compare pass.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("comp"))).collect()(0).getLong(0)
+
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -47,12 +55,10 @@ object GraphOps {
         .groupBy("id")
         .agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      val changed = prop.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .limit(1).count() > 0
+      val s = labelSum(prop)
       labels = prop
-      converged = !changed
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
     labels

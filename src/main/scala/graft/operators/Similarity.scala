@@ -27,7 +27,7 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int)
       : DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val scored = Partitioning.spread(corpus).crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosine(col("qv"), col("embedding")))
     val w = Window.partitionBy(col("qid"))
@@ -59,7 +59,7 @@ object Similarity {
       }.reduce(_ + _)
       struct(lit(t).as("t"), bucket.as("bucket"))
     }
-    emb
+    Partitioning.spread(emb)
       .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
   }
@@ -103,11 +103,13 @@ object Similarity {
     // would compute per-pair, so sim values are unchanged bit-for-bit.
     val prepped = emb.select(col("vec_id"), col("embedding"),
       sqrt(norm2(col("embedding"))).as("nrm"))
-    val a = prepped.select(col("vec_id").as("vec_a"),
+    // stream side spread across cores (O(n²) work must parallelize even
+    // when the scan is one split); build side broadcast explicitly
+    val a = Partitioning.spread(prepped).select(col("vec_id").as("vec_a"),
       col("embedding").as("va"), col("nrm").as("na"))
     val b = prepped.select(col("vec_id").as("vec_b"),
       col("embedding").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("sim_e6",
         e6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("sim_e6") >= minSimE6)

@@ -57,6 +57,18 @@ class KernelParitySpec extends SparkSpec {
     assert(out(3) === Seq.empty)
   }
 
+  test("WordSetCount equals the size(filter(isInCollection)) HOF form") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = split(col("text"), " ")
+    val list = TextFunctions.LangStopwords.toMap.apply("en")
+    val hof = size(filter(w, x => x.isInCollection(list)))
+    val diff = docs
+      .select(TextFunctions.langScore(w, "en").as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diff === 0)
+  }
+
   test("MinHashSignature equals the PortableHash column form per slot") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     val sh = TextFunctions.shingles(col("text"), 3)

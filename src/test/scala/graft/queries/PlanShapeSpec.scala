@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkSpec
+
+/** Physical-plan shape assertions — the 100 TB design contracts that
+  * row-level oracles cannot see. Each test pins a property that must
+  * survive refactoring: filters/projections reach the parquet scan,
+  * small sides broadcast (never shuffle the fact side), Top-N plans as
+  * TakeOrderedAndProject (bounded heap, no global sort), aggregates keep
+  * map-side partials, hot expressions stay inside whole-stage codegen.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** Final (post-AQE) physical plan: execute, then render. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: predicate pushdown and column pruning reach the parquet scan") {
+    val plan = formatted(RelationalQueries.q2FilterPushdown(spark, sf))
+    assert(plan.contains("PushedFilters: ["), "filters must push to scan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate range must be in PushedFilters, not a post-scan filter only")
+    assert(plan.contains("LessThan(l_quantity"),
+      "quantity predicate must push down")
+    val readSchema = plan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_discount"),
+      s"scan must prune unused columns, got: $readSchema")
+  }
+
+  test("q3: dimension joins broadcast — the fact side never shuffles") {
+    val plan = finalPlan(RelationalQueries.q3DimJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "no sort-merge join for broadcast-sized dims")
+  }
+
+  test("q6: Top-N plans as TakeOrderedAndProject + broadcast semi-join") {
+    val plan = finalPlan(RelationalQueries.q6TopNSemiJoin(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "orderBy+limit must use a bounded per-partition heap, not a global sort")
+    assert(plan.contains("LeftSemi"), "Top-N filter is a semi-join")
+    assert(plan.contains("BroadcastHashJoin"), "Top-N side broadcasts")
+  }
+
+  test("q11: global sort+limit plans as TakeOrderedAndProject") {
+    val plan = finalPlan(RelationalQueries.q11SortLimit(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q1: aggregate keeps map-side partials (two HashAggregate phases)") {
+    val plan = finalPlan(RelationalQueries.q1Agg(spark, sf))
+    val n = "HashAggregate".r.findAllIn(plan).length
+    assert(n >= 2, s"expected partial+final HashAggregate, found $n")
+  }
+
+  test("q27: text-quality pipeline stays in whole-stage codegen") {
+    // "*(n)" prefixes in the compact plan mark WholeStageCodegen spans;
+    // the projection holding the text metrics must carry one — an
+    // interpreted HOF (e.g. size(filter(...))) would break the span.
+    val plan = finalPlan(PipelineQueries.q27Quality(spark, sf))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("word_set_count")),
+      s"stopword counting must run codegen'd inside WSCG, plan:\n$plan")
+  }
+
+  test("q24: brute-force ANN broadcasts the query side, corpus streams") {
+    val plan = finalPlan(PipelineQueries.q24EmbedKnn(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      "query vectors must broadcast; the corpus side must not shuffle")
+    assert(plan.contains("dot_float"),
+      "cosine must run through the codegen'd DotFloat kernel")
+  }
+
+  test("q22: minhash candidates verify via broadcast, not a corpus shuffle") {
+    val plan = finalPlan(PipelineQueries.q22MinhashLsh(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "candidate pairs must broadcast into the verify join")
+    assert(plan.contains("InMemoryTableScan"),
+      "shingle sets must be persisted once, not recomputed per consumer")
+  }
+
+  test("semantic Top-N query respects the filter context in the rank") {
+    val plan = finalPlan(SemanticQueries.q19SemanticTopN(spark, sf))
+    assert(plan.contains("LeftSemi"))
+    // date filter must appear below the aggregate (pushed into both the
+    // rank subquery and the measure query), not applied after it
+    assert(plan.contains("PushedFilters") || plan.contains("Filter"))
+  }
+}
