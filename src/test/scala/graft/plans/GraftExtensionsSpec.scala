@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** The SQL registration surface: the same codegen kernels, reachable from
+  * `spark.sql`. Registered on the shared live session via
+  * `GraftExtensions.register` (the `withExtensions` path covers
+  * construction-time wiring with the identical function catalog).
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  private lazy val sql = {
+    GraftExtensions.register(spark)
+    spark
+  }
+
+  test("graft_dot_float from SQL") {
+    val r = sql.sql(
+      """SELECT graft_dot_float(
+        |  array(cast(1.0 as float), cast(2.0 as float)),
+        |  array(cast(3.0 as float), cast(4.0 as float))) AS d""".stripMargin)
+      .collect()(0).getDouble(0)
+    assert(r === 11.0)
+  }
+
+  test("graft_word_shingles + graft_minhash from SQL") {
+    val row = sql.sql(
+      """SELECT graft_word_shingles(split('a b c d', ' '), 2) AS sh,
+        |       graft_minhash(graft_word_shingles(split('a b c d', ' '), 2), 4) AS sig
+        |""".stripMargin).collect()(0)
+    assert(row.getSeq[String](0) === Seq("a b", "b c", "c d"))
+    assert(row.getSeq[Long](1).length === 4)
+  }
+
+  test("graft_word_set_count from SQL") {
+    val n = sql.sql(
+      """SELECT graft_word_set_count(
+        |  split('the cat and the hat', ' '), 'the', 'and') AS n""".stripMargin)
+      .collect()(0).getInt(0)
+    assert(n === 3)
+  }
+
+  test("non-literal shingle width is rejected") {
+    val e = intercept[Exception] {
+      sql.sql("SELECT graft_word_shingles(split('a b', ' '), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") || e.getCause != null)
+  }
+}
