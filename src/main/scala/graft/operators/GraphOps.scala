@@ -27,9 +27,12 @@ object GraphOps {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // materialize the (possibly expensive) edge plan ONCE before
+    // symmetrizing — a union of two branches over the raw plan would
+    // evaluate it twice
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint()
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
 
     var labels = sym.select(col("src").as("id"))
       .distinct()

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{PortableHash, TextFunctions}
-import graft.operators.{Dedup, GraphOps, TemporalOps}
+import graft.operators.{Dedup, GraphOps, SkewOps, TemporalOps}
 
 /** Advanced operator pack: sessionization, deterministic sampling splits,
   * vocabulary building, TF-IDF, grouping-set rollup, dedup-group
@@ -145,6 +145,34 @@ object AdvancedQueries {
       .orderBy("event_id")
   }
 
+  /** Skew-salted join: identical result set to the plain equi-join, but
+    * each (hot) key's rows fan out across 8 reducers. Aggregates use
+    * floor-scaled integers so the oracle compare is exact.
+    */
+  def q39SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    SkewOps.saltedJoin(events, cust, Seq("user_id"), salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(floor(col("value") * 100).cast("long")).as("sum_value_e2"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Sketch surface: HLL++ distinct counts and quantile sketches per key.
+    * Approximate by design → no SQL oracle (driver rows-only check); the
+    * exact count rides along as the sanity anchor.
+    */
+  def q40Sketches(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+           expr("approx_percentile(value, array(0.5, 0.95), 1000)")
+             .as("value_p50_p95"),
+           count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -154,7 +182,9 @@ object AdvancedQueries {
     "q35_tfidf"        -> (q35Tfidf _),
     "q36_rollup"       -> (q36Rollup _),
     "q37_dedup_groups" -> (q37DedupGroups _),
-    "q38_asof_join"    -> (q38AsofJoin _)
+    "q38_asof_join"    -> (q38AsofJoin _),
+    "q39_salted_join"  -> (q39SaltedJoin _),
+    "q40_sketches"     -> (q40Sketches _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -253,6 +283,14 @@ object AdvancedQueries {
         |  CAST(o.o_orderdate AS DATE) AS asof_date
         |FROM events e ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+    // q39: the salt must be invisible in the result — the oracle is the
+    // PLAIN join. (q40 is approximate by design → no oracle, rows-only.)
+    "q39_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_e2
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

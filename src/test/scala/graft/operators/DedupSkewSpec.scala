@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    // one hot key (1) with many rows + cold keys
+    val left = ((1 to 500).map(i => (1L, i)) ++ Seq((2L, 1), (3L, 2)))
+      .toDF("k", "v")
+    val right = Seq((1L, "hot"), (2L, "cold"), (4L, "unmatched"))
+      .toDF("k", "name")
+    val salted = SkewOps.saltedJoin(left, right, Seq("k"), salts = 8)
+      .select("k", "v", "name")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedJoin actually fans a hot key across multiple salt values") {
+    val left = (1 to 200).map(i => (1L, i)).toDF("k", "v")
+    val nSalts = left
+      .withColumn("__salt",
+        pmod(xxhash64(struct(col("k"), col("v"))), lit(8L)))
+      .select("__salt").distinct().count()
+    assert(nSalts > 1, "hash salt must spread a hot key's rows")
+  }
+
+  test("maxShingleDf drops shingles above the document-frequency cap") {
+    // 'x y z' appears in all 4 docs (hot); 'a b c' in only 2
+    val docs = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z a b c"),
+      (3L, "x y z q r s"),
+      (4L, "x y z t u v")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.shinglePostings(docs, "doc_id", "text", n = 3)
+    val capped = Dedup.shinglePostings(docs, "doc_id", "text", n = 3,
+      maxShingleDf = 2)
+    val cappedShingles = capped.select("shingle").distinct()
+      .as[String].collect().toSet
+    assert(!cappedShingles.contains("x y z"), "hot shingle must be dropped")
+    assert(cappedShingles.contains("a b c"), "df=2 shingle must survive")
+    assert(capped.count() < uncapped.count())
+  }
+}
