@@ -97,6 +97,25 @@ class IngestJobSpec extends SparkSpec {
     assert(store.games(spark).count() == 1)
   }
 
+  test("unparseable archive body is treated as a failed fetch, not empty") {
+    val pages = Map(
+      archivesFor("alice", a1, a2),
+      a1 -> Right("""{"games": [this is not json"""), // 200 but malformed
+      a2 -> Right(s"""{"games":[${game("g1", 100, "1-0")}]}"""))
+    val (job, store, _) = freshEnv(pages)
+    val state = job.run("alice")
+    assert(!state("alice").processedArchives.contains(a1),
+      "parse failure must leave the archive pending for retry — marking it " +
+        "processed with 0 games would be silent data loss")
+    assert(state("alice").processedArchives.contains(a2))
+    val errs = store.status(spark)
+      .filter(org.apache.spark.sql.functions.col("http_status") ===
+        ArchiveSource.ParseFailureStatus.toString)
+      .collect()
+    assert(errs.nonEmpty, "parse failure must be status-logged")
+    assert(store.games(spark).count() == 1)
+  }
+
   test("archive-list failure is logged, run continues") {
     val (job, store, _) = freshEnv(Map.empty) // 404 everything
     val state = job.run("alice")
