@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{PortableHash, TextFunctions}
-import graft.operators.{Dedup, GraphOps, SkewOps, TemporalOps}
+import graft.operators.{Dedup, GraphOps, Partitioning, SkewOps, TemporalOps}
 
 /** Advanced operator pack: sessionization, deterministic sampling splits,
   * vocabulary building, TF-IDF, grouping-set rollup, dedup-group
@@ -64,7 +64,7 @@ object AdvancedQueries {
     * TakeOrderedAndProject over the (small) aggregate.
     */
   def q34TopkNgrams(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Partitioning.spread(Tables.documents(s, dir))
       .select(explode(TextFunctions.shingles(col("text"), 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("df"))
@@ -79,7 +79,7 @@ object AdvancedQueries {
     * driver-side collect.
     */
   def q35Tfidf(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
+    val words = Partitioning.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
               explode(TextFunctions.words(col("text"))).as("term"))
     val tf    = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
