@@ -147,13 +147,20 @@ object Dedup {
     // strategy for the second join at runtime.
     val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    sa.join(broadcast(cand), "doc_a").join(sb, "doc_b")
+    val verified = sa.join(broadcast(cand), "doc_a").join(sb, "doc_b")
       .withColumn("inter_cnt",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("union_cnt",
         size(col("sh_a")) + size(col("sh_b")) - col("inter_cnt"))
       .filter(col("inter_cnt") * den >= col("union_cnt") * num)
       .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+    // Materialize the (small) verified pair set, then release the cached
+    // shingle sets — otherwise every call leaks a MEMORY_AND_DISK cache
+    // for the session's lifetime. localCheckpoint keeps the result itself
+    // addressable without the cache.
+    val out = verified.localCheckpoint()
+    sets.unpersist()
+    out
   }
 
   /** 32-bit SimHash over word occurrences: bit b of the signature is set

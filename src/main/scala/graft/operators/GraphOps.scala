@@ -39,12 +39,17 @@ object GraphOps {
       .withColumn("comp", col("id"))
       .localCheckpoint()
 
+    if (labels.isEmpty) return labels
+
     // Labels only ever DECREASE (min of self + neighbors), so the global
     // label sum is a strictly decreasing convergence witness: unchanged
     // sum ⟺ no label changed. One cheap aggregate per round instead of a
-    // join-and-compare pass.
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("comp"))).collect()(0).getLong(0)
+    // join-and-compare pass. Summed as decimal(38,0): a 64-bit sum could
+    // wrap at billions-of-vertices scale and a wrapped collision would
+    // end propagation early with wrong components.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
 
     var prevSum = labelSum(labels)
     var iter = 0
@@ -60,7 +65,7 @@ object GraphOps {
         .localCheckpoint()
       val s = labelSum(prop)
       labels = prop
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }

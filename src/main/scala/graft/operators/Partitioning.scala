@@ -15,8 +15,27 @@ import org.apache.spark.sql.DataFrame
   */
 object Partitioning {
 
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project}
+
+  /** True iff the plan is a bare scan (projections/filters over a leaf).
+    * Only then is the partition count (a) knowable without running
+    * anything — `Dataset.rdd` on a shuffling plan under AQE would EXECUTE
+    * the upstream stages just to finalize the plan — and (b) worth
+    * checking at all: any shuffle in the input already re-partitions to
+    * `spark.sql.shuffle.partitions`, so downstream parallelism is fine.
+    */
+  private def isNarrowScan(plan: LogicalPlan): Boolean = plan match {
+    case p: Project => isNarrowScan(p.child)
+    case f: Filter => isNarrowScan(f.child)
+    case _: LeafNode => true
+    case _ => false
+  }
+
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (isNarrowScan(df.queryExecution.optimizedPlan) &&
+        df.rdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 }

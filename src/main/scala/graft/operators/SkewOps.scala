@@ -25,9 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Join types where replicating `other` cannot duplicate output rows:
+    * unmatched `other` rows are never emitted. A right/full outer join
+    * would surface each unmatched replicated row ×salts — rejected.
+    */
+  private val SafeJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti")
+
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(SafeJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin cannot preserve plain-join semantics for '$joinType': " +
+        "unmatched rows of the replicated side would be emitted once per " +
+        "salt. Use inner/left/semi/anti, or salt the other side.")
     val l = skewed.withColumn("__salt",
       pmod(xxhash64(struct(skewed.columns.map(col).toSeq: _*)), lit(salts.toLong)))
     val r = other.withColumn("__salt",

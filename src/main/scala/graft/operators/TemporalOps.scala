@@ -50,7 +50,11 @@ object TemporalOps {
   def asofJoin(left: DataFrame, right: DataFrame,
                key: String, eventTime: String, rightTime: String): DataFrame = {
     val leftCols = left.columns
-    val r = right.select(
+    // NULL keys never satisfy an equi-condition: drop null-key right rows
+    // up front (otherwise the window's NULL partition would carry their
+    // values onto null-key left rows — equi-join semantics say those left
+    // rows match nothing and surface with a null asof value).
+    val r = right.filter(col(key).isNotNull).select(
       col(key),
       col(rightTime).cast("timestamp").as("__t"),
       lit(1).as("__is_right"),

@@ -82,8 +82,12 @@ object AdvancedQueries {
     val words = Partitioning.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
               explode(TextFunctions.words(col("text"))).as("term"))
-    val tf    = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dlen  = words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    // tf is the ONE aggregation over the exploded corpus; materialize it
+    // so doc lengths and document frequencies derive from it instead of
+    // re-scanning and re-exploding the corpus per consumer.
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dlen  = tf.groupBy("doc_id").agg(sum(col("tf")).as("n_words"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf

@@ -42,27 +42,32 @@ object StreamingIngest {
       .select(col("archive_url"), explode_outer(col("games")).as("game"))
 
   /** Full streaming pipeline: landing files → projected 13-col fact rows →
-    * watermarked stream dedup → idempotent batch append into the store.
+    * idempotent batch append into the store.
     *
-    * Two dedup layers on purpose:
-    *  1. `withWatermark + dropDuplicates(game_url)`: drops duplicates
-    *     ACROSS micro-batches within the watermark horizon using streaming
-    *     state (bounded by the watermark — state for events older than the
-    *     horizon is evicted, so state size is O(recent keys), not O(all
-    *     history)).
-    *  2. the store's anti-join append: catches duplicates beyond the
-    *     horizon (e.g. a re-landed month-old archive) — the same
-    *     idempotency the batch path relies on.
+    * Dedup lives ENTIRELY in the sink's anti-join (exact, unbounded-safe):
+    * a watermarked `dropDuplicates` here would be wrong twice over — a
+    * backfilled months-old archive would arrive below the watermark and be
+    * dropped as "late" (silent data loss; the reference happily ingests
+    * old months), and without the event-time column in the dedup key the
+    * state store would never evict, growing O(all history). Optional
+    * `streamDedup` enables `dropDuplicatesWithinWatermark(game_url)` as a
+    * state-bounded optimization for deployments where duplicates only
+    * arrive close together in time — the sink anti-join still backstops
+    * exactness either way.
     */
   def ingestStream(spark: SparkSession, landingDir: String, store: GamesStore,
                    username: String, checkpointDir: String,
-                   watermarkDelay: String = "30 days"): DataStreamWriter[Row] = {
-    val fact = GameTransforms.projectFact(
-        readLandingStream(spark, landingDir)
-          .filter(col("game").isNotNull)
-          .withColumn("username", lit(username)))
-      .withWatermark("end_time_utc", watermarkDelay)
-      .dropDuplicates("game_url")
+                   watermarkDelay: String = "30 days",
+                   streamDedup: Boolean = false): DataStreamWriter[Row] = {
+    val projected = GameTransforms.projectFact(
+      readLandingStream(spark, landingDir)
+        .filter(col("game").isNotNull)
+        .withColumn("username", lit(username)))
+    val fact =
+      if (streamDedup)
+        projected.withWatermark("end_time_utc", watermarkDelay)
+          .dropDuplicatesWithinWatermark("game_url")
+      else projected
     fact.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

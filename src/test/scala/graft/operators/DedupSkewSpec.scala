@@ -29,6 +29,22 @@ class DedupSkewSpec extends SparkSpec {
     assert(nSalts > 1, "hash salt must spread a hot key's rows")
   }
 
+  test("saltedJoin rejects join types that would duplicate unmatched rows") {
+    val left = Seq((1L, 1)).toDF("k", "v")
+    val right = Seq((2L, "r")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      SkewOps.saltedJoin(left, right, Seq("k"), salts = 4, joinType = "right")
+    }
+    assert(e.getMessage.contains("cannot preserve"))
+    intercept[IllegalArgumentException] {
+      SkewOps.saltedJoin(left, right, Seq("k"), salts = 4, joinType = "full_outer")
+    }
+    // left outer is safe: the skewed (preserved) side has exactly one salt
+    val lo = SkewOps.saltedJoin(left, right, Seq("k"), salts = 4,
+      joinType = "left").collect()
+    assert(lo.length === 1 && lo(0).isNullAt(2))
+  }
+
   test("maxShingleDf drops shingles above the document-frequency cap") {
     // 'x y z' appears in all 4 docs (hot); 'a b c' in only 2
     val docs = Seq(

@@ -28,6 +28,11 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.values.toSet === Set(1L))
   }
 
+  test("connectedComponents on an empty edge set returns empty, no NPE") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(GraphOps.connectedComponents(edges, "a", "b").count() === 0)
+  }
+
   test("connectedComponents is idempotent for already-labeled components") {
     val edges = Seq((5L, 6L)).toDF("a", "b")
     val once = GraphOps.connectedComponents(edges, "a", "b")

@@ -35,6 +35,22 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out === Set((1L, 1L), (2L, 1L)))
   }
 
+  test("asofJoin never matches NULL keys to NULL-key right rows") {
+    val left = Seq(
+      (1L, Option.empty[Long], ts("2024-05-01 00:00:00")),
+      (2L, Option(7L), ts("2024-05-01 00:00:00"))
+    ).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (Option.empty[Long], ts("2024-01-01 00:00:00")), // null key: no match
+      (Option(7L), ts("2024-02-01 00:00:00"))
+    ).toDF("user_id", "rt")
+    val out = TemporalOps.asofJoin(left, right, "user_id", "t", "rt")
+      .select(col("event_id"), col("rt").cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).isEmpty, "NULL = NULL must not match (equi-join semantics)")
+    assert(out(2L).get.startsWith("2024-02-01"))
+  }
+
   test("asofJoin picks latest right time <= event time, null when none") {
     val left = Seq(
       (10L, 1L, ts("2024-01-05 12:00:00")),

