@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.{Fetcher, RetryingFetcher}
+
+/** DataSourceV2 connector for chess.com monthly archives (SURVEY.md §2.1
+  * S1/S3): `spark.read.format("graft.sources.ChessArchiveSource")
+  * .option("urls", "u1,u2").option("username", "alice").load()`.
+  *
+  * Plan shape: ONE input partition per archive URL, so a backfill of N
+  * archives fans out across the cluster, each task doing its own
+  * fetch-with-retry (the reference's serial driver-side loop,
+  * `fetch_and_post.py:331-344`, becomes embarrassingly parallel). The
+  * reader emits one row per archive: (archive_url, fetch_status, body) —
+  * raw-bytes-at-the-edge; parsing/exploding stays in the declarative plan
+  * (`from_json` + `explode`) where Catalyst can prune it.
+  *
+  * The fetcher is configured by CLASS NAME (`fetcher.class`, no-arg
+  * constructor) because readers are constructed from serialized options on
+  * executors; defaults to the retrying HTTP fetcher. Tests inject a
+  * file-backed fetcher the same way.
+  */
+class ChessArchiveSource extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChessArchiveSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ArchiveTable(properties.asScala.toMap)
+}
+
+object ChessArchiveSource {
+  val schema: StructType = StructType(Seq(
+    StructField("archive_url", StringType, nullable = false),
+    StructField("fetch_status", IntegerType, nullable = false),
+    StructField("body", StringType, nullable = true)))
+
+  /** Instantiate the configured fetcher (executor-side). */
+  def fetcherFor(options: Map[String, String]): Fetcher = {
+    val inner = options.get("fetcher.class") match {
+      case Some(cls) =>
+        Class.forName(cls).getDeclaredConstructor()
+          .newInstance().asInstanceOf[Fetcher]
+      case None => new HttpFetcher(
+        options.getOrElse("user.agent", "graft-spark-etl"))
+    }
+    RetryingFetcher(inner,
+      maxRetries = options.getOrElse("max.retries", "3").toInt,
+      baseBackoffMs = options.getOrElse("backoff.ms", "2000").toLong)
+  }
+}
+
+/** Minimal java.net HTTP GET fetcher (S1: UA header, 30 s timeout; the
+  * retry/backoff/status policy lives in [[RetryingFetcher]]).
+  */
+class HttpFetcher(userAgent: String) extends Fetcher {
+  def this() = this("graft-spark-etl")
+  override def fetch(url: String): Either[Int, String] = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestProperty("User-Agent", userAgent)
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(30000)
+      val status = conn.getResponseCode
+      if (status == 200)
+        Right(new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+      else Left(status)
+    } finally conn.disconnect()
+  }
+}
+
+private[sources] class ArchiveTable(options: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "chess_archives"
+  override def schema(): StructType = ChessArchiveSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new ArchiveScanBuilder(options ++ o.asScala)
+}
+
+private[sources] class ArchiveScanBuilder(options: Map[String, String])
+    extends ScanBuilder with Scan with Batch {
+  override def build(): Scan = this
+  override def readSchema(): StructType = ChessArchiveSource.schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val urls = options.getOrElse("urls", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    require(urls.nonEmpty, "chess-archives source requires option 'urls'")
+    urls.map(u => ArchivePartition(u): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArchiveReaderFactory(options)
+}
+
+private[sources] case class ArchivePartition(url: String) extends InputPartition
+
+private[sources] class ArchiveReaderFactory(options: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ArchiveReader(p.asInstanceOf[ArchivePartition].url, options)
+}
+
+/** One row per archive; the fetch happens lazily on first `next()`, task
+  * retries re-fetch (idempotent GET).
+  */
+private[sources] class ArchiveReader(url: String, options: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    val (status, body) = ChessArchiveSource.fetcherFor(options).fetch(url) match {
+      case Right(b)  => (200, UTF8String.fromString(b))
+      case Left(s)   => (s, null)
+    }
+    row = InternalRow(UTF8String.fromString(url), status, body)
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
+}
