@@ -177,6 +177,29 @@ object AdvancedQueries {
            count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** A11's hard shape, oracle-gated: rolling window over SPARSE dates with
+    * a generated date-dim scaffold so zero-activity days carry explicit
+    * zeros (a row frame over the sparse series would silently widen the
+    * window — SURVEY.md §7.4). Uses a 7-day range frame over epoch-days.
+    */
+  def q41ScaffoldRolling(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+              col("o_orderstatus") === "P")
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val dim = graft.semantic.DateDim.spanning(s, daily, "d")
+      .select(col("date").as("d"))
+    val dense = dim.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window
+      .orderBy(datediff(col("d"), lit("1970-01-01")))
+      .rangeBetween(-6, 0)
+    dense
+      .withColumn("rolling_n", sum(col("n")).over(w))
+      .orderBy("d")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -188,7 +211,8 @@ object AdvancedQueries {
     "q37_dedup_groups" -> (q37DedupGroups _),
     "q38_asof_join"    -> (q38AsofJoin _),
     "q39_salted_join"  -> (q39SaltedJoin _),
-    "q40_sketches"     -> (q40Sketches _)
+    "q40_sketches"     -> (q40Sketches _),
+    "q41_scaffold_rolling" -> (q41ScaffoldRolling _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -295,6 +319,24 @@ object AdvancedQueries {
         |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_value_e2
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q41_scaffold_rolling" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'P'
+        |  GROUP BY 1),
+        |dim AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT MIN(d) FROM daily),
+        |    (SELECT MAX(d) FROM daily), INTERVAL 1 DAY))::DATE AS d),
+        |dense AS (
+        |  SELECT dim.d, COALESCE(daily.n, 0) AS n
+        |  FROM dim LEFT JOIN daily ON dim.d = daily.d)
+        |SELECT d, CAST(n AS BIGINT) AS n,
+        |  CAST(SUM(n) OVER (ORDER BY d
+        |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS rolling_n
+        |FROM dense ORDER BY d""".stripMargin
   )
 }
