@@ -52,6 +52,31 @@ final case class RetryingFetcher(
   }
 }
 
+/** Inter-request pacing (S1: the reference sleeps `CHESS_REQUEST_DELAY`
+  * between requests, `fetch_and_post.py:34,336,415`): enforces a minimum
+  * gap between consecutive fetches THROUGH THIS INSTANCE. One instance
+  * serves one executor task (readers/maps construct their own), so the
+  * effective global rate is delay × running tasks — callers size the
+  * delay to apiBudget / maxConcurrentTasks.
+  */
+final case class RateLimitedFetcher(
+    inner: Fetcher,
+    minDelayMs: Long,
+    sleeper: Long => Unit = Thread.sleep,
+    clock: () => Long = System.currentTimeMillis) extends Fetcher {
+
+  @transient private var lastAt = Long.MinValue
+
+  override def fetch(url: String): Either[Int, String] = synchronized {
+    val now = clock()
+    if (lastAt != Long.MinValue && now - lastAt < minDelayMs)
+      sleeper(minDelayMs - (now - lastAt))
+    val r = inner.fetch(url)
+    lastAt = clock()
+    r
+  }
+}
+
 /** Real HTTP fetcher over `java.net.http` (JDK built-in, no extra deps).
   * 30 s timeout + UA header, mirroring the reference's operating params.
   * Not exercised in the zero-egress test environment; the retry/orchestration

@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.etl.{Fetcher, RetryingFetcher}
+import graft.etl.{Fetcher, HttpFetcher, RateLimitedFetcher, RetryingFetcher}
 
 /** DataSourceV2 connector for chess.com monthly archives (SURVEY.md §2.1
   * S1/S3): `spark.read.format("graft.sources.ChessArchiveSource")
@@ -47,7 +47,13 @@ object ChessArchiveSource {
     StructField("fetch_status", IntegerType, nullable = false),
     StructField("body", StringType, nullable = true)))
 
-  /** Instantiate the configured fetcher (executor-side). */
+  /** Instantiate the configured fetcher (executor-side): base fetcher by
+    * class name (or the JDK HTTP one), wrapped in per-task rate limiting
+    * (`request.delay.ms`, the reference's `CHESS_REQUEST_DELAY` analog —
+    * note the cluster-wide rate is delay × parallelism, so size the delay
+    * to the API's budget divided by max concurrent tasks) and
+    * retry/backoff.
+    */
   def fetcherFor(options: Map[String, String]): Fetcher = {
     val inner = options.get("fetcher.class") match {
       case Some(cls) =>
@@ -56,30 +62,12 @@ object ChessArchiveSource {
       case None => new HttpFetcher(
         options.getOrElse("user.agent", "graft-spark-etl"))
     }
-    RetryingFetcher(inner,
+    val paced = options.get("request.delay.ms")
+      .map(d => RateLimitedFetcher(inner, d.toLong))
+      .getOrElse(inner)
+    RetryingFetcher(paced,
       maxRetries = options.getOrElse("max.retries", "3").toInt,
       baseBackoffMs = options.getOrElse("backoff.ms", "2000").toLong)
-  }
-}
-
-/** Minimal java.net HTTP GET fetcher (S1: UA header, 30 s timeout; the
-  * retry/backoff/status policy lives in [[RetryingFetcher]]).
-  */
-class HttpFetcher(userAgent: String) extends Fetcher {
-  def this() = this("graft-spark-etl")
-  override def fetch(url: String): Either[Int, String] = {
-    val conn = new java.net.URL(url).openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    try {
-      conn.setRequestProperty("User-Agent", userAgent)
-      conn.setConnectTimeout(30000)
-      conn.setReadTimeout(30000)
-      val status = conn.getResponseCode
-      if (status == 200)
-        Right(new String(conn.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8))
-      else Left(status)
-    } finally conn.disconnect()
   }
 }
 

@@ -47,4 +47,19 @@ class FetcherSpec extends AnyFunSuite {
     val f = RetryingFetcher(inner, maxRetries = 3, sleeper = _ => ())
     assert(f.fetch("u") == Right("ok"))
   }
+
+  test("rate limiter enforces the minimum gap between requests") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var now = 0L
+    val inner = new Scripted(Right("a"), Right("b"), Right("c"))
+    val f = RateLimitedFetcher(inner, minDelayMs = 1000,
+      sleeper = sleeps.append(_), clock = () => now)
+    f.fetch("u1")            // first call: no wait
+    now += 300
+    f.fetch("u2")            // 300ms elapsed -> sleep 700
+    now += 1500
+    f.fetch("u3")            // 1500ms elapsed -> no sleep
+    assert(sleeps.toSeq === Seq(700L))
+    assert(inner.calls === 3)
+  }
 }
