@@ -25,6 +25,25 @@ object GraftSession {
     ).getOrCreate()
   }
 
+  /** Cluster-profile additions for the 100 TB deployment. Semantics are
+    * identical to [[configure]]; these only size the runtime:
+    *  - shuffle partitions ≈ 2–3× total executor cores (AQE coalesces
+    *    down, so err high); pass that count to [[configure]].
+    *  - 256 MiB scan splits: fewer, fuller tasks over many-TB scans
+    *    (default 128 MiB doubles the task count for no benefit when rows
+    *    are wide).
+    *  - 64 MiB advisory post-shuffle partitions: AQE's coalesce target —
+    *    large enough to amortize task overhead, small enough to spill
+    *    rarely.
+    *  - 10 MiB in-memory shuffle-read threshold keeps skew-join splits
+    *    cheap.
+    */
+  def clusterProfile(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.files.maxPartitionBytes", "256m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+
   /** Apply graft's standard configuration to any builder (local or cluster).
     * Kept separate so cluster deployments get identical semantics.
     */

@@ -200,6 +200,33 @@ object AdvancedQueries {
       .orderBy("d")
   }
 
+  /** Pivot (the BI matrix/pivot visual family): status categories become
+    * columns with an EXPLICIT value list — at scale never use implicit
+    * pivot (it runs a distinct scan to discover values and caps at
+    * `spark.sql.pivotMaxValues`); a declared list keeps the plan a single
+    * pass. Nulls (absent combos) are zero-filled to match SUM(CASE)
+    * semantics.
+    */
+  def q42Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+              coalesce(col("F"), lit(0L)).as("f_cnt"),
+              coalesce(col("O"), lit(0L)).as("o_cnt"),
+              coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy("o_orderpriority")
+
+  /** Unpivot: melt the pivoted matrix back to long form via `stack` —
+    * zero-shuffle (a generator over the aggregated rows).
+    */
+  def q43Unpivot(s: SparkSession, dir: String): DataFrame =
+    q42Pivot(s, dir)
+      .select(col("o_orderpriority"),
+        expr("stack(3, 'F', f_cnt, 'O', o_cnt, 'P', p_cnt) AS (status, cnt)"))
+      .orderBy("o_orderpriority", "status")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -212,7 +239,9 @@ object AdvancedQueries {
     "q38_asof_join"    -> (q38AsofJoin _),
     "q39_salted_join"  -> (q39SaltedJoin _),
     "q40_sketches"     -> (q40Sketches _),
-    "q41_scaffold_rolling" -> (q41ScaffoldRolling _)
+    "q41_scaffold_rolling" -> (q41ScaffoldRolling _),
+    "q42_pivot"        -> (q42Pivot _),
+    "q43_unpivot"      -> (q43Unpivot _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -337,6 +366,25 @@ object AdvancedQueries {
         |  CAST(SUM(n) OVER (ORDER BY d
         |    RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS rolling_n
-        |FROM dense ORDER BY d""".stripMargin
+        |FROM dense ORDER BY d""".stripMargin,
+    "q42_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q43_unpivot" ->
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, status, cnt FROM (
+        |  SELECT o_orderpriority, 'F' AS status, f_cnt AS cnt FROM p
+        |  UNION ALL SELECT o_orderpriority, 'O', o_cnt FROM p
+        |  UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM p)
+        |ORDER BY o_orderpriority, status""".stripMargin
   )
 }
