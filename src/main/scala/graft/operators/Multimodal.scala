@@ -62,4 +62,25 @@ object Multimodal {
     withPayload(docs).as[MediaRow]
       .mapPartitions(_.map(decodeStub))
   }
+
+  /** Real-file ingestion path: Spark's `binaryFile` source → media rows →
+    * the same feature extractor. Ids derive from the file path (stable
+    * across runs); metadata comes from source options/sidecars in a real
+    * deployment — here parameterized. `binaryFile` streams each file as
+    * one row, so payload bytes hit exactly one task and the extracted
+    * features (small columns) are all that ever shuffles.
+    */
+  def fromBinaryFiles(spark: SparkSession, dir: String,
+                      width: Int, height: Int): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("content").as("payload"),
+        lit(width).as("width"),
+        lit(height).as("height"),
+        lit(3).as("channels"))
+      .as[MediaRow]
+      .mapPartitions(_.map(decodeStub))
+  }
 }
