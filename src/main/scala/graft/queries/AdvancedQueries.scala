@@ -227,6 +227,40 @@ object AdvancedQueries {
         expr("stack(3, 'F', f_cnt, 'O', o_cnt, 'P', p_cnt) AS (status, cnt)"))
       .orderBy("o_orderpriority", "status")
 
+  /** CDC-style compaction: keep each key's LATEST record (ts desc, id as
+    * the deterministic tie-break) — the upsert-view pattern over an
+    * append-only log. One window shuffle on the key.
+    */
+  def q44LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("latest_event_id"),
+              date_trunc("second", col("ts")).as("latest_ts"),
+              col("event_type").as("latest_type"))
+      .orderBy("user_id")
+  }
+
+  /** Mergeable HLL sketches — the 100 TB distinct-count architecture:
+    * build small per-(day,key) sketches once, then UNION-merge them to any
+    * coarser grain without touching raw data again. Approximate → no SQL
+    * oracle (rows-only check); the exact distinct rides along at the
+    * final grain as the sanity anchor.
+    */
+  def q45HllMerge(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+             .as("approx_users"),
+           count(lit(1)).as("n_daily_sketches"))
+      .orderBy("event_type")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -241,7 +275,9 @@ object AdvancedQueries {
     "q40_sketches"     -> (q40Sketches _),
     "q41_scaffold_rolling" -> (q41ScaffoldRolling _),
     "q42_pivot"        -> (q42Pivot _),
-    "q43_unpivot"      -> (q43Unpivot _)
+    "q43_unpivot"      -> (q43Unpivot _),
+    "q44_latest_per_key" -> (q44LatestPerKey _),
+    "q45_hll_merge"    -> (q45HllMerge _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -385,6 +421,15 @@ object AdvancedQueries {
         |  SELECT o_orderpriority, 'F' AS status, f_cnt AS cnt FROM p
         |  UNION ALL SELECT o_orderpriority, 'O', o_cnt FROM p
         |  UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM p)
-        |ORDER BY o_orderpriority, status""".stripMargin
+        |ORDER BY o_orderpriority, status""".stripMargin,
+    // q44: deterministic latest row per key. (q45 is sketch-based →
+    // rows-only, no oracle entry.)
+    "q44_latest_per_key" ->
+      """SELECT user_id, event_id AS latest_event_id,
+        |  date_trunc('second', ts) AS latest_ts,
+        |  event_type AS latest_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }
