@@ -54,6 +54,15 @@ final class GamesStore(root: String) extends Serializable {
   // --------------------------------------------------------------- reads
 
   def games(spark: SparkSession): DataFrame = spark.read.parquet(gamesPath)
+
+  /** Typed view of the fact (same scan; encoder-checked against
+    * [[Schemas.gamesFact]] — a drifted table fails here at analysis time
+    * instead of at first field access).
+    */
+  def gamesTyped(spark: SparkSession): org.apache.spark.sql.Dataset[GameRow] = {
+    import spark.implicits._
+    games(spark).as[GameRow]
+  }
   def ledger(spark: SparkSession): DataFrame = spark.read.parquet(ledgerPath)
   def status(spark: SparkSession): DataFrame = spark.read.parquet(statusPath)
 

@@ -70,6 +70,26 @@ object Schemas {
     StructField("timestamp_utc", TimestampType)))
 }
 
+/** Typed row of the games fact (SURVEY.md §1.1: `Dataset[GameRow]` as the
+  * row-ish logical view over the columnar store — use where compile-time
+  * field safety helps, e.g. `mapPartitions` logic; stay `DataFrame` for
+  * purely relational plans so Catalyst sees column-level lineage).
+  */
+case class GameRow(
+    ingest_time: java.sql.Timestamp,
+    username: String,
+    archive_url: String,
+    game_url: String,
+    time_control: String,
+    end_time_utc: java.sql.Timestamp,
+    date_ymd: java.sql.Date,
+    white_username: String,
+    white_rating: Option[Int],
+    black_username: String,
+    black_rating: Option[Int],
+    result: String,
+    pgn: String)
+
 /** Watermark/checkpoint state for one user
   * (`state.json`: `{user: {last_end_time, processed_archives}}`).
   */

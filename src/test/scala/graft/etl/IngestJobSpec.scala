@@ -151,4 +151,18 @@ class IngestJobSpec extends SparkSpec {
     assert(store.games(spark).schema.fieldNames.head == "ingest_time")
     assert(store.games(spark).count() == 0)
   }
+
+  test("typed Dataset view matches the fact schema end-to-end") {
+    val pages = Map(
+      archivesFor("alice", a1),
+      a1 -> Right(s"""{"games":[${game("g1", 100, "1-0")}]}"""))
+    val (job, store, _) = freshEnv(pages)
+    job.run("alice")
+    val rows = store.gamesTyped(spark).collect()
+    assert(rows.length == 1)
+    val g = rows(0)
+    assert(g.game_url == "g1" && g.username == "alice")
+    assert(g.white_rating.contains(1500) && g.black_rating.contains(1480))
+    assert(g.result == "1-0")
+  }
 }
