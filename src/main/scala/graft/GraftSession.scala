@@ -35,13 +35,13 @@ object GraftSession {
     *  - 64 MiB advisory post-shuffle partitions: AQE's coalesce target —
     *    large enough to amortize task overhead, small enough to spill
     *    rarely.
-    *  - 10 MiB in-memory shuffle-read threshold keeps skew-join splits
-    *    cheap.
+    *  - broadcast threshold RAISED 10 MiB → 64 MiB: with ≥8 GiB
+    *    executors, shipping a 64 MiB dim to every executor is cheaper
+    *    than shuffling a many-TB fact; revisit for memory-tight fleets.
     */
   def clusterProfile(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.files.maxPartitionBytes", "256m")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
 
   /** Apply graft's standard configuration to any builder (local or cluster).

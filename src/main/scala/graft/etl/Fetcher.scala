@@ -54,10 +54,12 @@ final case class RetryingFetcher(
 
 /** Inter-request pacing (S1: the reference sleeps `CHESS_REQUEST_DELAY`
   * between requests, `fetch_and_post.py:34,336,415`): enforces a minimum
-  * gap between consecutive fetches THROUGH THIS INSTANCE. One instance
-  * serves one executor task (readers/maps construct their own), so the
-  * effective global rate is delay × running tasks — callers size the
-  * delay to apiBudget / maxConcurrentTasks.
+  * gap between consecutive fetches THROUGH THIS INSTANCE (`fetch` is
+  * synchronized, so a shared instance paces all threads using it). The
+  * effective global request rate is instances / delaySeconds — e.g. one
+  * shared instance per executor (see `ChessArchiveSource.sharedFetcherFor`)
+  * gives ≈ executors/delay req/s; size the delay so that stays within the
+  * API's budget.
   */
 final case class RateLimitedFetcher(
     inner: Fetcher,

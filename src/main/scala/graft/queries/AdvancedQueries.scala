@@ -246,19 +246,23 @@ object AdvancedQueries {
   /** Mergeable HLL sketches — the 100 TB distinct-count architecture:
     * build small per-(day,key) sketches once, then UNION-merge them to any
     * coarser grain without touching raw data again. Approximate → no SQL
-    * oracle (rows-only check); the exact distinct rides along at the
-    * final grain as the sanity anchor.
+    * oracle (rows-only check); the exact distinct (one extra pass, only
+    * feasible at bench scale) rides along as the sanity anchor for the
+    * merged estimate.
     */
   def q45HllMerge(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+    val events = Tables.events(s, dir)
+    val daily = events
       .groupBy(to_date(col("ts")).as("d"), col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    daily
+    val merged = daily
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
              .as("approx_users"),
            count(lit(1)).as("n_daily_sketches"))
-      .orderBy("event_type")
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type").orderBy("event_type")
   }
 
   // -------------------------------------------------------------- wiring
@@ -429,7 +433,7 @@ object AdvancedQueries {
         |  date_trunc('second', ts) AS latest_ts,
         |  event_type AS latest_type
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 }

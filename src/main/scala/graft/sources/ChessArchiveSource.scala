@@ -47,12 +47,23 @@ object ChessArchiveSource {
     StructField("fetch_status", IntegerType, nullable = false),
     StructField("body", StringType, nullable = true)))
 
-  /** Instantiate the configured fetcher (executor-side): base fetcher by
-    * class name (or the JDK HTTP one), wrapped in per-task rate limiting
-    * (`request.delay.ms`, the reference's `CHESS_REQUEST_DELAY` analog —
-    * note the cluster-wide rate is delay × parallelism, so size the delay
-    * to the API's budget divided by max concurrent tasks) and
-    * retry/backoff.
+  /** One SHARED fetcher per (executor JVM, options): pacing state must
+    * outlive a single partition — each partition performs exactly one
+    * fetch, so a per-reader limiter would never space two archive
+    * requests. With a JVM-wide instance (RateLimitedFetcher#fetch is
+    * synchronized) every task on the executor serializes through the same
+    * minimum gap; cluster-wide request rate ≈ executors / delay seconds.
+    */
+  private val sharedFetchers =
+    new java.util.concurrent.ConcurrentHashMap[Map[String, String], Fetcher]()
+
+  def sharedFetcherFor(options: Map[String, String]): Fetcher =
+    sharedFetchers.computeIfAbsent(options, fetcherFor(_))
+
+  /** Build the configured fetcher: base fetcher by class name (or the JDK
+    * HTTP one), wrapped in rate limiting (`request.delay.ms`, the
+    * reference's `CHESS_REQUEST_DELAY` analog) and retry/backoff. Prefer
+    * [[sharedFetcherFor]] on executors so pacing spans tasks.
     */
   def fetcherFor(options: Map[String, String]): Fetcher = {
     val inner = options.get("fetcher.class") match {
@@ -117,7 +128,7 @@ private[sources] class ArchiveReader(url: String, options: Map[String, String])
 
   override def next(): Boolean = {
     if (done) return false
-    val (status, body) = ChessArchiveSource.fetcherFor(options).fetch(url) match {
+    val (status, body) = ChessArchiveSource.sharedFetcherFor(options).fetch(url) match {
       case Right(b)  => (200, UTF8String.fromString(b))
       case Left(s)   => (s, null)
     }

@@ -62,8 +62,16 @@ object StreamingSessions {
         case Some(s) if t - s.lastMs > gapMs =>
           closed += close(s)
           open = Some(OpenSession(t, t, 1))
-        case Some(s) =>
-          open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+        case Some(s) if t >= s.startMs - gapMs =>
+          // in-window (possibly late) event: extend the session both ways
+          open = Some(OpenSession(math.min(s.startMs, t),
+            math.max(s.lastMs, t), s.n + 1))
+        case Some(_) =>
+          // straggler more than a gap BEFORE the open session started: it
+          // belongs to an earlier session. Emit it as its own closed
+          // session — the bounded-state tradeoff vs. the batch sessionizer,
+          // which (holding all events) could merge straggler chains.
+          closed += ClosedSession(userId, new Timestamp(t), new Timestamp(t), 1)
         case None =>
           open = Some(OpenSession(t, t, 1))
       }

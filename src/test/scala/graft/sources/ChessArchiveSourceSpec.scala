@@ -66,7 +66,10 @@ class ChessArchiveSourceSpec extends SparkSpec {
         .option("fetcher.class", classOf[FixtureFetcher].getName)
         .load().collect()
     }
-    assert(e.getMessage.contains("urls") ||
-           e.getCause != null)
+    // the requirement message must surface somewhere in the cause chain
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("urls"), s"got: $msgs")
   }
 }

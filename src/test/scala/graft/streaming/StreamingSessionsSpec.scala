@@ -49,4 +49,36 @@ class StreamingSessionsSpec extends SparkSpec {
     assert(u1.map(_.n_events).sorted.toSeq === Seq(1L, 2L))
     q.stop()
   }
+
+  test("late events extend the open session; ancient stragglers close alone") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingSessions.sessionize(
+      mem.toDS(), gapMs = 30 * 60 * 1000, watermarkDelay = "6 hours")
+    val q = out.writeStream.format("memory").queryName("sessions2")
+      .outputMode("append").start()
+
+    mem.addData(SessionEvent(1L, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    // late but within one gap of the session start → extends it backward
+    mem.addData(SessionEvent(1L, t("2024-01-01 09:45:00")))
+    q.processAllAvailable()
+    // ancient straggler (> gap before start) → its own closed session
+    mem.addData(SessionEvent(1L, t("2024-01-01 05:00:00")))
+    q.processAllAvailable()
+    val closed = spark.table("sessions2").as[ClosedSession].collect()
+    assert(closed.length === 1)
+    assert(closed(0).start_ts === t("2024-01-01 05:00:00"))
+    assert(closed(0).n_events === 1)
+
+    // close the open session by gap and confirm the late event widened it
+    mem.addData(SessionEvent(1L, t("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    val open = spark.table("sessions2").as[ClosedSession].collect()
+      .filter(_.n_events == 2)
+    assert(open.length === 1)
+    assert(open(0).start_ts === t("2024-01-01 09:45:00"))
+    assert(open(0).end_ts === t("2024-01-01 10:00:00"))
+    q.stop()
+  }
 }
