@@ -60,6 +60,28 @@ class ChessArchiveSourceSpec extends SparkSpec {
     assert(games === Seq("g1", "g2", "g3"))
   }
 
+  test("sharedFetcherFor reuses one instance per options, and paces reads") {
+    val opts = Map("fetcher.class" -> classOf[FixtureFetcher].getName,
+                   "request.delay.ms" -> "300", "max.retries" -> "1")
+    assert(ChessArchiveSource.sharedFetcherFor(opts) eq
+           ChessArchiveSource.sharedFetcherFor(opts))
+
+    val dir = Files.createTempDirectory("graft-dsv2-pace")
+    System.setProperty("graft.test.fixturedir", dir.toString)
+    (1 to 3).foreach(i => Files.writeString(dir.resolve(s"p$i"), archiveJson(s"g$i")))
+    val t0 = System.nanoTime()
+    val n = spark.read.format("graft.sources.ChessArchiveSource")
+      .option("urls", "test://p1,test://p2,test://p3")
+      .option("fetcher.class", classOf[FixtureFetcher].getName)
+      .option("request.delay.ms", "300")
+      .option("max.retries", "1")
+      .load().count()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(n === 3)
+    // 3 fetches through one shared limiter → at least 2 enforced gaps
+    assert(elapsedMs >= 600, s"pacing not enforced: ${elapsedMs}ms")
+  }
+
   test("DSv2 source requires the urls option") {
     val e = intercept[Exception] {
       spark.read.format("graft.sources.ChessArchiveSource")
