@@ -265,6 +265,27 @@ object AdvancedQueries {
     merged.join(exact, "event_type").orderBy("event_type")
   }
 
+  /** The `spark.sql` entry path with CORRELATED scalar subqueries:
+    * parts priced above their type's mean, phrased as
+    * `price · count(type) > sum(type)` so every comparison is exact
+    * decimal arithmetic (an AVG-based form would compare against an
+    * engine-dependent double). Catalyst decorrelates both subqueries into
+    * aggregate joins — same physical shape as the hand-built DataFrame
+    * version would have.
+    */
+  def q46SqlCorrelated(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("graft_part")
+    s.sql(
+      """SELECT p_type, COUNT(*) AS n_above
+        |FROM graft_part p1
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM graft_part p2
+        |       WHERE p2.p_type = p1.p_type) >
+        |      (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+        |       FROM graft_part p2 WHERE p2.p_type = p1.p_type)
+        |GROUP BY p_type ORDER BY p_type""".stripMargin)
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -281,7 +302,8 @@ object AdvancedQueries {
     "q42_pivot"        -> (q42Pivot _),
     "q43_unpivot"      -> (q43Unpivot _),
     "q44_latest_per_key" -> (q44LatestPerKey _),
-    "q45_hll_merge"    -> (q45HllMerge _)
+    "q45_hll_merge"    -> (q45HllMerge _),
+    "q46_sql_correlated" -> (q46SqlCorrelated _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -434,6 +456,14 @@ object AdvancedQueries {
         |  event_type AS latest_type
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q46_sql_correlated" ->
+      """SELECT p_type, COUNT(*) AS n_above
+        |FROM part p1
+        |WHERE CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM part p2 WHERE p2.p_type = p1.p_type) >
+        |      (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+        |       FROM part p2 WHERE p2.p_type = p1.p_type)
+        |GROUP BY p_type ORDER BY p_type""".stripMargin
   )
 }
