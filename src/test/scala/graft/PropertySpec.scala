@@ -6,7 +6,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.functions.{PortableHash, TextFunctions}
-import graft.operators.{Dedup, TemporalOps}
+import graft.operators.{Dedup, GraphOps, TemporalOps}
 
 /** Property-based checks (SURVEY.md §5): algebraic laws the operators
   * must satisfy on arbitrary inputs, not just fixtures. Raw ScalaCheck
@@ -87,6 +87,58 @@ class PropertySpec extends AnyFunSuite {
         // every group collapses to one keeper; re-deduping keeps them all
         assert(twice.count() === once.count())
         assert(twice.agg(sum(col("n_copies"))).as[Long].head() === once.count())
+    }
+  }
+
+  test("asofJoin equals the brute-force max-below-threshold on random data") {
+    val gen = for {
+      nl <- Gen.choose(1, 15)
+      nr <- Gen.choose(0, 15)
+      lefts <- Gen.listOfN(nl, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 100L)))
+      rights <- Gen.listOfN(nr, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 100L)))
+    } yield (lefts, rights)
+    forSamples(gen, n = 12) { case (lefts, rights) =>
+      def ts(m: Long) = new java.sql.Timestamp(m * 60000)
+      val left = lefts.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, ts(t)) }
+        .toDF("event_id", "k", "t")
+      val right = rights.map { case (k, t) => (k, ts(t)) }.toDF("k", "rt")
+      val got = graft.operators.TemporalOps
+        .asofJoin(left, right, "k", "t", "rt")
+        .select(col("event_id"), col("rt"))
+        .as[(Long, Option[java.sql.Timestamp])].collect().toMap
+      lefts.zipWithIndex.foreach { case ((k, t), i) =>
+        val expected = rights.filter(r => r._1 == k && r._2 <= t)
+          .map(_._2).maxOption.map(ts)
+        assert(got(i.toLong) === expected,
+          s"lefts=$lefts rights=$rights event=$i")
+      }
+    }
+  }
+
+  test("connectedComponents equals brute-force transitive closure") {
+    val edgeGen = Gen.choose(0, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(Gen.choose(1L, 10L), Gen.choose(1L, 10L))
+        .suchThat(_ => true)))
+    forSamples(edgeGen, n = 10) { rawEdges =>
+      val edges = rawEdges.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val got = GraphOps
+          .connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        // brute-force union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(v => v -> find(v)).toMap
+        assert(got === expected, s"edges=$edges")
+      }
     }
   }
 
