@@ -67,6 +67,33 @@ class StreamingIngestSpec extends SparkSpec {
     assert(store.games(spark).count() === 2)
   }
 
+  test("progress listener appends micro-batch status rows (K3 streaming)") {
+    val root = Files.createTempDirectory("graft-stream3")
+    val landing = Files.createDirectory(root.resolve("landing"))
+    val store = new GamesStore(s"$root/warehouse")
+    store.ensureAll(spark)
+    val listener = new IngestProgressListener(spark, store, "alice")
+    spark.streams.addListener(listener)
+    try {
+      land(landing, "a1.json", game("g1", 100, "1-0"))
+      StreamingIngest.runAvailableNow(
+        StreamingIngest.ingestStream(spark, landing.toString, store, "alice",
+                                     s"$root/ckpt"))
+      // listener events are async: poll briefly for the rows
+      val deadline = System.currentTimeMillis() + 15000
+      def stages() = store.status(spark)
+        .select("stage").distinct()
+        .collect().map(_.getString(0)).toSet
+      var s = stages()
+      while (!s.contains("stream_progress") &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(200); s = stages()
+      }
+      assert(s.contains("stream_started"))
+      assert(s.contains("stream_progress"))
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("windowedCounts: tumbling event-time windows with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
