@@ -90,6 +90,52 @@ object Similarity {
               e6(col("cos")).as("sim_e6"))
   }
 
+  /** IVF (inverted-file) ANN top-k: the other classic scale path next to
+    * LSH. A small set of coarse centroids partitions the corpus
+    * (assignment = nearest centroid by cosine); a query probes only its
+    * `nProbe` nearest centroids' posting lists and runs exact cosine on
+    * those candidates. Corpus work is O(n·K) assignment (codegen'd dots
+    * against broadcast centroids) + one shuffle on centroid id; query work
+    * is O(|probe lists|), not O(n).
+    *
+    * Centroids here are the deterministic first `k` vectors (an IVF-FLAT
+    * skeleton with a fixed coarse quantizer) so an external SQL oracle can
+    * replicate bucketing exactly; swapping in k-means centroids changes
+    * only the `centroids` frame, not the operator shape.
+    */
+  def ivfTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // nearest-centroid ranking per vector (ties → lower cid), reused for
+    // both corpus assignment (rank 1) and query probing (rank <= nProbe)
+    val ranked = Partitioning.spread(emb)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("embedding"), col("cv")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid").asc)))
+    val assign = ranked.filter(col("crnk") === 1)
+      .select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(queryPred && col("crnk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val qv = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cv = emb.select(col("vec_id"), col("embedding").as("dv"))
+    val scored = cand.join(broadcast(qv), "qid").join(cv, "vec_id")
+      .withColumn("cos", cosine(col("qv"), col("dv")))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"),
+              e6(col("cos")).as("sim_e6"))
+  }
+
   /** Embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * minSimE6/1e6. Exact quadratic baseline — at corpus scale run
     * [[annTopK]]-style bucketing first and verify candidates instead;

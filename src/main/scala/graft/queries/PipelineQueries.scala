@@ -140,6 +140,15 @@ object PipelineQueries {
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
       .orderBy("vec_a", "vec_b")
 
+  /** IVF ANN top-3 (8 deterministic centroids, probe 2) for vec_id < 20 —
+    * the inverted-file counterpart of q25's LSH path.
+    */
+  def q47IvfAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir),
+                       queryPred = col("vec_id") < 20, k = 3)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("qid", "rnk")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -154,7 +163,8 @@ object PipelineQueries {
     "q28_tokens"           -> (q28Tokens _),
     "q29_fingerprint"      -> (q29Fingerprint _),
     "q30_multimodal"       -> (q30Multimodal _),
-    "q31_embed_neardup"    -> (q31EmbedNeardup _)
+    "q31_embed_neardup"    -> (q31EmbedNeardup _),
+    "q47_ivf_ann"          -> (q47IvfAnn _)
   )
 
   /** Shared SQL fragment: distinct 3-gram shingle sets + sizes. */
@@ -245,6 +255,35 @@ object PipelineQueries {
          |      JOIN qe ON qe.qid = cand.qid
          |      JOIN (SELECT vec_id, v AS cv FROM e) ce
          |        ON ce.vec_id = cand.vec_id),
+         |r AS (SELECT qid, vec_id, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM s)
+         |SELECT qid, vec_id AS neighbor_id, rnk,
+         |  CAST(floor(cos * 1000000) AS BIGINT) AS sim_e6
+         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "q47_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |ranked0 AS (
+         |  SELECT e.vec_id, c.cid, ${cosSql("v", "cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS crnk FROM ranked0),
+         |assign AS (SELECT vec_id, cid FROM ranked WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM ranked
+         |           WHERE vec_id < 20 AND crnk <= 2),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id
+         |  FROM probes p JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> p.qid),
+         |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+         |s AS (SELECT cand.qid, cand.vec_id, ${cosSql("qv", "dv")} AS cos
+         |      FROM cand
+         |      JOIN qe ON qe.qid = cand.qid
+         |      JOIN (SELECT vec_id, v AS dv FROM e) d
+         |        ON d.vec_id = cand.vec_id),
          |r AS (SELECT qid, vec_id, cos,
          |        row_number() OVER (PARTITION BY qid
          |                           ORDER BY cos DESC, vec_id) AS rnk
