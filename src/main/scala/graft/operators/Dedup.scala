@@ -187,4 +187,51 @@ object Dedup {
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with EXACT recall: candidates from banded
+    * signature bytes, verified by true Hamming distance.
+    *
+    * Recall argument (pigeonhole): the 32-bit signature splits into
+    * `bands` equal slices; a pair within `maxHamming` < bands differing
+    * bits must agree on ≥1 whole slice, so banding misses nothing —
+    * unlike MinHash-LSH this candidate stage is lossless, which is why
+    * the all-pairs Hamming filter is a valid exact oracle. Work is
+    * O(n·bands) shuffle + collisions, never an n² cross join.
+    *
+    * Scale note: band-key width bounds collision fan-out — 32-bit
+    * signatures give 8-bit keys (256 buckets/band), fine to ~10⁵ docs;
+    * web-scale corpora should widen [[simhash]] to 64 bits so bands get
+    * 16-bit keys (65k buckets) and collision lists stay short.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"exact recall needs maxHamming < bands, got $maxHamming/$bands")
+    val bits = 32 / bands
+    val sigs = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+               shiftright(col("sig"), b * bits)
+                 .bitwiseAND(lit((1L << bits) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+              col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val verified = banded.as("x")
+      .join(banded.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              hamming(col("x.sig"), col("y.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val out = verified.localCheckpoint()
+    sigs.unpersist()
+    out
+  }
 }

@@ -140,6 +140,15 @@ object PipelineQueries {
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
       .orderBy("vec_a", "vec_b")
 
+  /** SimHash near-dup pairs, Hamming ≤ 3, banded candidates with exact
+    * recall (see [[Dedup.simhashPairs]]) — the signature-space dedup
+    * companion to q22's shingle-space MinHash.
+    */
+  def q48SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("hamming", col("hamming").cast("long"))
+      .orderBy("doc_a", "doc_b")
+
   /** IVF ANN top-3 (8 deterministic centroids, probe 2) for vec_id < 20 —
     * the inverted-file counterpart of q25's LSH path.
     */
@@ -164,7 +173,8 @@ object PipelineQueries {
     "q29_fingerprint"      -> (q29Fingerprint _),
     "q30_multimodal"       -> (q30Multimodal _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
-    "q47_ivf_ann"          -> (q47IvfAnn _)
+    "q47_ivf_ann"          -> (q47IvfAnn _),
+    "q48_simhash_pairs"    -> (q48SimhashPairs _)
   )
 
   /** Shared SQL fragment: distinct 3-gram shingle sets + sizes. */
@@ -262,6 +272,24 @@ object PipelineQueries {
          |SELECT qid, vec_id AS neighbor_id, rnk,
          |  CAST(floor(cos * 1000000) AS BIGINT) AS sim_e6
          |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "q48_simhash_pairs" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |wh AS (SELECT doc_id,
+        |         ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, t.b AS b,
+        |    CASE WHEN SUM(((h >> t.b) & 1) * 2 - 1) > 0
+        |         THEN (1::BIGINT << t.b) ELSE 0 END AS v
+        |  FROM wh CROSS JOIN range(32) t(b)
+        |  GROUP BY doc_id, t.b),
+        |sim AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sig
+        |        FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q47_ivf_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
