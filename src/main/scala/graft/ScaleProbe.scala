@@ -43,6 +43,10 @@ object ScaleProbe {
     time(s"exact_dedup_${mult}x") {
       Dedup.exactByContent(docs, "doc_id", "text").count()
     }
+    time(s"simhash_pairs_${mult}x") {
+      println("  simhash pairs: " +
+        Dedup.simhashPairs(docs, "doc_id", "text").count())
+    }
 
     val emb0 = Tables.embeddings(spark, dir)
     val emb = emb0.crossJoin(copies)
