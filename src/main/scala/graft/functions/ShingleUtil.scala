@@ -37,6 +37,40 @@ object ShingleUtil {
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
   }
 
+  /** 64-bit SimHash over word OCCURRENCES (duplicates weigh in): bit b of
+    * the result is set iff Σ_words (2·bit_b(h64(w)) − 1) > 0, where h64 is
+    * the first 8 md5 bytes big-endian — the hi 32 bits equal
+    * [[PortableHash.h32]] (`('0x'||substr(md5(w),1,8))::BIGINT` in DuckDB)
+    * and the lo 32 bits are `substr(md5(w),9,8)` parsed the same way, so
+    * an external oracle can rebuild the signature from two 32-bit halves
+    * without unsigned-64 arithmetic. Null array slots are skipped.
+    */
+  def simhash64(words: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = words.numElements()
+    var k = 0
+    while (k < m) {
+      if (!words.isNullAt(k)) {
+        md.reset()
+        val d = md.digest(words.getUTF8String(k).getBytes)
+        var h = 0L
+        var j = 0
+        while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      k += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   def minhashSig(shingles: ArrayData, numPerm: Int): ArrayData = {
     val p = PortableHash.MinHashPrime
     val as = new Array[Long](numPerm)

@@ -120,3 +120,28 @@ case class MinHashSignature(child: Expression, numPerm: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
 }
+
+/** 64-bit SimHash signature of a word array (see [[ShingleUtil.simhash64]]).
+  * Replaces the interpreted nested-HOF form (a `transform` + double-nested
+  * `aggregate` doing pow/floor double math per word × 32 bits) with one
+  * compiled call per row that stays inside whole-stage codegen — and
+  * widens the signature to 64 bits so banded pair generation gets 16-bit
+  * band keys (65k buckets/band) instead of the 8-bit ceiling that capped
+  * the 32-bit form at ~10⁵ docs.
+  */
+case class SimHashSignature(child: Expression)
+    extends ShingleKernelExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash_signature"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleUtil.simhash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
+    copy(child = newChild)
+}

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{PortableHash, TextFunctions}
+import graft.functions.TextFunctions
 
 /** Document deduplication operators for training-data pipelines: exact,
   * n-gram Jaccard, MinHash+LSH, and SimHash.
@@ -163,51 +163,47 @@ object Dedup {
     out
   }
 
-  /** 32-bit SimHash over word occurrences: bit b of the signature is set
-    * iff Σ_words (2·bit_b(h32(w)) − 1) > 0. Pure nested-HOF expression —
-    * zero shuffle. Bit extraction uses floor(h/2^b) mod 2, which is exact
-    * in doubles for h < 2^32 (division by a power of two).
+  /** 64-bit SimHash over word occurrences: bit b of the signature is set
+    * iff Σ_words (2·bit_b(h64(w)) − 1) > 0, h64 = first 8 md5 bytes (hi
+    * half ≡ [[PortableHash.h32]]). Computed by the codegen'd
+    * [[graft.functions.SimHashSignature]] kernel — one compiled call per
+    * row, zero shuffle. (The original form was a nested interpreted HOF
+    * doing pow/floor double math per word × bit; like MinHash before its
+    * kernel, that made signature build the dominant cost of simhashPairs.)
     */
   def simhash(text: Column): Column = {
-    val wh = transform(TextFunctions.words(text),
-                       w => PortableHash.h32(w))
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, b) => {
-        val bitSum = aggregate(
-          wh, lit(0L),
-          (s, h) =>
-            s + pmod(floor(h.cast("double") / pow(lit(2.0d), b))
-                       .cast("long"), lit(2L)) * 2 - 1)
-        acc + when(bitSum > 0, pow(lit(2.0d), b).cast("long"))
-          .otherwise(lit(0L))
-      })
+    import org.apache.spark.sql.GraftColumns
+    GraftColumns.column(graft.functions.SimHashSignature(
+      GraftColumns.expression(TextFunctions.words(text))))
   }
 
   /** Hamming distance between two SimHash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs with EXACT recall: candidates from banded
-    * signature bytes, verified by true Hamming distance.
+    * signature slices, verified by true Hamming distance.
     *
-    * Recall argument (pigeonhole): the 32-bit signature splits into
+    * Recall argument (pigeonhole): the 64-bit signature splits into
     * `bands` equal slices; a pair within `maxHamming` < bands differing
     * bits must agree on ≥1 whole slice, so banding misses nothing —
     * unlike MinHash-LSH this candidate stage is lossless, which is why
     * the all-pairs Hamming filter is a valid exact oracle. Work is
     * O(n·bands) shuffle + collisions, never an n² cross join.
     *
-    * Scale note: band-key width bounds collision fan-out — 32-bit
-    * signatures give 8-bit keys (256 buckets/band), fine to ~10⁵ docs;
-    * web-scale corpora should widen [[simhash]] to 64 bits so bands get
-    * 16-bit keys (65k buckets) and collision lists stay short.
+    * Scale note: band-key width bounds collision fan-out — the default
+    * 4 bands over 64 bits give 16-bit keys (65k buckets/band), which
+    * keeps collision lists short into the 10⁷-doc range; beyond that,
+    * raise bands (wider candidate net, smaller keys) only as maxHamming
+    * demands and rely on AQE skew handling for hot buckets.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(maxHamming < bands,
       s"exact recall needs maxHamming < bands, got $maxHamming/$bands")
-    val bits = 32 / bands
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide the 64-bit signature evenly, got $bands")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sigs = Partitioning.spread(docs)
       .select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -216,8 +212,8 @@ object Dedup {
       col("doc_id"), col("sig"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-               shiftright(col("sig"), b * bits)
-                 .bitwiseAND(lit((1L << bits) - 1)).as("key"))
+               shiftrightunsigned(col("sig"), b * bits)
+                 .bitwiseAND(lit(mask)).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("sig"),
               col("bk.band").as("band"), col("bk.key").as("key"))

@@ -82,17 +82,18 @@ object AdvancedQueries {
     val words = Partitioning.spread(Tables.documents(s, dir))
       .select(col("doc_id"),
               explode(TextFunctions.words(col("text"))).as("term"))
-    // tf is the ONE aggregation over the exploded corpus; materialize it
-    // so doc lengths and document frequencies derive from it instead of
-    // re-scanning and re-exploding the corpus per consumer.
+    // tf is the ONE aggregation over the exploded corpus. Doc lengths and
+    // document frequencies are WINDOW sums over tf rather than separate
+    // groupBy+join branches: the linear window pipeline costs 3 keyed
+    // shuffles total ((doc_id,term) → term → doc_id) with no joins and no
+    // materialization barrier, and Catalyst reuses the doc_id exchange for
+    // the final rank window.
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val dlen  = tf.groupBy("doc_id").agg(sum(col("tf")).as("n_words"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(dlen, "doc_id")
-      .join(dfreq, "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("n_words",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .crossJoin(broadcast(nDocs))
       .withColumn("score_e6",
         expr("(1000000 * tf * n_docs) DIV (df * n_words)"))
@@ -166,15 +167,22 @@ object AdvancedQueries {
 
   /** Sketch surface: HLL++ distinct counts and quantile sketches per key.
     * Approximate by design → no SQL oracle (driver rows-only check); the
-    * exact count rides along as the sanity anchor.
+    * exact count rides along as the sanity anchor. The two percentiles are
+    * projected as SCALAR columns (one sketch pass, `element_at` on the
+    * array result) — array-typed output columns break downstream row
+    * comparators, so the gated surface stays flat.
     */
   def q40Sketches(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
            expr("approx_percentile(value, array(0.5, 0.95), 1000)")
-             .as("value_p50_p95"),
+             .as("pcts"),
            count(lit(1)).as("n"))
+      .select(col("event_type"), col("approx_users"),
+              element_at(col("pcts"), 1).as("value_p50"),
+              element_at(col("pcts"), 2).as("value_p95"),
+              col("n"))
       .orderBy("event_type")
 
   /** A11's hard shape, oracle-gated: rolling window over SPARSE dates with
@@ -229,26 +237,37 @@ object AdvancedQueries {
 
   /** CDC-style compaction: keep each key's LATEST record (ts desc, id as
     * the deterministic tie-break) — the upsert-view pattern over an
-    * append-only log. One window shuffle on the key.
+    * append-only log. A single `max_by` hash-aggregate with partial
+    * (map-side) combine: structs compare lexicographically, so
+    * `max_by(payload, struct(ts, event_id))` picks exactly the row a
+    * `row_number` window ordered by (ts desc, event_id desc) would — but
+    * without materializing and sorting every key's history, which is the
+    * difference between O(n) and O(n log n) per key on a 100 TB log.
     */
-  def q44LatestPerKey(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+  def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_id").as("latest_event_id"),
-              date_trunc("second", col("ts")).as("latest_ts"),
-              col("event_type").as("latest_type"))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_id"), col("ts"), col("event_type")),
+                  struct(col("ts"), col("event_id"))).as("latest"))
+      .select(col("user_id"),
+              col("latest.event_id").as("latest_event_id"),
+              date_trunc("second", col("latest.ts")).as("latest_ts"),
+              col("latest.event_type").as("latest_type"))
       .orderBy("user_id")
-  }
 
   /** Mergeable HLL sketches — the 100 TB distinct-count architecture:
     * build small per-(day,key) sketches once, then UNION-merge them to any
-    * coarser grain without touching raw data again. Approximate → no SQL
-    * oracle (rows-only check); the exact distinct (one extra pass, only
-    * feasible at bench scale) rides along as the sanity anchor for the
-    * merged estimate.
+    * coarser grain without touching raw data again.
+    *
+    * Oracle design: the estimate itself cannot hash-match another engine,
+    * so the gated surface is the DETERMINISTIC envelope — the sketch
+    * count, the exact distinct, and a `within_bound` flag asserting the
+    * merged estimate lands within ±5% of exact (≈3σ for HLL++ at the
+    * default lgK=12, whose standard error is 1.04/√4096 ≈ 1.6%; at low
+    * cardinalities the sparse representation is exact). The oracle claims
+    * `TRUE` for every row, so an out-of-bound estimate fails the hash
+    * compare — the accuracy contract is driver-checked, not just
+    * spec-checked.
     */
   def q45HllMerge(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(s, dir)
@@ -262,7 +281,11 @@ object AdvancedQueries {
            count(lit(1)).as("n_daily_sketches"))
     val exact = events.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
-    merged.join(exact, "event_type").orderBy("event_type")
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_daily_sketches"), col("exact_users"),
+              (abs(col("approx_users") - col("exact_users")) * 20 <=
+                col("exact_users")).as("within_bound"))
+      .orderBy("event_type")
   }
 
   /** The `spark.sql` entry path with CORRELATED scalar subqueries:
@@ -448,8 +471,7 @@ object AdvancedQueries {
         |  UNION ALL SELECT o_orderpriority, 'O', o_cnt FROM p
         |  UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM p)
         |ORDER BY o_orderpriority, status""".stripMargin,
-    // q44: deterministic latest row per key. (q45 is sketch-based →
-    // rows-only, no oracle entry.)
+    // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
         |  date_trunc('second', ts) AS latest_ts,
@@ -457,6 +479,16 @@ object AdvancedQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
         |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // q45: only the deterministic envelope is oracle-visible; the oracle
+    // asserts within_bound = TRUE so an out-of-tolerance HLL estimate
+    // becomes a hash mismatch. (q40 stays rows-only: percentile sketches
+    // have no deterministic envelope column to anchor on.)
+    "q45_hll_merge" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_daily_sketches,
+        |  COUNT(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q46_sql_correlated" ->
       """SELECT p_type, COUNT(*) AS n_above
         |FROM part p1

@@ -43,7 +43,9 @@ object PipelineQueries {
                             n = 3, num = 4, den = 5)
       .orderBy("doc_a", "doc_b")
 
-  /** 32-bit SimHash signature per document (zero-shuffle expression). */
+  /** 64-bit SimHash signature per document (zero-shuffle codegen'd
+    * expression — see [[graft.functions.SimHashSignature]]).
+    */
   def q23Simhash(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -177,6 +179,32 @@ object PipelineQueries {
     "q48_simhash_pairs"    -> (q48SimhashPairs _)
   )
 
+  /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
+    * halves (hi = hex chars 1–8 ≡ PortableHash.h32, lo = chars 9–16) so
+    * every shift stays below 32 bits and no unsigned-64 arithmetic is
+    * needed; `halves` carries (doc_id, sig_hi, sig_lo), each in [0, 2³²).
+    * Must stay value-identical to [[graft.functions.ShingleUtil.simhash64]].
+    */
+  private val simhash64Cte =
+    """w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |      FROM documents),
+      |wh AS (SELECT doc_id,
+      |         ('0x' || substr(md5(word), 1, 8))::BIGINT AS h_hi,
+      |         ('0x' || substr(md5(word), 9, 8))::BIGINT AS h_lo FROM w),
+      |bsum AS (
+      |  SELECT doc_id, t.b AS b,
+      |    SUM((((CASE WHEN t.b < 32 THEN h_lo ELSE h_hi END)
+      |          >> (t.b % 32)) & 1) * 2 - 1) AS s
+      |  FROM wh CROSS JOIN range(64) t(b)
+      |  GROUP BY doc_id, t.b),
+      |halves AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN b >= 32 AND s > 0
+      |             THEN (1::BIGINT << (b - 32)) ELSE 0 END) AS BIGINT) AS sig_hi,
+      |    CAST(SUM(CASE WHEN b < 32 AND s > 0
+      |             THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig_lo
+      |  FROM bsum GROUP BY doc_id)""".stripMargin
+
   /** Shared SQL fragment: distinct 3-gram shingle sets + sizes. */
   private val shingleCte =
     """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -217,19 +245,15 @@ object PipelineQueries {
         |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
     "q21_ngram_jaccard" -> jaccardSql(1, 2),
     "q22_minhash_lsh"   -> jaccardSql(4, 5),
+    // q23: the signed 64-bit value equals (hi as int32) · 2³² + lo — the
+    // two's-complement reassembly keeps every intermediate in BIGINT range.
     "q23_simhash" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |           FROM documents),
-        |wh AS (SELECT doc_id,
-        |         ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM w),
-        |bits AS (
-        |  SELECT doc_id, t.b AS b,
-        |    CASE WHEN SUM(((h >> t.b) & 1) * 2 - 1) > 0
-        |         THEN (1::BIGINT << t.b) ELSE 0 END AS v
-        |  FROM wh CROSS JOIN range(32) t(b)
-        |  GROUP BY doc_id, t.b)
-        |SELECT doc_id, CAST(SUM(v) AS BIGINT) AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhash64Cte
+         |SELECT doc_id,
+         |  (sig_hi - CASE WHEN sig_hi >= 2147483648
+         |            THEN 4294967296 ELSE 0 END) * 4294967296 + sig_lo
+         |    AS simhash
+         |FROM halves ORDER BY doc_id""".stripMargin,
     "q24_embed_knn" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |           WHERE vec_id < 10),
@@ -272,24 +296,17 @@ object PipelineQueries {
          |SELECT qid, vec_id AS neighbor_id, rnk,
          |  CAST(floor(cos * 1000000) AS BIGINT) AS sim_e6
          |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // q48: Hamming distance summed over the two unsigned halves — no
+    // signed reassembly needed for bit_count(xor).
     "q48_simhash_pairs" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |           FROM documents),
-        |wh AS (SELECT doc_id,
-        |         ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM w),
-        |bits AS (
-        |  SELECT doc_id, t.b AS b,
-        |    CASE WHEN SUM(((h >> t.b) & 1) * 2 - 1) > 0
-        |         THEN (1::BIGINT << t.b) ELSE 0 END AS v
-        |  FROM wh CROSS JOIN range(32) t(b)
-        |  GROUP BY doc_id, t.b),
-        |sim AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sig
-        |        FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH $simhash64Cte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig_hi, b.sig_hi)) +
+         |       bit_count(xor(a.sig_lo, b.sig_lo)) AS BIGINT) AS hamming
+         |FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig_hi, b.sig_hi)) +
+         |      bit_count(xor(a.sig_lo, b.sig_lo)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q47_ivf_ann" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
          |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -69,6 +69,38 @@ class KernelParitySpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("SimHashSignature equals an independent driver-side md5 reference") {
+    // Independent reimplementation (ByteBuffer big-endian read instead of
+    // the kernel's manual byte fold) over the same word-split semantics.
+    def ref(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](64)
+      text.split(" ", -1).foreach { w =>
+        md.reset()
+        val h = java.nio.ByteBuffer.wrap(md.digest(w.getBytes("UTF-8"))).getLong
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L) { (acc, b) =>
+        if (counts(b) > 0) acc | (1L << b) else acc
+      }
+    }
+    val rows = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+      .select(col("text"),
+              graft.operators.Dedup.simhash(col("text")).as("sig"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) === ref(r.getString(0))))
+    // Edge cases: empty text hashes the single empty token; signature of a
+    // one-word doc is exactly that word's h64 (every counter is ±1).
+    val edge = Seq("", "hello").toDF("text")
+      .select(graft.operators.Dedup.simhash(col("text")).as("sig"))
+      .as[Long].collect()
+    assert(edge(0) === ref(""))
+    assert(edge(1) === ref("hello"))
+  }
+
   test("MinHashSignature equals the PortableHash column form per slot") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
     val sh = TextFunctions.shingles(col("text"), 3)
