@@ -115,27 +115,46 @@ final class GamesStore(root: String) extends Serializable {
     }
   }
 
-  /** K2: ledger append — one row per processed archive. */
-  def appendLedger(spark: SparkSession, username: String, archiveUrl: String,
-                   gameCount: Long): Unit = {
+  /** K2: ledger append, BATCHED — one append job (one file) per call,
+    * however many archives it covers. Per-row appends write a one-row
+    * parquet file each; a 10k-archive backfill would litter the table with
+    * 20k+ tiny files whose footers dominate every later scan. Durability
+    * stays per-archive where it matters — in the state file (K5) — while
+    * the ledger flushes once per user.
+    */
+  def appendLedgerRows(spark: SparkSession,
+                       rows: Seq[(String, String, Long)]): Unit = {
+    if (rows.isEmpty) return
     import spark.implicits._
-    Seq((username, archiveUrl,
-         new java.sql.Timestamp(System.currentTimeMillis()), gameCount.toInt))
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    rows.map { case (u, a, n) => (u, a, ts, n.toInt) }
       .toDF("username", "archive_url", "processed_at_utc", "game_count")
+      .coalesce(1)
       .write.mode("append").parquet(ledgerPath)
   }
 
-  /** K3: best-effort status append (errors swallowed, like the reference —
-    * a failed log line must never fail the run).
+  def appendLedger(spark: SparkSession, username: String, archiveUrl: String,
+                   gameCount: Long): Unit =
+    appendLedgerRows(spark, Seq((username, archiveUrl, gameCount)))
+
+  /** K3: best-effort status append, batched like the ledger (errors
+    * swallowed, like the reference — a failed log line must never fail the
+    * run). Row shape: (stage, message, httpStatus).
     */
-  def appendStatus(spark: SparkSession, runId: String, username: String,
-                   stage: String, message: String, httpStatus: String): Unit =
+  def appendStatusRows(spark: SparkSession, runId: String, username: String,
+                       rows: Seq[(String, String, String)]): Unit =
     try {
+      if (rows.isEmpty) return
       import spark.implicits._
-      Seq((runId, username, stage, message, httpStatus,
-           new java.sql.Timestamp(System.currentTimeMillis())))
+      val ts = new java.sql.Timestamp(System.currentTimeMillis())
+      rows.map { case (stage, msg, http) => (runId, username, stage, msg, http, ts) }
         .toDF("run_id", "username", "stage", "message", "http_status",
               "timestamp_utc")
+        .coalesce(1)
         .write.mode("append").parquet(statusPath)
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  def appendStatus(spark: SparkSession, runId: String, username: String,
+                   stage: String, message: String, httpStatus: String): Unit =
+    appendStatusRows(spark, runId, username, Seq((stage, message, httpStatus)))
 }

@@ -59,10 +59,9 @@ final class IngestJob(
     try {
       val failed = raw.filter(col("fetch_status") =!= 200)
         .select("archive_url", "fetch_status").distinct().collect()
-      failed.foreach { r =>
-        store.appendStatus(spark, runId, user, Stages.ErrorArchiveDownload,
-          r.getString(0), r.getInt(1).toString)
-      }
+      store.appendStatusRows(spark, runId, user,
+        failed.toSeq.map(r => (Stages.ErrorArchiveDownload,
+          r.getString(0), r.getInt(1).toString)))
       val failedUrls = failed.map(_.getString(0)).toSet
 
       val games = GameTransforms.projectFact(
@@ -83,14 +82,29 @@ final class IngestJob(
             .map(_.toString.toLong).getOrElse(0L)))
         .toMap
 
-      // advance state chronologically, archive by archive (K5 durability)
+      // Ledger + status flush ONCE per user (chronological row order kept):
+      // the per-row form wrote two one-row parquet files per archive — a
+      // 10k-archive backfill is 20k+ tiny files. A crash between these
+      // appends and the state loop below only re-processes archives next
+      // run (state-driven skip), which the anti-join dedup absorbs; ledger
+      // re-reads are distinct()-ed, so a duplicate ledger row is benign.
+      val ok = todo.sorted.filterNot(failedUrls)
+      store.appendLedgerRows(spark, ok.map { url =>
+        (user, url, counts.getOrElse(url, (0L, 0L))._1)
+      })
+      store.appendStatusRows(spark, runId, user, ok.flatMap { url =>
+        val noGames =
+          if (counts.getOrElse(url, (0L, 0L))._1 == 0L)
+            Seq((Stages.ArchiveNoGames, url, "200"))
+          else Nil
+        noGames :+ ((Stages.ArchiveProcessed, url, "200"))
+      })
+
+      // advance state chronologically, archive by archive (K5 durability —
+      // the per-archive boundary stays HERE, in the state file)
       var st = prior
-      todo.sorted.filterNot(failedUrls).foreach { url =>
-        val (n, maxEnd) = counts.getOrElse(url, (0L, 0L))
-        if (n == 0)
-          store.appendStatus(spark, runId, user, Stages.ArchiveNoGames, url, "200")
-        store.appendLedger(spark, user, url, n)
-        store.appendStatus(spark, runId, user, Stages.ArchiveProcessed, url, "200")
+      ok.foreach { url =>
+        val (_, maxEnd) = counts.getOrElse(url, (0L, 0L))
         st = UserState(
           lastEndTime = math.max(st.lastEndTime, maxEnd), // O5 monotone watermark
           processedArchives = (st.processedArchives :+ url).distinct)

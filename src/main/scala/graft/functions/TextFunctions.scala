@@ -32,6 +32,13 @@ object TextFunctions {
     * `array_distinct(transform(sequence(0, size(w)-n),
     * i => concat_ws(" ", slice(w, i+1, n))))` it replaced, but a single
     * compiled call per row instead of interpreted per-shingle lambdas.
+    *
+    * Null contract: null text → null (the kernel is null-preserving, like
+    * every Spark unary expression). This differs from the pre-kernel
+    * when/otherwise form, which mapped null to an empty array — callers
+    * that want the old contract wrap with `coalesce(shingles(...),
+    * array())`; in-repo call sites all filter/explode, where the two are
+    * equivalent.
     */
   def shingles(text: Column, n: Int): Column = {
     import org.apache.spark.sql.GraftColumns

@@ -141,13 +141,15 @@ object Dedup {
       .distinct()
 
     // Verify candidates with exact Jaccard over shingle strings. The
-    // candidate set is orders of magnitude smaller than the corpus, so it
-    // broadcasts into the first join (the persisted sets side streams,
-    // never shuffles); the joined-once result is small and AQE picks the
-    // strategy for the second join at runtime.
+    // candidate set is usually orders of magnitude smaller than the
+    // corpus, but its size is DATA-DEPENDENT (duplicate-heavy or hot-band
+    // corpora inflate it), so no forced broadcast hint: cand sits behind a
+    // shuffle (distinct), which means AQE sees its true runtime size and
+    // picks broadcast when it fits — and degrades to a shuffle join
+    // instead of an 8 GB-limit failure or driver OOM when it doesn't.
     val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val verified = sa.join(broadcast(cand), "doc_a").join(sb, "doc_b")
+    val verified = sa.join(cand, "doc_a").join(sb, "doc_b")
       .withColumn("inter_cnt",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("union_cnt",

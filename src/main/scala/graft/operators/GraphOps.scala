@@ -20,13 +20,18 @@ object GraphOps {
     * distributed. `localCheckpoint` truncates the lineage each round so
     * plan size stays constant regardless of iteration count (an unbounded
     * iterative lineage would blow up optimizer time and executor stacks at
-    * scale). Termination is exact: stop when no label changed.
+    * scale). Termination is exact: stop when no label changed — and if the
+    * label sum is still moving at `maxIter` (a component whose diameter
+    * exceeds the cap, e.g. a very long templated-doc chain), this THROWS
+    * rather than silently returning split components; callers with
+    * genuinely deep graphs pass a larger cap (rounds are cheap — one join
+    * + one aggregate each).
     *
     * Output: (vertex, component) — component = min vertex id reachable.
     * Only vertices appearing in `edges` are labeled.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     // materialize the (possibly expensive) edge plan ONCE before
     // symmetrizing — a union of two branches over the raw plan would
     // evaluate it twice
@@ -69,6 +74,9 @@ object GraphOps {
       prevSum = s
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the cap; rerun with a larger maxIter")
     labels
   }
 }

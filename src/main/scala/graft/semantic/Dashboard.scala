@@ -50,7 +50,10 @@ final class Dashboard(gamesFact: DataFrame) {
     * axis. Aggregates to day grain first, scaffold-joins the generated
     * DateTable so zero-game days exist in the frame (a row-frame window
     * over sparse dates would silently widen the window — SURVEY.md §7.4),
-    * then a range frame over epoch-days.
+    * then a range frame over epoch-days. The visual plots the measure on
+    * `DateTable.Date Hierarchy.{Year,Month,Day}` (pbix!Layout[v6]), so the
+    * dim's year/month/month_name/day attributes ride along in the output —
+    * consumers drill the hierarchy without re-deriving date parts.
     */
   def rollingWinRate(spark: SparkSession, days: Int = 12,
                      ctx: FilterContext = FilterContext.empty): DataFrame = {
@@ -59,9 +62,9 @@ final class Dashboard(gamesFact: DataFrame) {
       .groupBy(col("date_ymd").as("date"))
       .agg(count(lit(1)).as("games"), sum(winExpr).as("wins"))
     val scaffold = DateDim.spanning(spark, filtered, "date_ymd")
-      .select(col("date"))
     val dense = scaffold.join(daily, Seq("date"), "left")
-      .select(col("date"),
+      .select(col("date"), col("year"), col("month"), col("month_name"),
+              col("day"),
               coalesce(col("games"), lit(0L)).as("games"),
               coalesce(col("wins"), lit(0L)).as("wins"))
     val w = Window

@@ -57,8 +57,19 @@ object ChessArchiveSource {
   private val sharedFetchers =
     new java.util.concurrent.ConcurrentHashMap[Map[String, String], Fetcher]()
 
-  def sharedFetcherFor(options: Map[String, String]): Fetcher =
-    sharedFetchers.computeIfAbsent(options, fetcherFor(_))
+  /** Only these options determine fetcher identity. Keying the cache on
+    * the FULL options map would give every distinct archive list its own
+    * limiter (pacing not shared across reads) and grow the map unboundedly
+    * on long-lived executors — one entry per 'urls' value.
+    */
+  private val PacingKeys = Seq(
+    "fetcher.class", "request.delay.ms", "user.agent",
+    "max.retries", "backoff.ms")
+
+  def sharedFetcherFor(options: Map[String, String]): Fetcher = {
+    val key = PacingKeys.flatMap(k => options.get(k).map(k -> _)).toMap
+    sharedFetchers.computeIfAbsent(key, _ => fetcherFor(options))
+  }
 
   /** Build the configured fetcher: base fetcher by class name (or the JDK
     * HTTP one), wrapped in rate limiting (`request.delay.ms`, the

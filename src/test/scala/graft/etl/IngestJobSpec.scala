@@ -53,6 +53,14 @@ class IngestJobSpec extends SparkSpec {
     assert(ledger.length == 2)
     assert(state("alice").lastEndTime == 300L)
     assert(state("alice").processedArchives.toSet == Set(a1, a2))
+
+    // batched flush: BOTH archives' ledger rows land in ONE parquet file
+    // (plus the ensure() empty write) — not one file per archive
+    def dataFiles(path: String) =
+      new java.io.File(path).listFiles
+        .count(f => f.getName.endsWith(".parquet") && f.length() > 0)
+    assert(dataFiles(store.ledgerPath) <= 2,
+      "ledger rows must be batched per user, not written per archive")
   }
 
   test("idempotency: rerunning the same archives appends nothing") {

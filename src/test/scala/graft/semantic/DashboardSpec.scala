@@ -112,6 +112,24 @@ class DashboardSpec extends SparkSpec {
     assert(mid.isNullAt(mid.fieldIndex("rolling_win_rate")))
   }
 
+  test("A11: v6 date-hierarchy attributes ride along, exact at a month boundary") {
+    val cross = fact(Seq(
+      ("g1", "2025-06-30", "alice", "bob", "1-0", "300", 1480),
+      ("g2", "2025-07-01", "alice", "bob", "1-0", "300", 1480)))
+    val rows = new Dashboard(cross).rollingWinRate(spark, days = 3).collect()
+    assert(rows.map(_.getAs[java.sql.Date]("date").toString).toSeq ==
+      Seq("2025-06-30", "2025-07-01"))
+    val jun = rows(0)
+    val jul = rows(1)
+    assert(jun.getAs[Int]("year") == 2025 && jun.getAs[Int]("month") == 6 &&
+      jun.getAs[Int]("day") == 30 && jun.getAs[String]("month_name") == "June")
+    assert(jul.getAs[Int]("year") == 2025 && jul.getAs[Int]("month") == 7 &&
+      jul.getAs[Int]("day") == 1 && jul.getAs[String]("month_name") == "July")
+    // the range frame spans the boundary: both games inside the 3-day window
+    assert(jul.getAs[Long]("window_games") == 2)
+    assert(jul.getAs[Double]("rolling_win_rate") == 1.0)
+  }
+
   test("F8: top openings by ECO") {
     val withEco = fact(Seq(
       ("g1", "2025-07-01", "alice", "bob", "1-0", "300", 1480),
