@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ SemanticQueries.queries ++
-      PipelineQueries.queries ++ AdvancedQueries.queries
+      PipelineQueries.queries ++ AdvancedQueries.queries ++
+      ChessQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ SemanticQueries.oracleSql ++
-      PipelineQueries.oracleSql ++ AdvancedQueries.oracleSql
+      PipelineQueries.oracleSql ++ AdvancedQueries.oracleSql ++
+      ChessQueries.oracleSql
 }

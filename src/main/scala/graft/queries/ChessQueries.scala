@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.semantic.Dashboard
+
+/** Driver-gated chess-domain queries: the reference dashboard's measures
+  * (non-canonical result vocabulary included) hash-checked end-to-end
+  * against a DuckDB oracle.
+  *
+  * The harness tables carry no games fact, so these queries derive one
+  * DETERMINISTICALLY from `events` (pure modulo arithmetic on event_id /
+  * user_id — identical in any engine) and push it through the REAL
+  * semantic stack: [[graft.etl.GameTransforms.withDerived]] →
+  * [[graft.semantic.ChessMeasures]] → [[Dashboard]]. The oracle SQL
+  * re-derives the same fixture and re-states the measure semantics
+  * (outcome classification incl. the `"{white} / {black}"` fallback
+  * domain of `fetch_and_post.py:133-144`, time-control bucketing, Top-N
+  * with deterministic tie-break) independently in SQL — so a drift in
+  * either the transforms or the measures becomes a hash mismatch in the
+  * driver gate, not just a spec failure.
+  *
+  * The fixture result list covers every classification branch: canonical
+  * win/loss/draw (`1-0`/`0-1`/`1/2-1/2`), fallback win (`win /
+  * checkmated`), fallback loss (`checkmated / win`, `timeout / win`),
+  * fallback draw (`agreed / agreed`), and unknown (``); time controls
+  * cover bullet/blitz (±increment)/rapid/daily/unknown.
+  */
+object ChessQueries {
+
+  private val ResultVocab = Seq(
+    "1-0", "0-1", "1/2-1/2", "win / checkmated", "checkmated / win",
+    "agreed / agreed", "timeout / win", "")
+
+  private val TimeControls = Seq("60", "300", "300+5", "600", "1/86400", "custom")
+
+  private val Pgns = Seq("[ECO \"B20\"]", "[ECO \"C00\"]", "[ECO \"A00\"]", "")
+
+  /** Deterministic games fact from `events` — one game per event, tracked
+    * user `alice` alternating colors, 7 distinct opponents, result /
+    * time-control / ECO cycling through the full vocabularies.
+    */
+  def fixtureFact(s: SparkSession, dir: String): DataFrame = {
+    val results = array(ResultVocab.map(lit): _*)
+    val tcs     = array(TimeControls.map(lit): _*)
+    val pgns    = array(Pgns.map(lit): _*)
+    val opp = concat(lit("opp"), pmod(col("user_id"), lit(7L)).cast("string"))
+    Tables.events(s, dir).select(
+      lit("alice").as("username"),
+      concat(lit("g"), col("event_id").cast("string")).as("game_url"),
+      to_date(col("ts")).as("date_ymd"),
+      when(pmod(col("event_id"), lit(2L)) === 0, lit("alice")).otherwise(opp)
+        .as("white_username"),
+      when(pmod(col("event_id"), lit(2L)) === 0, opp).otherwise(lit("alice"))
+        .as("black_username"),
+      (lit(1000L) + pmod(col("event_id"), lit(997L))).as("white_rating"),
+      when(pmod(col("event_id"), lit(11L)) === 0, lit(null).cast("long"))
+        .otherwise(lit(900L) + pmod(col("event_id") * 7, lit(997L)))
+        .as("black_rating"),
+      element_at(results, (pmod(col("event_id"), lit(8L)) + 1).cast("int"))
+        .as("result"),
+      element_at(tcs, (pmod(col("event_id"), lit(6L)) + 1).cast("int"))
+        .as("time_control"),
+      element_at(pgns, (pmod(col("event_id"), lit(4L)) + 1).cast("int"))
+        .as("pgn"))
+  }
+
+  /** A1–A5 over the full vocabulary: global W/L/D/total/rate, one row. */
+  def q49ChessCards(s: SparkSession, dir: String): DataFrame =
+    new Dashboard(fixtureFact(s, dir)).cards()
+
+  /** A6 matrix: win rate by time-control bucket × user color. */
+  def q50ChessMatrix(s: SparkSession, dir: String): DataFrame =
+    new Dashboard(fixtureFact(s, dir)).winRateByBucketAndColor()
+
+  /** A9/A10 + F7: Top-5 opponents by games with wins and win rate. */
+  def q51ChessOpponents(s: SparkSession, dir: String): DataFrame =
+    new Dashboard(fixtureFact(s, dir)).topOpponents(5)
+
+  // -------------------------------------------------------------- wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_chess_cards"     -> (q49ChessCards _),
+    "q50_chess_matrix"    -> (q50ChessMatrix _),
+    "q51_chess_opponents" -> (q51ChessOpponents _)
+  )
+
+  /** Shared SQL: the fixture fact + derived columns + outcome, mirroring
+    * GameTransforms.withDerived and ChessMeasures.outcome exactly.
+    */
+  private val drvCte = {
+    val results = ResultVocab.map("'" + _ + "'").mkString("[", ",", "]")
+    val tcs  = TimeControls.map("'" + _ + "'").mkString("[", ",", "]")
+    val pgns = Seq("'[ECO \"B20\"]'", "'[ECO \"C00\"]'", "'[ECO \"A00\"]'", "''")
+      .mkString("[", ",", "]")
+    s"""fx AS (
+       |  SELECT
+       |    'alice' AS username,
+       |    CASE WHEN event_id % 2 = 0 THEN 'alice'
+       |         ELSE 'opp' || (user_id % 7) END AS white_username,
+       |    CASE WHEN event_id % 2 = 0 THEN 'opp' || (user_id % 7)
+       |         ELSE 'alice' END AS black_username,
+       |    1000 + (event_id % 997) AS white_rating,
+       |    CASE WHEN event_id % 11 = 0 THEN NULL
+       |         ELSE 900 + ((event_id * 7) % 997) END AS black_rating,
+       |    $results[(event_id % 8)::INT + 1] AS result,
+       |    $tcs[(event_id % 6)::INT + 1] AS time_control,
+       |    $pgns[(event_id % 4)::INT + 1] AS pgn
+       |  FROM events),
+       |drv0 AS (
+       |  SELECT *,
+       |    CASE WHEN lower(white_username) = lower(username)
+       |         THEN 'white' ELSE 'black' END AS user_color
+       |  FROM fx),
+       |drv AS (
+       |  SELECT *,
+       |    CASE WHEN user_color = 'white' THEN black_username
+       |         ELSE white_username END AS opponent_username,
+       |    CASE WHEN contains(time_control, '/') THEN 'daily'
+       |         WHEN NOT regexp_full_match(
+       |             string_split(time_control, '+')[1], '[0-9]+')
+       |           THEN 'unknown'
+       |         WHEN CAST(string_split(time_control, '+')[1] AS BIGINT) < 180
+       |           THEN 'bullet'
+       |         WHEN CAST(string_split(time_control, '+')[1] AS BIGINT) < 600
+       |           THEN 'blitz'
+       |         ELSE 'rapid' END AS time_control_bucket,
+       |    CASE WHEN result = '1-0' THEN
+       |           CASE WHEN user_color = 'white' THEN 'win' ELSE 'loss' END
+       |         WHEN result = '0-1' THEN
+       |           CASE WHEN user_color = 'black' THEN 'win' ELSE 'loss' END
+       |         WHEN result = '1/2-1/2' THEN 'draw'
+       |         WHEN contains(result, ' / ') THEN
+       |           CASE WHEN (CASE WHEN user_color = 'white'
+       |                      THEN string_split(result, ' / ')[1]
+       |                      ELSE string_split(result, ' / ')[2] END) = 'win'
+       |                  THEN 'win'
+       |                WHEN (CASE WHEN user_color = 'white'
+       |                      THEN string_split(result, ' / ')[2]
+       |                      ELSE string_split(result, ' / ')[1] END) = 'win'
+       |                  THEN 'loss'
+       |                WHEN (CASE WHEN user_color = 'white'
+       |                      THEN string_split(result, ' / ')[1]
+       |                      ELSE string_split(result, ' / ')[2] END) IN
+       |                  ('agreed','repetition','stalemate','insufficient',
+       |                   '50move','timevsinsufficient')
+       |                  THEN 'draw'
+       |                ELSE 'unknown' END
+       |         ELSE 'unknown' END AS outcome
+       |  FROM drv0)""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q49_chess_cards" ->
+      s"""WITH $drvCte
+         |SELECT COUNT(*) AS total_games,
+         |  CAST(SUM(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS total_wins,
+         |  CAST(SUM(CASE WHEN outcome = 'loss' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS total_losses,
+         |  CAST(SUM(CASE WHEN outcome = 'draw' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS total_draws,
+         |  CAST(SUM(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS win_rate
+         |FROM drv""".stripMargin,
+    "q50_chess_matrix" ->
+      s"""WITH $drvCte
+         |SELECT time_control_bucket, user_color,
+         |  COUNT(*) AS games_count,
+         |  CAST(SUM(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS total_wins,
+         |  CAST(SUM(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS win_rate
+         |FROM drv GROUP BY 1, 2
+         |ORDER BY win_rate DESC, time_control_bucket, user_color""".stripMargin,
+    "q51_chess_opponents" ->
+      s"""WITH $drvCte,
+         |top AS (
+         |  SELECT opponent_username, COUNT(*) AS n FROM drv GROUP BY 1
+         |  ORDER BY n DESC, opponent_username ASC LIMIT 5)
+         |SELECT d.opponent_username,
+         |  COUNT(*) AS games_count,
+         |  CAST(SUM(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS wins,
+         |  CAST(SUM(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS win_rate
+         |FROM drv d JOIN top USING (opponent_username)
+         |GROUP BY 1 ORDER BY games_count DESC, opponent_username""".stripMargin
+  )
+}
