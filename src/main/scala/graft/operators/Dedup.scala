@@ -104,18 +104,48 @@ object Dedup {
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, num: Int, den: Int,
                         numPerm: Int = 128, bands: Int = 32): DataFrame = {
-    val rows = numPerm / bands
     // Shingle sets fan out to three consumers (banding + both verify
-    // sides): persist so shingling/md5 runs once, not three times. On a
-    // cluster this is the same call — MEMORY_AND_DISK spills per executor;
-    // at true 100 TB scale you would checkpoint signatures to a table
-    // instead, but the operator shape is identical.
+    // sides): persist so shingling/md5 runs once, not three times.
+    // MEMORY_AND_DISK spills per executor; for corpora that outgrow
+    // executor storage use [[minhashDedupPairsCheckpointed]], which
+    // materializes the sets to a table instead — same downstream shape.
     val sets = Partitioning.spread(docs).select(
       col(idCol).as("doc_id"),
       TextFunctions.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try pairsFromShingleSets(sets, num, den, numPerm, bands)
+    finally sets.unpersist()
+  }
 
+  /** The 100 TB variant of [[minhashDedupPairs]]: shingle sets are
+    * CHECKPOINTED TO A TABLE (one parquet write under `checkpointDir`)
+    * instead of executor-cached. Executor storage no longer bounds corpus
+    * size, a re-run can resume from the materialized sets, and every
+    * downstream consumer reads a column-pruned scan of the table. The
+    * caller owns `checkpointDir` lifecycle (same contract as Spark's own
+    * `spark.sparkContext.setCheckpointDir`).
+    */
+  def minhashDedupPairsCheckpointed(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, num: Int, den: Int, checkpointDir: String,
+      numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val path = s"$checkpointDir/minhash_sets_${java.util.UUID.randomUUID()}"
+    Partitioning.spread(docs).select(
+        col(idCol).as("doc_id"),
+        TextFunctions.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .write.mode("overwrite").parquet(path)
+    pairsFromShingleSets(spark.read.parquet(path), num, den, numPerm, bands)
+  }
+
+  /** Shared banding + candidate-join + exact-verify pipeline over
+    * materialized (doc_id, sh) sets (cached or table-backed).
+    */
+  private def pairsFromShingleSets(sets: DataFrame, num: Int, den: Int,
+                                   numPerm: Int, bands: Int): DataFrame = {
+    val rows = numPerm / bands
     // (doc_id, band, bandKey): one row per band. Band keys are xxhash64 of
     // the signature slice — an 8-byte join key instead of a joined-string
     // key (smaller shuffle), unrolled per band at plan-build time so the
@@ -133,36 +163,42 @@ object Dedup {
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
+    // Candidate pairs are consumed twice below (count + join), so
+    // materialize once; eager localCheckpoint also makes the follow-up
+    // count() a cheap scan instead of a banding-join recompute.
     val cand = banded.as("x")
       .join(banded.as("y"),
             col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
               col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint()
 
     // Verify candidates with exact Jaccard over shingle strings. The
     // candidate set is usually orders of magnitude smaller than the
     // corpus, but its size is DATA-DEPENDENT (duplicate-heavy or hot-band
-    // corpora inflate it), so no forced broadcast hint: cand sits behind a
-    // shuffle (distinct), which means AQE sees its true runtime size and
-    // picks broadcast when it fits — and degrades to a shuffle join
-    // instead of an 8 GB-limit failure or driver OOM when it doesn't.
+    // corpora inflate it), so the broadcast hint is gated on a COUNTED
+    // size rather than forced: under the cap the big `sets` side streams
+    // through two broadcast joins with zero shuffle; over it we fall back
+    // to shuffle joins instead of hitting the broadcast limit or OOMing
+    // the driver. 16 bytes/pair → the cap is ~0.5 GB broadcast, well
+    // inside executor memory at cluster scale.
+    val candJ =
+      if (cand.count() <= 32000000L) broadcast(cand) else cand
     val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val verified = sa.join(cand, "doc_a").join(sb, "doc_b")
+    val verified = sa.join(candJ, "doc_a").join(sb, "doc_b")
       .withColumn("inter_cnt",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("union_cnt",
         size(col("sh_a")) + size(col("sh_b")) - col("inter_cnt"))
       .filter(col("inter_cnt") * den >= col("union_cnt") * num)
       .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
-    // Materialize the (small) verified pair set, then release the cached
-    // shingle sets — otherwise every call leaks a MEMORY_AND_DISK cache
-    // for the session's lifetime. localCheckpoint keeps the result itself
-    // addressable without the cache.
-    val out = verified.localCheckpoint()
-    sets.unpersist()
-    out
+    // Materialize the (small) verified pair set eagerly: the cached-sets
+    // caller unpersists right after this returns (otherwise every call
+    // would leak a MEMORY_AND_DISK cache for the session's lifetime), and
+    // localCheckpoint keeps the result addressable without the cache.
+    verified.localCheckpoint()
   }
 
   /** 64-bit SimHash over word occurrences: bit b of the signature is set

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * No RNG anywhere: membership is a pure function of the row's id via the
+  * engine-portable md5 hash ([[PortableHash.h32]]), so a sample is
+  * reproducible across runs, engines, and cluster sizes (re-running a
+  * 100 TB mixing job yields byte-identical membership — the property that
+  * makes data ablations comparable), and filters evaluate per-row inside
+  * whole-stage codegen with zero extra passes or driver state.
+  */
+object Sampling {
+
+  /** Stratified sample: keep a row iff the md5 bucket (0–99) of its id
+    * falls below its stratum's percentage. The per-stratum rate is the
+    * standard per-source mixing-ratio knob (e.g. upsample curated text,
+    * downsample crawl); strata absent from `ratesPct` get `defaultPct`.
+    */
+  def stratified(df: DataFrame, keyCol: String, idCol: String,
+                 ratesPct: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require(ratesPct.values.forall(r => r >= 0 && r <= 100) &&
+      defaultPct >= 0 && defaultPct <= 100,
+      "sampling rates are integer percentages in [0, 100]")
+    val bucket = pmod(PortableHash.h32(col(idCol).cast("string")), lit(100L))
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, r)) =>
+      when(col(keyCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < rate)
+  }
+}

@@ -288,6 +288,23 @@ object AdvancedQueries {
       .orderBy("event_type")
   }
 
+  /** Deterministic stratified sampling — the per-source mixing-ratio
+    * knob (upsample purchases to 100%, keep half the views, 10% of
+    * clicks, drop the rest), verified by aggregate fingerprints of the
+    * surviving rows. Membership is an md5 bucket of the id, so the
+    * oracle reproduces it exactly. See [[graft.operators.Sampling]].
+    */
+  def q53StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratified(
+        Tables.events(s, dir), "event_type", "event_id",
+        Map("purchase" -> 100, "view" -> 50, "click" -> 10))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           min(col("event_id")).as("min_id"),
+           max(col("event_id")).as("max_id"),
+           sum(floor(col("value") * 100).cast("long")).as("sum_value_e2"))
+      .orderBy("event_type")
+
   /** The `spark.sql` entry path with CORRELATED scalar subqueries:
     * parts priced above their type's mean, phrased as
     * `price · count(type) > sum(type)` so every comparison is exact
@@ -326,7 +343,8 @@ object AdvancedQueries {
     "q43_unpivot"      -> (q43Unpivot _),
     "q44_latest_per_key" -> (q44LatestPerKey _),
     "q45_hll_merge"    -> (q45HllMerge _),
-    "q46_sql_correlated" -> (q46SqlCorrelated _)
+    "q46_sql_correlated" -> (q46SqlCorrelated _),
+    "q53_stratified_sample" -> (q53StratifiedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -489,6 +507,18 @@ object AdvancedQueries {
         |  COUNT(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_bound
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q53_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT *,
+        |    ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 100 AS b,
+        |    CASE event_type WHEN 'purchase' THEN 100 WHEN 'view' THEN 50
+        |         WHEN 'click' THEN 10 ELSE 0 END AS r
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_e2
+        |FROM s WHERE b < r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q46_sql_correlated" ->
       """SELECT p_type, COUNT(*) AS n_above
         |FROM part p1

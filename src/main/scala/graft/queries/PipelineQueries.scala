@@ -151,6 +151,19 @@ object PipelineQueries {
       .withColumn("hamming", col("hamming").cast("long"))
       .orderBy("doc_a", "doc_b")
 
+  /** The 100 TB minhash shape, driver-gated: identical semantics to q22
+    * but with shingle sets CHECKPOINTED TO A TABLE instead of
+    * executor-cached (see [[Dedup.minhashDedupPairsCheckpointed]]) — same
+    * oracle, so the variant is held to the same exactness bar.
+    */
+  def q52MinhashCkpt(s: SparkSession, dir: String): DataFrame = {
+    val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_ckpt"
+    Dedup.minhashDedupPairsCheckpointed(
+        Tables.documents(s, dir), "doc_id", "text",
+        n = 3, num = 4, den = 5, checkpointDir = ckpt)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** IVF ANN top-3 (8 deterministic centroids, probe 2) for vec_id < 20 —
     * the inverted-file counterpart of q25's LSH path.
     */
@@ -176,7 +189,8 @@ object PipelineQueries {
     "q30_multimodal"       -> (q30Multimodal _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
-    "q48_simhash_pairs"    -> (q48SimhashPairs _)
+    "q48_simhash_pairs"    -> (q48SimhashPairs _),
+    "q52_minhash_ckpt"     -> (q52MinhashCkpt _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -245,6 +259,7 @@ object PipelineQueries {
         |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
     "q21_ngram_jaccard" -> jaccardSql(1, 2),
     "q22_minhash_lsh"   -> jaccardSql(4, 5),
+    "q52_minhash_ckpt"  -> jaccardSql(4, 5),
     // q23: the signed 64-bit value equals (hi as int32) · 2³² + lo — the
     // two's-complement reassembly keeps every intermediate in BIGINT range.
     "q23_simhash" ->

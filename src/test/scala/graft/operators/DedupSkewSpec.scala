@@ -45,6 +45,22 @@ class DedupSkewSpec extends SparkSpec {
     assert(lo.length === 1 && lo(0).isNullAt(2))
   }
 
+  test("checkpointed minhash variant returns exactly the cached variant's pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-minhash-ckpt").toString
+    val cached = Dedup
+      .minhashDedupPairs(docs, "doc_id", "text", n = 3, num = 4, den = 5)
+    val ckpt = Dedup.minhashDedupPairsCheckpointed(
+      docs, "doc_id", "text", n = 3, num = 4, den = 5, checkpointDir = dir)
+    assert(cached.count() === ckpt.count())
+    assert(cached.exceptAll(ckpt).isEmpty && ckpt.exceptAll(cached).isEmpty)
+    // the sets table really was materialized under the checkpoint dir
+    assert(new java.io.File(dir).listFiles.exists(
+      _.getName.startsWith("minhash_sets_")))
+  }
+
   test("maxShingleDf drops shingles above the document-frequency cap") {
     // 'x y z' appears in all 4 docs (hot); 'a b c' in only 2
     val docs = Seq(

@@ -17,10 +17,13 @@ class PlanShapeSpec extends SparkSpec {
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
-  /** Final (post-AQE) physical plan: execute, then render. */
+  /** Final (post-AQE) physical plan: execute, then render. The rendered
+    * AdaptiveSparkPlan includes the pre-AQE "Initial Plan" section too —
+    * cut it, or node counts double.
+    */
   private def finalPlan(df: DataFrame): String = {
     df.collect()
-    df.queryExecution.executedPlan.toString
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
   test("q2: predicate pushdown and column pruning reach the parquet scan") {
@@ -103,6 +106,40 @@ class PlanShapeSpec extends SparkSpec {
       assert(plan.contains("InMemoryTableScan"),
         "shingle sets must come from the persisted cache")
     } finally sets.unpersist()
+  }
+
+  test("q35: TF-IDF is a join-free window pipeline reusing the doc_id exchange") {
+    val plan = finalPlan(AdvancedQueries.q35Tfidf(spark, sf))
+    // the only join allowed is the broadcast of the 1-row nDocs aggregate
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"doc length / doc frequency must be window sums, not join branches:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      "nDocs arrives via a broadcast join")
+    // df (term window) + n_words/rank (doc_id windows) — the two doc_id
+    // windows must share ONE exchange (Window nodes stacked, 3 shuffles
+    // total for the whole query)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 3, s"expected ≤3 keyed exchanges ((doc_id,term) → term → doc_id), found $n:\n$plan")
+  }
+
+  test("q44: latest-per-key aggregates map-side — shuffle carries ~1 row/key") {
+    val plan = finalPlan(AdvancedQueries.q44LatestPerKey(spark, sf))
+    assert(!plan.contains("Window"),
+      "max_by aggregate must replace the row_number window")
+    // struct-ordered max_by plans as SortAggregate (sort key = just the
+    // group key), but the property that matters at 100 TB is the PARTIAL
+    // phase before the exchange: each map task reduces its events to one
+    // candidate per key, so the shuffle moves ~|keys| rows, not the log.
+    assert(plan.contains("partial_max_by"),
+      s"aggregation must combine map-side before the shuffle:\n$plan")
+  }
+
+  test("q23: simhash runs the codegen'd 64-bit kernel inside WSCG") {
+    val plan = finalPlan(PipelineQueries.q23Simhash(spark, sf))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("simhash_signature")),
+      s"simhash must be the compiled kernel inside a codegen span:\n$plan")
   }
 
   test("semantic Top-N query respects the filter context in the rank") {
