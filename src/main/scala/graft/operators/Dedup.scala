@@ -201,6 +201,25 @@ object Dedup {
     verified.localCheckpoint()
   }
 
+  /** Keeper selection — the APPLY step of a dedup pipeline: given the
+    * near-dup pair set, label every document kept (true) or dropped
+    * (false), keeping exactly one representative (the min id) per
+    * connected component. Composes [[GraphOps.connectedComponents]] with
+    * a left join back to the corpus: docs in no pair are trivially kept;
+    * a filter on `kept` then yields the deduplicated corpus. Cost is the
+    * component propagation (O(diameter) rounds) plus one broadcast-sized
+    * join — the component map has one row per PAIRED doc, a small
+    * fraction of the corpus.
+    */
+  def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
+                 aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val cc = GraphOps.connectedComponents(pairs, aCol, bCol)
+      .toDF(idCol, "component")
+    docs.join(cc, Seq(idCol), "left")
+      .withColumn("kept",
+        col("component").isNull || col("component") === col(idCol))
+  }
+
   /** 64-bit SimHash over word occurrences: bit b of the signature is set
     * iff Σ_words (2·bit_b(h64(w)) − 1) > 0, h64 = first 8 md5 bytes (hi
     * half ≡ [[PortableHash.h32]]). Computed by the codegen'd

@@ -133,6 +133,22 @@ object AdvancedQueries {
       .orderBy("doc_id")
   }
 
+  /** The dedup APPLY step end-to-end: Jaccard pairs → connected
+    * components → per-document kept/dropped flag (one keeper, the min
+    * id, per near-dup group; unpaired docs trivially kept). This is the
+    * operator a pipeline actually runs to EMIT the deduplicated corpus —
+    * q37 gates the group labels, this gates the final membership.
+    */
+  def q54DedupApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 2)
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.applyDedup(docs.select("doc_id"), "doc_id", pairs)
+      .select(col("doc_id"), col("kept"))
+      .orderBy("doc_id")
+  }
+
   /** As-of join: each event picks the latest order date ≤ its timestamp
     * for the same key — via the union-and-carry-forward window plan (one
     * shuffle on the key, no per-row subquery). See [[TemporalOps.asofJoin]].
@@ -344,7 +360,8 @@ object AdvancedQueries {
     "q44_latest_per_key" -> (q44LatestPerKey _),
     "q45_hll_merge"    -> (q45HllMerge _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
-    "q53_stratified_sample" -> (q53StratifiedSample _)
+    "q53_stratified_sample" -> (q53StratifiedSample _),
+    "q54_dedup_apply"  -> (q54DedupApply _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -438,6 +455,35 @@ object AdvancedQueries {
         |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)
         |SELECT a AS doc_id, MIN(b) AS component
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q54_dedup_apply" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |cc AS (SELECT a AS doc_id, MIN(b) AS component
+        |       FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  (cc.component IS NULL OR cc.component = d.doc_id) AS kept
+        |FROM documents d LEFT JOIN cc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q38_asof_join" ->
       """SELECT e.event_id, e.user_id,
         |  CAST(o.o_orderdate AS DATE) AS asof_date

@@ -47,7 +47,9 @@ object ChessQueries {
     val tcs     = array(TimeControls.map(lit): _*)
     val pgns    = array(Pgns.map(lit): _*)
     val opp = concat(lit("opp"), pmod(col("user_id"), lit(7L)).cast("string"))
-    Tables.events(s, dir).select(
+    // spread: the testdata parquet is one row group → one scan task; the
+    // per-row derivation (regexps in withDerived) would serialize on it
+    graft.operators.Partitioning.spread(Tables.events(s, dir)).select(
       lit("alice").as("username"),
       concat(lit("g"), col("event_id").cast("string")).as("game_url"),
       to_date(col("ts")).as("date_ymd"),

@@ -39,4 +39,24 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(once === Set((5L, 5L), (6L, 5L)))
   }
+
+  test("connectedComponents THROWS at maxIter instead of returning split labels") {
+    // a 12-hop path cannot settle in 2 rounds; silent exit would hand
+    // back wrong components — the contract is fail-loud
+    val edges = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(edges, "a", "b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("applyDedup keeps the min id per component and all unpaired docs") {
+    val docs = (1L to 8L).toDF("doc_id")
+    // components {1,2,3} and {5,6}; 4,7,8 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.applyDedup(docs, "doc_id", pairs)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(kept === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true,
+                        5L -> true, 6L -> false, 7L -> true, 8L -> true))
+  }
 }
