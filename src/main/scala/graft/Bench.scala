@@ -14,9 +14,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: touch each table family + compile the hot codegen
-    // kernels (md5/minhash, DotFloat) so the first TIMED query doesn't
-    // absorb one-off JVM/JIT/parquet-footer costs.
-    Seq("q1_agg", "q23_simhash", "q24_embed_knn", "q14_watermark")
+    // kernels (md5/minhash, DotFloat) and the chess semantic layer's large
+    // CaseWhen trees (q50's cold run is ~2.5 s of Janino compile for a
+    // 0.9 s steady-state query) so the first TIMED query doesn't absorb
+    // one-off JVM/JIT/parquet-footer costs.
+    Seq("q1_agg", "q23_simhash", "q24_embed_knn", "q14_watermark",
+        "q50_chess_matrix")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => () }
