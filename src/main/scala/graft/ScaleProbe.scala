@@ -40,6 +40,13 @@ object ScaleProbe {
       val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 4, 5)
       println("  near-dup pairs: " + pairs.count())
     }
+    time(s"minhash_ckpt_${mult}x") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-probe-ckpt").toString
+      val pairs = Dedup.minhashDedupPairsCheckpointed(
+        docs, "doc_id", "text", 3, 4, 5, checkpointDir = dir)
+      println("  ckpt near-dup pairs: " + pairs.count())
+    }
     time(s"exact_dedup_${mult}x") {
       Dedup.exactByContent(docs, "doc_id", "text").count()
     }
