@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotFloat, MinHashSignature, WordSetCount, WordShingles}
+import graft.functions.{DotFloat, MinHashSignature, SimHashSignature, WordSetCount, WordShingles}
 
 /** Session-extension wiring: registers graft's codegen'd expressions as
   * SQL functions so they compose from `spark.sql(...)` as well as the
@@ -17,6 +17,7 @@ import graft.functions.{DotFloat, MinHashSignature, WordSetCount, WordShingles}
   *  - `graft_dot_float(a, b)`          → double dot product of float arrays
   *  - `graft_word_shingles(words, n)`  → distinct n-word shingles
   *  - `graft_minhash(shingles, k)`     → k-slot MinHash signature
+  *  - `graft_simhash(words)`           → 64-bit SimHash signature
   *  - `graft_word_set_count(words, w1, w2, …)` → count of hits in the set
   *
   * Literal-argument extraction happens at registration (n/k/word lists are
@@ -63,6 +64,10 @@ object GraftExtensions {
         "graft_minhash(shingles, numPerm) - MinHash signature array<long>"),
       (args: Seq[Expression]) =>
         MinHashSignature(args(0), intLit(args(1), "numPerm"))),
+    (new FunctionIdentifier("graft_simhash"),
+      info("graft_simhash",
+        "graft_simhash(words) - 64-bit SimHash signature of a word array"),
+      (args: Seq[Expression]) => SimHashSignature(args(0))),
     (new FunctionIdentifier("graft_word_set_count"),
       info("graft_word_set_count",
         "graft_word_set_count(words, w1, w2, ...) - count of words in set"),

@@ -32,6 +32,16 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](1).length === 4)
   }
 
+  test("graft_simhash from SQL matches the Column-API kernel") {
+    import org.apache.spark.sql.functions._
+    val viaSql = sql.sql("SELECT graft_simhash(split('the cat sat', ' ')) AS s")
+      .collect()(0).getLong(0)
+    val viaCol = sql.range(1)
+      .select(graft.operators.Dedup.simhash(lit("the cat sat")).as("s"))
+      .collect()(0).getLong(0)
+    assert(viaSql === viaCol)
+  }
+
   test("graft_word_set_count from SQL") {
     val n = sql.sql(
       """SELECT graft_word_set_count(
