@@ -15,11 +15,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: touch each table family + compile the hot codegen
     // kernels (md5/minhash, DotFloat) and the chess semantic layer's large
-    // CaseWhen trees (q50's cold run is ~2.5 s of Janino compile for a
-    // 0.9 s steady-state query) so the first TIMED query doesn't absorb
-    // one-off JVM/JIT/parquet-footer costs.
+    // CaseWhen trees (cold runs pay ~2.5 s of Janino compile for sub-1 s
+    // steady-state queries; each of the three chess plans generates its
+    // own codegen class, so each warms separately) so the first TIMED
+    // query doesn't absorb one-off JVM/JIT/parquet-footer costs.
     Seq("q1_agg", "q23_simhash", "q24_embed_knn", "q14_watermark",
-        "q50_chess_matrix")
+        "q49_chess_cards", "q50_chess_matrix", "q51_chess_opponents")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, sfDir).count()
         catch { case _: Throwable => () }

@@ -84,14 +84,23 @@ final class IngestJob(
 
       // Ledger + status flush ONCE per user (chronological row order kept):
       // the per-row form wrote two one-row parquet files per archive — a
-      // 10k-archive backfill is 20k+ tiny files. A crash between these
-      // appends and the state loop below only re-processes archives next
-      // run (state-driven skip), which the anti-join dedup absorbs; ledger
-      // re-reads are distinct()-ed, so a duplicate ledger row is benign.
+      // 10k-archive backfill is 20k+ tiny files. A crash between this
+      // append and the state loop below re-processes the batch next run
+      // (state-driven skip never advanced); the games side is absorbed by
+      // the anti-join dedup, and the LEDGER dedupes here against its own
+      // existing (archive, count) rows — a replay row carries a fresh
+      // processed_at_utc, so without this filter it would double-count
+      // every `game_count` aggregate over K2. Keyed on (archive, count)
+      // rather than archive alone so a deliberate reprocess-latest that
+      // FOUND new games still records the updated total.
       val ok = todo.sorted.filterNot(failedUrls)
-      store.appendLedgerRows(spark, ok.map { url =>
-        (user, url, counts.getOrElse(url, (0L, 0L))._1)
-      })
+      val ledgered = store.ledger(spark)
+        .filter(col("username") === user)
+        .select("archive_url", "game_count").distinct()
+        .collect().map(r => (r.getString(0), r.getInt(1).toLong)).toSet
+      store.appendLedgerRows(spark, ok
+        .map(url => (user, url, counts.getOrElse(url, (0L, 0L))._1))
+        .filterNot { case (_, url, n) => ledgered((url, n)) })
       store.appendStatusRows(spark, runId, user, ok.flatMap { url =>
         val noGames =
           if (counts.getOrElse(url, (0L, 0L))._1 == 0L)

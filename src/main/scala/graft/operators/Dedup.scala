@@ -121,15 +121,17 @@ object Dedup {
   /** The 100 TB variant of [[minhashDedupPairs]]: shingle sets are
     * CHECKPOINTED TO A TABLE (one parquet write under `checkpointDir`)
     * instead of executor-cached. Executor storage no longer bounds corpus
-    * size, a re-run can resume from the materialized sets, and every
-    * downstream consumer reads a column-pruned scan of the table. The
-    * caller owns `checkpointDir` lifecycle (same contract as Spark's own
-    * `spark.sparkContext.setCheckpointDir`).
+    * size, and every downstream consumer reads a column-pruned scan of
+    * the table. The sets table — larger than the corpus (exploded
+    * shingle arrays) — is DELETED once the verified pairs are
+    * materialized; pass `keepSets = true` to retain it for resuming a
+    * multi-stage run (the caller then owns cleanup).
     */
   def minhashDedupPairsCheckpointed(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, num: Int, den: Int, checkpointDir: String,
-      numPerm: Int = 128, bands: Int = 32): DataFrame = {
+      numPerm: Int = 128, bands: Int = 32,
+      keepSets: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val path = s"$checkpointDir/minhash_sets_${java.util.UUID.randomUUID()}"
     Partitioning.spread(docs).select(
@@ -137,7 +139,11 @@ object Dedup {
         TextFunctions.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .write.mode("overwrite").parquet(path)
-    pairsFromShingleSets(spark.read.parquet(path), num, den, numPerm, bands)
+    try pairsFromShingleSets(spark.read.parquet(path), num, den, numPerm, bands)
+    finally if (!keepSets) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
   }
 
   /** Shared banding + candidate-join + exact-verify pipeline over

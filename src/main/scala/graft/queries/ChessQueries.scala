@@ -93,10 +93,12 @@ object ChessQueries {
     * GameTransforms.withDerived and ChessMeasures.outcome exactly.
     */
   private val drvCte = {
+    // all three vocabularies are SQL-quoted from the SAME Seqs the Spark
+    // fixture uses — fixture/oracle drift is structurally impossible
+    // (double quotes inside the ECO headers need no SQL escaping)
     val results = ResultVocab.map("'" + _ + "'").mkString("[", ",", "]")
     val tcs  = TimeControls.map("'" + _ + "'").mkString("[", ",", "]")
-    val pgns = Seq("'[ECO \"B20\"]'", "'[ECO \"C00\"]'", "'[ECO \"A00\"]'", "''")
-      .mkString("[", ",", "]")
+    val pgns = Pgns.map("'" + _ + "'").mkString("[", ",", "]")
     s"""fx AS (
        |  SELECT
        |    'alice' AS username,

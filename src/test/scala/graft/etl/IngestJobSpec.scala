@@ -76,6 +76,31 @@ class IngestJobSpec extends SparkSpec {
     assert(state2("alice").lastEndTime == 100L)
   }
 
+  test("ledger replay dedupe: reruns add no duplicate rows, new games add an updated row") {
+    val pages = Map(
+      archivesFor("alice", a1),
+      a1 -> Right(s"""{"games":[${game("g1", 100, "1-0")}]}"""))
+    val (job, store, states) = freshEnv(pages)
+    states.save(job.run("alice"))
+    // replay the same archive (crash-recovery / reprocess-latest with no
+    // new games): the (archive, count) row already exists → no duplicate
+    states.save(states.unmarkLatest(states.load()))
+    states.save(job.run("alice"))
+    assert(store.ledger(spark).count() == 1,
+      "unchanged archive must not duplicate its ledger row on replay")
+    // reprocess after the archive GREW: updated total gets its own row
+    val pages2 = Map(
+      archivesFor("alice", a1),
+      a1 -> Right(s"""{"games":[${game("g1", 100, "1-0")},${game("g2", 200, "0-1")}]}"""))
+    val job2 = new IngestJob(spark, MapFetcher(pages2), store, states,
+      "https://api.chess.com")
+    states.save(states.unmarkLatest(states.load()))
+    states.save(job2.run("alice"))
+    val rows = store.ledger(spark).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Int]("game_count")).sorted.toSeq == Seq(1, 2))
+  }
+
   test("empty archive gets a zero-count ledger row") {
     val pages = Map(
       archivesFor("alice", a1),

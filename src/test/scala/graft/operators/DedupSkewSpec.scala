@@ -53,12 +53,21 @@ class DedupSkewSpec extends SparkSpec {
     val cached = Dedup
       .minhashDedupPairs(docs, "doc_id", "text", n = 3, num = 4, den = 5)
     val ckpt = Dedup.minhashDedupPairsCheckpointed(
-      docs, "doc_id", "text", n = 3, num = 4, den = 5, checkpointDir = dir)
+      docs, "doc_id", "text", n = 3, num = 4, den = 5, checkpointDir = dir,
+      keepSets = true)
     assert(cached.count() === ckpt.count())
     assert(cached.exceptAll(ckpt).isEmpty && ckpt.exceptAll(cached).isEmpty)
-    // the sets table really was materialized under the checkpoint dir
+    // keepSets retains the materialized table for resuming…
     assert(new java.io.File(dir).listFiles.exists(
       _.getName.startsWith("minhash_sets_")))
+    // …and the default cleans it up once the pairs are materialized
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-minhash-ckpt2").toString
+    Dedup.minhashDedupPairsCheckpointed(
+      docs, "doc_id", "text", n = 3, num = 4, den = 5, checkpointDir = dir2)
+    assert(!new java.io.File(dir2).listFiles.exists(
+      _.getName.startsWith("minhash_sets_")),
+      "sets table must not leak one copy per invocation")
   }
 
   test("maxShingleDf drops shingles above the document-frequency cap") {
