@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (1L to 1000L).map(i =>
+    (i, if (i % 2 == 0) "a" else "b")).toDF("id", "k")
+
+  test("rate 100 keeps every row of its stratum, rate 0 / absent drops all") {
+    val out = Sampling.stratified(rows, "k", "id", Map("a" -> 100))
+    assert(out.count() === 500)
+    assert(out.filter(col("k") === "b").count() === 0)
+  }
+
+  test("membership is deterministic and repartition-invariant") {
+    val once = Sampling.stratified(rows, "k", "id", Map("a" -> 30, "b" -> 70))
+      .select("id").as[Long].collect().toSet
+    val again = Sampling
+      .stratified(rows.repartition(13), "k", "id", Map("a" -> 30, "b" -> 70))
+      .select("id").as[Long].collect().toSet
+    assert(once === again, "sample membership must be a pure function of id")
+    // rates are approximate per-stratum but md5 buckets are near-uniform:
+    // 30% of 500 ± a loose band
+    val nA = once.count(_ % 2 == 0)
+    assert(nA > 100 && nA < 200, s"~30% of stratum a expected, got $nA")
+  }
+
+  test("a higher rate's sample is a superset of a lower rate's (nested holdouts)") {
+    val lo = Sampling.stratified(rows, "k", "id", Map("a" -> 10, "b" -> 10))
+      .select("id").as[Long].collect().toSet
+    val hi = Sampling.stratified(rows, "k", "id", Map("a" -> 40, "b" -> 40))
+      .select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi),
+      "bucket-threshold sampling must nest: raising a rate only adds rows")
+  }
+
+  test("out-of-range rates are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.stratified(rows, "k", "id", Map("a" -> 101))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratified(rows, "k", "id", Map("a" -> -1))
+    }
+  }
+}
