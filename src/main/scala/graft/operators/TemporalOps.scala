@@ -36,6 +36,43 @@ object TemporalOps {
       .drop("__us", "__new_sess")
   }
 
+  /** Range (interval-containment) join WITHOUT an equi-key: pair each
+    * left row whose `leftPoint` falls inside a right row's
+    * [`rightStart`, `rightEnd`] interval (inclusive ends). All columns are
+    * integer points on the same axis (epoch-days, epoch-micros, ids…).
+    *
+    * Scale design — the bucket decomposition: Spark plans a pure range
+    * predicate as BroadcastNestedLoopJoin (every left row probes every
+    * interval — O(n·m), and a hard failure when neither side broadcasts).
+    * Quantizing the axis into `bucketWidth`-sized cells turns it into an
+    * EQUI-join: points key by their cell, intervals explode into the
+    * cells they overlap, the join matches on cell, and the exact BETWEEN
+    * predicate filters the cell's false positives. Work becomes
+    * O(n + m·(span/bucketWidth) + true_matches) with an ordinary hash
+    * shuffle — AQE-skewable, broadcastable, never a cross product.
+    * Choose `bucketWidth` near the typical interval span: too small
+    * explodes the interval side, too large inflates per-cell candidate
+    * lists (both only cost time, never correctness).
+    */
+  def rangeJoin(left: DataFrame, leftPoint: String,
+                right: DataFrame, rightStart: String, rightEnd: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // exact FLOOR division in integer arithmetic: subtracting the
+    // non-negative pmod remainder makes the numerator exactly divisible
+    // (correct for negative axes, no double rounding at any magnitude)
+    def cellOf(c: Column): Column =
+      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    val l = left.withColumn("__cell", cellOf(col(leftPoint)))
+    val r = right
+      .filter(col(rightStart) <= col(rightEnd))
+      .withColumn("__cell",
+        explode(sequence(cellOf(col(rightStart)), cellOf(col(rightEnd)))))
+    l.join(r, Seq("__cell"))
+      .filter(col(leftPoint).between(col(rightStart), col(rightEnd)))
+      .drop("__cell")
+  }
+
   /** As-of join: for each left row, attach the right row's time column
     * value with the greatest `rightTime` ≤ `eventTime` for the same key
     * (LEFT semantics: no prior right row → null).

@@ -166,6 +166,30 @@ object AdvancedQueries {
       .orderBy("event_id")
   }
 
+  /** Keyless RANGE join via bucket decomposition: purchases landing
+    * inside the 1-hour window after each error event. There is no equi
+    * key — Spark would plan the raw BETWEEN predicate as a nested-loop
+    * cross product; [[TemporalOps.rangeJoin]] quantizes the time axis
+    * into 1-hour cells so it becomes an ordinary hash join (see the
+    * operator's scaladoc for the cost model). Integer-microsecond axis →
+    * the oracle reproduces window membership exactly.
+    */
+  def q55RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val HourUs = 3600000000L
+    val err = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"),
+              unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + HourUs)
+    val pur = events.filter(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("p"), col("value"))
+    TemporalOps.rangeJoin(pur, "p", err, "s", "e", bucketWidth = HourUs)
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+           sum(floor(col("value") * 100).cast("long")).as("sum_value_e2"))
+      .orderBy("err_id")
+  }
+
   /** Skew-salted join: identical result set to the plain equi-join, but
     * each (hot) key's rows fan out across 8 reducers. Aggregates use
     * floor-scaled integers so the oracle compare is exact.
@@ -361,7 +385,8 @@ object AdvancedQueries {
     "q45_hll_merge"    -> (q45HllMerge _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
-    "q54_dedup_apply"  -> (q54DedupApply _)
+    "q54_dedup_apply"  -> (q54DedupApply _),
+    "q55_range_join"   -> (q55RangeJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -455,6 +480,18 @@ object AdvancedQueries {
         |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)
         |SELECT a AS doc_id, MIN(b) AS component
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q55_range_join" ->
+      """WITH err AS (
+        |  SELECT event_id AS err_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 3600000000 AS e
+        |  FROM events WHERE event_type = 'error'),
+        |pur AS (SELECT epoch_us(ts) AS p, value FROM events
+        |        WHERE event_type = 'purchase')
+        |SELECT err_id, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_e2
+        |FROM err JOIN pur ON p BETWEEN s AND e
+        |GROUP BY err_id ORDER BY err_id""".stripMargin,
     "q54_dedup_apply" ->
       """WITH RECURSIVE
         |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

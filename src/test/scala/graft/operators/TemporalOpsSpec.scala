@@ -51,6 +51,36 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out(2L).get.startsWith("2024-02-01"))
   }
 
+  test("rangeJoin matches the naive BETWEEN join incl. boundary/cross-cell cases") {
+    // points chosen to hit: both inclusive ends, a cell boundary (10),
+    // intervals spanning multiple cells, overlapping intervals, a
+    // degenerate 1-point interval, and an inverted interval (dropped)
+    val pts = Seq(0L, 5L, 10L, 15L, 20L, 29L, 30L, 100L).toDF("p")
+    val iv = Seq(
+      (1L, 5L, 15L),    // spans cells 0..1 (width 10)
+      (2L, 10L, 10L),   // degenerate, exactly the boundary point
+      (3L, 12L, 35L),   // spans 3 cells, overlaps interval 1
+      (4L, 50L, 40L)    // inverted → matches nothing
+    ).toDF("iv_id", "s", "e")
+    val fast = TemporalOps.rangeJoin(pts, "p", iv, "s", "e", bucketWidth = 10)
+      .select("iv_id", "p").as[(Long, Long)].collect().toSet
+    val naive = pts.crossJoin(iv)
+      .filter(col("p").between(col("s"), col("e")))
+      .select("iv_id", "p").as[(Long, Long)].collect().toSet
+    assert(fast === naive)
+    assert(fast === Set((1L, 5L), (1L, 10L), (1L, 15L), (2L, 10L),
+                        (3L, 15L), (3L, 20L), (3L, 29L), (3L, 30L)))
+  }
+
+  test("rangeJoin with negative-axis points still cells correctly") {
+    // floor division (not truncation) must put -5 in cell -1, not cell 0
+    val pts = Seq(-5L, -10L, 4L).toDF("p")
+    val iv = Seq((1L, -12L, -2L)).toDF("iv_id", "s", "e")
+    val out = TemporalOps.rangeJoin(pts, "p", iv, "s", "e", bucketWidth = 10)
+      .select("p").as[Long].collect().toSet
+    assert(out === Set(-5L, -10L))
+  }
+
   test("asofJoin picks latest right time <= event time, null when none") {
     val left = Seq(
       (10L, 1L, ts("2024-01-05 12:00:00")),
