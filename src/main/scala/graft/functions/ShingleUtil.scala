@@ -71,6 +71,29 @@ object ShingleUtil {
     sig
   }
 
+  /** The string plus every 1-character deletion of it, distinct,
+    * first-occurrence order — the SymSpell deletion neighborhood for
+    * edit-distance-1 candidate generation: two strings within distance 1
+    * ALWAYS share a neighborhood entry (equal → identity; substitution →
+    * both drop the differing position; insertion/deletion → the longer
+    * one's deletion equals the shorter), so a join on the neighborhood
+    * has exact recall and the expensive levenshtein runs only on
+    * candidates. Char-based (documented: supplementary code points count
+    * as two units — fine for the ASCII keys this targets).
+    */
+  def deletions1(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    seen.add(s)
+    var i = 0
+    while (i < str.length) {
+      seen.add(UTF8String.fromString(
+        str.substring(0, i) + str.substring(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
   def minhashSig(shingles: ArrayData, numPerm: Int): ArrayData = {
     val p = PortableHash.MinHashPrime
     val as = new Array[Long](numPerm)

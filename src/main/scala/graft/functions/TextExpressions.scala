@@ -121,6 +121,33 @@ case class MinHashSignature(child: Expression, numPerm: Int)
     copy(child = newChild)
 }
 
+/** SymSpell deletion neighborhood of a string (see
+  * [[ShingleUtil.deletions1]]) — candidate keys for exact-recall
+  * edit-distance-1 joins. Codegen'd for the same reason as the other
+  * kernels: it runs per row × string length in the fuzzy-dedup hot path.
+  */
+case class StringDeletions(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "string_deletions"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleUtil.deletions1(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.deletions1($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StringDeletions =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash signature of a word array (see [[ShingleUtil.simhash64]]).
   * Replaces the interpreted nested-HOF form (a `transform` + double-nested
   * `aggregate` doing pow/floor double math per word × 32 bits) with one

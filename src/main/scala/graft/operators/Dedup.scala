@@ -207,6 +207,35 @@ object Dedup {
     verified.localCheckpoint()
   }
 
+  /** Fuzzy key pairs within edit distance 1, EXACT recall, via the
+    * SymSpell deletion-neighborhood join: each key expands to itself plus
+    * its 1-character deletions (codegen'd
+    * [[graft.functions.StringDeletions]] kernel); any two keys within
+    * distance 1 share a neighborhood entry, so the equi-join on entries
+    * finds every true pair, and `levenshtein` verifies candidates only —
+    * O(n·len) candidate rows and a keyed shuffle instead of the O(n²)
+    * all-pairs scan a naive fuzzy join needs. Emits (id_a, id_b, dist)
+    * with dist ∈ {0, 1}, one row per id pair.
+    */
+  def editDistance1Pairs(df: DataFrame, idCol: String, keyCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.GraftColumns
+    val neighborhood = GraftColumns.column(
+      graft.functions.StringDeletions(GraftColumns.expression(col(keyCol))))
+    val vars = Partitioning.spread(df).select(
+        col(idCol).as("id"), col(keyCol).as("k"),
+        explode(neighborhood).as("v"))
+    vars.as("x")
+      .join(vars.as("y"),
+            col("x.v") === col("y.v") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+              col("x.k").as("k_a"), col("y.k").as("k_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** Keeper selection — the APPLY step of a dedup pipeline: given the
     * near-dup pair set, label every document kept (true) or dropped
     * (false), keeping exactly one representative (the min id) per

@@ -164,6 +164,20 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Fuzzy-key dedup: customer names within edit distance 1, exact
+    * recall via the SymSpell deletion-neighborhood join (see
+    * [[Dedup.editDistance1Pairs]]). The oracle is the NAIVE all-pairs
+    * levenshtein join — feasible for DuckDB on the bounded key set, and
+    * exactly what the candidate stage must not miss a row of.
+    */
+  def q56FuzzyKeys(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 2000)
+      .select(col("c_custkey"), col("c_name"))
+    Dedup.editDistance1Pairs(cust, "c_custkey", "c_name")
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVF ANN top-3 (8 deterministic centroids, probe 2) for vec_id < 20 —
     * the inverted-file counterpart of q25's LSH path.
     */
@@ -190,7 +204,8 @@ object PipelineQueries {
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
     "q48_simhash_pairs"    -> (q48SimhashPairs _),
-    "q52_minhash_ckpt"     -> (q52MinhashCkpt _)
+    "q52_minhash_ckpt"     -> (q52MinhashCkpt _),
+    "q56_fuzzy_keys"       -> (q56FuzzyKeys _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -260,6 +275,14 @@ object PipelineQueries {
     "q21_ngram_jaccard" -> jaccardSql(1, 2),
     "q22_minhash_lsh"   -> jaccardSql(4, 5),
     "q52_minhash_ckpt"  -> jaccardSql(4, 5),
+    // q56's oracle is the naive all-pairs fuzzy join the operator avoids
+    "q56_fuzzy_keys" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey <= 2000 AND b.c_custkey <= 2000
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     // q23: the signed 64-bit value equals (hi as int32) · 2³² + lo — the
     // two's-complement reassembly keeps every intermediate in BIGINT range.
     "q23_simhash" ->

@@ -70,6 +70,30 @@ class DedupSkewSpec extends SparkSpec {
       "sets table must not leak one copy per invocation")
   }
 
+  test("editDistance1Pairs equals the naive all-pairs levenshtein join") {
+    // substitutions, an insertion/deletion pair, duplicates (dist 0),
+    // a distance-2 pair that must NOT appear, and an empty string
+    val keys = Seq(
+      (1L, "alpha"), (2L, "alphb"),   // substitution
+      (3L, "alph"),                   // deletion of 1/2
+      (4L, "ralpha"),                 // insertion before 1
+      (5L, "alpha"),                  // exact duplicate of 1
+      (6L, "omega"), (7L, "omeka"),   // substitution
+      (8L, "xx"), (9L, "yy"),         // distance 2 — excluded
+      (10L, "")                       // empty; distance 1 to any 1-char key
+    ).toDF("id", "k")
+    val fast = Dedup.editDistance1Pairs(keys, "id", "k")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val naive = keys.toDF("id_a", "k_a")
+      .crossJoin(keys.toDF("id_b", "k_b"))
+      .filter(col("id_a") < col("id_b") &&
+        levenshtein(col("k_a"), col("k_b")) <= 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast === naive)
+    assert(fast.contains((1L, 5L)) && fast.contains((1L, 3L)) &&
+      fast.contains((1L, 4L)) && !fast.contains((8L, 9L)))
+  }
+
   test("maxShingleDf drops shingles above the document-frequency cap") {
     // 'x y z' appears in all 4 docs (hot); 'a b c' in only 2
     val docs = Seq(
