@@ -214,8 +214,12 @@ object Dedup {
     * distance 1 share a neighborhood entry, so the equi-join on entries
     * finds every true pair, and `levenshtein` verifies candidates only —
     * O(n·len) candidate rows and a keyed shuffle instead of the O(n²)
-    * all-pairs scan a naive fuzzy join needs. Emits (id_a, id_b, dist)
-    * with dist ∈ {0, 1}, one row per id pair.
+    * all-pairs scan a naive fuzzy join needs. Emits (id_a, id_b, dist):
+    * exactly one row per DISTINCT id pair with any key combination
+    * within distance 1, dist = the minimum such distance (well-defined
+    * even when an id carries several keys). Pairs are between distinct
+    * ids only — rows sharing an id are that id's intra-key duplicates,
+    * the exact-dedup operator's domain.
     */
   def editDistance1Pairs(df: DataFrame, idCol: String, keyCol: String)
       : DataFrame = {
@@ -233,7 +237,8 @@ object Dedup {
       .distinct()
       .withColumn("dist", levenshtein(col("k_a"), col("k_b")).cast("long"))
       .filter(col("dist") <= 1)
-      .select("id_a", "id_b", "dist")
+      .groupBy("id_a", "id_b")
+      .agg(min(col("dist")).as("dist"))
   }
 
   /** Keeper selection — the APPLY step of a dedup pipeline: given the

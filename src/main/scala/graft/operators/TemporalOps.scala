@@ -52,22 +52,43 @@ object TemporalOps {
     * shuffle — AQE-skewable, broadcastable, never a cross product.
     * Choose `bucketWidth` near the typical interval span: too small
     * explodes the interval side, too large inflates per-cell candidate
-    * lists (both only cost time, never correctness).
+    * lists. An interval spanning more than `maxCellsPerInterval` cells
+    * fails FAST with a clear message (the alternative is a silent
+    * multi-GB array alloc per row and Spark's 2.1B sequence limit).
     */
   def rangeJoin(left: DataFrame, leftPoint: String,
                 right: DataFrame, rightStart: String, rightEnd: String,
-                bucketWidth: Long): DataFrame = {
+                bucketWidth: Long,
+                maxCellsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
-    // exact FLOOR division in integer arithmetic: subtracting the
-    // non-negative pmod remainder makes the numerator exactly divisible
-    // (correct for negative axes, no double rounding at any magnitude)
-    def cellOf(c: Column): Column =
-      ((c - pmod(c, lit(bucketWidth))) / bucketWidth).cast("long")
+    require(maxCellsPerInterval >= 1, "maxCellsPerInterval must be >= 1")
+    // exact FLOOR division over the FULL long domain: truncating integral
+    // `div` minus one when a negative value has a remainder. `div`/`%`
+    // never overflow for a positive divisor (unlike the subtract-pmod
+    // trick, which wraps within bucketWidth of Long.MinValue), and no
+    // double arithmetic appears anywhere, so cells are exact past 2^53.
+    def cellOf(c: Column): Column = {
+      import org.apache.spark.sql.GraftColumns.{column, expression}
+      val cl = c.cast("long")
+      val trunc = column(org.apache.spark.sql.catalyst.expressions
+        .IntegralDivide(expression(cl), expression(lit(bucketWidth))))
+      trunc - when(cl < 0 && cl % lit(bucketWidth) =!= 0, lit(1L))
+        .otherwise(lit(0L))
+    }
     val l = left.withColumn("__cell", cellOf(col(leftPoint)))
     val r = right
       .filter(col(rightStart) <= col(rightEnd))
-      .withColumn("__cell",
-        explode(sequence(cellOf(col(rightStart)), cellOf(col(rightEnd)))))
+      .withColumn("__c0", cellOf(col(rightStart)))
+      .withColumn("__c1", cellOf(col(rightEnd)))
+      .withColumn("__cell", explode(sequence(
+        col("__c0"),
+        when(col("__c1") - col("__c0") < maxCellsPerInterval, col("__c1"))
+          .otherwise(raise_error(concat(
+            lit("rangeJoin: interval spans "),
+            (col("__c1") - col("__c0") + 1).cast("string"),
+            lit(s" cells > limit $maxCellsPerInterval — raise bucketWidth " +
+              "or maxCellsPerInterval")))))))
+      .drop("__c0", "__c1")
     l.join(r, Seq("__cell"))
       .filter(col(leftPoint).between(col(rightStart), col(rightEnd)))
       .drop("__cell")

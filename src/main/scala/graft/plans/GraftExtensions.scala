@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotFloat, MinHashSignature, SimHashSignature, WordSetCount, WordShingles}
+import graft.functions.{DotFloat, MinHashSignature, SimHashSignature, StringDeletions, WordSetCount, WordShingles}
 
 /** Session-extension wiring: registers graft's codegen'd expressions as
   * SQL functions so they compose from `spark.sql(...)` as well as the
@@ -18,6 +18,7 @@ import graft.functions.{DotFloat, MinHashSignature, SimHashSignature, WordSetCou
   *  - `graft_word_shingles(words, n)`  → distinct n-word shingles
   *  - `graft_minhash(shingles, k)`     → k-slot MinHash signature
   *  - `graft_simhash(words)`           → 64-bit SimHash signature
+  *  - `graft_string_deletions(s)`      → SymSpell deletion neighborhood
   *  - `graft_word_set_count(words, w1, w2, …)` → count of hits in the set
   *
   * Literal-argument extraction happens at registration (n/k/word lists are
@@ -68,6 +69,10 @@ object GraftExtensions {
       info("graft_simhash",
         "graft_simhash(words) - 64-bit SimHash signature of a word array"),
       (args: Seq[Expression]) => SimHashSignature(args(0))),
+    (new FunctionIdentifier("graft_string_deletions"),
+      info("graft_string_deletions",
+        "graft_string_deletions(s) - s plus its 1-char deletions, distinct"),
+      (args: Seq[Expression]) => StringDeletions(args(0))),
     (new FunctionIdentifier("graft_word_set_count"),
       info("graft_word_set_count",
         "graft_word_set_count(words, w1, w2, ...) - count of words in set"),

@@ -94,6 +94,17 @@ class DedupSkewSpec extends SparkSpec {
       fast.contains((1L, 4L)) && !fast.contains((8L, 9L)))
   }
 
+  test("editDistance1Pairs: multi-key ids collapse to one row with min dist") {
+    val keys = Seq(
+      (1L, "alpha"), (1L, "alphx"),  // id 1 carries two keys
+      (2L, "alpha")                  // dist 0 to one of them, 1 to the other
+    ).toDF("id", "k")
+    val out = Dedup.editDistance1Pairs(keys, "id", "k")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 0L)),
+      "one row per id pair, dist = the minimum across key combinations")
+  }
+
   test("maxShingleDf drops shingles above the document-frequency cap") {
     // 'x y z' appears in all 4 docs (hot); 'a b c' in only 2
     val docs = Seq(

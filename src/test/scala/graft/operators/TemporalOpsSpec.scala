@@ -81,6 +81,23 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out === Set(-5L, -10L))
   }
 
+  test("rangeJoin fails fast on an interval spanning more cells than the cap") {
+    val pts = Seq(1L).toDF("p")
+    val iv = Seq((1L, 0L, 1000L)).toDF("iv_id", "s", "e")
+    val e = intercept[Exception] {
+      TemporalOps.rangeJoin(pts, "p", iv, "s", "e", bucketWidth = 1,
+        maxCellsPerInterval = 100).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("raise bucketWidth")),
+      s"expected the cells-cap error, got: $e")
+    // exactly at the cap still works
+    val ok = TemporalOps.rangeJoin(pts, "p", iv, "s", "e", bucketWidth = 1,
+      maxCellsPerInterval = 1001).count()
+    assert(ok === 1)
+  }
+
   test("asofJoin picks latest right time <= event time, null when none") {
     val left = Seq(
       (10L, 1L, ts("2024-01-05 12:00:00")),
