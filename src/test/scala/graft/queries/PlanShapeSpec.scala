@@ -142,6 +142,24 @@ class PlanShapeSpec extends SparkSpec {
       s"simhash must be the compiled kernel inside a codegen span:\n$plan")
   }
 
+  test("q55: range join is a hash join on cells — never a nested-loop product") {
+    val plan = finalPlan(AdvancedQueries.q55RangeJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"interval containment must join on bucket cells, not scan all pairs:\n$plan")
+    assert(plan.contains("HashJoin"), "cell match is an equi hash join")
+  }
+
+  test("q56: fuzzy join matches on deletion neighborhoods — no cross product") {
+    val plan = finalPlan(PipelineQueries.q56FuzzyKeys(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"edit-distance candidates must come from the neighborhood equi-join:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("string_deletions")),
+      "neighborhood generation runs the codegen'd kernel inside WSCG")
+  }
+
   test("semantic Top-N query respects the filter context in the rank") {
     val plan = finalPlan(SemanticQueries.q19SemanticTopN(spark, sf))
     assert(plan.contains("LeftSemi"))
