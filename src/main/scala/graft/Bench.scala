@@ -13,22 +13,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: touch each table family + compile the hot codegen
-    // kernels (md5/minhash, DotFloat) and the chess semantic layer's large
-    // CaseWhen trees (cold runs pay ~2.5 s of Janino compile for sub-1 s
-    // steady-state queries; each of the three chess plans generates its
-    // own codegen class, so each warms separately) so the first TIMED
-    // query doesn't absorb one-off JVM/JIT/parquet-footer costs.
-    Seq("q1_agg", "q23_simhash", "q24_embed_knn", "q14_watermark",
-        "q49_chess_cards", "q50_chess_matrix", "q51_chess_opponents")
-      .foreach { q =>
-        try SparkEntry.queries(q)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-      }
+    // Drop any RDD blocks a query's operators left pinned (local
+    // checkpoints of iterative plans). Operators release their own
+    // intermediates, but each query's RESULT checkpoint stays addressable
+    // until driver GC; clearing between queries makes every timed run see
+    // the same (empty) block-manager state.
+    def clearBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    // Untimed warmup: run the FULL suite once. Cold runs pay one-off
+    // Janino/JIT compile of each query's generated classes (~11 s for the
+    // heaviest dedup plan, ~2.5 s for the chess CaseWhen trees) plus
+    // parquet footer reads; which query absorbed those costs used to
+    // depend on map iteration order, making per-query numbers
+    // round-to-round noisy (the r3 "q37 regression" was exactly this
+    // noise plus machine contention — isolated runs never reproduced it).
+    // The timed pass below therefore measures steady-state plan execution.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    clearBlocks()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      clearBlocks()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

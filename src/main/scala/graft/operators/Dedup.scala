@@ -103,7 +103,9 @@ object Dedup {
     */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, num: Int, den: Int,
-                        numPerm: Int = 128, bands: Int = 32): DataFrame = {
+                        numPerm: Int = 128, bands: Int = 32,
+                        broadcastPairCap: Long = DefaultBroadcastPairCap)
+      : DataFrame = {
     // Shingle sets fan out to three consumers (banding + both verify
     // sides): persist so shingling/md5 runs once, not three times.
     // MEMORY_AND_DISK spills per executor; for corpora that outgrow
@@ -114,7 +116,7 @@ object Dedup {
       TextFunctions.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try pairsFromShingleSets(sets, num, den, numPerm, bands)
+    try pairsFromShingleSets(sets, num, den, numPerm, bands, broadcastPairCap)
     finally sets.unpersist()
   }
 
@@ -131,7 +133,8 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, num: Int, den: Int, checkpointDir: String,
       numPerm: Int = 128, bands: Int = 32,
-      keepSets: Boolean = false): DataFrame = {
+      keepSets: Boolean = false,
+      broadcastPairCap: Long = DefaultBroadcastPairCap): DataFrame = {
     val spark = docs.sparkSession
     val path = s"$checkpointDir/minhash_sets_${java.util.UUID.randomUUID()}"
     Partitioning.spread(docs).select(
@@ -139,7 +142,8 @@ object Dedup {
         TextFunctions.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .write.mode("overwrite").parquet(path)
-    try pairsFromShingleSets(spark.read.parquet(path), num, den, numPerm, bands)
+    try pairsFromShingleSets(spark.read.parquet(path), num, den, numPerm,
+                             bands, broadcastPairCap)
     finally if (!keepSets) {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -149,8 +153,21 @@ object Dedup {
   /** Shared banding + candidate-join + exact-verify pipeline over
     * materialized (doc_id, sh) sets (cached or table-backed).
     */
+  /** Candidate-pair broadcast cap (pairs, not bytes). Candidates under
+    * this count are broadcast so the big `sets` side streams through the
+    * verify joins with zero shuffle; over it, fall back to shuffle joins.
+    * Default 4M pairs: the driver-built HashedRelation for a broadcast is
+    * a multi-× blowup over the 16 B/pair serialized form, so a few
+    * million rows keeps the driver-side build comfortably inside a
+    * modest (4–8 GiB) driver heap. Deployments with big drivers can
+    * raise it via the `minhashDedupPairs*` overloads' `broadcastPairCap`.
+    */
+  val DefaultBroadcastPairCap = 4000000L
+
   private def pairsFromShingleSets(sets: DataFrame, num: Int, den: Int,
-                                   numPerm: Int, bands: Int): DataFrame = {
+                                   numPerm: Int, bands: Int,
+                                   broadcastPairCap: Long = DefaultBroadcastPairCap)
+      : DataFrame = {
     val rows = numPerm / bands
     // (doc_id, band, bandKey): one row per band. Band keys are xxhash64 of
     // the signature slice — an 8-byte join key instead of a joined-string
@@ -187,10 +204,9 @@ object Dedup {
     // size rather than forced: under the cap the big `sets` side streams
     // through two broadcast joins with zero shuffle; over it we fall back
     // to shuffle joins instead of hitting the broadcast limit or OOMing
-    // the driver. 16 bytes/pair → the cap is ~0.5 GB broadcast, well
-    // inside executor memory at cluster scale.
+    // the driver (cap rationale at [[DefaultBroadcastPairCap]]).
     val candJ =
-      if (cand.count() <= 32000000L) broadcast(cand) else cand
+      if (cand.count() <= broadcastPairCap) broadcast(cand) else cand
     val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val verified = sa.join(candJ, "doc_a").join(sb, "doc_b")
@@ -204,7 +220,11 @@ object Dedup {
     // caller unpersists right after this returns (otherwise every call
     // would leak a MEMORY_AND_DISK cache for the session's lifetime), and
     // localCheckpoint keeps the result addressable without the cache.
-    verified.localCheckpoint()
+    // The candidate checkpoint has no consumers past this point — release
+    // its blocks instead of waiting for driver GC (ContextCleaner).
+    val out = verified.localCheckpoint()
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(cand)
+    out
   }
 
   /** Fuzzy key pairs within edit distance 1, EXACT recall, via the

@@ -44,7 +44,10 @@ object GraphOps {
       .withColumn("comp", col("id"))
       .localCheckpoint()
 
-    if (labels.isEmpty) return labels
+    if (labels.isEmpty) {
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
+      return labels
+    }
 
     // Labels only ever DECREASE (min of self + neighbors), so the global
     // label sum is a strictly decreasing convergence witness: unchanged
@@ -69,11 +72,15 @@ object GraphOps {
         .agg(min(col("comp")).as("comp"))
         .localCheckpoint()
       val s = labelSum(prop)
+      // the new round is materialized — release the previous round's
+      // blocks now, so the loop holds O(1) rounds of storage, not O(iter)
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(labels)
       labels = prop
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds the cap; rerun with a larger maxIter")

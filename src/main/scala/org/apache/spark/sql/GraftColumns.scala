@@ -16,6 +16,23 @@ object GraftColumns {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Release the block-manager storage behind a `localCheckpoint()`ed
+    * Dataset. `Dataset.unpersist` only covers cache-manager entries, not
+    * the RDD blocks a local checkpoint pins, so iterative operators (e.g.
+    * connected components, one checkpoint per round) would otherwise hold
+    * every round's blocks until the driver GC happens to collect the RDD
+    * reference (ContextCleaner). Explicit release bounds an iterative
+    * operator's storage footprint to O(1) rounds instead of O(rounds) —
+    * on a long-lived 100 TB session that difference is executor storage
+    * eviction pressure. No-op for non-checkpointed plans; the caller must
+    * be done reading the Dataset (the blocks are NOT recomputable).
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Register a SQL function on an ALREADY-BUILT session (the
     * `withExtensions`/`spark.sql.extensions` path only applies at session
     * construction; this covers sessions handed to the library, e.g. by a
