@@ -205,24 +205,42 @@ object AdvancedQueries {
       .orderBy("c_mktsegment")
   }
 
-  /** Sketch surface: HLL++ distinct counts and quantile sketches per key.
-    * Approximate by design → no SQL oracle (driver rows-only check); the
-    * exact count rides along as the sanity anchor. The two percentiles are
-    * projected as SCALAR columns (one sketch pass, `element_at` on the
-    * array result) — array-typed output columns break downstream row
-    * comparators, so the gated surface stays flat.
+  /** Sketch surface: HLL++ distinct counts and quantile sketches per key,
+    * ORACLE-GATED via the q45 envelope pattern: approximate values can't
+    * hash-match another engine, but a deterministic accuracy contract can.
+    * Each flag asserts the approx statistic falls inside an exact band the
+    * oracle can claim TRUE for — approx p50 within the exact p45–p55 value
+    * band and approx p95 within p93–p97 (approx_percentile's rank error
+    * is ≤ n/accuracy = 0.1% of rows, 10–50× tighter than the ±5%-rank
+    * bands), approx distinct within ±5% of exact (≈3σ for HLL++, as q45).
+    * An out-of-bound sketch therefore fails the driver's hash compare —
+    * the accuracy contract is driver-checked, not just spec-checked. One
+    * sketch pass; exact percentile bands cost a second sort-based agg,
+    * which is the price of the gate, not of the operator.
     */
   def q40Sketches(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+      // rsd 0.015 (not the 0.05 default): the ±5% band is then ≈3.3σ —
+      // the default would make the band a coin-flip ~1σ at scale
+      .agg(approx_count_distinct(col("user_id"), 0.015).as("au"),
+           countDistinct(col("user_id")).as("eu"),
            expr("approx_percentile(value, array(0.5, 0.95), 1000)")
              .as("pcts"),
+           expr("percentile(value, array(0.45, 0.55, 0.93, 0.97))")
+             .as("bands"),
            count(lit(1)).as("n"))
-      .select(col("event_type"), col("approx_users"),
-              element_at(col("pcts"), 1).as("value_p50"),
-              element_at(col("pcts"), 2).as("value_p95"),
-              col("n"))
+      .select(col("event_type"), col("n"),
+              element_at(col("pcts"), 1)
+                .between(element_at(col("bands"), 1),
+                         element_at(col("bands"), 2))
+                .as("p50_within_bound"),
+              element_at(col("pcts"), 2)
+                .between(element_at(col("bands"), 3),
+                         element_at(col("bands"), 4))
+                .as("p95_within_bound"),
+              (abs(col("au") - col("eu")) * 20 <= col("eu"))
+                .as("users_within_bound"))
       .orderBy("event_type")
 
   /** A11's hard shape, oracle-gated: rolling window over SPARSE dates with
@@ -584,6 +602,15 @@ object AdvancedQueries {
     // asserts within_bound = TRUE so an out-of-tolerance HLL estimate
     // becomes a hash mismatch. (q40 stays rows-only: percentile sketches
     // have no deterministic envelope column to anchor on.)
+    // q40: the oracle states the exact group counts and claims every
+    // accuracy flag TRUE — a sketch drifting out of its band breaks the
+    // hash match (see q40Sketches Scaladoc for the band arithmetic).
+    "q40_sketches" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  TRUE AS p50_within_bound,
+        |  TRUE AS p95_within_bound,
+        |  TRUE AS users_within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q45_hll_merge" ->
       """SELECT event_type,
         |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_daily_sketches,

@@ -81,12 +81,37 @@ object ChessQueries {
   def q51ChessOpponents(s: SparkSession, dir: String): DataFrame =
     new Dashboard(fixtureFact(s, dir)).topOpponents(5)
 
+  /** A7/A8 + F8 (pbix!Layout[v14]): Top-5 openings by games with per-ECO
+    * win rate — the last spec-only measure pair, now driver-gated. The
+    * fixture PGNs cycle three ECO headers plus an empty PGN (eco = "").
+    */
+  def q57ChessOpenings(s: SparkSession, dir: String): DataFrame =
+    new Dashboard(fixtureFact(s, dir)).topOpenings(5)
+
+  /** A11 true chess form (pbix!Layout[v6]): trailing 12-day win RATE on a
+    * dense daily axis with the DateTable's Y/M/D hierarchy attributes.
+    * Int date parts are cast to long on both sides (q16 convention).
+    */
+  def q58ChessRolling(s: SparkSession, dir: String): DataFrame =
+    new Dashboard(fixtureFact(s, dir)).rollingWinRate(s, days = 12)
+      .select(col("date"),
+              col("year").cast("long").as("year"),
+              col("month").cast("long").as("month"),
+              col("month_name"),
+              col("day").cast("long").as("day"),
+              col("games"), col("wins"),
+              col("window_games"), col("window_wins"),
+              col("rolling_win_rate"))
+      .orderBy("date")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_chess_cards"     -> (q49ChessCards _),
     "q50_chess_matrix"    -> (q50ChessMatrix _),
-    "q51_chess_opponents" -> (q51ChessOpponents _)
+    "q51_chess_opponents" -> (q51ChessOpponents _),
+    "q57_chess_openings"  -> (q57ChessOpenings _),
+    "q58_chess_rolling"   -> (q58ChessRolling _)
   )
 
   /** Shared SQL: the fixture fact + derived columns + outcome, mirroring
@@ -102,6 +127,7 @@ object ChessQueries {
     s"""fx AS (
        |  SELECT
        |    'alice' AS username,
+       |    CAST(ts AS DATE) AS date_ymd,
        |    CASE WHEN event_id % 2 = 0 THEN 'alice'
        |         ELSE 'opp' || (user_id % 7) END AS white_username,
        |    CASE WHEN event_id % 2 = 0 THEN 'opp' || (user_id % 7)
@@ -120,6 +146,7 @@ object ChessQueries {
        |  FROM fx),
        |drv AS (
        |  SELECT *,
+       |    trim(regexp_extract(pgn, '\\[ECO\\s+"([^"]*)"\\]', 1)) AS eco,
        |    CASE WHEN user_color = 'white' THEN black_username
        |         ELSE white_username END AS opponent_username,
        |    CASE WHEN contains(time_control, '/') THEN 'daily'
@@ -191,6 +218,46 @@ object ChessQueries {
          |  CAST(SUM(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS DOUBLE)
          |    / COUNT(*) AS win_rate
          |FROM drv d JOIN top USING (opponent_username)
-         |GROUP BY 1 ORDER BY games_count DESC, opponent_username""".stripMargin
+         |GROUP BY 1 ORDER BY games_count DESC, opponent_username""".stripMargin,
+    "q57_chess_openings" ->
+      s"""WITH $drvCte,
+         |top AS (
+         |  SELECT eco, COUNT(*) AS n FROM drv GROUP BY 1
+         |  ORDER BY n DESC, eco ASC LIMIT 5)
+         |SELECT d.eco,
+         |  COUNT(*) AS games_count,
+         |  CAST(SUM(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS win_rate
+         |FROM drv d JOIN top USING (eco)
+         |GROUP BY 1 ORDER BY win_rate DESC, eco""".stripMargin,
+    "q58_chess_rolling" ->
+      s"""WITH $drvCte,
+         |daily AS (
+         |  SELECT date_ymd AS date, COUNT(*) AS games,
+         |    CAST(SUM(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS wins
+         |  FROM drv GROUP BY 1),
+         |dim AS (
+         |  SELECT unnest(generate_series(
+         |    (SELECT MIN(date) FROM daily),
+         |    (SELECT MAX(date) FROM daily), INTERVAL 1 DAY))::DATE AS date),
+         |dense AS (
+         |  SELECT dim.date,
+         |    CAST(year(dim.date) AS BIGINT) AS year,
+         |    CAST(month(dim.date) AS BIGINT) AS month,
+         |    monthname(dim.date) AS month_name,
+         |    CAST(day(dim.date) AS BIGINT) AS day,
+         |    CAST(COALESCE(daily.games, 0) AS BIGINT) AS games,
+         |    CAST(COALESCE(daily.wins, 0) AS BIGINT) AS wins
+         |  FROM dim LEFT JOIN daily USING (date))
+         |SELECT date, year, month, month_name, day, games, wins,
+         |  CAST(SUM(games) OVER w AS BIGINT) AS window_games,
+         |  CAST(SUM(wins) OVER w AS BIGINT) AS window_wins,
+         |  CAST(SUM(wins) OVER w AS DOUBLE)
+         |    / NULLIF(SUM(games) OVER w, 0) AS rolling_win_rate
+         |FROM dense
+         |WINDOW w AS (ORDER BY date
+         |  RANGE BETWEEN INTERVAL 11 DAYS PRECEDING AND CURRENT ROW)
+         |ORDER BY date""".stripMargin
   )
 }
