@@ -94,13 +94,26 @@ final class IngestJob(
       // rather than archive alone so a deliberate reprocess-latest that
       // FOUND new games still records the updated total.
       val ok = todo.sorted.filterNot(failedUrls)
-      val ledgered = store.ledger(spark)
-        .filter(col("username") === user)
-        .select("archive_url", "game_count").distinct()
-        .collect().map(r => (r.getString(0), r.getInt(1).toLong)).toSet
-      store.appendLedgerRows(spark, ok
+      // Replay dedup is pushed into Spark as a LEFT ANTI join: the full
+      // per-user ledger history never collects to the driver — only the
+      // surviving candidates do, and those are bounded by THIS run's
+      // archive list. K2 contract note: a deliberate reprocess whose
+      // content changed but whose game count did not is indistinguishable
+      // from a replay here and records no new ledger row; reprocess
+      // visibility lives in the status log (ArchiveProcessed rows are
+      // written per run regardless).
+      import spark.implicits._
+      val fresh = ok
         .map(url => (user, url, counts.getOrElse(url, (0L, 0L))._1))
-        .filterNot { case (_, url, n) => ledgered((url, n)) })
+        .toDF("username", "archive_url", "game_count")
+        .join(store.ledger(spark).filter(col("username") === user)
+                .select(col("archive_url"),
+                        col("game_count").cast("long").as("game_count")),
+              Seq("archive_url", "game_count"), "left_anti")
+        .select("username", "archive_url", "game_count")
+        .as[(String, String, Long)].collect().toSeq
+        .sortBy(_._2) // restore chronological (sorted-url) row order
+      store.appendLedgerRows(spark, fresh)
       store.appendStatusRows(spark, runId, user, ok.flatMap { url =>
         val noGames =
           if (counts.getOrElse(url, (0L, 0L))._1 == 0L)
@@ -110,13 +123,20 @@ final class IngestJob(
       })
 
       // advance state chronologically, archive by archive (K5 durability —
-      // the per-archive boundary stays HERE, in the state file)
+      // the per-archive boundary stays HERE, in the state file). A Set
+      // mirrors the Vector for membership so a 10k-archive backfill is
+      // O(n) total, not the O(n²) of re-running `.distinct` per archive;
+      // the Vector keeps the reference's sorted append order.
       var st = prior
+      var seen = prior.processedArchives.toSet
       ok.foreach { url =>
         val (_, maxEnd) = counts.getOrElse(url, (0L, 0L))
         st = UserState(
           lastEndTime = math.max(st.lastEndTime, maxEnd), // O5 monotone watermark
-          processedArchives = (st.processedArchives :+ url).distinct)
+          processedArchives =
+            if (seen(url)) st.processedArchives
+            else st.processedArchives :+ url)
+        seen += url
         stateStore.save(state.updated(user, st))
       }
       state.updated(user, st)

@@ -240,15 +240,31 @@ object Dedup {
     * even when an id carries several keys). Pairs are between distinct
     * ids only — rows sharing an id are that id's intra-key duplicates,
     * the exact-dedup operator's domain.
+    *
+    * `maxVariantDf` is the skew guard, mirroring [[shinglePostings]]'s
+    * `maxShingleDf`: a deletion variant shared by D keys produces a D²
+    * candidate bucket (short keys and templated key families — "user1",
+    * "user2", … all share the deletion "user") — the quadratic hot-key
+    * risk of this join. Variants above the document-frequency cap are
+    * dropped from BOTH sides. Unlike the shingle cap this trades recall:
+    * two keys connected ONLY through a dropped variant are missed, so the
+    * default (0) keeps exact recall and web-scale callers opt in.
     */
-  def editDistance1Pairs(df: DataFrame, idCol: String, keyCol: String)
-      : DataFrame = {
+  def editDistance1Pairs(df: DataFrame, idCol: String, keyCol: String,
+                         maxVariantDf: Int = 0): DataFrame = {
     import org.apache.spark.sql.GraftColumns
     val neighborhood = GraftColumns.column(
       graft.functions.StringDeletions(GraftColumns.expression(col(keyCol))))
-    val vars = Partitioning.spread(df).select(
+    val vars0 = Partitioning.spread(df).select(
         col(idCol).as("id"), col(keyCol).as("k"),
         explode(neighborhood).as("v"))
+    val vars =
+      if (maxVariantDf <= 0) vars0
+      else {
+        val hot = vars0.groupBy("v").count()
+          .filter(col("count") > maxVariantDf).select("v")
+        vars0.join(broadcast(hot), Seq("v"), "left_anti")
+      }
     vars.as("x")
       .join(vars.as("y"),
             col("x.v") === col("y.v") && col("x.id") < col("y.id"))

@@ -62,6 +62,19 @@ object TemporalOps {
                 maxCellsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
     require(maxCellsPerInterval >= 1, "maxCellsPerInterval must be >= 1")
+    // The output carries BOTH sides' columns and the exact-BETWEEN filter
+    // must bind unambiguously — overlapping names (or a caller column
+    // shadowing an internal cell column) would make the join output
+    // ambiguous or silently bind the wrong side. Fail fast instead.
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"rangeJoin: left/right column names must be disjoint; shared: " +
+        overlap.mkString(", "))
+    val internal = Set("__cell", "__c0", "__c1")
+    val clash = (left.columns ++ right.columns).toSet intersect internal
+    require(clash.isEmpty,
+      s"rangeJoin: inputs may not use reserved internal names: " +
+        clash.mkString(", "))
     // exact FLOOR division over the FULL long domain: truncating integral
     // `div` minus one when a negative value has a remainder. `div`/`%`
     // never overflow for a positive divisor (unlike the subtract-pmod

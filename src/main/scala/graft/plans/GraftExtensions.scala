@@ -48,36 +48,65 @@ object GraftExtensions {
       s"$what must be a string literal, got $other")
   }
 
+  /** Clean arity failure (same style as the literal checks above) instead
+    * of the raw IndexOutOfBoundsException an unchecked `args(i)` throws —
+    * or worse, silently ignored extra arguments.
+    */
+  private def arity(args: Seq[Expression], n: Int, sig: String)
+      : Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"expected $n arguments: $sig; got ${args.length}")
+    args
+  }
+
+  private def arityAtLeast(args: Seq[Expression], n: Int, sig: String)
+      : Seq[Expression] = {
+    if (args.length < n) throw new IllegalArgumentException(
+      s"expected at least $n arguments: $sig; got ${args.length}")
+    args
+  }
+
   /** The function catalog: (identifier, doc, builder). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("graft_dot_float"),
       info("graft_dot_float",
         "graft_dot_float(a, b) - dot product of two array<float> as double"),
-      (args: Seq[Expression]) => DotFloat(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "graft_dot_float(a, b)")
+        DotFloat(args(0), args(1))
+      }),
     (new FunctionIdentifier("graft_word_shingles"),
       info("graft_word_shingles",
         "graft_word_shingles(words, n) - distinct n-word shingles"),
-      (args: Seq[Expression]) =>
-        WordShingles(args(0), intLit(args(1), "shingle width"))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "graft_word_shingles(words, n)")
+        WordShingles(args(0), intLit(args(1), "shingle width"))
+      }),
     (new FunctionIdentifier("graft_minhash"),
       info("graft_minhash",
         "graft_minhash(shingles, numPerm) - MinHash signature array<long>"),
-      (args: Seq[Expression]) =>
-        MinHashSignature(args(0), intLit(args(1), "numPerm"))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "graft_minhash(shingles, numPerm)")
+        MinHashSignature(args(0), intLit(args(1), "numPerm"))
+      }),
     (new FunctionIdentifier("graft_simhash"),
       info("graft_simhash",
         "graft_simhash(words) - 64-bit SimHash signature of a word array"),
-      (args: Seq[Expression]) => SimHashSignature(args(0))),
+      (args: Seq[Expression]) =>
+        SimHashSignature(arity(args, 1, "graft_simhash(words)").head)),
     (new FunctionIdentifier("graft_string_deletions"),
       info("graft_string_deletions",
         "graft_string_deletions(s) - s plus its 1-char deletions, distinct"),
-      (args: Seq[Expression]) => StringDeletions(args(0))),
+      (args: Seq[Expression]) => StringDeletions(
+        arity(args, 1, "graft_string_deletions(s)").head)),
     (new FunctionIdentifier("graft_word_set_count"),
       info("graft_word_set_count",
         "graft_word_set_count(words, w1, w2, ...) - count of words in set"),
-      (args: Seq[Expression]) =>
-        WordSetCount(args.head, args.tail.map(stringLit(_, "set word")))))
+      (args: Seq[Expression]) => {
+        arityAtLeast(args, 2, "graft_word_set_count(words, w1, ...)")
+        WordSetCount(args.head, args.tail.map(stringLit(_, "set word")))
+      }))
 
   /** Register on a live session — `withExtensions` only applies at
     * session construction; use this when the session is handed to you.

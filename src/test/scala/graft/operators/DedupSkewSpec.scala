@@ -105,6 +105,22 @@ class DedupSkewSpec extends SparkSpec {
       "one row per id pair, dist = the minimum across key combinations")
   }
 
+  test("editDistance1Pairs maxVariantDf drops hot deletion variants only") {
+    // "user1".."user5" all share the hot deletion variant "user" (df 5);
+    // "omega"/"omeka" pair through low-df variants
+    val keys = ((1 to 5).map(i => (i.toLong, s"user$i")) ++
+      Seq((6L, "omega"), (7L, "omeka"))).toDF("id", "k")
+    val exact = Dedup.editDistance1Pairs(keys, "id", "k")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact recall: all C(5,2) user pairs + the omega pair
+    assert(exact.size === 11 && exact.contains((6L, 7L)))
+    val guarded = Dedup.editDistance1Pairs(keys, "id", "k", maxVariantDf = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // userN keys differ pairwise only via the dropped "user" variant;
+    // the cold omega pair must survive
+    assert(guarded === Set((6L, 7L)))
+  }
+
   test("maxShingleDf drops shingles above the document-frequency cap") {
     // 'x y z' appears in all 4 docs (hot); 'a b c' in only 2
     val docs = Seq(

@@ -98,6 +98,20 @@ class TemporalOpsSpec extends SparkSpec {
     assert(ok === 1)
   }
 
+  test("rangeJoin rejects column-name collisions and reserved names") {
+    val pts = Seq(1L).toDF("p")
+    val shared = Seq((1L, 0L, 5L)).toDF("p", "s", "e") // "p" on both sides
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalOps.rangeJoin(pts, "p", shared, "s", "e", bucketWidth = 10)
+    }
+    assert(e1.getMessage.contains("disjoint"))
+    val reserved = Seq((1L, 0L, 5L)).toDF("__cell", "s", "e")
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalOps.rangeJoin(pts, "p", reserved, "s", "e", bucketWidth = 10)
+    }
+    assert(e2.getMessage.contains("reserved"))
+  }
+
   test("asofJoin picks latest right time <= event time, null when none") {
     val left = Seq(
       (10L, 1L, ts("2024-01-05 12:00:00")),

@@ -56,4 +56,28 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal") || e.getCause != null)
   }
+
+  test("wrong arity raises a clean signature error, not IndexOutOfBounds") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // too few args
+    val e1 = intercept[Exception] { sql.sql("SELECT graft_simhash()").collect() }
+    assert(messages(e1).exists(_.contains("graft_simhash(words)")), s"got: $e1")
+    // extra args must error, not be silently ignored
+    val e2 = intercept[Exception] {
+      sql.sql("SELECT graft_string_deletions('a', 'b')").collect()
+    }
+    assert(messages(e2).exists(_.contains("graft_string_deletions(s)")),
+      s"got: $e2")
+    val e3 = intercept[Exception] {
+      sql.sql("SELECT graft_dot_float(array(1.0f))").collect()
+    }
+    assert(messages(e3).exists(_.contains("graft_dot_float(a, b)")), s"got: $e3")
+    // variadic: needs the array plus at least one word
+    val e4 = intercept[Exception] {
+      sql.sql("SELECT graft_word_set_count(split('a', ' '))").collect()
+    }
+    assert(messages(e4).exists(_.contains("graft_word_set_count")), s"got: $e4")
+  }
 }
