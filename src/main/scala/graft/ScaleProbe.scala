@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, GraphOps, Similarity, TemporalOps}
 
 /** Dev tool: scale-up probe for the heavy operators.
   *
@@ -53,6 +53,64 @@ object ScaleProbe {
     time(s"simhash_pairs_${mult}x") {
       println("  simhash pairs: " +
         Dedup.simhashPairs(docs, "doc_id", "text").count())
+    }
+
+    // --- keyless range join (q55 shape): the axis EXTENDS per copy (more
+    // history at constant event density — the realistic growth model), so
+    // true matches grow linearly with the corpus; a quadratic time curve
+    // here would mean the bucket decomposition degenerated.
+    val events = Tables.events(spark, dir)
+    val HourUs = 3600000000L
+    val bounds = events.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).collect()(0)
+    val span = bounds.getLong(1) - bounds.getLong(0) + HourUs
+    def shifted(tpe: String) = events
+      .filter(col("event_type") === tpe)
+      .crossJoin(copies)
+      .select((col("event_id") * mult + col("copy")).as("event_id"),
+              (unix_micros(col("ts")) + col("copy") * span).as("us"),
+              col("value"))
+      .repartition(64)
+    time(s"range_join_${mult}x") {
+      val err = shifted("error")
+        .select(col("event_id").as("err_id"), col("us").as("s"))
+        .withColumn("e", col("s") + HourUs)
+      val pur = shifted("purchase").select(col("us").as("p"), col("value"))
+      println("  range matches: " +
+        TemporalOps.rangeJoin(pur, "p", err, "s", "e",
+                              bucketWidth = HourUs).count())
+    }
+
+    // --- fuzzy keys (q56 shape): copy 0 keeps the original key, later
+    // copies append a repeated-digit suffix (pairwise edit distance ≥ 2,
+    // so no cross-copy pairs) — true pairs grow linearly with the corpus.
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .crossJoin(copies)
+      .select((col("c_custkey") * mult + col("copy")).as("c_custkey"),
+              when(col("copy") === 0, col("c_name"))
+                .otherwise(concat(col("c_name"),
+                  repeat(col("copy").cast("string"), 2))).as("c_name"))
+      .repartition(64).persist()
+    println(s"SCALE keys ${cust.count()}")
+    time(s"fuzzy_keys_${mult}x") {
+      println("  fuzzy pairs: " +
+        Dedup.editDistance1Pairs(cust, "c_custkey", "c_name").count())
+    }
+    cust.unpersist()
+
+    // --- connected components on deep chains: rounds must grow like
+    // log(diameter) (pointer jumping), never linearly.
+    Seq(1000L, 10000L, 100000L).foreach { n =>
+      time(s"cc_chain_$n") {
+        val edges = spark.range(1, n)
+          .selectExpr("id AS a", "id + 1 AS b").repartition(32)
+        val (out, rounds) =
+          GraphOps.connectedComponentsWithStats(edges, "a", "b")
+        println(s"  rounds=$rounds comps=" +
+          out.select("comp").distinct().count())
+      }
     }
 
     val emb0 = Tables.embeddings(spark, dir)

@@ -28,6 +28,18 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.values.toSet === Set(1L))
   }
 
+  test("pointer jumping makes deep chains logarithmic, not linear") {
+    // a 4096-hop path: plain min-propagation needs ~4096 rounds; with
+    // the label(label(v)) jump the distance covered doubles per round
+    val n = 4096L
+    val edges = spark.range(1, n).selectExpr("id AS a", "id + 1 AS b")
+    val (out, rounds) =
+      GraphOps.connectedComponentsWithStats(edges, "a", "b", maxIter = 30)
+    assert(out.count() === n)
+    assert(out.select("comp").distinct().count() === 1L)
+    assert(rounds <= 16, s"expected O(log diameter) rounds, ran $rounds")
+  }
+
   test("connectedComponents on an empty edge set returns empty, no NPE") {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(GraphOps.connectedComponents(edges, "a", "b").count() === 0)
