@@ -20,7 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ SemanticQueries.queries ++
       PipelineQueries.queries ++ AdvancedQueries.queries ++
-      ChessQueries.queries
+      ChessQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
@@ -28,5 +28,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ SemanticQueries.oracleSql ++
       PipelineQueries.oracleSql ++ AdvancedQueries.oracleSql ++
-      ChessQueries.oracleSql
+      ChessQueries.oracleSql ++ CurationQueries.oracleSql
 }

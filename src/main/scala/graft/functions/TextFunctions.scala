@@ -76,6 +76,37 @@ object TextFunctions {
     }
   }
 
+  // ------------------------------------------------------- PII redaction
+
+  /** PII patterns, ordered by redaction precedence. Dialect-portable
+    * (Java regex ≡ RE2: character classes, bounded repeats, `\b` word
+    * boundaries only — no lookaround), so an external engine reproduces
+    * match sets exactly. Deliberately high-precision/literal shapes: a
+    * production scrubber extends the table, the operator shape (count +
+    * sequential replace inside codegen) is what matters at 100 TB.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Count of matches of one PII category in `text` (on the ORIGINAL
+    * text — counts are stable regardless of replacement order).
+    */
+  def piiCount(text: Column, category: String): Column = {
+    val pat = PiiPatterns.find(_._1 == category).get._2
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
+
+  /** Redact every PII category, applying patterns in [[PiiPatterns]]
+    * order. Pure per-row expression chain — no shuffle, whole-stage
+    * codegen'd, linear at any scale.
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
   /** Rolling polynomial fingerprint over words:
     * h ← (h*31 + h24(word)) mod 1e9+7. Order-sensitive (unlike a plain
     * sum), overflow-free (acc < 2^30, *31 + 2^24 < 2^35).

@@ -32,4 +32,28 @@ object Sampling {
     }
     df.filter(bucket < rate)
   }
+
+  /** Token-budget sampling — the "N tokens per source" mixing knob of a
+    * training-data recipe: within each `keyCol` group, rows are taken in
+    * deterministic md5-of-id order until the group's cumulative `tokensCol`
+    * would exceed `budget` (a row that crosses the budget is dropped, as
+    * is everything after it in hash order). Adds a `kept` boolean.
+    *
+    * One shuffle (the window partition on the group key) and no driver
+    * state; the hash order makes the selected subset reproducible across
+    * runs, engines, and partitionings — unlike `LIMIT`-per-group, which
+    * is nondeterministic under parallel scan. Skew note: the window sorts
+    * each group; a pathologically hot source sorts on one reducer — for
+    * that case pre-aggregate per (source, hash-prefix) sub-budgets.
+    */
+  def tokenBudget(df: DataFrame, keyCol: String, idCol: String,
+                  tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(PortableHash.h32(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("kept", sum(col(tokensCol)).over(w) <= budget)
+  }
 }

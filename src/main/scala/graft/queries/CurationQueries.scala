@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.Sampling
+
+/** Data-curation operators a large-scale training pipeline runs between
+  * raw ingest and shard writing: PII scrubbing, repetition metrics,
+  * composite quality rules, token-budget mixing, and benchmark
+  * decontamination. All driver-gated with DuckDB oracles.
+  *
+  * The synthetic `documents` corpus carries no PII, so q59/q61 derive a
+  * fixture text DETERMINISTICALLY (pure doc_id modulo arithmetic appends
+  * synthetic emails/phones/IPs — same trick as the chess fixture in
+  * [[ChessQueries]]); the oracle re-derives the identical fixture in SQL,
+  * so redaction and rule drift become hash mismatches.
+  */
+object CurationQueries {
+
+  /** Deterministic PII-carrying text: the corpus doc plus appended
+    * synthetic email / phone / IPv4 tokens keyed on doc_id residues.
+    */
+  private def piiText: org.apache.spark.sql.Column =
+    concat(
+      col("text"),
+      when(pmod(col("doc_id"), lit(3L)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+               lit("@example.com"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(5L)) === 0,
+        concat(lit(" call +1-555-"),
+               lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7L)) === 0,
+        concat(lit(" host 10.0."),
+               pmod(col("doc_id"), lit(256L)).cast("string"), lit("."),
+               pmod(col("doc_id") * 3, lit(256L)).cast("string")))
+        .otherwise(lit("")))
+
+  /** The same fixture in DuckDB SQL — structurally mirrored so drift is
+    * impossible without a hash mismatch.
+    */
+  private val piiSql =
+    """pii AS (
+      |  SELECT doc_id, source,
+      |    text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.' ||
+      |              ((doc_id * 3) % 256)::VARCHAR
+      |         ELSE '' END AS text
+      |  FROM documents)""".stripMargin
+
+  /** q59 — PII scrub: per-category match counts plus the md5 of the fully
+    * redacted text (the redaction itself is hash-gated, not just the
+    * counts). Pure per-row regex chain: zero shuffle, codegen'd.
+    */
+  def q59PiiRedact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), piiText.as("t"))
+      .select(
+        col("doc_id"),
+        TextFunctions.piiCount(col("t"), "email").cast("long").as("n_email"),
+        TextFunctions.piiCount(col("t"), "phone").cast("long").as("n_phone"),
+        TextFunctions.piiCount(col("t"), "ip").cast("long").as("n_ip"),
+        md5(TextFunctions.redactPii(col("t"))).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  /** q60 — Gopher-style repetition metrics: duplicate-word fraction,
+    * top-word fraction, duplicate-bigram fraction (floor-scaled e6 so the
+    * compare is exact). One explode + one doc-keyed aggregate; the bigram
+    * side is a per-row expression (distinct shingle count vs n-1 slots).
+    */
+  def q60Repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perWord = docs
+      .select(col("doc_id"), explode(TextFunctions.words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_words"),
+           count(lit(1)).as("n_distinct"),
+           max(col("cnt")).as("top_cnt"))
+    val perDoc = docs.select(
+      col("doc_id"),
+      size(TextFunctions.shingles(col("text"), 2)).cast("long")
+        .as("n_distinct_bigrams"))
+    perWord.join(perDoc, "doc_id")
+      .select(
+        col("doc_id"), col("n_words"),
+        floor(lit(1000000L) * (col("n_words") - col("n_distinct"))
+          / col("n_words")).cast("long").as("dup_word_e6"),
+        floor(lit(1000000L) * col("top_cnt") / col("n_words")).cast("long")
+          .as("top_word_e6"),
+        floor(lit(1000000L)
+            * (col("n_words") - 1 - col("n_distinct_bigrams"))
+            / nullif(col("n_words") - 1, lit(0L))).cast("long")
+          .as("dup_bigram_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** q61 — composite quality ruleset (C4/Gopher-style) over the PII
+    * fixture text (whose symbol/digit content varies by doc): word-count
+    * band, mean-word-length band, symbol ratio, stopword presence — each
+    * rule surfaced as its own flag plus a bitmask and the final keep.
+    * Entirely per-row integer arithmetic inside codegen.
+    */
+  def q61QualityRules(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), piiText.as("t"))
+    val nWords = size(TextFunctions.words(col("t"))).cast("long")
+    val nChars = length(col("t")).cast("long")
+    val mwlE3 = floor(lit(1000L) * (nChars - nWords + 1) / nWords)
+    val nSym = size(regexp_extract_all(col("t"), lit("[^A-Za-z0-9 ]"), lit(0)))
+      .cast("long")
+    val symE6 = floor(lit(1000000L) * nSym / nChars)
+    val nStop = TextFunctions.langScore(TextFunctions.words(col("t")), "en")
+    val rWords = nWords.between(20L, 500L)
+    val rWlen  = mwlE3.between(3000L, 12000L)
+    val rSym   = symE6 <= 30000L
+    val rStop  = nStop >= 1
+    base.select(
+      col("doc_id"),
+      rWords.as("r_words"), rWlen.as("r_wlen"),
+      rSym.as("r_sym"), rStop.as("r_stop"),
+      (rWords.cast("long") * 8 + rWlen.cast("long") * 4 +
+        rSym.cast("long") * 2 + rStop.cast("long")).as("rule_mask"),
+      (rWords && rWlen && rSym && rStop).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** q62 — token-budget mixing: per source, take docs in deterministic
+    * md5 order until 1000 whitespace tokens; aggregate membership
+    * fingerprints per source. See [[Sampling.tokenBudget]].
+    */
+  def q62TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      size(TextFunctions.words(col("text"))).cast("long").as("toks"))
+    Sampling.tokenBudget(docs, "source", "doc_id", "toks", budget = 1000L)
+      .filter(col("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+           sum(col("toks")).as("tokens_kept"),
+           sum(col("doc_id")).as("sum_ids"))
+      .orderBy("source")
+  }
+
+  /** q63 — benchmark decontamination: eval set = doc_id ≡ 0 (mod 7);
+    * for every train doc, the maximum count of distinct shared 5-gram
+    * shingles with any single eval doc (shingle inverted-index join
+    * restricted to train×eval — never train×train), reported for train
+    * docs with max overlap ≥ 3. The 100 TB shape: eval postings are tiny
+    * and broadcast; the train side streams through unshuffled.
+    */
+  def q63Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = docs.select(
+        col("doc_id"),
+        explode(TextFunctions.shingles(col("text"), 5)).as("shingle"))
+    val isEval = pmod(col("doc_id"), lit(7L)) === 0
+    val train = sh.filter(!isEval)
+    val eval_ = sh.filter(isEval).select(
+      col("doc_id").as("eval_id"), col("shingle"))
+    train.join(broadcast(eval_), "shingle")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .groupBy("doc_id")
+      .agg(max(col("shared")).as("max_shared"))
+      .filter(col("max_shared") >= 3)
+      .withColumn("contaminated", col("max_shared") >= 8)
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- wiring
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_pii_redact"    -> (q59PiiRedact _),
+    "q60_repetition"    -> (q60Repetition _),
+    "q61_quality_rules" -> (q61QualityRules _),
+    "q62_token_budget"  -> (q62TokenBudget _),
+    "q63_contamination" -> (q63Contamination _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q59_pii_redact" ->
+      s"""WITH $piiSql
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         |  len(regexp_extract_all(text,
+         |    '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+         |  len(regexp_extract_all(text,
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ip,
+         |  md5(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(text,
+         |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |          '<EMAIL>', 'g'),
+         |        '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+         |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+         |      '<IP>', 'g')) AS redacted_md5
+         |FROM pii ORDER BY doc_id""".stripMargin,
+    "q60_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |wc AS (
+        |  SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |    COUNT(*) AS n_distinct, CAST(MAX(cnt) AS BIGINT) AS top_cnt
+        |  FROM wc GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_distinct(list_transform(range(len(w) - 1),
+        |      i -> w[i+1] || ' ' || w[i+2]))) AS BIGINT) AS n_distinct_bigrams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        |SELECT a.doc_id, n_words,
+        |  CAST(floor(1000000.0 * (n_words - n_distinct) / n_words) AS BIGINT)
+        |    AS dup_word_e6,
+        |  CAST(floor(1000000.0 * top_cnt / n_words) AS BIGINT) AS top_word_e6,
+        |  CAST(floor(1000000.0 * (n_words - 1 - n_distinct_bigrams)
+        |    / NULLIF(n_words - 1, 0)) AS BIGINT) AS dup_bigram_e6
+        |FROM agg a JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q61_quality_rules" ->
+      s"""WITH $piiSql,
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+         |      AS n_sym,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x IN ('the','a','and','of','to','in','is','it')))
+         |      AS BIGINT) AS n_stop
+         |  FROM pii),
+         |r AS (
+         |  SELECT doc_id,
+         |    n_words BETWEEN 20 AND 500 AS r_words,
+         |    floor(1000.0 * (n_chars - n_words + 1) / n_words)
+         |      BETWEEN 3000 AND 12000 AS r_wlen,
+         |    floor(1000000.0 * n_sym / n_chars) <= 30000 AS r_sym,
+         |    n_stop >= 1 AS r_stop
+         |  FROM m)
+         |SELECT doc_id, r_words, r_wlen, r_sym, r_stop,
+         |  CAST(r_words::INT * 8 + r_wlen::INT * 4 + r_sym::INT * 2
+         |    + r_stop::INT AS BIGINT) AS rule_mask,
+         |  (r_words AND r_wlen AND r_sym AND r_stop) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "q62_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, SUM(toks) OVER (PARTITION BY source
+        |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(toks) AS BIGINT) AS tokens_kept,
+        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM c WHERE cum <= 1000 GROUP BY source ORDER BY source""".stripMargin,
+    "q63_contamination" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(w) - 4),
+        |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+        |           || w[i+4] || ' ' || w[i+5])) AS shingle
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents) WHERE len(w) >= 5)),
+        |ov AS (
+        |  SELECT t.doc_id, e.doc_id AS eval_id, COUNT(*) AS shared
+        |  FROM sh t JOIN sh e USING (shingle)
+        |  WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(MAX(shared) AS BIGINT) AS max_shared,
+        |  MAX(shared) >= 8 AS contaminated
+        |FROM ov GROUP BY doc_id HAVING MAX(shared) >= 3
+        |ORDER BY doc_id""".stripMargin
+  )
+}
