@@ -160,6 +160,39 @@ class PlanShapeSpec extends SparkSpec {
       "neighborhood generation runs the codegen'd kernel inside WSCG")
   }
 
+  test("q59/q61: per-row curation stages are shuffle-free single scans") {
+    // redaction and the quality ruleset are pure row expressions — any
+    // Exchange in the plan (beyond the output orderBy's range exchange)
+    // means a regression to a shuffling formulation
+    for (q <- Seq(CurationQueries.q59PiiRedact _,
+                  CurationQueries.q61QualityRules _)) {
+      val plan = finalPlan(q(spark, sf))
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1,
+        s"per-row stage must only shuffle for the final sort, got:\n$plan")
+      assert(!plan.contains("Join"), "no joins in a per-row stage")
+    }
+  }
+
+  test("q63: contamination joins broadcast eval postings — train never shuffles pre-join") {
+    val plan = finalPlan(CurationQueries.q63Contamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval postings must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "train x eval must not sort-merge (train side would shuffle fully)")
+  }
+
+  test("q62: token budget is ONE shuffle (the window partition)") {
+    val plan = finalPlan(CurationQueries.q62TokenBudget(spark, sf))
+    assert(plan.contains("Window"), "budget cut is a running-sum window")
+    // exchanges: window hash partition + final orderBy range exchange
+    // + AQE reads; count real Exchange operators only
+    val exchanges = plan.linesIterator
+      .count(l => l.trim.startsWith("+- Exchange")
+        || l.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"expected window+agg+sort exchanges only:\n$plan")
+  }
+
   test("semantic Top-N query respects the filter context in the rank") {
     val plan = finalPlan(SemanticQueries.q19SemanticTopN(spark, sf))
     assert(plan.contains("LeftSemi"))
