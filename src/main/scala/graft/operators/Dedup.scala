@@ -150,6 +150,91 @@ object Dedup {
     }
   }
 
+  /** Incremental (batch-vs-corpus) MinHash dedup — the daily-crawl shape:
+    * a NEW batch of documents is checked against an EXISTING corpus, and
+    * only cross pairs are emitted (within-batch duplicates are
+    * [[minhashDedupPairs]]'s job; the corpus is assumed already deduped).
+    *
+    * The scale contract is asymmetric, and the plan exploits it:
+    *  - The corpus side NEVER shuffles. Its shingle sets and band keys are
+    *    per-row codegen expressions over the scan, and every join it
+    *    participates in is a broadcast probe (batch band keys into the
+    *    banding join, candidate ids into the verify join) — at 100 TB the
+    *    corpus streams through the whole plan exactly twice (banding pass
+    *    + verify pass), with zero wide dependencies. Re-running the
+    *    signature expressions on the second pass trades CPU for never
+    *    materializing corpus-sized state; a corpus with precomputed,
+    *    table-backed shingle sets (cf. [[minhashDedupPairsCheckpointed]]'s
+    *    `keepSets`) can pass that table as `corpus` with `textCol`
+    *    pointing at the original text to skip nothing but re-shingling.
+    *  - The batch side is small (a day's crawl vs the accumulated corpus).
+    *    Its banded keys broadcast when `batchRows·bands` fits under
+    *    `broadcastPairCap` (counted, not assumed — an oversized batch
+    *    falls back to a shuffle equi-join rather than OOMing the driver,
+    *    at the cost of shuffling the corpus banding once).
+    *
+    * Recall is [[minhashDedupPairs]]'s: ≥1-band collision prob at the
+    * J = num/den threshold is 1−(1−J^(numPerm/bands))^bands, and
+    * candidates are verified with EXACT integer Jaccard on the true
+    * shingle strings — so an exact batch×corpus Jaccard join is a valid
+    * oracle. Emits (batch_id, corpus_id, inter_cnt, union_cnt). Callers
+    * must keep batch and corpus id spaces disjoint (shared ids would
+    * denote distinct rows but produce indistinguishable output pairs).
+    */
+  def incrementalMinhashPairs(corpus: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int, num: Int, den: Int,
+                              numPerm: Int = 128, bands: Int = 32,
+                              broadcastPairCap: Long = DefaultBroadcastPairCap)
+      : DataFrame = {
+    def shingleSets(df: DataFrame) = Partitioning.spread(df).select(
+        col(idCol).as("doc_id"),
+        TextFunctions.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    // Batch sets feed banding + verify: persist so shingling runs once.
+    val bSets = shingleSets(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bCount = bSets.count()
+      val cSets = shingleSets(corpus)
+      val bBanded = bandKeys(bSets, numPerm, bands)
+      val bProbe =
+        if (bCount * bands <= broadcastPairCap) broadcast(bBanded)
+        else bBanded
+      val cand = bandKeys(cSets, numPerm, bands).as("c")
+        .join(bProbe.as("b"),
+              col("c.band") === col("b.band") && col("c.key") === col("b.key"))
+        .select(col("b.doc_id").as("batch_id"),
+                col("c.doc_id").as("corpus_id"))
+        .distinct()
+        .localCheckpoint()
+
+      // Verify pass: candidates (counted-gated broadcast) probe the corpus
+      // scan; the surviving rows — at most |cand| — then join the batch
+      // sets, both sides tiny.
+      val candJ =
+        if (cand.count() <= broadcastPairCap) broadcast(cand) else cand
+      val bVerify = bSets
+        .select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))
+      val bVerifyJ = if (bCount <= broadcastPairCap) broadcast(bVerify)
+                     else bVerify
+      val verified = cSets
+        .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+        .join(candJ, "corpus_id")
+        .join(bVerifyJ, "batch_id")
+        .withColumn("inter_cnt",
+          size(array_intersect(col("sh_b"), col("sh_c"))).cast("long"))
+        .withColumn("union_cnt",
+          size(col("sh_b")) + size(col("sh_c")) - col("inter_cnt"))
+        .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+        .select("batch_id", "corpus_id", "inter_cnt", "union_cnt")
+      val out = verified.localCheckpoint()
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(cand)
+      out
+    } finally bSets.unpersist()
+  }
+
   /** Shared banding + candidate-join + exact-verify pipeline over
     * materialized (doc_id, sh) sets (cached or table-backed).
     */
@@ -164,19 +249,18 @@ object Dedup {
     */
   val DefaultBroadcastPairCap = 4000000L
 
-  private def pairsFromShingleSets(sets: DataFrame, num: Int, den: Int,
-                                   numPerm: Int, bands: Int,
-                                   broadcastPairCap: Long = DefaultBroadcastPairCap)
-      : DataFrame = {
+  /** (doc_id, band, bandKey) from (doc_id, sh) sets: one row per band.
+    * Band keys are xxhash64 of the signature slice — an 8-byte join key
+    * instead of a joined-string key (smaller shuffle), unrolled per band
+    * at plan-build time so the whole projection is codegen'd. A key
+    * collision only ADDS a candidate pair, which exact verification then
+    * rejects — correctness is unaffected by the hash choice, so the fast
+    * engine-native hash is fine here (contrast with the oracle-visible
+    * PortableHash values). Pure per-row expressions: zero shuffle.
+    */
+  private def bandKeys(sets: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     val rows = numPerm / bands
-    // (doc_id, band, bandKey): one row per band. Band keys are xxhash64 of
-    // the signature slice — an 8-byte join key instead of a joined-string
-    // key (smaller shuffle), unrolled per band at plan-build time so the
-    // whole projection is codegen'd. A key collision only ADDS a candidate
-    // pair, which exact verification then rejects — correctness is
-    // unaffected by the hash choice, so the fast engine-native hash is
-    // fine here (contrast with the oracle-visible PortableHash values).
-    val banded = sets
+    sets
       .withColumn("sig", minhashSignature(col("sh"), numPerm))
       .select(
         col("doc_id"),
@@ -185,6 +269,13 @@ object Dedup {
                  xxhash64(slice(col("sig"), b * rows + 1, rows)).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  private def pairsFromShingleSets(sets: DataFrame, num: Int, den: Int,
+                                   numPerm: Int, bands: Int,
+                                   broadcastPairCap: Long = DefaultBroadcastPairCap)
+      : DataFrame = {
+    val banded = bandKeys(sets, numPerm, bands)
 
     // Candidate pairs are consumed twice below (count + join), so
     // materialize once; eager localCheckpoint also makes the follow-up

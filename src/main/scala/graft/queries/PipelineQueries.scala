@@ -178,6 +178,21 @@ object PipelineQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental dedup — new batch (doc_id ≡ 0 mod 11) vs existing corpus
+    * (the rest): MinHash banding with the batch side broadcast, corpus
+    * side never shuffled, cross pairs exact-verified to J ≥ 4/5 (see
+    * [[Dedup.incrementalMinhashPairs]]). Oracle = exact batch×corpus
+    * Jaccard join, valid for the same recall argument as q22.
+    */
+  def q64IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalMinhashPairs(
+        corpus = docs.filter(col("doc_id") % 11 =!= 0),
+        batch = docs.filter(col("doc_id") % 11 === 0),
+        "doc_id", "text", n = 3, num = 4, den = 5)
+      .orderBy("batch_id", "corpus_id")
+  }
+
   /** IVF ANN top-3 (8 deterministic centroids, probe 2) for vec_id < 20 —
     * the inverted-file counterpart of q25's LSH path.
     */
@@ -205,7 +220,8 @@ object PipelineQueries {
     "q47_ivf_ann"          -> (q47IvfAnn _),
     "q48_simhash_pairs"    -> (q48SimhashPairs _),
     "q52_minhash_ckpt"     -> (q52MinhashCkpt _),
-    "q56_fuzzy_keys"       -> (q56FuzzyKeys _)
+    "q56_fuzzy_keys"       -> (q56FuzzyKeys _),
+    "q64_incremental_dedup" -> (q64IncrementalDedup _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -235,13 +251,17 @@ object PipelineQueries {
       |  FROM bsum GROUP BY doc_id)""".stripMargin
 
   /** Shared SQL fragment: distinct 3-gram shingle sets + sizes. */
-  private val shingleCte =
+  private val shingleSetsCte =
     """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
       |  FROM words WHERE len(w) >= 3)),
-      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** [[shingleSetsCte]] + symmetric (doc_a < doc_b) intersection counts. */
+  private val shingleCte =
+    s"""$shingleSetsCte,
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
       |  FROM sh a JOIN sh b USING (shingle)
@@ -275,6 +295,20 @@ object PipelineQueries {
     "q21_ngram_jaccard" -> jaccardSql(1, 2),
     "q22_minhash_lsh"   -> jaccardSql(4, 5),
     "q52_minhash_ckpt"  -> jaccardSql(4, 5),
+    "q64_incremental_dedup" ->
+      s"""WITH $shingleSetsCte,
+         |pairs AS (
+         |  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |    COUNT(*) AS inter_cnt
+         |  FROM sh b JOIN sh c USING (shingle)
+         |  WHERE b.doc_id % 11 = 0 AND c.doc_id % 11 <> 0 GROUP BY 1, 2)
+         |SELECT batch_id, corpus_id, inter_cnt,
+         |  sa.sz + sb.sz - inter_cnt AS union_cnt
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = batch_id
+         |JOIN sz sb ON sb.doc_id = corpus_id
+         |WHERE inter_cnt * 5 >= (sa.sz + sb.sz - inter_cnt) * 4
+         |ORDER BY batch_id, corpus_id""".stripMargin,
     // q56's oracle is the naive all-pairs fuzzy join the operator avoids
     "q56_fuzzy_keys" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
