@@ -113,6 +113,19 @@ object ScaleProbe {
       }
     }
 
+    // --- incremental dedup (q64 shape): the batch stays CONSTANT (a
+    // day's crawl) while the corpus inflates — cross pairs grow linearly
+    // with the corpus (each batch doc near-matches its corpus copies);
+    // time must track the two corpus streaming passes, never
+    // corpus × batch. Batch ids offset out of the inflated id range.
+    val batch = docs0.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    println(s"SCALE batch ${batch.count()} docs")
+    time(s"incremental_dedup_${mult}x") {
+      println("  cross pairs: " + Dedup.incrementalMinhashPairs(
+        docs, batch, "doc_id", "text", 3, 4, 5).count())
+    }
+
     val emb0 = Tables.embeddings(spark, dir)
     val emb = emb0.crossJoin(copies)
       .select((col("vec_id") * mult + col("copy")).as("vec_id"),

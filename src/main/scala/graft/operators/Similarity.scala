@@ -136,6 +136,43 @@ object Similarity {
               e6(col("cos")).as("sim_e6"))
   }
 
+  /** Embedding near-dup pairs via LSH buckets — the scale path next to
+    * [[nearDupPairs]]'s exact quadratic baseline. Candidates are bucket
+    * collisions (equi-join on (table, bucket): O(n·tables) signature rows
+    * and only same-bucket pairs materialize, never the n² cross product);
+    * exact cosine then verifies candidates against the threshold, so
+    * PRECISION is exact and recall is the LSH collision probability
+    * (tunable with tables × planesPerTable — more tables widen the net).
+    * Because the hyperplanes are deterministic integers
+    * ([[VectorFunctions.planeDot]]), an external engine can replicate the
+    * bucketing exactly — the operator's oracle mirrors candidates AND
+    * verification, making the gate exact rather than recall-fuzzy.
+    * Output matches [[nearDupPairs]]: (vec_a, vec_b, sim_e6), a < b.
+    */
+  def lshNearDupPairs(emb: DataFrame, minSimE6: Long,
+                      tables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+    val buckets = lshBuckets(emb, tables, planesPerTable)
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+            col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    // candidate verification: norms precomputed below the joins (one dot
+    // per candidate); candidate side is the small one — AQE broadcasts it
+    val prepped = emb.select(col("vec_id"), col("embedding"),
+      sqrt(norm2(col("embedding"))).as("nrm"))
+    cand
+      .join(prepped.select(col("vec_id").as("vec_a"),
+        col("embedding").as("va"), col("nrm").as("na")), "vec_a")
+      .join(prepped.select(col("vec_id").as("vec_b"),
+        col("embedding").as("vb"), col("nrm").as("nb")), "vec_b")
+      .withColumn("sim_e6",
+        e6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("sim_e6") >= minSimE6)
+      .select("vec_a", "vec_b", "sim_e6")
+  }
+
   /** Embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * minSimE6/1e6. Exact quadratic baseline — at corpus scale run
     * [[annTopK]]-style bucketing first and verify candidates instead;

@@ -177,6 +177,26 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q67 — global shard assignment by token budget: docs in a
+    * deterministic md5 priority order, each assigned the shard its FIRST
+    * token lands in (shard = 5000 tokens). The global running token sum
+    * comes from [[graft.operators.PrefixSum.runningTotal]] — one range
+    * exchange + per-partition offsets, NEVER a single-partition window —
+    * the scale-correct shard-writing shape (q62's budget cut is
+    * per-source; this one is corpus-global).
+    */
+  def q67GlobalShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(col("doc_id").cast("string")).as("pr"),
+      size(TextFunctions.words(col("text"))).cast("long").as("toks"))
+    graft.operators.PrefixSum
+      .runningTotal(docs, "toks", Seq("pr", "doc_id"), numParts = 32)
+      .withColumn("shard_id",
+        floor((col("cum") - col("toks")) / lit(5000L)).cast("long"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -184,7 +204,8 @@ object CurationQueries {
     "q60_repetition"    -> (q60Repetition _),
     "q61_quality_rules" -> (q61QualityRules _),
     "q62_token_budget"  -> (q62TokenBudget _),
-    "q63_contamination" -> (q63Contamination _)
+    "q63_contamination" -> (q63Contamination _),
+    "q67_global_shards" -> (q67GlobalShards _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -284,6 +305,20 @@ object CurationQueries {
         |SELECT doc_id, CAST(MAX(shared) AS BIGINT) AS max_shared,
         |  MAX(shared) >= 8 AS contaminated
         |FROM ov GROUP BY doc_id HAVING MAX(shared) >= 3
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // q67: DuckDB's window SUM over BIGINT yields HUGEINT — cast back
+    "q67_global_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS pr,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, pr, toks,
+        |    SUM(toks) OVER (ORDER BY pr, doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, pr, toks, CAST(cum AS BIGINT) AS cum,
+        |  CAST((cum - toks) // 5000 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

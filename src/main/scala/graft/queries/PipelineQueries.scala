@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Membership, Multimodal, Similarity}
 
 /** Training-data pipeline pack over `documents` / `embeddings`:
   * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -142,6 +142,17 @@ object PipelineQueries {
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
       .orderBy("vec_a", "vec_b")
 
+  /** q31's scale path: same threshold, candidates from deterministic LSH
+    * buckets instead of the O(n²) sweep (see
+    * [[Similarity.lshNearDupPairs]]). The oracle replicates the integer
+    * hyperplane bucketing, so candidates AND verification are both
+    * exactly mirrored — the gate checks the operator, not a recall
+    * approximation.
+    */
+  def q65EmbedNeardupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
+      .orderBy("vec_a", "vec_b")
+
   /** SimHash near-dup pairs, Hamming ≤ 3, banded candidates with exact
     * recall (see [[Dedup.simhashPairs]]) — the signature-space dedup
     * companion to q22's shingle-space MinHash.
@@ -193,6 +204,20 @@ object PipelineQueries {
       .orderBy("batch_id", "corpus_id")
   }
 
+  /** Bloom-prefiltered exact anti-join (see [[Membership.newKeys]]):
+    * customers with no orders — q5's semantics at the incremental-ingest
+    * scale shape (bloom rejects = definitely new, skip the join;
+    * survivors broadcast-confirmed against the unshuffled corpus scan).
+    * The oracle is the plain NOT EXISTS — the bloom must be output-
+    * invisible at any fpp.
+    */
+  def q66BloomNewKeys(s: SparkSession, dir: String): DataFrame =
+    Membership.newKeys(
+        batch = Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        corpus = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")),
+        keyCol = "c_custkey", expectedCorpusKeys = 1000000L)
+      .orderBy("c_custkey")
+
   /** IVF ANN top-3 (8 deterministic centroids, probe 2) for vec_id < 20 —
     * the inverted-file counterpart of q25's LSH path.
     */
@@ -221,7 +246,9 @@ object PipelineQueries {
     "q48_simhash_pairs"    -> (q48SimhashPairs _),
     "q52_minhash_ckpt"     -> (q52MinhashCkpt _),
     "q56_fuzzy_keys"       -> (q56FuzzyKeys _),
-    "q64_incremental_dedup" -> (q64IncrementalDedup _)
+    "q64_incremental_dedup" -> (q64IncrementalDedup _),
+    "q65_embed_neardup_lsh" -> (q65EmbedNeardupLsh _),
+    "q66_bloom_new_keys"    -> (q66BloomNewKeys _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -309,6 +336,11 @@ object PipelineQueries {
          |JOIN sz sb ON sb.doc_id = corpus_id
          |WHERE inter_cnt * 5 >= (sa.sz + sb.sz - inter_cnt) * 4
          |ORDER BY batch_id, corpus_id""".stripMargin,
+    "q66_bloom_new_keys" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     // q56's oracle is the naive all-pairs fuzzy join the operator avoids
     "q56_fuzzy_keys" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -466,6 +498,33 @@ object PipelineQueries {
          |        CAST(floor(${cosSql("va", "vb")} * 1000000) AS BIGINT)
          |          AS sim_e6
          |      FROM a JOIN b ON vec_a < vec_b)
+         |SELECT vec_a, vec_b, sim_e6 FROM s
+         |WHERE sim_e6 >= 400000 ORDER BY vec_a, vec_b""".stripMargin,
+    // q65: the oracle rebuilds the SAME deterministic hyperplane buckets
+    // (q25's sig/buck CTEs), takes same-bucket pairs as candidates, and
+    // verifies with exact cosine — mirroring candidates + verification.
+    "q65_embed_neardup_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, p.p AS p,
+         |    CASE WHEN list_sum(list_transform(range(64),
+         |           d -> v[d+1]::DOUBLE * (((p.p*131 + d*37) % 7) - 3)::DOUBLE))
+         |         >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN range(16) p(p)),
+         |buck AS (
+         |  SELECT vec_id, p // 4 AS t,
+         |    SUM(bit * (1::BIGINT << (p % 4))) AS bucket
+         |  FROM sig GROUP BY vec_id, p // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM buck a JOIN buck b ON a.t = b.t AND a.bucket = b.bucket
+         |  WHERE a.vec_id < b.vec_id),
+         |s AS (SELECT vec_a, vec_b,
+         |        CAST(floor(${cosSql("av.v", "bv.v")} * 1000000) AS BIGINT)
+         |          AS sim_e6
+         |      FROM cand
+         |      JOIN e av ON av.vec_id = vec_a
+         |      JOIN e bv ON bv.vec_id = vec_b)
          |SELECT vec_a, vec_b, sim_e6 FROM s
          |WHERE sim_e6 >= 400000 ORDER BY vec_a, vec_b""".stripMargin
   )
