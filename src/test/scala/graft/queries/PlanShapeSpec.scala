@@ -193,6 +193,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 3, s"expected window+agg+sort exchanges only:\n$plan")
   }
 
+  test("q65: LSH near-dup candidates come from a broadcast bucket join — " +
+       "never a cross product or sort-merge") {
+    val plan = finalPlan(PipelineQueries.q65EmbedNeardupLsh(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket equi-join and verify joins must broadcast")
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"no full-corpus shuffle or n² sweep in the LSH path:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      "the second corpus pass must reuse the first exchange, not rescan")
+  }
+
+  test("q67: global prefix sum pays ONE full-data exchange; the " +
+       "single-partition window is over per-partition totals only") {
+    val plan = finalPlan(CurationQueries.q67GlobalShards(spark, sf))
+    assert(plan.contains("MapPartitions"),
+      "running sum accumulates per partition, not via a data-sized window")
+    // full-data exchanges: the operator's range exchange + the query's
+    // output orderBy; the totals branch must REUSE the operator's
+    val ranges = plan.linesIterator
+      .count(l => l.contains("Exchange rangepartitioning") &&
+                  !l.contains("ReusedExchange"))
+    assert(ranges <= 2, s"expected operator + output-sort range exchanges only:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      "totals branch must reuse the range exchange, not rescan the input")
+    // the one SinglePartition exchange carries numParts rows (the totals),
+    // fed by a hash aggregate — the data itself never funnels to one task
+    val single = plan.linesIterator
+      .count(_.contains("Exchange SinglePartition"))
+    assert(single <= 1, s"only the totals window may single-partition:\n$plan")
+  }
+
   test("semantic Top-N query respects the filter context in the rank") {
     val plan = finalPlan(SemanticQueries.q19SemanticTopN(spark, sf))
     assert(plan.contains("LeftSemi"))
