@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.operators.{Dedup, Membership}
+
+/** Streaming corpus deduplication — the operational composition of the
+  * dedup pack (SURVEY §8.5) with Structured Streaming: documents arrive
+  * as a stream (a crawl feed), and each micro-batch is deduplicated
+  * against the ACCUMULATED corpus table before being appended to it.
+  *
+  * Per `foreachBatch` micro-batch, three pruning stages, cheapest first:
+  *  1. within-batch exact dedup (hash-agg on md5, keep min id),
+  *  2. batch-vs-corpus exact dedup via the bloom-prefiltered anti-join
+  *     ([[Membership.newKeys]] on the content hash — the corpus is
+  *     scanned, never shuffled),
+  *  3. batch-vs-corpus NEAR-dup via [[Dedup.incrementalMinhashPairs]]
+  *     (batch side broadcasts; survivors of any cross pair are dropped).
+  * Survivors append to the corpus table.
+  *
+  * Why `foreachBatch` and not stateful streaming operators: the dedup
+  * state IS the corpus table (all content ever seen). Keeping it in the
+  * state store would duplicate the corpus into executor state with no
+  * eviction policy (near-dup needs shingle sets, not just keys — state
+  * would exceed the data), and `dropDuplicates` cannot express
+  * similarity. The table-as-state shape is also what survives a 100 TB
+  * corpus: each batch pays two corpus streaming passes (bloom build is
+  * one aggregate; in a long-lived deployment the bloom can be built once
+  * and mutated incrementally outside this loop) and zero corpus
+  * shuffles.
+  *
+  * Exactness: stage 2 equals a plain anti-join at any fpp; stage 3 is
+  * LSH-with-exact-verify at the same recall bound as the batch operator
+  * (q22/q64 oracles). Crash replay of a micro-batch is idempotent: a
+  * replayed batch's rows are all either already in the corpus (dropped
+  * by stage 2) or near-dups of their own earlier append (dropped by 3).
+  */
+object StreamingDedup {
+
+  /** One micro-batch of corpus-append dedup; factored out of the stream
+    * so batch callers (a backfill loop) share the exact code path.
+    * Returns the appended (kept) rows.
+    */
+  def dedupAppendBatch(batch: DataFrame, corpusPath: String,
+                       n: Int = 3, num: Int = 4, den: Int = 5,
+                       expectedCorpusKeys: Long = 1000000L): DataFrame = {
+    val spark = batch.sparkSession
+    // 1. within-batch exact: one keeper (min doc_id) per distinct text
+    val keep = Dedup.exactByContent(batch, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val b1 = batch.join(keep, Seq("doc_id"), "left_semi")
+      .withColumn("content_md5", md5(col("text")))
+
+    val corpusExists = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(corpusPath))
+    val kept =
+      if (!corpusExists) b1
+      else {
+        val corpus = spark.read.parquet(corpusPath)
+        // 2. exact vs corpus (bloom-prefiltered, corpus unshuffled)
+        val b2 = Membership.newKeys(
+          b1, corpus.select(col("content_md5")), "content_md5",
+          expectedCorpusKeys)
+        // 3. near-dup vs corpus: batch ids carrying any cross pair drop
+        val nearDup = Dedup.incrementalMinhashPairs(
+            corpus, b2, "doc_id", "text", n, num, den)
+          .select(col("batch_id").as("doc_id")).distinct()
+        b2.join(nearDup, Seq("doc_id"), "left_anti")
+      }
+    // localCheckpoint before append: the plan reads the corpus table it
+    // is about to append to — materialize first so the write cannot
+    // observe its own output files
+    val out = kept.localCheckpoint()
+    out.write.mode("append").parquet(corpusPath)
+    out
+  }
+
+  /** The stream: document micro-batches → three-stage dedup → corpus
+    * append. At-least-once source delivery + idempotent dedup-append =
+    * effectively-once corpus rows (same contract as
+    * [[StreamingIngest.ingestStream]]).
+    */
+  def dedupStream(docs: DataFrame, corpusPath: String, checkpointDir: String,
+                  n: Int = 3, num: Int = 4, den: Int = 5)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupAppendBatch(batch, corpusPath, n, num, den)
+        (): Unit
+      }
+
+  /** Drain everything available and stop (cron-style incremental run). */
+  def runAvailableNow(writer: DataStreamWriter[Row]): Unit = {
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}
