@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means clustering (Lloyd's algorithm), QUANTIZED so every
+  * step is exact integer arithmetic and therefore deterministic and
+  * engine-portable.
+  *
+  * Why quantized: classic float k-means sums coordinates in partition
+  * order, so centroid means (and downstream assignments) are not
+  * bit-reproducible across runs or engines — un-oracle-able and subtly
+  * flaky. Scaling each coordinate to `floor(x·10⁶)` (a BIGINT) makes
+  * sums order-independent and exact; means use truncating integer
+  * division (Scala `/` ≡ DuckDB `//` toward zero), so an external SQL
+  * engine replicates every iteration bit-for-bit. The ~1e-6 coordinate
+  * quantization is far below embedding noise.
+  *
+  * Scale shape (the standard distributed Lloyd):
+  *  - Assignment is a per-row codegen'd expression — the k centroids are
+  *    unrolled as literals at plan-build time (k·dims subtract-square
+  *    terms), argmin via `array_min` over (dist², cid) structs (ties →
+  *    lower cid). No shuffle, no UDF.
+  *  - The update is one `groupBy(cid, dim).sum` over posexploded
+  *    coordinates — k·dims result rows COLLECTED to the driver (tiny,
+  *    control-plane); the per-iteration cost is one map-side-combined
+  *    shuffle of k·dims partials per task, not data-sized.
+  *  - Iterations are a driver loop over broadcast-literal centroids —
+  *    exactly how IVF coarse quantizers are trained in practice (fixed
+  *    small iteration count over a sample or the full corpus).
+  * A centroid that loses every member keeps its previous position (can
+  * only arise on degenerate inputs; callers relying on the SQL-oracle
+  * mirror should verify non-emptiness, which holds for any real corpus
+  * with k ≪ n).
+  */
+object Clustering {
+
+  /** Quantize an `array<float>` embedding to `array<long>` at 10⁶. */
+  def quantize(emb: Column, dims: Int): Column =
+    transform(emb, x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+
+  /** Integer squared L2 distance of quantized column `q` to constant
+    * centroid `c` — the codegen'd [[graft.functions.DistSqLong]] kernel
+    * (centroid as a reference object, so Lloyd iterations reuse ONE
+    * compiled projection instead of recompiling per round).
+    */
+  private def dist2(q: Column, c: Array[Long]): Column = {
+    import org.apache.spark.sql.GraftColumns
+    GraftColumns.column(graft.functions.DistSqLong(
+      GraftColumns.expression(q), c))
+  }
+
+  /** Run `iters` Lloyd iterations from centroids = the `k` lowest-id
+    * vectors; returns (vec_id, cid, dist2) — each vector's final cluster
+    * and its integer squared distance to that centroid.
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   k: Int, dims: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k>0, iters>=0; got $k/$iters")
+    // every iteration (plus init and the final assignment) scans the
+    // quantized corpus: persist it once instead of re-shuffling per
+    // action — the same cache-the-training-set discipline any iterative
+    // fit loop needs (spills to disk when it outgrows executor memory)
+    val scaled = Partitioning.spread(emb).select(
+        col(idCol).as("vec_id"), quantize(col(vecCol), dims).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // init: the k lowest-id vectors, deterministic and oracle-replicable
+    var centroids: Array[Array[Long]] = scaled
+      .orderBy("vec_id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+
+    def assignExpr: Column = {
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        struct(dist2(col("q"), c).as("d"), lit(i.toLong).as("c"))
+      }
+      array_min(array(scored: _*))
+    }
+
+    for (_ <- 0 until iters) {
+      // per-(cid, dim) integer sums + counts: map-side combined, k·dims
+      // rows back to the driver
+      val sums = scaled
+        .select(assignExpr.getField("c").as("cid"), posexplode(col("q")))
+        .groupBy("cid", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getInt(1)) ->
+               (r.getLong(2), r.getLong(3)))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, cid) =>
+        old.indices.map { d =>
+          sums.get((cid, d)) match {
+            case Some((s, n)) => s / n // truncating ≡ SQL `//`
+            case None => old(d) // empty cluster keeps its position
+          }
+        }.toArray
+      }
+    }
+
+    // materialize the (3-column) assignment before releasing the cache
+    val out = scaled.select(col("vec_id"), assignExpr.as("a"))
+      .select(col("vec_id"), col("a.c").as("cid"), col("a.d").as("dist2"))
+      .localCheckpoint()
+    scaled.unpersist()
+    out
+  }
+}

@@ -227,6 +227,17 @@ object PipelineQueries {
       .withColumn("rnk", col("rnk").cast("long"))
       .orderBy("qid", "rnk")
 
+  /** Quantized k-means (k=8, 3 Lloyd iterations) over the embeddings —
+    * the trained coarse quantizer the IVF path (q47) slots in; integer
+    * arithmetic end-to-end so the oracle replicates every iteration
+    * bit-for-bit (see [[graft.operators.Clustering]]).
+    */
+  def q68Kmeans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.kmeansAssign(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, dims = 64, iters = 3)
+      .orderBy("vec_id")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -248,7 +259,8 @@ object PipelineQueries {
     "q56_fuzzy_keys"       -> (q56FuzzyKeys _),
     "q64_incremental_dedup" -> (q64IncrementalDedup _),
     "q65_embed_neardup_lsh" -> (q65EmbedNeardupLsh _),
-    "q66_bloom_new_keys"    -> (q66BloomNewKeys _)
+    "q66_bloom_new_keys"    -> (q66BloomNewKeys _),
+    "q68_kmeans"            -> (q68Kmeans _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -314,7 +326,49 @@ object PipelineQueries {
        |   * sqrt(list_sum(list_transform(range(64), i -> $b[i+1]::DOUBLE * $b[i+1]::DOUBLE)))))"""
       .stripMargin.replace("\n", "")
 
+  /** q68 oracle fragments: one Lloyd assignment (argmin of integer
+    * squared distance, ties → lower cid) and one centroid update
+    * (per-dim HUGEINT-safe sums, truncating `//` division — DuckDB's
+    * toward-zero semantics match Scala Long division exactly).
+    */
+  private def kmAssign(name: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, q, cid, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+       |  FROM (SELECT v.vec_id, v.q, c.cid,
+       |          list_sum(list_transform(range(64),
+       |            d -> (v.q[d+1]-c.c[d+1])*(v.q[d+1]-c.c[d+1]))) AS d2
+       |        FROM q v CROSS JOIN $cents c))""".stripMargin
+
+  private def kmUpdate(name: String, assign: String): String =
+    s"""$name AS (
+       |  SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY d) AS c
+       |  FROM (SELECT a.cid, t.d, SUM(a.q[t.d+1]) AS s, COUNT(*) AS n
+       |        FROM $assign a CROSS JOIN range(64) t(d)
+       |        WHERE a.rn = 1
+       |        GROUP BY a.cid, t.d)
+       |  GROUP BY cid)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q68_kmeans" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(range(64),
+         |    d -> CAST(floor(embedding[d+1]::DOUBLE * 1000000) AS BIGINT))
+         |    AS q
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+         |  FROM q ORDER BY vec_id LIMIT 8),
+         |${kmAssign("a0", "c0")},
+         |${kmUpdate("c1", "a0")},
+         |${kmAssign("a1", "c1")},
+         |${kmUpdate("c2", "a1")},
+         |${kmAssign("a2", "c2")},
+         |${kmUpdate("c3", "a2")},
+         |${kmAssign("a3", "c3")}
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+         |  CAST(d2 AS BIGINT) AS dist2
+         |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q20_dedup_exact_docs" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
