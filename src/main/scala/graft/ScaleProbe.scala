@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, GraphOps, Similarity, TemporalOps}
+import graft.operators.{Clustering, Dedup, GraphOps, Membership, Similarity, TemporalOps}
 
 /** Dev tool: scale-up probe for the heavy operators.
   *
@@ -126,6 +126,21 @@ object ScaleProbe {
         docs, batch, "doc_id", "text", 3, 4, 5).count())
     }
 
+    // --- bloom-prefiltered anti-join (q66 shape): a LARGE mostly-new
+    // batch (the crawl-ingest norm) vs an inflating corpus key set — the
+    // bloom must reject the new majority map-side so only the true
+    // overlap reaches the confirm join.
+    val corpusK = Tables.orders(spark, dir).select(col("o_orderkey"))
+      .crossJoin(copies)
+      .select((col("o_orderkey") * mult + col("copy")).as("k"))
+      .repartition(64)
+    println(s"SCALE corpus keys ${corpusK.count()}")
+    val batchK = spark.range(5000000).toDF("k")
+    time(s"bloom_new_keys_${mult}x") {
+      println("  new keys: " + Membership.newKeys(
+        batchK, corpusK, "k", expectedCorpusKeys = 200000L * mult).count())
+    }
+
     val emb0 = Tables.embeddings(spark, dir)
     val emb = emb0.crossJoin(copies)
       .select((col("vec_id") * mult + col("copy")).as("vec_id"),
@@ -134,6 +149,12 @@ object ScaleProbe {
     println(s"SCALE vectors ${emb.count()}")
     time(s"ann_lsh_${mult}x") {
       Similarity.annTopK(emb, col("vec_id") < 20, k = 3).count()
+    }
+    // --- quantized k-means: per-iteration cost must be one scan + a
+    // k·dims-partial shuffle — linear in the corpus, constant in rounds.
+    time(s"kmeans_${mult}x") {
+      println("  assigned: " + Clustering.kmeansAssign(
+        emb, "vec_id", "embedding", k = 8, dims = 64, iters = 3).count())
     }
     spark.stop()
   }

@@ -51,11 +51,42 @@ object Clustering {
   }
 
   /** Run `iters` Lloyd iterations from centroids = the `k` lowest-id
+    * vectors; returns the fitted quantized centroids, index = cid.
+    * (Driver-side array: k·dims longs — the coarse-quantizer scale, not
+    * the data scale.)
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int, dims: Int, iters: Int): Array[Array[Long]] = {
+    val (cents, scaled) = fitImpl(emb, idCol, vecCol, k, dims, iters)
+    scaled.unpersist()
+    cents
+  }
+
+  /** Run `iters` Lloyd iterations from centroids = the `k` lowest-id
     * vectors; returns (vec_id, cid, dist2) — each vector's final cluster
     * and its integer squared distance to that centroid.
     */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, dims: Int, iters: Int): DataFrame = {
+    val (centroids, scaled) = fitImpl(emb, idCol, vecCol, k, dims, iters)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(col("q"), c).as("d"), lit(i.toLong).as("c"))
+    }
+    // materialize the (3-column) assignment before releasing the cache
+    val out = scaled
+      .select(col("vec_id"), array_min(array(scored: _*)).as("a"))
+      .select(col("vec_id"), col("a.c").as("cid"), col("a.d").as("dist2"))
+      .localCheckpoint()
+    scaled.unpersist()
+    out
+  }
+
+  /** Shared fit loop: returns (centroids, still-persisted quantized
+    * corpus) — the caller owns the unpersist.
+    */
+  private def fitImpl(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, dims: Int, iters: Int)
+      : (Array[Array[Long]], DataFrame) = {
     require(k > 0 && iters >= 0, s"need k>0, iters>=0; got $k/$iters")
     // every iteration (plus init and the final assignment) scans the
     // quantized corpus: persist it once instead of re-shuffling per
@@ -98,11 +129,6 @@ object Clustering {
       }
     }
 
-    // materialize the (3-column) assignment before releasing the cache
-    val out = scaled.select(col("vec_id"), assignExpr.as("a"))
-      .select(col("vec_id"), col("a.c").as("cid"), col("a.d").as("dist2"))
-      .localCheckpoint()
-    scaled.unpersist()
-    out
+    (centroids, scaled)
   }
 }

@@ -104,9 +104,22 @@ object Similarity {
     * only the `centroids` frame, not the operator shape.
     */
   def ivfTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
-              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    val centroids = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame =
+    ivfTopKWith(emb, queryPred, k,
+      emb.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+      nProbe)
+
+  /** [[ivfTopK]] with an EXTERNAL coarse quantizer — `centroids` is any
+    * small (cid, cv: array<float>) frame, e.g. the fitted
+    * [[Clustering.kmeansFit]] centroids de-quantized to floats. The
+    * operator shape is unchanged: centroids broadcast, corpus assignment
+    * is one pass + one shuffle on cid, queries probe `nProbe` posting
+    * lists.
+    */
+  def ivfTopKWith(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+                  k: Int, centroids: DataFrame, nProbe: Int = 2)
+      : DataFrame = {
     // nearest-centroid ranking per vector (ties → lower cid), reused for
     // both corpus assignment (rank 1) and query probing (rank <= nProbe)
     val ranked = Partitioning.spread(emb)

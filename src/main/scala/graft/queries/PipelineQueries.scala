@@ -238,6 +238,26 @@ object PipelineQueries {
         k = 8, dims = 64, iters = 3)
       .orderBy("vec_id")
 
+  /** IVF ANN over the TRAINED coarse quantizer: q68's k-means centroids
+    * (de-quantized to floats — BIGINT/10⁶ rounds identically in both
+    * engines) replace q47's first-k placeholder. The full
+    * train-then-search loop, end-to-end oracle-exact.
+    */
+  def q69IvfTrained(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = graft.operators.Clustering.kmeansFit(
+      emb, "vec_id", "embedding", k = 8, dims = 64, iters = 3)
+    val cdf = cents.zipWithIndex.toSeq
+      .map { case (c, i) =>
+        (i.toLong, c.map(v => (v.toDouble / 1000000.0).toFloat)) }
+      .toDF("cid", "cv")
+    Similarity.ivfTopKWith(emb, queryPred = col("vec_id") < 20, k = 3,
+        centroids = cdf)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("qid", "rnk")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -260,7 +280,8 @@ object PipelineQueries {
     "q64_incremental_dedup" -> (q64IncrementalDedup _),
     "q65_embed_neardup_lsh" -> (q65EmbedNeardupLsh _),
     "q66_bloom_new_keys"    -> (q66BloomNewKeys _),
-    "q68_kmeans"            -> (q68Kmeans _)
+    "q68_kmeans"            -> (q68Kmeans _),
+    "q69_ivf_trained"       -> (q69IvfTrained _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -369,6 +390,53 @@ object PipelineQueries {
          |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
          |  CAST(d2 AS BIGINT) AS dist2
          |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // q69: the q68 k-means chain feeds the q47 IVF chain — trained
+    // centroids de-quantized to float (BIGINT/1e6 → FLOAT rounds
+    // identically in IEEE), then assignment/probe/verify as in q47.
+    "q69_ivf_trained" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(range(64),
+         |    d -> CAST(floor(embedding[d+1]::DOUBLE * 1000000) AS BIGINT))
+         |    AS q
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+         |  FROM q ORDER BY vec_id LIMIT 8),
+         |${kmAssign("a0", "c0")},
+         |${kmUpdate("c1", "a0")},
+         |${kmAssign("a1", "c1")},
+         |${kmUpdate("c2", "a1")},
+         |${kmAssign("a2", "c2")},
+         |${kmUpdate("c3", "a2")},
+         |cf AS (SELECT cid, list_transform(c,
+         |         x -> CAST(x / 1000000.0 AS FLOAT)) AS cv FROM c3),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |ranked0 AS (
+         |  SELECT e.vec_id, cf.cid, ${cosSql("v", "cv")} AS ccos
+         |  FROM e CROSS JOIN cf),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS crnk FROM ranked0),
+         |assign AS (SELECT vec_id, cid FROM ranked WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM ranked
+         |           WHERE vec_id < 20 AND crnk <= 2),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id
+         |  FROM probes p JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> p.qid),
+         |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+         |s AS (SELECT cand.qid, cand.vec_id, ${cosSql("qv", "dv")} AS cos
+         |      FROM cand
+         |      JOIN qe ON qe.qid = cand.qid
+         |      JOIN (SELECT vec_id, v AS dv FROM e) d
+         |        ON d.vec_id = cand.vec_id),
+         |r AS (SELECT qid, vec_id, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM s)
+         |SELECT qid, vec_id AS neighbor_id, rnk,
+         |  CAST(floor(cos * 1000000) AS BIGINT) AS sim_e6
+         |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
     "q20_dedup_exact_docs" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
