@@ -35,9 +35,14 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Quantize an `array<float>` embedding to `array<long>` at 10⁶. */
+  /** Quantize an `array<float>` embedding to `array<long>` at 10⁶,
+    * truncated to the first `dims` dimensions (callers passing dims
+    * shorter than the arrays cluster on the prefix; longer is an error
+    * surfaced by the slice returning short arrays into [[DistSqLong]]).
+    */
   def quantize(emb: Column, dims: Int): Column =
-    transform(emb, x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+    transform(slice(emb, 1, dims),
+              x => floor(x.cast("double") * lit(1000000L)).cast("long"))
 
   /** Integer squared L2 distance of quantized column `q` to constant
     * centroid `c` — the codegen'd [[graft.functions.DistSqLong]] kernel

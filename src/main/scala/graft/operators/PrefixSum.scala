@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -13,12 +12,17 @@ import org.apache.spark.sql.types.LongType
   * Shape (the textbook two-phase scan, expressed Spark-first):
   *  1. `repartitionByRange(orderCols)` — ONE full-data shuffle, the same
   *     exchange a global sort pays; partition i holds a contiguous key
-  *     range below partition i+1's.
-  *  2. Per-partition totals: a hash aggregate on `spark_partition_id()`
-  *     (tiny — numParts rows), prefix-summed by a window over those
-  *     numParts rows (bounded, NOT data-sized) into exclusive offsets,
-  *     broadcast back and joined on partition id. The range exchange
-  *     feeds both branches and is reused, not recomputed.
+  *     range below partition i+1's. The ranged data is PERSISTED before
+  *     anything reads it: the totals pass and the output pass must see
+  *     the SAME partitioning, and deriving both from one lazy plan would
+  *     hinge on the optimizer's exchange-reuse (RangePartitioner samples
+  *     per execution — two independent executions may split boundary
+  *     rows differently, silently corrupting the offsets). A cache makes
+  *     the agreement structural, not an optimizer outcome.
+  *  2. Per-partition totals: one hash aggregate on
+  *     `spark_partition_id()` (numParts result rows), COLLECTED, and
+  *     prefix-summed on the driver into exclusive offsets — k rows of
+  *     control-plane arithmetic, broadcast-joined back.
   *  3. `sortWithinPartitions` + one `mapPartitions` pass accumulating
   *     value + offset. This is the deliberate `mapPartitions` exception:
   *     a running accumulator per physical partition is genuinely
@@ -26,11 +30,15 @@ import org.apache.spark.sql.types.LongType
   *     re-shuffle the full data a second time just to group what is
   *     already co-located.
   *
+  * The operator is EAGER: the result is materialized (localCheckpoint)
+  * so the ranged cache can be released deterministically instead of
+  * leaking until driver GC. The materialized result is sized like the
+  * input — the same order of storage the range shuffle itself already
+  * wrote.
+  *
   * Determinism contract: `orderCols` must be a TOTAL order (add a unique
   * tie-break column); `valueCol` must be integral (cast upstream), nulls
-  * count as 0. Partition ids are whatever the range exchange produced —
-  * both consumers read the same materialized shuffle output, so the ids
-  * agree between the totals branch and the data branch.
+  * count as 0.
   */
 object PrefixSum {
 
@@ -41,6 +49,10 @@ object PrefixSum {
   def runningTotal(df: DataFrame, valueCol: String, orderCols: Seq[String],
                    cumCol: String = "cum", numParts: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val reserved = Set("__pid", "__off")
+    val clash = df.columns.toSet.intersect(reserved + cumCol)
+    require(clash.isEmpty,
+      s"input columns collide with reserved/output names: $clash")
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -48,43 +60,51 @@ object PrefixSum {
     val ranged = df
       .repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
-
-    // exclusive prefix offsets per partition id — numParts rows, so the
-    // unpartitioned window is bounded by configuration, not data
-    val offW = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // key re-aliased to __pid2: offsets shares lineage with `ranged`, so
-    // joining back on a same-exprId __pid would be a self-join ambiguity
-    val offsets = ranged
-      .groupBy(col("__pid"))
-      .agg(sum(coalesce(col(valueCol).cast(LongType), lit(0L))).as("__t"))
-      .select(col("__pid").as("__pid2"),
-              coalesce(sum(col("__t")).over(offW), lit(0L)).as("__off"))
-
-    val joined = ranged
-      .join(broadcast(offsets), col("__pid") === col("__pid2"), "left")
-      .drop("__pid2")
-      .sortWithinPartitions(order: _*)
-
-    val keepIdx = df.columns.map(joined.schema.fieldIndex)
-    val vIdx = joined.schema.fieldIndex(valueCol)
-    val offIdx = joined.schema.fieldIndex("__off")
-    val outSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+
-        org.apache.spark.sql.types.StructField(cumCol, LongType, false))
-    joined.mapPartitions { it =>
-      var acc = 0L
-      var off = 0L
-      var first = true
-      it.map { r =>
-        if (first) { // same __off for every row of the partition
-          off = if (r.isNullAt(offIdx)) 0L else r.getLong(offIdx)
-          first = false
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-pid totals → driver-side exclusive prefix (numParts rows of
+      // control-plane arithmetic; the collect also materializes the
+      // cache, pinning partition ids for the output pass)
+      val totals = ranged
+        .groupBy(col("__pid"))
+        .agg(sum(coalesce(col(valueCol).cast(LongType), lit(0L))).as("__t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+        .sortBy(_._1)
+      val offsets = totals
+        .scanLeft((0, 0L, 0L)) { case ((_, _, cum), (pid, t)) =>
+          (pid, cum, cum + t)
         }
-        acc += (if (r.isNullAt(vIdx)) 0L
-                else r.get(vIdx).asInstanceOf[Number].longValue)
-        Row.fromSeq(keepIdx.map(r.get).toIndexedSeq :+ (acc + off))
-      }
-    }(Encoders.row(outSchema))
+        .drop(1).map { case (pid, off, _) => (pid, off) }
+      val spark = df.sparkSession
+      import spark.implicits._
+      val offsetsDf = offsets.toSeq.toDF("__pid2", "__off")
+
+      val joined = ranged
+        .join(broadcast(offsetsDf), col("__pid") === col("__pid2"), "left")
+        .drop("__pid2")
+        .sortWithinPartitions(order: _*)
+
+      val keepIdx = df.columns.map(joined.schema.fieldIndex)
+      val vIdx = joined.schema.fieldIndex(valueCol)
+      val offIdx = joined.schema.fieldIndex("__off")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        df.schema.fields :+
+          org.apache.spark.sql.types.StructField(cumCol, LongType, false))
+      joined.mapPartitions { it =>
+        var acc = 0L
+        var off = 0L
+        var first = true
+        it.map { r =>
+          if (first) { // same __off for every row of the partition
+            off = if (r.isNullAt(offIdx)) 0L else r.getLong(offIdx)
+            first = false
+          }
+          acc += (if (r.isNullAt(vIdx)) 0L
+                  else r.get(vIdx).asInstanceOf[Number].longValue)
+          Row.fromSeq(keepIdx.map(r.get).toIndexedSeq :+ (acc + off))
+        }
+      }(Encoders.row(outSchema))
+        .localCheckpoint() // materialize before releasing the cache
+    } finally ranged.unpersist()
   }
 }

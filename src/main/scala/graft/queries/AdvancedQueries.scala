@@ -600,8 +600,7 @@ object AdvancedQueries {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // q45: only the deterministic envelope is oracle-visible; the oracle
     // asserts within_bound = TRUE so an out-of-tolerance HLL estimate
-    // becomes a hash mismatch. (q40 stays rows-only: percentile sketches
-    // have no deterministic envelope column to anchor on.)
+    // becomes a hash mismatch.
     // q40: the oracle states the exact group counts and claims every
     // accuracy flag TRUE — a sketch drifting out of its band breaks the
     // hash match (see q40Sketches Scaladoc for the band arithmetic).

@@ -41,23 +41,35 @@ object StreamingDedup {
 
   /** One micro-batch of corpus-append dedup; factored out of the stream
     * so batch callers (a backfill loop) share the exact code path.
-    * Returns the appended (kept) rows.
+    * Returns the number of appended (kept) rows.
     */
   def dedupAppendBatch(batch: DataFrame, corpusPath: String,
                        n: Int = 3, num: Int = 4, den: Int = 5,
-                       expectedCorpusKeys: Long = 1000000L): DataFrame = {
+                       expectedCorpusKeys: Long = 1000000L): Long = {
+    import org.apache.spark.sql.GraftColumns.unpersistCheckpoint
     val spark = batch.sparkSession
-    // 1. within-batch exact: one keeper (min doc_id) per distinct text
+    // 1a. within-batch exact: one keeper (min doc_id) per distinct text
     val keep = Dedup.exactByContent(batch, "doc_id", "text")
       .select(col("keep_id").as("doc_id"))
-    val b1 = batch.join(keep, Seq("doc_id"), "left_semi")
+    val b1a = batch.join(keep, Seq("doc_id"), "left_semi")
+
+    // 1b. within-batch NEAR-dups (two near-identical crawls of a page
+    // landing in the same micro-batch): keeper selection over the pair
+    // components — without this, both copies would pass stages 2 and 3
+    // (neither is in the corpus yet) and the pair would durably enter
+    // the corpus, violating the "corpus already deduped" precondition
+    // stage 3 relies on
+    val intraPairs = Dedup.minhashDedupPairs(b1a, "doc_id", "text",
+                                             n, num, den)
+    val b1 = Dedup.applyDedup(b1a, "doc_id", intraPairs)
+      .filter(col("kept")).drop("component", "kept")
       .withColumn("content_md5", md5(col("text")))
 
     val corpusExists = new org.apache.hadoop.fs.Path(corpusPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(corpusPath))
-    val kept =
-      if (!corpusExists) b1
+    val (kept, crossPairs) =
+      if (!corpusExists) (b1, None)
       else {
         val corpus = spark.read.parquet(corpusPath)
         // 2. exact vs corpus (bloom-prefiltered, corpus unshuffled)
@@ -65,17 +77,26 @@ object StreamingDedup {
           b1, corpus.select(col("content_md5")), "content_md5",
           expectedCorpusKeys)
         // 3. near-dup vs corpus: batch ids carrying any cross pair drop
-        val nearDup = Dedup.incrementalMinhashPairs(
-            corpus, b2, "doc_id", "text", n, num, den)
+        val pairs = Dedup.incrementalMinhashPairs(
+          corpus, b2, "doc_id", "text", n, num, den)
+        val nearDup = pairs
           .select(col("batch_id").as("doc_id")).distinct()
-        b2.join(nearDup, Seq("doc_id"), "left_anti")
+        (b2.join(nearDup, Seq("doc_id"), "left_anti"), Some(pairs))
       }
     // localCheckpoint before append: the plan reads the corpus table it
     // is about to append to — materialize first so the write cannot
-    // observe its own output files
+    // observe its own output files. Every checkpoint this batch created
+    // is released once the append lands — a long-lived stream must not
+    // pin one RDD per micro-batch until driver GC.
     val out = kept.localCheckpoint()
-    out.write.mode("append").parquet(corpusPath)
-    out
+    try {
+      out.write.mode("append").parquet(corpusPath)
+      out.count()
+    } finally {
+      unpersistCheckpoint(out)
+      unpersistCheckpoint(intraPairs)
+      crossPairs.foreach(unpersistCheckpoint(_))
+    }
   }
 
   /** The stream: document micro-batches → three-stage dedup → corpus

@@ -53,4 +53,67 @@ class PrefixSumSpec extends SparkSpec {
       "running total must be monotone for non-negative values")
     assert(cums.last == (0 until 10000).map(_ % 13).sum)
   }
+
+  test("reserved/output name collisions fail fast") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L)).toDF("k", "cum")
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningTotal(bad, "k", Seq("k"))
+    }
+    val bad2 = Seq((1L, 2L)).toDF("k", "__pid")
+    intercept[IllegalArgumentException] {
+      PrefixSum.runningTotal(bad2, "k", Seq("k"))
+    }
+  }
+
+  test("executed plans: ONE full-data range exchange, no data-sized " +
+       "window, totals read the cache") {
+    import scala.collection.mutable
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import spark.implicits._
+    val captured = mutable.Buffer.empty[String]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan.toString }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = spark.range(5000).select(
+        col("id").as("k"), (col("id") % 7).as("v"))
+      PrefixSum.runningTotal(df, "v", Seq("k"), numParts = 8).collect()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      var stable = 0
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val n = captured.synchronized(captured.size)
+        if (n == last && n > 0) stable += 1 else stable = 0
+        last = n
+        Thread.sleep(100)
+      }
+      val plans = captured.synchronized(captured.toList)
+      val all = plans.mkString("\n===\n")
+      assert(!all.contains("Window"),
+        s"no window anywhere — offsets are driver-side:\n$all")
+      // the range exchange must live only INSIDE the cached relation
+      // (the InMemoryRelation node embeds its build plan in the plan
+      // string, so a raw substring count over-counts): truncate each
+      // plan at the cache node and assert no consumer re-shuffles the
+      // data outside it
+      val outsideCache = plans.map { p =>
+        val idx = p.indexOf("InMemoryRelation")
+        if (idx >= 0) p.substring(0, idx) else p
+      }
+      assert(!outsideCache.exists(_.contains("Exchange rangepartitioning")),
+        s"range exchange must only appear inside the cached relation — " +
+          s"every consumer reads the cache, never re-shuffles:\n$all")
+      val cacheReaders = plans.count(_.contains("InMemoryTableScan"))
+      assert(cacheReaders >= 2,
+        s"both the totals pass and the output pass must read the " +
+          s"persisted ranged data, got $cacheReaders readers:\n$all")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

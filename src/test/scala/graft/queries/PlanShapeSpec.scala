@@ -206,25 +206,9 @@ class PlanShapeSpec extends SparkSpec {
       "the second corpus pass must reuse the first exchange, not rescan")
   }
 
-  test("q67: global prefix sum pays ONE full-data exchange; the " +
-       "single-partition window is over per-partition totals only") {
-    val plan = finalPlan(CurationQueries.q67GlobalShards(spark, sf))
-    assert(plan.contains("MapPartitions"),
-      "running sum accumulates per partition, not via a data-sized window")
-    // full-data exchanges: the operator's range exchange + the query's
-    // output orderBy; the totals branch must REUSE the operator's
-    val ranges = plan.linesIterator
-      .count(l => l.contains("Exchange rangepartitioning") &&
-                  !l.contains("ReusedExchange"))
-    assert(ranges <= 2, s"expected operator + output-sort range exchanges only:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      "totals branch must reuse the range exchange, not rescan the input")
-    // the one SinglePartition exchange carries numParts rows (the totals),
-    // fed by a hash aggregate — the data itself never funnels to one task
-    val single = plan.linesIterator
-      .count(_.contains("Exchange SinglePartition"))
-    assert(single <= 1, s"only the totals window may single-partition:\n$plan")
-  }
+  // q67's prefix-sum internals are pinned in PrefixSumSpec (the operator
+  // materializes its result, so the query-level plan only shows the
+  // output sort over a LogicalRDD)
 
   test("semantic Top-N query respects the filter context in the rank") {
     val plan = finalPlan(SemanticQueries.q19SemanticTopN(spark, sf))

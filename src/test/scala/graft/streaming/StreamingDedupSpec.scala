@@ -52,7 +52,22 @@ class StreamingDedupSpec extends SparkSpec {
                      (23L, "aa bb cc dd ee ff gg hh ii jj kk ll"))
       .toDF("doc_id", "text")
     val kept = StreamingDedup.dedupAppendBatch(replay, corpusPath)
-    assert(kept.count() == 0, "replayed content must all dedup away")
+    assert(kept == 0, "replayed content must all dedup away")
     assert(spark.read.parquet(corpusPath).count() == 3)
+  }
+
+  test("within-batch NEAR-dups collapse to one keeper before appending") {
+    val corpusPath =
+      Files.createTempDirectory("graft-sdedup2").toString + "/corpus"
+    // two near-identical docs (59 vs 60 words, J = 58/59) plus one
+    // unrelated — first batch ever, so the corpus offers no protection
+    val batch = Seq((5L, words(0, 60)), (6L, words(0, 61)),
+                    (7L, "qq rr ss tt uu vv ww xx yy zz aa bb"))
+      .toDF("doc_id", "text")
+    val kept = StreamingDedup.dedupAppendBatch(batch, corpusPath)
+    assert(kept == 2, s"near-dup pair must keep one doc, kept $kept")
+    val ids = spark.read.parquet(corpusPath)
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(5L, 7L), s"min-id keeper expected, got ${ids.toSeq}")
   }
 }
