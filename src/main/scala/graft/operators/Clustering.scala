@@ -17,10 +17,10 @@ import org.apache.spark.sql.functions._
   * quantization is far below embedding noise.
   *
   * Scale shape (the standard distributed Lloyd):
-  *  - Assignment is a per-row codegen'd expression — the k centroids are
-  *    unrolled as literals at plan-build time (k·dims subtract-square
-  *    terms), argmin via `array_min` over (dist², cid) structs (ties →
-  *    lower cid). No shuffle, no UDF.
+  *  - Assignment is a per-row codegen'd expression — k [[graft.functions.DistSqLong]]
+  *    kernels (centroids as reference objects, so Lloyd rounds reuse ONE
+  *    compiled projection), argmin via `array_min` over (dist², cid)
+  *    structs (ties → lower cid). No shuffle, no UDF.
   *  - The update is one `groupBy(cid, dim).sum` over posexploded
   *    coordinates — k·dims result rows COLLECTED to the driver (tiny,
   *    control-plane); the per-iteration cost is one map-side-combined
@@ -28,21 +28,26 @@ import org.apache.spark.sql.functions._
   *  - Iterations are a driver loop over broadcast-literal centroids —
   *    exactly how IVF coarse quantizers are trained in practice (fixed
   *    small iteration count over a sample or the full corpus).
-  * A centroid that loses every member keeps its previous position (can
-  * only arise on degenerate inputs; callers relying on the SQL-oracle
-  * mirror should verify non-emptiness, which holds for any real corpus
-  * with k ≪ n).
+  * A centroid that loses every member keeps its previous position
+  * (arises on degenerate inputs, e.g. duplicate init vectors); the SQL
+  * oracle mirrors this keep-position rule (COALESCE against the prior
+  * round's centroids), so the degenerate case stays oracle-exact too.
   */
 object Clustering {
 
-  /** Quantize an `array<float>` embedding to `array<long>` at 10⁶,
-    * truncated to the first `dims` dimensions (callers passing dims
-    * shorter than the arrays cluster on the prefix; longer is an error
-    * surfaced by the slice returning short arrays into [[DistSqLong]]).
+  /** Quantize an `array<float|double>` embedding to `array<long>` at
+    * 10⁶, truncated to the first `dims` dimensions (clustering on a
+    * prefix is a caller choice); an embedding SHORTER than `dims`, or a
+    * null element, throws — never a silent prefix clustering. Codegen'd
+    * ([[graft.functions.QuantizeE6]]): this is a full-corpus per-row
+    * pass on every fit, exactly the hot path where interpreted
+    * higher-order functions are banned.
     */
-  def quantize(emb: Column, dims: Int): Column =
-    transform(slice(emb, 1, dims),
-              x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+  def quantize(emb: Column, dims: Int): Column = {
+    import org.apache.spark.sql.GraftColumns
+    GraftColumns.column(graft.functions.QuantizeE6(
+      GraftColumns.expression(emb), dims))
+  }
 
   /** Integer squared L2 distance of quantized column `q` to constant
     * centroid `c` — the codegen'd [[graft.functions.DistSqLong]] kernel
@@ -74,17 +79,24 @@ object Clustering {
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, dims: Int, iters: Int): DataFrame = {
     val (centroids, scaled) = fitImpl(emb, idCol, vecCol, k, dims, iters)
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(col("q"), c).as("d"), lit(i.toLong).as("c"))
-    }
     // materialize the (3-column) assignment before releasing the cache
     val out = scaled
-      .select(col("vec_id"), array_min(array(scored: _*)).as("a"))
+      .select(col("vec_id"), scoredMin(centroids).as("a"))
       .select(col("vec_id"), col("a.c").as("cid"), col("a.d").as("dist2"))
       .localCheckpoint()
     scaled.unpersist()
     out
   }
+
+  /** THE scoring expression — `min_by` struct argmin over integer dist²,
+    * ties to the lower cid. Single definition shared by the fit loop and
+    * the final assignment so the two can never drift (the tie-break and
+    * score shape are oracle-visible).
+    */
+  private def scoredMin(centroids: Array[Array[Long]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(col("q"), c).as("d"), lit(i.toLong).as("c"))
+    }: _*))
 
   /** Shared fit loop: returns (centroids, still-persisted quantized
     * corpus) — the caller owns the unpersist.
@@ -106,12 +118,7 @@ object Clustering {
       .orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Long](1).toArray)
 
-    def assignExpr: Column = {
-      val scored = centroids.zipWithIndex.map { case (c, i) =>
-        struct(dist2(col("q"), c).as("d"), lit(i.toLong).as("c"))
-      }
-      array_min(array(scored: _*))
-    }
+    def assignExpr: Column = scoredMin(centroids)
 
     for (_ <- 0 until iters) {
       // per-(cid, dim) integer sums + counts: map-side combined, k·dims

@@ -196,7 +196,19 @@ object Dedup {
     val bSets = shingleSets(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val bCount = bSets.count()
+      // One counted pass yields both the row count (gates the 8-byte
+      // band-key broadcast) and the MEASURED payload bytes of the
+      // shingle sets (gates the set-carrying verify broadcast) — a row
+      // count alone says nothing about ~KB-sized array rows, so gating
+      // sets on `broadcastPairCap` (calibrated for 16 B pair rows) could
+      // wave a multi-GB broadcast through.
+      val bStats = bSets.agg(
+        count(lit(1)),
+        coalesce(sum(expr(
+          "aggregate(sh, 32L, (acc, s) -> acc + octet_length(s) + 24L)")),
+          lit(0L))).head()
+      val bCount = bStats.getLong(0)
+      val bSetBytes = bStats.getLong(1)
       val cSets = shingleSets(corpus)
       val bBanded = bandKeys(bSets, numPerm, bands)
       val bProbe =
@@ -212,12 +224,15 @@ object Dedup {
 
       // Verify pass: candidates (counted-gated broadcast) probe the corpus
       // scan; the surviving rows — at most |cand| — then join the batch
-      // sets, both sides tiny.
+      // sets. The batch-set side broadcasts only under the MEASURED byte
+      // cap (its rows are whole shingle arrays); past it, the join runs
+      // un-hinted — shuffling batch-sized data, never the corpus.
       val candJ =
         if (cand.count() <= broadcastPairCap) broadcast(cand) else cand
       val bVerify = bSets
         .select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))
-      val bVerifyJ = if (bCount <= broadcastPairCap) broadcast(bVerify)
+      val bVerifyJ = if (bSetBytes <= DefaultBroadcastSetBytesCap)
+                       broadcast(bVerify)
                      else bVerify
       val verified = cSets
         .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
@@ -248,6 +263,16 @@ object Dedup {
     * raise it via the `minhashDedupPairs*` overloads' `broadcastPairCap`.
     */
   val DefaultBroadcastPairCap = 4000000L
+
+  /** Byte cap for broadcasting relations whose rows carry full shingle
+    * SETS (~KB each) rather than 16 B id pairs — those must be gated on
+    * MEASURED payload bytes, never row count. 128 MiB measured leaves
+    * room for the driver-side HashedRelation blowup (a few ×) inside a
+    * modest 4–8 GiB driver heap; over the cap the set side joins
+    * un-hinted (a shuffle of batch-sized data — the corpus side is
+    * already reduced to candidate survivors by then).
+    */
+  val DefaultBroadcastSetBytesCap = 128L << 20
 
   /** (doc_id, band, bandKey) from (doc_id, sh) sets: one row per band.
     * Band keys are xxhash64 of the signature slice — an 8-byte join key
@@ -379,12 +404,26 @@ object Dedup {
     * fraction of the corpus.
     */
   def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
-                 aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val cc = GraphOps.connectedComponents(pairs, aCol, bCol)
-      .toDF(idCol, "component")
-    docs.join(cc, Seq(idCol), "left")
+                 aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    applyDedupReleasable(docs, idCol, pairs, aCol, bCol)._1
+
+  /** [[applyDedup]] plus the RELEASE HANDLE for the component-label
+    * checkpoint it creates (the raw [[GraphOps.connectedComponents]]
+    * output — `GraftColumns.unpersistCheckpoint` needs the un-projected
+    * frame). Long-lived callers (a streaming micro-batch loop) must
+    * release the handle once the result is materialized, or every
+    * invocation pins one labels RDD until driver GC; one-shot batch
+    * queries can use [[applyDedup]] and let session cleanup collect it.
+    */
+  def applyDedupReleasable(docs: DataFrame, idCol: String, pairs: DataFrame,
+                           aCol: String = "doc_a", bCol: String = "doc_b")
+      : (DataFrame, DataFrame) = {
+    val labels = GraphOps.connectedComponents(pairs, aCol, bCol)
+    val cc = labels.toDF(idCol, "component")
+    val out = docs.join(cc, Seq(idCol), "left")
       .withColumn("kept",
         col("component").isNull || col("component") === col(idCol))
+    (out, labels)
   }
 
   /** 64-bit SimHash over word occurrences: bit b of the signature is set

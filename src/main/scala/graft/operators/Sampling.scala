@@ -49,6 +49,9 @@ object Sampling {
   def tokenBudget(df: DataFrame, keyCol: String, idCol: String,
                   tokensCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(!df.columns.contains("kept"),
+      "input already has a 'kept' column (e.g. applyDedup output) — " +
+        "drop or rename it before tokenBudget, which adds its own")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
       .orderBy(PortableHash.h32(col(idCol).cast("string")), col(idCol))

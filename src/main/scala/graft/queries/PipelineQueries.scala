@@ -361,14 +361,16 @@ object PipelineQueries {
        |            d -> (v.q[d+1]-c.c[d+1])*(v.q[d+1]-c.c[d+1]))) AS d2
        |        FROM q v CROSS JOIN $cents c))""".stripMargin
 
-  private def kmUpdate(name: String, assign: String): String =
+  private def kmUpdate(name: String, assign: String, prev: String): String =
     s"""$name AS (
-       |  SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY d) AS c
-       |  FROM (SELECT a.cid, t.d, SUM(a.q[t.d+1]) AS s, COUNT(*) AS n
-       |        FROM $assign a CROSS JOIN range(64) t(d)
-       |        WHERE a.rn = 1
-       |        GROUP BY a.cid, t.d)
-       |  GROUP BY cid)""".stripMargin
+       |  SELECT p.cid, COALESCE(u.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY d) AS c
+       |    FROM (SELECT a.cid, t.d, SUM(a.q[t.d+1]) AS s, COUNT(*) AS n
+       |          FROM $assign a CROSS JOIN range(64) t(d)
+       |          WHERE a.rn = 1
+       |          GROUP BY a.cid, t.d)
+       |    GROUP BY cid) u ON u.cid = p.cid)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q68_kmeans" ->
@@ -381,11 +383,11 @@ object PipelineQueries {
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
          |  FROM q ORDER BY vec_id LIMIT 8),
          |${kmAssign("a0", "c0")},
-         |${kmUpdate("c1", "a0")},
+         |${kmUpdate("c1", "a0", "c0")},
          |${kmAssign("a1", "c1")},
-         |${kmUpdate("c2", "a1")},
+         |${kmUpdate("c2", "a1", "c1")},
          |${kmAssign("a2", "c2")},
-         |${kmUpdate("c3", "a2")},
+         |${kmUpdate("c3", "a2", "c2")},
          |${kmAssign("a3", "c3")}
          |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
          |  CAST(d2 AS BIGINT) AS dist2
@@ -403,11 +405,11 @@ object PipelineQueries {
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
          |  FROM q ORDER BY vec_id LIMIT 8),
          |${kmAssign("a0", "c0")},
-         |${kmUpdate("c1", "a0")},
+         |${kmUpdate("c1", "a0", "c0")},
          |${kmAssign("a1", "c1")},
-         |${kmUpdate("c2", "a1")},
+         |${kmUpdate("c2", "a1", "c1")},
          |${kmAssign("a2", "c2")},
-         |${kmUpdate("c3", "a2")},
+         |${kmUpdate("c3", "a2", "c2")},
          |cf AS (SELECT cid, list_transform(c,
          |         x -> CAST(x / 1000000.0 AS FLOAT)) AS cv FROM c3),
          |e AS (SELECT vec_id, embedding AS v FROM embeddings),

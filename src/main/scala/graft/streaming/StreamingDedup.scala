@@ -61,7 +61,9 @@ object StreamingDedup {
     // stage 3 relies on
     val intraPairs = Dedup.minhashDedupPairs(b1a, "doc_id", "text",
                                              n, num, den)
-    val b1 = Dedup.applyDedup(b1a, "doc_id", intraPairs)
+    val (b1Flagged, intraLabels) =
+      Dedup.applyDedupReleasable(b1a, "doc_id", intraPairs)
+    val b1 = b1Flagged
       .filter(col("kept")).drop("component", "kept")
       .withColumn("content_md5", md5(col("text")))
 
@@ -95,6 +97,7 @@ object StreamingDedup {
     } finally {
       unpersistCheckpoint(out)
       unpersistCheckpoint(intraPairs)
+      unpersistCheckpoint(intraLabels)
       crossPairs.foreach(unpersistCheckpoint(_))
     }
   }

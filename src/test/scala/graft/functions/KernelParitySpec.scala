@@ -117,4 +117,31 @@ class KernelParitySpec extends SparkSpec {
       .count()
     assert(diff === 0)
   }
+
+  test("QuantizeE6 equals the transform/slice HOF form on real embeddings") {
+    import org.apache.spark.sql.GraftColumns
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val hof = transform(slice(col("embedding"), 1, 64),
+      x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+    val fast = GraftColumns.column(
+      QuantizeE6(GraftColumns.expression(col("embedding")), 64))
+    val diff = emb.select(fast.as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("QuantizeE6 throws on embeddings shorter than dims — never a " +
+       "silent prefix clustering") {
+    import org.apache.spark.sql.GraftColumns
+    val short = Seq(Array(0.1f, 0.2f)).toDF("embedding")
+    val ex = intercept[Exception] {
+      short.select(GraftColumns.column(
+        QuantizeE6(GraftColumns.expression(col("embedding")), 4))).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("quantize_e6")), s"got $ex")
+  }
 }

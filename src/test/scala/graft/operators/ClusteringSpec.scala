@@ -48,6 +48,28 @@ class ClusteringSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("an emptied centroid keeps its position across iterations " +
+       "(duplicate seed vectors)") {
+    // seeds 0 and 1 are IDENTICAL → both init centroids coincide, every
+    // point ties to cid 0 (lower-cid tie-break) and cluster 1 never
+    // receives a member: its update must keep the seed position, not
+    // throw or shrink k (the oracle mirrors this with a COALESCE
+    // against the previous round's centroids)
+    val df = Seq(
+      0L -> vec(0.5f), 1L -> vec(0.5f), 2L -> vec(0.6f), 3L -> vec(0.4f))
+      .toDF("vec_id", "embedding")
+    val cents = Clustering.kmeansFit(df, "vec_id", "embedding",
+                                     k = 2, dims = 4, iters = 2)
+    assert(cents.length == 2, "k must not shrink on an emptied cluster")
+    assert(cents(1).toSeq == Seq.fill(4)(500000L),
+      s"emptied centroid must keep its seed position, got ${cents(1).toSeq}")
+    val got = Clustering.kmeansAssign(df, "vec_id", "embedding",
+        k = 2, dims = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 0L),
+      s"all points tie to the lower cid, got $got")
+  }
+
   test("dist2 is the exact quantized squared distance") {
     val df = Seq(0L -> vec(1f), 1L -> vec(2f)).toDF("vec_id", "embedding")
     // iters=0, k=1: centroid = vector 0 (1e6 per dim); vector 1 sits at

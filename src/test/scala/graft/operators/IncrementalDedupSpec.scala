@@ -1,10 +1,6 @@
 package graft.operators
 
-import scala.collection.mutable
-
-import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.SparkSpec
 
@@ -69,33 +65,14 @@ class IncrementalDedupSpec extends SparkSpec {
 
   test("broadcast path: no sort-merge join anywhere; banding + verify " +
        "probe via broadcast hash joins") {
-    val captured = mutable.Buffer.empty[String]
-    val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit =
-        captured.synchronized { captured += qe.executedPlan.toString }
-      override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
+    withCapturedPlans {
       runPairs(Dedup.DefaultBroadcastPairCap)
-      // listener callbacks are async — poll until the plan stream drains
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var last = -1
-      var stable = 0
-      while (stable < 3 && System.nanoTime() < deadline) {
-        val n = captured.synchronized(captured.size)
-        if (n == last && n > 0) stable += 1 else stable = 0
-        last = n
-        Thread.sleep(100)
-      }
-      val plans = captured.synchronized(captured.mkString("\n===\n"))
-      assert(plans.nonEmpty, "listener captured no executed plans")
+    } { planList =>
+      val plans = planList.mkString("\n===\n")
       assert(!plans.contains("SortMergeJoin"),
         s"corpus side must never sort-merge on the broadcast path:\n$plans")
       assert(plans.contains("BroadcastHashJoin"),
         s"batch banding / candidates must broadcast:\n$plans")
-    } finally spark.listenerManager.unregister(listener)
+    }
   }
 }

@@ -68,33 +68,11 @@ class PrefixSumSpec extends SparkSpec {
 
   test("executed plans: ONE full-data range exchange, no data-sized " +
        "window, totals read the cache") {
-    import scala.collection.mutable
-    import org.apache.spark.sql.execution.QueryExecution
-    import org.apache.spark.sql.util.QueryExecutionListener
-    import spark.implicits._
-    val captured = mutable.Buffer.empty[String]
-    val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit =
-        captured.synchronized { captured += qe.executedPlan.toString }
-      override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      val df = spark.range(5000).select(
-        col("id").as("k"), (col("id") % 7).as("v"))
+    val df = spark.range(5000).select(
+      col("id").as("k"), (col("id") % 7).as("v"))
+    withCapturedPlans {
       PrefixSum.runningTotal(df, "v", Seq("k"), numParts = 8).collect()
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      var last = -1
-      var stable = 0
-      while (stable < 3 && System.nanoTime() < deadline) {
-        val n = captured.synchronized(captured.size)
-        if (n == last && n > 0) stable += 1 else stable = 0
-        last = n
-        Thread.sleep(100)
-      }
-      val plans = captured.synchronized(captured.toList)
+    } { plans =>
       val all = plans.mkString("\n===\n")
       assert(!all.contains("Window"),
         s"no window anywhere — offsets are driver-side:\n$all")
@@ -114,6 +92,6 @@ class PrefixSumSpec extends SparkSpec {
       assert(cacheReaders >= 2,
         s"both the totals pass and the output pass must read the " +
           s"persisted ranged data, got $cacheReaders readers:\n$all")
-    } finally spark.listenerManager.unregister(listener)
+    }
   }
 }
