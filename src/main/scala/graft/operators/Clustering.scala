@@ -88,15 +88,20 @@ object Clustering {
     out
   }
 
-  /** THE scoring expression — `min_by` struct argmin over integer dist²,
-    * ties to the lower cid. Single definition shared by the fit loop and
-    * the final assignment so the two can never drift (the tie-break and
-    * score shape are oracle-visible).
+  /** THE scoring expression — struct argmin over integer dist² of a
+    * QUANTIZED (`array<long>`) column against constant centroids, ties
+    * to the lower cid; returns a `(d, c)` struct. Single definition
+    * shared by the fit loop, the final assignment, and external encoders
+    * (PQ) so the tie-break and score shape can never drift — both are
+    * oracle-visible.
     */
-  private def scoredMin(centroids: Array[Array[Long]]): Column =
+  def nearest(q: Column, centroids: Array[Array[Long]]): Column =
     array_min(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(col("q"), c).as("d"), lit(i.toLong).as("c"))
+      struct(dist2(q, c).as("d"), lit(i.toLong).as("c"))
     }: _*))
+
+  private def scoredMin(centroids: Array[Array[Long]]): Column =
+    nearest(col("q"), centroids)
 
   /** Shared fit loop: returns (centroids, still-persisted quantized
     * corpus) — the caller owns the unpersist.

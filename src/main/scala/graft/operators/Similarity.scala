@@ -211,4 +211,95 @@ object Similarity {
       .filter(col("sim_e6") >= minSimE6)
       .select("vec_a", "vec_b", "sim_e6")
   }
+
+  /** Product-quantization ANN — the memory-compressed member of the ANN
+    * family (brute → LSH buckets → IVF postings → PQ codes): each vector
+    * is stored as `m` byte-sized codebook indices instead of `dims`
+    * floats (here 4 codes for 64 floats, a 64× compression of the
+    * scan side), and queries rank by Asymmetric Distance Computation —
+    * summing per-subspace distances from the QUERY's exact subvector to
+    * each DB vector's codebook centroid.
+    *
+    * Everything is exact integer arithmetic end-to-end, so an external
+    * SQL engine replicates training, encoding, AND scoring bit-for-bit:
+    *  - codebooks: [[Clustering.kmeansFit]] per subspace (quantized
+    *    Lloyd, deterministic first-k init);
+    *  - encoding: one per-row codegen'd argmin ([[Clustering.nearest]])
+    *    per subspace — no shuffle, linear scan;
+    *  - ADC lookup tables: nq·m·codeK integer distances computed
+    *    driver-side from the collected query vectors (control-plane:
+    *    ~640 longs for 10 queries) and broadcast;
+    *  - scoring: codes posexploded to (vec_id, sub, code) — m rows per
+    *    vector — broadcast-joined to the lookup, then one hash aggregate
+    *    keyed (qid, vec_id) sums the m partial distances (map-side
+    *    combined; the only shuffle, O(n·m·nq) tiny rows).
+    *
+    * At 100 TB the ADC scan is still linear in n per query — PQ buys
+    * compressed-domain scanning, not sub-linearity; compose with IVF
+    * (probe posting lists first, ADC-score only the probed lists) for
+    * IVF-PQ. A production trainer would also share one cached quantized
+    * scan across the m subspace fits (here each fit re-reads the scan —
+    * acceptable at coarse-quantizer training scale) or fit on a sample.
+    *
+    * Output: (qid, vec_id, adc2, rnk) — integer ADC dist², rank ascending
+    * (nearest first), ties → lower vec_id, self excluded.
+    */
+  def pqTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
+             m: Int = 4, subDims: Int = 16, codeK: Int = 16,
+             iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    def sub(j: Int) = slice(col("embedding"), j * subDims + 1, subDims)
+
+    // 1. per-subspace codebooks (quantized k-means; oracle-replicable)
+    val books: Array[Array[Array[Long]]] = Array.tabulate(m) { j =>
+      Clustering.kmeansFit(
+        emb.select(col("vec_id"), sub(j).as("embedding")),
+        "vec_id", "embedding", codeK, subDims, iters)
+    }
+
+    // 2. encode: m argmin kernels in ONE projection over the scan
+    val codes = Partitioning.spread(emb).select(
+      col("vec_id") +:
+        (0 until m).map { j =>
+          Clustering.nearest(Clustering.quantize(sub(j), subDims), books(j))
+            .getField("c").as(s"code_$j")
+        }: _*)
+
+    // 3. ADC lookup tables from the collected query vectors — the same
+    // floor(x·1e6) quantization and (q−c)² fold the cluster kernels use
+    val queryRows = emb.filter(queryPred)
+      .select(col("vec_id"), col("embedding")).collect()
+    val adcRows = for {
+      r <- queryRows.toSeq
+      qid = r.getLong(0)
+      q = r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1.0e6).toLong)
+      j <- 0 until m
+      (cent, code) <- books(j).zipWithIndex
+    } yield {
+      var d2 = 0L
+      var d = 0
+      while (d < subDims) {
+        val diff = q(j * subDims + d) - cent(d)
+        d2 += diff * diff
+        d += 1
+      }
+      (qid, j, code.toLong, d2)
+    }
+    val adc = adcRows.toDF("qid", "sub", "code", "d2")
+
+    // 4. score + rank: explode codes, look up, sum the m partials
+    val exploded = codes.select(col("vec_id"),
+      posexplode(array((0 until m).map(j => col(s"code_$j")): _*))
+        .as(Seq("sub", "code")))
+    exploded.join(broadcast(adc), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc2").asc, col("vec_id").asc)))
+      .filter(col("rnk") <= k)
+  }
 }

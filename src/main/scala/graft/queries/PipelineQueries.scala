@@ -258,6 +258,18 @@ object PipelineQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** PQ ANN: 4×16-dim codebooks (quantized k-means, 2 Lloyd rounds),
+    * corpus stored as 4 codes/vector, queries ranked by integer ADC —
+    * the compressed-domain member of the ANN family (see
+    * [[Similarity.pqTopK]]). The oracle replicates all four training
+    * chains, the encoding, and the ADC ranking bit-for-bit.
+    */
+  def q70PqAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(s, dir),
+        queryPred = col("vec_id") < 10, k = 5)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("qid", "rnk")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -281,7 +293,8 @@ object PipelineQueries {
     "q65_embed_neardup_lsh" -> (q65EmbedNeardupLsh _),
     "q66_bloom_new_keys"    -> (q66BloomNewKeys _),
     "q68_kmeans"            -> (q68Kmeans _),
-    "q69_ivf_trained"       -> (q69IvfTrained _)
+    "q69_ivf_trained"       -> (q69IvfTrained _),
+    "q70_pq_ann"            -> (q70PqAnn _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -352,25 +365,49 @@ object PipelineQueries {
     * (per-dim HUGEINT-safe sums, truncating `//` division — DuckDB's
     * toward-zero semantics match Scala Long division exactly).
     */
-  private def kmAssign(name: String, cents: String): String =
+  private def kmAssign(name: String, cents: String, src: String = "q",
+                       dims: Int = 64): String =
     s"""$name AS (
        |  SELECT vec_id, q, cid, d2,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
        |  FROM (SELECT v.vec_id, v.q, c.cid,
-       |          list_sum(list_transform(range(64),
+       |          list_sum(list_transform(range($dims),
        |            d -> (v.q[d+1]-c.c[d+1])*(v.q[d+1]-c.c[d+1]))) AS d2
-       |        FROM q v CROSS JOIN $cents c))""".stripMargin
+       |        FROM $src v CROSS JOIN $cents c))""".stripMargin
 
-  private def kmUpdate(name: String, assign: String, prev: String): String =
+  private def kmUpdate(name: String, assign: String, prev: String,
+                       dims: Int = 64): String =
     s"""$name AS (
        |  SELECT p.cid, COALESCE(u.c, p.c) AS c
        |  FROM $prev p LEFT JOIN (
        |    SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY d) AS c
        |    FROM (SELECT a.cid, t.d, SUM(a.q[t.d+1]) AS s, COUNT(*) AS n
-       |          FROM $assign a CROSS JOIN range(64) t(d)
+       |          FROM $assign a CROSS JOIN range($dims) t(d)
        |          WHERE a.rn = 1
        |          GROUP BY a.cid, t.d)
        |    GROUP BY cid) u ON u.cid = p.cid)""".stripMargin
+
+  /** q70 oracle fragment: one subspace's full PQ chain — quantized
+    * subvectors (dims at `off`), first-16 init, 2 Lloyd rounds, and the
+    * final all-pairs assignment `af_$j` whose rn=1 rows are the CODES and
+    * whose query-side rows (all cids) are the ADC lookup table.
+    */
+  private def pqChain(j: Int, off: Int, subDims: Int, codeK: Int): String = {
+    val qj = s"q$j"
+    s"""$qj AS (
+       |  SELECT vec_id, list_transform(range($subDims),
+       |    d -> CAST(floor(embedding[$off+d+1]::DOUBLE * 1000000) AS BIGINT))
+       |    AS q
+       |  FROM embeddings),
+       |c0_$j AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+       |  FROM $qj ORDER BY vec_id LIMIT $codeK),
+       |${kmAssign(s"a0_$j", s"c0_$j", qj, subDims)},
+       |${kmUpdate(s"c1_$j", s"a0_$j", s"c0_$j", subDims)},
+       |${kmAssign(s"a1_$j", s"c1_$j", qj, subDims)},
+       |${kmUpdate(s"c2_$j", s"a1_$j", s"c1_$j", subDims)},
+       |${kmAssign(s"af_$j", s"c2_$j", qj, subDims)}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q68_kmeans" ->
@@ -439,6 +476,28 @@ object PipelineQueries {
          |SELECT qid, vec_id AS neighbor_id, rnk,
          |  CAST(floor(cos * 1000000) AS BIGINT) AS sim_e6
          |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // q70: four independent subspace chains (pqChain), then codes =
+    // rn=1 rows, ADC = query-side rows over ALL cids, summed per
+    // (query, vector) in exact integer arithmetic.
+    "q70_pq_ann" ->
+      s"""WITH ${(0 until 4).map(j => pqChain(j, j * 16, 16, 16))
+                 .mkString(",\n")},
+         |pairs AS (
+         |  ${(0 until 4).map(j =>
+              s"""SELECT a.vec_id AS qid, c.vec_id, a.d2
+                 |  FROM (SELECT vec_id, cid, d2 FROM af_$j WHERE vec_id < 10) a
+                 |  JOIN (SELECT vec_id, cid FROM af_$j WHERE rn = 1) c
+                 |    USING (cid)""".stripMargin)
+             .mkString("\n  UNION ALL\n  ")}),
+         |agg AS (
+         |  SELECT qid, vec_id, CAST(SUM(d2) AS BIGINT) AS adc2
+         |  FROM pairs WHERE vec_id <> qid
+         |  GROUP BY qid, vec_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc2, vec_id) AS rn FROM agg)
+         |SELECT qid, vec_id, adc2, CAST(rn AS BIGINT) AS rnk
+         |FROM ranked WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin,
     "q20_dedup_exact_docs" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
