@@ -101,51 +101,90 @@ object Clustering {
     }: _*))
 
   private def scoredMin(centroids: Array[Array[Long]]): Column =
-    nearest(col("q"), centroids)
+    nearest(col("q0"), centroids)
 
   /** Shared fit loop: returns (centroids, still-persisted quantized
-    * corpus) — the caller owns the unpersist.
+    * corpus with the coordinates in column `q0`) — the caller owns the
+    * unpersist. Delegates to the multi-subspace trainer with m = 1, so
+    * there is exactly ONE Lloyd implementation behind q68/q69/q70.
     */
   private def fitImpl(emb: DataFrame, idCol: String, vecCol: String,
                       k: Int, dims: Int, iters: Int)
       : (Array[Array[Long]], DataFrame) = {
+    val (books, scaled) =
+      kmeansFitMulti(emb, idCol, Seq(col(vecCol)), k, dims, iters)
+    (books(0), scaled)
+  }
+
+  /** Train `m` independent codebooks — one per entry of `vecCols`
+    * (typically `slice`s of a single embedding column: the PQ subspace
+    * split) — JOINTLY: each Lloyd round is ONE job whose assignment
+    * projection evaluates every subspace's argmin kernels and whose
+    * single map-side-combined `groupBy(sub, cid, pos)` shuffle carries
+    * m·k·dims partials per task. Training m books this way costs the
+    * same number of jobs/scans as training one (the alternative — m
+    * sequential [[kmeansFit]] calls — pays m× the scans and m×(iters+1)
+    * scheduling rounds for identical results: the chains are
+    * arithmetically independent, so batching is a pure physical win and
+    * the per-subspace SQL oracle stays valid unchanged).
+    *
+    * Returns (books, scaled): `books(j)` = k×dims quantized centroids of
+    * subspace j; `scaled` = the STILL-PERSISTED quantized corpus
+    * (`vec_id`, `q0`..`q{m-1}`) for the caller to encode from (zero
+    * re-quantization) and then unpersist.
+    */
+  def kmeansFitMulti(emb: DataFrame, idCol: String, vecCols: Seq[Column],
+                     k: Int, dims: Int, iters: Int)
+      : (Array[Array[Array[Long]]], DataFrame) = {
     require(k > 0 && iters >= 0, s"need k>0, iters>=0; got $k/$iters")
+    require(vecCols.nonEmpty, "need at least one subspace column")
+    val m = vecCols.length
     // every iteration (plus init and the final assignment) scans the
     // quantized corpus: persist it once instead of re-shuffling per
     // action — the same cache-the-training-set discipline any iterative
     // fit loop needs (spills to disk when it outgrows executor memory)
     val scaled = Partitioning.spread(emb).select(
-        col(idCol).as("vec_id"), quantize(col(vecCol), dims).as("q"))
+        col(idCol).as("vec_id") +:
+          vecCols.zipWithIndex.map { case (c, j) =>
+            quantize(c, dims).as(s"q$j")
+          }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // init: the k lowest-id vectors, deterministic and oracle-replicable
-    var centroids: Array[Array[Long]] = scaled
-      .orderBy("vec_id").limit(k).collect()
-      .map(_.getSeq[Long](1).toArray)
-
-    def assignExpr: Column = scoredMin(centroids)
+    // init: the k lowest-id vectors seed every subspace's book,
+    // deterministic and oracle-replicable
+    var books: Array[Array[Array[Long]]] = {
+      val rows = scaled.orderBy("vec_id").limit(k).collect()
+      Array.tabulate(m)(j => rows.map(_.getSeq[Long](j + 1).toArray))
+    }
 
     for (_ <- 0 until iters) {
-      // per-(cid, dim) integer sums + counts: map-side combined, k·dims
-      // rows back to the driver
+      // per-(sub, cid, dim) integer sums + counts: map-side combined,
+      // m·k·dims rows back to the driver
       val sums = scaled
-        .select(assignExpr.getField("c").as("cid"), posexplode(col("q")))
-        .groupBy("cid", "pos")
+        .select(explode(array((0 until m).map { j =>
+          struct(lit(j).as("sub"),
+                 nearest(col(s"q$j"), books(j)).getField("c").as("cid"),
+                 col(s"q$j").as("q"))
+        }: _*)).as("e"))
+        .select(col("e.sub"), col("e.cid"), posexplode(col("e.q")))
+        .groupBy("sub", "cid", "pos")
         .agg(sum("col").as("s"), count(lit(1)).as("n"))
         .collect()
-        .map(r => (r.getLong(0).toInt, r.getInt(1)) ->
-               (r.getLong(2), r.getLong(3)))
+        .map(r => (r.getInt(0), r.getLong(1).toInt, r.getInt(2)) ->
+               (r.getLong(3), r.getLong(4)))
         .toMap
-      centroids = centroids.zipWithIndex.map { case (old, cid) =>
-        old.indices.map { d =>
-          sums.get((cid, d)) match {
-            case Some((s, n)) => s / n // truncating ≡ SQL `//`
-            case None => old(d) // empty cluster keeps its position
-          }
-        }.toArray
+      books = Array.tabulate(m) { j =>
+        books(j).zipWithIndex.map { case (old, cid) =>
+          old.indices.map { d =>
+            sums.get((j, cid, d)) match {
+              case Some((s, n)) => s / n // truncating ≡ SQL `//`
+              case None => old(d) // empty cluster keeps its position
+            }
+          }.toArray
+        }
       }
     }
 
-    (centroids, scaled)
+    (books, scaled)
   }
 }

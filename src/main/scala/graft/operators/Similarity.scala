@@ -237,10 +237,12 @@ object Similarity {
     * At 100 TB the ADC scan is still linear in n per query — PQ buys
     * compressed-domain scanning, not sub-linearity; compose with IVF
     * (probe posting lists first, ADC-score only the probed lists) for
-    * IVF-PQ. A production trainer would also share one cached quantized
-    * scan across the m subspace fits (here each fit re-reads the scan —
-    * acceptable at coarse-quantizer training scale) or fit on a sample.
+    * IVF-PQ. The m codebooks train JOINTLY ([[Clustering.kmeansFitMulti]]):
+    * one quantized cache, one job per Lloyd round — m× fewer scans and
+    * scheduling rounds than m sequential fits, identical results.
     *
+    * `queryPred` must be a predicate over `vec_id` (it is applied to the
+    * quantized cache, which carries only id + subvector columns).
     * Output: (qid, vec_id, adc2, rnk) — integer ADC dist², rank ascending
     * (nearest first), ties → lower vec_id, self excluded.
     */
@@ -250,38 +252,38 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    def sub(j: Int) = slice(col("embedding"), j * subDims + 1, subDims)
+    // 1. all m codebooks trained JOINTLY (one job per Lloyd round, one
+    // quantized cache shared with encoding below)
+    val (books, scaled) = Clustering.kmeansFitMulti(
+      emb, "vec_id",
+      (0 until m).map(j => slice(col("embedding"), j * subDims + 1, subDims)),
+      codeK, subDims, iters)
 
-    // 1. per-subspace codebooks (quantized k-means; oracle-replicable)
-    val books: Array[Array[Array[Long]]] = Array.tabulate(m) { j =>
-      Clustering.kmeansFit(
-        emb.select(col("vec_id"), sub(j).as("embedding")),
-        "vec_id", "embedding", codeK, subDims, iters)
-    }
-
-    // 2. encode: m argmin kernels in ONE projection over the scan
-    val codes = Partitioning.spread(emb).select(
+    // 2. encode: m argmin kernels in ONE projection over the cache
+    val codes = scaled.select(
       col("vec_id") +:
         (0 until m).map { j =>
-          Clustering.nearest(Clustering.quantize(sub(j), subDims), books(j))
+          Clustering.nearest(col(s"q$j"), books(j))
             .getField("c").as(s"code_$j")
         }: _*)
 
-    // 3. ADC lookup tables from the collected query vectors — the same
-    // floor(x·1e6) quantization and (q−c)² fold the cluster kernels use
-    val queryRows = emb.filter(queryPred)
-      .select(col("vec_id"), col("embedding")).collect()
+    // 3. ADC lookup tables from the cached quantized query subvectors —
+    // the identical integers the fit itself trained on (no re-derived
+    // quantization arithmetic anywhere) — and the same (q−c)² fold
+    val queryRows = scaled.filter(queryPred)
+      .select(col("vec_id") +: (0 until m).map(j => col(s"q$j")): _*)
+      .collect()
     val adcRows = for {
       r <- queryRows.toSeq
       qid = r.getLong(0)
-      q = r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1.0e6).toLong)
       j <- 0 until m
+      q = r.getSeq[Long](j + 1)
       (cent, code) <- books(j).zipWithIndex
     } yield {
       var d2 = 0L
       var d = 0
       while (d < subDims) {
-        val diff = q(j * subDims + d) - cent(d)
+        val diff = q(d) - cent(d)
         d2 += diff * diff
         d += 1
       }
@@ -289,11 +291,12 @@ object Similarity {
     }
     val adc = adcRows.toDF("qid", "sub", "code", "d2")
 
-    // 4. score + rank: explode codes, look up, sum the m partials
+    // 4. score + rank: explode codes, look up, sum the m partials;
+    // materialize before releasing the cache both passes read
     val exploded = codes.select(col("vec_id"),
       posexplode(array((0 until m).map(j => col(s"code_$j")): _*))
         .as(Seq("sub", "code")))
-    exploded.join(broadcast(adc), Seq("sub", "code"))
+    val out = exploded.join(broadcast(adc), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d2")).as("adc2"))
@@ -301,5 +304,8 @@ object Similarity {
         Window.partitionBy(col("qid"))
           .orderBy(col("adc2").asc, col("vec_id").asc)))
       .filter(col("rnk") <= k)
+      .localCheckpoint()
+    scaled.unpersist()
+    out
   }
 }
