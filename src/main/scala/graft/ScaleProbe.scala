@@ -156,6 +156,14 @@ object ScaleProbe {
       println("  assigned: " + Clustering.kmeansAssign(
         emb, "vec_id", "embedding", k = 8, dims = 64, iters = 3).count())
     }
+    // --- PQ ANN (q70 shape): CONSTANT query set vs an inflating corpus —
+    // train (joint, one job/round) + encode + ADC are all linear scans,
+    // and the scoring shuffle is m rows per vector, so time must grow
+    // linearly in the corpus, never n·n or n·codebook-retrains.
+    time(s"pq_ann_${mult}x") {
+      println("  pq top-k rows: " + Similarity.pqTopK(
+        emb, col("vec_id") < 10, k = 5).count())
+    }
     spark.stop()
   }
 }
