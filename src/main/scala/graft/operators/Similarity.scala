@@ -120,21 +120,7 @@ object Similarity {
   def ivfTopKWith(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
                   k: Int, centroids: DataFrame, nProbe: Int = 2)
       : DataFrame = {
-    // nearest-centroid ranking per vector (ties → lower cid), reused for
-    // both corpus assignment (rank 1) and query probing (rank <= nProbe)
-    val ranked = Partitioning.spread(emb)
-      .crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine(col("embedding"), col("cv")))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cid").asc)))
-    val assign = ranked.filter(col("crnk") === 1)
-      .select(col("vec_id"), col("cid"))
-    val probes = ranked.filter(queryPred && col("crnk") <= nProbe)
-      .select(col("vec_id").as("qid"), col("cid"))
-    val cand = probes.join(assign, "cid")
-      .filter(col("vec_id") =!= col("qid"))
-      .select("qid", "vec_id").distinct()
+    val cand = ivfCandidates(emb, queryPred, centroids, nProbe)
     val qv = emb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val cv = emb.select(col("vec_id"), col("embedding").as("dv"))
@@ -147,6 +133,31 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"),
               e6(col("cos")).as("sim_e6"))
+  }
+
+  /** IVF candidate generation, shared by [[ivfTopKWith]] (exact-cosine
+    * re-rank) and [[ivfPqTopK]] (ADC re-rank): nearest-centroid ranking
+    * per vector (ties → lower cid) feeds both corpus assignment (rank 1)
+    * and query probing (rank ≤ nProbe); candidates = probed posting
+    * lists, self excluded. One broadcast of the (small) centroid frame,
+    * one shuffle keyed on cid.
+    */
+  private def ivfCandidates(emb: DataFrame,
+                            queryPred: org.apache.spark.sql.Column,
+                            centroids: DataFrame, nProbe: Int): DataFrame = {
+    val ranked = Partitioning.spread(emb)
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("embedding"), col("cv")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid").asc)))
+    val assign = ranked.filter(col("crnk") === 1)
+      .select(col("vec_id"), col("cid"))
+    val probes = ranked.filter(queryPred && col("crnk") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
   }
 
   /** Embedding near-dup pairs via LSH buckets — the scale path next to
@@ -249,6 +260,75 @@ object Similarity {
   def pqTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
              m: Int = 4, subDims: Int = 16, codeK: Int = 16,
              iters: Int = 2): DataFrame = {
+    val (codes, adc, scaled) =
+      pqCodesAndAdc(emb, queryPred, m, subDims, codeK, iters)
+    // score + rank: explode codes, look up, sum the m partials;
+    // materialize before releasing the cache both passes read
+    val exploded = codes.select(col("vec_id"),
+      posexplode(array((0 until m).map(j => col(s"code_$j")): _*))
+        .as(Seq("sub", "code")))
+    val out = adcRank(
+      exploded.join(broadcast(adc), Seq("sub", "code"))
+        .filter(col("vec_id") =!= col("qid")),
+      k).localCheckpoint()
+    scaled.unpersist()
+    out
+  }
+
+  /** IVF-PQ — the production composition: the trained coarse quantizer
+    * prunes the corpus to `nProbe` posting lists per query
+    * ([[ivfCandidates]], sub-linear candidates), and PQ's integer ADC
+    * scores ONLY those candidates from the compressed codes. Every
+    * stage — coarse k-means, posting-list probing, sub-codebook
+    * training, encoding, ADC — is deterministic and SQL-replicable, so
+    * the whole two-index pipeline is oracle-exact end-to-end. The two
+    * trainers scan separately (64-dim coarse, 16-dim subspaces: k and
+    * dims differ) — at corpus scale train both on a sample instead.
+    *
+    * `queryPred` must be a predicate over `vec_id` (see [[pqTopK]]).
+    * Output: (qid, vec_id, adc2, rnk).
+    */
+  def ivfPqTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+                k: Int, nCentroids: Int = 8, nProbe: Int = 2,
+                coarseIters: Int = 3, m: Int = 4, subDims: Int = 16,
+                codeK: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // coarse quantizer: trained k-means centroids de-quantized to float
+    // (BIGINT/1e6 → FLOAT rounds identically in IEEE — the q69 path)
+    val coarse = Clustering.kmeansFit(emb, "vec_id", "embedding",
+                                      nCentroids, m * subDims, coarseIters)
+    val cdf = coarse.zipWithIndex.toSeq
+      .map { case (c, i) =>
+        (i.toLong, c.map(v => (v.toDouble / 1000000.0).toFloat)) }
+      .toDF("cid", "cv")
+    val cand = ivfCandidates(emb, queryPred, cdf, nProbe)
+
+    val (codes, adc, scaled) =
+      pqCodesAndAdc(emb, queryPred, m, subDims, codeK, iters)
+    // ADC-score candidates only: codes semi-restricted by the candidate
+    // set, lookup keyed per query
+    val candCodes = cand.join(codes, "vec_id")
+    val exploded = candCodes.select(col("qid"), col("vec_id"),
+      posexplode(array((0 until m).map(j => col(s"code_$j")): _*))
+        .as(Seq("sub", "code")))
+    val out = adcRank(
+      exploded.join(broadcast(adc), Seq("qid", "sub", "code")),
+      k).localCheckpoint()
+    scaled.unpersist()
+    out
+  }
+
+  /** Shared PQ model build (see [[pqTopK]] for the full design notes):
+    * joint codebook training, one-projection encoding, driver-built ADC
+    * lookups from the cached quantized query subvectors. Returns
+    * (codes, adc, scaled) — the caller scores, materializes, and then
+    * unpersists `scaled`.
+    */
+  private def pqCodesAndAdc(emb: DataFrame,
+                            queryPred: org.apache.spark.sql.Column,
+                            m: Int, subDims: Int, codeK: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val spark = emb.sparkSession
     import spark.implicits._
 
@@ -290,22 +370,18 @@ object Similarity {
       (qid, j, code.toLong, d2)
     }
     val adc = adcRows.toDF("qid", "sub", "code", "d2")
+    (codes, adc, scaled)
+  }
 
-    // 4. score + rank: explode codes, look up, sum the m partials;
-    // materialize before releasing the cache both passes read
-    val exploded = codes.select(col("vec_id"),
-      posexplode(array((0 until m).map(j => col(s"code_$j")): _*))
-        .as(Seq("sub", "code")))
-    val out = exploded.join(broadcast(adc), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("qid"))
+  /** Sum the per-subspace ADC partials and rank ascending (ties → lower
+    * vec_id) — the shared tail of [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def adcRank(scoredPartials: DataFrame, k: Int): DataFrame =
+    scoredPartials
       .groupBy(col("qid"), col("vec_id"))
       .agg(sum(col("d2")).as("adc2"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("adc2").asc, col("vec_id").asc)))
       .filter(col("rnk") <= k)
-      .localCheckpoint()
-    scaled.unpersist()
-    out
-  }
 }

@@ -270,6 +270,18 @@ object PipelineQueries {
       .withColumn("rnk", col("rnk").cast("long"))
       .orderBy("qid", "rnk")
 
+  /** IVF-PQ: trained coarse quantizer prunes to 2 posting lists per
+    * query, integer ADC over 4×16-dim codes scores only those candidates
+    * (see [[Similarity.ivfPqTopK]]) — the production two-index
+    * composition, oracle-exact end-to-end across BOTH trainers, the
+    * probing, the encoding, and the ranking.
+    */
+  def q71IvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(s, dir),
+        queryPred = col("vec_id") < 10, k = 5)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .orderBy("qid", "rnk")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -294,7 +306,8 @@ object PipelineQueries {
     "q66_bloom_new_keys"    -> (q66BloomNewKeys _),
     "q68_kmeans"            -> (q68Kmeans _),
     "q69_ivf_trained"       -> (q69IvfTrained _),
-    "q70_pq_ann"            -> (q70PqAnn _)
+    "q70_pq_ann"            -> (q70PqAnn _),
+    "q71_ivf_pq"            -> (q71IvfPq _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -476,6 +489,60 @@ object PipelineQueries {
          |SELECT qid, vec_id AS neighbor_id, rnk,
          |  CAST(floor(cos * 1000000) AS BIGINT) AS sim_e6
          |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // q71: q69's coarse chain (trained centroids → cosine probing →
+    // candidate posting lists) composed with q70's PQ chains — pairs
+    // restricted to the candidates before the ADC sum.
+    "q71_ivf_pq" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(range(64),
+         |    d -> CAST(floor(embedding[d+1]::DOUBLE * 1000000) AS BIGINT))
+         |    AS q
+         |  FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+         |  FROM q ORDER BY vec_id LIMIT 8),
+         |${kmAssign("a0", "c0")},
+         |${kmUpdate("c1", "a0", "c0")},
+         |${kmAssign("a1", "c1")},
+         |${kmUpdate("c2", "a1", "c1")},
+         |${kmAssign("a2", "c2")},
+         |${kmUpdate("c3", "a2", "c2")},
+         |cf AS (SELECT cid, list_transform(c,
+         |         x -> CAST(x / 1000000.0 AS FLOAT)) AS cv FROM c3),
+         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |ranked0 AS (
+         |  SELECT e.vec_id, cf.cid, ${cosSql("v", "cv")} AS ccos
+         |  FROM e CROSS JOIN cf),
+         |rankedc AS (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cid ASC) AS crnk FROM ranked0),
+         |assign AS (SELECT vec_id, cid FROM rankedc WHERE crnk = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM rankedc
+         |           WHERE vec_id < 10 AND crnk <= 2),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id
+         |  FROM probes p JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> p.qid),
+         |${(0 until 4).map(j => pqChain(j, j * 16, 16, 16))
+              .mkString(",\n")},
+         |pairs AS (
+         |  ${(0 until 4).map(j =>
+              s"""SELECT cd.qid, cd.vec_id, a.d2
+                 |  FROM cand cd
+                 |  JOIN (SELECT vec_id, cid FROM af_$j WHERE rn = 1) code
+                 |    ON code.vec_id = cd.vec_id
+                 |  JOIN (SELECT vec_id AS qid, cid, d2 FROM af_$j
+                 |        WHERE vec_id < 10) a
+                 |    ON a.qid = cd.qid AND a.cid = code.cid""".stripMargin)
+             .mkString("\n  UNION ALL\n  ")}),
+         |agg AS (
+         |  SELECT qid, vec_id, CAST(SUM(d2) AS BIGINT) AS adc2
+         |  FROM pairs GROUP BY qid, vec_id),
+         |rankedf AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |    ORDER BY adc2, vec_id) AS rn FROM agg)
+         |SELECT qid, vec_id, adc2, CAST(rn AS BIGINT) AS rnk
+         |FROM rankedf WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin,
     // q70: four independent subspace chains (pqChain), then codes =
     // rn=1 rows, ADC = query-side rows over ALL cids, summed per
     // (query, vector) in exact integer arithmetic.

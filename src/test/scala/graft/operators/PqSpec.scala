@@ -41,6 +41,35 @@ class PqSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("IVF-PQ agrees with full-scan PQ on separable data (the probed " +
+       "lists contain the true neighbors) and stays deterministic") {
+    // DIRECTIONALLY distinct groups (first-half vs second-half energy) —
+    // cosine probing cannot separate merely-parallel magnitude groups,
+    // so the `corpus` fixture above (constant vectors) would be a
+    // degenerate IVF input by construction
+    def dvec(first: Float, second: Float, i: Int): Array[Float] =
+      Array.tabulate(64)(d =>
+        (if (d < 32) first else second) + 0.001f * i)
+    val dirCorpus = (
+      (0L until 20L).map(i => i -> dvec(1.0f, 0.01f, i.toInt)) ++
+      (20L until 40L).map(i => i -> dvec(0.01f, 1.0f, (i - 20).toInt))
+    ).toDF("vec_id", "embedding")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val full = Similarity.pqTopK(dirCorpus, queryPred = col("vec_id") < 2,
+                                 k = 3)
+      .collect().map(key).toSet
+    def ivfpq() = Similarity.ivfPqTopK(dirCorpus,
+        queryPred = col("vec_id") < 2, k = 3, nCentroids = 4, nProbe = 2)
+      .collect().map(key).toSet
+    val got = ivfpq()
+    // 4 coarse centroids over 2 directions, 2 probes: the query's own
+    // direction is always probed, so the ADC top-3 must coincide with
+    // the full compressed-domain scan
+    assert(got == full, s"ivf-pq $got vs full pq $full")
+    assert(ivfpq() == got, "deterministic across runs")
+  }
+
   test("executed plans: ADC scoring broadcasts the lookup, never " +
        "sort-merges") {
     withCapturedPlans {
