@@ -95,6 +95,17 @@ object Clustering {
     * (PQ) so the tie-break and score shape can never drift — both are
     * oracle-visible.
     */
+  /** De-quantize fitted centroids to float rows `(cid, cv)` for cosine
+    * consumers (IVF probing). BIGINT/10⁶ → double → float rounds
+    * identically in IEEE across engines, and the expression is
+    * ORACLE-VISIBLE (`CAST(x / 1000000.0 AS FLOAT)` in the q69/q71
+    * mirrors) — single definition so the two gates can't drift.
+    */
+  def dequantize(cents: Array[Array[Long]]): Seq[(Long, Array[Float])] =
+    cents.zipWithIndex.toSeq.map { case (c, i) =>
+      (i.toLong, c.map(v => (v.toDouble / 1000000.0).toFloat))
+    }
+
   def nearest(q: Column, centroids: Array[Array[Long]]): Column =
     array_min(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(dist2(q, c).as("d"), lit(i.toLong).as("c"))

@@ -298,10 +298,7 @@ object Similarity {
     // (BIGINT/1e6 → FLOAT rounds identically in IEEE — the q69 path)
     val coarse = Clustering.kmeansFit(emb, "vec_id", "embedding",
                                       nCentroids, m * subDims, coarseIters)
-    val cdf = coarse.zipWithIndex.toSeq
-      .map { case (c, i) =>
-        (i.toLong, c.map(v => (v.toDouble / 1000000.0).toFloat)) }
-      .toDF("cid", "cv")
+    val cdf = Clustering.dequantize(coarse).toDF("cid", "cv")
     val cand = ivfCandidates(emb, queryPred, cdf, nProbe)
 
     val (codes, adc, scaled) =
@@ -332,11 +329,25 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
 
+    // Dimension contract, enforced PER ROW: QuantizeE6 throws on arrays
+    // SHORTER than dims, but a LONGER embedding would silently cluster
+    // on its first m·subDims dims — the prefix-clustering failure mode
+    // again, from the other side. The guard rides the first subspace
+    // slice (any row reaching j=0 errors), costing no extra job.
+    val total = m * subDims
+    val guarded = when(size(col("embedding")) === total, col("embedding"))
+      .otherwise(raise_error(concat(
+        lit(s"pq: embedding must have exactly $total dims, got "),
+        size(col("embedding")).cast("string"))))
+
     // 1. all m codebooks trained JOINTLY (one job per Lloyd round, one
     // quantized cache shared with encoding below)
     val (books, scaled) = Clustering.kmeansFitMulti(
       emb, "vec_id",
-      (0 until m).map(j => slice(col("embedding"), j * subDims + 1, subDims)),
+      (0 until m).map { j =>
+        slice(if (j == 0) guarded else col("embedding"),
+              j * subDims + 1, subDims)
+      },
       codeK, subDims, iters)
 
     // 2. encode: m argmin kernels in ONE projection over the cache

@@ -248,10 +248,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(s, dir)
     val cents = graft.operators.Clustering.kmeansFit(
       emb, "vec_id", "embedding", k = 8, dims = 64, iters = 3)
-    val cdf = cents.zipWithIndex.toSeq
-      .map { case (c, i) =>
-        (i.toLong, c.map(v => (v.toDouble / 1000000.0).toFloat)) }
-      .toDF("cid", "cv")
+    val cdf = graft.operators.Clustering.dequantize(cents).toDF("cid", "cv")
     Similarity.ivfTopKWith(emb, queryPred = col("vec_id") < 20, k = 3,
         centroids = cdf)
       .withColumn("rnk", col("rnk").cast("long"))
@@ -422,6 +419,45 @@ object PipelineQueries {
        |${kmAssign(s"af_$j", s"c2_$j", qj, subDims)}""".stripMargin
   }
 
+  /** Shared q69/q71 oracle fragment: the trained coarse quantizer (3
+    * Lloyd rounds over 64-dim e6 coordinates), de-quantized to float,
+    * cosine probe ranking, and the candidate posting lists for queries
+    * `vec_id < queryBound`. Emits CTEs `q, c0, a0..c3, cf, e, ranked0,
+    * rankedc, assign, probes, cand` — ONE definition so the two gates
+    * (exact-cosine re-rank in q69, ADC re-rank in q71) cannot drift.
+    */
+  private def coarseCandCtes(queryBound: Int, nProbe: Int = 2): String =
+    s"""q AS (
+       |  SELECT vec_id, list_transform(range(64),
+       |    d -> CAST(floor(embedding[d+1]::DOUBLE * 1000000) AS BIGINT))
+       |    AS q
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+       |  FROM q ORDER BY vec_id LIMIT 8),
+       |${kmAssign("a0", "c0")},
+       |${kmUpdate("c1", "a0", "c0")},
+       |${kmAssign("a1", "c1")},
+       |${kmUpdate("c2", "a1", "c1")},
+       |${kmAssign("a2", "c2")},
+       |${kmUpdate("c3", "a2", "c2")},
+       |cf AS (SELECT cid, list_transform(c,
+       |         x -> CAST(x / 1000000.0 AS FLOAT)) AS cv FROM c3),
+       |e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |ranked0 AS (
+       |  SELECT e.vec_id, cf.cid, ${cosSql("v", "cv")} AS ccos
+       |  FROM e CROSS JOIN cf),
+       |rankedc AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ccos DESC, cid ASC) AS crnk FROM ranked0),
+       |assign AS (SELECT vec_id, cid FROM rankedc WHERE crnk = 1),
+       |probes AS (SELECT vec_id AS qid, cid FROM rankedc
+       |           WHERE vec_id < $queryBound AND crnk <= $nProbe),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.vec_id
+       |  FROM probes p JOIN assign a USING (cid)
+       |  WHERE a.vec_id <> p.qid)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q68_kmeans" ->
       s"""WITH q AS (
@@ -446,36 +482,7 @@ object PipelineQueries {
     // centroids de-quantized to float (BIGINT/1e6 → FLOAT rounds
     // identically in IEEE), then assignment/probe/verify as in q47.
     "q69_ivf_trained" ->
-      s"""WITH q AS (
-         |  SELECT vec_id, list_transform(range(64),
-         |    d -> CAST(floor(embedding[d+1]::DOUBLE * 1000000) AS BIGINT))
-         |    AS q
-         |  FROM embeddings),
-         |c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
-         |  FROM q ORDER BY vec_id LIMIT 8),
-         |${kmAssign("a0", "c0")},
-         |${kmUpdate("c1", "a0", "c0")},
-         |${kmAssign("a1", "c1")},
-         |${kmUpdate("c2", "a1", "c1")},
-         |${kmAssign("a2", "c2")},
-         |${kmUpdate("c3", "a2", "c2")},
-         |cf AS (SELECT cid, list_transform(c,
-         |         x -> CAST(x / 1000000.0 AS FLOAT)) AS cv FROM c3),
-         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |ranked0 AS (
-         |  SELECT e.vec_id, cf.cid, ${cosSql("v", "cv")} AS ccos
-         |  FROM e CROSS JOIN cf),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ccos DESC, cid ASC) AS crnk FROM ranked0),
-         |assign AS (SELECT vec_id, cid FROM ranked WHERE crnk = 1),
-         |probes AS (SELECT vec_id AS qid, cid FROM ranked
-         |           WHERE vec_id < 20 AND crnk <= 2),
-         |cand AS (
-         |  SELECT DISTINCT p.qid, a.vec_id
-         |  FROM probes p JOIN assign a USING (cid)
-         |  WHERE a.vec_id <> p.qid),
+      s"""WITH ${coarseCandCtes(queryBound = 20)},
          |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
          |s AS (SELECT cand.qid, cand.vec_id, ${cosSql("qv", "dv")} AS cos
          |      FROM cand
@@ -493,36 +500,7 @@ object PipelineQueries {
     // candidate posting lists) composed with q70's PQ chains — pairs
     // restricted to the candidates before the ADC sum.
     "q71_ivf_pq" ->
-      s"""WITH q AS (
-         |  SELECT vec_id, list_transform(range(64),
-         |    d -> CAST(floor(embedding[d+1]::DOUBLE * 1000000) AS BIGINT))
-         |    AS q
-         |  FROM embeddings),
-         |c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
-         |  FROM q ORDER BY vec_id LIMIT 8),
-         |${kmAssign("a0", "c0")},
-         |${kmUpdate("c1", "a0", "c0")},
-         |${kmAssign("a1", "c1")},
-         |${kmUpdate("c2", "a1", "c1")},
-         |${kmAssign("a2", "c2")},
-         |${kmUpdate("c3", "a2", "c2")},
-         |cf AS (SELECT cid, list_transform(c,
-         |         x -> CAST(x / 1000000.0 AS FLOAT)) AS cv FROM c3),
-         |e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |ranked0 AS (
-         |  SELECT e.vec_id, cf.cid, ${cosSql("v", "cv")} AS ccos
-         |  FROM e CROSS JOIN cf),
-         |rankedc AS (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ccos DESC, cid ASC) AS crnk FROM ranked0),
-         |assign AS (SELECT vec_id, cid FROM rankedc WHERE crnk = 1),
-         |probes AS (SELECT vec_id AS qid, cid FROM rankedc
-         |           WHERE vec_id < 10 AND crnk <= 2),
-         |cand AS (
-         |  SELECT DISTINCT p.qid, a.vec_id
-         |  FROM probes p JOIN assign a USING (cid)
-         |  WHERE a.vec_id <> p.qid),
+      s"""WITH ${coarseCandCtes(queryBound = 10)},
          |${(0 until 4).map(j => pqChain(j, j * 16, 16, 16))
               .mkString(",\n")},
          |pairs AS (

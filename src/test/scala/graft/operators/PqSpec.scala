@@ -70,6 +70,19 @@ class PqSpec extends SparkSpec {
     assert(ivfpq() == got, "deterministic across runs")
   }
 
+  test("embeddings longer than m*subDims fail fast — never a silent " +
+       "prefix scan") {
+    val long = Seq(0L -> Array.fill(80)(0.5f), 1L -> Array.fill(80)(0.6f))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pqTopK(long, queryPred = col("vec_id") < 1, k = 1)
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("pq: embedding")), s"got $ex")
+  }
+
   test("executed plans: ADC scoring broadcasts the lookup, never " +
        "sort-merges") {
     withCapturedPlans {
