@@ -403,6 +403,32 @@ object Dedup {
     * join — the component map has one row per PAIRED doc, a small
     * fraction of the corpus.
     */
+  /** Duplicated-SPAN detection — substring-level dedup (the unit of
+    * "Deduplicating Training Data Makes Language Models Better"-style
+    * span trimming), complementing the document-level operators: every
+    * distinct n-word span occurring in at least `minDocs` distinct
+    * documents, with the span's keeper (min doc id).
+    *
+    * One explode + one hash aggregate keyed on the span string — the
+    * same O(total spans) shuffle as the shingle inverted index, never
+    * pairwise. [[TextFunctions.shingles]] emits DISTINCT spans per doc,
+    * so the plain `count` IS the distinct-document count (no
+    * count_distinct expansion needed). Web-scale hot spans (boilerplate)
+    * are exactly the high-`n_docs` rows this op exists to surface, so
+    * unlike the pair generators there is nothing to cap — output is one
+    * row per distinct span, bounded by the input token count.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 1, s"need n>0, minDocs>=1; got $n/$minDocs")
+    Partitioning.spread(docs).select(
+        col(idCol).as("doc_id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("span"))
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
     applyDedupReleasable(docs, idCol, pairs, aCol, bCol)._1

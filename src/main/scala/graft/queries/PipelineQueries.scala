@@ -279,6 +279,15 @@ object PipelineQueries {
       .withColumn("rnk", col("rnk").cast("long"))
       .orderBy("qid", "rnk")
 
+  /** Substring-level dedup: 5-word spans shared by ≥2 documents (see
+    * [[Dedup.duplicatedSpans]]) — the span-trimming companion to the
+    * document-level dedup family.
+    */
+  def q72DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+                          n = 5, minDocs = 2)
+      .orderBy("span")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -304,7 +313,8 @@ object PipelineQueries {
     "q68_kmeans"            -> (q68Kmeans _),
     "q69_ivf_trained"       -> (q69IvfTrained _),
     "q70_pq_ann"            -> (q70PqAnn _),
-    "q71_ivf_pq"            -> (q71IvfPq _)
+    "q71_ivf_pq"            -> (q71IvfPq _),
+    "q72_dup_spans"         -> (q72DupSpans _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -547,6 +557,20 @@ object PipelineQueries {
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
+    // q72: 5-word spans (distinct per doc, mirroring shingles()) shared
+    // by >= 2 docs; COUNT(*) over per-doc-distinct spans IS the
+    // distinct-document count.
+    "q72_dup_spans" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, span FROM (
+         |  SELECT doc_id, unnest(list_transform(range(len(w) - 4),
+         |    i -> ${(1 to 5).map(t => s"w[i+$t]").mkString(" || ' ' || ")}))
+         |    AS span
+         |  FROM words WHERE len(w) >= 5))
+         |SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  MIN(doc_id) AS keep_doc
+         |FROM sh GROUP BY span HAVING COUNT(*) >= 2 ORDER BY span""".stripMargin,
     "q21_ngram_jaccard" -> jaccardSql(1, 2),
     "q22_minhash_lsh"   -> jaccardSql(4, 5),
     "q52_minhash_ckpt"  -> jaccardSql(4, 5),

@@ -138,4 +138,17 @@ class DedupSkewSpec extends SparkSpec {
     assert(cappedShingles.contains("a b c"), "df=2 shingle must survive")
     assert(capped.count() < uncapped.count())
   }
+
+  test("duplicatedSpans: cross-doc spans only, min-id keeper, " +
+       "within-doc repeats count once") {
+    val docs = Seq(
+      (10L, "a b c d e f"),        // spans: 'a b c d e', 'b c d e f'
+      (20L, "x a b c d e"),        // shares 'a b c d e'
+      (30L, "p q r s t p q r s t") // repeats its span within one doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a b c d e", 2L, 10L)),
+      s"only the cross-doc span, keeper = min doc id; got ${got.toSeq}")
+  }
 }
