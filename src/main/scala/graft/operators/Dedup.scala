@@ -227,26 +227,29 @@ object Dedup {
       // sets. The batch-set side broadcasts only under the MEASURED byte
       // cap (its rows are whole shingle arrays); past it, the join runs
       // un-hinted — shuffling batch-sized data, never the corpus.
-      val candJ =
-        if (cand.count() <= broadcastPairCap) broadcast(cand) else cand
-      val bVerify = bSets
-        .select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))
-      val bVerifyJ = if (bSetBytes <= DefaultBroadcastSetBytesCap)
-                       broadcast(bVerify)
-                     else bVerify
-      val verified = cSets
-        .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
-        .join(candJ, "corpus_id")
-        .join(bVerifyJ, "batch_id")
-        .withColumn("inter_cnt",
-          size(array_intersect(col("sh_b"), col("sh_c"))).cast("long"))
-        .withColumn("union_cnt",
-          size(col("sh_b")) + size(col("sh_c")) - col("inter_cnt"))
-        .filter(col("inter_cnt") * den >= col("union_cnt") * num)
-        .select("batch_id", "corpus_id", "inter_cnt", "union_cnt")
-      val out = verified.localCheckpoint()
-      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(cand)
-      out
+      try {
+        val candJ =
+          if (cand.count() <= broadcastPairCap) broadcast(cand) else cand
+        val bVerify = bSets
+          .select(col("doc_id").as("batch_id"), col("sh").as("sh_b"))
+        val bVerifyJ = if (bSetBytes <= DefaultBroadcastSetBytesCap)
+                         broadcast(bVerify)
+                       else bVerify
+        val verified = cSets
+          .select(col("doc_id").as("corpus_id"), col("sh").as("sh_c"))
+          .join(candJ, "corpus_id")
+          .join(bVerifyJ, "batch_id")
+          .withColumn("inter_cnt",
+            size(array_intersect(col("sh_b"), col("sh_c"))).cast("long"))
+          .withColumn("union_cnt",
+            size(col("sh_b")) + size(col("sh_c")) - col("inter_cnt"))
+          .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+          .select("batch_id", "corpus_id", "inter_cnt", "union_cnt")
+        verified.localCheckpoint()
+      } finally
+        // release on failure paths too — a throw in the verify joins must
+        // not leak the candidate blocks until driver GC
+        org.apache.spark.sql.GraftColumns.unpersistCheckpoint(cand)
     } finally bSets.unpersist()
   }
 
@@ -321,26 +324,27 @@ object Dedup {
     // through two broadcast joins with zero shuffle; over it we fall back
     // to shuffle joins instead of hitting the broadcast limit or OOMing
     // the driver (cap rationale at [[DefaultBroadcastPairCap]]).
-    val candJ =
-      if (cand.count() <= broadcastPairCap) broadcast(cand) else cand
-    val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val verified = sa.join(candJ, "doc_a").join(sb, "doc_b")
-      .withColumn("inter_cnt",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("union_cnt",
-        size(col("sh_a")) + size(col("sh_b")) - col("inter_cnt"))
-      .filter(col("inter_cnt") * den >= col("union_cnt") * num)
-      .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
-    // Materialize the (small) verified pair set eagerly: the cached-sets
-    // caller unpersists right after this returns (otherwise every call
-    // would leak a MEMORY_AND_DISK cache for the session's lifetime), and
-    // localCheckpoint keeps the result addressable without the cache.
-    // The candidate checkpoint has no consumers past this point — release
-    // its blocks instead of waiting for driver GC (ContextCleaner).
-    val out = verified.localCheckpoint()
-    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(cand)
-    out
+    try {
+      val candJ =
+        if (cand.count() <= broadcastPairCap) broadcast(cand) else cand
+      val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val verified = sa.join(candJ, "doc_a").join(sb, "doc_b")
+        .withColumn("inter_cnt",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("union_cnt",
+          size(col("sh_a")) + size(col("sh_b")) - col("inter_cnt"))
+        .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+        .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+      // Materialize the (small) verified pair set eagerly: the cached-sets
+      // caller unpersists right after this returns (otherwise every call
+      // would leak a MEMORY_AND_DISK cache for the session's lifetime), and
+      // localCheckpoint keeps the result addressable without the cache.
+      verified.localCheckpoint()
+    } finally
+      // The candidate checkpoint has no consumers past this point — release
+      // its blocks instead of waiting for driver GC, on failure paths too.
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(cand)
   }
 
   /** Fuzzy key pairs within edit distance 1, EXACT recall, via the

@@ -217,6 +217,18 @@ object AdvancedQueries {
     * the accuracy contract is driver-checked, not just spec-checked. One
     * sketch pass; exact percentile bands cost a second sort-based agg,
     * which is the price of the gate, not of the operator.
+    *
+    * Expected flake rate (the gate hard-asserts a probabilistic bound):
+    * both sketches are DETERMINISTIC for a fixed dataset — HLL++ hashes
+    * values with a fixed seed and approx_percentile's GK summary depends
+    * only on merge order, which Spark makes deterministic per plan — so
+    * on the driver's fixed sf0.01/sf0.1 inputs the flags are a constant
+    * TRUE (observed across every round), not a per-run coin flip. The
+    * probabilistic reading applies across DATASETS: ~3.3σ puts the
+    * per-dataset chance of an out-of-band HLL estimate near 1e-3, so a
+    * red q40 on new data means "this dataset is a tail draw or the
+    * operator regressed" — re-check the band arithmetic before blaming
+    * the sketch (ADVICE r4).
     */
   def q40Sketches(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

@@ -43,9 +43,17 @@ object StreamingDedup {
     * so batch callers (a backfill loop) share the exact code path.
     * Returns the number of appended (kept) rows.
     */
+  /** `minExpectedCorpusKeys` is a bloom-sizing FLOOR, not the size: the
+    * bloom is sized from `max(floor, actual corpus row count)` each batch
+    * (the count is parquet-metadata-cheap), so fpp cannot silently decay
+    * as the corpus outgrows a static estimate — undersizing a bloom never
+    * breaks exactness (stage 2 confirms every survivor) but does decay
+    * its pruning toward a plain anti-join. The floor buys headroom for
+    * within-run growth across many batches.
+    */
   def dedupAppendBatch(batch: DataFrame, corpusPath: String,
                        n: Int = 3, num: Int = 4, den: Int = 5,
-                       expectedCorpusKeys: Long = 1000000L): Long = {
+                       minExpectedCorpusKeys: Long = 1000000L): Long = {
     import org.apache.spark.sql.GraftColumns.unpersistCheckpoint
     val spark = batch.sparkSession
     // 1a. within-batch exact: one keeper (min doc_id) per distinct text
@@ -63,9 +71,19 @@ object StreamingDedup {
                                              n, num, den)
     val (b1Flagged, intraLabels) =
       Dedup.applyDedupReleasable(b1a, "doc_id", intraPairs)
-    val b1 = b1Flagged
-      .filter(col("kept")).drop("component", "kept")
-      .withColumn("content_md5", md5(col("text")))
+    // b1's lineage carries minhash banding + connected-components joins,
+    // and Membership.newKeys scans its input up to four times — checkpoint
+    // once so each scan is a block read, not a dedup-pipeline replay. The
+    // intra-dedup checkpoints have no consumers past this materialization.
+    val b1 = try {
+      b1Flagged
+        .filter(col("kept")).drop("component", "kept")
+        .withColumn("content_md5", md5(col("text")))
+        .localCheckpoint()
+    } finally {
+      unpersistCheckpoint(intraPairs)
+      unpersistCheckpoint(intraLabels)
+    }
 
     val corpusExists = new org.apache.hadoop.fs.Path(corpusPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -74,10 +92,12 @@ object StreamingDedup {
       if (!corpusExists) (b1, None)
       else {
         val corpus = spark.read.parquet(corpusPath)
-        // 2. exact vs corpus (bloom-prefiltered, corpus unshuffled)
+        // 2. exact vs corpus (bloom-prefiltered, corpus unshuffled);
+        // bloom sized from the ACTUAL corpus size (row count is an upper
+        // bound on distinct keys, and parquet count() is metadata-only)
         val b2 = Membership.newKeys(
           b1, corpus.select(col("content_md5")), "content_md5",
-          expectedCorpusKeys)
+          math.max(minExpectedCorpusKeys, corpus.count()))
         // 3. near-dup vs corpus: batch ids carrying any cross pair drop
         val pairs = Dedup.incrementalMinhashPairs(
           corpus, b2, "doc_id", "text", n, num, den)
@@ -96,8 +116,7 @@ object StreamingDedup {
       out.count()
     } finally {
       unpersistCheckpoint(out)
-      unpersistCheckpoint(intraPairs)
-      unpersistCheckpoint(intraLabels)
+      unpersistCheckpoint(b1)
       crossPairs.foreach(unpersistCheckpoint(_))
     }
   }
