@@ -197,6 +197,68 @@ object Similarity {
       .select("vec_a", "vec_b", "sim_e6")
   }
 
+  /** Semantic dedup (the SemDeDup shape): cluster embeddings with the
+    * quantized k-means coarse quantizer, compute pairwise cosine WITHIN
+    * each cluster only, and greedily drop any vector that has a
+    * lower-id in-cluster neighbor above the similarity threshold — the
+    * "keep one representative per semantic duplicate set" pruning of
+    * embedding-level dataset curation, without the O(n²) all-pairs sweep
+    * of [[nearDupPairs]].
+    *
+    * Scale shape: clustering is linear scans (see
+    * [[Clustering.kmeansAssign]]); the pair stage is an EQUI-JOIN on
+    * cluster id, so only same-cluster pairs materialize — Σ|cluster|²
+    * work, ≈ n²/k for balanced clusters. The cluster count is the knob:
+    * production semantic dedup runs k in the tens of thousands so each
+    * cluster holds hundreds of vectors and the quadratic term is
+    * per-cluster small (a hot cluster is an AQE skew-join split). The
+    * keeper policy here is deterministic greedy-by-id (drop iff a
+    * lower-id neighbor is close enough) rather than the
+    * furthest-from-centroid variant — same pruning power, but exactly
+    * SQL-replicable, so the whole train→cluster→pair→keep pipeline is
+    * oracle-gated end-to-end (q73).
+    *
+    * Output: (vec_id, cid, n_close, kept) — cluster id, count of
+    * in-cluster neighbors at sim ≥ minSimE6/1e6 (either direction), and
+    * the keep flag (no lower-id close neighbor).
+    */
+  def semDedup(emb: DataFrame, minSimE6: Long, k: Int = 8,
+               dims: Int = 64, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftColumns.unpersistCheckpoint
+    val assign = Clustering.kmeansAssign(emb, "vec_id", "embedding",
+                                         k, dims, iters)
+    try {
+      // one norm per vector below the pair join (the nearDupPairs
+      // discipline: the quadratic stage does a single dot per pair)
+      val prepped = Partitioning.spread(emb)
+        .select(col("vec_id"), col("embedding"),
+                sqrt(norm2(col("embedding"))).as("nrm"))
+        .join(assign.select(col("vec_id"), col("cid")), "vec_id")
+      val a = prepped.select(col("cid"), col("vec_id").as("vec_a"),
+        col("embedding").as("va"), col("nrm").as("na"))
+      val b = prepped.select(col("cid"), col("vec_id").as("vec_b"),
+        col("embedding").as("vb"), col("nrm").as("nb"))
+      val pairs = a.join(b, "cid")
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("sim_e6",
+          e6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+        .filter(col("sim_e6") >= minSimE6)
+        .select("vec_a", "vec_b")
+      val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(true))
+      val closeCounts = pairs.select(col("vec_a").as("vec_id"))
+        .unionAll(pairs.select(col("vec_b").as("vec_id")))
+        .groupBy("vec_id").agg(count(lit(1)).as("n_close"))
+      assign.select(col("vec_id"), col("cid"))
+        .join(dropped, Seq("vec_id"), "left")
+        .join(closeCounts, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+                coalesce(col("n_close"), lit(0L)).as("n_close"),
+                (!coalesce(col("is_dropped"), lit(false))).as("kept"))
+        .localCheckpoint()
+    } finally unpersistCheckpoint(assign)
+  }
+
   /** Embedding near-duplicate pairs: all (a,b), a<b, with cosine ≥
     * minSimE6/1e6. Exact quadratic baseline — at corpus scale run
     * [[annTopK]]-style bucketing first and verify candidates instead;

@@ -279,6 +279,17 @@ object PipelineQueries {
       .withColumn("rnk", col("rnk").cast("long"))
       .orderBy("qid", "rnk")
 
+  /** Semantic dedup (SemDeDup shape): q68's k-means partitions the
+    * embedding space, pairwise cosine runs within clusters only, and the
+    * greedy min-id keeper drops semantic duplicates (see
+    * [[Similarity.semDedup]]) — train → cluster → pair → keep,
+    * oracle-exact end-to-end.
+    */
+  def q73SemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, dir), minSimE6 = 400000L,
+                        k = 8, dims = 64, iters = 3)
+      .orderBy("vec_id")
+
   /** Substring-level dedup: 5-word spans shared by ≥2 documents (see
     * [[Dedup.duplicatedSpans]]) — the span-trimming companion to the
     * document-level dedup family.
@@ -314,7 +325,8 @@ object PipelineQueries {
     "q69_ivf_trained"       -> (q69IvfTrained _),
     "q70_pq_ann"            -> (q70PqAnn _),
     "q71_ivf_pq"            -> (q71IvfPq _),
-    "q72_dup_spans"         -> (q72DupSpans _)
+    "q72_dup_spans"         -> (q72DupSpans _),
+    "q73_semdedup"          -> (q73SemDedup _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -468,26 +480,58 @@ object PipelineQueries {
        |  FROM probes p JOIN assign a USING (cid)
        |  WHERE a.vec_id <> p.qid)""".stripMargin
 
+  /** Shared q68/q73 oracle fragment: the full 3-round quantized Lloyd
+    * chain over 64-dim e6 coordinates — CTEs `q, c0, a0..c3, a3`; the
+    * final assignment is `a3 WHERE rn = 1`. ONE definition so the
+    * k-means gate (q68) and the SemDeDup gate (q73) cannot drift.
+    */
+  private val kmChainCtes: String =
+    s"""q AS (
+       |  SELECT vec_id, list_transform(range(64),
+       |    d -> CAST(floor(embedding[d+1]::DOUBLE * 1000000) AS BIGINT))
+       |    AS q
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
+       |  FROM q ORDER BY vec_id LIMIT 8),
+       |${kmAssign("a0", "c0")},
+       |${kmUpdate("c1", "a0", "c0")},
+       |${kmAssign("a1", "c1")},
+       |${kmUpdate("c2", "a1", "c1")},
+       |${kmAssign("a2", "c2")},
+       |${kmUpdate("c3", "a2", "c2")},
+       |${kmAssign("a3", "c3")}""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q68_kmeans" ->
-      s"""WITH q AS (
-         |  SELECT vec_id, list_transform(range(64),
-         |    d -> CAST(floor(embedding[d+1]::DOUBLE * 1000000) AS BIGINT))
-         |    AS q
-         |  FROM embeddings),
-         |c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q AS c
-         |  FROM q ORDER BY vec_id LIMIT 8),
-         |${kmAssign("a0", "c0")},
-         |${kmUpdate("c1", "a0", "c0")},
-         |${kmAssign("a1", "c1")},
-         |${kmUpdate("c2", "a1", "c1")},
-         |${kmAssign("a2", "c2")},
-         |${kmUpdate("c3", "a2", "c2")},
-         |${kmAssign("a3", "c3")}
+      s"""WITH $kmChainCtes
          |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
          |  CAST(d2 AS BIGINT) AS dist2
          |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // q73: the q68 k-means chain partitions the corpus; pairwise cosine
+    // runs WITHIN clusters only; a vector is dropped iff a lower-id
+    // same-cluster neighbor reaches the threshold (greedy keeper).
+    "q73_semdedup" ->
+      s"""WITH $kmChainCtes,
+         |asg AS (SELECT vec_id, cid FROM a3 WHERE rn = 1),
+         |pe AS (SELECT a.vec_id, a.cid, e.embedding AS v
+         |       FROM asg a JOIN embeddings e USING (vec_id)),
+         |pairs AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM pe x JOIN pe y
+         |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  WHERE CAST(floor(${cosSql("x.v", "y.v")} * 1000000) AS BIGINT)
+         |        >= 400000),
+         |cc AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_close FROM (
+         |         SELECT vec_a AS vec_id FROM pairs
+         |         UNION ALL SELECT vec_b FROM pairs)
+         |       GROUP BY vec_id)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+         |  COALESCE(cc.n_close, 0) AS n_close,
+         |  NOT EXISTS (SELECT 1 FROM pairs p WHERE p.vec_b = a.vec_id)
+         |    AS kept
+         |FROM asg a LEFT JOIN cc ON cc.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
     // q69: the q68 k-means chain feeds the q47 IVF chain — trained
     // centroids de-quantized to float (BIGINT/1e6 → FLOAT rounds
     // identically in IEEE), then assignment/probe/verify as in q47.
