@@ -197,6 +197,39 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q74 — concat-and-chop sequence packing (the GPT-style pre-training
+    * layout): the global token stream in doc_id order is cut every 128
+    * tokens; each doc reports the windows it touches and its offset in
+    * the first one (see [[graft.operators.Packing.chopPack]]). The
+    * running sum underneath is the distributed prefix scan, not a
+    * single-partition window.
+    */
+  def q74SeqPackChop(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(TextFunctions.words(col("text"))).cast("long").as("toks"))
+    graft.operators.Packing.chopPack(docs, "toks", Seq("doc_id"),
+                                     ctxLen = 128L)
+      .orderBy("doc_id")
+  }
+
+  /** q75 — boundary-respecting next-fit packing: docs never split;
+    * within each of 8 shards (doc_id mod 8) the greedy in-order packer
+    * opens a new 128-token sequence whenever the next doc would overflow
+    * the open one (see [[graft.operators.Packing.packNextFit]]). The
+    * oracle replays the per-shard recurrence with a recursive CTE —
+    * path-dependent state, exactly what windows cannot express.
+    */
+  def q75SeqPackNextfit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(8L)).as("shard"),
+      size(TextFunctions.words(col("text"))).cast("long").as("toks"))
+    graft.operators.Packing.packNextFit(docs, "doc_id", "toks", "shard",
+                                        ctxLen = 128L)
+      .orderBy("id")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -205,7 +238,9 @@ object CurationQueries {
     "q61_quality_rules" -> (q61QualityRules _),
     "q62_token_budget"  -> (q62TokenBudget _),
     "q63_contamination" -> (q63Contamination _),
-    "q67_global_shards" -> (q67GlobalShards _)
+    "q67_global_shards" -> (q67GlobalShards _),
+    "q74_seq_pack_chop"    -> (q74SeqPackChop _),
+    "q75_seq_pack_nextfit" -> (q75SeqPackNextfit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -306,6 +341,50 @@ object CurationQueries {
         |  MAX(shared) >= 8 AS contaminated
         |FROM ov GROUP BY doc_id HAVING MAX(shared) >= 3
         |ORDER BY doc_id""".stripMargin,
+    // q74: chop layout is pure arithmetic over the running token sum
+    "q74_seq_pack_chop" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, toks, CAST(cum AS BIGINT) AS cum,
+        |  CAST(cum - toks AS BIGINT) AS start_tok,
+        |  CAST((cum - toks) // 128 AS BIGINT) AS first_seq,
+        |  CAST((cum - 1) // 128 AS BIGINT) AS last_seq,
+        |  CAST((cum - 1) // 128 - (cum - toks) // 128 + 1 AS BIGINT)
+        |    AS n_seqs,
+        |  CAST((cum - toks) % 128 AS BIGINT) AS off_in_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q75: the per-shard next-fit recurrence (seq_id, fill) is
+    // path-dependent — the oracle steps it row by row with a recursive
+    // CTE joined on rn+1, all shards advancing in lock-step.
+    "q75_seq_pack_nextfit" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id % 8 AS shard, doc_id AS id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY id)
+        |    AS rn
+        |  FROM d),
+        |pack AS (
+        |  SELECT shard, rn, id, toks,
+        |    0::BIGINT AS seq_id, 0::BIGINT AS seq_off, toks AS fill
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.shard, r.rn, r.id, r.toks,
+        |    CASE WHEN p.fill + r.toks > 128
+        |         THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.fill + r.toks > 128 THEN 0 ELSE p.fill END,
+        |    CASE WHEN p.fill + r.toks > 128
+        |         THEN r.toks ELSE p.fill + r.toks END
+        |  FROM pack p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+        |SELECT shard, id, toks, seq_id, seq_off
+        |FROM pack ORDER BY id""".stripMargin,
     // q67: DuckDB's window SUM over BIGINT yields HUGEINT — cast back
     "q67_global_shards" ->
       """WITH t AS (
