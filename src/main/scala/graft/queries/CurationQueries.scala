@@ -230,6 +230,69 @@ object CurationQueries {
       .orderBy("id")
   }
 
+  /** Deterministic messy-URL fixture: scheme/www/tracking/slash/fragment
+    * decorations keyed on doc_id residues; docs 250 apart share the same
+    * domain+path, so canonicalization makes some of them collide — the
+    * URL-dedup signal. Mirrored verbatim in the q76 oracle.
+    */
+  private def urlFixture: org.apache.spark.sql.Column =
+    concat(
+      when(pmod(col("doc_id"), lit(2L)) === 0, lit("http://"))
+        .otherwise(lit("HTTPS://")),
+      when(pmod(col("doc_id"), lit(3L)) === 0, lit("WWW."))
+        .otherwise(lit("")),
+      lit("site"),
+      pmod(pmod(col("doc_id"), lit(250L)), lit(40L)).cast("string"),
+      lit(".com/p/"), pmod(col("doc_id"), lit(250L)).cast("string"),
+      when(pmod(col("doc_id"), lit(4L)) === 0,
+        concat(lit("?id="), pmod(col("doc_id"), lit(7L)).cast("string"),
+               lit("&utm_source=s"),
+               pmod(col("doc_id"), lit(3L)).cast("string")))
+        .when(pmod(col("doc_id"), lit(4L)) === 2, lit("?utm_campaign=c"))
+        .when(pmod(col("doc_id"), lit(5L)) === 0, lit("/"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(6L)) === 0, lit("#sec"))
+        .otherwise(lit("")))
+
+  /** q76 — URL canonicalization + exact URL dedup + per-domain cap: the
+    * crawl-curation front door. Canonical form collapses
+    * scheme/www/utm/slash/fragment variants
+    * ([[graft.functions.UrlFunctions.canonicalizeUrl]] — per-row regex,
+    * zero shuffle); exact dedup keeps the min doc_id per canonical URL;
+    * survivors are capped at 3 docs per registered host (rank by
+    * n_chars desc — the quality proxy — then doc_id). Per-domain
+    * ranking is one window keyed on domain; a hot domain is a skew key
+    * exactly like a hot join key (salt or pre-aggregate a per-domain
+    * top-k at 100 TB — the cap query shape itself is unchanged).
+    */
+  def q76UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.UrlFunctions
+    val withUrl = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), urlFixture.as("url"))
+      .withColumn("canon", UrlFunctions.canonicalizeUrl(col("url")))
+      .withColumn("domain", UrlFunctions.urlDomain(col("canon")))
+      .withColumn("keep_id",
+        min("doc_id").over(Window.partitionBy(col("canon"))))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("canon"))))
+    val keepers = withUrl.filter(col("doc_id") === col("keep_id"))
+      .withColumn("domain_rank", row_number().over(
+        Window.partitionBy(col("domain"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("domain_rank"))
+    withUrl
+      .join(keepers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("canon"), col("domain"),
+              col("keep_id"), col("n_copies"),
+              coalesce(col("domain_rank"), lit(0)).cast("long")
+                .as("domain_rank"),
+              (col("doc_id") === col("keep_id") &&
+                 coalesce(col("domain_rank"), lit(999999)) <= 3)
+                .as("kept"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,7 +303,8 @@ object CurationQueries {
     "q63_contamination" -> (q63Contamination _),
     "q67_global_shards" -> (q67GlobalShards _),
     "q74_seq_pack_chop"    -> (q74SeqPackChop _),
-    "q75_seq_pack_nextfit" -> (q75SeqPackNextfit _)
+    "q75_seq_pack_nextfit" -> (q75SeqPackNextfit _),
+    "q76_url_dedup"        -> (q76UrlDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -385,6 +449,54 @@ object CurationQueries {
         |  FROM pack p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
         |SELECT shard, id, toks, seq_id, seq_off
         |FROM pack ORDER BY id""".stripMargin,
+    // q76: fixture, canonicalization steps, and cap mirrored verbatim;
+    // each regex replacement is anchored/single-occurrence so DuckDB's
+    // first-match regexp_replace equals Spark's replace-all.
+    "q76_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |    'site' || ((doc_id % 250) % 40)::VARCHAR ||
+        |    '.com/p/' || (doc_id % 250)::VARCHAR ||
+        |    (CASE WHEN doc_id % 4 = 0
+        |          THEN '?id=' || (doc_id % 7)::VARCHAR ||
+        |               '&utm_source=s' || (doc_id % 3)::VARCHAR
+        |          WHEN doc_id % 4 = 2 THEN '?utm_campaign=c'
+        |          WHEN doc_id % 5 = 0 THEN '/'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_chars,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(lower(url), '#.*$', ''),
+        |            '[?&]utm_[a-z]+=[^&]*$', ''),
+        |          '^https?://', ''),
+        |        '^www\.', ''),
+        |      '/$', '') AS canon
+        |  FROM u),
+        |g AS (
+        |  SELECT doc_id, n_chars, canon,
+        |    regexp_extract(canon, '^([^/?]+)', 1) AS domain,
+        |    MIN(doc_id) OVER (PARTITION BY canon) AS keep_id,
+        |    COUNT(*) OVER (PARTITION BY canon) AS n_copies
+        |  FROM c),
+        |k AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY domain
+        |                       ORDER BY n_chars DESC, doc_id) AS domain_rank
+        |  FROM g WHERE doc_id = keep_id)
+        |SELECT g.doc_id, g.canon, g.domain, g.keep_id,
+        |  CAST(g.n_copies AS BIGINT) AS n_copies,
+        |  CAST(COALESCE(k.domain_rank, 0) AS BIGINT) AS domain_rank,
+        |  (g.doc_id = g.keep_id AND COALESCE(k.domain_rank, 999999) <= 3)
+        |    AS kept
+        |FROM g LEFT JOIN k ON k.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     // q67: DuckDB's window SUM over BIGINT yields HUGEINT — cast back
     "q67_global_shards" ->
       """WITH t AS (
