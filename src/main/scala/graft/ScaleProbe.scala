@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, GraphOps, Membership, Similarity, TemporalOps}
+import graft.operators.{Clustering, Dedup, GraphOps, Membership, Packing, Similarity, TemporalOps}
 
 /** Dev tool: scale-up probe for the heavy operators.
   *
@@ -141,6 +141,26 @@ object ScaleProbe {
         batchK, corpusK, "k", expectedCorpusKeys = 200000L * mult).count())
     }
 
+    // --- sequence packing: chop is the distributed prefix scan (one
+    // range exchange — linear); next-fit keeps the shard count constant
+    // so rows-per-shard grow with the corpus and the per-shard
+    // sequential pass must stay linear (shard count is the real
+    // deployment's parallelism knob, held fixed here to expose the
+    // per-shard term).
+    val toks = docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(64L)).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("toks"))
+    time(s"chop_pack_${mult}x") {
+      println("  docs laid out: " + Packing.chopPack(
+        toks.drop("shard"), "toks", Seq("doc_id"), ctxLen = 128L).count())
+    }
+    time(s"nextfit_pack_${mult}x") {
+      val packed = Packing.packNextFit(toks, "doc_id", "toks", "shard",
+                                       ctxLen = 128L)
+      println("  sequences: " + packed
+        .select(col("shard"), col("seq_id")).distinct().count())
+    }
+
     val emb0 = Tables.embeddings(spark, dir)
     val emb = emb0.crossJoin(copies)
       .select((col("vec_id") * mult + col("copy")).as("vec_id"),
@@ -163,6 +183,18 @@ object ScaleProbe {
     time(s"pq_ann_${mult}x") {
       println("  pq top-k rows: " + Similarity.pqTopK(
         emb, col("vec_id") < 10, k = 5).count())
+    }
+    // --- SemDeDup (q73 shape): k scales WITH the corpus (8·mult) so
+    // clusters keep a constant expected size — the production regime
+    // (tens of thousands of clusters at web scale; a fixed tiny k over
+    // a growing corpus would deliberately degenerate the within-cluster
+    // quadratic term). Assignment stays one linear pass (the argmin
+    // kernel loops k centroids per row); pair work tracks true
+    // duplicate sets (identical copies of each base), kept stays ~flat.
+    time(s"semdedup_${mult}x") {
+      println("  kept: " + Similarity.semDedup(
+          emb, minSimE6 = 950000L, k = 8 * mult, dims = 64, iters = 3)
+        .filter(col("kept")).count())
     }
     spark.stop()
   }

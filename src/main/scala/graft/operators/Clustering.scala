@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * quantization is far below embedding noise.
   *
   * Scale shape (the standard distributed Lloyd):
-  *  - Assignment is a per-row codegen'd expression — k [[graft.functions.DistSqLong]]
-  *    kernels (centroids as reference objects, so Lloyd rounds reuse ONE
-  *    compiled projection), argmin via `array_min` over (dist², cid)
-  *    structs (ties → lower cid). No shuffle, no UDF.
+  *  - Assignment is a per-row codegen'd expression — ONE
+  *    [[graft.functions.ArgMinDistSqLong]] kernel looping all k
+  *    centroids (the matrix as a reference object, so Lloyd rounds
+  *    reuse ONE compiled projection), ties → lower cid. No shuffle,
+  *    no UDF, no per-centroid struct allocation.
   *  - The update is one `groupBy(cid, dim).sum` over posexploded
   *    coordinates — k·dims result rows COLLECTED to the driver (tiny,
   *    control-plane); the per-iteration cost is one map-side-combined
@@ -47,17 +48,6 @@ object Clustering {
     import org.apache.spark.sql.GraftColumns
     GraftColumns.column(graft.functions.QuantizeE6(
       GraftColumns.expression(emb), dims))
-  }
-
-  /** Integer squared L2 distance of quantized column `q` to constant
-    * centroid `c` — the codegen'd [[graft.functions.DistSqLong]] kernel
-    * (centroid as a reference object, so Lloyd iterations reuse ONE
-    * compiled projection instead of recompiling per round).
-    */
-  private def dist2(q: Column, c: Array[Long]): Column = {
-    import org.apache.spark.sql.GraftColumns
-    GraftColumns.column(graft.functions.DistSqLong(
-      GraftColumns.expression(q), c))
   }
 
   /** Run `iters` Lloyd iterations from centroids = the `k` lowest-id
@@ -106,10 +96,11 @@ object Clustering {
       (i.toLong, c.map(v => (v.toDouble / 1000000.0).toFloat))
     }
 
-  def nearest(q: Column, centroids: Array[Array[Long]]): Column =
-    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(dist2(q, c).as("d"), lit(i.toLong).as("c"))
-    }: _*))
+  def nearest(q: Column, centroids: Array[Array[Long]]): Column = {
+    import org.apache.spark.sql.GraftColumns
+    GraftColumns.column(graft.functions.ArgMinDistSqLong(
+      GraftColumns.expression(q), centroids))
+  }
 
   private def scoredMin(centroids: Array[Array[Long]]): Column =
     nearest(col("q0"), centroids)

@@ -238,24 +238,30 @@ object Similarity {
         col("embedding").as("va"), col("nrm").as("na"))
       val b = prepped.select(col("cid"), col("vec_id").as("vec_b"),
         col("embedding").as("vb"), col("nrm").as("nb"))
+      // the quadratic stage runs once: the three flag branches below
+      // (drop set, both close-count scans, final join) read the
+      // materialized pairs, not three replays of the cid join
       val pairs = a.join(b, "cid")
         .filter(col("vec_a") < col("vec_b"))
         .withColumn("sim_e6",
           e6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
         .filter(col("sim_e6") >= minSimE6)
         .select("vec_a", "vec_b")
-      val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
-        .withColumn("is_dropped", lit(true))
-      val closeCounts = pairs.select(col("vec_a").as("vec_id"))
-        .unionAll(pairs.select(col("vec_b").as("vec_id")))
-        .groupBy("vec_id").agg(count(lit(1)).as("n_close"))
-      assign.select(col("vec_id"), col("cid"))
-        .join(dropped, Seq("vec_id"), "left")
-        .join(closeCounts, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid"),
-                coalesce(col("n_close"), lit(0L)).as("n_close"),
-                (!coalesce(col("is_dropped"), lit(false))).as("kept"))
         .localCheckpoint()
+      try {
+        val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
+          .withColumn("is_dropped", lit(true))
+        val closeCounts = pairs.select(col("vec_a").as("vec_id"))
+          .unionAll(pairs.select(col("vec_b").as("vec_id")))
+          .groupBy("vec_id").agg(count(lit(1)).as("n_close"))
+        assign.select(col("vec_id"), col("cid"))
+          .join(dropped, Seq("vec_id"), "left")
+          .join(closeCounts, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cid"),
+                  coalesce(col("n_close"), lit(0L)).as("n_close"),
+                  (!coalesce(col("is_dropped"), lit(false))).as("kept"))
+          .localCheckpoint()
+      } finally unpersistCheckpoint(pairs)
     } finally unpersistCheckpoint(assign)
   }
 

@@ -131,6 +131,34 @@ class KernelParitySpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("ArgMinDistSqLong equals the composed array_min(struct(DistSqLong)) " +
+       "form, including the lower-cid tie-break") {
+    import org.apache.spark.sql.GraftColumns
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = GraftColumns.column(
+      QuantizeE6(GraftColumns.expression(col("embedding")), 64))
+    // centroids deliberately include a DUPLICATE (idx 3 == idx 1) so tie
+    // rows exist and must resolve to the lower index in both forms
+    val cents: Array[Array[Long]] = Array.tabulate(4) { c =>
+      Array.tabulate(64)(d =>
+        (((if (c == 3) 1 else c) * 31 + d * 7) % 11 - 5) * 100000L)
+    }
+    val composed = array_min(array(cents.zipWithIndex.map { case (cv, i) =>
+      struct(
+        GraftColumns.column(DistSqLong(GraftColumns.expression(col("q")), cv))
+          .as("d"),
+        lit(i.toLong).as("c"))
+    }: _*))
+    val fast = GraftColumns.column(ArgMinDistSqLong(
+      GraftColumns.expression(col("q")), cents))
+    val diff = emb.select(q.as("q"))
+      .select(fast.as("fast"), composed.as("ref"))
+      .filter(col("fast.d") =!= col("ref.d") ||
+              col("fast.c") =!= col("ref.c"))
+      .count()
+    assert(diff === 0)
+  }
+
   test("QuantizeE6 throws on embeddings shorter than dims — never a " +
        "silent prefix clustering") {
     import org.apache.spark.sql.GraftColumns
