@@ -33,6 +33,34 @@ object Sampling {
     df.filter(bucket < rate)
   }
 
+  /** Epoch-weighted repetition — the fractional-epochs knob of a
+    * training-data mix (e.g. "web 0.4 epochs, curated 2.8"): each row is
+    * emitted `floor(f)` times plus once more iff its md5 bucket falls
+    * below the fractional part, so a factor of 2.8 repeats every row
+    * twice and a deterministic 80% of rows a third time (and 0.4 KEEPS
+    * only 40% — downsampling is the same knob). `factorE2Col` is the
+    * factor ×100 as an integer (40 = 0.4 epochs). Adds `n_rep` and one
+    * output row per (input row, `epoch` ∈ [0, n_rep)); n_rep = 0 rows
+    * vanish.
+    *
+    * Per-row expression + one generator — no shuffle, no RNG: membership
+    * of the extra epoch is [[PortableHash.h32]] of the id, so the
+    * realized mix is byte-reproducible across runs, engines, and
+    * partitionings (the [[stratified]] discipline, extended above 100%).
+    */
+  def epochRepeat(df: DataFrame, idCol: String, factorE2Col: String)
+      : DataFrame = {
+    val f = col(factorE2Col).cast("long")
+    val bucket = pmod(PortableHash.h32(col(idCol).cast("string")), lit(100L))
+    val nRep = floor(f / lit(100L)).cast("long") +
+      when(bucket < pmod(f, lit(100L)), lit(1L)).otherwise(lit(0L))
+    df.withColumn("n_rep", nRep)
+      .withColumn("epoch",
+        explode(when(col("n_rep") > 0,
+                     sequence(lit(0L), col("n_rep") - 1))
+          .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Token-budget sampling — the "N tokens per source" mixing knob of a
     * training-data recipe: within each `keyCol` group, rows are taken in
     * deterministic md5-of-id order until the group's cumulative `tokensCol`

@@ -293,6 +293,23 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q78 — epoch-weighted dataset mixing: each source gets a repeat
+    * factor (0.4 / 1.0 / 1.6 / 2.2 / 2.8 epochs by source residue — the
+    * up/down-sampling proportions of a training recipe), realized
+    * deterministically per row by [[Sampling.epochRepeat]]: floor(f)
+    * copies plus one more iff the row's md5 bucket falls below the
+    * fractional part. One generator, no shuffle, no RNG — the mix is
+    * byte-reproducible at any scale.
+    */
+  def q78EpochMix(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id"), col("source"),
+      (lit(40L) + pmod(srcNum, lit(5L)) * 60L).as("f_e2"))
+    Sampling.epochRepeat(docs, "doc_id", "f_e2")
+      .orderBy("doc_id", "epoch")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -304,7 +321,8 @@ object CurationQueries {
     "q67_global_shards" -> (q67GlobalShards _),
     "q74_seq_pack_chop"    -> (q74SeqPackChop _),
     "q75_seq_pack_nextfit" -> (q75SeqPackNextfit _),
-    "q76_url_dedup"        -> (q76UrlDedup _)
+    "q76_url_dedup"        -> (q76UrlDedup _),
+    "q78_epoch_mix"        -> (q78EpochMix _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -497,6 +515,24 @@ object CurationQueries {
         |    AS kept
         |FROM g LEFT JOIN k ON k.doc_id = g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // q78: factor table, md5 fractional-epoch membership, and the
+    // per-epoch expansion all mirrored (unnest(range(n)) ≡ explode).
+    "q78_epoch_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    40 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+        |          % 5) * 60 AS f_e2,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, source, f_e2,
+        |    f_e2 // 100 +
+        |      CASE WHEN b < f_e2 % 100 THEN 1 ELSE 0 END AS n_rep
+        |  FROM t)
+        |SELECT doc_id, source, CAST(f_e2 AS BIGINT) AS f_e2,
+        |  CAST(n_rep AS BIGINT) AS n_rep,
+        |  CAST(unnest(range(n_rep)) AS BIGINT) AS epoch
+        |FROM n ORDER BY doc_id, epoch""".stripMargin,
     // q67: DuckDB's window SUM over BIGINT yields HUGEINT — cast back
     "q67_global_shards" ->
       """WITH t AS (

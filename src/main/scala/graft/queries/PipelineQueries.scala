@@ -290,6 +290,45 @@ object PipelineQueries {
                         k = 8, dims = 64, iters = 3)
       .orderBy("vec_id")
 
+  /** Nearest-centroid (Rocchio) text classifier, train + apply in one
+    * plan — the classifier-based filtering shape of curation pipelines
+    * (CCNet-style quality/language models) reduced to exact integer
+    * arithmetic: features are the per-language stopword-hit counts
+    * (codegen'd [[TextFunctions.langScore]] kernels), training is one
+    * hash aggregate producing per-class truncating-mean centroids (5
+    * rows collected — control plane), and inference is a per-row argmin
+    * of integer squared distance against the centroid literals (ties →
+    * alphabetically first class). Zero shuffles at apply time; the
+    * oracle replays train AND apply bit-for-bit.
+    */
+  def q77CentroidClassify(s: SparkSession, dir: String): DataFrame = {
+    val langs = TextFunctions.LangStopwords.map(_._1)
+    val w = TextFunctions.words(col("text"))
+    val feats = Tables.documents(s, dir).select(
+      Seq(col("doc_id"), col("lang")) ++
+        langs.map(l => TextFunctions.langScore(w, l).cast("long")
+          .as(s"f_$l")): _*)
+    val centRows = feats.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+           langs.map(l => sum(col(s"f_$l")).as(s"s_$l")): _*)
+      .collect()
+    val cents = centRows.map { r =>
+      val n = r.getLong(1)
+      r.getString(0) ->
+        langs.indices.map(i => r.getLong(i + 2) / n) // truncating ≡ `//`
+    }.sortBy(_._1)
+    val best = array_min(array(cents.map { case (cl, c) =>
+      val d2 = langs.zipWithIndex.map { case (l, i) =>
+        (col(s"f_$l") - lit(c(i))) * (col(s"f_$l") - lit(c(i)))
+      }.reduce(_ + _)
+      struct(d2.as("d"), lit(cl).as("l"))
+    }: _*))
+    feats.select(col("doc_id"), col("lang"),
+                 best.getField("l").as("pred"))
+      .withColumn("correct", col("pred") === col("lang"))
+      .orderBy("doc_id")
+  }
+
   /** Substring-level dedup: 5-word spans shared by ≥2 documents (see
     * [[Dedup.duplicatedSpans]]) — the span-trimming companion to the
     * document-level dedup family.
@@ -326,7 +365,8 @@ object PipelineQueries {
     "q70_pq_ann"            -> (q70PqAnn _),
     "q71_ivf_pq"            -> (q71IvfPq _),
     "q72_dup_spans"         -> (q72DupSpans _),
-    "q73_semdedup"          -> (q73SemDedup _)
+    "q73_semdedup"          -> (q73SemDedup _),
+    "q77_centroid_classify" -> (q77CentroidClassify _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -597,6 +637,45 @@ object PipelineQueries {
          |    ORDER BY adc2, vec_id) AS rn FROM agg)
          |SELECT qid, vec_id, adc2, CAST(rn AS BIGINT) AS rnk
          |FROM ranked WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin,
+    // q77: train (per-class truncating-mean centroids over the stopword
+    // features) and apply (argmin integer d², ties → alphabetical class)
+    // both replayed in SQL.
+    "q77_centroid_classify" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('der','die','das','und','ist','von','mit','zu')))
+        |      AS f_de,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','and','of','to','in','is','it')))
+        |      AS f_en,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('el','la','de','que','y','en','un','es')))
+        |      AS f_es,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('le','les','de','et','un','est','dans','que')))
+        |      AS f_fr
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang AS clang,
+        |    CAST(SUM(f_de) // COUNT(*) AS BIGINT) AS c_de,
+        |    CAST(SUM(f_en) // COUNT(*) AS BIGINT) AS c_en,
+        |    CAST(SUM(f_es) // COUNT(*) AS BIGINT) AS c_es,
+        |    CAST(SUM(f_fr) // COUNT(*) AS BIGINT) AS c_fr
+        |  FROM f GROUP BY lang),
+        |s AS (
+        |  SELECT f.doc_id, f.lang, c.clang,
+        |    (f.f_de - c.c_de) * (f.f_de - c.c_de) +
+        |    (f.f_en - c.c_en) * (f.f_en - c.c_en) +
+        |    (f.f_es - c.c_es) * (f.f_es - c.c_es) +
+        |    (f.f_fr - c.c_fr) * (f.f_fr - c.c_fr) AS d2
+        |  FROM f CROSS JOIN c),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY d2, clang) AS rn
+        |  FROM s)
+        |SELECT doc_id, lang, clang AS pred, (clang = lang) AS correct
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q20_dedup_exact_docs" ->
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies

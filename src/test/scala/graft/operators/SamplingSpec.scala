@@ -38,6 +38,36 @@ class SamplingSpec extends SparkSpec {
       "bucket-threshold sampling must nest: raising a rate only adds rows")
   }
 
+  test("epochRepeat: integer factors repeat exactly; fractional part " +
+       "adds one deterministic extra epoch; sub-1 factors downsample") {
+    val df = rows.withColumn("f_e2",
+      when(col("k") === "a", lit(300L)).otherwise(lit(40L)))
+    val out = Sampling.epochRepeat(df, "id", "f_e2")
+      .select("id", "k", "n_rep", "epoch").cache()
+    // stratum a (factor 3.0): every row exactly 3 epochs, 0..2
+    assert(out.filter(col("k") === "a").count() === 1500)
+    assert(out.filter(col("k") === "a" && col("n_rep") =!= 3).count() === 0)
+    assert(out.filter(col("k") === "a").agg(max("epoch")).head.getLong(0)
+      === 2L)
+    // stratum b (factor 0.4): kept rows have exactly one epoch, and the
+    // kept set IS the stratified 40% sample (same md5 bucket rule)
+    val bIds = out.filter(col("k") === "b")
+      .select("id").as[Long].collect().toSet
+    val strat = Sampling.stratified(
+        rows.filter(col("k") === "b"), "k", "id", Map("b" -> 40))
+      .select("id").as[Long].collect().toSet
+    assert(bIds === strat,
+      "fractional-epoch membership must equal the stratified sample")
+    // determinism under repartition
+    val again = Sampling
+      .epochRepeat(df.repartition(11), "id", "f_e2")
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(again === out.select("id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    out.unpersist()
+  }
+
   test("out-of-range rates are rejected") {
     intercept[IllegalArgumentException] {
       Sampling.stratified(rows, "k", "id", Map("a" -> 101))
