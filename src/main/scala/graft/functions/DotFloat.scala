@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
 
 /** Codegen'd dot product of two `array<float>` columns as a double.
   *
@@ -77,4 +77,118 @@ case class DotFloat(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotFloat =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd cosine argmax of an `array<float>` row against ALL constant
+  * centroids at once: returns `struct(cos: double, c: bigint)` — the
+  * maximum cosine and the (lowest, on ties) centroid index attaining it.
+  *
+  * This is the IVF nearest-centroid ASSIGNMENT as a per-row expression.
+  * The composed alternative — cross-join the corpus with the centroid
+  * frame and take `row_number() = 1` over a per-vector window — shuffles
+  * n·k scored rows on vec_id just to pick each row's max: a CORPUS-SIZED
+  * exchange doing what a map-side loop can. Here assignment is one pass
+  * inside whole-stage codegen (the [[ArgMinDistSqLong]] discipline in
+  * float cosine space); only the QUERY side (tiny by contract) still
+  * ranks through a window, because it needs top-nProbe, not argmax.
+  *
+  * Arithmetic contract: per centroid, cos = dot(x, c) / (√dot(x,x) ·
+  * √dot(c,c)) with [[DotFloat]]'s exact cast-then-multiply left-to-right
+  * fold — bit-identical to the `cosine(a, b)` Column form and to the
+  * oracle's `list_sum(list_transform(...))` shape. The row norm is
+  * computed once per row; centroid norms are folded once at plan build
+  * (same IEEE fold). Selection is strictly-greater, so equal cosines
+  * keep the lowest index — the `ORDER BY ccos DESC, cid ASC` window
+  * tie-break. Zero vectors/centroids (NaN cosine) are out of contract.
+  */
+case class ArgMaxCosFloat(child: Expression,
+                          centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "argmax needs at least one centroid")
+
+  /** √dot(c,c) per centroid, folded exactly like [[DotFloat]]. */
+  private lazy val centNorms: Array[Double] = centroids.map { c =>
+    var s = 0.0d
+    var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cos", DoubleType, nullable = false),
+    StructField("c", LongType, nullable = false)))
+
+  override def prettyName: String = "argmax_cos_float"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toFloatArray()
+    var nx = 0.0d
+    var i = 0
+    while (i < xs.length) { nx += xs(i).toDouble * xs(i).toDouble; i += 1 }
+    val nxr = math.sqrt(nx)
+    var best = Double.NegativeInfinity
+    var bc = 0L
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(xs.length, cent.length)
+      var s = 0.0d
+      i = 0
+      while (i < n) { s += xs(i).toDouble * cent(i).toDouble; i += 1 }
+      val cos = s / (nxr * centNorms(c))
+      if (cos > best) { best = cos; bc = c.toLong }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](best, bc))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val nRef = ctx.addReferenceObj("centNorms", centNorms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val xs = ctx.freshName("xs")
+      val nx = ctx.freshName("nx")
+      val nxr = ctx.freshName("nxr")
+      val best = ctx.freshName("best")
+      val bc = ctx.freshName("bc")
+      val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cos = ctx.freshName("cos")
+      s"""
+         |float[] $xs = $a.toFloatArray();
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $xs.length; $i++) {
+         |  $nx += (double) $xs[$i] * (double) $xs[$i];
+         |}
+         |double $nxr = Math.sqrt($nx);
+         |double $best = Double.NEGATIVE_INFINITY;
+         |long $bc = 0L;
+         |for (int $c = 0; $c < $cRef.length; $c++) {
+         |  float[] $cent = $cRef[$c];
+         |  int $n = Math.min($xs.length, $cent.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $xs[$i] * (double) $cent[$i];
+         |  }
+         |  double $cos = $s / ($nxr * $nRef[$c]);
+         |  if ($cos > $best) { $best = $cos; $bc = (long) $c; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |  .GenericInternalRow(new Object[]{
+         |    java.lang.Double.valueOf($best), java.lang.Long.valueOf($bc)});
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ArgMaxCosFloat = copy(child = newChild)
 }

@@ -136,24 +136,41 @@ object Similarity {
   }
 
   /** IVF candidate generation, shared by [[ivfTopKWith]] (exact-cosine
-    * re-rank) and [[ivfPqTopK]] (ADC re-rank): nearest-centroid ranking
-    * per vector (ties → lower cid) feeds both corpus assignment (rank 1)
-    * and query probing (rank ≤ nProbe); candidates = probed posting
-    * lists, self excluded. One broadcast of the (small) centroid frame,
-    * one shuffle keyed on cid.
+    * re-rank) and [[ivfPqTopK]] (ADC re-rank): corpus ASSIGNMENT is one
+    * per-row [[graft.functions.ArgMaxCosFloat]] pass (no shuffle — the
+    * earlier form cross-joined the corpus with the centroid frame and
+    * window-ranked n·k scored rows on vec_id, a corpus-sized exchange
+    * just to take each row's max); only the QUERY side, tiny by
+    * contract, ranks through a window because it needs top-nProbe, not
+    * argmax. Both paths share the identical cosine fold and the
+    * `ccos DESC, cid ASC` tie-break, so probing and assignment stay
+    * mutually consistent (and oracle-mirrorable). Candidates = probed
+    * posting lists, self excluded — one shuffle keyed on cid.
     */
   private def ivfCandidates(emb: DataFrame,
                             queryPred: org.apache.spark.sql.Column,
                             centroids: DataFrame, nProbe: Int): DataFrame = {
-    val ranked = Partitioning.spread(emb)
+    import org.apache.spark.sql.GraftColumns
+    // the centroid frame is control-plane sized (coarse quantizer):
+    // collect for the kernel, cids sorted so argmax's lowest-INDEX
+    // tie-break is the lowest-CID tie-break
+    val centRows = centroids.select(col("cid"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val cidLits = array(centRows.map(c => lit(c._1)): _*)
+    val argmax = GraftColumns.column(graft.functions.ArgMaxCosFloat(
+      GraftColumns.expression(col("embedding")), centRows.map(_._2)))
+    val assign = Partitioning.spread(emb)
+      .select(col("vec_id"),
+              element_at(cidLits, argmax.getField("c").cast("int") + 1)
+                .as("cid"))
+    val probes = emb.filter(queryPred)
       .crossJoin(broadcast(centroids))
       .withColumn("ccos", cosine(col("embedding"), col("cv")))
       .withColumn("crnk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("ccos").desc, col("cid").asc)))
-    val assign = ranked.filter(col("crnk") === 1)
-      .select(col("vec_id"), col("cid"))
-    val probes = ranked.filter(queryPred && col("crnk") <= nProbe)
+      .filter(col("crnk") <= nProbe)
       .select(col("vec_id").as("qid"), col("cid"))
     probes.join(assign, "cid")
       .filter(col("vec_id") =!= col("qid"))

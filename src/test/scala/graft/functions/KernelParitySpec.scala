@@ -159,6 +159,41 @@ class KernelParitySpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("ArgMaxCosFloat equals the cosine+window ranking form, " +
+       "including the lower-cid tie-break on duplicate centroids") {
+    import org.apache.spark.sql.GraftColumns
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+    // 4 centroids from real vectors, idx 3 duplicating idx 1 → ties
+    val centRows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 3).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    val cents = centRows :+ centRows(1)
+    val cdf = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cid", "cv")
+    val ref = emb.crossJoin(broadcast(cdf))
+      .withColumn("ccos",
+        graft.functions.VectorFunctions.cosine(col("embedding"), col("cv")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("cid"), col("ccos"))
+    val fast = emb.select(col("vec_id"),
+      GraftColumns.column(graft.functions.ArgMaxCosFloat(
+        GraftColumns.expression(col("embedding")), cents)).as("a"))
+      .select(col("vec_id"), col("a.c").as("cid"), col("a.cos").as("ccos"))
+    val diff = fast.as("f").join(ref.as("r"), "vec_id")
+      .filter(col("f.cid") =!= col("r.cid") ||
+              col("f.ccos") =!= col("r.ccos"))
+      .count()
+    assert(diff === 0)
+    // ties really occurred: some rows must sit nearest the duplicated
+    // direction, and they must all have resolved to cid 1, never 3
+    assert(fast.filter(col("cid") === 1).count() > 0)
+    assert(fast.filter(col("cid") === 3).count() === 0)
+  }
+
   test("QuantizeE6 throws on embeddings shorter than dims — never a " +
        "silent prefix clustering") {
     import org.apache.spark.sql.GraftColumns
