@@ -310,6 +310,30 @@ object CurationQueries {
       .orderBy("doc_id", "epoch")
   }
 
+  /** q79 — sliding-window chunking (64-token windows, stride 48 → 16
+    * tokens of overlap): the RAG/embedding-prep layout (see
+    * [[graft.operators.Chunking.slidingChunks]]). Chunk content is
+    * emitted as an md5 so the gate hashes text exactly without fat rows.
+    */
+  def q79ChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.slidingChunks(
+        Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+
+  /** q80 — source-interleaved training order: rank within each source by
+    * quality (n_chars desc), then round-robin the sources so no long
+    * single-source runs reach the trainer; the global position is the
+    * distributed prefix scan, not a single-partition window (see
+    * [[graft.operators.Chunking.interleave]]).
+    */
+  def q80Interleave(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.interleave(
+        Tables.documents(s, dir).select(
+          col("doc_id"), col("source"), col("n_chars")),
+        "source", Seq(col("n_chars").desc, col("doc_id").asc))
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -322,7 +346,9 @@ object CurationQueries {
     "q74_seq_pack_chop"    -> (q74SeqPackChop _),
     "q75_seq_pack_nextfit" -> (q75SeqPackNextfit _),
     "q76_url_dedup"        -> (q76UrlDedup _),
-    "q78_epoch_mix"        -> (q78EpochMix _)
+    "q78_epoch_mix"        -> (q78EpochMix _),
+    "q79_chunk_overlap"    -> (q79ChunkOverlap _),
+    "q80_interleave"       -> (q80Interleave _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -533,6 +559,40 @@ object CurationQueries {
         |  CAST(n_rep AS BIGINT) AS n_rep,
         |  CAST(unnest(range(n_rep)) AS BIGINT) AS epoch
         |FROM n ORDER BY doc_id, epoch""".stripMargin,
+    // q79: last chunk anchored to the tail; DuckDB list slice [a:b] is
+    // 1-based inclusive, mirroring Spark's clamping slice(w, a, len)
+    "q79_chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, n,
+        |    CASE WHEN n > 64 THEN (n - 64 + 47) // 48 + 1 ELSE 1 END
+        |      AS n_chunks
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, w, n,
+        |    CAST(unnest(range(n_chunks)) AS BIGINT) AS chunk_id
+        |  FROM c)
+        |SELECT doc_id, chunk_id,
+        |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(
+        |    w[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)], ' '))
+        |    AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+    // q80: (rn, source) is a total order (rn unique per source), so the
+    // oracle's global row_number equals the distributed prefix count.
+    "q80_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, rn,
+        |  CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS pos
+        |FROM r ORDER BY doc_id""".stripMargin,
     // q67: DuckDB's window SUM over BIGINT yields HUGEINT — cast back
     "q67_global_shards" ->
       """WITH t AS (
