@@ -334,6 +334,41 @@ object CurationQueries {
         "source", Seq(col("n_chars").desc, col("doc_id").asc))
       .orderBy("doc_id")
 
+  /** q81 — the end-to-end curation pipeline as ONE plan, composed from
+    * the individually-gated operators: exact dedup keepers (q20's rule)
+    * → quality filter (q27's keep rule) → epoch-weighted mixing (q78's
+    * factor table via [[Sampling.epochRepeat]]) → global token-budget
+    * shard assignment (q67's rule via [[graft.operators.PrefixSum]]).
+    * The oracle chains the same four stages in SQL, so a drift in ANY
+    * stage or in their composition is a hash mismatch. Plan shape:
+    * the dedup hash-agg + semi-join, one generator, one range exchange —
+    * no stage adds a shuffle the standalone operators don't have.
+    */
+  def q81PipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, PrefixSum}
+    val docs = Tables.documents(s, dir)
+    val keep = Dedup.exactByContent(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
+    val w = TextFunctions.words(col("text"))
+    val nChars = length(col("text")).cast("long")
+    val nWords = size(w).cast("long")
+    val avgWlenE3 =
+      floor(lit(1000.0d) * (nChars - nWords + 1) / nWords).cast("long")
+    val quality = deduped
+      .filter(nWords >= 20 && avgWlenE3 <= lit(12000L))
+      .select(col("doc_id"), col("source"), nWords.as("toks"),
+              (lit(40L) +
+                 pmod(regexp_extract(col("source"), "([0-9]+)$", 1)
+                   .cast("long"), lit(5L)) * 60L).as("f_e2"))
+    val mixed = Sampling.epochRepeat(quality, "doc_id", "f_e2")
+      .drop("n_rep", "f_e2")
+    PrefixSum.runningTotal(mixed, "toks", Seq("doc_id", "epoch"))
+      .withColumn("shard_id",
+        floor((col("cum") - col("toks")) / lit(5000L)).cast("long"))
+      .orderBy("doc_id", "epoch")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,7 +383,8 @@ object CurationQueries {
     "q76_url_dedup"        -> (q76UrlDedup _),
     "q78_epoch_mix"        -> (q78EpochMix _),
     "q79_chunk_overlap"    -> (q79ChunkOverlap _),
-    "q80_interleave"       -> (q80Interleave _)
+    "q80_interleave"       -> (q80Interleave _),
+    "q81_pipeline_e2e"     -> (q81PipelineE2e _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -593,6 +629,45 @@ object CurationQueries {
         |SELECT doc_id, source, n_chars, rn,
         |  CAST(row_number() OVER (ORDER BY rn, source) AS BIGINT) AS pos
         |FROM r ORDER BY doc_id""".stripMargin,
+    // q81: the four gated stages chained — dedup keepers, quality keep,
+    // epoch mixing, running-sum sharding — exactly as the plan composes
+    // them.
+    "q81_pipeline_e2e" ->
+      """WITH k AS (
+        |  SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+        |  FROM documents GROUP BY 1),
+        |d AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  JOIN k ON doc_id = keep_id),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM (SELECT *, length(text) AS n_chars,
+        |          len(string_split(text, ' ')) AS n_words FROM d)
+        |  WHERE n_words >= 20
+        |    AND floor(1000.0 * (n_chars - n_words + 1) / n_words) <= 12000),
+        |m AS (
+        |  SELECT doc_id, source, toks,
+        |    40 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)
+        |          % 5) * 60 AS f_e2,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+        |  FROM q),
+        |n AS (
+        |  SELECT doc_id, source, toks,
+        |    f_e2 // 100 +
+        |      CASE WHEN b < f_e2 % 100 THEN 1 ELSE 0 END AS n_rep
+        |  FROM m),
+        |e AS (
+        |  SELECT doc_id, source, toks,
+        |    CAST(unnest(range(n_rep)) AS BIGINT) AS epoch
+        |  FROM n),
+        |c AS (
+        |  SELECT *, SUM(toks) OVER (ORDER BY doc_id, epoch
+        |                            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM e)
+        |SELECT doc_id, source, toks, epoch, CAST(cum AS BIGINT) AS cum,
+        |  CAST((cum - toks) // 5000 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id, epoch""".stripMargin,
     // q67: DuckDB's window SUM over BIGINT yields HUGEINT — cast back
     "q67_global_shards" ->
       """WITH t AS (
