@@ -523,4 +523,60 @@ object Dedup {
     sigs.unpersist()
     out
   }
+
+  /** Corpus-level LINE dedup (the C4 rule: a line occurring more than
+    * once in the corpus survives only at its first occurrence), then
+    * document reconstruction from the surviving lines. "Lines" here are
+    * fixed `wordsPerLine`-word groups in document order (the corpus is
+    * single-line text; a newline-delimited corpus passes its real lines
+    * through the same keeper/rebuild stages).
+    *
+    * Output: one row per input doc — `n_lines`, `n_kept`, and `new_text`
+    * (surviving lines joined by a single space in original order; empty
+    * string when every line first occurred elsewhere).
+    *
+    * Scale shape: line building is per-row arithmetic over the scan
+    * (zero shuffle). The keeper decision is ONE hash aggregate keyed on
+    * the line string — `min(struct(doc_id, line_idx))` combines map-side,
+    * so a web-scale boilerplate line (10⁹ occurrences) collapses to one
+    * partial per task instead of sorting a 10⁹-row window partition.
+    * Because every distinct line keeps exactly its minimal occurrence,
+    * the keeper rows ARE the surviving lines — no join back to the
+    * occurrence table; rebuild is a second hash aggregate keyed on the
+    * keeper's doc. Two shuffles total, both map-combined.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                wordsPerLine: Int): DataFrame = {
+    require(wordsPerLine > 0, s"need wordsPerLine>0, got $wordsPerLine")
+    val wpl = wordsPerLine
+    val ws = TextFunctions.words(col(textCol))
+    val base = Partitioning.spread(docs).select(
+      col(idCol).as("doc_id"),
+      ws.as("ws"),
+      floor((size(ws) + (wpl - 1)) / lit(wpl)).cast("long").as("n_lines"))
+    val lines = base.select(
+        col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n_lines") - 1),
+          i => concat_ws(" ", slice(col("ws"), (i * wpl + 1).cast("int"),
+                                    lit(wpl))))))
+      .toDF("doc_id", "line_idx", "line")
+    val keepers = lines
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"),
+              col("m.line_idx").as("line_idx"), col("line"))
+    val rebuilt = keepers
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+           array_join(
+             transform(
+               array_sort(collect_list(struct(col("line_idx"), col("line")))),
+               x => x.getField("line")),
+             " ").as("new_text"))
+    base.select(col("doc_id"), col("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+              coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+              coalesce(col("new_text"), lit("")).as("new_text"))
+  }
 }

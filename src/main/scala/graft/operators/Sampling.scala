@@ -61,6 +61,37 @@ object Sampling {
           .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Deterministic weighted sampling without replacement — sequential
+    * Poisson sampling (Ohlsson): take the `k` rows with the SMALLEST
+    * priority `u/w` (u uniform, w the row's weight), so inclusion odds
+    * scale with weight while the draw stays a fixed-size sample. Here
+    * u = [[PortableHash.h32]] of the id (no RNG — reproducible), and the
+    * rational priority is kept in EXACT integer form: with integer
+    * weights dividing `lcm`, `u/w ∝ u·(lcm/w)`, a 64-bit product (u <
+    * 2^32, lcm ≤ 2^31 ⇒ no overflow). Ties (hash collisions) break on
+    * the id.
+    *
+    * Adds `priority` and keeps only the sample. Plan shape: per-row
+    * arithmetic + global top-k — Spark executes the sort+limit as
+    * TakeOrderedAndProject (per-partition top-k partials, one k-row
+    * merge), so a 100 TB corpus never materializes a global sort.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     lcm: Long, k: Int): DataFrame = {
+    require(k >= 0 && lcm >= 1 && lcm <= Int.MaxValue,
+      s"need k>=0, 1<=lcm<=2^31; got k=$k lcm=$lcm")
+    val u = PortableHash.h32(col(idCol).cast("string"))
+    val w = col(weightCol).cast("long")
+    val mul = when(w >= 1 && pmod(lit(lcm), w) === 0,
+        floor(lit(lcm) / w).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"weightedSample: weight must be >=1 and divide lcm=$lcm, got "),
+        w.cast("string"))))
+    df.withColumn("priority", (u * mul).cast("long"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Token-budget sampling — the "N tokens per source" mixing knob of a
     * training-data recipe: within each `keyCol` group, rows are taken in
     * deterministic md5-of-id order until the group's cumulative `tokensCol`

@@ -369,6 +369,39 @@ object CurationQueries {
       .orderBy("doc_id", "epoch")
   }
 
+  /** q82 — corpus-level LINE dedup (the C4 rule: a line that occurs more
+    * than once in the corpus survives only at its first occurrence) plus
+    * document reconstruction, via [[Dedup.lineDedup]] with 8-word lines
+    * (the corpus is single-line text; real newline corpora pass their
+    * lines through the same stages). The rebuilt text is emitted as an
+    * md5 so the gate hashes exact content without fat rows.
+    */
+  def q82LineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.lineDedup(
+        Tables.documents(s, dir), "doc_id", "text", wordsPerLine = 8)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+              md5(col("new_text")).as("new_md5"))
+      .orderBy("doc_id")
+
+  /** q83 — deterministic weighted sampling without replacement
+    * (sequential Poisson / Ohlsson): fixed-size 100-doc sample where
+    * inclusion odds scale with a per-language weight (rare languages
+    * upweighted 5×), realized as the k smallest EXACT integer priorities
+    * `h32(id)·(lcm/w)` — see [[Sampling.weightedSample]]. No RNG: the
+    * sample is byte-reproducible, and the plan is per-row arithmetic +
+    * TakeOrderedAndProject (never a global sort).
+    */
+  def q83WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = when(col("lang") === "en", lit(1L))
+      .when(col("lang").isin("de", "es"), lit(2L))
+      .otherwise(lit(5L))
+    Sampling.weightedSample(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), w.as("weight")),
+        "doc_id", "weight", lcm = 10L, k = 100)
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -384,7 +417,9 @@ object CurationQueries {
     "q78_epoch_mix"        -> (q78EpochMix _),
     "q79_chunk_overlap"    -> (q79ChunkOverlap _),
     "q80_interleave"       -> (q80Interleave _),
-    "q81_pipeline_e2e"     -> (q81PipelineE2e _)
+    "q81_pipeline_e2e"     -> (q81PipelineE2e _),
+    "q82_line_dedup"       -> (q82LineDedup _),
+    "q83_weighted_sample"  -> (q83WeightedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -681,6 +716,45 @@ object CurationQueries {
         |  FROM t)
         |SELECT doc_id, pr, toks, CAST(cum AS BIGINT) AS cum,
         |  CAST((cum - toks) // 5000 AS BIGINT) AS shard_id
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // q82: first-occurrence = row_number 1 over (doc_id, line_idx) — the
+    // window form of the plan's min(struct) keeper; list slices clamp at
+    // the array end in both engines, so the ragged tail line matches.
+    "q82_line_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |l AS (
+        |  SELECT doc_id, i AS line_idx,
+        |    array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS line
+        |  FROM w, LATERAL (SELECT unnest(generate_series(
+        |    0, (len(ws) + 7) // 8 - 1)) AS i) g),
+        |k AS (
+        |  SELECT doc_id, line_idx, line, row_number() OVER (
+        |    PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |  FROM l),
+        |r AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(line, ' ' ORDER BY line_idx) AS new_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT w.doc_id, CAST((len(ws) + 7) // 8 AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(r.new_text, '')) AS new_md5
+        |FROM w LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q83: priority = h32(id) * (lcm/weight) in exact integer arithmetic;
+    // smallest k win, hash ties break on doc_id.
+    "q83_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN lang = 'en' THEN 1
+        |              WHEN lang IN ('de', 'es') THEN 2
+        |              ELSE 5 END AS BIGINT) AS weight,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang, weight,
+        |    CAST(h * (10 // weight) AS BIGINT) AS priority
+        |  FROM t ORDER BY priority, doc_id LIMIT 100)
+        |SELECT doc_id, lang, weight, priority FROM s
+        |ORDER BY doc_id""".stripMargin
   )
 }

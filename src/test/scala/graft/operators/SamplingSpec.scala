@@ -68,6 +68,40 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("weightedSample: equals the brute-force priority order, is " +
+       "repartition-invariant, and weights shift inclusion odds") {
+    val df = rows.withColumn("w",
+      when(col("k") === "a", lit(5L)).otherwise(lit(1L)))
+    val got = Sampling.weightedSample(df, "id", "w", lcm = 10L, k = 100)
+      .select("id", "priority").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force replica of the priority rule
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val want = (1L to 1000L)
+      .map(i => (i, h32(i.toString) * (if (i % 2 == 0) 2L else 10L)))
+      .sortBy(t => (t._2, t._1)).take(100)
+    assert(got.sortBy(t => (t._2, t._1)).toSeq === want.toSeq)
+    // 5x-weighted stratum a dominates the sample (expected ~5:1 mix)
+    val nA = got.count(_._1 % 2 == 0)
+    assert(nA > 65, s"expected weight-5 stratum to dominate, got $nA/100")
+    val again = Sampling
+      .weightedSample(df.repartition(17), "id", "w", lcm = 10L, k = 100)
+      .select("id").as[Long].collect().toSet
+    assert(again === got.map(_._1).toSet)
+  }
+
+  test("weightedSample: a weight that does not divide lcm fails loudly") {
+    val df = rows.withColumn("w", lit(3L))
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, "id", "w", lcm = 10L, k = 5).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("out-of-range rates are rejected") {
     intercept[IllegalArgumentException] {
       Sampling.stratified(rows, "k", "id", Map("a" -> 101))
