@@ -92,6 +92,34 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-group quantile trim — the score-normalization step of a quality
+    * pipeline: scores aren't comparable ACROSS sources (a crawl's median
+    * differs from a curated set's), so keep each group's middle
+    * percent-rank band instead of one global threshold. A row is kept iff
+    * its exact percent rank `(rank-1)/(n-1)` lies in `[loPct, hiPct]`,
+    * evaluated in EXACT integer cross-multiplied form
+    * (`100·(rank-1) BETWEEN loPct·(n-1) AND hiPct·(n-1)`) — no float
+    * division, so the keep set hashes identically in any engine. Ties
+    * break on the id; a single-row group is kept (rank band [0,0]).
+    *
+    * Adds `rank`, `n_grp`, `kept`. One shuffle (the group-key window);
+    * a pathologically hot group sorts on one reducer — the same skew
+    * note (and the same pre-aggregation remedy) as [[tokenBudget]].
+    */
+  def quantileTrim(df: DataFrame, keyCol: String, scoreCol: String,
+                   idCol: String, loPct: Int, hiPct: Int): DataFrame = {
+    require(0 <= loPct && loPct <= hiPct && hiPct <= 100,
+      s"need 0 <= loPct <= hiPct <= 100, got $loPct/$hiPct")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+    val rank = row_number().over(w.orderBy(col(scoreCol), col(idCol)))
+    df.withColumn("rank", rank.cast("long"))
+      .withColumn("n_grp", count(lit(1)).over(w).cast("long"))
+      .withColumn("kept",
+        (lit(100L) * (col("rank") - 1) >= lit(loPct.toLong) * (col("n_grp") - 1)) &&
+          (lit(100L) * (col("rank") - 1) <= lit(hiPct.toLong) * (col("n_grp") - 1)))
+  }
+
   /** Token-budget sampling — the "N tokens per source" mixing knob of a
     * training-data recipe: within each `keyCol` group, rows are taken in
     * deterministic md5-of-id order until the group's cumulative `tokensCol`

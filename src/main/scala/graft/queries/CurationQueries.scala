@@ -402,6 +402,20 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q84 — per-source quantile trim: quality scores (n_chars here) are
+    * normalized WITHIN each source by exact percent rank and only the
+    * middle [p10, p90] band survives — the cross-source score
+    * normalization step of a quality pipeline (see
+    * [[Sampling.quantileTrim]]; integer cross-multiplied band, no float
+    * division). One window shuffle on the source key.
+    */
+  def q84QuantileTrim(s: SparkSession, dir: String): DataFrame =
+    Sampling.quantileTrim(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+                                        col("n_chars")),
+        "source", "n_chars", "doc_id", loPct = 10, hiPct = 90)
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -419,7 +433,8 @@ object CurationQueries {
     "q80_interleave"       -> (q80Interleave _),
     "q81_pipeline_e2e"     -> (q81PipelineE2e _),
     "q82_line_dedup"       -> (q82LineDedup _),
-    "q83_weighted_sample"  -> (q83WeightedSample _)
+    "q83_weighted_sample"  -> (q83WeightedSample _),
+    "q84_quantile_trim"    -> (q84QuantileTrim _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -755,6 +770,19 @@ object CurationQueries {
         |    CAST(h * (10 // weight) AS BIGINT) AS priority
         |  FROM t ORDER BY priority, doc_id LIMIT 100)
         |SELECT doc_id, lang, weight, priority FROM s
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // q84: percent-rank band in exact cross-multiplied integer form —
+    // 100*(rank-1) BETWEEN 10*(n-1) AND 90*(n-1).
+    "q84_quantile_trim" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_grp
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, rank, n_grp,
+        |  100 * (rank - 1) BETWEEN 10 * (n_grp - 1) AND 90 * (n_grp - 1)
+        |    AS kept
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

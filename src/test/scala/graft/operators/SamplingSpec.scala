@@ -102,6 +102,28 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("quantileTrim: keeps exactly the [lo,hi] percent-rank band per " +
+       "group; singletons kept; band edges inclusive") {
+    // group a: scores 1..11 (n=11, pr = (rank-1)/10) — [10,90] keeps
+    // ranks 2..10; group b: one row, kept.
+    val df = ((1 to 11).map(i => (i.toLong, "a", i.toLong)) :+
+      ((99L, "b", 7L))).toDF("id", "g", "score")
+    val out = Sampling.quantileTrim(df, "g", "score", "id", 10, 90)
+      .select("id", "rank", "kept").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    val keptA = out.filter(t => t._1 <= 11 && t._3).map(_._2).sorted
+    assert(keptA.toSeq === (2L to 10L).toSeq, s"got ${keptA.toSeq}")
+    assert(out.find(_._1 == 99L).exists(_._3), "singleton group kept")
+    // ties break on id: equal scores order deterministically
+    val tied = Seq((1L, "t", 5L), (2L, "t", 5L), (3L, "t", 5L))
+      .toDF("id", "g", "score")
+    val ranks = Sampling.quantileTrim(tied, "g", "score", "id", 0, 100)
+      .select("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(ranks.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
   test("out-of-range rates are rejected") {
     intercept[IllegalArgumentException] {
       Sampling.stratified(rows, "k", "id", Map("a" -> 101))
