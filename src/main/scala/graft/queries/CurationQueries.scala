@@ -416,6 +416,63 @@ object CurationQueries {
         "source", "n_chars", "doc_id", loPct = 10, hiPct = 90)
       .orderBy("doc_id")
 
+  /** q85 — distributed BPE merge training (4 rounds) over the corpus
+    * vocabulary: per round, ONE map-combined pair-count aggregate and a
+    * 1-row argmax collect pick the most frequent adjacent symbol pair
+    * (ties lexicographic); the merge applies as a per-row literal
+    * replace (see [[graft.operators.Bpe]]). The oracle replays every
+    * round's counting, argmax, and replace in chained CTEs, and the
+    * summary row (Σ freq·|syms| after round 4) gates the final apply.
+    */
+  def q85BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(
+        Tables.documents(s, dir), "text", rounds = 4)
+      .orderBy("round")
+
+  /** q85 oracle: rounds chained as CTEs — pair counts from the previous
+    * round's segmentation, 1-row argmax (weight desc, pair lexicographic),
+    * literal wrapped-string replace. Generated per round so the four
+    * blocks cannot drift from each other.
+    */
+  private val bpeOracleSql: String = {
+    val rounds = 4
+    def roundCte(i: Int): String = {
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""p$i AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(SUM(freq) AS BIGINT) AS w
+         |  FROM (SELECT string_split(s[2:len(s)-1], '||') AS syms, freq
+         |        FROM $prev) t,
+         |  LATERAL (SELECT unnest(generate_series(1, len(syms)-1)) AS i) g
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, w FROM p$i ORDER BY w DESC, l, r LIMIT 1),
+         |w$i AS (
+         |  SELECT replace(s,
+         |    '|' || (SELECT l FROM m$i) || '||' || (SELECT r FROM m$i) || '|',
+         |    '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || '|') AS s,
+         |    freq
+         |  FROM $prev)""".stripMargin
+    }
+    val selects = (1 to rounds).map { i =>
+      s"SELECT $i AS round, l AS left_sym, r AS right_sym, w AS weight FROM m$i"
+    } :+
+      s"""SELECT ${rounds + 1}, '', '',
+         |  (SELECT CAST(SUM(freq * len(string_split(s[2:len(s)-1], '||')))
+         |     AS BIGINT) FROM w$rounds)""".stripMargin
+    s"""WITH wf AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0 AND NOT contains(word, '|')
+       |  GROUP BY 1),
+       |w0 AS (
+       |  SELECT '|' || array_to_string(string_split(word, ''), '||') || '|'
+       |    AS s, freq FROM wf),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}
+       |SELECT CAST(round AS BIGINT) AS round, left_sym, right_sym, weight
+       |FROM (${selects.mkString("\nUNION ALL\n")})
+       |ORDER BY round""".stripMargin
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -434,7 +491,8 @@ object CurationQueries {
     "q81_pipeline_e2e"     -> (q81PipelineE2e _),
     "q82_line_dedup"       -> (q82LineDedup _),
     "q83_weighted_sample"  -> (q83WeightedSample _),
-    "q84_quantile_trim"    -> (q84QuantileTrim _)
+    "q84_quantile_trim"    -> (q84QuantileTrim _),
+    "q85_bpe_merges"       -> (q85BpeMerges _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -783,6 +841,7 @@ object CurationQueries {
         |SELECT doc_id, source, n_chars, rank, n_grp,
         |  100 * (rank - 1) BETWEEN 10 * (n_grp - 1) AND 90 * (n_grp - 1)
         |    AS kept
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q85_bpe_merges" -> bpeOracleSql
   )
 }
