@@ -120,6 +120,51 @@ object Sampling {
           (lit(100L) * (col("rank") - 1) <= lit(hiPct.toLong) * (col("n_grp") - 1)))
   }
 
+  /** Rebalance to a TARGET distribution — the "make the mix match the
+    * recipe" knob: given target fractions per group (integer percent,
+    * summing to 100), select the LARGEST subset whose group counts
+    * realize those fractions. The feasible scale is bound by the
+    * scarcest group (`T = min_g floor(100·avail_g / pct_g)`, all
+    * integer); each group then keeps `quota_g = floor(T·pct_g / 100)`
+    * rows in deterministic md5-of-id order, so quotas never exceed
+    * availability and the selection is byte-reproducible. Groups absent
+    * from `targetPct` are excluded (quota 0).
+    *
+    * Adds `avail`, `quota`, `rank`, `kept`. Plan: one tiny count
+    * aggregate → 1-row min → broadcast quota join → one window shuffle
+    * on the group key (same skew posture as [[tokenBudget]]).
+    */
+  def rebalanceToTarget(df: DataFrame, keyCol: String, idCol: String,
+                        targetPct: Map[String, Int]): DataFrame = {
+    require(targetPct.nonEmpty && targetPct.values.forall(_ > 0) &&
+      targetPct.values.sum == 100,
+      s"target percentages must be positive and sum to 100, got $targetPct")
+    val pct = targetPct.foldLeft(lit(null).cast("long")) {
+      case (acc, (k, p)) => when(col(keyCol) === k, lit(p.toLong)).otherwise(acc)
+    }
+    val base = df.withColumn("pct_e0", pct)
+    val counts = base.filter(col("pct_e0").isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("avail"),
+                                first(col("pct_e0")).as("p"))
+    val scale = counts
+      .agg(min(floor(col("avail") * 100 / col("p"))).cast("long").as("t"))
+    val quotas = counts.crossJoin(broadcast(scale))
+      .select(col(keyCol),
+              col("avail"),
+              floor(col("t") * col("p") / 100).cast("long").as("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(PortableHash.h32(col(idCol).cast("string")), col(idCol))
+    base
+      .join(broadcast(quotas), Seq(keyCol), "left")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(df.columns.map(col) :+
+        coalesce(col("avail"), lit(0L)).as("avail") :+
+        coalesce(col("quota"), lit(0L)).as("quota") :+
+        col("rank") :+
+        (col("pct_e0").isNotNull && col("rank") <= col("quota")).as("kept"): _*)
+  }
+
   /** Token-budget sampling — the "N tokens per source" mixing knob of a
     * training-data recipe: within each `keyCol` group, rows are taken in
     * deterministic md5-of-id order until the group's cumulative `tokensCol`

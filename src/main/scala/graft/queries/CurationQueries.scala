@@ -429,6 +429,19 @@ object CurationQueries {
         Tables.documents(s, dir), "text", rounds = 4)
       .orderBy("round")
 
+  /** q86 — rebalance to a target language mix (en 40%, others 15%):
+    * the largest subset realizing the recipe, scale bound by the
+    * scarcest language, per-language quotas filled in deterministic
+    * md5 order (see [[Sampling.rebalanceToTarget]] — all integer
+    * arithmetic, one window shuffle).
+    */
+  def q86Rebalance(s: SparkSession, dir: String): DataFrame =
+    Sampling.rebalanceToTarget(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15))
+      .orderBy("doc_id")
+
   /** q85 oracle: rounds chained as CTEs — pair counts from the previous
     * round's segmentation, 1-row argmax (weight desc, pair lexicographic),
     * literal wrapped-string replace. Generated per round so the four
@@ -492,7 +505,8 @@ object CurationQueries {
     "q82_line_dedup"       -> (q82LineDedup _),
     "q83_weighted_sample"  -> (q83WeightedSample _),
     "q84_quantile_trim"    -> (q84QuantileTrim _),
-    "q85_bpe_merges"       -> (q85BpeMerges _)
+    "q85_bpe_merges"       -> (q85BpeMerges _),
+    "q86_rebalance"        -> (q86Rebalance _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -842,6 +856,33 @@ object CurationQueries {
         |  100 * (rank - 1) BETWEEN 10 * (n_grp - 1) AND 90 * (n_grp - 1)
         |    AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
-    "q85_bpe_merges" -> bpeOracleSql
+    "q85_bpe_merges" -> bpeOracleSql,
+    // q86: T = min_g floor(100*avail/pct) bounds the feasible scale;
+    // quotas floor(T*pct/100); fill order = (h32(id), id), as in q62.
+    "q86_rebalance" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 15 WHEN 'es' THEN 15
+        |              WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 END AS p
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, ANY_VALUE(p) AS p, COUNT(*) AS avail FROM t
+        |  WHERE p IS NOT NULL GROUP BY lang),
+        |s AS (SELECT MIN(avail * 100 // p) AS scale_t FROM c),
+        |q AS (
+        |  SELECT lang, avail,
+        |    (SELECT scale_t FROM s) * p // 100 AS quota
+        |  FROM c),
+        |r AS (
+        |  SELECT doc_id, lang, p, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+        |             doc_id) AS rank
+        |  FROM t)
+        |SELECT r.doc_id, r.lang,
+        |  CAST(COALESCE(q.avail, 0) AS BIGINT) AS avail,
+        |  CAST(COALESCE(q.quota, 0) AS BIGINT) AS quota,
+        |  CAST(r.rank AS BIGINT) AS rank,
+        |  (r.p IS NOT NULL AND r.rank <= q.quota) AS kept
+        |FROM r LEFT JOIN q USING (lang) ORDER BY doc_id""".stripMargin
   )
 }

@@ -124,6 +124,40 @@ class SamplingSpec extends SparkSpec {
     assert(ranks.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("rebalanceToTarget: scarcest group bounds the scale; quotas " +
+       "realize the mix; absent-from-target groups drop") {
+    // a: 2 rows, b: 20 rows, c excluded. Target 50/50 → T = min(4, 40)
+    // = 4 → quota 2 + 2.
+    val df = ((1L to 2L).map(i => (i, "a")) ++
+      (11L to 30L).map(i => (i, "b")) ++ Seq((99L, "c")))
+      .toDF("id", "g")
+    val out = Sampling.rebalanceToTarget(df, "g", "id",
+        Map("a" -> 50, "b" -> 50))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getBoolean(5)))
+    val byG = out.groupBy(_._2)
+    assert(byG("a").count(_._5) === 2)
+    assert(byG("b").count(_._5) === 2)
+    assert(byG("a").forall(_._4 == 2L) && byG("b").forall(_._4 == 2L))
+    assert(byG("c").forall(t => !t._5 && t._4 == 0L))
+    // kept set is deterministic under repartition
+    val again = Sampling.rebalanceToTarget(df.repartition(7), "g", "id",
+        Map("a" -> 50, "b" -> 50))
+      .filter(col("kept")).select("id").as[Long].collect().toSet
+    assert(again === out.filter(_._5).map(_._1).toSet)
+  }
+
+  test("rebalanceToTarget: rejects non-100 sums and non-positive shares") {
+    val df = Seq((1L, "a")).toDF("id", "g")
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceToTarget(df, "g", "id", Map("a" -> 60, "b" -> 60))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceToTarget(df, "g", "id", Map("a" -> 100, "b" -> 0))
+    }
+  }
+
   test("out-of-range rates are rejected") {
     intercept[IllegalArgumentException] {
       Sampling.stratified(rows, "k", "id", Map("a" -> 101))
