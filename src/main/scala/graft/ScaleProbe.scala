@@ -161,6 +161,29 @@ object ScaleProbe {
         .select(col("shard"), col("seq_id")).distinct().count())
     }
 
+    // --- corpus line dedup (q82 shape): copies duplicate the base doc's
+    // aligned 8-word lines (the perturb token only touches each copy's
+    // LAST line), so removed lines grow linearly with the corpus; the
+    // plan is one explode + two map-combined hash aggs — time must track
+    // total line count, never pairwise anything.
+    time(s"line_dedup_${mult}x") {
+      val out = Dedup.lineDedup(docs, "doc_id", "text", wordsPerLine = 8)
+      val r = out.agg(sum(col("n_lines")).as("nl"),
+                      sum(col("n_kept")).as("nk")).collect()(0)
+      println(s"  lines=${r.getLong(0)} kept=${r.getLong(1)} " +
+        s"removed=${r.getLong(0) - r.getLong(1)}")
+    }
+    // --- BPE training (q85 shape): the corpus scan feeds ONE word-count
+    // agg; every round then works on the DISTINCT-word table, whose size
+    // is constant under inflation — so total time must approach the
+    // initial scan's linear term, with flat per-round cost.
+    time(s"bpe_train_${mult}x") {
+      val m = graft.operators.Bpe.trainMerges(docs, "text", rounds = 4)
+        .collect()
+      println("  merges: " + m.map(r =>
+        s"${r.getString(1)}+${r.getString(2)}:${r.getLong(3)}").mkString(" "))
+    }
+
     val emb0 = Tables.embeddings(spark, dir)
     val emb = emb0.crossJoin(copies)
       .select((col("vec_id") * mult + col("copy")).as("vec_id"),

@@ -39,6 +39,29 @@ object Similarity {
               e6(col("cos")).as("sim_e6"))
   }
 
+  /** Hard-negative mining — the contrastive-training prep step: for each
+    * query, the k most-similar corpus vectors with a DIFFERENT label
+    * (same-label hits are positives, not negatives; self excluded).
+    * Same plan shape as [[bruteForceTopK]] — queries broadcast, corpus
+    * streams off the scan unshuffled, the label test is one more
+    * codegen'd predicate on the scored stream — so the exclusion is
+    * free at any corpus size. `queries` carries (qid, qv, qlabel).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int)
+      : DataFrame = {
+    val scored = Partitioning.spread(corpus).crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid") &&
+        col("label") =!= col("qlabel"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("neighbor_id"), col("label"),
+              col("rnk"), e6(col("cos")).as("sim_e6"))
+  }
+
   /** Multi-table random-hyperplane LSH bucket rows:
     * (vec_id, t, bucket) for `tables` tables × `planesPerTable` sign bits.
     * Deterministic integer hyperplanes (see [[VectorFunctions.planeDot]])

@@ -63,6 +63,23 @@ object PipelineQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** q87 — hard-negative mining: for each query vector (vec_id < 10),
+    * the top-5 most-similar corpus vectors with a DIFFERENT label —
+    * the contrastive-training prep step (see
+    * [[Similarity.hardNegatives]]; broadcast queries, unshuffled corpus
+    * sweep, label exclusion as a codegen'd predicate).
+    */
+  def q87HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+              col("label").as("qlabel"))
+    Similarity.hardNegatives(emb, queries, k = 5)
+      .withColumn("rnk", col("rnk").cast("long"))
+      .withColumn("label", col("label").cast("long"))
+      .orderBy("qid", "rnk")
+  }
+
   /** LSH ANN top-3 (4 tables × 4 hyperplanes) for vec_id < 20: bucket
     * equi-join candidates, exact cosine on candidates only.
     */
@@ -366,7 +383,8 @@ object PipelineQueries {
     "q71_ivf_pq"            -> (q71IvfPq _),
     "q72_dup_spans"         -> (q72DupSpans _),
     "q73_semdedup"          -> (q73SemDedup _),
-    "q77_centroid_classify" -> (q77CentroidClassify _)
+    "q77_centroid_classify" -> (q77CentroidClassify _),
+    "q87_hard_negatives"    -> (q87HardNegatives _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -733,6 +751,22 @@ object PipelineQueries {
          |            THEN 4294967296 ELSE 0 END) * 4294967296 + sig_lo
          |    AS simhash
          |FROM halves ORDER BY doc_id""".stripMargin,
+    // q87: q24's sweep plus the different-label predicate.
+    "q87_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+         |                  label AS qlabel
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id, embedding AS cv, label FROM embeddings),
+         |s AS (SELECT qid, vec_id, label, ${cosSql("qv", "cv")} AS cos
+         |      FROM q CROSS JOIN c
+         |      WHERE vec_id <> qid AND label <> qlabel),
+         |r AS (SELECT qid, vec_id, label, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM s)
+         |SELECT qid, vec_id AS neighbor_id, CAST(label AS BIGINT) AS label,
+         |  rnk, CAST(floor(cos * 1000000) AS BIGINT) AS sim_e6
+         |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q24_embed_knn" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
          |           WHERE vec_id < 10),

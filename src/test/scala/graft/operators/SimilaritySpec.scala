@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contracts of [[Similarity.hardNegatives]]: same-label vectors are
+  * excluded no matter how similar, self excluded, ranking by cosine
+  * with id tie-break.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hardNegatives: excludes self and same-label; ranks the rest " +
+       "by cosine") {
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),  // the query
+      (1L, Array(1f, 0f, 0f, 0f), 0),  // identical but same label → out
+      (2L, Array(0.9f, 0.1f, 0f, 0f), 1), // best different-label
+      (3L, Array(0f, 1f, 0f, 0f), 1),     // orthogonal
+      (4L, Array(0.9f, 0.1f, 0f, 0f), 2)) // ties on cos with 2 → id order
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+              col("label").as("qlabel"))
+    val got = Similarity.hardNegatives(emb, queries, k = 10)
+      .select("neighbor_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._2)
+    assert(got.toSeq === Seq((2L, 1), (4L, 2), (3L, 3)),
+      s"got ${got.toSeq}")
+  }
+
+  test("hardNegatives: a query whose every neighbor shares its label " +
+       "yields no rows") {
+    val emb = Seq(
+      (0L, Array(1f, 0f), 7), (1L, Array(0.5f, 0.5f), 7),
+      (2L, Array(0f, 1f), 7)).toDF("vec_id", "embedding", "label")
+    val queries = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+              col("label").as("qlabel"))
+    assert(Similarity.hardNegatives(emb, queries, k = 3).count() === 0)
+  }
+}
