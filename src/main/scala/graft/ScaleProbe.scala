@@ -15,13 +15,17 @@ import graft.operators.{Clustering, Dedup, GraphOps, Membership, Packing, Simila
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val only = args.lift(1) // optional substring filter on probe names
     val spark = GraftSession.local("scale-probe")
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    def time[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
+    def time(name: String)(f: => Unit): Unit =
+      if (only.exists(p => !name.contains(p)))
+        println(s"SCALE $name skipped")
+      else {
+        val t0 = System.nanoTime(); f
+        println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
 
     val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
     val n0 = docs0.count()

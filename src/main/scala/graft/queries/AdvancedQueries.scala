@@ -396,6 +396,19 @@ object AdvancedQueries {
         |GROUP BY p_type ORDER BY p_type""".stripMargin)
   }
 
+  /** q88 — table profiling (the ANALYZE summary): per-column row/null/
+    * exact-distinct counts and native-type min/max over lineitem's
+    * integer and flag columns (see [[graft.operators.Profiling]] — one
+    * aggregate job; exact multi-column distincts plan as an Expand,
+    * the documented web-scale swap is HLL).
+    */
+  def q88Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profile(
+        Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"))
+      .orderBy("col_name")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -416,7 +429,8 @@ object AdvancedQueries {
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
-    "q55_range_join"   -> (q55RangeJoin _)
+    "q55_range_join"   -> (q55RangeJoin _),
+    "q88_profile"      -> (q88Profile _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -647,6 +661,20 @@ object AdvancedQueries {
         |      (SELECT COUNT(*) FROM part p2 WHERE p2.p_type = p1.p_type) >
         |      (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2)))
         |       FROM part p2 WHERE p2.p_type = p1.p_type)
-        |GROUP BY p_type ORDER BY p_type""".stripMargin
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // q88: one block per profiled column, generated so the five blocks
+    // cannot drift; min/max on the native type, rendered as VARCHAR.
+    "q88_profile" -> {
+      val cols = Seq("l_orderkey", "l_suppkey", "l_linenumber",
+                     "l_returnflag", "l_linestatus")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  MIN($c)::VARCHAR AS min_val, MAX($c)::VARCHAR AS max_val
+           |FROM lineitem""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+                 "\n) ORDER BY col_name")
+    }
   )
 }
