@@ -116,4 +116,22 @@ object TextFunctions {
       words(text),
       lit(0L),
       (acc, w) => pmod(acc * 31 + PortableHash.h24(w), lit(1000000007L)))
+
+  /** Deterministic token masking — denoising-objective prep (BERT/T5
+    * style): token at 0-based position i of document `id` is masked iff
+    * `h32(id:i) mod 100 < pct`. Position-keyed hashing (not token-keyed)
+    * masks repeated words independently, and NO RNG means the corruption
+    * is byte-reproducible across runs, engines, and partitionings — the
+    * [[graft.operators.Sampling]] discipline applied inside the row.
+    * Pure per-row expression, zero shuffle.
+    */
+  def maskTokens(id: Column, text: Column, pct: Int,
+                 mask: String = "<MASK>"): Column = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    transform(words(text), (w, i) =>
+      when(pmod(PortableHash.h32(
+          concat(id.cast("string"), lit(":"), i.cast("string"))),
+          lit(100L)) < pct, lit(mask))
+        .otherwise(w))
+  }
 }

@@ -442,6 +442,24 @@ object CurationQueries {
         Map("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15))
       .orderBy("doc_id")
 
+  /** q89 — deterministic token masking (denoising prep): 15% of token
+    * positions masked by position-keyed hash (see
+    * [[TextFunctions.maskTokens]]); the masked text is emitted as an md5
+    * plus the mask count, so both the selection AND the rebuild are
+    * hash-gated. Zero shuffle — pure per-row expressions.
+    */
+  def q89MaskTokens(s: SparkSession, dir: String): DataFrame = {
+    val masked = TextFunctions.maskTokens(col("doc_id"), col("text"), 15)
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(TextFunctions.words(col("text"))).cast("long").as("n_tokens"),
+        size(filter(masked, w => w === "<MASK>")).cast("long")
+          .as("n_masked"),
+        md5(array_join(masked, " ")).as("masked_md5"))
+      .orderBy("doc_id")
+  }
+
   /** q85 oracle: rounds chained as CTEs — pair counts from the previous
     * round's segmentation, 1-row argmax (weight desc, pair lexicographic),
     * literal wrapped-string replace. Generated per round so the four
@@ -506,7 +524,8 @@ object CurationQueries {
     "q83_weighted_sample"  -> (q83WeightedSample _),
     "q84_quantile_trim"    -> (q84QuantileTrim _),
     "q85_bpe_merges"       -> (q85BpeMerges _),
-    "q86_rebalance"        -> (q86Rebalance _)
+    "q86_rebalance"        -> (q86Rebalance _),
+    "q89_mask_tokens"      -> (q89MaskTokens _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -883,6 +902,24 @@ object CurationQueries {
         |  CAST(COALESCE(q.quota, 0) AS BIGINT) AS quota,
         |  CAST(r.rank AS BIGINT) AS rank,
         |  (r.p IS NOT NULL AND r.rank <= q.quota) AS kept
-        |FROM r LEFT JOIN q USING (lang) ORDER BY doc_id""".stripMargin
+        |FROM r LEFT JOIN q USING (lang) ORDER BY doc_id""".stripMargin,
+    // q89: mask iff h32(doc_id:pos) % 100 < 15, 0-based positions (the
+    // plan's transform index); rebuild joined by ' ' in position order.
+    "q89_mask_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |t AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+        |                 (i-1)::VARCHAR), 1, 8))::BIGINT % 100 < 15
+        |         THEN 1 ELSE 0 END AS m,
+        |    ws[i] AS tok
+        |  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)))
+        |                   AS i) g)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(m) AS BIGINT) AS n_masked,
+        |  md5(string_agg(CASE WHEN m = 1 THEN '<MASK>' ELSE tok END,
+        |      ' ' ORDER BY i)) AS masked_md5
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
