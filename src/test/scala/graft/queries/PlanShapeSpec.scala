@@ -206,6 +206,40 @@ class PlanShapeSpec extends SparkSpec {
       "the second corpus pass must reuse the first exchange, not rescan")
   }
 
+  test("q82: line dedup is two map-combined hash aggs — no window sort, " +
+       "no extra shuffle") {
+    val plan = finalPlan(CurationQueries.q82LineDedup(spark, sf))
+    assert(!plan.contains("Window"),
+      s"keeper selection must be min-struct agg, not a sorted window:\n$plan")
+    assert(plan.contains("HashAggregate"), "line keeper is a hash agg")
+    // line-key agg + doc-key agg + keeper join back to docs + output sort
+    val exchanges = plan.linesIterator
+      .count(l => l.trim.startsWith("+- Exchange")
+        || l.trim.startsWith("Exchange"))
+    assert(exchanges <= 4, s"line dedup grew extra shuffles:\n$plan")
+  }
+
+  test("q83/q89: per-row sampling stages — top-k heap, zero-shuffle mask") {
+    val p83 = finalPlan(CurationQueries.q83WeightedSample(spark, sf))
+    assert(p83.contains("TakeOrderedAndProject"),
+      s"weighted sample must be a bounded per-partition heap:\n$p83")
+    val p89 = finalPlan(CurationQueries.q89MaskTokens(spark, sf))
+    val exchanges = p89.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1 && !p89.contains("Join"),
+      s"masking is per-row — only the output sort may shuffle:\n$p89")
+  }
+
+  test("q87: hard negatives broadcast the query side — corpus side " +
+       "never sort-merges") {
+    val plan = finalPlan(PipelineQueries.q87HardNegatives(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"corpus must stream off the scan:\n$plan")
+  }
+
   // q67's prefix-sum internals are pinned in PrefixSumSpec (the operator
   // materializes its result, so the query-level plan only shows the
   // output sort over a LogicalRDD)
