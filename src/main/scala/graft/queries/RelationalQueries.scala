@@ -48,6 +48,36 @@ object RelationalQueries {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** q90 — TPC-H Q5-shaped multi-join aggregation: 1996 revenue per
+    * nation for orders whose customer and supplier share a nation inside
+    * one region — the six-table star join every warehouse engine is
+    * judged on. Plan: the two FACT tables (lineitem ⋈ orders) take the
+    * only real shuffle; region/nation/supplier/customer are explicit
+    * broadcasts, the date predicate pushes into the orders scan, and
+    * revenue is decimal-exact (q1's dsum idiom). At 100 TB the fact join
+    * is the sort-merge AQE plans for; everything else stays map-side.
+    */
+  def q90RegionRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+              .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                      col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+              .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
   /** §2.4 F5 + §2.1 S4: range predicate + projection, both pushed to the
     * parquet scan (predicate pushdown + column pruning).
     */
@@ -248,7 +278,8 @@ object RelationalQueries {
     "q13_dedup_exact"    -> (q13DedupExact _),
     "q14_watermark"      -> (q14Watermark _),
     "q15_twodim_ratio"   -> (q15TwoDimRatio _),
-    "q16_date_parts"     -> (q16DateParts _)
+    "q16_date_parts"     -> (q16DateParts _),
+    "q90_region_revenue" -> (q90RegionRevenue _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -352,6 +383,21 @@ object RelationalQueries {
         |  CAST(month(o_orderdate) AS BIGINT) AS m,
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+    "q90_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |             AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
   )
 }

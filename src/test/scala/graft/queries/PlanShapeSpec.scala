@@ -240,6 +240,22 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus must stream off the scan:\n$plan")
   }
 
+  test("q90: six-table star join — dims all broadcast, at most the one " +
+       "fact-fact shuffle pair, date predicate pushed to the orders scan") {
+    val df = RelationalQueries.q90RegionRevenue(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed join anywhere:\n$plan")
+    val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(smj <= 1, s"only lineitem x orders may sort-merge:\n$plan")
+    val fmt = formatted(df)
+    assert(fmt.contains("PushedFilters: [IsNotNull(o_orderdate)")
+        || fmt.contains("GreaterThanOrEqual(o_orderdate"),
+      "date range must reach the orders scan")
+  }
+
   // q67's prefix-sum internals are pinned in PrefixSumSpec (the operator
   // materializes its result, so the query-level plan only shows the
   // output sort over a LogicalRDD)
