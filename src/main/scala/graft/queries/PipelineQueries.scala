@@ -80,6 +80,21 @@ object PipelineQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** q91 — exact phrase search via posting intersection: candidates are
+    * docs containing ALL of a phrase's tokens (hash agg over pre-filtered
+    * postings), verify = word-boundary `instr` on candidates only (see
+    * [[graft.operators.Search]]). The oracle is the INDEPENDENT
+    * brute-force formulation (contains over the full cross product), so
+    * any candidate-recall gap is a row-count mismatch. The fourth phrase
+    * has no corpus hits and must contribute zero rows.
+    */
+  def q91PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.phraseSearch(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("key agg row", "batch window spark", "data query small",
+            "zebra unicorn"))
+      .orderBy("phrase", "doc_id")
+
   /** LSH ANN top-3 (4 tables × 4 hyperplanes) for vec_id < 20: bucket
     * equi-join candidates, exact cosine on candidates only.
     */
@@ -384,7 +399,8 @@ object PipelineQueries {
     "q72_dup_spans"         -> (q72DupSpans _),
     "q73_semdedup"          -> (q73SemDedup _),
     "q77_centroid_classify" -> (q77CentroidClassify _),
-    "q87_hard_negatives"    -> (q87HardNegatives _)
+    "q87_hard_negatives"    -> (q87HardNegatives _),
+    "q91_phrase_search"     -> (q91PhraseSearch _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -751,6 +767,19 @@ object PipelineQueries {
          |            THEN 4294967296 ELSE 0 END) * 4294967296 + sig_lo
          |    AS simhash
          |FROM halves ORDER BY doc_id""".stripMargin,
+    // q91: the oracle is the brute-force contains sweep — an independent
+    // formulation, so posting-intersection recall gaps surface as row
+    // mismatches.
+    "q91_phrase_search" ->
+      """WITH p AS (
+        |  SELECT unnest(['key agg row', 'batch window spark',
+        |                 'data query small', 'zebra unicorn']) AS phrase)
+        |SELECT phrase, doc_id,
+        |  CAST(strpos(' ' || text || ' ', ' ' || phrase || ' ')
+        |    AS BIGINT) AS pos
+        |FROM documents CROSS JOIN p
+        |WHERE strpos(' ' || text || ' ', ' ' || phrase || ' ') > 0
+        |ORDER BY phrase, doc_id""".stripMargin,
     // q87: q24's sweep plus the different-label predicate.
     "q87_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
