@@ -460,6 +460,36 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q92 — text normalization, the first transform of every curation
+    * pipeline: case folding, whitespace collapse, edge trim. The corpus
+    * is pre-clean, so a deterministic fixture re-dirties it first
+    * (upper-casing and double-spacing by doc_id residue, decorated
+    * edges) — the oracle re-derives fixture AND normalization, so both
+    * are hash-gated. Pure per-row expressions, zero shuffle; the
+    * normalized text must md5-match the ORIGINAL for every doc.
+    */
+  def q92Normalize(s: SparkSession, dir: String): DataFrame = {
+    val messy =
+      concat(
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit("  ")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3L)) === 0, upper(col("text")))
+          .when(pmod(col("doc_id"), lit(3L)) === 1,
+            regexp_replace(col("text"), lit(" "), lit("  ")))
+          .otherwise(col("text")),
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit(" \t")).otherwise(lit("")))
+    val norm = trim(regexp_replace(lower(col("m")), lit("\\s+"), lit(" ")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), messy.as("m"))
+      .select(col("doc_id"),
+              length(col("m")).cast("long").as("n_messy"),
+              norm.as("n"),
+              (norm === col("text")).as("roundtrip"))
+      .select(col("doc_id"), col("n_messy"),
+              length(col("n")).cast("long").as("n_norm"),
+              md5(col("n")).as("norm_md5"), col("roundtrip"))
+      .orderBy("doc_id")
+  }
+
   /** q85 oracle: rounds chained as CTEs — pair counts from the previous
     * round's segmentation, 1-row argmax (weight desc, pair lexicographic),
     * literal wrapped-string replace. Generated per round so the four
@@ -525,7 +555,8 @@ object CurationQueries {
     "q84_quantile_trim"    -> (q84QuantileTrim _),
     "q85_bpe_merges"       -> (q85BpeMerges _),
     "q86_rebalance"        -> (q86Rebalance _),
-    "q89_mask_tokens"      -> (q89MaskTokens _)
+    "q89_mask_tokens"      -> (q89MaskTokens _),
+    "q92_normalize"        -> (q92Normalize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -920,6 +951,25 @@ object CurationQueries {
         |  CAST(SUM(m) AS BIGINT) AS n_masked,
         |  md5(string_agg(CASE WHEN m = 1 THEN '<MASK>' ELSE tok END,
         |      ' ' ORDER BY i)) AS masked_md5
-        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q92: fixture (messy) and normalization both re-derived; roundtrip
+    // asserts normalize(messy(text)) == text document-wide.
+    "q92_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 2 = 0 THEN '  ' ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(text)
+        |         WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ')
+        |         ELSE text END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' ' || chr(9) ELSE '' END AS messy
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text, messy,
+        |    trim(regexp_replace(lower(messy), '\s+', ' ', 'g')) AS norm
+        |  FROM m)
+        |SELECT doc_id, CAST(length(messy) AS BIGINT) AS n_messy,
+        |  CAST(length(norm) AS BIGINT) AS n_norm,
+        |  md5(norm) AS norm_md5, (norm = text) AS roundtrip
+        |FROM n ORDER BY doc_id""".stripMargin
   )
 }
