@@ -95,6 +95,33 @@ object PipelineQueries {
             "zebra unicorn"))
       .orderBy("phrase", "doc_id")
 
+  /** q93 — ANN index quality report: recall@3 of the LSH index (q25's
+    * exact configuration) against the exact top-3 (q24's sweep), per
+    * query — the measurement every deployment runs before trusting an
+    * approximate index. Overlap is a semi-join on (qid, neighbor);
+    * recall is floor-scaled e6. The oracle recomposes BOTH stacks
+    * independently, so a recall drift in either index surfaces as a
+    * hash mismatch.
+    */
+  def q93AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val lsh = Similarity.annTopK(emb, col("vec_id") < 20, k = 3)
+      .select(col("qid"), col("neighbor_id"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select(col("qid"), col("neighbor_id"))
+    val overlap = exact.join(lsh, Seq("qid", "neighbor_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_overlap"))
+    exact.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"), col("n_exact"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        floor(lit(1000000L) * coalesce(col("n_overlap"), lit(0L))
+          / col("n_exact")).cast("long").as("recall_e6"))
+      .orderBy("qid")
+  }
+
   /** LSH ANN top-3 (4 tables × 4 hyperplanes) for vec_id < 20: bucket
     * equi-join candidates, exact cosine on candidates only.
     */
@@ -400,7 +427,8 @@ object PipelineQueries {
     "q73_semdedup"          -> (q73SemDedup _),
     "q77_centroid_classify" -> (q77CentroidClassify _),
     "q87_hard_negatives"    -> (q87HardNegatives _),
-    "q91_phrase_search"     -> (q91PhraseSearch _)
+    "q91_phrase_search"     -> (q91PhraseSearch _),
+    "q93_ann_recall"        -> (q93AnnRecall _)
   )
 
   /** Shared SQL fragment: 64-bit SimHash rebuilt from two 32-bit md5
@@ -780,6 +808,45 @@ object PipelineQueries {
         |FROM documents CROSS JOIN p
         |WHERE strpos(' ' || text || ' ', ' ' || phrase || ' ') > 0
         |ORDER BY phrase, doc_id""".stripMargin,
+    // q93: q25's LSH chain and q24's exact chain recomposed, joined on
+    // (qid, neighbor) — integer recall, floor-scaled.
+    "q93_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, p.p AS p,
+         |    CASE WHEN list_sum(list_transform(range(64),
+         |           d -> v[d+1]::DOUBLE * (((p.p*131 + d*37) % 7) - 3)::DOUBLE))
+         |         >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM e CROSS JOIN range(16) p(p)),
+         |buck AS (
+         |  SELECT vec_id, p // 4 AS t,
+         |    SUM(bit * (1::BIGINT << (p % 4))) AS bucket
+         |  FROM sig GROUP BY vec_id, p // 4),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
+         |  FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+         |ls AS (SELECT cand.qid, cand.vec_id, ${cosSql("qv", "cv")} AS cos
+         |      FROM cand
+         |      JOIN qe ON qe.qid = cand.qid
+         |      JOIN (SELECT vec_id, v AS cv FROM e) ce
+         |        ON ce.vec_id = cand.vec_id),
+         |lr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |         ORDER BY cos DESC, vec_id) AS rnk FROM ls),
+         |lsh3 AS (SELECT qid, vec_id, 1 AS hit FROM lr WHERE rnk <= 3),
+         |es AS (SELECT qid, e.vec_id, ${cosSql("qv", "cv")} AS cos
+         |      FROM qe CROSS JOIN (SELECT vec_id, v AS cv FROM e) e
+         |      WHERE e.vec_id <> qid),
+         |er AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |         ORDER BY cos DESC, vec_id) AS rnk FROM es),
+         |ex3 AS (SELECT qid, vec_id FROM er WHERE rnk <= 3)
+         |SELECT ex3.qid, COUNT(*) AS n_exact,
+         |  CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_overlap,
+         |  CAST((1000000 * SUM(COALESCE(hit, 0))) // COUNT(*) AS BIGINT)
+         |    AS recall_e6
+         |FROM ex3 LEFT JOIN lsh3 USING (qid, vec_id)
+         |GROUP BY ex3.qid ORDER BY qid""".stripMargin,
     // q87: q24's sweep plus the different-label predicate.
     "q87_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv,
