@@ -490,6 +490,53 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q94 — incremental aggregate maintenance: per-source stats built as
+    * TWO partial states (corpus split on doc_id residue — the stored
+    * state and the day's batch) merged by
+    * [[graft.operators.IncrementalAgg.mergeStates]]; the oracle computes
+    * the aggregates DIRECTLY over the whole corpus, so the gate is the
+    * mergeability law `merge(agg(A), agg(B)) == agg(A ∪ B)` itself.
+    */
+  def q94IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    def part(df: DataFrame): DataFrame = df
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(size(TextFunctions.words(col("text"))).cast("long"))
+             .as("sum_tokens"),
+           max(col("n_chars")).as("max_chars"),
+           min(col("n_chars")).as("min_chars"))
+    val docs = Tables.documents(s, dir)
+    graft.operators.IncrementalAgg.mergeStates("source",
+        part(docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0)),
+        part(docs.filter(pmod(col("doc_id"), lit(4L)) === 0)))
+      .orderBy("source")
+  }
+
+  /** q95 — per-source outlier detection on document length: flag docs
+    * more than 2 standard deviations from their source's mean, with the
+    * z-test kept in EXACT integer cross-multiplied form — `(x·n − S)² >
+    * 4·(n·SS − S²)` ⟺ `(x − μ)² > 4σ²` after multiplying both sides by
+    * n² (population σ²; all BIGINT at these magnitudes — a 100 TB run
+    * lifts the squares to DECIMAL(38,0), same plan). One tiny per-source
+    * aggregate broadcast back over the scan: two passes, no window sort.
+    */
+  def q95Outliers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+                                               col("n_chars"))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("n_chars")).as("s1"),
+           sum(col("n_chars") * col("n_chars")).as("s2"))
+    docs.join(broadcast(stats), Seq("source"))
+      .select(
+        col("doc_id"), col("source"), col("n_chars"),
+        ((col("n_chars") * col("n") - col("s1")) *
+           (col("n_chars") * col("n") - col("s1")) >
+          lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")))
+          .as("outlier"))
+      .orderBy("doc_id")
+  }
+
   /** q85 oracle: rounds chained as CTEs — pair counts from the previous
     * round's segmentation, 1-row argmax (weight desc, pair lexicographic),
     * literal wrapped-string replace. Generated per round so the four
@@ -556,7 +603,9 @@ object CurationQueries {
     "q85_bpe_merges"       -> (q85BpeMerges _),
     "q86_rebalance"        -> (q86Rebalance _),
     "q89_mask_tokens"      -> (q89MaskTokens _),
-    "q92_normalize"        -> (q92Normalize _)
+    "q92_normalize"        -> (q92Normalize _),
+    "q94_incremental_agg"  -> (q94IncrementalAgg _),
+    "q95_outliers"         -> (q95Outliers _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -970,6 +1019,27 @@ object CurationQueries {
         |SELECT doc_id, CAST(length(messy) AS BIGINT) AS n_messy,
         |  CAST(length(norm) AS BIGINT) AS n_norm,
         |  md5(norm) AS norm_md5, (norm = text) AS roundtrip
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // q94: the oracle aggregates the WHOLE corpus directly — the compare
+    // IS the mergeability law merge(agg(A), agg(B)) == agg(A ∪ B).
+    "q94_incremental_agg" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q95: the z-test in the same cross-multiplied integer form —
+    // (x*n - S)^2 > 4*(n*SS - S^2), population variance scaled by n^2.
+    "q95_outliers" ->
+      """WITH st AS (
+        |  SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS s1,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, source, n_chars,
+        |  (n_chars * n - s1) * (n_chars * n - s1)
+        |    > 4 * (n * s2 - s1 * s1) AS outlier
+        |FROM documents JOIN st USING (source)
+        |ORDER BY doc_id""".stripMargin
   )
 }
