@@ -537,6 +537,49 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q96 — data diff: the regression report run between two pipeline
+    * versions (here: the q61 quality ruleset vs a stricter variant over
+    * the same corpus — a deterministic "upgrade"). Full outer join on
+    * the key, one status per row: `same` / `changed` (plus `added` /
+    * `removed` when key sets differ — exercised in the spec; the fixture
+    * here keeps keys stable so the oracle also pins zero adds/removes).
+    * One shuffle pair (the join); at 100 TB both sides are bucketed by
+    * the key and the join is co-located.
+    */
+  def q96DataDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = q61QualityRules(s, dir).select(col("doc_id"), col("keep"))
+    val v2 = q61QualityRules(s, dir)
+      .select(col("doc_id"),
+              (col("keep") && pmod(col("doc_id"), lit(7L)) =!= 3).as("keep"))
+    graft.operators.DataDiff.diff(v1, v2, Seq("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared q61/q96 oracle fragment: the PII fixture plus the rule
+    * flags, ending at CTE `r` (one definition so the two oracles cannot
+    * drift).
+    */
+  private val q61RulesCte: String =
+    s"""$piiSql,
+       |m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+       |      AS n_sym,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x IN ('the','a','and','of','to','in','is','it')))
+       |      AS BIGINT) AS n_stop
+       |  FROM pii),
+       |r AS (
+       |  SELECT doc_id,
+       |    n_words BETWEEN 20 AND 500 AS r_words,
+       |    floor(1000.0 * (n_chars - n_words + 1) / n_words)
+       |      BETWEEN 3000 AND 12000 AS r_wlen,
+       |    floor(1000000.0 * n_sym / n_chars) <= 30000 AS r_sym,
+       |    n_stop >= 1 AS r_stop
+       |  FROM m)""".stripMargin
+
   /** q85 oracle: rounds chained as CTEs — pair counts from the previous
     * round's segmentation, 1-row argmax (weight desc, pair lexicographic),
     * literal wrapped-string replace. Generated per round so the four
@@ -605,7 +648,8 @@ object CurationQueries {
     "q89_mask_tokens"      -> (q89MaskTokens _),
     "q92_normalize"        -> (q92Normalize _),
     "q94_incremental_agg"  -> (q94IncrementalAgg _),
-    "q95_outliers"         -> (q95Outliers _)
+    "q95_outliers"         -> (q95Outliers _),
+    "q96_data_diff"        -> (q96DataDiff _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -651,25 +695,7 @@ object CurationQueries {
         |    / NULLIF(n_words - 1, 0)) AS BIGINT) AS dup_bigram_e6
         |FROM agg a JOIN bg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q61_quality_rules" ->
-      s"""WITH $piiSql,
-         |m AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-         |    CAST(length(text) AS BIGINT) AS n_chars,
-         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
-         |      AS n_sym,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |      x -> x IN ('the','a','and','of','to','in','is','it')))
-         |      AS BIGINT) AS n_stop
-         |  FROM pii),
-         |r AS (
-         |  SELECT doc_id,
-         |    n_words BETWEEN 20 AND 500 AS r_words,
-         |    floor(1000.0 * (n_chars - n_words + 1) / n_words)
-         |      BETWEEN 3000 AND 12000 AS r_wlen,
-         |    floor(1000000.0 * n_sym / n_chars) <= 30000 AS r_sym,
-         |    n_stop >= 1 AS r_stop
-         |  FROM m)
+      s"""WITH $q61RulesCte
          |SELECT doc_id, r_words, r_wlen, r_sym, r_stop,
          |  CAST(r_words::INT * 8 + r_wlen::INT * 4 + r_sym::INT * 2
          |    + r_stop::INT AS BIGINT) AS rule_mask,
@@ -1040,6 +1066,21 @@ object CurationQueries {
         |  (n_chars * n - s1) * (n_chars * n - s1)
         |    > 4 * (n * s2 - s1 * s1) AS outlier
         |FROM documents JOIN st USING (source)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // q96: both "versions" re-derived from the shared rule chain; keys
+    // are stable so status ∈ {same, changed} here (added/removed are
+    // spec-covered).
+    "q96_data_diff" ->
+      s"""WITH $q61RulesCte,
+         |v1 AS (
+         |  SELECT doc_id,
+         |    (r_words AND r_wlen AND r_sym AND r_stop) AS keep FROM r),
+         |v2 AS (
+         |  SELECT doc_id, keep AND (doc_id % 7 <> 3) AS keep FROM v1)
+         |SELECT doc_id,
+         |  CASE WHEN v1.keep = v2.keep THEN 'same' ELSE 'changed' END
+         |    AS status,
+         |  v1.keep AS keep_v1, v2.keep AS keep_v2
+         |FROM v1 JOIN v2 USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }
