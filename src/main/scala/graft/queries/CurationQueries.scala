@@ -555,6 +555,25 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q97 — Z-order layout: Morton-interleave (l_partkey, l_suppkey),
+    * globally sort by the z-value, cut into 1000-row files, and report
+    * each file's min/max envelope on BOTH dimensions (the footer stats a
+    * scan prunes on). Z-curve locality means the envelopes are tight
+    * rectangles — the measurable data-skipping win. Scale shape: the
+    * z-value is codegen'd per-row arithmetic; the only full-data exchange
+    * is the range partition any total sort pays; file assignment rides
+    * [[graft.operators.PrefixSum]], never a single-partition window.
+    */
+  def q97Zorder(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"))
+    val laid = graft.operators.ZOrder.layout(
+      li, "l_partkey", "l_suppkey",
+      col("l_orderkey") * 10 + col("l_linenumber"), rowsPerFile = 1000L)
+    graft.operators.ZOrder.localityReport(laid, "l_partkey", "l_suppkey")
+  }
+
   /** Shared q61/q96 oracle fragment: the PII fixture plus the rule
     * flags, ending at CTE `r` (one definition so the two oracles cannot
     * drift).
@@ -649,8 +668,19 @@ object CurationQueries {
     "q92_normalize"        -> (q92Normalize _),
     "q94_incremental_agg"  -> (q94IncrementalAgg _),
     "q95_outliers"         -> (q95Outliers _),
-    "q96_data_diff"        -> (q96DataDiff _)
+    "q96_data_diff"        -> (q96DataDiff _),
+    "q97_zorder"           -> (q97Zorder _)
   )
+
+  /** DuckDB mirror of [[graft.operators.ZOrder.spread32]]: the same five
+    * shift/mask rounds, masks as decimal literals (generated from one
+    * list so Spark and oracle cannot drift).
+    */
+  private def spreadSql(x: String): String =
+    graft.operators.ZOrder.spreadSteps
+      .foldLeft(s"($x & 4294967295)") { case (s, (sh, m)) =>
+        s"((($s) | (($s) << $sh)) & $m)"
+      }
 
   def oracleSql: Map[String, String] = Map(
     "q59_pii_redact" ->
@@ -1081,6 +1111,19 @@ object CurationQueries {
          |  CASE WHEN v1.keep = v2.keep THEN 'same' ELSE 'changed' END
          |    AS status,
          |  v1.keep AS keep_v1, v2.keep AS keep_v2
-         |FROM v1 JOIN v2 USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM v1 JOIN v2 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q97_zorder" ->
+      s"""WITH z AS (
+         |  SELECT l_orderkey*10 + l_linenumber AS rid, l_partkey, l_suppkey,
+         |    (${spreadSql("l_partkey")} |
+         |     (${spreadSql("l_suppkey")} << 1)) AS z
+         |  FROM lineitem),
+         |rn AS (SELECT *, row_number() OVER (ORDER BY z, rid) AS rn FROM z)
+         |SELECT CAST((rn-1)//1000 AS BIGINT) AS file_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(l_partkey) AS min_a, MAX(l_partkey) AS max_a,
+         |  MIN(l_suppkey) AS min_b, MAX(l_suppkey) AS max_b,
+         |  MIN(z) AS z_lo, MAX(z) AS z_hi
+         |FROM rn GROUP BY 1 ORDER BY file_id""".stripMargin
   )
 }
