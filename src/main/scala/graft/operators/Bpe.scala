@@ -31,6 +31,81 @@ import graft.functions.TextFunctions
   */
 object Bpe {
 
+  /** Merge lists at most this long encode as a literal replace-chain
+    * inside whole-stage codegen; longer lists (real tokenizers carry
+    * 30k–50k merges, far past JIT method limits) take the broadcast
+    * mapPartitions path. Same semantics either way — parity is
+    * spec-gated (`BpeSpec`).
+    */
+  val maxCodegenMerges = 32
+
+  /** Sennrich-style merge APPLY (encode): segment each word of `textCol`
+    * to characters and apply `merges` in training order, each as a
+    * literal replace-all — "apply the learned operations in the order
+    * they were learned" (the original subword-nmt semantics), which
+    * reproduces the training segmentation exactly on the training
+    * corpus. Output: `idCols` + `encoded`, the wrapped segmentation
+    * (words space-separated, each token pipe-wrapped as in training).
+    *
+    * Scale shape: encoding is embarrassingly per-row — NO shuffle at any
+    * merge count or corpus size. Small merge lists fold into a codegen
+    * replace chain; large ones broadcast the merge array once and run
+    * the same loop per row with a contains() short-circuit.
+    */
+  def encode(docs: DataFrame, textCol: String, idCols: Seq[String],
+             merges: Seq[(String, String)],
+             maxCodegen: Int = maxCodegenMerges): DataFrame = {
+    require(merges.forall { case (l, r) =>
+      l.nonEmpty && r.nonEmpty && !l.contains("|") && !r.contains("|")
+    }, "merge symbols must be non-empty and pipe-free")
+    if (merges.size <= maxCodegen) {
+      val seg0 = array_join(
+        transform(
+          filter(TextFunctions.words(col(textCol)),
+                 w => length(w) > 0 && !w.contains("|")),
+          w => concat(lit("|"), array_join(split(w, ""), "||"), lit("|"))),
+        " ")
+      val enc = merges.foldLeft(seg0) { case (e, (l, r)) =>
+        replace(e, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+      }
+      docs.select(idCols.map(col) :+ enc.as("encoded"): _*)
+    } else {
+      val spark = docs.sparkSession
+      val bc = spark.sparkContext.broadcast(merges.toArray)
+      val in = docs.select((idCols :+ textCol).map(col): _*)
+      val tIdx = in.schema.fields.length - 1
+      val outSchema = StructType(
+        in.schema.fields.dropRight(1) :+
+          StructField("encoded", StringType, nullable = true))
+      in.mapPartitions { it =>
+        val ms = bc.value
+        it.map { r =>
+          val text = if (r.isNullAt(tIdx)) null else r.getString(tIdx)
+          val enc =
+            if (text == null) null
+            else {
+              // identical segmentation to the codegen path: split on
+              // single space KEEPING empties (Spark split semantics),
+              // drop empty / pipe-carrying words, wrap chars
+              var e = text.split(" ", -1).iterator
+                .filter(w => w.nonEmpty && !w.contains("|"))
+                .map(w => "|" + w.split("").mkString("||") + "|")
+                .mkString(" ")
+              var i = 0
+              while (i < ms.length) {
+                val pat = "|" + ms(i)._1 + "||" + ms(i)._2 + "|"
+                if (e.contains(pat))
+                  e = e.replace(pat, "|" + ms(i)._1 + ms(i)._2 + "|")
+                i += 1
+              }
+              e
+            }
+          Row.fromSeq((0 until tIdx).map(r.get) :+ enc)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+    }
+  }
+
   /** Train `rounds` merges over the words of `textCol`. Returns one row
     * per merge — (round, left_sym, right_sym, weight) with `weight` the
     * merged pair's corpus frequency — plus a final summary row

@@ -429,6 +429,29 @@ object CurationQueries {
         Tables.documents(s, dir), "text", rounds = 4)
       .orderBy("round")
 
+  /** q98 — BPE encode (tokenizer APPLY): train `bpeRoundsN` merges over
+    * the corpus (q85's trainer), then tokenize every document with them
+    * — the "tokenize 100 TB with a trained tokenizer" pipeline step.
+    * Per doc: exact post-merge token count and a digest of the full
+    * segmentation (so any drift in merge order or apply semantics is a
+    * hash mismatch). Encoding shuffles nothing; the merges travel as one
+    * broadcast (collected here — k rows of control plane).
+    */
+  def q98BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.Bpe.trainMerges(docs, "text", rounds = 4)
+      .filter(col("round") <= 4)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.encode(docs, "text", Seq("doc_id"), merges)
+      .select(col("doc_id"),
+        shiftright(length(col("encoded")) -
+          length(replace(col("encoded"), lit("|"), lit(""))), 1)
+          .cast("long").as("n_tokens"),
+        md5(col("encoded")).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
   /** q86 — rebalance to a target language mix (en 40%, others 15%):
     * the largest subset realizing the recipe, scale bound by the
     * scarcest language, per-language quotas filled in deterministic
@@ -604,8 +627,14 @@ object CurationQueries {
     * literal wrapped-string replace. Generated per round so the four
     * blocks cannot drift from each other.
     */
-  private val bpeOracleSql: String = {
-    val rounds = 4
+  private val bpeRoundsN = 4
+
+  /** Shared q85/q98 oracle prefix (the training rounds): word freqs,
+    * char segmentation, and `bpeRoundsN` chained merge rounds ending at
+    * scalar CTEs `m1..mN` and the re-segmented vocab `wN`. One
+    * definition so the trainer gate and the encoder gate cannot drift.
+    */
+  private val bpeCtePrefix: String = {
     def roundCte(i: Int): String = {
       val prev = if (i == 1) "w0" else s"w${i - 1}"
       s"""p$i AS (
@@ -622,13 +651,7 @@ object CurationQueries {
          |    freq
          |  FROM $prev)""".stripMargin
     }
-    val selects = (1 to rounds).map { i =>
-      s"SELECT $i AS round, l AS left_sym, r AS right_sym, w AS weight FROM m$i"
-    } :+
-      s"""SELECT ${rounds + 1}, '', '',
-         |  (SELECT CAST(SUM(freq * len(string_split(s[2:len(s)-1], '||')))
-         |     AS BIGINT) FROM w$rounds)""".stripMargin
-    s"""WITH wf AS (
+    s"""wf AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
        |        FROM documents)
@@ -637,10 +660,48 @@ object CurationQueries {
        |w0 AS (
        |  SELECT '|' || array_to_string(string_split(word, ''), '||') || '|'
        |    AS s, freq FROM wf),
-       |${(1 to rounds).map(roundCte).mkString(",\n")}
+       |${(1 to bpeRoundsN).map(roundCte).mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeOracleSql: String = {
+    val selects = (1 to bpeRoundsN).map { i =>
+      s"SELECT $i AS round, l AS left_sym, r AS right_sym, w AS weight FROM m$i"
+    } :+
+      s"""SELECT ${bpeRoundsN + 1}, '', '',
+         |  (SELECT CAST(SUM(freq * len(string_split(s[2:len(s)-1], '||')))
+         |     AS BIGINT) FROM w$bpeRoundsN)""".stripMargin
+    s"""WITH $bpeCtePrefix
        |SELECT CAST(round AS BIGINT) AS round, left_sym, right_sym, weight
        |FROM (${selects.mkString("\nUNION ALL\n")})
        |ORDER BY round""".stripMargin
+  }
+
+  /** q98 oracle: the q85 training rounds, then the corpus re-encoded
+    * document-by-document with the same replace chain in merge order.
+    */
+  private val bpeEncodeOracleSql: String = {
+    def encCte(i: Int): String = {
+      val prev = if (i == 1) "d0" else s"d${i - 1}"
+      s"""d$i AS (SELECT doc_id, replace(e,
+         |  '|' || (SELECT l FROM m$i) || '||' || (SELECT r FROM m$i) || '|',
+         |  '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || '|') AS e
+         |  FROM $prev)""".stripMargin
+    }
+    s"""WITH $bpeCtePrefix,
+       |d0 AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(
+       |      list_filter(string_split(text, ' '),
+       |        w -> length(w) > 0 AND NOT contains(w, '|')),
+       |      w -> '|' || array_to_string(string_split(w, ''), '||') || '|'),
+       |      ' ') AS e
+       |  FROM documents),
+       |${(1 to bpeRoundsN).map(encCte).mkString(",\n")}
+       |SELECT doc_id,
+       |  CAST((length(e) - length(replace(e, '|', '')))//2 AS BIGINT)
+       |    AS n_tokens,
+       |  md5(e) AS enc_md5
+       |FROM d$bpeRoundsN ORDER BY doc_id""".stripMargin
   }
 
   // -------------------------------------------------------------- wiring
@@ -669,7 +730,8 @@ object CurationQueries {
     "q94_incremental_agg"  -> (q94IncrementalAgg _),
     "q95_outliers"         -> (q95Outliers _),
     "q96_data_diff"        -> (q96DataDiff _),
-    "q97_zorder"           -> (q97Zorder _)
+    "q97_zorder"           -> (q97Zorder _),
+    "q98_bpe_encode"       -> (q98BpeEncode _)
   )
 
   /** DuckDB mirror of [[graft.operators.ZOrder.spread32]]: the same five
@@ -1012,6 +1074,7 @@ object CurationQueries {
         |    AS kept
         |FROM r ORDER BY doc_id""".stripMargin,
     "q85_bpe_merges" -> bpeOracleSql,
+    "q98_bpe_encode" -> bpeEncodeOracleSql,
     // q86: T = min_g floor(100*avail/pct) bounds the feasible scale;
     // quotas floor(T*pct/100); fill order = (h32(id), id), as in q62.
     "q86_rebalance" ->

@@ -50,4 +50,60 @@ class BpeSpec extends SparkSpec {
       (2L, "ab", "ab", 3L),
       (3L, "", "", 3L)))
   }
+
+  // ---------------------------------------------------------- encode
+
+  private val encDocs = Seq(
+    (1L, "abab aaa xy"),
+    (2L, "abab abab"),
+    (3L, ""),              // no valid words → empty encoding
+    (4L, "a|b ab"),        // pipe-carrying word dropped, like training
+    (5L, "abab  aaa")      // double space: empty word dropped
+  ).toDF("doc_id", "text")
+
+  private val encMerges = Seq(("a", "b"), ("ab", "ab"))
+
+  test("encode applies merges in training order; wrapped output") {
+    val got = Bpe.encode(encDocs, "text", Seq("doc_id"), encMerges)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "|abab| |a||a||a| |x||y|") // (a,b) skips 'aaa'
+    assert(got(2L) === "|abab| |abab|")
+    assert(got(3L) === "")
+    assert(got(4L) === "|ab|")
+    assert(got(5L) === "|abab| |a||a||a|")
+  }
+
+  test("codegen and mapPartitions paths agree bit-for-bit") {
+    val viaColumns = Bpe.encode(encDocs, "text", Seq("doc_id"), encMerges)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val viaRows = Bpe.encode(encDocs, "text", Seq("doc_id"), encMerges,
+                             maxCodegen = 0) // force the broadcast path
+      .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    assert(viaColumns.toSeq === viaRows.toSeq)
+  }
+
+  test("encode on the training corpus reproduces the trained token total") {
+    val corpus = Seq((1L, "abab abab abab"), (2L, "aaa ab")).toDF("doc_id", "text")
+    val trained = Bpe.trainMerges(corpus, "text", rounds = 2).collect()
+    val merges = trained.filter(_.getLong(0) <= 2)
+      .sortBy(_.getLong(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val totalFromSummary = trained.filter(_.getString(1).isEmpty)
+      .head.getLong(3)
+    val enc = Bpe.encode(corpus, "text", Seq("doc_id"), merges)
+    import org.apache.spark.sql.functions._
+    val totalFromEncode = enc.select(
+      sum(shiftright(length(col("encoded")) -
+        length(replace(col("encoded"), lit("|"), lit(""))), 1)))
+      .collect()(0).getLong(0)
+    assert(totalFromEncode === totalFromSummary)
+  }
+
+  test("pipe-carrying or empty merge symbols are rejected") {
+    intercept[IllegalArgumentException] {
+      Bpe.encode(encDocs, "text", Seq("doc_id"), Seq(("a|", "b")))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.encode(encDocs, "text", Seq("doc_id"), Seq(("", "b")))
+    }
+  }
 }
