@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent-itemset mining (pair level) — "which tokens/tags/entities
+  * co-occur in the same document" — the corpus-analysis op behind
+  * co-occurrence matrices, phrase discovery, and tag correlation.
+  *
+  * Scale shape (the Apriori insight, Spark-first): support(pair) ≤
+  * support(item), so items below `minSupport` are pruned BEFORE the
+  * within-id self-join — losslessly. That prune is what bounds the
+  * quadratic: a document contributes C(k,2) pairs only in its FREQUENT
+  * items k, and the frequent-item table is support-bounded (≤ n/minSup
+  * per id on average). Plan: one explode + hash agg (item counts), a
+  * semi-join prune, then ONE shuffle by id for the self-join and a
+  * map-combined pair count. No broadcast of anything unbounded; the
+  * remaining skew key is an id with many frequent items — at 100 TB cap
+  * it upstream (drop or sample pathological docs) rather than here,
+  * where silently dropping ids would corrupt counts.
+  */
+object ItemsetMining {
+
+  /** Pairs of distinct items (from the array column `itemsCol`)
+    * co-occurring under at least `minSupport` distinct `idCol` values.
+    * Output: `item_a` < `item_b`, `n_ids` — exact counts.
+    */
+  def frequentPairs(df: DataFrame, idCol: String, itemsCol: String,
+                    minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val items = df.select(col(idCol).as("__id"),
+                          explode(array_distinct(col(itemsCol))).as("item"))
+    val freq = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minSupport)
+      .select("item")
+    val ft = items.join(freq, Seq("item"), "left_semi")
+    val a = ft.select(col("__id"), col("item").as("item_a"))
+    val b = ft.select(col("__id").as("__id2"), col("item").as("item_b"))
+    a.join(b, col("__id") === col("__id2") && col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") >= minSupport)
+  }
+}

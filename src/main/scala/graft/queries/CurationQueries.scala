@@ -452,6 +452,26 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q99 — frequent token-pair co-occurrence at 20% relative support:
+    * Apriori-pruned pair mining over per-doc distinct tokens (see
+    * [[graft.operators.ItemsetMining]]), top-50 by document frequency.
+    * The support threshold is computed from the corpus count (one
+    * control-plane count), so the gate holds at any SF.
+    */
+  def q99CooccurPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val minSup = docs.count() / 5
+    graft.operators.ItemsetMining.frequentPairs(
+        docs.select(col("doc_id"),
+          filter(TextFunctions.words(col("text")),
+                 w => length(w) > 0).as("toks")),
+        "doc_id", "toks", minSup)
+      .select(col("item_a").as("token_a"), col("item_b").as("token_b"),
+              col("n_ids").as("n_docs"))
+      .orderBy(col("n_docs").desc, col("token_a"), col("token_b"))
+      .limit(50)
+  }
+
   /** q86 — rebalance to a target language mix (en 40%, others 15%):
     * the largest subset realizing the recipe, scale bound by the
     * scarcest language, per-language quotas filled in deterministic
@@ -731,7 +751,8 @@ object CurationQueries {
     "q95_outliers"         -> (q95Outliers _),
     "q96_data_diff"        -> (q96DataDiff _),
     "q97_zorder"           -> (q97Zorder _),
-    "q98_bpe_encode"       -> (q98BpeEncode _)
+    "q98_bpe_encode"       -> (q98BpeEncode _),
+    "q99_cooccur_pairs"    -> (q99CooccurPairs _)
   )
 
   /** DuckDB mirror of [[graft.operators.ZOrder.spread32]]: the same five
@@ -1075,6 +1096,25 @@ object CurationQueries {
         |FROM r ORDER BY doc_id""".stripMargin,
     "q85_bpe_merges" -> bpeOracleSql,
     "q98_bpe_encode" -> bpeEncodeOracleSql,
+    "q99_cooccur_pairs" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |s AS (SELECT COUNT(*)//5 AS ms FROM documents),
+        |freq AS (
+        |  SELECT token FROM toks GROUP BY token
+        |  HAVING COUNT(*) >= (SELECT ms FROM s)),
+        |ft AS (SELECT doc_id, token FROM toks
+        |       WHERE token IN (SELECT token FROM freq)),
+        |p AS (
+        |  SELECT a.token AS token_a, b.token AS token_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT ms FROM s))
+        |SELECT * FROM p
+        |ORDER BY n_docs DESC, token_a, token_b LIMIT 50""".stripMargin,
     // q86: T = min_g floor(100*avail/pct) bounds the feasible scale;
     // quotas floor(T*pct/100); fill order = (h32(id), id), as in q62.
     "q86_rebalance" ->

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Contracts of [[ItemsetMining.frequentPairs]]: exact co-occurrence
+  * counts, per-id distinctness, the support threshold on both items and
+  * pairs, and canonical pair orientation.
+  */
+class ItemsetMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val baskets = Seq(
+    (1L, Seq("a", "b", "c")),
+    (2L, Seq("a", "b")),
+    (3L, Seq("a", "b", "b", "a")), // duplicates count once per id
+    (4L, Seq("a", "c")),
+    (5L, Seq("z"))
+  ).toDF("id", "items")
+
+  private def run(minSup: Long) =
+    ItemsetMining.frequentPairs(baskets, "id", "items", minSup)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2))
+
+  test("exact pair counts, duplicates within an id count once") {
+    assert(run(2).toSeq === Seq(
+      ("a", "b", 3L),  // ids 1,2,3 — id 3's repeats collapse
+      ("a", "c", 2L))) // ids 1,4; (b,c) support 1 < 2 pruned
+  }
+
+  test("pairs orient item_a < item_b (no mirror rows)") {
+    val got = run(2)
+    assert(got.forall { case (a, b, _) => a < b })
+  }
+
+  test("item-level Apriori prune is lossless for pair support") {
+    // 'z' has support 1: pruned as an item; no pair involving it could
+    // have reached minSupport anyway (support(pair) <= support(item))
+    assert(run(1).map(p => (p._1, p._2)).toSet ===
+      Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
+  test("minSupport below 1 is rejected") {
+    intercept[IllegalArgumentException] {
+      ItemsetMining.frequentPairs(baskets, "id", "items", 0L)
+    }
+  }
+}
