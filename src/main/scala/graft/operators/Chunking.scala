@@ -48,6 +48,55 @@ object Chunking {
           .as("chunk_md5"))
   }
 
+  /** Content-defined chunking (CDC) — Rabin-style boundaries for
+    * dedup of SHIFTED content: a boundary falls after word i whenever
+    * the hash of the (wᵢ₋₁, wᵢ) window ≡ 0 mod `modulus` (expected chunk
+    * length = `modulus` words). Because boundaries depend only on LOCAL
+    * content, inserting or deleting a prefix re-chunks only the edited
+    * neighborhood — downstream chunks realign and their hashes still
+    * match across document versions, which fixed-size chunking
+    * structurally cannot do (every boundary shifts). This is the
+    * backup-dedup / CAS-store trick applied to corpus near-dup at
+    * sub-document granularity.
+    *
+    * Output: one row per (id, chunk): `chunk_id` (0-based, contiguous),
+    * `n_words`, `chunk_md5` (digest of the space-joined words).
+    *
+    * Scale shape: ONE shuffle by id; the lag + running-count windows
+    * share one per-id window (docs are bounded, so per-id windows are
+    * safe — this is not a global-order window), and the final
+    * (id, chunk_id) aggregate reuses the id partitioning with no second
+    * exchange. Word-level windows keep the whole pipeline in codegen'd
+    * builtins; a byte-level CDC (real Rabin fingerprint over bytes)
+    * would drop to one mapPartitions pass, same output contract.
+    */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+                           modulus: Int): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2: $modulus")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("i"))
+    val boundary = col("pw").isNotNull &&
+      pmod(conv(substring(md5(concat(col("pw"), lit(" "), col("w"))), 1, 6),
+                16, 10).cast("long"),
+           lit(modulus.toLong)) === 0
+    df.select(col(idCol),
+              posexplode(TextFunctions.words(col(textCol))).as(Seq("i", "w")))
+      .withColumn("pw", lag(col("w"), 1).over(win))
+      .withColumn("b", when(boundary, 1L).otherwise(0L))
+      .withColumn("chunk_id",
+        coalesce(sum(col("b")).over(
+            win.rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)),
+          lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"),
+           collect_list(struct(col("i"), col("w"))).as("ws"))
+      .select(col(idCol), col("chunk_id"), col("n_words"),
+        md5(array_join(
+          transform(sort_array(col("ws")), s => s.getField("w")), " "))
+          .as("chunk_md5"))
+  }
+
   /** Source-interleaved training order — the "shuffle by interleaving"
     * layout of a mixing recipe: rank rows within each `keyCol` group by
     * `rankCols` (the curriculum: quality-first, or hash order), then lay

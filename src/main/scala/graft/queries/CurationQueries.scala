@@ -472,6 +472,28 @@ object CurationQueries {
       .limit(50)
   }
 
+  /** q100 — shared-chunk report over content-defined chunking: CDC
+    * chunks (expected 16 words, bigram-window boundaries — see
+    * [[graft.operators.Chunking.contentDefinedChunks]]) hashed and
+    * grouped; chunks appearing in ≥2 distinct docs are the sub-document
+    * duplication map (what shifted-content dedup acts on). Ordered by a
+    * numeric key derived from the digest, never the md5 string.
+    */
+  def q100CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val ch = graft.operators.Chunking.contentDefinedChunks(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", modulus = 16)
+    ch.groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .select(
+        conv(substring(col("chunk_md5"), 1, 15), 16, 10).cast("long")
+          .as("chunk_key"),
+        col("chunk_md5"), col("n_docs"), col("n_occ"))
+      .orderBy(col("n_docs").desc, col("chunk_key"))
+  }
+
   /** q86 — rebalance to a target language mix (en 40%, others 15%):
     * the largest subset realizing the recipe, scale bound by the
     * scarcest language, per-language quotas filled in deterministic
@@ -752,7 +774,8 @@ object CurationQueries {
     "q96_data_diff"        -> (q96DataDiff _),
     "q97_zorder"           -> (q97Zorder _),
     "q98_bpe_encode"       -> (q98BpeEncode _),
-    "q99_cooccur_pairs"    -> (q99CooccurPairs _)
+    "q99_cooccur_pairs"    -> (q99CooccurPairs _),
+    "q100_cdc_chunks"      -> (q100CdcChunks _)
   )
 
   /** DuckDB mirror of [[graft.operators.ZOrder.spread32]]: the same five
@@ -1115,6 +1138,35 @@ object CurationQueries {
         |  GROUP BY 1, 2 HAVING COUNT(*) >= (SELECT ms FROM s))
         |SELECT * FROM p
         |ORDER BY n_docs DESC, token_a, token_b LIMIT 50""".stripMargin,
+    "q100_cdc_chunks" ->
+      """WITH pos AS (
+        |  SELECT doc_id, i, ws[i] AS w,
+        |         CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS pw
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
+        |f AS (
+        |  SELECT doc_id, i, w,
+        |    CASE WHEN pw IS NOT NULL AND
+        |      ('0x' || substr(md5(pw || ' ' || w), 1, 6))::BIGINT % 16 = 0
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM pos),
+        |c AS (
+        |  SELECT doc_id, i, w,
+        |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM f),
+        |ch AS (
+        |  SELECT doc_id, chunk_id,
+        |         md5(string_agg(w, ' ' ORDER BY i)) AS h
+        |  FROM c GROUP BY doc_id, chunk_id)
+        |SELECT ('0x' || substr(h, 1, 15))::BIGINT AS chunk_key,
+        |  h AS chunk_md5,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occ
+        |FROM ch GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, chunk_key""".stripMargin,
     // q86: T = min_g floor(100*avail/pct) bounds the feasible scale;
     // quotas floor(T*pct/100); fill order = (h32(id), id), as in q62.
     "q86_rebalance" ->

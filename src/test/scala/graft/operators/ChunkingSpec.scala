@@ -56,4 +56,49 @@ class ChunkingSpec extends SparkSpec {
       (2L, 2L, 3L), (5L, 2L, 4L),
       (3L, 3L, 5L)), s"got ${got.toSeq}")
   }
+
+  // ------------------------------------------- content-defined chunking
+
+  /** Deterministic pseudo-random word stream (seeded) — large enough
+    * alphabet that mod-8 bigram boundaries certainly occur.
+    */
+  private def randWords(seed: Int, n: Int): Seq[String] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)("tok" + rng.nextInt(500))
+  }
+
+  test("contentDefinedChunks: chunk_ids contiguous from 0, words " +
+       "partitioned exactly") {
+    val words = randWords(1, 400)
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Chunking.contentDefinedChunks(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.length > 1, "expected multiple chunks from 400 random words")
+    assert(got.map(_._1).toSeq === (0L until got.length))
+    assert(got.map(_._2).sum === 400L) // every word in exactly one chunk
+  }
+
+  test("contentDefinedChunks: boundaries survive a prefix insertion " +
+       "(the CDC realignment property)") {
+    val base = randWords(2, 400)
+    val shifted = randWords(3, 7) ++ base // insert 7 words at the front
+    val df = Seq((1L, base.mkString(" ")), (2L, shifted.mkString(" ")))
+      .toDF("doc_id", "text")
+    val ch = Chunking.contentDefinedChunks(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    val shared = h1.intersect(h2)
+    // all chunks after the first boundary beyond the edit realign;
+    // with ~50 chunks of avg 8 words, most must be shared
+    assert(shared.size * 2 >= h1.size,
+      s"CDC must realign after the edit: shared ${shared.size} of ${h1.size}")
+  }
+
+  test("contentDefinedChunks: single-word and empty docs yield one chunk") {
+    val df = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val got = Chunking.contentDefinedChunks(df, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq === Seq((1L, 0L, 1L), (2L, 0L, 1L)))
+  }
 }
