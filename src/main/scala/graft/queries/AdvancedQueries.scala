@@ -314,6 +314,36 @@ object AdvancedQueries {
     * without materializing and sorting every key's history, which is the
     * difference between O(n) and O(n log n) per key on a 100 TB log.
     */
+  /** q102 — the analytic-window surface in one gated query: per-customer
+    * order sequencing with `row_number`/`lag`/`lead`/`ntile`/
+    * `first_value`/`last_value` (full-partition frame for last_value —
+    * the default growing frame is the classic silent-wrong-answer).
+    * Per-KEY windows only (customers are bounded) — one shuffle by
+    * custkey shared by both window specs; never a global-order window.
+    * Day gaps are integer datediffs; all orderings are made total with
+    * the orderkey tiebreak so every engine agrees on ties.
+    */
+  def q102WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    val wPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(pmod(col("o_custkey"), lit(20L)) === 7)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("seq"),
+        datediff(col("o_orderdate").cast("date"),
+                 lag(col("o_orderdate"), 1).over(w).cast("date"))
+          .cast("long").as("gap_days"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(wPrice).cast("long").as("price_quartile"),
+        first(col("o_orderkey")).over(w).as("first_order"),
+        last(col("o_orderkey")).over(wFull).as("last_order"))
+      .orderBy(col("o_custkey"), col("seq"))
+  }
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -426,6 +456,7 @@ object AdvancedQueries {
     "q43_unpivot"      -> (q43Unpivot _),
     "q44_latest_per_key" -> (q44LatestPerKey _),
     "q45_hll_merge"    -> (q45HllMerge _),
+    "q102_window_suite" -> (q102WindowSuite _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -616,6 +647,25 @@ object AdvancedQueries {
         |  UNION ALL SELECT o_orderpriority, 'O', o_cnt FROM p
         |  UNION ALL SELECT o_orderpriority, 'P', p_cnt FROM p)
         |ORDER BY o_orderpriority, status""".stripMargin,
+    "q102_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS seq,
+        |  CAST(date_diff('day',
+        |    CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile,
+        |  first_value(o_orderkey) OVER w AS first_order,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_order
+        |FROM orders
+        |WHERE o_custkey % 20 = 7
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, seq""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,

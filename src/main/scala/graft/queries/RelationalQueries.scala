@@ -78,6 +78,32 @@ object RelationalQueries {
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** TPC-H Q17 shape — "revenue from small-quantity orders": line items
+    * below 20% of their part's average quantity. The textbook correlated
+    * scalar-aggregate subquery, written directly in the decorrelated
+    * form Catalyst would rewrite it to anyway: one per-part aggregate
+    * joined back to the fact — because at 100 TB you want that join
+    * shape EXPLICIT (partial agg map-side, one shuffle on partkey shared
+    * by agg and join, part dim broadcast). The 20% threshold is
+    * cross-multiplied to integers (5·qty·n < Σqty, quantities are
+    * integral) so the gate never compares engine-rounded doubles.
+    */
+  def q101SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+              col("l_extendedprice"))
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("s"))
+    li.join(stats, Seq("l_partkey"))
+      .filter(lit(5L) * col("qty") * col("n") < col("s"))
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_brand")),
+            col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"),
+           dsum(col("l_extendedprice")).as("small_revenue"))
+      .orderBy(col("p_brand"))
+  }
+
   /** §2.4 F5 + §2.1 S4: range predicate + projection, both pushed to the
     * parquet scan (predicate pushdown + column pruning).
     */
@@ -279,7 +305,8 @@ object RelationalQueries {
     "q14_watermark"      -> (q14Watermark _),
     "q15_twodim_ratio"   -> (q15TwoDimRatio _),
     "q16_date_parts"     -> (q16DateParts _),
-    "q90_region_revenue" -> (q90RegionRevenue _)
+    "q90_region_revenue" -> (q90RegionRevenue _),
+    "q101_small_qty"     -> (q101SmallQty _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -398,6 +425,20 @@ object RelationalQueries {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q101_small_qty" ->
+      """WITH st AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p.p_brand,
+        |  CAST(COUNT(*) AS BIGINT) AS n_small,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS small_revenue
+        |FROM lineitem l
+        |JOIN st ON st.l_partkey = l.l_partkey
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE 5 * CAST(l.l_quantity AS BIGINT) * st.n < st.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
