@@ -260,6 +260,63 @@ class PlanShapeSpec extends SparkSpec {
   // materializes its result, so the query-level plan only shows the
   // output sort over a LogicalRDD)
 
+  test("q97: z-value stays in whole-stage codegen; layout uses no window") {
+    val zdf = graft.Tables.lineitem(spark, sf)
+      .select(graft.operators.ZOrder.zValue(
+        org.apache.spark.sql.functions.col("l_partkey"),
+        org.apache.spark.sql.functions.col("l_suppkey")).as("z"))
+    val zplan = finalPlan(zdf)
+    assert(zplan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Project")),
+      s"Morton spread must be codegen'd arithmetic:\n$zplan")
+    // file assignment must ride PrefixSum — a Window node here would be
+    // the single-partition global-order scale-killer
+    val rep = finalPlan(CurationQueries.q97Zorder(spark, sf))
+    assert(!rep.contains("Window"),
+      s"z-order layout must never plan a window:\n$rep")
+  }
+
+  test("q99: pair mining — semi-join prune, keyed joins only, Top-N heap") {
+    val plan = finalPlan(CurationQueries.q99CooccurPairs(spark, sf))
+    assert(plan.contains("LeftSemi"),
+      s"Apriori prune must be a semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"the within-id self-join must stay keyed:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must be a bounded heap:\n$plan")
+  }
+
+  test("q100: CDC chunking — windows and chunk agg share the id exchange") {
+    val plan = finalPlan(CurationQueries.q100CdcChunks(spark, sf))
+    val n = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    // one exchange by doc_id (lag + running-count windows + per-chunk
+    // agg all reuse it) + one by chunk_md5 for the shared-chunk report
+    assert(n <= 2, s"expected <=2 hash exchanges, found $n:\n$plan")
+  }
+
+  test("q101: Q17 shape — part dim broadcasts, partkey shuffle shared") {
+    val plan = finalPlan(RelationalQueries.q101SmallQty(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part dim must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), s"keyed joins only:\n$plan")
+    val n = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 3,
+      s"per-part agg + join + brand agg need <=3 hash exchanges, found $n:\n$plan")
+  }
+
+  test("q102: both window specs share ONE custkey exchange") {
+    val plan = finalPlan(AdvancedQueries.q102WindowSuite(spark, sf))
+    val n = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1,
+      s"same partition keys must reuse the exchange, found $n:\n$plan")
+    assert(plan.contains("Window"), "window functions must plan as Window")
+  }
+
   test("semantic Top-N query respects the filter context in the rank") {
     val plan = finalPlan(SemanticQueries.q19SemanticTopN(spark, sf))
     assert(plan.contains("LeftSemi"))
