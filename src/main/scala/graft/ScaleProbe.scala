@@ -188,6 +188,59 @@ object ScaleProbe {
         s"${r.getString(1)}+${r.getString(2)}:${r.getLong(3)}").mkString(" "))
     }
 
+    // --- BPE encode (q98 shape): merges trained once on the CONSTANT
+    // base corpus (tokenizer training is a separate job at scale), then
+    // the inflated corpus is encoded — a pure per-row pass, so time must
+    // grow linearly with corpus rows and the token total with content.
+    val encMerges = graft.operators.Bpe.trainMerges(docs0, "text", 4)
+      .filter(col("round") <= 4).orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    time(s"bpe_encode_${mult}x") {
+      val enc = graft.operators.Bpe.encode(docs, "text", Seq("doc_id"),
+                                           encMerges)
+      println("  tokens: " + enc.select(
+        sum(shiftright(length(col("encoded")) -
+          length(replace(col("encoded"), lit("|"), lit(""))), 1)))
+        .collect()(0).getLong(0))
+    }
+
+    // --- frequent pairs (q99 shape): the vocabulary is CONSTANT under
+    // inflation while support scales relatively (20% of docs), so the
+    // frequent-item table and pairs-per-doc stay flat — time must track
+    // the explode + self-join linearly, never vocab² or corpus².
+    time(s"cooccur_${mult}x") {
+      val baskets = docs.select(col("doc_id"),
+        filter(split(col("text"), " "), w => length(w) > 0).as("toks"))
+      println("  freq pairs: " + graft.operators.ItemsetMining
+        .frequentPairs(baskets, "doc_id", "toks", docs.count() / 5).count())
+    }
+
+    // --- CDC chunking (q100 shape): boundaries are per-word local
+    // decisions; chunk count grows linearly with total words, and the
+    // single id-shuffle means time must track corpus size.
+    time(s"cdc_chunks_${mult}x") {
+      println("  chunks: " + graft.operators.Chunking
+        .contentDefinedChunks(docs, "doc_id", "text", 16).count())
+    }
+
+    // --- z-order layout (q97 shape): one range exchange (the same any
+    // total sort pays) + the PrefixSum totals pass — time must grow like
+    // a sort of the corpus; file count grows linearly with rows.
+    val zev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"))
+      .crossJoin(copies)
+      .select((col("event_id") * mult + col("copy")).as("id"),
+              col("user_id"),
+              pmod(col("event_id") * 37 + col("copy"), lit(1000000L))
+                .as("dim_b"))
+      .repartition(64)
+    time(s"zorder_${mult}x") {
+      val laid = graft.operators.ZOrder.layout(
+        zev, "user_id", "dim_b", col("id"), rowsPerFile = 100000L)
+      println("  files: " +
+        (laid.agg(max(col("file_id"))).collect()(0).getLong(0) + 1))
+    }
+
     val emb0 = Tables.embeddings(spark, dir)
     val emb = emb0.crossJoin(copies)
       .select((col("vec_id") * mult + col("copy")).as("vec_id"),

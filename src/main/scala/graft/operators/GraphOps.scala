@@ -119,4 +119,33 @@ object GraphOps {
         "component diameter exceeds the cap; rerun with a larger maxIter")
     (labels, iter)
   }
+
+  /** Triangle enumeration (a < b < c) — the transitivity/density measure
+    * of a similarity or duplicate graph. Input edges are canonicalized
+    * (undirected, deduped, self-loops dropped) so callers can hand in
+    * raw pair lists.
+    *
+    * Shape: orient every edge low→high, join wedges a–b–c on the shared
+    * middle, close them against the edge set — two hash equi-joins, no
+    * products. Orientation makes each triangle appear exactly once AND
+    * bounds wedge fan-out by out-degree; the production refinement at
+    * 100 TB is degree-ordered orientation (highest-degree node last),
+    * which caps out-degree at O(√m) for any graph — same plan, one extra
+    * degree join. Hub guard: a node of out-degree d contributes C(d,2)
+    * wedges; treat pathological hubs upstream like hot shingles
+    * (`maxShingleDf` precedent).
+    */
+  def triangles(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(uCol), col(vCol)).as("u"),
+              greatest(col(uCol), col(vCol)).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val wedges = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b2"), col("v").as("c")),
+            col("b") === col("b2"))
+      .select(col("a"), col("b"), col("c"))
+    wedges.join(e.select(col("u").as("a2"), col("v").as("c2")),
+                col("a") === col("a2") && col("c") === col("c2"), "left_semi")
+  }
 }

@@ -344,6 +344,33 @@ object AdvancedQueries {
       .orderBy(col("o_custkey"), col("seq"))
   }
 
+  /** q103 — EXACT distributed grouped median by rank selection: emit
+    * `median2` = the sum of the two middle order statistics (2×median —
+    * kept integral so no engine-rounded average is compared; odd groups
+    * weight the single middle row twice). One shuffle, per-GROUP window
+    * sort (groups are bounded categories here). At 100 TB with huge
+    * groups you'd reach for the q40 quantile sketches; this is the exact
+    * gate those sketches are validated against.
+    */
+  def q103ExactMedian(s: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val r = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      .withColumn("rn", row_number().over(byFlag.orderBy(col("qty")))
+        .cast("long"))
+      .withColumn("n", count(lit(1)).over(byFlag))
+      .withColumn("w", // floor-div: Spark `/` on longs is double division
+        when(col("rn") === floor((col("n") + 1) / lit(2L)).cast("long"), 1L)
+          .otherwise(0L) +
+        when(col("rn") === floor(col("n") / lit(2L)).cast("long") + 1L, 1L)
+          .otherwise(0L))
+    r.filter(col("w") > 0)
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n_rows"),
+           sum(col("qty") * col("w")).as("median2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -457,6 +484,7 @@ object AdvancedQueries {
     "q44_latest_per_key" -> (q44LatestPerKey _),
     "q45_hll_merge"    -> (q45HllMerge _),
     "q102_window_suite" -> (q102WindowSuite _),
+    "q103_exact_median" -> (q103ExactMedian _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -666,6 +694,21 @@ object AdvancedQueries {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, seq""".stripMargin,
+    "q103_exact_median" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, qty, n,
+        |    (CASE WHEN rn = (n+1)//2 THEN 1 ELSE 0 END +
+        |     CASE WHEN rn = n//2 + 1 THEN 1 ELSE 0 END) AS w
+        |  FROM r)
+        |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  CAST(SUM(qty * w) AS BIGINT) AS median2
+        |FROM m WHERE w > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,

@@ -494,6 +494,34 @@ object CurationQueries {
       .orderBy(col("n_docs").desc, col("chunk_key"))
   }
 
+  /** q104 — duplicate-graph triangles: docs sharing a CDC chunk (q100's
+    * edges) form the dup graph; its triangle count measures cluster
+    * transitivity (how block-like the duplication is — pure pairwise
+    * chains vs dense copy clusters). Edges from one self-join on chunk
+    * hash; triangles via [[graft.operators.GraphOps.triangles]] (two
+    * keyed joins, orientation bounds wedge fan-out). Chunk table and
+    * edge list are localCheckpointed — each is consumed 2–3 times and
+    * re-deriving the CDC pipeline per consumer would triple the cost.
+    */
+  def q104DupTriangles(s: SparkSession, dir: String): DataFrame = {
+    val ch = graft.operators.Chunking.contentDefinedChunks(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", modulus = 16)
+      .select(col("chunk_md5").as("h"), col("doc_id"))
+      .localCheckpoint()
+    val edges = ch.select(col("h"), col("doc_id").as("u"))
+      .join(ch.select(col("h"), col("doc_id").as("v")), Seq("h"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+      .localCheckpoint()
+    val nNodes = edges.select(col("u")).union(edges.select(col("v")))
+      .distinct().count()
+    val nEdges = edges.count()
+    val nTri = graft.operators.GraphOps.triangles(edges, "u", "v").count()
+    import s.implicits._
+    Seq((nNodes, nEdges, nTri)).toDF("n_nodes", "n_edges", "n_triangles")
+  }
+
   /** q86 — rebalance to a target language mix (en 40%, others 15%):
     * the largest subset realizing the recipe, scale bound by the
     * scarcest language, per-language quotas filled in deterministic
@@ -639,6 +667,36 @@ object CurationQueries {
     graft.operators.ZOrder.localityReport(laid, "l_partkey", "l_suppkey")
   }
 
+  /** Shared q100/q104 oracle fragment: the CDC chunk table (word
+    * positions → bigram-window boundary flags → running chunk ids →
+    * per-chunk digest), ending at CTE `ch(doc_id, chunk_id, h)`. One
+    * definition so the chunk report and the dup-graph gates cannot
+    * drift.
+    */
+  private val cdcChunksCte: String =
+    """pos AS (
+      |  SELECT doc_id, i, ws[i] AS w,
+      |         CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS pw
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+      |        FROM documents) t,
+      |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
+      |f AS (
+      |  SELECT doc_id, i, w,
+      |    CASE WHEN pw IS NOT NULL AND
+      |      ('0x' || substr(md5(pw || ' ' || w), 1, 6))::BIGINT % 16 = 0
+      |    THEN 1 ELSE 0 END AS b
+      |  FROM pos),
+      |c AS (
+      |  SELECT doc_id, i, w,
+      |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS chunk_id
+      |  FROM f),
+      |ch AS (
+      |  SELECT doc_id, chunk_id,
+      |         md5(string_agg(w, ' ' ORDER BY i)) AS h
+      |  FROM c GROUP BY doc_id, chunk_id)""".stripMargin
+
   /** Shared q61/q96 oracle fragment: the PII fixture plus the rule
     * flags, ending at CTE `r` (one definition so the two oracles cannot
     * drift).
@@ -775,7 +833,8 @@ object CurationQueries {
     "q97_zorder"           -> (q97Zorder _),
     "q98_bpe_encode"       -> (q98BpeEncode _),
     "q99_cooccur_pairs"    -> (q99CooccurPairs _),
-    "q100_cdc_chunks"      -> (q100CdcChunks _)
+    "q100_cdc_chunks"      -> (q100CdcChunks _),
+    "q104_dup_triangles"   -> (q104DupTriangles _)
   )
 
   /** DuckDB mirror of [[graft.operators.ZOrder.spread32]]: the same five
@@ -1139,34 +1198,27 @@ object CurationQueries {
         |SELECT * FROM p
         |ORDER BY n_docs DESC, token_a, token_b LIMIT 50""".stripMargin,
     "q100_cdc_chunks" ->
-      """WITH pos AS (
-        |  SELECT doc_id, i, ws[i] AS w,
-        |         CASE WHEN i = 1 THEN NULL ELSE ws[i-1] END AS pw
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
-        |        FROM documents) t,
-        |  LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
-        |f AS (
-        |  SELECT doc_id, i, w,
-        |    CASE WHEN pw IS NOT NULL AND
-        |      ('0x' || substr(md5(pw || ' ' || w), 1, 6))::BIGINT % 16 = 0
-        |    THEN 1 ELSE 0 END AS b
-        |  FROM pos),
-        |c AS (
-        |  SELECT doc_id, i, w,
-        |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS chunk_id
-        |  FROM f),
-        |ch AS (
-        |  SELECT doc_id, chunk_id,
-        |         md5(string_agg(w, ' ' ORDER BY i)) AS h
-        |  FROM c GROUP BY doc_id, chunk_id)
+      s"""WITH $cdcChunksCte
         |SELECT ('0x' || substr(h, 1, 15))::BIGINT AS chunk_key,
         |  h AS chunk_md5,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(COUNT(*) AS BIGINT) AS n_occ
         |FROM ch GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, chunk_key""".stripMargin,
+    "q104_dup_triangles" ->
+      s"""WITH $cdcChunksCte,
+        |e AS (
+        |  SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+        |  FROM ch x JOIN ch y ON x.h = y.h AND x.doc_id < y.doc_id)
+        |SELECT
+        |  CAST((SELECT COUNT(DISTINCT d) FROM
+        |    (SELECT u AS d FROM e UNION ALL SELECT v FROM e)) AS BIGINT)
+        |    AS n_nodes,
+        |  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT COUNT(*)
+        |   FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT)
+        |    AS n_triangles""".stripMargin,
     // q86: T = min_g floor(100*avail/pct) bounds the feasible scale;
     // quotas floor(T*pct/100); fill order = (h32(id), id), as in q62.
     "q86_rebalance" ->

@@ -71,4 +71,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(kept === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true,
                         5L -> true, 6L -> false, 7L -> true, 8L -> true))
   }
+
+  test("triangles: each triangle once (a<b<c); raw edges canonicalized") {
+    // square 1-2-3-4 with diagonal 1-3 → triangles (1,2,3) and (1,3,4);
+    // input deliberately messy: reversed dup edge, self-loop
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L),
+                    (3L, 1L), (2L, 2L)).toDF("u", "v")
+    val got = GraphOps.triangles(edges, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity)
+    assert(got.toSeq === Seq((1L, 2L, 3L), (1L, 3L, 4L)))
+  }
+
+  test("triangles: K4 has C(4,3)=4; trees and stars have none") {
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("u", "v")
+    assert(GraphOps.triangles(k4, "u", "v").count() === 4L)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
+    assert(GraphOps.triangles(star, "u", "v").count() === 0L)
+  }
 }
