@@ -75,19 +75,7 @@ object TemporalOps {
     require(clash.isEmpty,
       s"rangeJoin: inputs may not use reserved internal names: " +
         clash.mkString(", "))
-    // exact FLOOR division over the FULL long domain: truncating integral
-    // `div` minus one when a negative value has a remainder. `div`/`%`
-    // never overflow for a positive divisor (unlike the subtract-pmod
-    // trick, which wraps within bucketWidth of Long.MinValue), and no
-    // double arithmetic appears anywhere, so cells are exact past 2^53.
-    def cellOf(c: Column): Column = {
-      import org.apache.spark.sql.GraftColumns.{column, expression}
-      val cl = c.cast("long")
-      val trunc = column(org.apache.spark.sql.catalyst.expressions
-        .IntegralDivide(expression(cl), expression(lit(bucketWidth))))
-      trunc - when(cl < 0 && cl % lit(bucketWidth) =!= 0, lit(1L))
-        .otherwise(lit(0L))
-    }
+    def cellOf(c: Column): Column = floorCell(c, bucketWidth)
     val l = left.withColumn("__cell", cellOf(col(leftPoint)))
     val r = right
       .filter(col(rightStart) <= col(rightEnd))
@@ -104,6 +92,74 @@ object TemporalOps {
       .drop("__c0", "__c1")
     l.join(r, Seq("__cell"))
       .filter(col(leftPoint).between(col(rightStart), col(rightEnd)))
+      .drop("__cell")
+  }
+
+  /** Exact FLOOR division over the FULL long domain: truncating integral
+    * `div` minus one when a negative value has a remainder. `div`/`%`
+    * never overflow for a positive divisor (unlike the subtract-pmod
+    * trick, which wraps within bucketWidth of Long.MinValue), and no
+    * double arithmetic appears anywhere, so cells are exact past 2^53.
+    */
+  private def floorCell(c: Column, bucketWidth: Long): Column = {
+    import org.apache.spark.sql.GraftColumns.{column, expression}
+    val cl = c.cast("long")
+    val trunc = column(org.apache.spark.sql.catalyst.expressions
+      .IntegralDivide(expression(cl), expression(lit(bucketWidth))))
+    trunc - when(cl < 0 && cl % lit(bucketWidth) =!= 0, lit(1L))
+      .otherwise(lit(0L))
+  }
+
+  /** Interval-OVERLAP join (both sides are intervals): pair every left
+    * [ls, le] with every right [rs, re] where `ls <= re AND rs <= le`
+    * (inclusive ends — touching intervals overlap). The interval-algebra
+    * sibling of [[rangeJoin]], same scale design: both sides explode
+    * into `bucketWidth` cells so the range predicate becomes an ordinary
+    * hash EQUI-join on the cell — never a nested-loop product.
+    *
+    * Dedup without a distinct: a pair sharing k cells would match k
+    * times, so the pair is emitted ONLY in its first common cell —
+    * `cell == max(cell(ls), cell(rs))` (both intervals exist there, and
+    * no earlier cell holds both). Pure arithmetic, no extra shuffle.
+    *
+    * Degenerate/empty intervals (start > end) are dropped on both sides,
+    * mirroring [[rangeJoin]]'s right-side contract.
+    */
+  def intervalOverlapJoin(left: DataFrame, leftStart: String, leftEnd: String,
+                          right: DataFrame, rightStart: String,
+                          rightEnd: String, bucketWidth: Long,
+                          maxCellsPerInterval: Long = 1L << 20): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    require(maxCellsPerInterval >= 1, "maxCellsPerInterval must be >= 1")
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"intervalOverlapJoin: left/right column names must be disjoint; " +
+        s"shared: ${overlap.mkString(", ")}")
+    val internal = Set("__cell", "__c0", "__c1")
+    val clash = (left.columns ++ right.columns).toSet intersect internal
+    require(clash.isEmpty,
+      s"intervalOverlapJoin: inputs may not use reserved internal names: " +
+        clash.mkString(", "))
+    def cells(df: DataFrame, s: String, e: String, side: String) = df
+      .filter(col(s) <= col(e))
+      .withColumn("__c0", floorCell(col(s), bucketWidth))
+      .withColumn("__c1", floorCell(col(e), bucketWidth))
+      .withColumn("__cell", explode(sequence(
+        col("__c0"),
+        when(col("__c1") - col("__c0") < maxCellsPerInterval, col("__c1"))
+          .otherwise(raise_error(concat(
+            lit(s"intervalOverlapJoin: $side interval spans "),
+            (col("__c1") - col("__c0") + 1).cast("string"),
+            lit(s" cells > limit $maxCellsPerInterval — raise " +
+              "bucketWidth or maxCellsPerInterval")))))))
+      .drop("__c0", "__c1")
+    cells(left, leftStart, leftEnd, "left")
+      .join(cells(right, rightStart, rightEnd, "right"), Seq("__cell"))
+      .filter(col(leftStart) <= col(rightEnd) &&
+              col(rightStart) <= col(leftEnd))
+      .filter(col("__cell") === greatest(
+        floorCell(col(leftStart), bucketWidth),
+        floorCell(col(rightStart), bucketWidth)))
       .drop("__cell")
   }
 

@@ -371,6 +371,74 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Shared q105/q106 oracle fragment mirroring [[sessionIntervals]],
+    * ending at CTE `iv(user_id, session_id, s, e)`.
+    */
+  private val sessionIvCte: String =
+    """e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+      |      WHERE user_id % 10 = 1),
+      |s AS (SELECT user_id, us,
+      |    CASE WHEN us - lag(us) OVER w > 14400000000
+      |         OR lag(us) OVER w IS NULL
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s2 AS (SELECT user_id, us, SUM(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+      |iv AS (SELECT user_id, session_id, MIN(us) AS s, MAX(us) AS e
+      |       FROM s2 GROUP BY 1, 2)""".stripMargin
+
+  /** Shared q105/q106 input: 4-hour-gap sessions (user_id ≡ 1 mod 10)
+    * as [start_us, end_us] intervals — one window per user + one
+    * (user, session) aggregate, both on the same user shuffle.
+    */
+  private def sessionIntervals(s: SparkSession, dir: String): DataFrame =
+    TemporalOps.sessionize(
+        Tables.events(s, dir)
+          .filter(pmod(col("user_id"), lit(10L)) === 1)
+          .select(col("user_id"), col("ts"), col("event_id")),
+        "user_id", "ts", Seq("event_id"), gapUs = 14400000000L)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+
+  /** q105 — concurrent-session pairs: which users were online at the
+    * same time, via [[TemporalOps.intervalOverlapJoin]] (interval ×
+    * interval, bucket-decomposed to a hash equi-join on 6-hour cells;
+    * each pair emitted once in its first common cell — no distinct).
+    */
+  def q105SessionOverlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = sessionIntervals(s, dir)
+    val a = iv.select(col("user_id").as("user_a"),
+                      col("s").as("sa"), col("e").as("ea"))
+    val b = iv.select(col("user_id").as("user_b"),
+                      col("s").as("sb"), col("e").as("eb"))
+    TemporalOps.intervalOverlapJoin(a, "sa", "ea", b, "sb", "eb",
+                                    bucketWidth = 21600000000L)
+      .filter(col("user_a") < col("user_b"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("user_a"), col("user_b"))
+  }
+
+  /** q106 — peak concurrency by sweep line: +1 at session start, −1 at
+    * end+1 (half-open encoding keeps inclusive-overlap semantics),
+    * deltas pre-aggregated per instant (so within-instant order cannot
+    * matter), running-summed via [[graft.operators.PrefixSum]] — the
+    * global-order scan WITHOUT a single-partition window — then one max
+    * + first-attainment lookup.
+    */
+  def q106PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = sessionIntervals(s, dir)
+    val deltas = iv.select(col("s").as("us"), lit(1L).as("net"))
+      .unionAll(iv.select((col("e") + 1).as("us"), lit(-1L).as("net")))
+      .groupBy(col("us")).agg(sum(col("net")).as("net"))
+    val curve = graft.operators.PrefixSum
+      .runningTotal(deltas, "net", Seq("us"), cumCol = "conc")
+    val peak = curve.agg(max(col("conc")).as("peak"))
+    curve.join(broadcast(peak), col("conc") === col("peak"))
+      .agg(max(col("conc")).as("peak"), min(col("us")).as("at_us"))
+  }
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -485,6 +553,8 @@ object AdvancedQueries {
     "q45_hll_merge"    -> (q45HllMerge _),
     "q102_window_suite" -> (q102WindowSuite _),
     "q103_exact_median" -> (q103ExactMedian _),
+    "q105_session_overlap" -> (q105SessionOverlap _),
+    "q106_peak_concurrency" -> (q106PeakConcurrency _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -709,6 +779,26 @@ object AdvancedQueries {
         |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
         |  CAST(SUM(qty * w) AS BIGINT) AS median2
         |FROM m WHERE w > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q105_session_overlap" ->
+      s"""WITH $sessionIvCte,
+        |p AS (SELECT a.user_id AS user_a, b.user_id AS user_b
+        |      FROM iv a JOIN iv b
+        |      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)
+        |SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q106_peak_concurrency" ->
+      s"""WITH $sessionIvCte,
+        |d AS (SELECT s AS us, 1 AS net FROM iv
+        |      UNION ALL SELECT e + 1, -1 FROM iv),
+        |g AS (SELECT us, CAST(SUM(net) AS BIGINT) AS net FROM d
+        |      GROUP BY 1),
+        |c AS (SELECT us,
+        |  SUM(net) OVER (ORDER BY us ROWS UNBOUNDED PRECEDING) AS conc
+        |  FROM g)
+        |SELECT CAST((SELECT MAX(conc) FROM c) AS BIGINT) AS peak,
+        |  CAST((SELECT MIN(us) FROM c
+        |        WHERE conc = (SELECT MAX(conc) FROM c)) AS BIGINT)
+        |    AS at_us""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,

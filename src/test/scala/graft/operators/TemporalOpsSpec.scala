@@ -132,4 +132,44 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out(12L).get.startsWith("2024-01-03"))
     assert(out(13L).isEmpty)
   }
+
+  test("intervalOverlapJoin: inclusive overlap semantics, each pair once") {
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 30L), (3L, 5L, 55L))
+      .toDF("aid", "sa", "ea")
+    val b = Seq((10L, 10L, 15L),  // touches a1 at 10 (inclusive), a3
+                (20L, 31L, 40L),  // misses a2 by one, overlaps a3
+                (30L, 60L, 70L))  // overlaps nothing
+      .toDF("bid", "sb", "eb")
+    // bucketWidth 7 forces multi-cell intervals: a3 spans 8 cells, the
+    // (a3, b1) pair shares cells 1..2 — must still appear exactly once
+    val got = TemporalOps
+      .intervalOverlapJoin(a, "sa", "ea", b, "sb", "eb", bucketWidth = 7)
+      .select("aid", "bid").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === Seq((1L, 10L), (3L, 10L), (3L, 20L)))
+  }
+
+  test("intervalOverlapJoin: brute-force parity on random intervals") {
+    val rng = new scala.util.Random(11)
+    def mk(n: Int, idBase: Long) = (1 to n).map { i =>
+      val s = rng.nextInt(1000).toLong - 200
+      (idBase + i, s, s + rng.nextInt(80))
+    }
+    val a = mk(120, 1000L).toDF("aid", "sa", "ea")
+    val b = mk(150, 2000L).toDF("bid", "sb", "eb")
+    val got = TemporalOps
+      .intervalOverlapJoin(a, "sa", "ea", b, "sb", "eb", bucketWidth = 50)
+      .select("aid", "bid").as[(Long, Long)].collect().sorted
+    val expected = a.crossJoin(b)
+      .filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select("aid", "bid").as[(Long, Long)].collect().sorted
+    assert(got.toSeq === expected.toSeq)
+    assert(expected.nonEmpty)
+  }
+
+  test("intervalOverlapJoin rejects shared column names") {
+    val a = Seq((1L, 0L, 1L)).toDF("id", "s", "e")
+    intercept[IllegalArgumentException] {
+      TemporalOps.intervalOverlapJoin(a, "s", "e", a, "s", "e", 10)
+    }
+  }
 }
