@@ -74,6 +74,70 @@ object Dedup {
       .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
   }
 
+  /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin-style,
+    * Xiao et al. 2008) — the third pair-generation strategy next to the
+    * full inverted index ([[jaccardPairs]]) and MinHash LSH
+    * ([[minhashDedupPairs]]), EXACT like the former but indexing only a
+    * sliver of each set: order every set by ascending global document
+    * frequency (rarest first, total order via the shingle tiebreak);
+    * J ≥ t implies |x∩y| ≥ ⌈t·|x|⌉, so if the first
+    * |x| − ⌈t·|x|⌉ + 1 tokens of x share nothing with y's prefix the
+    * pair cannot qualify — only PREFIX postings enter the self-join.
+    * Because prefixes hold the rarest tokens, candidate lists are
+    * small by construction (the inverted index's hot-shingle skew guard
+    * becomes unnecessary — hot shingles never reach a prefix). The
+    * position filter and length filter are the literature's further
+    * refinements; this implementation applies the length-derived prefix
+    * only, then verifies candidates exactly with one array_intersect
+    * per pair. Output and semantics are IDENTICAL to [[jaccardPairs]]
+    * (same oracle gates both).
+    */
+  def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den >= num, s"need 0 < num/den <= 1: $num/$den")
+    val sets = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"),
+              TextFunctions.shingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val post = sets.select(col("doc_id"), col("sz"),
+                             explode(col("sh")).as("shingle"))
+      val dfreq = post.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+      // ceil(t·sz) in integers, then the prefix keeps rank ≤ sz − c + 1
+      val c = floor((col("sz") * num + (den - 1)) / lit(den)).cast("long")
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("shingle"))
+      val prefix = post.join(dfreq, Seq("shingle"))
+        .withColumn("rk", row_number().over(rk).cast("long"))
+        .filter(col("rk") <= col("sz") - c + 1)
+        .select(col("shingle"), col("doc_id"))
+      val cand = prefix.select(col("shingle"), col("doc_id").as("doc_a"))
+        .join(prefix.select(col("shingle"), col("doc_id").as("doc_b")),
+              Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      val out = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+                          col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+                          col("sz").as("sz_b")), Seq("doc_b"))
+        .withColumn("inter_cnt",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("union_cnt",
+          col("sz_a") + col("sz_b") - col("inter_cnt"))
+        .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+        .select(col("doc_a"), col("doc_b"),
+                col("inter_cnt"), col("union_cnt"))
+        .localCheckpoint() // materialize before releasing the sets cache
+      out
+    } finally sets.unpersist()
+  }
+
   /** MinHash signature (array<long>, length `numPerm`) of a shingle set:
     * sig[i] = min over shingles of ((a_i·h32(s) + b_i) mod p), where h32
     * and the perm family are [[PortableHash]]'s. Computed by the codegen'd

@@ -37,6 +37,17 @@ object PipelineQueries {
                        n = 3, num = 1, den = 2)
       .orderBy("doc_a", "doc_b")
 
+  /** q107 — the SAME pairs as q21 from a different algorithm: PPJoin
+    * prefix filtering (see [[Dedup.ppjoinPairs]]) indexes only each
+    * set's rarest |x|−⌈t·|x|⌉+1 tokens instead of the full inverted
+    * index. Gated by the IDENTICAL oracle as q21 — an unsound prefix
+    * bound (a missed pair) is a hash mismatch, not a silent recall loss.
+    */
+  def q107PpjoinJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ppjoinPairs(Tables.documents(s, dir), "doc_id", "text",
+                      n = 3, num = 1, den = 2)
+      .orderBy("doc_a", "doc_b")
+
   /** MinHash(128) + LSH(32×4) candidates, exact-verified to J ≥ 4/5. */
   def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -402,6 +413,7 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact_docs" -> (q20DedupExactDocs _),
     "q21_ngram_jaccard"    -> (q21NgramJaccard _),
+    "q107_ppjoin_jaccard"  -> (q107PpjoinJaccard _),
     "q22_minhash_lsh"      -> (q22MinhashLsh _),
     "q23_simhash"          -> (q23Simhash _),
     "q24_embed_knn"        -> (q24EmbedKnn _),
@@ -757,6 +769,7 @@ object PipelineQueries {
          |  MIN(doc_id) AS keep_doc
          |FROM sh GROUP BY span HAVING COUNT(*) >= 2 ORDER BY span""".stripMargin,
     "q21_ngram_jaccard" -> jaccardSql(1, 2),
+    "q107_ppjoin_jaccard" -> jaccardSql(1, 2), // same semantics, new path
     "q22_minhash_lsh"   -> jaccardSql(4, 5),
     "q52_minhash_ckpt"  -> jaccardSql(4, 5),
     "q64_incremental_dedup" ->
