@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.{PortableHash, TextFunctions}
@@ -439,6 +440,40 @@ object AdvancedQueries {
       .agg(max(col("conc")).as("peak"), min(col("us")).as("at_us"))
   }
 
+  /** q108 — grouped top-k WITHOUT a window: the [[graft.functions
+    * .TopKByValue]] typed Aggregator holds ≤k rows of state per group
+    * and merges MAP-SIDE, so each input partition ships at most k rows
+    * per group through the shuffle — vs a `row_number` window (full
+    * per-group sort, every row crosses the wire) or `collect_list`
+    * (unbounded state). Top-3 events per user by (value desc, event_id).
+    */
+  def q108TopkPerGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(graft.functions.TopKAgg.topKByValue(3)(
+        col("value"), col("event_id")).as("top"))
+      .select(col("user_id"), posexplode(col("top")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rk"),
+              col("col._2").as("event_id"), col("col._1").as("value"))
+      .orderBy(col("user_id"), col("rk"))
+
+  /** q109 — CUBE over (priority, status) with a grouping id: all four
+    * grouping sets from ONE pass (Spark plans cube as an Expand +
+    * hash aggregate — partials still combine map-side); `grouping_id`
+    * disambiguates the NULL-as-total rows from genuine NULLs.
+    */
+  def q109Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+           count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast(DecimalType(18, 2)))
+             .cast("double").as("revenue"))
+      .select(coalesce(col("o_orderpriority"), lit("(all)")).as("pri"),
+              coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+              col("gid"), col("n"), col("revenue"))
+      .orderBy(col("gid"), col("pri"), col("status"))
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -555,6 +590,8 @@ object AdvancedQueries {
     "q103_exact_median" -> (q103ExactMedian _),
     "q105_session_overlap" -> (q105SessionOverlap _),
     "q106_peak_concurrency" -> (q106PeakConcurrency _),
+    "q108_topk_per_group" -> (q108TopkPerGroup _),
+    "q109_cube" -> (q109Cube _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -799,6 +836,24 @@ object AdvancedQueries {
         |  CAST((SELECT MIN(us) FROM c
         |        WHERE conc = (SELECT MAX(conc) FROM c)) AS BIGINT)
         |    AS at_us""".stripMargin,
+    "q108_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |SELECT user_id, CAST(rk AS BIGINT) AS rk, event_id, value
+        |FROM r WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin,
+    "q109_cube" ->
+      """SELECT COALESCE(o_orderpriority, '(all)') AS pri,
+        |  COALESCE(o_orderstatus, '(all)') AS status,
+        |  CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+        |    AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, pri, status""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
