@@ -474,6 +474,44 @@ object AdvancedQueries {
               col("gid"), col("n"), col("revenue"))
       .orderBy(col("gid"), col("pri"), col("status"))
 
+  /** q110 — conversion funnel view → click → purchase, each stage
+    * within 24h of the previous ([[graft.operators.Funnel.depths]]):
+    * one key shuffle, chained running conditional minima, per-user
+    * depth, then the depth histogram.
+    */
+  def q110Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.depths(
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+                  col("event_id"), col("event_type")),
+        "user_id", "us", "event_type", "event_id",
+        Seq("view", "click", "purchase"), windowUs = 86400000000L)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+
+  /** q111 — cohort retention matrix: cohort = a user's first active
+    * week (over a sparsified activity stream so cohorts actually
+    * differ), age = weeks since; counts of active users per (cohort,
+    * age). Week arithmetic is explicit floor(days/7) — never an
+    * engine's week-boundary function (ISO vs anchored semantics
+    * differ). Two hash aggs + one key join, all on user_id.
+    */
+  def q111CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(s, dir)
+      .filter(pmod(col("event_id"), lit(7L)) === 0)
+      .select(col("user_id"),
+        floor(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          / lit(7)).cast("long").as("wk"))
+      .distinct()
+    val cohort = active.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort"))
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("age"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("age"))
+  }
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -592,6 +630,8 @@ object AdvancedQueries {
     "q106_peak_concurrency" -> (q106PeakConcurrency _),
     "q108_topk_per_group" -> (q108TopkPerGroup _),
     "q109_cube" -> (q109Cube _),
+    "q110_funnel" -> (q110Funnel _),
+    "q111_cohort_retention" -> (q111CohortRetention _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -854,6 +894,50 @@ object AdvancedQueries {
         |    AS revenue
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY gid, pri, status""".stripMargin,
+    "q110_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, us, event_id, event_type,
+        |    MIN(CASE WHEN event_type = 'view' THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS v_min
+        |  FROM e),
+        |w2 AS (
+        |  SELECT user_id, us, event_id, event_type, v_min,
+        |    MIN(CASE WHEN event_type = 'click' AND us >= v_min
+        |             AND us <= v_min + 86400000000 THEN us END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS c_min
+        |  FROM w),
+        |f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN us END) AS t1,
+        |    MIN(CASE WHEN event_type = 'click' AND us >= v_min
+        |             AND us <= v_min + 86400000000 THEN us END) AS t2,
+        |    MIN(CASE WHEN event_type = 'purchase' AND us >= c_min
+        |             AND us <= c_min + 86400000000 THEN us END) AS t3
+        |  FROM w2 GROUP BY user_id),
+        |d AS (
+        |  SELECT user_id,
+        |    CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |         WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+        |  FROM f)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q111_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    (CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS wk
+        |  FROM events WHERE event_id % 7 = 0),
+        |c AS (SELECT user_id, MIN(wk) AS cohort FROM a GROUP BY 1)
+        |SELECT CAST(c.cohort AS BIGINT) AS cohort,
+        |  CAST(a.wk - c.cohort AS BIGINT) AS age,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
