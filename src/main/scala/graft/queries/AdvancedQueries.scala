@@ -512,6 +512,47 @@ object AdvancedQueries {
       .orderBy(col("cohort"), col("age"))
   }
 
+  /** q112 — SCD Type-2 history build: collapse a per-key event stream to
+    * CHANGE rows only (drop consecutive duplicates via lag), then stitch
+    * validity ranges with lead — `valid_to` = next change − 1, open
+    * (null) on the current row. The warehouse dimension-versioning
+    * pattern: two window passes on ONE key shuffle, no self-join.
+    */
+  def q112Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wv = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    Tables.events(s, dir)
+      .filter(pmod(col("user_id"), lit(20L)) === 3)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+              col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+              col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("us").as("valid_from"), col("event_type"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv) - 1)
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+              col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  /** q113 — Spark's NATIVE `session_window` (the declarative gap-session
+    * operator, batch form of the streaming session window), gated
+    * against an explicit lag/running-sum re-derivation. Boundary
+    * semantics pinned by the oracle: an event exactly `gap` after its
+    * predecessor starts a NEW session (event_time < session_end is
+    * strict), i.e. `>=` in the re-derivation — one semantics drift and
+    * the hash breaks.
+    */
+  def q113SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(pmod(col("user_id"), lit(10L)) === 1)
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("w_start"),
+              unix_micros(col("w.end")).as("w_end"), col("n_events"))
+      .orderBy(col("user_id"), col("w_start"))
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -632,6 +673,8 @@ object AdvancedQueries {
     "q109_cube" -> (q109Cube _),
     "q110_funnel" -> (q110Funnel _),
     "q111_cohort_retention" -> (q111CohortRetention _),
+    "q112_scd2" -> (q112Scd2 _),
+    "q113_session_window" -> (q113SessionWindow _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -938,6 +981,41 @@ object AdvancedQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM a JOIN c ON a.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q112_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events WHERE user_id % 20 = 3),
+        |ch AS (
+        |  SELECT user_id, us, event_id, event_type,
+        |    lag(event_type) OVER w AS prev_type
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |v AS (
+        |  SELECT user_id, us AS valid_from, event_type
+        |  FROM ch WHERE prev_type IS NULL OR prev_type <> event_type),
+        |s AS (
+        |  SELECT user_id, event_type, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from) - 1 AS valid_to
+        |  FROM v)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM s ORDER BY user_id, valid_from""".stripMargin,
+    "q113_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |  WHERE user_id % 10 = 1),
+        |s AS (SELECT user_id, us,
+        |    CASE WHEN us - lag(us) OVER w >= 14400000000
+        |         OR lag(us) OVER w IS NULL
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s2 AS (SELECT user_id, us, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |SELECT user_id, MIN(us) AS w_start,
+        |  MAX(us) + 14400000000 AS w_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s2 GROUP BY user_id, session_id
+        |ORDER BY user_id, w_start""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
