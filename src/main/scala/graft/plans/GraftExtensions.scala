@@ -26,8 +26,12 @@ import graft.functions.{DotFloat, MinHashSignature, SimHashSignature, StringDele
   * them embed constant tables and unroll loops in codegen).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // opt-in theta→equi range-join rewrite (fires only when
+    // spark.graft.rangeJoin.bucketWidth is set — see RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
