@@ -553,6 +553,49 @@ object AdvancedQueries {
               unix_micros(col("w.end")).as("w_end"), col("n_events"))
       .orderBy(col("user_id"), col("w_start"))
 
+  /** q114 — gaps-and-islands: maximal runs of CONSECUTIVE active days
+    * per user via the rn-diff trick (`day − row_number` is constant
+    * exactly within an island — turns run detection into a plain
+    * groupBy, no iterative logic); per-user streak stats. One key
+    * shuffle: the window and both aggregates share it.
+    */
+  def q114Islands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val days = Tables.events(s, dir)
+      .filter(pmod(col("event_id"), lit(5L)) === 0)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct()
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest"),
+           min(col("start_day")).as("first_day"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q115 — right-to-be-forgotten sweep audit: anti-join the fact
+    * against the forget list and account for every row (before / after /
+    * removed must reconcile — the compliance report). The sweep itself
+    * is ONE anti-join (broadcast — forget lists are human-scale);
+    * counts are control-plane aggregates.
+    */
+  def q115ForgetSweep(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val forget = ev.filter(pmod(col("user_id"), lit(13L)) === 5)
+      .select(col("user_id")).distinct()
+    val kept = ev.join(broadcast(forget), Seq("user_id"), "left_anti")
+    val nF = forget.count()
+    val nB = ev.count()
+    val nA = kept.count()
+    import s.implicits._
+    Seq((nF, nB, nA, nB - nA))
+      .toDF("n_forgotten_users", "rows_before", "rows_after", "rows_removed")
+  }
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -675,6 +718,8 @@ object AdvancedQueries {
     "q111_cohort_retention" -> (q111CohortRetention _),
     "q112_scd2" -> (q112Scd2 _),
     "q113_session_window" -> (q113SessionWindow _),
+    "q114_islands" -> (q114Islands _),
+    "q115_forget_sweep" -> (q115ForgetSweep _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -1016,6 +1061,36 @@ object AdvancedQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s2 GROUP BY user_id, session_id
         |ORDER BY user_id, w_start""".stripMargin,
+    "q114_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+        |  FROM events WHERE event_id % 5 = 0),
+        |r AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM d),
+        |i AS (
+        |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+        |    MIN(day) AS start_day
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+        |  CAST(MAX(len) AS BIGINT) AS longest,
+        |  CAST(MIN(start_day) AS BIGINT) AS first_day
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q115_forget_sweep" ->
+      """WITH f AS (SELECT DISTINCT user_id FROM events
+        |           WHERE user_id % 13 = 5),
+        |a AS (SELECT COUNT(*) AS before_rows FROM events),
+        |k AS (SELECT COUNT(*) AS kept_rows FROM events
+        |      WHERE user_id NOT IN (SELECT user_id FROM f))
+        |SELECT CAST((SELECT COUNT(*) FROM f) AS BIGINT)
+        |    AS n_forgotten_users,
+        |  CAST((SELECT before_rows FROM a) AS BIGINT) AS rows_before,
+        |  CAST((SELECT kept_rows FROM k) AS BIGINT) AS rows_after,
+        |  CAST((SELECT before_rows FROM a) - (SELECT kept_rows FROM k)
+        |    AS BIGINT) AS rows_removed""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
