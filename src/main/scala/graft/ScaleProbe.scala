@@ -86,6 +86,36 @@ object ScaleProbe {
                               bucketWidth = HourUs).count())
     }
 
+    // --- interval-overlap join (q105 shape): session intervals, axis
+    // EXTENDED per copy (users remapped, times shifted by the span) so
+    // overlap density is constant — true pairs grow linearly with the
+    // corpus; quadratic time would mean the cell decomposition
+    // degenerated.
+    val sess0 = graft.operators.TemporalOps.sessionize(
+        events.filter(pmod(col("user_id"), lit(10L)) === 1)
+          .select(col("user_id"), col("ts"), col("event_id")),
+        "user_id", "ts", Seq("event_id"), gapUs = 14400000000L)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("us")).as("s0"), max(col("us")).as("e0"))
+    val sessInf = sess0.crossJoin(copies)
+      .select((col("user_id") * mult + col("copy")).as("uid"),
+              (col("s0") + col("copy") * span).as("ss"),
+              (col("e0") + col("copy") * span).as("ee"))
+      .repartition(64).persist()
+    println(s"SCALE sessions ${sessInf.count()}")
+    time(s"interval_overlap_${mult}x") {
+      val a = sessInf.select(col("uid").as("ua"), col("ss").as("sa"),
+                             col("ee").as("ea"))
+      val b = sessInf.select(col("uid").as("ub"), col("ss").as("sb"),
+                             col("ee").as("eb"))
+      println("  overlap pairs: " + graft.operators.TemporalOps
+        .intervalOverlapJoin(a, "sa", "ea", b, "sb", "eb",
+                             bucketWidth = 21600000000L)
+        .filter(col("ua") < col("ub")).count())
+    }
+    sessInf.unpersist()
+
     // --- fuzzy keys (q56 shape): copy 0 keeps the original key, later
     // copies append a repeated-digit suffix (pairwise edit distance ≥ 2,
     // so no cross-copy pairs) — true pairs grow linearly with the corpus.

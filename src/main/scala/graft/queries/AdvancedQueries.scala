@@ -596,6 +596,26 @@ object AdvancedQueries {
       .toDF("n_forgotten_users", "rows_before", "rows_after", "rows_removed")
   }
 
+  /** q116 — semi-structured extraction: parse the JSON `props` column
+    * with a SCHEMA'd `from_json` (one parse per row, columnar struct
+    * output, codegen'd field access — vs `get_json_object`, which
+    * re-parses the string per extracted field) and aggregate the
+    * extracted field. The "JSON column in a fact table" surface.
+    */
+  def q116JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+           countDistinct(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -720,6 +740,7 @@ object AdvancedQueries {
     "q113_session_window" -> (q113SessionWindow _),
     "q114_islands" -> (q114Islands _),
     "q115_forget_sweep" -> (q115ForgetSweep _),
+    "q116_json_extract" -> (q116JsonExtract _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -1091,6 +1112,16 @@ object AdvancedQueries {
         |  CAST((SELECT kept_rows FROM k) AS BIGINT) AS rows_after,
         |  CAST((SELECT before_rows FROM a) - (SELECT kept_rows FROM k)
         |    AS BIGINT) AS rows_removed""".stripMargin,
+    "q116_json_extract" ->
+      """WITH j AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_k
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
