@@ -616,6 +616,66 @@ object AdvancedQueries {
            countDistinct(col("k")).as("n_k"))
       .orderBy(col("event_type"))
 
+  /** q117 — array higher-order-function surface in one gated query:
+    * `filter` / `transform` / `aggregate` (via size+sums) over the
+    * embedding arrays, floor-scaled to integers AFTER an explicit
+    * float→double cast on BOTH engines (float-vs-double arithmetic
+    * floors differently at boundaries — the cast makes the doubles, and
+    * therefore the floors, bit-identical).
+    */
+  def q117HofSuite(s: SparkSession, dir: String): DataFrame = {
+    def d(x: org.apache.spark.sql.Column) = x.cast("double")
+    Tables.embeddings(s, dir)
+      .filter(pmod(col("vec_id"), lit(25L)) === 0)
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x > lit(0f))).cast("long")
+          .as("n_pos"),
+        aggregate(transform(col("embedding"),
+            x => floor(d(x) * 1000).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_e3"),
+        aggregate(transform(col("embedding"),
+            x => floor(d(x) * d(x) * 1000).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sumsq_e3"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q118 — time-weighted totals (the OLAP "state held until the next
+    * reading" aggregate): each event's value is weighted by the
+    * microseconds until the user's next event (lead), last events drop
+    * (no closing reading). Value quantized to cents by floor BEFORE
+    * weighting so the product stays integral.
+    */
+  def q118TimeWeighted(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(pmod(col("user_id"), lit(25L)) === 2)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+              col("event_id"), col("value"))
+      .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("dt")).as("total_dt"),
+           sum(floor(col("value") * 100).cast("long") * col("dt"))
+             .as("weighted_v2"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q119 — ratio-to-report: each priority's share of its status group
+    * in ppm, computed with INTEGER division (`div`) — a double quotient
+    * could floor differently at exact boundaries. The share window
+    * reuses the aggregate's status partitioning.
+    */
+  def q119RatioToReport(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("status"),
+               col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_ppm",
+        expr("n * 1000000L div sum(n) OVER (PARTITION BY status)")
+          .cast("long"))
+      .orderBy(col("status"), col("pri"))
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -741,6 +801,9 @@ object AdvancedQueries {
     "q114_islands" -> (q114Islands _),
     "q115_forget_sweep" -> (q115ForgetSweep _),
     "q116_json_extract" -> (q116JsonExtract _),
+    "q117_hof_suite" -> (q117HofSuite _),
+    "q118_time_weighted" -> (q118TimeWeighted _),
+    "q119_ratio_to_report" -> (q119RatioToReport _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -1122,6 +1185,40 @@ object AdvancedQueries {
         |  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k,
         |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_k
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q117_hof_suite" ->
+      """SELECT vec_id,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+        |    AS n_pos,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+        |    AS BIGINT) AS sum_e3,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000)
+        |      AS BIGINT))) AS BIGINT) AS sumsq_e3
+        |FROM embeddings WHERE vec_id % 25 = 0 ORDER BY vec_id""".stripMargin,
+    "q118_time_weighted" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, value FROM events
+        |  WHERE user_id % 25 = 2),
+        |i AS (
+        |  SELECT user_id, value,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      - us AS dt
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(SUM(dt) AS BIGINT) AS total_dt,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT) * dt) AS BIGINT)
+        |    AS weighted_v2
+        |FROM i WHERE dt IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q119_ratio_to_report" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus AS status, o_orderpriority AS pri,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT status, pri, n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY status) AS BIGINT)
+        |    AS share_ppm
+        |FROM g ORDER BY status, pri""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
