@@ -676,6 +676,44 @@ object AdvancedQueries {
           .cast("long"))
       .orderBy(col("status"), col("pri"))
 
+  /** q120 — the remaining set-operation surface (q12 gates
+    * union-distinct): INTERSECT and both EXCEPT directions between two
+    * derived key sets. Spark plans these as left-semi / left-anti
+    * aggregates — no full materialization of either set.
+    */
+  def q120SetOps2(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val hi = o.filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("k")).distinct()
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k")).distinct()
+    import s.implicits._
+    def tag(t: String, df: DataFrame) =
+      Seq(t).toDF("tag").crossJoin(df.agg(count(lit(1)).as("n")))
+    tag("both", hi.intersect(urgent))
+      .unionAll(tag("hi_only", hi.except(urgent)))
+      .unionAll(tag("urgent_only", urgent.except(hi)))
+      .orderBy(col("tag"))
+  }
+
+  /** q121 — exact per-group MODE (most frequent value, deterministic
+    * lexicographic tie-break): counts then one rank — the two-level
+    * aggregate form; Spark's `mode()` builtin is tie-nondeterministic,
+    * so the explicit form is the oracle-able one.
+    */
+  def q121Mode(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("event_type"))
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"),
+              col("n").as("mode_n"))
+      .orderBy(col("user_id"))
+  }
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -804,6 +842,8 @@ object AdvancedQueries {
     "q117_hof_suite" -> (q117HofSuite _),
     "q118_time_weighted" -> (q118TimeWeighted _),
     "q119_ratio_to_report" -> (q119RatioToReport _),
+    "q120_setops2" -> (q120SetOps2 _),
+    "q121_mode" -> (q121Mode _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -1219,6 +1259,31 @@ object AdvancedQueries {
         |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY status) AS BIGINT)
         |    AS share_ppm
         |FROM g ORDER BY status, pri""".stripMargin,
+    "q120_setops2" ->
+      """WITH hi AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |            WHERE o_totalprice > 300000),
+        |urgent AS (SELECT DISTINCT o_custkey AS k FROM orders
+        |           WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'both' AS tag, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM (SELECT k FROM hi INTERSECT SELECT k FROM urgent)
+        |UNION ALL
+        |SELECT 'hi_only', CAST(COUNT(*) AS BIGINT)
+        |FROM (SELECT k FROM hi EXCEPT SELECT k FROM urgent)
+        |UNION ALL
+        |SELECT 'urgent_only', CAST(COUNT(*) AS BIGINT)
+        |FROM (SELECT k FROM urgent EXCEPT SELECT k FROM hi)
+        |ORDER BY tag""".stripMargin,
+    "q121_mode" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, n AS mode_n
+        |FROM m WHERE rk = 1 ORDER BY user_id""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
