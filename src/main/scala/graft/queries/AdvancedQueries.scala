@@ -714,6 +714,58 @@ object AdvancedQueries {
       .orderBy(col("user_id"))
   }
 
+  /** q122 — rolling 7-day distinct users per day (WAU): Spark has no
+    * DISTINCT window aggregate, and the day-spine range join the SQL
+    * form implies is a theta join — so the Spark side EXPLODES each
+    * (day, user) activity row into the 7 report days it contributes to
+    * (pure map-side, one hash-agg shuffle, no join beyond a tiny spine
+    * semi-join), the standard trick for windowed distincts. The oracle
+    * states the straightforward BETWEEN-join form — two very different
+    * plans, one hash.
+    */
+  def q122RollingWau(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.events(s, dir)
+      .filter(pmod(col("event_id"), lit(11L)) === 0)
+      .select(
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+    val spine = a.select(col("day")).distinct()
+    a.select(explode(sequence(col("day"), col("day") + 6)).as("rday"),
+             col("user_id"))
+      .join(spine.select(col("day").as("rday")), Seq("rday"), "left_semi")
+      .groupBy(col("rday"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(col("rday").as("day"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  /** q123 — per-bucket table checksums (the replication-diff / anti-
+    * entropy primitive): rows hash to 16 buckets by key, each bucket
+    * reports a count and an order-independent SUM of 48-bit row
+    * digests. Two replicas compare 16 rows to localize drift instead of
+    * comparing tables. Sum-of-digests is commutative so partitioning
+    * and arrival order cannot matter; 48-bit terms keep the long sum
+    * overflow-safe past 10¹⁴ rows per bucket.
+    */
+  def q123TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    def h(c: org.apache.spark.sql.Column, hexDigits: Int) =
+      conv(substring(md5(c), 1, hexDigits), 16, 10).cast("long")
+    val li = Tables.lineitem(s, dir)
+    val repr = concat_ws("|",
+      col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+      col("l_partkey").cast("string"),
+      col("l_quantity").cast("long").cast("string"))
+    li.select(
+        pmod(h((col("l_orderkey") * 10 + col("l_linenumber"))
+          .cast("string"), 4), lit(16L)).as("bucket"),
+        h(repr, 12).as("rh"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("rh")).as("checksum"))
+      .orderBy(col("bucket"))
+  }
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -844,6 +896,8 @@ object AdvancedQueries {
     "q119_ratio_to_report" -> (q119RatioToReport _),
     "q120_setops2" -> (q120SetOps2 _),
     "q121_mode" -> (q121Mode _),
+    "q122_rolling_wau" -> (q122RollingWau _),
+    "q123_table_checksum" -> (q123TableChecksum _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -1284,6 +1338,28 @@ object AdvancedQueries {
         |  FROM c)
         |SELECT user_id, event_type AS mode_type, n AS mode_n
         |FROM m WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    "q122_rolling_wau" ->
+      """WITH a AS (
+        |  SELECT DISTINCT
+        |    CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+        |    user_id
+        |  FROM events WHERE event_id % 11 = 0),
+        |spine AS (SELECT DISTINCT day FROM a)
+        |SELECT s.day, CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS wau
+        |FROM spine s JOIN a x ON x.day BETWEEN s.day - 6 AND s.day
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q123_table_checksum" ->
+      """SELECT
+        |  ('0x' || substr(md5(CAST(l_orderkey*10+l_linenumber AS VARCHAR)),
+        |    1, 4))::BIGINT % 16 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' ||
+        |    CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(l_partkey AS VARCHAR) || '|' ||
+        |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)), 1, 12))::BIGINT)
+        |    AS BIGINT) AS checksum
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
