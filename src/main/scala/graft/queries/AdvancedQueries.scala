@@ -766,6 +766,49 @@ object AdvancedQueries {
       .orderBy(col("bucket"))
   }
 
+  /** q124 — exact WEIGHTED median (order statistics under weights —
+    * quantity-weighted price): running weight sum per group, first row
+    * where 2·cumw ≥ total. The output (the crossing value and the
+    * total) is deterministic even under (value, weight) ties: the
+    * crossing VALUE is fixed by the primary value order, and identical
+    * rows are interchangeable in the running sum.
+    */
+  def q124WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("flag"))
+    val b = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("flag"),
+      floor(col("l_extendedprice") * 100).cast("long").as("price2"),
+      col("l_quantity").cast("long").as("wt"))
+    val r = b
+      .withColumn("cumw", sum(col("wt")).over(
+        byFlag.orderBy(col("price2"), col("wt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("totw", sum(col("wt")).over(byFlag))
+      .filter(lit(2L) * col("cumw") >= col("totw"))
+      .withColumn("rk", row_number().over(byFlag.orderBy(col("cumw"))))
+      .filter(col("rk") === 1)
+    r.select(col("flag"), col("price2").as("wmedian2"),
+             col("totw").as("total_weight"))
+      .orderBy(col("flag"))
+  }
+
+  /** q125 — event-transition matrix (the Markov-chain summary of a
+    * per-key event stream): lag per key, count (prev, next) pairs. One
+    * key shuffle; the matrix is |types|² rows.
+    */
+  def q125Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -898,6 +941,8 @@ object AdvancedQueries {
     "q121_mode" -> (q121Mode _),
     "q122_rolling_wau" -> (q122RollingWau _),
     "q123_table_checksum" -> (q123TableChecksum _),
+    "q124_weighted_median" -> (q124WeightedMedian _),
+    "q125_transitions" -> (q125Transitions _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -1360,6 +1405,37 @@ object AdvancedQueries {
         |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)), 1, 12))::BIGINT)
         |    AS BIGINT) AS checksum
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q124_weighted_median" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price2,
+        |    CAST(l_quantity AS BIGINT) AS wt
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT flag, price2, wt,
+        |    SUM(wt) OVER (PARTITION BY flag ORDER BY price2, wt
+        |      ROWS UNBOUNDED PRECEDING) AS cumw,
+        |    SUM(wt) OVER (PARTITION BY flag) AS totw
+        |  FROM b),
+        |m AS (
+        |  SELECT flag, price2, cumw, totw,
+        |    row_number() OVER (PARTITION BY flag ORDER BY cumw) AS rk
+        |  FROM r WHERE 2 * cumw >= totw)
+        |SELECT flag, CAST(price2 AS BIGINT) AS wmedian2,
+        |  CAST(totw AS BIGINT) AS total_weight
+        |FROM m WHERE rk = 1 ORDER BY flag""".stripMargin,
+    "q125_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |t AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS prev_type, event_type
+        |  FROM e)
+        |SELECT prev_type, event_type AS next_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
