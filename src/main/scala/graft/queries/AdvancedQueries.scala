@@ -809,6 +809,29 @@ object AdvancedQueries {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  /** q126 — heavy hitters: Misra-Gries candidates (mergeable sketch,
+    * guaranteed superset of the θ-heavy items — see
+    * [[graft.functions.MisraGries]]) then ONE exact verification pass
+    * over candidates only. The verified output is deterministic no
+    * matter how partition order shuffles the sketch's extra candidates,
+    * so the oracle is simply the exact θ-heavy set. θ = 1/200 of
+    * tokens, k = 512 ≥ 1/θ.
+    */
+  def q126HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFunctions.words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val total = toks.count()
+    val sk = toks
+      .agg(graft.functions.MisraGriesAgg.sketch(512)(col("tok")).as("m"))
+      .select(explode(map_keys(col("m"))).as("tok"))
+    toks.join(broadcast(sk), Seq("tok"), "left_semi")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * 200 >= total)
+      .orderBy(col("n").desc, col("tok"))
+  }
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -943,6 +966,7 @@ object AdvancedQueries {
     "q123_table_checksum" -> (q123TableChecksum _),
     "q124_weighted_median" -> (q124WeightedMedian _),
     "q125_transitions" -> (q125Transitions _),
+    "q126_heavy_hitters" -> (q126HeavyHitters _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -1436,6 +1460,15 @@ object AdvancedQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM t WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q126_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok FROM t WHERE length(tok) > 0),
+        |n AS (SELECT COUNT(*) AS total FROM v),
+        |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1)
+        |SELECT tok, n FROM c
+        |WHERE n * 200 >= (SELECT total FROM n)
+        |ORDER BY n DESC, tok""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
