@@ -107,4 +107,78 @@ object PrefixSum {
         .localCheckpoint() // materialize before releasing the cache
     } finally ranged.unpersist()
   }
+
+  /** Running MAX over a global order — same two-phase scan as
+    * [[runningTotal]] (max is associative; the driver folds per-
+    * partition maxima into exclusive prefix maxima), plus `flagCol`:
+    * TRUE exactly when the row STRICTLY raises the running max. That
+    * flag is the 2-D skyline test: order by one dimension, flag the
+    * strict-new-max rows of the other (a point is Pareto-optimal iff no
+    * earlier point in the order already reached its value).
+    *
+    * `valueCol` must be non-null integral; `orderCols` must be a total
+    * order (tie-break column) for a deterministic flag.
+    */
+  def runningMaxFlag(df: DataFrame, valueCol: String,
+                     orderCols: Seq[String], maxCol: String = "cum_max",
+                     flagCol: String = "is_new_max",
+                     numParts: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val reserved = Set("__pid", "__off")
+    val clash = df.columns.toSet.intersect(reserved + maxCol + flagCol)
+    require(clash.isEmpty,
+      s"input columns collide with reserved/output names: $clash")
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val order = orderCols.map(col)
+    val ranged = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val maxima = ranged
+        .groupBy(col("__pid"))
+        .agg(max(col(valueCol).cast(LongType)).as("__m"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+        .sortBy(_._1)
+      val offsets = maxima
+        .scanLeft((0, Long.MinValue, Long.MinValue)) {
+          case ((_, _, run), (pid, m)) => (pid, run, math.max(run, m))
+        }
+        .drop(1).map { case (pid, off, _) => (pid, off) }
+      val spark = df.sparkSession
+      import spark.implicits._
+      val offsetsDf = offsets.toSeq.toDF("__pid2", "__off")
+
+      val joined = ranged
+        .join(broadcast(offsetsDf), col("__pid") === col("__pid2"), "left")
+        .drop("__pid2")
+        .sortWithinPartitions(order: _*)
+
+      val keepIdx = df.columns.map(joined.schema.fieldIndex)
+      val vIdx = joined.schema.fieldIndex(valueCol)
+      val offIdx = joined.schema.fieldIndex("__off")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        df.schema.fields :+
+          org.apache.spark.sql.types.StructField(maxCol, LongType, false) :+
+          org.apache.spark.sql.types.StructField(flagCol,
+            org.apache.spark.sql.types.BooleanType, false))
+      joined.mapPartitions { it =>
+        var run = Long.MinValue
+        var first = true
+        it.map { r =>
+          if (first) {
+            run = if (r.isNullAt(offIdx)) Long.MinValue else r.getLong(offIdx)
+            first = false
+          }
+          val v = r.get(vIdx).asInstanceOf[Number].longValue
+          val isNew = v > run
+          run = math.max(run, v)
+          Row.fromSeq(keepIdx.map(r.get).toIndexedSeq :+ run :+ isNew)
+        }
+      }(Encoders.row(outSchema))
+        .localCheckpoint()
+    } finally ranged.unpersist()
+  }
 }

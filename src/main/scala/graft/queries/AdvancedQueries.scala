@@ -832,6 +832,25 @@ object AdvancedQueries {
       .orderBy(col("n").desc, col("tok"))
   }
 
+  /** q127 — 2-D skyline (Pareto frontier: biggest size for the lowest
+    * price): collapse to per-x best y (one hash agg), then flag strict
+    * running-max steps over x-descending order via
+    * [[graft.operators.PrefixSum.runningMaxFlag]] — the distributed
+    * prefix scan, never a single-partition window. Price negated so
+    * both dimensions maximize; output restores cents.
+    */
+  def q127Skyline(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.part(s, dir)
+      .groupBy(col("p_size").cast("long").as("x"))
+      .agg(max(-floor(col("p_retailprice") * 100).cast("long")).as("y"))
+      .withColumn("negx", -col("x"))
+    graft.operators.PrefixSum
+      .runningMaxFlag(g, "y", Seq("negx"))
+      .filter(col("is_new_max"))
+      .select(col("x"), (-col("y")).as("price2"))
+      .orderBy(col("x"))
+  }
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -967,6 +986,7 @@ object AdvancedQueries {
     "q124_weighted_median" -> (q124WeightedMedian _),
     "q125_transitions" -> (q125Transitions _),
     "q126_heavy_hitters" -> (q126HeavyHitters _),
+    "q127_skyline" -> (q127Skyline _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -1469,6 +1489,17 @@ object AdvancedQueries {
         |SELECT tok, n FROM c
         |WHERE n * 200 >= (SELECT total FROM n)
         |ORDER BY n DESC, tok""".stripMargin,
+    "q127_skyline" ->
+      """WITH g AS (
+        |  SELECT CAST(p_size AS BIGINT) AS x,
+        |    MAX(-CAST(floor(p_retailprice * 100) AS BIGINT)) AS y
+        |  FROM part GROUP BY 1),
+        |s AS (
+        |  SELECT x, y, MAX(y) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM g)
+        |SELECT x, CAST(-y AS BIGINT) AS price2 FROM s
+        |WHERE pm IS NULL OR y > pm ORDER BY x""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,

@@ -94,4 +94,33 @@ class PrefixSumSpec extends SparkSpec {
           s"persisted ranged data, got $cacheReaders readers:\n$all")
     }
   }
+
+  test("runningMaxFlag: cum max and strict-new-max flags match a " +
+       "sequential fold across many partitions") {
+    import spark.implicits._
+    val rng = new scala.util.Random(21)
+    val rows = (1L to 4000L).map(i => (i, rng.nextInt(500).toLong))
+    val df = rows.toDF("ord", "v").repartition(16)
+    val got = PrefixSum.runningMaxFlag(df, "v", Seq("ord"), numParts = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    var run = Long.MinValue
+    rows.zip(got).foreach { case ((ord, v), (gOrd, gV, gMax, gFlag)) =>
+      assert(gOrd === ord && gV === v)
+      val isNew = v > run
+      run = math.max(run, v)
+      assert(gMax === run, s"cum max at ord=$ord")
+      assert(gFlag === isNew, s"flag at ord=$ord")
+    }
+    assert(got.count(_._4) > 1, "fixture must produce several new maxima")
+  }
+
+  test("runningMaxFlag: negative values and a first-row flag") {
+    import spark.implicits._
+    val df = Seq((1L, -5L), (2L, -7L), (3L, -2L)).toDF("ord", "v")
+    val got = PrefixSum.runningMaxFlag(df, "v", Seq("ord"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, true), (2L, false), (3L, true)))
+  }
 }
