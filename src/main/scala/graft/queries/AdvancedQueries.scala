@@ -851,6 +851,36 @@ object AdvancedQueries {
       .orderBy(col("x"))
   }
 
+  /** q128 — deterministic string aggregation (LISTAGG): sorted distinct
+    * concatenation per group (`collect_set` is order-nondeterministic —
+    * the sort is what makes the column gateable at all).
+    */
+  def q128Listagg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+        countDistinct(col("o_orderpriority")).as("n_pri"))
+      .orderBy(col("status"))
+
+  /** q129 — MapType round-trip: per-user counts packed into a
+    * `map<string,bigint>` (`map_from_entries` over sorted entries) and
+    * exploded back to rows — the gate proves the map carries the exact
+    * relation through pack/unpack, covering the map column surface.
+    */
+  def q129MapRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(pmod(col("user_id"), lit(30L)) === 4)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("event_type"), col("n")))))
+        .as("m"))
+      .select(col("user_id"), explode(col("m")).as(Seq("event_type", "n")))
+      .orderBy(col("user_id"), col("event_type"))
+
   def q44LatestPerKey(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"))
@@ -987,6 +1017,8 @@ object AdvancedQueries {
     "q125_transitions" -> (q125Transitions _),
     "q126_heavy_hitters" -> (q126HeavyHitters _),
     "q127_skyline" -> (q127Skyline _),
+    "q128_listagg" -> (q128Listagg _),
+    "q129_map_roundtrip" -> (q129MapRoundtrip _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -1500,6 +1532,18 @@ object AdvancedQueries {
         |  FROM g)
         |SELECT x, CAST(-y AS BIGINT) AS price2 FROM s
         |WHERE pm IS NULL OR y > pm ORDER BY x""".stripMargin,
+    "q128_listagg" ->
+      """SELECT o_orderstatus AS status,
+        |  string_agg(DISTINCT o_orderpriority, ','
+        |    ORDER BY o_orderpriority) AS priorities,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_pri
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q129_map_roundtrip" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE user_id % 30 = 4 GROUP BY 1, 2)
+        |SELECT user_id, event_type, n FROM c
+        |ORDER BY user_id, event_type""".stripMargin,
     // q44: deterministic latest row per key.
     "q44_latest_per_key" ->
       """SELECT user_id, event_id AS latest_event_id,
