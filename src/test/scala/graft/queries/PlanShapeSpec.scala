@@ -308,6 +308,21 @@ class PlanShapeSpec extends SparkSpec {
       s"per-part agg + join + brand agg need <=3 hash exchanges, found $n:\n$plan")
   }
 
+  test("q108/q126: typed Aggregators aggregate map-side (partial merge)") {
+    // the scale claim for the bounded top-k and the Misra-Gries sketch
+    // is that each input partition ships a PARTIAL state through the
+    // shuffle — physically: an ObjectHashAggregate (or SortAggregate)
+    // pair with a partial phase below the exchange
+    for (df <- Seq(AdvancedQueries.q108TopkPerGroup(spark, sf),
+                   AdvancedQueries.q126HeavyHitters(spark, sf))) {
+      val plan = finalPlan(df)
+      val aggs = plan.linesIterator.count(l =>
+        l.contains("ObjectHashAggregate") || l.contains("SortAggregate"))
+      assert(aggs >= 2,
+        s"expected partial+final typed-aggregate phases, found $aggs:\n$plan")
+    }
+  }
+
   test("q102: both window specs share ONE custkey exchange") {
     val plan = finalPlan(AdvancedQueries.q102WindowSuite(spark, sf))
     val n = plan.linesIterator
