@@ -37,6 +37,11 @@ object Funnel {
              windowUs: Long): DataFrame = {
     require(stages.size >= 2, s"need >= 2 stages, got ${stages.size}")
     require(windowUs > 0, s"windowUs must be positive: $windowUs")
+    val internal = stages.indices.map(i => s"__m$i").toSet ++
+      stages.indices.map(i => s"__t$i") + "depth"
+    val clash = events.columns.toSet.intersect(internal)
+    require(clash.isEmpty,
+      s"depths: input columns collide with internal/output names: $clash")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(usCol), col(tieBreak))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

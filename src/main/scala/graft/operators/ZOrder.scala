@@ -71,6 +71,10 @@ object ZOrder {
   def layout(df: DataFrame, dimA: String, dimB: String, tieBreak: Column,
              rowsPerFile: Long): DataFrame = {
     require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
+    val clash = df.columns.toSet
+      .intersect(Set("z", "file_id", "__tie", "__one", "__rn"))
+    require(clash.isEmpty,
+      s"layout: input columns collide with output/internal names: $clash")
     val withZ = df
       .withColumn("z", zValue(col(dimA), col(dimB)))
       .withColumn("__tie", tieBreak)

@@ -52,6 +52,14 @@ class FunnelSpec extends SparkSpec {
     assert(run(rows, windowUs = 10L) === Map(1L -> 3L))
   }
 
+  test("internal-name collisions are rejected") {
+    val df = Seq((1L, 1L, 1L, "view", 0L))
+      .toDF("u", "us", "id", "t", "__m0")
+    intercept[IllegalArgumentException] {
+      Funnel.depths(df, "u", "us", "t", "id", stages, 10L)
+    }
+  }
+
   test("validation: need two stages and a positive window") {
     val df = Seq((1L, 1L, 1L, "view")).toDF("u", "us", "id", "t")
     intercept[IllegalArgumentException] {

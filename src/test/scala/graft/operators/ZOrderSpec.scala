@@ -60,6 +60,14 @@ class ZOrderSpec extends SparkSpec {
     assert(first.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("reserved/output name collisions are rejected") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 2L, 3L)).toDF("a", "b", "z")
+    intercept[IllegalArgumentException] {
+      ZOrder.layout(df, "a", "b", col("a"), 10L)
+    }
+  }
+
   test("out-of-domain dimensions fail fast") {
     val bad = Seq((1L, -1L, 5L)).toDF("id", "a", "b")
     val ex = intercept[Exception] {
