@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.etl.{ArchiveSource, GameTransforms}
 import graft.semantic.Dashboard
 
 /** Driver-gated chess-domain queries: the reference dashboard's measures
@@ -104,9 +105,42 @@ object ChessQueries {
               col("rolling_win_rate"))
       .orderBy("date")
 
+  /** P1–P4 end-to-end: landed raw-archive JSON → explode →
+    * [[GameTransforms.projectFact]], oracle-gated. The committed fixture
+    * (`src/test/resources/raw_archives/`, regenerate only via
+    * `scripts/gen_raw_archives.py`) covers every branch of the reference
+    * projection (`fetch_and_post.py:114-161`): `[Result]` header wins,
+    * last movetext token next (`parse_pgn_result`, `:90-112`), the
+    * `"{white} / {black}"` side fallback incl. one-sided (`:139-144`),
+    * null/missing `end_time` → null ts/date (typed analog of
+    * `:119-129`'s empty string), and missing `white`/`black` sub-objects
+    * through the null-coalescing chain (`:150-157`). DuckDB re-derives
+    * all 12 deterministic columns from the same JSON via `read_json` —
+    * `ingest_time` (wall clock) is dropped, ratings cast to long on both
+    * sides. Null-game rows from `explode_outer` (the empty archive) are
+    * filtered as the store's empty-batch short-circuit would.
+    */
+  def q130ProjectFact(s: SparkSession, dir: String): DataFrame = {
+    val fixtureDir = Seq("src/test/resources/raw_archives",
+                         "/root/repo/src/test/resources/raw_archives")
+      .map(new java.io.File(_)).find(_.isDirectory).get.getAbsolutePath
+    val landed = ArchiveSource.readLanding(s, fixtureDir)
+      .withColumn("archive_url",
+        regexp_extract(col("archive_url"), "([^/]+)$", 1))
+      .withColumn("username",
+        regexp_extract(col("archive_url"), "^([^_]+)_", 1))
+      .where(col("game").isNotNull)
+    GameTransforms.projectFact(landed)
+      .drop("ingest_time")
+      .withColumn("white_rating", col("white_rating").cast("long"))
+      .withColumn("black_rating", col("black_rating").cast("long"))
+      .orderBy("archive_url", "game_url", "pgn")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_project_fact"   -> (q130ProjectFact _),
     "q49_chess_cards"     -> (q49ChessCards _),
     "q50_chess_matrix"    -> (q50ChessMatrix _),
     "q51_chess_opponents" -> (q51ChessOpponents _),
@@ -184,6 +218,51 @@ object ChessQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q130: DuckDB independently re-derives projectFact's 12 deterministic
+    // columns from the SAME committed JSON files (absolute path — the
+    // fixture is part of the repo contract). unnest() drops empty/null
+    // `games` exactly like the Spark side's null-game filter.
+    "q130_project_fact" ->
+      """WITH raw AS (
+        |  SELECT regexp_extract(filename, '([^/]+)$', 1) AS archive_url,
+        |         unnest(games) AS game
+        |  FROM read_json('/root/repo/src/test/resources/raw_archives/*.json',
+        |    columns={games: 'STRUCT(url VARCHAR, time_control VARCHAR,
+        |        end_time BIGINT, pgn VARCHAR,
+        |        white STRUCT(username VARCHAR, rating BIGINT, result VARCHAR),
+        |        black STRUCT(username VARCHAR, rating BIGINT, result VARCHAR))[]'},
+        |    filename=true)),
+        |proj0 AS (
+        |  SELECT
+        |    regexp_extract(archive_url, '^([^_]+)_', 1) AS username,
+        |    archive_url,
+        |    COALESCE(game.url, '') AS game_url,
+        |    COALESCE(game.time_control, '') AS time_control,
+        |    make_timestamp(game.end_time * 1000000) AS end_time_utc,
+        |    CAST(make_timestamp(game.end_time * 1000000) AS DATE) AS date_ymd,
+        |    COALESCE(game.white.username, '') AS white_username,
+        |    game.white.rating AS white_rating,
+        |    COALESCE(game.black.username, '') AS black_username,
+        |    game.black.rating AS black_rating,
+        |    COALESCE(game.pgn, '') AS pgn,
+        |    COALESCE(game.white.result, '') AS wres,
+        |    COALESCE(game.black.result, '') AS bres
+        |  FROM raw),
+        |proj AS (
+        |  SELECT * EXCLUDE (wres, bres),
+        |    CASE
+        |      WHEN trim(regexp_extract(pgn, '\[Result\s+"([^"]*)"\]', 1)) <> ''
+        |        THEN trim(regexp_extract(pgn, '\[Result\s+"([^"]*)"\]', 1))
+        |      WHEN len(regexp_extract_all(pgn, '\b(1/2-1/2|1-0|0-1)\b', 1)) > 0
+        |        THEN regexp_extract_all(pgn, '\b(1/2-1/2|1-0|0-1)\b', 1)[-1]
+        |      WHEN trim(wres) <> '' OR trim(bres) <> ''
+        |        THEN wres || ' / ' || bres
+        |      ELSE '' END AS result
+        |  FROM proj0)
+        |SELECT username, archive_url, game_url, time_control, end_time_utc,
+        |       date_ymd, white_username, white_rating, black_username,
+        |       black_rating, result, pgn
+        |FROM proj ORDER BY archive_url, game_url, pgn""".stripMargin,
     "q49_chess_cards" ->
       s"""WITH $drvCte
          |SELECT COUNT(*) AS total_games,
