@@ -202,13 +202,38 @@ object PipelineQueries {
               TextFunctions.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
-  /** Multimodal plumbing: binary payload + metadata → stub-decoded
-    * features via typed mapPartitions.
+  /** Multimodal decode, REAL codec: per-doc deterministic PNG payloads
+    * (binary column) decoded back through `javax.imageio` in a narrow
+    * mapPartitions pass; width/height/pixel-sum come from the decoded
+    * raster, the oracle re-derives them from the test-card arithmetic.
+    * `n_bytes` (codec-dependent PNG size) is deliberately excluded.
     */
   def q30Multimodal(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, Tables.documents(s, dir))
       .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+              col("n_pixels"), col("pixel_sum"))
       .orderBy("doc_id")
+
+  /** Multimodal file-ingestion path: 64 real PNG files written to a
+    * scratch dir → `binaryFile` source → ImageIO decode → features
+    * keyed by filename-derived id. Fixed fixture size (independent of
+    * sf) so the oracle is pure arithmetic over `generate_series`.
+    */
+  def q131ImageFiles(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_png_")
+    tmp.toFile.deleteOnExit()
+    (0L until 64L).foreach { id =>
+      java.nio.file.Files.write(tmp.resolve(f"img_$id%03d.png"),
+                                Multimodal.encodePng(id))
+    }
+    Multimodal.fromBinaryFiles(s, tmp.toString)
+      .select(regexp_extract(col("file_name"), "img_(\\d+)\\.png", 1)
+                .cast("long").as("doc_id"),
+              col("width"), col("height"), col("n_pixels"),
+              col("pixel_sum"))
+      .orderBy("doc_id")
+  }
 
   /** Embedding-cosine near-dup pairs (sim ≥ 0.4), exact baseline. */
   def q31EmbedNeardup(s: SparkSession, dir: String): DataFrame =
@@ -426,6 +451,7 @@ object PipelineQueries {
     "q28_tokens"           -> (q28Tokens _),
     "q29_fingerprint"      -> (q29Fingerprint _),
     "q30_multimodal"       -> (q30Multimodal _),
+    "q131_image_files"     -> (q131ImageFiles _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
     "q48_simhash_pairs"    -> (q48SimhashPairs _),
@@ -1002,16 +1028,29 @@ object PipelineQueries {
         |        w -> ('0x' || substr(md5(w), 1, 6))::BIGINT)),
         |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q30/q131: the oracle replays the PNG test-card arithmetic
+    // (pixel(x,y) = (seed + 7x + 13y) mod 251, dims from doc_id) — the
+    // Spark side must produce the same numbers from ACTUAL ImageIO
+    // decode of actual PNG bytes, so a codec/raster bug is a hash miss.
     "q30_multimodal" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  ((doc_id % 64) + 1) * 16 AS width,
-        |  ((doc_id % 48) + 1) * 16 AS height,
-        |  ((doc_id % 64) + 1) * 16 * (((doc_id % 48) + 1) * 16) * 3
-        |    AS n_pixels,
-        |  CAST(list_sum(list_transform(range(16),
-        |    i -> ascii(substr(text, i + 1, 1)))) AS BIGINT) AS checksum16
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h,
+        |                  doc_id % 997 AS seed FROM documents),
+        |px AS (SELECT doc_id, w, h, (seed + 7 * x.ux + 13 * y.uy) % 251 AS v
+        |       FROM d, unnest(generate_series(0, w - 1)) AS x(ux),
+        |              unnest(generate_series(0, h - 1)) AS y(uy))
+        |SELECT doc_id, w AS width, h AS height, w * h AS n_pixels,
+        |       CAST(SUM(v) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    "q131_image_files" ->
+      """WITH d AS (SELECT g.id AS doc_id, g.id % 7 + 2 AS w,
+        |                  g.id % 5 + 2 AS h, g.id % 997 AS seed
+        |           FROM unnest(generate_series(0, 63)) AS g(id)),
+        |px AS (SELECT doc_id, w, h, (seed + 7 * x.ux + 13 * y.uy) % 251 AS v
+        |       FROM d, unnest(generate_series(0, w - 1)) AS x(ux),
+        |              unnest(generate_series(0, h - 1)) AS y(uy))
+        |SELECT doc_id, w AS width, h AS height, w * h AS n_pixels,
+        |       CAST(SUM(v) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "q31_embed_neardup" ->
       s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM embeddings),
          |b AS (SELECT vec_id AS vec_b, embedding AS vb FROM embeddings),

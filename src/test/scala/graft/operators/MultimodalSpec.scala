@@ -6,31 +6,53 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
-  test("binaryFile ingestion feeds the feature extractor") {
-    val dir = Files.createTempDirectory("graft-bin")
-    Files.write(dir.resolve("a.bin"), Array.tabulate[Byte](64)(_.toByte))
-    Files.write(dir.resolve("b.bin"), Array[Byte](1, 2, 3))
-
-    val feats = Multimodal.fromBinaryFiles(spark, dir.toString,
-        width = 32, height = 16)
-      .collect().sortBy(_.n_bytes)
-
-    assert(feats.length === 2)
-    val small = feats(0)
-    assert(small.n_bytes === 3)
-    assert(small.checksum16 === 1 + 2 + 3) // whole payload shorter than 16
-    val big = feats(1)
-    assert(big.n_bytes === 64)
-    assert(big.checksum16 === (0 until 16).sum) // first 16 bytes only
-    assert(big.n_pixels === 32L * 16 * 3)
-    assert(feats.map(_.doc_id).distinct.length === 2, "path-derived ids unique")
+  test("PNG test card round-trips exactly through the real codec") {
+    for (id <- Seq(0L, 1L, 6L, 41L, 996L, 1000L)) {
+      val (w, h, seed) = Multimodal.dimsFor(id)
+      val (dw, dh, sum) = Multimodal.decodeImage(Multimodal.encodePng(id))
+      assert(dw === w && dh === h)
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield (seed + 7L * x + 13L * y) % 251).sum
+      assert(sum === expected, s"pixel sum for id=$id")
+    }
   }
 
-  test("payload bytes round-trip the stub decode deterministically") {
-    val r = Multimodal.MediaRow(7L, "hello".getBytes("UTF-8"), 8, 4, 3)
-    val f1 = Multimodal.decodeStub(r)
-    val f2 = Multimodal.decodeStub(r)
-    assert(f1 === f2)
-    assert(f1.n_bytes === 5 && f1.doc_id === 7L)
+  test("decodeImage fails fast on undecodable bytes") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Array[Byte](1, 2, 3))
+    }
+    assert(e.getMessage.contains("undecodable"))
+  }
+
+  test("binaryFile ingestion decodes real PNG files") {
+    val dir = Files.createTempDirectory("graft-bin")
+    Files.write(dir.resolve("img_003.png"), Multimodal.encodePng(3L))
+    Files.write(dir.resolve("img_010.png"), Multimodal.encodePng(10L))
+
+    val feats = Multimodal.fromBinaryFiles(spark, dir.toString)
+      .collect().sortBy(_.getString(0))
+
+    assert(feats.length === 2)
+    val f3 = feats(0)
+    val (w3, h3, _) = Multimodal.dimsFor(3L)
+    assert(f3.getString(0) === "img_003.png")
+    assert(f3.getLong(2) === w3.toLong && f3.getLong(3) === h3.toLong)
+    assert(f3.getLong(4) === w3.toLong * h3)
+    // n_bytes is the real encoded size: present and positive
+    assert(f3.getLong(1) > 0)
+  }
+
+  test("extractFeatures runs the decode as one narrow pass (no shuffle)") {
+    import spark.implicits._
+    val docs = spark.range(0, 12).select($"id".as("doc_id"))
+    val ds = Multimodal.extractFeatures(spark, docs.toDF())
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    val rows = ds.collect()
+    assert(rows.length === 12)
+    val r5 = rows.find(_.doc_id == 5L).get
+    val (w, h, _) = Multimodal.dimsFor(5L)
+    assert(r5.width === w.toLong && r5.height === h.toLong &&
+           r5.n_pixels === w.toLong * h)
   }
 }
