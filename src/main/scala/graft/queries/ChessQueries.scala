@@ -82,6 +82,13 @@ object ChessQueries {
   def q51ChessOpponents(s: SparkSession, dir: String): DataFrame =
     new Dashboard(fixtureFact(s, dir)).topOpponents(5)
 
+  /** P13 + A6 (pbix!Layout[v10]): win rate by 200-point opponent rating
+    * band — closes the last un-gated derived column
+    * ([[GameTransforms.ratingBucket]]; null rating → "unknown").
+    */
+  def q132OpponentBuckets(s: SparkSession, dir: String): DataFrame =
+    new Dashboard(fixtureFact(s, dir)).winRateByOpponentBucket()
+
   /** A7/A8 + F8 (pbix!Layout[v14]): Top-5 openings by games with per-ECO
     * win rate — the last spec-only measure pair, now driver-gated. The
     * fixture PGNs cycle three ECO headers plus an empty PGN (eco = "").
@@ -144,6 +151,7 @@ object ChessQueries {
     "q49_chess_cards"     -> (q49ChessCards _),
     "q50_chess_matrix"    -> (q50ChessMatrix _),
     "q51_chess_opponents" -> (q51ChessOpponents _),
+    "q132_opponent_buckets" -> (q132OpponentBuckets _),
     "q57_chess_openings"  -> (q57ChessOpenings _),
     "q58_chess_rolling"   -> (q58ChessRolling _)
   )
@@ -298,6 +306,30 @@ object ChessQueries {
          |    / COUNT(*) AS win_rate
          |FROM drv d JOIN top USING (opponent_username)
          |GROUP BY 1 ORDER BY games_count DESC, opponent_username""".stripMargin,
+    "q132_opponent_buckets" ->
+      s"""WITH $drvCte,
+         |opp AS (
+         |  SELECT outcome,
+         |    CASE WHEN user_color = 'white' THEN black_rating
+         |         ELSE white_rating END AS orat
+         |  FROM drv),
+         |b AS (
+         |  SELECT outcome,
+         |    CASE WHEN orat IS NULL THEN 'unknown'
+         |         ELSE CAST(CAST(floor(orat / 200) * 200 AS INT) AS VARCHAR)
+         |              || '-' ||
+         |              CAST(CAST(floor(orat / 200) * 200 + 199 AS INT)
+         |                   AS VARCHAR)
+         |         END AS opponent_rating_bucket
+         |  FROM opp)
+         |SELECT opponent_rating_bucket,
+         |  COUNT(*) AS games_count,
+         |  CAST(SUM(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS total_wins,
+         |  CAST(SUM(CASE WHEN outcome = 'win' THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS win_rate
+         |FROM b GROUP BY 1
+         |ORDER BY win_rate DESC, opponent_rating_bucket""".stripMargin,
     "q57_chess_openings" ->
       s"""WITH $drvCte,
          |top AS (

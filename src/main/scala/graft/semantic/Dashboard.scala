@@ -39,6 +39,14 @@ final class Dashboard(gamesFact: DataFrame) {
       .orderBy(col("win_rate").desc, col("time_control_bucket").asc,
                col("user_color").asc)
 
+  /** v10: win rate by opponent rating band (P13's 200-point buckets,
+    * `pbix!Layout[v10]` slicer) — games/wins/rate per band.
+    */
+  def winRateByOpponentBucket(ctx: FilterContext = FilterContext.empty): DataFrame =
+    model.query(Seq(col("opponent_rating_bucket")),
+                Seq(gamesCount, totalWins, winRate), ctx)
+      .orderBy(col("win_rate").desc, col("opponent_rating_bucket").asc)
+
   /** v14: Top-5 openings by games, with per-ECO win rate (A7/A8 + F8). */
   def topOpenings(n: Int = 5,
                   ctx: FilterContext = FilterContext.empty): DataFrame =
