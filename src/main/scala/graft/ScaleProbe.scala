@@ -19,26 +19,32 @@ object ScaleProbe {
     val spark = GraftSession.local("scale-probe")
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Unit): Unit =
-      if (only.exists(p => !name.contains(p)))
-        println(s"SCALE $name skipped")
+    // expensive setups below are `lazy val`s so a filtered run only pays
+    // for the inputs its probes actually consume; time() returns whether
+    // the probe ran so conditional teardown (unpersist) can follow suit
+    def wanted(name: String): Boolean = only.forall(name.contains)
+    def time(name: String)(f: => Unit): Boolean =
+      if (!wanted(name)) { println(s"SCALE $name skipped"); false }
       else {
         val t0 = System.nanoTime(); f
         println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        true
       }
 
     val docs0 = Tables.documents(spark, dir).select("doc_id", "text")
-    val n0 = docs0.count()
     val copies = spark.range(mult).toDF("copy")
-    val docs = docs0.crossJoin(copies)
-      .select(
-        (col("doc_id") * mult + col("copy")).as("doc_id"),
-        when(col("copy") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" perturbcopy"),
-                            col("copy").cast("string"))).as("text"))
-      .repartition(64)
-      .persist()
-    println(s"SCALE corpus ${docs.count()} docs (${mult}x of $n0)")
+    lazy val docs = {
+      val d = docs0.crossJoin(copies)
+        .select(
+          (col("doc_id") * mult + col("copy")).as("doc_id"),
+          when(col("copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" perturbcopy"),
+                              col("copy").cast("string"))).as("text"))
+        .repartition(64)
+        .persist()
+      println(s"SCALE corpus ${d.count()} docs (${mult}x of ${docs0.count()})")
+      d
+    }
 
     time(s"minhash_lsh_${mult}x") {
       val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 4, 5)
@@ -65,10 +71,12 @@ object ScaleProbe {
     // here would mean the bucket decomposition degenerated.
     val events = Tables.events(spark, dir)
     val HourUs = 3600000000L
-    val bounds = events.agg(
-      min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).collect()(0)
-    val span = bounds.getLong(1) - bounds.getLong(0) + HourUs
+    lazy val span = {
+      val bounds = events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).collect()(0)
+      bounds.getLong(1) - bounds.getLong(0) + HourUs
+    }
     def shifted(tpe: String) = events
       .filter(col("event_type") === tpe)
       .crossJoin(copies)
@@ -91,20 +99,23 @@ object ScaleProbe {
     // overlap density is constant — true pairs grow linearly with the
     // corpus; quadratic time would mean the cell decomposition
     // degenerated.
-    val sess0 = graft.operators.TemporalOps.sessionize(
-        events.filter(pmod(col("user_id"), lit(10L)) === 1)
-          .select(col("user_id"), col("ts"), col("event_id")),
-        "user_id", "ts", Seq("event_id"), gapUs = 14400000000L)
-      .withColumn("us", unix_micros(col("ts")))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("us")).as("s0"), max(col("us")).as("e0"))
-    val sessInf = sess0.crossJoin(copies)
-      .select((col("user_id") * mult + col("copy")).as("uid"),
-              (col("s0") + col("copy") * span).as("ss"),
-              (col("e0") + col("copy") * span).as("ee"))
-      .repartition(64).persist()
-    println(s"SCALE sessions ${sessInf.count()}")
-    time(s"interval_overlap_${mult}x") {
+    lazy val sessInf = {
+      val sess0 = graft.operators.TemporalOps.sessionize(
+          events.filter(pmod(col("user_id"), lit(10L)) === 1)
+            .select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts", Seq("event_id"), gapUs = 14400000000L)
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("us")).as("s0"), max(col("us")).as("e0"))
+      val s = sess0.crossJoin(copies)
+        .select((col("user_id") * mult + col("copy")).as("uid"),
+                (col("s0") + col("copy") * span).as("ss"),
+                (col("e0") + col("copy") * span).as("ee"))
+        .repartition(64).persist()
+      println(s"SCALE sessions ${s.count()}")
+      s
+    }
+    val ranOverlap = time(s"interval_overlap_${mult}x") {
       val a = sessInf.select(col("uid").as("ua"), col("ss").as("sa"),
                              col("ee").as("ea"))
       val b = sessInf.select(col("uid").as("ub"), col("ss").as("sb"),
@@ -114,25 +125,28 @@ object ScaleProbe {
                              bucketWidth = 21600000000L)
         .filter(col("ua") < col("ub")).count())
     }
-    sessInf.unpersist()
+    if (ranOverlap) sessInf.unpersist()
 
     // --- fuzzy keys (q56 shape): copy 0 keeps the original key, later
     // copies append a repeated-digit suffix (pairwise edit distance ≥ 2,
     // so no cross-copy pairs) — true pairs grow linearly with the corpus.
-    val cust = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_name"))
-      .crossJoin(copies)
-      .select((col("c_custkey") * mult + col("copy")).as("c_custkey"),
-              when(col("copy") === 0, col("c_name"))
-                .otherwise(concat(col("c_name"),
-                  repeat(col("copy").cast("string"), 2))).as("c_name"))
-      .repartition(64).persist()
-    println(s"SCALE keys ${cust.count()}")
-    time(s"fuzzy_keys_${mult}x") {
+    lazy val cust = {
+      val c = Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"))
+        .crossJoin(copies)
+        .select((col("c_custkey") * mult + col("copy")).as("c_custkey"),
+                when(col("copy") === 0, col("c_name"))
+                  .otherwise(concat(col("c_name"),
+                    repeat(col("copy").cast("string"), 2))).as("c_name"))
+        .repartition(64).persist()
+      println(s"SCALE keys ${c.count()}")
+      c
+    }
+    val ranFuzzy = time(s"fuzzy_keys_${mult}x") {
       println("  fuzzy pairs: " +
         Dedup.editDistance1Pairs(cust, "c_custkey", "c_name").count())
     }
-    cust.unpersist()
+    if (ranFuzzy) cust.unpersist()
 
     // --- connected components on deep chains: rounds must grow like
     // log(diameter) (pointer jumping), never linearly.
@@ -152,9 +166,12 @@ object ScaleProbe {
     // with the corpus (each batch doc near-matches its corpus copies);
     // time must track the two corpus streaming passes, never
     // corpus × batch. Batch ids offset out of the inflated id range.
-    val batch = docs0.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
-    println(s"SCALE batch ${batch.count()} docs")
+    lazy val batch = {
+      val b = docs0.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      println(s"SCALE batch ${b.count()} docs")
+      b
+    }
     time(s"incremental_dedup_${mult}x") {
       println("  cross pairs: " + Dedup.incrementalMinhashPairs(
         docs, batch, "doc_id", "text", 3, 4, 5).count())
@@ -164,12 +181,15 @@ object ScaleProbe {
     // batch (the crawl-ingest norm) vs an inflating corpus key set — the
     // bloom must reject the new majority map-side so only the true
     // overlap reaches the confirm join.
-    val corpusK = Tables.orders(spark, dir).select(col("o_orderkey"))
-      .crossJoin(copies)
-      .select((col("o_orderkey") * mult + col("copy")).as("k"))
-      .repartition(64)
-    println(s"SCALE corpus keys ${corpusK.count()}")
-    val batchK = spark.range(5000000).toDF("k")
+    lazy val corpusK = {
+      val k = Tables.orders(spark, dir).select(col("o_orderkey"))
+        .crossJoin(copies)
+        .select((col("o_orderkey") * mult + col("copy")).as("k"))
+        .repartition(64)
+      println(s"SCALE corpus keys ${k.count()}")
+      k
+    }
+    lazy val batchK = spark.range(5000000).toDF("k")
     time(s"bloom_new_keys_${mult}x") {
       println("  new keys: " + Membership.newKeys(
         batchK, corpusK, "k", expectedCorpusKeys = 200000L * mult).count())
@@ -181,7 +201,7 @@ object ScaleProbe {
     // sequential pass must stay linear (shard count is the real
     // deployment's parallelism knob, held fixed here to expose the
     // per-shard term).
-    val toks = docs.select(col("doc_id"),
+    lazy val toks = docs.select(col("doc_id"),
       pmod(col("doc_id"), lit(64L)).as("shard"),
       size(split(col("text"), " ")).cast("long").as("toks"))
     time(s"chop_pack_${mult}x") {
@@ -222,7 +242,7 @@ object ScaleProbe {
     // base corpus (tokenizer training is a separate job at scale), then
     // the inflated corpus is encoded — a pure per-row pass, so time must
     // grow linearly with corpus rows and the token total with content.
-    val encMerges = graft.operators.Bpe.trainMerges(docs0, "text", 4)
+    lazy val encMerges = graft.operators.Bpe.trainMerges(docs0, "text", 4)
       .filter(col("round") <= 4).orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     time(s"bpe_encode_${mult}x") {
@@ -256,7 +276,7 @@ object ScaleProbe {
     // --- z-order layout (q97 shape): one range exchange (the same any
     // total sort pays) + the PrefixSum totals pass — time must grow like
     // a sort of the corpus; file count grows linearly with rows.
-    val zev = Tables.events(spark, dir)
+    lazy val zev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"))
       .crossJoin(copies)
       .select((col("event_id") * mult + col("copy")).as("id"),
@@ -271,12 +291,14 @@ object ScaleProbe {
         (laid.agg(max(col("file_id"))).collect()(0).getLong(0) + 1))
     }
 
-    val emb0 = Tables.embeddings(spark, dir)
-    val emb = emb0.crossJoin(copies)
-      .select((col("vec_id") * mult + col("copy")).as("vec_id"),
-              col("embedding"))
-      .repartition(64).persist()
-    println(s"SCALE vectors ${emb.count()}")
+    lazy val emb = {
+      val e = Tables.embeddings(spark, dir).crossJoin(copies)
+        .select((col("vec_id") * mult + col("copy")).as("vec_id"),
+                col("embedding"))
+        .repartition(64).persist()
+      println(s"SCALE vectors ${e.count()}")
+      e
+    }
     time(s"ann_lsh_${mult}x") {
       Similarity.annTopK(emb, col("vec_id") < 20, k = 3).count()
     }

@@ -36,6 +36,11 @@ object Funnel {
              typeCol: String, tieBreak: String, stages: Seq[String],
              windowUs: Long): DataFrame = {
     require(stages.size >= 2, s"need >= 2 stages, got ${stages.size}")
+    // a repeated name would let one event satisfy both occurrences (the
+    // anchoring row's running min equals its own usCol, so stage i+1
+    // matches the same event) — reject rather than silently inflate depth
+    require(stages.distinct.size == stages.size,
+      s"stage names must be distinct, got $stages")
     require(windowUs > 0, s"windowUs must be positive: $windowUs")
     val internal = stages.indices.map(i => s"__m$i").toSet ++
       stages.indices.map(i => s"__t$i") + "depth"

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * within-id self-join — losslessly. That prune is what bounds the
   * quadratic: a document contributes C(k,2) pairs only in its FREQUENT
   * items k, and the frequent-item table is support-bounded (≤ n/minSup
-  * per id on average). Plan: one explode + hash agg (item counts), a
-  * semi-join prune, then ONE shuffle by id for the self-join and a
-  * map-combined pair count. No broadcast of anything unbounded; the
+  * per id on average). Plan: one explode + distinct (id,item) pairs —
+  * partial-agg'd map-side, so dup-heavy input shrinks before its
+  * exchange — then a hash agg for item counts, a semi-join prune, ONE
+  * shuffle by id for the self-join, and a map-combined pair count. No broadcast of anything unbounded; the
   * remaining skew key is an id with many frequent items — at 100 TB cap
   * it upstream (drop or sample pathological docs) rather than here,
   * where silently dropping ids would corrupt counts.
@@ -28,8 +29,12 @@ object ItemsetMining {
   def frequentPairs(df: DataFrame, idCol: String, itemsCol: String,
                     minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    // distinct AFTER the explode: array_distinct covers within-row dups,
+    // this covers the same id appearing in multiple input rows — counts
+    // are per distinct id, as documented, regardless of input row shape
     val items = df.select(col(idCol).as("__id"),
                           explode(array_distinct(col(itemsCol))).as("item"))
+      .distinct()
     val freq = items.groupBy(col("item"))
       .agg(count(lit(1)).as("n_item"))
       .filter(col("n_item") >= minSupport)

@@ -53,10 +53,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     val width = conf.getConfString(WidthKey, "").trim
     if (width.isEmpty) plan
     else {
-      val w = width.toLong
+      // misconfiguration must surface as an actionable message, not a raw
+      // NumberFormatException failing every query in the session
+      val w = parseLong(WidthKey, width)
       require(w >= 1, s"$WidthKey must be >= 1, got $w")
-      val maxCells = conf.getConfString(MaxCellsKey, (1L << 20).toString)
-        .toLong
+      val maxCells =
+        parseLong(MaxCellsKey,
+                  conf.getConfString(MaxCellsKey, (1L << 20).toString))
       plan.transformDown {
         case j @ Join(l, r, Inner, Some(cond), hint) if j.resolved &&
             eligible(l, r, cond) =>
@@ -64,6 +67,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       }
     }
   }
+
+  private def parseLong(key: String, value: String): Long =
+    try value.trim.toLong
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be a long, got '$value' — unset it or set a " +
+            "positive integer (bucket width in the range columns' units)")
+    }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(a, b) => conjuncts(a) ++ conjuncts(b)

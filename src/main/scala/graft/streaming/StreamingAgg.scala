@@ -37,7 +37,12 @@ object StreamingAgg {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
     else {
+      // only fully-committed versions count: a crash mid-write leaves a
+      // batch=<id> dir without _SUCCESS, and an external reader landing
+      // on it would otherwise see a partial merge
       val ids = fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory &&
+          fs.exists(new Path(st.getPath, "_SUCCESS")))
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("batch=") =>
           n.stripPrefix("batch=").toLong

@@ -69,4 +69,11 @@ class FunnelSpec extends SparkSpec {
       Funnel.depths(df, "u", "us", "t", "id", stages, 0L)
     }
   }
+
+  test("repeated stage names are rejected (one event would satisfy both)") {
+    val df = Seq((1L, 1L, 1L, "view")).toDF("u", "us", "id", "t")
+    intercept[IllegalArgumentException] {
+      Funnel.depths(df, "u", "us", "t", "id", Seq("view", "view"), 10L)
+    }
+  }
 }

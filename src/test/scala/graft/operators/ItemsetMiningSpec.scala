@@ -41,6 +41,16 @@ class ItemsetMiningSpec extends SparkSpec {
       Set(("a", "b"), ("a", "c"), ("b", "c")))
   }
 
+  test("an id split across input rows still counts once per pair") {
+    val split = Seq(
+      (1L, Seq("a", "b")), (1L, Seq("a", "b", "c")), // same id, two rows
+      (2L, Seq("a", "b"))
+    ).toDF("id", "items")
+    val got = ItemsetMining.frequentPairs(split, "id", "items", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq.sorted === Seq(("a", "b", 2L))) // NOT 3: distinct ids
+  }
+
   test("minSupport below 1 is rejected") {
     intercept[IllegalArgumentException] {
       ItemsetMining.frequentPairs(baskets, "id", "items", 0L)

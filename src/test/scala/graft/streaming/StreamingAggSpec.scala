@@ -65,6 +65,17 @@ class StreamingAggSpec extends SparkSpec {
       val v1 = spark.read.parquet(s"$root/batch=1").collect()
         .map(r => r.getLong(0) -> r.getLong(2)).toMap
       assert(v1 === Map(1L -> 16L, 2L -> 7L, 3L -> 30L))
+
+      // a crash mid-write leaves a version dir WITHOUT _SUCCESS: readers
+      // must keep resolving the last fully-committed version
+      val latestBefore = StreamingAgg.latestState(spark, root).get._1
+      val partial = new java.io.File(s"$root/batch=99")
+      assert(partial.mkdir())
+      java.nio.file.Files.write(partial.toPath.resolve("part-0.parquet"),
+                                Array[Byte](1, 2, 3))
+      assert(StreamingAgg.latestState(spark, root).get._1 === latestBefore,
+        "partially-written version must be invisible")
+      assert(snapshot(root) === before)
     } finally q.stop()
   }
 }
