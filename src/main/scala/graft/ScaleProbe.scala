@@ -161,6 +161,22 @@ object ScaleProbe {
       }
     }
 
+    // --- triangles on a star-heavy graph: hub degree n−1, chain among
+    // the leaves → n−2 triangles. Id-orientation would enumerate the
+    // hub's C(n−1,2) wedges (quadratic — 100k nodes ⇒ 5·10⁹ wedges);
+    // degree-ordered orientation points every edge INTO the hub, so
+    // wedge count stays O(n) and time must grow linearly.
+    time(s"triangles_star_${mult}x") {
+      val n = 100000L * mult
+      val hub = spark.range(1, n).selectExpr("CAST(0 AS BIGINT) AS u",
+                                             "id AS v")
+      val chain = spark.range(1, n - 1).selectExpr("id AS u",
+                                                   "id + 1 AS v")
+      val tri = GraphOps.triangles(hub.union(chain).repartition(64),
+                                   "u", "v")
+      println("  triangles: " + tri.count())
+    }
+
     // --- incremental dedup (q64 shape): the batch stays CONSTANT (a
     // day's crawl) while the corpus inflates — cross pairs grow linearly
     // with the corpus (each batch doc near-matches its corpus copies);
@@ -273,6 +289,65 @@ object ScaleProbe {
         .contentDefinedChunks(docs, "doc_id", "text", 16).count())
     }
 
+    // --- PPJoin (q107 shape): candidate count must track true near-dup
+    // groups, never n²; the positional filter's prune is measured
+    // directly (same candidate generator with the filter off/on).
+    time(s"ppjoin_${mult}x") {
+      val sets = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+        .withColumn("sz", size(col("sh")))
+        .filter(col("sz") > 0)
+        .persist()
+      try {
+        val noPos = Dedup.ppjoinCandidates(sets, 4, 5,
+                                           positional = false).count()
+        val withPos = Dedup.ppjoinCandidates(sets, 4, 5,
+                                             positional = true).count()
+        val pairs = Dedup.ppjoinPairs(docs, "doc_id", "text", 3, 4, 5).count()
+        println(s"  candidates full=$noPos positional=$withPos " +
+          s"true_pairs=$pairs")
+      } finally sets.unpersist()
+    }
+
+    // --- funnel depths (q110 shape): users remapped per copy so keys
+    // grow linearly with per-key event counts constant — the per-key
+    // window sort means time must track total events.
+    time(s"funnel_${mult}x") {
+      val ev = events.crossJoin(copies)
+        .select((col("user_id") * mult + col("copy")).as("user_id"),
+                unix_micros(col("ts")).as("us"),
+                (col("event_id") * mult + col("copy")).as("event_id"),
+                col("event_type"))
+        .repartition(64)
+      val d = graft.operators.Funnel.depths(ev, "user_id", "us",
+          "event_type", "event_id", Seq("view", "click", "purchase"),
+          windowUs = 86400000000L)
+        .groupBy(col("depth")).agg(count(lit(1)).as("n"))
+      println("  depths: " + d.orderBy("depth").collect().mkString(" "))
+    }
+
+    // --- rolling WAU (q122 shape): users grow per copy on a CONSTANT
+    // day spine — the 7-day explode is per (day,user) row, so time must
+    // track distinct (day,user) pairs linearly.
+    time(s"rolling_wau_${mult}x") {
+      val a = events.filter(pmod(col("event_id"), lit(11L)) === 0)
+        .crossJoin(copies)
+        .select(
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"),
+          (col("user_id") * mult + col("copy")).as("user_id"))
+        .distinct()
+      val spine = a.select(col("day")).distinct()
+      val wau = a
+        .select(explode(sequence(col("day"), col("day") + 6)).as("rday"),
+                col("user_id"))
+        .join(spine.select(col("day").as("rday")), Seq("rday"), "left_semi")
+        .groupBy(col("rday"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      println("  days=" + wau.count() + " max_wau=" +
+        wau.agg(max(col("wau"))).collect()(0).getLong(0))
+    }
+
     // --- z-order layout (q97 shape): one range exchange (the same any
     // total sort pays) + the PrefixSum totals pass — time must grow like
     // a sort of the corpus; file count grows linearly with rows.
@@ -302,6 +377,37 @@ object ScaleProbe {
     time(s"ann_lsh_${mult}x") {
       Similarity.annTopK(emb, col("vec_id") < 20, k = 3).count()
     }
+    // --- LSH ANN recall/cost frontier (q25/q93 shape): sweep tables ×
+    // planes at k=3 over the 20-query panel — recall vs candidate count
+    // is the knob's tradeoff; the shipped default must sit at a
+    // high-recall point (run at mult=1 for the real-corpus frontier).
+    time("ann_sweep") {
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact3 = Similarity.bruteForceTopK(emb, queries, k = 3)
+        .select(col("qid"), col("neighbor_id")).persist()
+      val nExact = exact3.count()
+      for (t <- Seq(4, 8, 16); p <- Seq(4, 8)) {
+        val t0 = System.nanoTime()
+        val lsh = Similarity.annTopK(emb, col("vec_id") < 20, k = 3,
+                                     tables = t, planesPerTable = p)
+          .select(col("qid"), col("neighbor_id"))
+        val hits = exact3.join(lsh, Seq("qid", "neighbor_id"), "left_semi")
+          .count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        val b = Similarity.lshBuckets(emb, t, p)
+        val cands = b.filter(col("vec_id") < 20)
+          .select(col("t"), col("bucket"), col("vec_id").as("qid"))
+          .join(b.select(col("t"), col("bucket"),
+                         col("vec_id").as("cand")), Seq("t", "bucket"))
+          .filter(col("cand") =!= col("qid"))
+          .select(col("qid"), col("cand")).distinct().count()
+        println(f"  tables=$t planes=$p recall=${hits.toDouble / nExact}%.3f" +
+          f" cands=$cands time=$secs%.2f s")
+      }
+      exact3.unpersist()
+    }
+
     // --- quantized k-means: per-iteration cost must be one scan + a
     // k·dims-partial shuffle — linear in the corpus, constant in rounds.
     time(s"kmeans_${mult}x") {

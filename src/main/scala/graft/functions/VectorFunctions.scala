@@ -37,15 +37,25 @@ object VectorFunctions {
   def e6(c: Column): Column = floor(c * 1000000L).cast("long")
 
   /** Signed projection of `vec` onto deterministic integer hyperplane `p`
-    * (weights w(p,d) = ((p*131 + d*37) mod 7) − 3): the random-hyperplane
-    * LSH bit. Integer weights keep the oracle replicable without a shared
-    * RNG. The weight vector is materialized as a float literal (ints in
-    * [−3,3] are exact in float) so the projection is a single [[DotFloat]]
-    * with the same cast-then-multiply, left-to-right double arithmetic as
-    * the oracle's `list_sum(list_transform(...))`.
+    * (weights w(p,d) = ((k ⊻ (k ≫ 5)) mod 7) − 3 with k = p·7919 +
+    * d·104729): the random-hyperplane LSH bit. Integer weights keep the
+    * oracle replicable without a shared RNG; the xor-shift mix is what
+    * makes planes DISTINCT in p — any pure polynomial in (p, d) is
+    * periodic in p modulo 7 (the mod distributes over it), which
+    * silently caps the whole family at 7 distinct hyperplanes and makes
+    * extra LSH tables no-ops (measured: recall saturated at 0.617 no
+    * matter how many tables — the round-6 sweep caught it). The weight
+    * vector is materialized as a float literal (ints in [−3,3] are exact
+    * in float) so the projection is a single [[DotFloat]] with the same
+    * cast-then-multiply, left-to-right double arithmetic as the oracle's
+    * `list_sum(list_transform(...))`.
     */
   def planeDot(vec: Column, p: Int, dims: Int): Column = {
-    val w = Array.tabulate(dims)(d => (((p * 131 + d * 37) % 7) - 3).toFloat)
+    val w = Array.tabulate(dims) { d =>
+      val k = p.toLong * 7919L + d.toLong * 104729L
+      val m = k ^ (k >>> 5)
+      ((m % 7) - 3).toFloat
+    }
     dot(vec, typedlit(w))
   }
 }

@@ -86,11 +86,16 @@ object Dedup {
     * Because prefixes hold the rarest tokens, candidate lists are
     * small by construction (the inverted index's hot-shingle skew guard
     * becomes unnecessary — hot shingles never reach a prefix). The
-    * position filter and length filter are the literature's further
-    * refinements; this implementation applies the length-derived prefix
-    * only, then verifies candidates exactly with one array_intersect
-    * per pair. Output and semantics are IDENTICAL to [[jaccardPairs]]
-    * (same oracle gates both).
+    * LENGTH filter (t·|x| ≤ |y| ≤ |x|/t) and the POSITIONAL filter — the
+    * second P of PPJoin — prune collisions before verification: a
+    * collision at prefix ranks (i, j) bounds the overlap by
+    * min(i−1, j−1) + 1 + min(|x|−i, |y|−j) (common tokens are ordered
+    * consistently on both sides, so tokens before/after the colliding
+    * token split the bound), and the pair survives only if the TIGHTEST
+    * bound over its collisions can still reach the overlap threshold
+    * α = ⌈t·(|x|+|y|)/(1+t)⌉. Candidates are then verified exactly with
+    * one array_intersect per pair. Output and semantics are IDENTICAL
+    * to [[jaccardPairs]] (same oracle gates both).
     */
   def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
                   n: Int, num: Int, den: Int): DataFrame = {
@@ -102,25 +107,7 @@ object Dedup {
       .filter(col("sz") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val post = sets.select(col("doc_id"), col("sz"),
-                             explode(col("sh")).as("shingle"))
-      val dfreq = post.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
-      // ceil(t·sz) in integers, then the prefix keeps rank ≤ sz − c + 1
-      val c = floor((col("sz") * num + (den - 1)) / lit(den)).cast("long")
-      val rk = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id"))
-        .orderBy(col("df"), col("shingle"))
-      val prefix = post.join(dfreq, Seq("shingle"))
-        .withColumn("rk", row_number().over(rk).cast("long"))
-        .filter(col("rk") <= col("sz") - c + 1)
-        .select(col("shingle"), col("doc_id"))
-      val cand = prefix.select(col("shingle"), col("doc_id").as("doc_a"))
-        .join(prefix.select(col("shingle"), col("doc_id").as("doc_b")),
-              Seq("shingle"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-        .distinct()
+      val cand = ppjoinCandidates(sets, num, den, positional = true)
       val out = cand
         .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
                           col("sz").as("sz_a")), Seq("doc_a"))
@@ -136,6 +123,51 @@ object Dedup {
         .localCheckpoint() // materialize before releasing the sets cache
       out
     } finally sets.unpersist()
+  }
+
+  /** PPJoin candidate generation over pre-shingled sets
+    * (`doc_id`, `sh`, `sz`): prefix postings self-join, length filter,
+    * and (when `positional`) the positional upper-bound prune. Exposed
+    * separately so the candidate count — the quantity the filters exist
+    * to shrink — is directly measurable (ScaleProbe) without running
+    * verification.
+    */
+  private[graft] def ppjoinCandidates(sets: DataFrame, num: Int, den: Int,
+                                      positional: Boolean): DataFrame = {
+    val post = sets.select(col("doc_id"), col("sz"),
+                           explode(col("sh")).as("shingle"))
+    val dfreq = post.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    // ceil(t·sz) in integers, then the prefix keeps rank ≤ sz − c + 1
+    val c = floor((col("sz") * num + (den - 1)) / lit(den)).cast("long")
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val prefix = post.join(dfreq, Seq("shingle"))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= col("sz") - c + 1)
+      .select(col("shingle"), col("doc_id"), col("rk"), col("sz"))
+    val collisions = prefix
+      .select(col("shingle"), col("doc_id").as("doc_a"),
+              col("rk").as("rk_a"), col("sz").as("sz_a"))
+      .join(prefix.select(col("shingle"), col("doc_id").as("doc_b"),
+                          col("rk").as("rk_b"), col("sz").as("sz_b")),
+            Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: J ≥ t forces t·|x| ≤ |y| ≤ |x|/t
+      .filter(col("sz_a") * num <= col("sz_b") * den &&
+              col("sz_b") * num <= col("sz_a") * den)
+    if (!positional)
+      return collisions.select(col("doc_a"), col("doc_b")).distinct()
+    collisions
+      .withColumn("ub",
+        least(col("rk_a"), col("rk_b")) +
+          least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(min(col("ub")).as("ubound"))
+      // overlap threshold: I(num+den) ≥ num(|x|+|y|) ⟺ J ≥ num/den
+      .filter(col("ubound") * (num + den) >= (col("sz_a") + col("sz_b")) * num)
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** MinHash signature (array<long>, length `numPerm`) of a shingle set:

@@ -125,27 +125,53 @@ object GraphOps {
     * (undirected, deduped, self-loops dropped) so callers can hand in
     * raw pair lists.
     *
-    * Shape: orient every edge low→high, join wedges a–b–c on the shared
-    * middle, close them against the edge set — two hash equi-joins, no
-    * products. Orientation makes each triangle appear exactly once AND
-    * bounds wedge fan-out by out-degree; the production refinement at
-    * 100 TB is degree-ordered orientation (highest-degree node last),
-    * which caps out-degree at O(√m) for any graph — same plan, one extra
-    * degree join. Hub guard: a node of out-degree d contributes C(d,2)
-    * wedges; treat pathological hubs upstream like hot shingles
-    * (`maxShingleDf` precedent).
+    * Shape: DEGREE-ORDERED orientation (the O(√m)-wedge refinement) —
+    * orient every edge toward the (degree, id)-larger endpoint, pair up
+    * each node's out-neighbors, close the pairs against the oriented
+    * edge set. Two hash equi-joins plus one degree join, no products.
+    * Why degrees: out-degree under this total order is ≤ O(√m) for ANY
+    * graph (a node of degree d > √2m has fewer than d neighbors of
+    * degree ≥ d), so a hub's C(d,2) wedge blowup cannot happen — the
+    * star graph that costs C(n,2) wedges under id-orientation costs
+    * O(m) here because every edge points INTO the hub. Each triangle
+    * still appears exactly once (its nodes have a unique ≺ path);
+    * output is re-canonicalized to a < b < c so callers see the same
+    * rows regardless of orientation internals.
     */
   def triangles(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
-    val e = edges
+    val raw = edges
       .select(least(col(uCol), col(vCol)).as("u"),
               greatest(col(uCol), col(vCol)).as("v"))
       .filter(col("u") < col("v"))
       .distinct()
-    val wedges = e.select(col("u").as("a"), col("v").as("b"))
-      .join(e.select(col("u").as("b2"), col("v").as("c")),
-            col("b") === col("b2"))
-      .select(col("a"), col("b"), col("c"))
-    wedges.join(e.select(col("u").as("a2"), col("v").as("c2")),
-                col("a") === col("a2") && col("c") === col("c2"), "left_semi")
+    val deg = raw.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // ≺ = (degree, id) ascending — a total order; orient u→v iff u ≺ v.
+    // Target degree rides along: wedge pairs need it to canonicalize
+    // out-neighbor pairs in the SAME order, so the closing edge's
+    // orientation is known (b ≺ c ⟹ the edge is stored as b→c).
+    val o = raw
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")),
+             struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(
+             struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val wedges = o.select(col("s"), col("t").as("b"), col("dt").as("db"))
+      .join(o.select(col("s").as("s2"), col("t").as("c"), col("dt").as("dc")),
+            col("s") === col("s2") &&
+              (col("db") < col("dc") ||
+               (col("db") === col("dc") && col("b") < col("c"))))
+      .select(col("s").as("a"), col("b"), col("c"))
+    wedges
+      .join(o.select(col("s").as("b2"), col("t").as("c2")),
+            col("b") === col("b2") && col("c") === col("c2"), "left_semi")
+      .select(sort_array(array(col("a"), col("b"), col("c"))).as("__t"))
+      .select(col("__t").getItem(0).as("a"), col("__t").getItem(1).as("b"),
+              col("__t").getItem(2).as("c"))
   }
 }

@@ -90,9 +90,15 @@ object Similarity {
   /** ANN top-k: candidates = union over tables of same-bucket vectors,
     * then exact cosine + rank on candidates only.
     * Output: (qid, neighbor_id, rnk, sim_e6).
+    *
+    * Default = the measured ≥0.8-recall point of the round-6 sweep
+    * (16×4 → recall 0.95 at k=3 on the sf0.1 panel; 8×4 → 0.78,
+    * 4×4 → 0.62). More tables widen the candidate net linearly; more
+    * planes per table shrink buckets exponentially (4×4 → 8-plane bands
+    * measured ≤0.34 recall at ≤16 tables — cheap but unusable alone).
     */
   def annTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
-              tables: Int = 4, planesPerTable: Int = 4): DataFrame = {
+              tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
     val buckets = lshBuckets(emb, tables, planesPerTable)
     val qb = buckets.filter(queryPred)
       .select(col("vec_id").as("qid"), col("t"), col("bucket"))

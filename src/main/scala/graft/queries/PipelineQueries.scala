@@ -22,6 +22,36 @@ import graft.operators.{Dedup, Membership, Multimodal, Similarity}
   */
 object PipelineQueries {
 
+  /** q25/q93's shipped ANN-LSH config. 16 tables × 4 planes sits at the
+    * measured ≥0.8-recall point of the frontier (round-6 sweep on sf0.1,
+    * k=3, 20-query panel, xor-mixed hyperplane family):
+    * 4×4 → 0.62, 8×4 → 0.78, **16×4 → 0.95** (25.6k candidates ≈ 2.6×
+    * the 4×4 cost), while 8-plane bands stay under 0.34 at ≤16 tables.
+    * The oracles derive their CTEs from these SAME constants
+    * ([[lshSigBuckCte]]), so retuning cannot drift the gate.
+    */
+  private val AnnTables = 16
+  private val AnnPlanes = 4
+
+  /** Shared LSH signature/bucket CTEs (q25/q93/q65). MUST mirror
+    * [[graft.functions.VectorFunctions.planeDot]]'s xor-mixed integer
+    * weights and [[Similarity.lshBuckets]]'s band packing exactly;
+    * expects a prior CTE `e(vec_id, v)`.
+    */
+  private def lshSigBuckCte(tables: Int, planes: Int): String =
+    s"""sig AS (
+       |  SELECT vec_id, p.p AS p,
+       |    CASE WHEN list_sum(list_transform(range(64),
+       |           d -> v[d+1]::DOUBLE *
+       |                (xor(p.p*7919 + d*104729,
+       |                     (p.p*7919 + d*104729) >> 5) % 7 - 3)::DOUBLE))
+       |         >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM e CROSS JOIN range(${tables * planes}) p(p)),
+       |buck AS (
+       |  SELECT vec_id, p // $planes AS t,
+       |    SUM(bit * (1::BIGINT << (p % $planes))) AS bucket
+       |  FROM sig GROUP BY vec_id, p // $planes)""".stripMargin
+
   // ------------------------------------------------------------- queries
 
   /** Exact dedup by content hash (keeper = min doc_id per distinct text). */
@@ -119,7 +149,8 @@ object PipelineQueries {
     */
   def q93AnnRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val lsh = Similarity.annTopK(emb, col("vec_id") < 20, k = 3)
+    val lsh = Similarity.annTopK(emb, col("vec_id") < 20, k = 3,
+                                 tables = AnnTables, planesPerTable = AnnPlanes)
       .select(col("qid"), col("neighbor_id"))
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -136,12 +167,14 @@ object PipelineQueries {
       .orderBy("qid")
   }
 
-  /** LSH ANN top-3 (4 tables × 4 hyperplanes) for vec_id < 20: bucket
-    * equi-join candidates, exact cosine on candidates only.
+  /** LSH ANN top-3 (AnnTables × AnnPlanes hyperplanes — the measured
+    * 0.95-recall config) for vec_id < 20: bucket equi-join candidates,
+    * exact cosine on candidates only.
     */
   def q25AnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.annTopK(Tables.embeddings(s, dir),
-                       queryPred = col("vec_id") < 20, k = 3)
+                       queryPred = col("vec_id") < 20, k = 3,
+                       tables = AnnTables, planesPerTable = AnnPlanes)
       .withColumn("rnk", col("rnk").cast("long"))
       .orderBy("qid", "rnk")
 
@@ -854,16 +887,7 @@ object PipelineQueries {
     // (qid, neighbor) — integer recall, floor-scaled.
     "q93_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |sig AS (
-         |  SELECT vec_id, p.p AS p,
-         |    CASE WHEN list_sum(list_transform(range(64),
-         |           d -> v[d+1]::DOUBLE * (((p.p*131 + d*37) % 7) - 3)::DOUBLE))
-         |         >= 0 THEN 1 ELSE 0 END AS bit
-         |  FROM e CROSS JOIN range(16) p(p)),
-         |buck AS (
-         |  SELECT vec_id, p // 4 AS t,
-         |    SUM(bit * (1::BIGINT << (p % 4))) AS bucket
-         |  FROM sig GROUP BY vec_id, p // 4),
+         |${lshSigBuckCte(AnnTables, AnnPlanes)},
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
          |  FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
@@ -920,16 +944,7 @@ object PipelineQueries {
          |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q25_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |sig AS (
-         |  SELECT vec_id, p.p AS p,
-         |    CASE WHEN list_sum(list_transform(range(64),
-         |           d -> v[d+1]::DOUBLE * (((p.p*131 + d*37) % 7) - 3)::DOUBLE))
-         |         >= 0 THEN 1 ELSE 0 END AS bit
-         |  FROM e CROSS JOIN range(16) p(p)),
-         |buck AS (
-         |  SELECT vec_id, p // 4 AS t,
-         |    SUM(bit * (1::BIGINT << (p % 4))) AS bucket
-         |  FROM sig GROUP BY vec_id, p // 4),
+         |${lshSigBuckCte(AnnTables, AnnPlanes)},
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
          |  FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
@@ -1065,16 +1080,7 @@ object PipelineQueries {
     // verifies with exact cosine — mirroring candidates + verification.
     "q65_embed_neardup_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |sig AS (
-         |  SELECT vec_id, p.p AS p,
-         |    CASE WHEN list_sum(list_transform(range(64),
-         |           d -> v[d+1]::DOUBLE * (((p.p*131 + d*37) % 7) - 3)::DOUBLE))
-         |         >= 0 THEN 1 ELSE 0 END AS bit
-         |  FROM e CROSS JOIN range(16) p(p)),
-         |buck AS (
-         |  SELECT vec_id, p // 4 AS t,
-         |    SUM(bit * (1::BIGINT << (p % 4))) AS bucket
-         |  FROM sig GROUP BY vec_id, p // 4),
+         |${lshSigBuckCte(4, 4)},
          |cand AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM buck a JOIN buck b ON a.t = b.t AND a.bucket = b.bucket

@@ -50,6 +50,37 @@ class PpjoinSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L)))
   }
 
+  test("positional filter prunes rank-asymmetric collisions losslessly") {
+    // crafted borderline pair: x and y share rare token zz, but zz sits
+    // at prefix rank 1 in x vs rank 7 in y (six df-2 aa-tokens sort
+    // before it), so the positional bound 1 + min(29, 23) = 24 cannot
+    // reach the t=4/5 overlap threshold ceil(4*60/9) = 27 — (x, y) is
+    // prefix-candidate without the filter, pruned with it, and is NOT a
+    // true pair (J ≈ 0.67), so pruning it is lossless.
+    val commons = (1 to 29).map(i => f"mm$i%02d")
+    val x = (1L, ("zz" +: commons).mkString(" "))
+    val y = (2L, ((1 to 6).map(k => s"aa$k") ++ Seq("zz") ++
+                  commons.take(23)).mkString(" "))
+    val aaDocs = (1 to 6).map(k => (10L + k, (s"aa$k" +: commons).mkString(" ")))
+    val docs = (Seq(x, y) ++ aaDocs).toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text"), 1).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+    def cands(positional: Boolean): Set[(Long, Long)] =
+      Dedup.ppjoinCandidates(sets, 4, 5, positional)
+        .as[(Long, Long)].collect().toSet
+    val without = cands(positional = false)
+    val withPos = cands(positional = true)
+    assert(without.contains((1L, 2L)), "x-y must be a prefix candidate")
+    assert(!withPos.contains((1L, 2L)), "positional filter must prune x-y")
+    assert(withPos.subsetOf(without))
+    val truePairs = Dedup.jaccardPairs(docs, "doc_id", "text", 1, 4, 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truePairs.subsetOf(withPos), "pruning must be lossless")
+    assert(truePairs.nonEmpty, "fixture must contain true pairs")
+  }
+
   test("invalid thresholds are rejected") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

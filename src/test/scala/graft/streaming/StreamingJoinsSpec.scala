@@ -60,4 +60,60 @@ class StreamingJoinsSpec extends SparkSpec {
         "watermark-expired state must not join late rows")
     } finally q.stop()
   }
+
+  test("streaming interval join has batch parity with intervalOverlapJoin") {
+    // same input replayed through MemoryStream in 3 chronological
+    // micro-batches (watermark lenient enough that nothing drops) must
+    // emit exactly the batch interval-overlap join's matches: lefts as
+    // [lts, lts+within] intervals, rights as points, keys equal.
+    implicit val sqlCtx = spark.sqlContext
+    val MinUs = 60000000L
+    val base = t("2024-01-01 00:00:00").getTime * 1000L
+    val lefts = (0 until 40).map(i =>
+      L(i % 5, new Timestamp((base + i * 7 * MinUs) / 1000L)))
+    val rights = (0 until 90).map(j =>
+      R(j % 5, new Timestamp((base + j * 3 * MinUs) / 1000L), j.toLong))
+
+    val lm = MemoryStream[L]
+    val rm = MemoryStream[R]
+    val out = StreamingJoins.intervalJoin(
+        lm.toDF(), "lts", "k",
+        rm.toDF().withColumnRenamed("k", "v_k"), "rts", "v_k",
+        delay = "2 hours", within = "10 minutes")
+    val q = out.select(col("k"), col("lts"), col("rts"), col("v"))
+      .writeStream.format("memory").queryName("ij_parity")
+      .outputMode("append").start()
+    try {
+      for (part <- 0 until 3) {
+        lm.addData(lefts.slice(part * 14, part * 14 + 14): _*)
+        rm.addData(rights.slice(part * 30, part * 30 + 30): _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ij_parity").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L,
+                   r.getTimestamp(2).getTime * 1000L, r.getLong(3)))
+        .toSet
+
+      val withinUs = 10 * MinUs
+      val a = lefts.map(l => (l.k, l.lts)).toDF("ka", "lts")
+        .select(col("ka"), unix_micros(col("lts")).as("sa"))
+        .withColumn("ea", col("sa") + withinUs)
+      val b = rights.map(r => (r.k, r.rts, r.v)).toDF("kb", "rts", "v")
+        .select(col("kb"), unix_micros(col("rts")).as("sb"), col("v"))
+        .withColumn("eb", col("sb"))
+      val batch = graft.operators.TemporalOps
+        .intervalOverlapJoin(a, "sa", "ea", b, "sb", "eb",
+                             bucketWidth = 5 * MinUs)
+        .filter(col("ka") === col("kb"))
+        .select(col("ka"), col("sa"), col("sb"), col("v"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+
+      assert(batch.nonEmpty, "fixture must produce matches")
+      assert(streamed === batch,
+        s"stream/batch diverge: only-stream=${streamed -- batch} " +
+          s"only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
 }
