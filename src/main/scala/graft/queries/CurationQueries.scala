@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.Sampling
+import graft.operators.{LanguageModel, Sampling}
 
 /** Data-curation operators a large-scale training pipeline runs between
   * raw ingest and shard writing: PII scrubbing, repetition metrics,
@@ -804,6 +804,19 @@ object CurationQueries {
        |FROM d$bpeRoundsN ORDER BY doc_id""".stripMargin
   }
 
+  /** q133 — bigram language-model quality scoring
+    * ([[graft.operators.LanguageModel]]): train bigram conditional
+    * probabilities on the corpus itself, score every document by the
+    * exact integer mean of its transitions' floor-scaled probabilities.
+    * The CCNet-style perplexity filter re-expressed with an
+    * oracle-exact surrogate (see the operator Scaladoc for the
+    * log-prob vs scaled-prob tradeoff).
+    */
+  def q133BigramLm(s: SparkSession, dir: String): DataFrame =
+    LanguageModel.scoreDocuments(
+        Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -834,7 +847,8 @@ object CurationQueries {
     "q98_bpe_encode"       -> (q98BpeEncode _),
     "q99_cooccur_pairs"    -> (q99CooccurPairs _),
     "q100_cdc_chunks"      -> (q100CdcChunks _),
-    "q104_dup_triangles"   -> (q104DupTriangles _)
+    "q104_dup_triangles"   -> (q104DupTriangles _),
+    "q133_bigram_lm"       -> (q133BigramLm _)
   )
 
   /** DuckDB mirror of [[graft.operators.ZOrder.spread32]]: the same five
@@ -1331,6 +1345,25 @@ object CurationQueries {
          |  MIN(l_partkey) AS min_a, MAX(l_partkey) AS max_a,
          |  MIN(l_suppkey) AS min_b, MAX(l_suppkey) AS max_b,
          |  MIN(z) AS z_lo, MAX(z) AS z_hi
-         |FROM rn GROUP BY 1 ORDER BY file_id""".stripMargin
+         |FROM rn GROUP BY 1 ORDER BY file_id""".stripMargin,
+    // q133: the oracle retrains the SAME bigram model (counts + floor-
+    // scaled conditional probabilities, integer division throughout)
+    // and rescores every doc — model drift, tokenizer drift, or a
+    // rounding change all land as hash mismatches.
+    "q133_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+        |  WHERE len(tk) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |m AS (SELECT w1, w2, (1000000 * c2) // c1 AS p_e6
+        |      FROM c2 JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS score_e6
+        |FROM bg JOIN m USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
