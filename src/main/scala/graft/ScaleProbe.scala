@@ -434,6 +434,37 @@ object ScaleProbe {
           emb, minSimE6 = 950000L, k = 8 * mult, dims = 64, iters = 3)
         .filter(col("kept")).count())
     }
+    // --- PageRank (q134 shape): the trade graph replicated into `mult`
+    // DISJOINT namespaces (same structure, more of it) — per-iteration
+    // cost is one edge join + one aggregate, so time must grow linearly
+    // in edges at a fixed iteration count; superlinear growth would mean
+    // the rank join stopped scaling with the graph.
+    time(s"pagerank_${mult}x") {
+      val rel = Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_orderkey"))
+        .join(Tables.orders(spark, dir)
+                .select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("sup"),
+                concat(lit("c"), col("o_custkey")).as("cust"))
+        .distinct()
+      val relC = rel.crossJoin(copies)
+        .select(concat(col("sup"), lit("_"), col("copy")).as("sup"),
+                concat(col("cust"), lit("_"), col("copy")).as("cust"))
+        .repartition(64)
+      val edges = relC.select(col("sup").as("src"), col("cust").as("dst"))
+        .union(relC.select(col("cust").as("src"), col("sup").as("dst")))
+      println("  ranked nodes: " +
+        GraphOps.pageRank(edges, "src", "dst", iterations = 5).count())
+    }
+    // --- bigram LM scoring (q133 shape): model size is bounded by the
+    // corpus vocabulary (the perturbed copies add ~one new type each),
+    // so train stays two map-combined aggs and scoring one hash join —
+    // time tracks corpus tokens, never corpus × vocabulary.
+    time(s"bigram_lm_${mult}x") {
+      println("  scored docs: " + graft.operators.LanguageModel
+        .scoreDocuments(docs, "doc_id", "text").count())
+    }
     spark.stop()
   }
 }

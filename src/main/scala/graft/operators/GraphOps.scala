@@ -120,6 +120,86 @@ object GraphOps {
     (labels, iter)
   }
 
+  /** Fixed-iteration PageRank in EXACT INTEGER arithmetic.
+    *
+    * Ranks live in integer "units" summing to ≤ `totalUnits`; every
+    * division is a floor division on nonnegative longs, so the result
+    * is bit-identical at any partitioning and any engine that agrees
+    * on integer division — which is what lets a SQL oracle re-derive
+    * it (float PageRank sums in shuffle order and can't be hash-gated).
+    * Update rule per iteration, damping d = num/den:
+    *
+    *   rank'(v) = (totalUnits·(den−num)) div (den·N)
+    *            + Σ over in-edges (u,v) of (rank(u)·num) div (den·outdeg(u))
+    *
+    * Floor remainders (and mass at dangling nodes — nodes with no
+    * out-edges) simply drop out of circulation each round instead of
+    * being redistributed: ranks are comparable, not a probability
+    * simplex, and the variant is documented rather than patched with
+    * a float correction the oracle couldn't mirror.
+    *
+    * Scale shape: per iteration one hash join of ranks onto edges (on
+    * src) and one map-combined sum by dst — the same two exchanges any
+    * distributed PageRank pays; `localCheckpoint` truncates lineage and
+    * the previous round's blocks are released, so storage is O(1)
+    * rounds. Outdegrees are joined in once, riding the same src keying.
+    * Iteration count is a caller-fixed constant (rank queries want a
+    * known budget, and convergence-testing floats is exactly the
+    * nondeterminism this formulation removes).
+    *
+    * Output: (node, rank_units) for every node appearing in `edges`.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, totalUnits: Long = 1000000000000L,
+               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+            s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count() // control-plane scalar: one number, not data
+    if (n == 0) {
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
+      return nodes.withColumn("rank_units", lit(0L))
+    }
+    val base = totalUnits * (dampDen - dampNum) / (dampDen * n)
+    // outdegree keyed by src; rank contributions divide by it below
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint()
+
+    var ranks = nodes.withColumn("rank_units", lit(totalUnits / n))
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val contrib = e
+        .join(deg, Seq("src"))
+        .join(ranks.select(col("node").as("src"),
+                           col("rank_units").as("__r")), Seq("src"))
+        .select(col("dst").as("node"),
+                expr(s"(__r * $dampNum) div ($dampDen * __outdeg)")
+                  .as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
+      val next = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+                (lit(base) + coalesce(col("__in"), lit(0L))).as("rank_units"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ranks)
+      ranks = next
+      i += 1
+    }
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(deg)
+    // ranks is itself checkpointed (materialized), so releasing the node
+    // blocks here cannot recompute anything downstream
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodes)
+    ranks
+  }
+
   /** Triangle enumeration (a < b < c) — the transitivity/density measure
     * of a similarity or duplicate graph. Input edges are canonicalized
     * (undirected, deduped, self-loops dropped) so callers can hand in

@@ -112,6 +112,97 @@ object Multimodal {
     })
   }
 
+  /** Decode real image bytes → (width, height, row-major pixel samples,
+    * band-summed). The array-returning sibling of [[decodeImage]] for
+    * operators that need the raster itself (perceptual hashing, SAD
+    * verification) — still one decode per payload, no shuffle.
+    */
+  def decodePixels(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val px = new Array[Long](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 0L
+        var b = 0
+        while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+        px(y * w + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** 4-bit QUADRANT-MEAN perceptual hash (aHash family): bit q is set
+    * iff quadrant q's pixel mean exceeds the image mean — compared
+    * cross-multiplied (`qsum·n > total·qn`), so the hash is exact
+    * integer arithmetic with no division rounding to mirror. Quadrant
+    * q = (x ≥ w/2) + 2·(y ≥ h/2), floor splits. Brightness-shift
+    * invariant-ish and cheap: the standard bucketing key for image
+    * near-dup candidate generation.
+    */
+  def aHash4(w: Int, h: Int, px: Array[Long]): Long = {
+    val total = px.sum
+    val n = px.length.toLong
+    val qsum = new Array[Long](4)
+    val qn = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val q = (if (x >= w / 2) 1 else 0) + (if (y >= h / 2) 2 else 0)
+        qsum(q) += px(y * w + x)
+        qn(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (0 until 4).foldLeft(0L) { (acc, q) =>
+      if (qsum(q) * n > total * qn(q)) acc | (1L << q) else acc
+    }
+  }
+
+  case class HashedImage(doc_id: Long, width: Long, height: Long,
+                         hash4: Long, px: Array[Long])
+
+  /** Image near-duplicate pairs over REAL decoded rasters: decode each
+    * payload once (narrow pass), bucket candidates by (width, height,
+    * [[aHash4]]), verify each candidate pair EXACTLY by mean absolute
+    * pixel difference, floor-scaled e6 (`(1e6·Σ|a−b|) div n_pixels`),
+    * and keep pairs at or under `madE6Max`.
+    *
+    * This is the dedup-pipeline index shape (bucket → verify) applied
+    * to the image modality: candidates are hash-bucket-bound, never
+    * all-pairs, and the verify cost is per-candidate. Like every
+    * LSH-family index here, the gate covers "the pairs this index
+    * surfaces" — recall is the knob (hash bits / grid), measured per
+    * deployment, not silently assumed.
+    */
+  def imageNearDupPairs(spark: SparkSession, docs: DataFrame,
+                        madE6Max: Long): DataFrame = {
+    import spark.implicits._
+    val hashed = withPayload(spark, docs).mapPartitions(_.map { r =>
+      val (w, h, px) = decodePixels(r.payload)
+      HashedImage(r.doc_id, w.toLong, h.toLong, aHash4(w, h, px), px)
+    }).toDF()
+    val a = hashed.select(col("doc_id").as("doc_a"), col("width"),
+                          col("height"), col("hash4"), col("px").as("pxa"))
+    val b = hashed.select(col("doc_id").as("doc_b"), col("width"),
+                          col("height"), col("hash4"), col("px").as("pxb"))
+    a.join(b, Seq("width", "height", "hash4"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              expr("""(1000000 * aggregate(zip_with(pxa, pxb,
+                     |  (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v))
+                     |div size(pxa)""".stripMargin).as("mad_e6"))
+      .filter(col("mad_e6") <= madE6Max)
+  }
+
   /** Real-file ingestion path: Spark's `binaryFile` source → decode →
     * per-file features keyed by file name. `binaryFile` streams each
     * file as one row, so payload bytes hit exactly one task and the

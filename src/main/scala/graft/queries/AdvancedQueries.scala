@@ -976,6 +976,127 @@ object AdvancedQueries {
             "l_returnflag", "l_linestatus"))
       .orderBy("col_name")
 
+  /** q134 — PageRank over the supplier↔customer trade graph
+    * ([[GraphOps.pageRank]]): nodes are suppliers and customers, edges
+    * both directions of every distinct (supplier, customer) trade
+    * relation from lineitem ⋈ orders, 5 iterations, damping 85/100.
+    * Exact integer units (see the operator Scaladoc), so the oracle
+    * re-runs the identical recurrence as unrolled SQL CTEs and the
+    * whole iterative computation is hash-gated — a rank is wrong if a
+    * single floor division drifted. Output: the 100 supplier nodes.
+    */
+  def q134Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val rel = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"))
+      .join(Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("sup"),
+              concat(lit("c"), col("o_custkey")).as("cust"))
+      .distinct()
+    val edges = rel.select(col("sup").as("src"), col("cust").as("dst"))
+      .union(rel.select(col("cust").as("src"), col("sup").as("dst")))
+    GraphOps.pageRank(edges, "src", "dst", iterations = 5)
+      .filter(col("node").startsWith("s"))
+      .orderBy(col("node"))
+  }
+
+  /** q136 — exact grouped QUARTILES by nearest-rank selection (the
+    * q103 exact-median discipline generalized to arbitrary ranks):
+    * p25/p50/p75 of floor-scaled price cents per return flag. Rank
+    * r_p = (n−1)·p/4 + 1 (floor), pivoted out with conditional
+    * aggregation — one shuffle, one per-group window sort. The exact
+    * gate the q40 quantile sketches are validated against, at three
+    * cut points instead of one.
+    */
+  def q136ExactQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val r = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+              floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number()
+        .over(byFlag.orderBy(col("cents"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byFlag))
+    def rank(p: Int) = expr(s"(n - 1) * $p div 4") + 1L
+    r.filter(col("rn") === rank(1) || col("rn") === rank(2) ||
+             col("rn") === rank(3))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n_rows"),
+           max(when(col("rn") === rank(1), col("cents"))).as("p25_cents"),
+           max(when(col("rn") === rank(2), col("cents"))).as("p50_cents"),
+           max(when(col("rn") === rank(3), col("cents"))).as("p75_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q137 — LAST-TOUCH conversion attribution: every purchase event is
+    * credited to the latest strictly-earlier non-purchase event by the
+    * same user within a 7-day lookback, deterministic tie-break on
+    * (timestamp, event_id). Shape: one user-keyed equi-join with the
+    * time band as a residual predicate + a per-purchase row_number —
+    * at real scale the band join is the [[TemporalOps]] as-of/bucket
+    * decomposition (q38); user-grain partitions here are tiny, so the
+    * plain equi-join IS the right plan. Unconverted purchases (no
+    * touch in window) are excluded by the inner join, documented.
+    */
+  def q137Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+              col("event_id"), col("event_type"), col("value"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("pus"),
+              col("event_id").as("pid"),
+              floor(col("value") * 100).cast("long").as("value_e2"))
+    val touch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("us").as("tus"),
+              col("event_id").as("tid"), col("event_type"))
+    val joined = purch.join(touch, Seq("user_id"))
+      .filter((col("tus") < col("pus") ||
+               (col("tus") === col("pus") && col("tid") < col("pid"))) &&
+              col("tus") >= col("pus") - lit(604800000000L))
+    val perPurchase = Window.partitionBy(col("pid"))
+      .orderBy(col("tus").desc, col("tid").desc)
+    joined.withColumn("rn", row_number().over(perPurchase))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+           sum(col("value_e2")).as("attributed_value_e2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q134 oracle: [[GraphOps.pageRank]]'s recurrence unrolled — one
+    * (contribution, rank) CTE pair per iteration, generated from the
+    * same loop count the query passes, so iteration-count drift is
+    * structurally impossible.
+    */
+  private val pagerankOracleSql: String = {
+    def iterCte(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    SUM((r.r * 85) // (100 * d.outdeg)) AS cin
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src
+         |         JOIN d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    (SELECT base FROM params) + COALESCE(c.cin, 0) AS r
+         |  FROM n LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+    s"""WITH rel AS (
+       |  SELECT DISTINCT 's' || l_suppkey AS sup, 'c' || o_custkey AS cust
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT sup AS src, cust AS dst FROM rel
+       |      UNION ALL SELECT cust, sup FROM rel),
+       |n AS (SELECT DISTINCT node FROM
+       |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |params AS (SELECT COUNT(*) AS nn,
+       |    1000000000000 // COUNT(*) AS r_init,
+       |    (1000000000000 * 15) // (100 * COUNT(*)) AS base FROM n),
+       |r0 AS (SELECT node, (SELECT r_init FROM params) AS r FROM n),
+       |${(1 to 5).map(iterCte).mkString(",\n")}
+       |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r5
+       |WHERE node LIKE 's%' ORDER BY node""".stripMargin
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1019,6 +1140,9 @@ object AdvancedQueries {
     "q127_skyline" -> (q127Skyline _),
     "q128_listagg" -> (q128Listagg _),
     "q129_map_roundtrip" -> (q129MapRoundtrip _),
+    "q134_pagerank" -> (q134Pagerank _),
+    "q136_exact_quartiles" -> (q136ExactQuartiles _),
+    "q137_attribution" -> (q137Attribution _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
     "q53_stratified_sample" -> (q53StratifiedSample _),
     "q54_dedup_apply"  -> (q54DedupApply _),
@@ -1603,6 +1727,45 @@ object AdvancedQueries {
            |FROM lineitem""".stripMargin
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
                  "\n) ORDER BY col_name")
-    }
+    },
+    // q134: the oracle re-runs the IDENTICAL integer recurrence as
+    // unrolled CTEs (constants must stay in lockstep with q134Pagerank:
+    // 1e12 units, damping 85/100, 5 iterations) — one drifted floor
+    // division anywhere in 5 rounds is a hash mismatch.
+    "q134_pagerank" -> pagerankOracleSql,
+    "q136_exact_quartiles" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n_rows,
+        |  MAX(CASE WHEN rn = ((n - 1) * 1) // 4 + 1 THEN cents END)
+        |    AS p25_cents,
+        |  MAX(CASE WHEN rn = ((n - 1) * 2) // 4 + 1 THEN cents END)
+        |    AS p50_cents,
+        |  MAX(CASE WHEN rn = ((n - 1) * 3) // 4 + 1 THEN cents END)
+        |    AS p75_cents
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q137_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type, value
+        |  FROM events),
+        |p AS (SELECT user_id, us AS pus, event_id AS pid,
+        |        CAST(floor(value * 100) AS BIGINT) AS value_e2
+        |      FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, us AS tus, event_id AS tid, event_type
+        |      FROM ev WHERE event_type <> 'purchase'),
+        |j AS (SELECT p.pid, p.value_e2, t.event_type,
+        |        row_number() OVER (PARTITION BY p.pid
+        |          ORDER BY t.tus DESC, t.tid DESC) AS rn
+        |      FROM p JOIN t ON p.user_id = t.user_id
+        |       AND (t.tus < p.pus OR (t.tus = p.pus AND t.tid < p.pid))
+        |       AND t.tus >= p.pus - 604800000000)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(value_e2) AS BIGINT) AS attributed_value_e2
+        |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

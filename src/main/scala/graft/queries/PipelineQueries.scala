@@ -268,6 +268,19 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q135 — image near-duplicate pairs over REAL decoded rasters
+    * ([[Multimodal.imageNearDupPairs]]): perceptual-hash buckets →
+    * exact mean-abs-pixel-diff verify at 15.0 (e6-scaled). The oracle
+    * replays the test-card arithmetic AND the same hash/verify chain
+    * in SQL, so the Spark side's ImageIO decode must reproduce every
+    * pixel to land the same pairs — the image-modality analog of the
+    * q22/q65 bucket-then-verify dedup gates.
+    */
+  def q135ImageNeardup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDupPairs(s, Tables.documents(s, dir),
+                                 madE6Max = 15000000L)
+      .orderBy("doc_a", "doc_b")
+
   /** Embedding-cosine near-dup pairs (sim ≥ 0.4), exact baseline. */
   def q31EmbedNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
@@ -485,6 +498,7 @@ object PipelineQueries {
     "q29_fingerprint"      -> (q29Fingerprint _),
     "q30_multimodal"       -> (q30Multimodal _),
     "q131_image_files"     -> (q131ImageFiles _),
+    "q135_image_neardup"   -> (q135ImageNeardup _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
     "q48_simhash_pairs"    -> (q48SimhashPairs _),
@@ -1066,6 +1080,46 @@ object PipelineQueries {
         |SELECT doc_id, w AS width, h AS height, w * h AS n_pixels,
         |       CAST(SUM(v) AS BIGINT) AS pixel_sum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // q135: the oracle replays the test-card arithmetic AND the whole
+    // index — quadrant-mean hash bits (cross-multiplied, no division),
+    // (w, h, hash) buckets, exact SAD verify at mad_e6 <= 15e6 — so the
+    // Spark side's real ImageIO decode must reproduce every pixel to
+    // surface the same pairs.
+    "q135_image_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h,
+        |                  doc_id % 997 AS seed FROM documents),
+        |px AS (SELECT doc_id, w, h, x.ux AS x, y.uy AS y,
+        |              (seed + 7 * x.ux + 13 * y.uy) % 251 AS v
+        |       FROM d, unnest(generate_series(0, w - 1)) AS x(ux),
+        |              unnest(generate_series(0, h - 1)) AS y(uy)),
+        |tot AS (SELECT doc_id, SUM(v) AS ts, COUNT(*) AS tn
+        |        FROM px GROUP BY 1),
+        |qd AS (SELECT doc_id,
+        |         (CASE WHEN x >= w // 2 THEN 1 ELSE 0 END)
+        |         + 2 * (CASE WHEN y >= h // 2 THEN 1 ELSE 0 END) AS q,
+        |         SUM(v) AS qs, COUNT(*) AS qn
+        |       FROM px GROUP BY 1, 2),
+        |bits AS (SELECT qd.doc_id,
+        |           SUM(CASE WHEN qs * tn > ts * qn
+        |               THEN (1 << q) ELSE 0 END) AS hash4
+        |         FROM qd JOIN tot USING (doc_id) GROUP BY 1),
+        |img AS (SELECT d.doc_id, d.w, d.h, b.hash4
+        |        FROM d JOIN bits b USING (doc_id)),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM img a JOIN img b
+        |           ON a.w = b.w AND a.h = b.h AND a.hash4 = b.hash4
+        |              AND a.doc_id < b.doc_id),
+        |diff AS (SELECT doc_a, doc_b,
+        |           SUM(ABS(pa.v - pb.v)) AS sad, COUNT(*) AS np
+        |         FROM cand
+        |         JOIN px pa ON pa.doc_id = doc_a
+        |         JOIN px pb ON pb.doc_id = doc_b
+        |                   AND pb.x = pa.x AND pb.y = pa.y
+        |         GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST((1000000 * sad) // np AS BIGINT) AS mad_e6
+        |FROM diff WHERE (1000000 * sad) // np <= 15000000
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q31_embed_neardup" ->
       s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM embeddings),
          |b AS (SELECT vec_id AS vec_b, embedding AS vb FROM embeddings),

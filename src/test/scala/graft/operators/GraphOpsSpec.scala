@@ -90,4 +90,38 @@ class GraphOpsSpec extends SparkSpec {
     val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("u", "v")
     assert(GraphOps.triangles(star, "u", "v").count() === 0L)
   }
+
+  test("pageRank: symmetric 2-cycle sits at its exact integer fixed point") {
+    // N=2: r0 = 5e11 each; contrib = (5e11*85)//100 = 4.25e11;
+    // base = (1e12*15)//200 = 7.5e10; r1 = 5e11 = r0 — a fixed point,
+    // so ANY iteration count must return exactly 5e11 for both nodes.
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    for (iters <- Seq(1, 5)) {
+      val got = GraphOps.pageRank(edges, "src", "dst", iters)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      assert(got.toSeq === Seq(("a", 500000000000L), ("b", 500000000000L)),
+             s"iterations=$iters")
+    }
+  }
+
+  test("pageRank: hub of an in-star outranks leaves; mass never grows") {
+    // leaves all point at the hub; hub dangles (mass drains, documented)
+    val edges = (1L to 9L).map(i => (s"leaf$i", "hub")).toDF("src", "dst")
+    val ranks = GraphOps.pageRank(edges, "src", "dst", iterations = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(ranks.size === 10)
+    val hub = ranks("hub")
+    assert((1L to 9L).forall(i => ranks(s"leaf$i") < hub))
+    assert(ranks.values.map(BigInt(_)).sum <= BigInt(1000000000000L))
+  }
+
+  test("pageRank: result is partition-invariant") {
+    val edges = (0L until 200L)
+      .map(i => (s"n${i % 40}", s"n${(i * 7 + 3) % 40}"))
+      .toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphOps.pageRank(df, "src", "dst", iterations = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(run(edges).toSeq === run(edges.repartition(13)).toSeq)
+  }
 }
