@@ -529,6 +529,68 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Span TRIMMING — the rewrite step [[duplicatedSpans]] detects for:
+    * every word covered by an n-word span duplicated across ≥ `minDocs`
+    * distinct documents is REMOVED from all docs except the span's
+    * keeper (min doc id), and each document's text is rebuilt from its
+    * surviving words. This is the "drop the repeated substring, keep
+    * one copy" move of substring-level training-data dedup — boilerplate
+    * collapses to its first occurrence corpus-wide.
+    *
+    * Overlap semantics are positional and deterministic: a word goes if
+    * ANY covering duplicated span has a different keeper; the keeper doc
+    * keeps ALL its occurrences of its own spans (trimming is
+    * cross-document, not within-document).
+    *
+    * Scale shape: positions ride the explode (no joins carry text), the
+    * duplicated-span set is one hash agg, coverage expansion is
+    * per-occurrence × n, and the rebuild groups each doc's OWN words
+    * (collect bounded by document length — never a corpus-wide window).
+    *
+    * Output: (doc_id, n_words, n_removed, trimmed_md5) — the digest
+    * rather than the text so result rows stay gate-sized; callers
+    * wanting the text drop the md5.
+    */
+  def trimDuplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs >= 1, s"need n>0, minDocs>=1; got $n/$minDocs")
+    val base = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"),
+              TextFunctions.words(col(textCol)).as("__t"))
+    val words = base.select(col("doc_id"),
+                            posexplode(col("__t")).as(Seq("idx", "word")))
+    // span occurrences WITH start positions (0-based), one row per start
+    val spans = base.filter(size(col("__t")) >= n)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(__t) - $n)," +
+          s" i -> array_join(slice(__t, i + 1, $n), ' '))"))
+        .as(Seq("start", "span")))
+    val dup = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("__nd"),
+           min(col("doc_id")).as("keep_doc"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("span"), col("keep_doc"))
+    val covered = spans.join(dup, Seq("span"))
+      .filter(col("doc_id") =!= col("keep_doc"))
+      .select(col("doc_id"),
+              explode(sequence(col("start"),
+                               col("start") + lit(n - 1))).as("idx"))
+      .distinct()
+    val rebuilt = words.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n_kept"),
+           array_join(
+             transform(
+               array_sort(collect_list(struct(col("idx"), col("word")))),
+               x => x.getField("word")), " ").as("__trimmed"))
+    base.select(col("doc_id"), size(col("__t")).cast("long").as("n_words"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+              (col("n_words") - coalesce(col("__n_kept"), lit(0L)))
+                .as("n_removed"),
+              md5(coalesce(col("__trimmed"), lit(""))).as("trimmed_md5"))
+  }
+
   def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
     applyDedupReleasable(docs, idCol, pairs, aCol, bCol)._1

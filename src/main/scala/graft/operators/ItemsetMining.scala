@@ -47,4 +47,43 @@ object ItemsetMining {
       .agg(count(lit(1)).as("n_ids"))
       .filter(col("n_ids") >= minSupport)
   }
+
+  /** PMI-style association LIFT for the frequent co-occurring pairs:
+    * `lift_e6 = (1e6 · n_pair · N) div (n_a · n_b)` — the floor-scaled
+    * p(a,b) / (p(a)·p(b)) ratio (PMI without the log, so the exact
+    * integer discipline holds; log is monotone, ranking is identical).
+    * lift > 1e6 ⟺ positive association. N = distinct ids carrying at
+    * least one item (the event space the probabilities live in).
+    *
+    * Same pair plan as [[frequentPairs]] (Apriori-pruned self-join, one
+    * pair aggregate) plus the 1-row N broadcast; unigram counts ride the
+    * pruning join. Bound check before trusting at extreme scale:
+    * 1e6·n_pair·N must fit int64 — at N beyond ~3·10⁶ ids rescale the
+    * constant (the ranking is scale-invariant).
+    */
+  def pairLift(df: DataFrame, idCol: String, itemsCol: String,
+               minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val items = df.select(col(idCol).as("__id"),
+                          explode(array_distinct(col(itemsCol))).as("item"))
+      .distinct()
+    val nIds = items.select(col("__id")).distinct()
+      .agg(count(lit(1)).as("__n"))
+    val freq = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minSupport)
+    val ft = items.join(freq, Seq("item"))
+    val a = ft.select(col("__id"), col("item").as("item_a"),
+                      col("n_item").as("__na"))
+    val b = ft.select(col("__id").as("__id2"), col("item").as("item_b"),
+                      col("n_item").as("__nb"))
+    a.join(b, col("__id") === col("__id2") && col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") >= minSupport)
+      .crossJoin(broadcast(nIds))
+      .select(col("item_a"), col("item_b"), col("n_ids"),
+              expr("(1000000 * n_ids * __n) div (__na * __nb)")
+                .as("lift_e6"))
+  }
 }

@@ -472,6 +472,27 @@ object CurationQueries {
       .limit(50)
   }
 
+  /** q139 — lexical association (PMI lift) over the q99 pair family:
+    * `lift_e6` = floor-scaled p(a,b)/(p(a)·p(b)) per frequent
+    * co-occurring token pair (see [[graft.operators.ItemsetMining
+    * .pairLift]] — PMI without the log so the integer gate holds; the
+    * ranking is identical). The collocation-mining signal a curation
+    * pipeline uses to spot boilerplate phrases and template artifacts.
+    */
+  def q139PairLift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val minSup = docs.count() / 5
+    graft.operators.ItemsetMining.pairLift(
+        docs.select(col("doc_id"),
+          filter(TextFunctions.words(col("text")),
+                 w => length(w) > 0).as("toks")),
+        "doc_id", "toks", minSup)
+      .select(col("item_a").as("token_a"), col("item_b").as("token_b"),
+              col("n_ids").as("n_docs"), col("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("token_a"), col("token_b"))
+      .limit(50)
+  }
+
   /** q100 — shared-chunk report over content-defined chunking: CDC
     * chunks (expected 16 words, bigram-window boundaries — see
     * [[graft.operators.Chunking.contentDefinedChunks]]) hashed and
@@ -848,7 +869,8 @@ object CurationQueries {
     "q99_cooccur_pairs"    -> (q99CooccurPairs _),
     "q100_cdc_chunks"      -> (q100CdcChunks _),
     "q104_dup_triangles"   -> (q104DupTriangles _),
-    "q133_bigram_lm"       -> (q133BigramLm _)
+    "q133_bigram_lm"       -> (q133BigramLm _),
+    "q139_pair_lift"       -> (q139PairLift _)
   )
 
   /** DuckDB mirror of [[graft.operators.ZOrder.spread32]]: the same five
@@ -1364,6 +1386,33 @@ object CurationQueries {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS score_e6
         |FROM bg JOIN m USING (w1, w2)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q139: the q99 CTE family extended with unigram doc counts and the
+    // integer lift ratio — counts, N, and the floor division are all
+    // re-derived, so a drifted denominator is a hash mismatch.
+    "q139_pair_lift" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |s AS (SELECT COUNT(*)//5 AS ms FROM documents),
+        |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+        |freq AS (
+        |  SELECT token, COUNT(*) AS n_item FROM toks GROUP BY token
+        |  HAVING COUNT(*) >= (SELECT ms FROM s)),
+        |ft AS (SELECT t.doc_id, t.token, f.n_item
+        |       FROM toks t JOIN freq f ON f.token = t.token),
+        |p AS (
+        |  SELECT a.token AS token_a, b.token AS token_b,
+        |         a.n_item AS na, b.n_item AS nb,
+        |         CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= (SELECT ms FROM s))
+        |SELECT token_a, token_b, n_docs,
+        |  CAST((1000000 * n_docs * (SELECT n FROM nn)) // (na * nb)
+        |    AS BIGINT) AS lift_e6
+        |FROM p
+        |ORDER BY lift_e6 DESC, token_a, token_b LIMIT 50""".stripMargin
   )
 }

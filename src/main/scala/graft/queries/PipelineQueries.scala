@@ -482,6 +482,18 @@ object PipelineQueries {
                           n = 5, minDocs = 2)
       .orderBy("span")
 
+  /** q138 — span TRIMMING, the rewrite q72 detects for: words covered
+    * by a cross-document duplicated 5-word span are dropped everywhere
+    * but the span's keeper doc, texts rebuilt, digests emitted (see
+    * [[Dedup.trimDuplicatedSpans]]). The oracle re-derives detection,
+    * coverage, and the full rebuilt string per doc — an off-by-one in
+    * any span boundary breaks 500 md5s.
+    */
+  def q138SpanTrim(s: SparkSession, dir: String): DataFrame =
+    Dedup.trimDuplicatedSpans(Tables.documents(s, dir), "doc_id", "text",
+                              n = 5, minDocs = 2)
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -499,6 +511,7 @@ object PipelineQueries {
     "q30_multimodal"       -> (q30Multimodal _),
     "q131_image_files"     -> (q131ImageFiles _),
     "q135_image_neardup"   -> (q135ImageNeardup _),
+    "q138_span_trim"       -> (q138SpanTrim _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
     "q48_simhash_pairs"    -> (q48SimhashPairs _),
@@ -844,6 +857,36 @@ object PipelineQueries {
          |SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  MIN(doc_id) AS keep_doc
          |FROM sh GROUP BY span HAVING COUNT(*) >= 2 ORDER BY span""".stripMargin,
+    // q138: detection (q72's span family), positional coverage, AND the
+    // per-doc rebuild are all re-derived — the md5 gate covers the whole
+    // trimmed string of every document.
+    "q138_span_trim" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |w AS (SELECT doc_id, g.i AS idx, tk[g.i] AS word
+        |      FROM t, unnest(generate_series(1, len(tk))) AS g(i)),
+        |sp AS (SELECT doc_id, g.i AS start,
+        |         array_to_string(tk[g.i:g.i + 4], ' ') AS span
+        |       FROM t, unnest(generate_series(1, len(tk) - 4)) AS g(i)
+        |       WHERE len(tk) >= 5),
+        |dup AS (SELECT span, MIN(doc_id) AS keep_doc
+        |        FROM (SELECT DISTINCT doc_id, span FROM sp)
+        |        GROUP BY span HAVING COUNT(*) >= 2),
+        |cov AS (SELECT DISTINCT sp.doc_id, g.i AS idx
+        |        FROM sp JOIN dup USING (span),
+        |             unnest(generate_series(sp.start, sp.start + 4)) AS g(i)
+        |        WHERE sp.doc_id <> dup.keep_doc),
+        |kept AS (SELECT w.doc_id, w.idx, w.word
+        |         FROM w LEFT JOIN cov
+        |           ON cov.doc_id = w.doc_id AND cov.idx = w.idx
+        |         WHERE cov.idx IS NULL),
+        |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |          string_agg(word, ' ' ORDER BY idx) AS trimmed
+        |        FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+        |  CAST(len(tk) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(trimmed, '')) AS trimmed_md5
+        |FROM t LEFT JOIN reb USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q21_ngram_jaccard" -> jaccardSql(1, 2),
     "q107_ppjoin_jaccard" -> jaccardSql(4, 5), // same semantics, new path
     "q22_minhash_lsh"   -> jaccardSql(4, 5),

@@ -151,4 +151,43 @@ class DedupSkewSpec extends SparkSpec {
     assert(got.toSeq == Seq(("a b c d e", 2L, 10L)),
       s"only the cross-doc span, keeper = min doc id; got ${got.toSeq}")
   }
+
+  test("trimDuplicatedSpans: keeper keeps, others lose covered words") {
+    val docs = Seq(
+      (10L, "a b c d e f"),  // keeper of 'a b c d e' (min id): untouched
+      (20L, "x a b c d e"),  // loses positions 1-5 -> "x"
+      (30L, "u v w y z")     // no duplicated span: untouched
+    ).toDF("doc_id", "text")
+    val got = Dedup.trimDuplicatedSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got.toSeq === Seq(
+      (10L, 6L, 0L, m("a b c d e f")),
+      (20L, 6L, 5L, m("x")),
+      (30L, 5L, 0L, m("u v w y z"))))
+  }
+
+  test("trimDuplicatedSpans: fully-covered doc trims to the empty digest;" +
+       " overlapping spans union their coverage") {
+    val docs = Seq(
+      (1L, "a b c d e"),         // keeper of 'a b c d e'
+      (2L, "a b c d e"),         // fully covered -> ''
+      (3L, "q a b c d e f g h"), // 'a b c d e' covered; rest survives
+      (4L, "b c d e f g h q")    // shares 'b c d e f','c d e f g',... with 3
+    ).toDF("doc_id", "text")
+    val got = Dedup.trimDuplicatedSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // doc3 keeps 'q' plus is the keeper of the b..h span family it
+    // shares with doc4 (min id 3), so only 'a b c d e' is trimmed;
+    // doc4's three covering spans union to positions 0-6, its trailing
+    // 'q' is in no duplicated span and survives
+    assert(got.toSeq === Seq(
+      (1L, 0L, m("a b c d e")),
+      (2L, 5L, m("")),
+      (3L, 5L, m("q f g h")),
+      (4L, 7L, m("q"))))
+  }
 }

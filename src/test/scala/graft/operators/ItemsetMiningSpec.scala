@@ -56,4 +56,29 @@ class ItemsetMiningSpec extends SparkSpec {
       ItemsetMining.frequentPairs(baskets, "id", "items", 0L)
     }
   }
+
+  test("pairLift computes the exact integer association ratio") {
+    // N = 5 ids with items. n_a=4 (ids 1-4), n_b=3 (1,2,3), n_c=2 (1,4)
+    // (a,b): n=3 -> lift = 1e6*3*5 div (4*3) = 1250000  (positive assoc)
+    // (a,c): n=2 -> lift = 1e6*2*5 div (4*2) = 1250000
+    val got = ItemsetMining.pairLift(baskets, "id", "items", 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getLong(3)))
+      .sortBy(p => (p._1, p._2))
+    assert(got.toSeq === Seq(
+      ("a", "b", 3L, 1250000L),
+      ("a", "c", 2L, 1250000L)))
+  }
+
+  test("pairLift: independent items sit at lift <= 1e6") {
+    // x co-occurs with y in 1 of 4 ids while both appear in 2 each:
+    // lift = 1e6*1*4 div (2*2) = 1000000 — exactly independence
+    val df = Seq(
+      (1L, Seq("x", "y")), (2L, Seq("x")), (3L, Seq("y")), (4L, Seq("w"))
+    ).toDF("id", "items")
+    val got = ItemsetMining.pairLift(df, "id", "items", 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    assert(got.toSeq === Seq(("x", "y", 1000000L)))
+  }
 }
