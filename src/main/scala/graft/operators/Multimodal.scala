@@ -186,10 +186,16 @@ object Multimodal {
   def imageNearDupPairs(spark: SparkSession, docs: DataFrame,
                         madE6Max: Long): DataFrame = {
     import spark.implicits._
+    // localCheckpoint so the self-join below reads the DECODED frame
+    // twice, not the decoder — one codec pass per payload, which is the
+    // production shape anyway (hash once, store the signature). The
+    // materialized rows carry rasters, not payloads: smaller than the
+    // encoded corpus for small images, and at raster-heavy scale the
+    // checkpoint is exactly the signature store you'd persist.
     val hashed = withPayload(spark, docs).mapPartitions(_.map { r =>
       val (w, h, px) = decodePixels(r.payload)
       HashedImage(r.doc_id, w.toLong, h.toLong, aHash4(w, h, px), px)
-    }).toDF()
+    }).toDF().localCheckpoint()
     val a = hashed.select(col("doc_id").as("doc_a"), col("width"),
                           col("height"), col("hash4"), col("px").as("pxa"))
     val b = hashed.select(col("doc_id").as("doc_b"), col("width"),

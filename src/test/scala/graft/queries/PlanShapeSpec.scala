@@ -339,4 +339,40 @@ class PlanShapeSpec extends SparkSpec {
     // rank subquery and the measure query), not applied after it
     assert(plan.contains("PushedFilters") || plan.contains("Filter"))
   }
+
+  test("q133: bigram LM is hash joins + hash aggs — no sort-merge, " +
+       "no product, scan pruned to (doc_id, text)") {
+    val plan = finalPlan(CurationQueries.q133BigramLm(spark, sf))
+    assert(!plan.contains("SortMergeJoin"),
+      "model joins must stay hash joins (AQE may broadcast the model)")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      "no product anywhere in the LM pipeline")
+    val fmt = formatted(CurationQueries.q133BigramLm(spark, sf))
+    val readSchema = fmt.linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"documents scan must prune to id+text, got: $readSchema")
+  }
+
+  test("q137: attribution joins purchases to touches on the user key — " +
+       "hash join, no product; one window per purchase") {
+    val plan = finalPlan(AdvancedQueries.q137Attribution(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      "time band must be a residual on the user equi-join, not a product")
+    assert(plan.contains("Window"), "per-purchase rank is a window")
+  }
+
+  test("q139: pair lift keeps the Apriori semi-prune shape — keyed " +
+       "joins only, Top-N heap, 1-row N broadcast") {
+    val plan = finalPlan(CurationQueries.q139PairLift(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "only the deliberate 1-row N join may be unkeyed")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 must be a bounded heap")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      "the 1-row corpus count joins via broadcast")
+  }
 }
