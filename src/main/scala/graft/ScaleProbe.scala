@@ -457,6 +457,18 @@ object ScaleProbe {
       println("  ranked nodes: " +
         GraphOps.pageRank(edges, "src", "dst", iterations = 5).count())
     }
+    // --- image near-dup (q135 shape): decode cost is linear in images;
+    // candidate pairs are bucket-bound by (w, h, hash4) — with the
+    // fixture's 4-bit oracle-mirrorable hash the bucket count is FIXED,
+    // so candidates grow ~n²/buckets as the corpus inflates. That is the
+    // knob's honest price: production grids hash 64 bits (8×8 blocks)
+    // precisely so bucket count scales with corpus. The probe measures
+    // the fixture config as shipped.
+    time(s"image_neardup_${mult}x") {
+      val ids = spark.range(5000L * mult).toDF("doc_id")
+      println("  image near-dup pairs: " + graft.operators.Multimodal
+        .imageNearDupPairs(spark, ids, madE6Max = 15000000L).count())
+    }
     // --- bigram LM scoring (q133 shape): model size is bounded by the
     // corpus vocabulary (the perturbed copies add ~one new type each),
     // so train stays two map-combined aggs and scoring one hash join —

@@ -364,6 +364,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), "per-purchase rank is a window")
   }
 
+  test("q138: span trim is keyed joins + bounded per-doc aggs — " +
+       "no product, no corpus-wide window") {
+    val plan = finalPlan(PipelineQueries.q138SpanTrim(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      "coverage join must stay keyed on (doc_id, idx)")
+    assert(!plan.contains("Window"),
+      "rebuild is a grouped collect per doc, never a window sort")
+  }
+
   test("q139: pair lift keeps the Apriori semi-prune shape — keyed " +
        "joins only, Top-N heap, 1-row N broadcast") {
     val plan = finalPlan(CurationQueries.q139PairLift(spark, sf))
