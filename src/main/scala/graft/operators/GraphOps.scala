@@ -167,16 +167,20 @@ object GraphOps {
       return nodes.withColumn("rank_units", lit(0L))
     }
     val base = totalUnits * (dampDen - dampNum) / (dampDen * n)
-    // outdegree keyed by src; rank contributions divide by it below
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg"))
+    // adjacency WITH outdegree, materialized once — the deg join is
+    // loop-invariant, so hoisting it halves the joins every iteration
+    // pays (this is the preprocessed adjacency any PageRank ships to
+    // the loop)
+    val ew = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")),
+            Seq("src"))
       .localCheckpoint()
 
     var ranks = nodes.withColumn("rank_units", lit(totalUnits / n))
       .localCheckpoint()
     var i = 0
     while (i < iterations) {
-      val contrib = e
-        .join(deg, Seq("src"))
+      val contrib = ew
         .join(ranks.select(col("node").as("src"),
                            col("rank_units").as("__r")), Seq("src"))
         .select(col("dst").as("node"),
@@ -193,7 +197,7 @@ object GraphOps {
       i += 1
     }
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
-    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(deg)
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ew)
     // ranks is itself checkpointed (materialized), so releasing the node
     // blocks here cannot recompute anything downstream
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodes)
