@@ -130,7 +130,11 @@ object GraphOps {
     * Update rule per iteration, damping d = num/den:
     *
     *   rank'(v) = (totalUnits·(den−num)) div (den·N)
-    *            + Σ over in-edges (u,v) of (rank(u)·num) div (den·outdeg(u))
+    *            + Σ over in-edges (u,v) of
+    *                (rank(u)·num·w(u,v)) div (den·outweight(u))
+    *
+    * (unweighted: w = 1 and outweight = outdegree — the original
+    * recurrence, bit-for-bit).
     *
     * Floor remainders (and mass at dangling nodes — nodes with no
     * out-edges) simply drop out of circulation each round instead of
@@ -151,11 +155,22 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, totalUnits: Long = 1000000000000L,
-               dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+               dampNum: Long = 85, dampDen: Long = 100,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampNum > 0 && dampNum < dampDen,
             s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // weighted variant: mass flows proportionally to integer edge
+    // weights — contribution (r·num·w) div (den·W_u) with W_u the
+    // node's total out-weight. weightCol ABSENT ⟹ w = 1 and W_u =
+    // outdeg: the multiply-by-1 leaves every floor division identical,
+    // so the unweighted path is bit-for-bit the original recurrence.
+    // Overflow bound: r·num·w ≤ totalUnits·num·max_w must fit int64 —
+    // at the 1e12/85 defaults that allows max_w up to ~10⁵; rescale
+    // weights (the flow is ratio-invariant) beyond that.
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         w.as("__w"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
@@ -172,7 +187,7 @@ object GraphOps {
     // pays (this is the preprocessed adjacency any PageRank ships to
     // the loop)
     val ew = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")),
+      .join(e.groupBy(col("src")).agg(sum(col("__w")).as("__outw")),
             Seq("src"))
       .localCheckpoint()
 
@@ -184,7 +199,7 @@ object GraphOps {
         .join(ranks.select(col("node").as("src"),
                            col("rank_units").as("__r")), Seq("src"))
         .select(col("dst").as("node"),
-                expr(s"(__r * $dampNum) div ($dampDen * __outdeg)")
+                expr(s"(__r * $dampNum * __w) div ($dampDen * __outw)")
                   .as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
       val next = nodes

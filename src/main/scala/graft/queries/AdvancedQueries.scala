@@ -1001,6 +1001,33 @@ object AdvancedQueries {
       .orderBy(col("node"))
   }
 
+  /** q140 — WEIGHTED PageRank over the same trade graph: mass flows
+    * proportionally to trade intensity (lineitem count per
+    * supplier↔customer relation) instead of uniformly per neighbor.
+    * Same exact-integer recurrence ([[GraphOps.pageRank]] with
+    * `weightCol`), same unrolled-CTE oracle with the weights carried
+    * through — a supplier's rank now reflects WHO it trades with and
+    * HOW MUCH, the economically meaningful centrality.
+    */
+  def q140PagerankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val rel = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"))
+      .join(Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("s"), col("l_suppkey")).as("sup"),
+               concat(lit("c"), col("o_custkey")).as("cust"))
+      .agg(count(lit(1)).as("w"))
+    val edges = rel
+      .select(col("sup").as("src"), col("cust").as("dst"), col("w"))
+      .union(rel.select(col("cust").as("src"), col("sup").as("dst"),
+                        col("w")))
+    GraphOps.pageRank(edges, "src", "dst", iterations = 5,
+                      weightCol = Some("w"))
+      .filter(col("node").startsWith("s"))
+      .orderBy(col("node"))
+  }
+
   /** q136 — exact grouped QUARTILES by nearest-rank selection (the
     * q103 exact-median discipline generalized to arbitrary ranks):
     * p25/p50/p75 of floor-scaled price cents per return flag. Rank
@@ -1063,16 +1090,18 @@ object AdvancedQueries {
       .orderBy(col("event_type"))
   }
 
-  /** q134 oracle: [[GraphOps.pageRank]]'s recurrence unrolled — one
-    * (contribution, rank) CTE pair per iteration, generated from the
-    * same loop count the query passes, so iteration-count drift is
-    * structurally impossible.
+  /** q134/q140 oracle: [[GraphOps.pageRank]]'s recurrence unrolled —
+    * one (contribution, rank) CTE pair per iteration, generated from
+    * the same loop count the query passes, so iteration-count drift is
+    * structurally impossible. `weighted = true` carries the lineitem
+    * count per trade relation as the edge weight (w = 1 otherwise),
+    * dividing by total out-weight exactly as the operator does.
     */
-  private val pagerankOracleSql: String = {
+  private def pagerankOracle(weighted: Boolean): String = {
     def iterCte(i: Int): String =
       s"""c$i AS (
          |  SELECT e.dst AS node,
-         |    SUM((r.r * 85) // (100 * d.outdeg)) AS cin
+         |    SUM((r.r * 85 * e.w) // (100 * d.outw)) AS cin
          |  FROM e JOIN r${i - 1} r ON r.node = e.src
          |         JOIN d ON d.src = e.src
          |  GROUP BY e.dst),
@@ -1080,14 +1109,17 @@ object AdvancedQueries {
          |  SELECT n.node,
          |    (SELECT base FROM params) + COALESCE(c.cin, 0) AS r
          |  FROM n LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+    val relW = if (weighted) "COUNT(*)" else "1"
     s"""WITH rel AS (
-       |  SELECT DISTINCT 's' || l_suppkey AS sup, 'c' || o_custkey AS cust
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |e AS (SELECT sup AS src, cust AS dst FROM rel
-       |      UNION ALL SELECT cust, sup FROM rel),
+       |  SELECT 's' || l_suppkey AS sup, 'c' || o_custkey AS cust,
+       |         $relW AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT sup AS src, cust AS dst, w FROM rel
+       |      UNION ALL SELECT cust, sup, w FROM rel),
        |n AS (SELECT DISTINCT node FROM
        |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-       |d AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |d AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
        |params AS (SELECT COUNT(*) AS nn,
        |    1000000000000 // COUNT(*) AS r_init,
        |    (1000000000000 * 15) // (100 * COUNT(*)) AS base FROM n),
@@ -1141,6 +1173,7 @@ object AdvancedQueries {
     "q128_listagg" -> (q128Listagg _),
     "q129_map_roundtrip" -> (q129MapRoundtrip _),
     "q134_pagerank" -> (q134Pagerank _),
+    "q140_pagerank_weighted" -> (q140PagerankWeighted _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
     "q137_attribution" -> (q137Attribution _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
@@ -1732,7 +1765,8 @@ object AdvancedQueries {
     // unrolled CTEs (constants must stay in lockstep with q134Pagerank:
     // 1e12 units, damping 85/100, 5 iterations) — one drifted floor
     // division anywhere in 5 rounds is a hash mismatch.
-    "q134_pagerank" -> pagerankOracleSql,
+    "q134_pagerank" -> pagerankOracle(weighted = false),
+    "q140_pagerank_weighted" -> pagerankOracle(weighted = true),
     "q136_exact_quartiles" ->
       """WITH r AS (
         |  SELECT l_returnflag,

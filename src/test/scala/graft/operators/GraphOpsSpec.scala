@@ -115,6 +115,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(ranks.values.map(BigInt(_)).sum <= BigInt(1000000000000L))
   }
 
+  test("pageRank weighted: mass splits by exact weight ratios") {
+    // a -> b (w=3), a -> c (w=1); one iteration, hand-derived:
+    // r0 = 1e12/3 = 333333333333; base = 1.5e13/300 = 50000000000
+    // b_in = (r0*85*3)//400 = 212499999999; c_in = (r0*85)//400
+    //      = 70833333333
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.pageRank(edges, "src", "dst", iterations = 1,
+                                weightCol = Some("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("a", 50000000000L),
+      ("b", 262499999999L),
+      ("c", 120833333333L)))
+  }
+
+  test("pageRank: all-ones weights reproduce the unweighted ranks exactly") {
+    val raw = (0L until 120L).map(i => (s"n${i % 30}", s"n${(i * 11 + 5) % 30}"))
+    val unweighted = GraphOps.pageRank(
+        raw.toDF("src", "dst"), "src", "dst", iterations = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val weighted = GraphOps.pageRank(
+        raw.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+        "src", "dst", iterations = 3, weightCol = Some("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(weighted.toSeq === unweighted.toSeq)
+  }
+
   test("pageRank: result is partition-invariant") {
     val edges = (0L until 200L)
       .map(i => (s"n${i % 40}", s"n${(i * 7 + 3) % 40}"))
