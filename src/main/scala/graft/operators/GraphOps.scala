@@ -219,6 +219,124 @@ object GraphOps {
     ranks
   }
 
+  /** HITS (hubs and authorities), fixed iterations, EXACT INTEGER
+    * arithmetic — the second classic link-analysis recurrence, and the
+    * natural one for BIPARTITE relevance (suppliers as hubs, customers
+    * as authorities; queries as hubs, documents as authorities):
+    *
+    *   auth(v)  = Σ over in-edges (u,v) of hub(u)
+    *   hub(u)   = Σ over out-edges (u,v) of auth(v)
+    *
+    * each followed by integer max-normalization
+    * `x' = (x · scale) div max(x)` — the floor-division analog of the
+    * usual L∞ normalization, which keeps every score in [0, scale] so
+    * the recurrence cannot overflow (unnormalized HITS grows like
+    * degᶦ and leaves int64 in a handful of rounds). The max is ONE
+    * 1-row aggregate per half-step — control-plane-sized, crossJoined
+    * back as a broadcast literal, never a data-sized shuffle.
+    *
+    * Everything is floor arithmetic on nonnegative longs, so the
+    * result is bit-reproducible and a SQL oracle can unroll it
+    * (scalar-subquery max per half-step). Bound: Σ hub over in-edges
+    * ≤ in-degree · scale; at the default scale 1e6 that admits degrees
+    * to ~9·10¹² before the ×scale normalization multiply could wrap.
+    *
+    * Output: (node, hub_e6, auth_e6). Nodes with no out-edges have
+    * hub 0 (resp. auth 0 for no in-edges) — not an error, the
+    * definition.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale >= 1, s"scale must be >= 1: $scale")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    if (nodes.isEmpty) {
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
+      return nodes.withColumn("hub_e6", lit(0L))
+        .withColumn("auth_e6", lit(0L))
+    }
+
+    // x' = (x * scale) div max(x); max(x) > 0 always holds where this
+    // is called (scores start at `scale` everywhere and a max of 0
+    // would mean an empty edge set, handled above)
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val mx = scores.agg(max(col(c)).as("__mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("node"),
+                expr(s"($c * $scale) div __mx").as(c))
+    }
+
+    var hub = nodes.withColumn("hub_e6", lit(scale)).localCheckpoint()
+    var auth = nodes.withColumn("auth_e6", lit(scale)).localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      val authRaw = nodes
+        .join(e.join(hub.select(col("node").as("src"),
+                                col("hub_e6").as("__h")), Seq("src"))
+                .groupBy(col("dst").as("node"))
+                .agg(sum(col("__h")).as("__a")),
+              Seq("node"), "left")
+        .select(col("node"), coalesce(col("__a"), lit(0L)).as("auth_e6"))
+      val nextAuth = normalized(authRaw, "auth_e6").localCheckpoint()
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(auth)
+      auth = nextAuth
+      val hubRaw = nodes
+        .join(e.join(auth.select(col("node").as("dst"),
+                                 col("auth_e6").as("__a")), Seq("dst"))
+                .groupBy(col("src").as("node"))
+                .agg(sum(col("__a")).as("__h")),
+              Seq("node"), "left")
+        .select(col("node"), coalesce(col("__h"), lit(0L)).as("hub_e6"))
+      val nextHub = normalized(hubRaw, "hub_e6").localCheckpoint()
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(hub)
+      hub = nextHub
+      i += 1
+    }
+    val out = hub.join(auth, Seq("node"))
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodes)
+    out
+  }
+
+  /** Per-node LOCAL CLUSTERING COEFFICIENT, floor-scaled e6:
+    * `coeff = 2·tri(v) / (deg(v)·(deg(v)−1))` — how close a node's
+    * neighborhood is to a clique. On a duplicate graph this separates
+    * tight duplicate CLUSTERS (coeff → 1e6: templated families, every
+    * copy pairs with every copy) from chain/star artifacts of the
+    * candidate generator (coeff → 0: likely threshold-boundary noise)
+    * — a triage signal for what [[connectedComponents]] will merge.
+    *
+    * Composes [[triangles]] (degree-ordered, no wedge blowup) with the
+    * degree count: one explode per triangle + two hash aggs + one
+    * keyed join beyond the triangle listing itself. Exact integer
+    * output; deg < 2 nodes get 0 by definition.
+    */
+  def clusteringCoefficients(edges: DataFrame, uCol: String,
+                             vCol: String): DataFrame = {
+    val raw = edges
+      .select(least(col(uCol), col(vCol)).as("u"),
+              greatest(col(uCol), col(vCol)).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+    val deg = raw.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangles(raw, "u", "v")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("__nt"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+              coalesce(col("__nt"), lit(0L)).as("n_triangles"),
+              expr("""CASE WHEN degree >= 2
+                     |THEN (1000000 * 2 * coalesce(__nt, 0L))
+                     |     div (degree * (degree - 1))
+                     |ELSE 0L END""".stripMargin).as("coeff_e6"))
+  }
+
   /** Triangle enumeration (a < b < c) — the transitivity/density measure
     * of a similarity or duplicate graph. Input edges are canonicalized
     * (undirected, deduped, self-loops dropped) so callers can hand in

@@ -1028,6 +1028,59 @@ object AdvancedQueries {
       .orderBy(col("node"))
   }
 
+  /** q142 — session PATH mining: the top-25 event-type trigrams taken
+    * by users WITHIN a session (6h-gap sessionization, the q32 family),
+    * deterministic (count desc, path) cut — the "what do people
+    * actually do" query behind funnel design: funnels (q110) test
+    * hypothesized paths, this one discovers them. One user shuffle
+    * carries sessionize AND both leads (same window partition), then a
+    * map-combined trigram count and a bounded top-k heap.
+    */
+  def q142SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val sess = TemporalOps.sessionize(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type")),
+      "user_id", "ts", Seq("event_id"), gapUs = SessionGapUs)
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    sess
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+               col("t3").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"),
+               col("step3"))
+      .limit(25)
+  }
+
+  /** q141 — HITS over the DIRECTED supplier→customer trade graph
+    * ([[GraphOps.hits]], 3 iterations, integer max-normalization):
+    * suppliers are pure hubs (who serves the important buyers),
+    * customers pure authorities (who is served by the big hubs) — the
+    * bipartite-relevance recurrence PageRank's single score can't
+    * express. Output: every supplier plus the top-100 customers by
+    * authority (deterministic (auth desc, node) cut), so BOTH score
+    * families are hash-gated.
+    */
+  def q141Hits(s: SparkSession, dir: String): DataFrame = {
+    val rel = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"))
+      .join(Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("src"),
+              concat(lit("c"), col("o_custkey")).as("dst"))
+      .distinct()
+    val res = GraphOps.hits(rel, "src", "dst", iterations = 3)
+    val sup = res.filter(col("node").startsWith("s"))
+    val cust = res.filter(col("node").startsWith("c"))
+      .orderBy(col("auth_e6").desc, col("node")).limit(100)
+    sup.unionByName(cust).orderBy(col("node"))
+  }
+
   /** q136 — exact grouped QUARTILES by nearest-rank selection (the
     * q103 exact-median discipline generalized to arbitrary ranks):
     * p25/p50/p75 of floor-scaled price cents per return flag. Rank
@@ -1129,6 +1182,46 @@ object AdvancedQueries {
        |WHERE node LIKE 's%' ORDER BY node""".stripMargin
   }
 
+  /** q141 oracle: [[GraphOps.hits]] unrolled — per iteration an
+    * authority half-step and a hub half-step, each followed by the
+    * integer max-normalization as a scalar subquery.
+    */
+  private val hitsOracleSql: String = {
+    def iterCte(i: Int): String =
+      s"""a${i}r AS (
+         |  SELECT n.node, COALESCE(SUM(h.h), 0) AS a
+         |  FROM n LEFT JOIN rel e ON e.dst = n.node
+         |         LEFT JOIN h${i - 1} h ON h.node = e.src
+         |  GROUP BY n.node),
+         |a$i AS (SELECT node,
+         |          (a * 1000000) // (SELECT MAX(a) FROM a${i}r) AS a
+         |        FROM a${i}r),
+         |h${i}r AS (
+         |  SELECT n.node, COALESCE(SUM(a.a), 0) AS h
+         |  FROM n LEFT JOIN rel e ON e.src = n.node
+         |         LEFT JOIN a$i a ON a.node = e.dst
+         |  GROUP BY n.node),
+         |h$i AS (SELECT node,
+         |          (h * 1000000) // (SELECT MAX(h) FROM h${i}r) AS h
+         |        FROM h${i}r)""".stripMargin
+    s"""WITH rel AS (
+       |  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |n AS (SELECT DISTINCT node FROM
+       |        (SELECT src AS node FROM rel UNION ALL SELECT dst FROM rel)),
+       |h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM n),
+       |${(1 to 3).map(iterCte).mkString(",\n")},
+       |sel AS (SELECT node, CAST(h AS BIGINT) AS hub_e6,
+       |               CAST(a AS BIGINT) AS auth_e6
+       |        FROM h3 JOIN a3 USING (node))
+       |SELECT * FROM (
+       |  SELECT * FROM sel WHERE node LIKE 's%'
+       |  UNION ALL
+       |  SELECT * FROM (SELECT * FROM sel WHERE node LIKE 'c%'
+       |                 ORDER BY auth_e6 DESC, node LIMIT 100))
+       |ORDER BY node""".stripMargin
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1174,6 +1267,8 @@ object AdvancedQueries {
     "q129_map_roundtrip" -> (q129MapRoundtrip _),
     "q134_pagerank" -> (q134Pagerank _),
     "q140_pagerank_weighted" -> (q140PagerankWeighted _),
+    "q141_hits" -> (q141Hits _),
+    "q142_session_paths" -> (q142SessionPaths _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
     "q137_attribution" -> (q137Attribution _),
     "q46_sql_correlated" -> (q46SqlCorrelated _),
@@ -1767,6 +1862,35 @@ object AdvancedQueries {
     // division anywhere in 5 rounds is a hash mismatch.
     "q134_pagerank" -> pagerankOracle(weighted = false),
     "q140_pagerank_weighted" -> pagerankOracle(weighted = true),
+    "q141_hits" -> hitsOracleSql,
+    // q142: the q32 session CTE family extended with two leads and the
+    // trigram count — sessionization, ordering tie-breaks, and the
+    // deterministic top-25 cut are all re-derived.
+    "q142_session_paths" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |    CASE WHEN us - lag(us) OVER w IS NULL
+         |           OR us - lag(us) OVER w > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s2 AS (
+         |  SELECT user_id, event_id, event_type, us,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id)
+         |      AS session_id
+         |  FROM m),
+         |tri AS (
+         |  SELECT event_type AS step1,
+         |    lead(event_type, 1) OVER w AS step2,
+         |    lead(event_type, 2) OVER w AS step3
+         |  FROM s2 WINDOW w AS (PARTITION BY user_id, session_id
+         |                       ORDER BY us, event_id))
+         |SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+         |FROM tri WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 25""".stripMargin,
     "q136_exact_quartiles" ->
       """WITH r AS (
         |  SELECT l_returnflag,

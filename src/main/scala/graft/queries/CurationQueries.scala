@@ -543,6 +543,26 @@ object CurationQueries {
     Seq((nNodes, nEdges, nTri)).toDF("n_nodes", "n_edges", "n_triangles")
   }
 
+  /** q143 — per-node clustering coefficient over the q104 dup graph
+    * ([[graft.operators.GraphOps.clusteringCoefficients]]): separates
+    * clique-like duplicate families (coeff → 1e6) from chain/star
+    * candidate artifacts (coeff → 0) — the triage signal BEFORE
+    * connected components merges everything reachable.
+    */
+  def q143ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val ch = graft.operators.Chunking.contentDefinedChunks(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", modulus = 16)
+      .select(col("chunk_md5").as("h"), col("doc_id"))
+      .localCheckpoint()
+    val edges = ch.select(col("h"), col("doc_id").as("u"))
+      .join(ch.select(col("h"), col("doc_id").as("v")), Seq("h"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    graft.operators.GraphOps.clusteringCoefficients(edges, "u", "v")
+      .orderBy(col("node"))
+  }
+
   /** q86 — rebalance to a target language mix (en 40%, others 15%):
     * the largest subset realizing the recipe, scale bound by the
     * scarcest language, per-language quotas filled in deterministic
@@ -870,7 +890,8 @@ object CurationQueries {
     "q100_cdc_chunks"      -> (q100CdcChunks _),
     "q104_dup_triangles"   -> (q104DupTriangles _),
     "q133_bigram_lm"       -> (q133BigramLm _),
-    "q139_pair_lift"       -> (q139PairLift _)
+    "q139_pair_lift"       -> (q139PairLift _),
+    "q143_clustering_coeff" -> (q143ClusteringCoeff _)
   )
 
   /** DuckDB mirror of [[graft.operators.ZOrder.spread32]]: the same five
@@ -1413,6 +1434,34 @@ object CurationQueries {
         |  CAST((1000000 * n_docs * (SELECT n FROM nn)) // (na * nb)
         |    AS BIGINT) AS lift_e6
         |FROM p
-        |ORDER BY lift_e6 DESC, token_a, token_b LIMIT 50""".stripMargin
+        |ORDER BY lift_e6 DESC, token_a, token_b LIMIT 50""".stripMargin,
+    // q143: the q104 graph CTEs extended per node — degree, triangle
+    // membership, and the floor-scaled coefficient all re-derived.
+    "q143_clustering_coeff" ->
+      s"""WITH $cdcChunksCte,
+        |e AS (
+        |  SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+        |  FROM ch x JOIN ch y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS degree FROM
+        |    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (
+        |  SELECT node, COUNT(*) AS nt FROM
+        |    (SELECT a AS node FROM t UNION ALL SELECT b FROM t
+        |     UNION ALL SELECT c FROM t)
+        |  GROUP BY 1)
+        |SELECT d.node, CAST(degree AS BIGINT) AS degree,
+        |  CAST(COALESCE(nt, 0) AS BIGINT) AS n_triangles,
+        |  CAST(CASE WHEN degree >= 2
+        |       THEN (1000000 * 2 * COALESCE(nt, 0))
+        |            // (degree * (degree - 1))
+        |       ELSE 0 END AS BIGINT) AS coeff_e6
+        |FROM deg d LEFT JOIN tc ON tc.node = d.node
+        |ORDER BY d.node""".stripMargin
   )
 }

@@ -143,6 +143,60 @@ class GraphOpsSpec extends SparkSpec {
     assert(weighted.toSeq === unweighted.toSeq)
   }
 
+  test("clusteringCoefficients: clique 1e6, star 0, triangle+tail exact") {
+    // K4: every node deg 3, in 3 triangles -> 2*3/(3*2) = 1 -> 1e6
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("u", "v")
+    val gotK4 = GraphOps.clusteringCoefficients(k4, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3))).sortBy(_._1)
+    assert(gotK4.forall { case (_, d, t, c) =>
+      d == 3L && t == 3L && c == 1000000L })
+    // triangle 1-2-3 with tail 3-4: node 3 deg 3, 1 triangle ->
+    // 2/(3*2) = 333333; nodes 1,2 -> 1e6; leaf 4 deg 1 -> 0
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = GraphOps.clusteringCoefficients(tri, "u", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got === Map(1L -> 1000000L, 2L -> 1000000L,
+                       3L -> 333333L, 4L -> 0L))
+  }
+
+  test("hits: hand-derived scores on a 2-hub bipartite graph") {
+    // h1 -> {a1, a2}; h2 -> {a2}. One iteration:
+    // auth raw: a1 = 1e6, a2 = 2e6 -> normalized a1 = 500000, a2 = 1e6
+    // hub raw: h1 = 1500000, h2 = 1000000 -> h1 = 1e6, h2 = 666666
+    // Iteration 2 (fixed point): auth raw a1 = 1e6, a2 = 1666666 ->
+    // a1 = 600000, a2 = 1e6; hub raw h1 = 1600000, h2 = 1e6 ->
+    // h1 = 1e6, h2 = 625000
+    val edges = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a2"))
+      .toDF("src", "dst")
+    val got = GraphOps.hits(edges, "src", "dst", iterations = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("a1", 0L, 500000L), ("a2", 0L, 1000000L),
+      ("h1", 1000000L, 0L), ("h2", 666666L, 0L)))
+    val got2 = GraphOps.hits(edges, "src", "dst", iterations = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got2.toSeq === Seq(
+      ("a1", 0L, 600000L), ("a2", 0L, 1000000L),
+      ("h1", 1000000L, 0L), ("h2", 625000L, 0L)))
+  }
+
+  test("hits: scores stay in [0, 1e6] and the max is exactly 1e6") {
+    val edges = (0L until 80L)
+      .map(i => (s"u${i % 16}", s"v${(i * 5 + 2) % 16}")).toDF("s", "d")
+    val rows = GraphOps.hits(edges, "s", "d", iterations = 3).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (h, a) =>
+      h >= 0 && h <= 1000000 && a >= 0 && a <= 1000000 })
+    assert(rows.map(_._1).max === 1000000L, "hub max normalizes to scale")
+    assert(rows.map(_._2).max === 1000000L, "auth max normalizes to scale")
+  }
+
   test("pageRank: result is partition-invariant") {
     val edges = (0L until 200L)
       .map(i => (s"n${i % 40}", s"n${(i * 7 + 3) % 40}"))
