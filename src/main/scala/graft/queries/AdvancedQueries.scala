@@ -1184,7 +1184,12 @@ object AdvancedQueries {
 
   /** q141 oracle: [[GraphOps.hits]] unrolled — per iteration an
     * authority half-step and a hub half-step, each followed by the
-    * integer max-normalization as a scalar subquery.
+    * integer max-normalization. The max is a WINDOW aggregate
+    * (`MAX(x) OVER ()`), not a scalar subquery: a subquery would
+    * reference the half-step CTE twice and an engine that inlines
+    * CTEs then re-executes the whole upstream chain per reference —
+    * exponential in the iteration count. The window form reads each
+    * half-step exactly once.
     */
   private val hitsOracleSql: String = {
     def iterCte(i: Int): String =
@@ -1194,7 +1199,7 @@ object AdvancedQueries {
          |         LEFT JOIN h${i - 1} h ON h.node = e.src
          |  GROUP BY n.node),
          |a$i AS (SELECT node,
-         |          (a * 1000000) // (SELECT MAX(a) FROM a${i}r) AS a
+         |          (a * 1000000) // (MAX(a) OVER ()) AS a
          |        FROM a${i}r),
          |h${i}r AS (
          |  SELECT n.node, COALESCE(SUM(a.a), 0) AS h
@@ -1202,7 +1207,7 @@ object AdvancedQueries {
          |         LEFT JOIN a$i a ON a.node = e.dst
          |  GROUP BY n.node),
          |h$i AS (SELECT node,
-         |          (h * 1000000) // (SELECT MAX(h) FROM h${i}r) AS h
+         |          (h * 1000000) // (MAX(h) OVER ()) AS h
          |        FROM h${i}r)""".stripMargin
     s"""WITH rel AS (
        |  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
