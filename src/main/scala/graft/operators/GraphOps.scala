@@ -167,7 +167,12 @@ object GraphOps {
     // so the unweighted path is bit-for-bit the original recurrence.
     // Overflow bound: r·num·w ≤ totalUnits·num·max_w must fit int64 —
     // at the 1e12/85 defaults that allows max_w up to ~10⁵; rescale
-    // weights (the flow is ratio-invariant) beyond that.
+    // weights (the flow is ratio-invariant) beyond that. ENFORCED
+    // below for the weighted path (control-plane aggregates, fail-loud
+    // with the rescale hint), along with w ≥ 1: a zero/negative/null
+    // weight would make the per-edge div NULL and sum() would silently
+    // drop it — wrong ranks with no error, which this operator's
+    // exact-integer contract forbids.
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          w.as("__w"))
@@ -182,13 +187,42 @@ object GraphOps {
       return nodes.withColumn("rank_units", lit(0L))
     }
     val base = totalUnits * (dampDen - dampNum) / (dampDen * n)
+    if (weightCol.isDefined) {
+      // fail-loud weighted-path preconditions — two 1-row control-plane
+      // aggregates over the checkpointed edges, paid once, not per round
+      val wstats = e.agg(
+        count(when(col("__w").isNull || col("__w") <= 0, 1)).as("n_bad"),
+        max(col("__w")).as("max_w")).head()
+      val nBad = wstats.getLong(0)
+      require(nBad == 0,
+        s"weighted pageRank requires integer weights >= 1: $nBad edge(s) " +
+        s"have a null or non-positive '${weightCol.get}' (a 0/negative/" +
+        "null weight makes the per-edge division NULL and its mass would " +
+        "be silently dropped)")
+      val maxW = wstats.getLong(1)
+      val maxWAllowed = Long.MaxValue / totalUnits / dampNum
+      require(maxW <= maxWAllowed,
+        s"weighted pageRank overflow: max($weightCol) = $maxW but " +
+        s"rank*dampNum*w must fit int64, which at totalUnits=$totalUnits " +
+        s"dampNum=$dampNum allows weights up to $maxWAllowed. Rescale the " +
+        "weights (mass flow is ratio-invariant, e.g. divide all weights " +
+        "by their gcd or a common factor) or lower totalUnits.")
+    }
     // adjacency WITH outdegree, materialized once — the deg join is
     // loop-invariant, so hoisting it halves the joins every iteration
     // pays (this is the preprocessed adjacency any PageRank ships to
     // the loop)
+    val outw = e.groupBy(col("src")).agg(sum(col("__w")).as("__outw"))
+    if (weightCol.isDefined) {
+      // denominator bound: dampDen·W_u must fit int64 for every node
+      val maxOutw = outw.agg(max(col("__outw"))).head().getLong(0)
+      require(maxOutw <= Long.MaxValue / dampDen,
+        s"weighted pageRank overflow: a node's total out-weight $maxOutw " +
+        s"times dampDen=$dampDen exceeds int64; rescale the weights " +
+        "(mass flow is ratio-invariant).")
+    }
     val ew = e
-      .join(e.groupBy(col("src")).agg(sum(col("__w")).as("__outw")),
-            Seq("src"))
+      .join(outw, Seq("src"))
       .localCheckpoint()
 
     var ranks = nodes.withColumn("rank_units", lit(totalUnits / n))
@@ -237,9 +271,14 @@ object GraphOps {
     *
     * Everything is floor arithmetic on nonnegative longs, so the
     * result is bit-reproducible and a SQL oracle can unroll it
-    * (scalar-subquery max per half-step). Bound: Σ hub over in-edges
-    * ≤ in-degree · scale; at the default scale 1e6 that admits degrees
-    * to ~9·10¹² before the ×scale normalization multiply could wrap.
+    * (scalar-subquery max per half-step). Bound: a raw half-step sum
+    * over in-edges is ≤ in-degree · scale, and the normalization then
+    * multiplies that raw score by `scale` AGAIN before the div — so the
+    * real constraint is degree · scale² < 2⁶³: at the default scale
+    * 1e6 that admits degrees to ~9.2·10⁶ (int64max / scale²), not
+    * deg·scale alone. ENFORCED: one control-plane max-degree aggregate
+    * before the loop throws with a lower-scale hint instead of letting
+    * non-ANSI arithmetic wrap silently.
     *
     * Output: (node, hub_e6, auth_e6). Nodes with no out-edges have
     * hub 0 (resp. auth 0 for no in-edges) — not an error, the
@@ -260,6 +299,20 @@ object GraphOps {
       return nodes.withColumn("hub_e6", lit(0L))
         .withColumn("auth_e6", lit(0L))
     }
+    // overflow guard (see scaladoc): max(in-degree, out-degree) · scale²
+    // must fit int64. One control-plane aggregate over the checkpointed
+    // edges, paid once — the alternative is a silent wrap mid-recurrence.
+    val maxDeg = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+      .select(max(col("d")).as("m"))
+      .union(e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+               .select(max(col("d")).as("m")))
+      .agg(max(col("m"))).head().getLong(0)
+    val maxDegAllowed = Long.MaxValue / scale / scale
+    require(maxDeg <= maxDegAllowed,
+      s"hits overflow: max degree $maxDeg at scale=$scale would exceed " +
+      s"int64 (degree*scale*scale must fit; allowed degree here: " +
+      s"$maxDegAllowed). Lower `scale` — scores are ratio-comparable " +
+      "at any scale.")
 
     // x' = (x * scale) div max(x); max(x) > 0 always holds where this
     // is called (scores start at `scale` everywhere and a max of 0

@@ -197,6 +197,51 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows.map(_._2).max === 1000000L, "auth max normalizes to scale")
   }
 
+  test("pageRank weighted: THROWS on zero/negative/null weights") {
+    // a silent NULL-div would drop mass with no error — fail-loud instead
+    val zero = Seq(("a", "b", 1L), ("b", "a", 0L)).toDF("src", "dst", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      GraphOps.pageRank(zero, "src", "dst", 1, weightCol = Some("w"))
+    }
+    assert(e1.getMessage.contains("non-positive"))
+    val neg = Seq(("a", "b", -3L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(neg, "src", "dst", 1, weightCol = Some("w"))
+    }
+    val withNull = Seq(("a", "b", java.lang.Long.valueOf(2L)),
+                       ("b", "a", null.asInstanceOf[java.lang.Long]))
+      .toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(withNull, "src", "dst", 1, weightCol = Some("w"))
+    }
+  }
+
+  test("pageRank weighted: THROWS with rescale hint when max_w would wrap int64") {
+    // bound: totalUnits*dampNum*max_w <= int64max -> max_w <= ~1.08e5 at
+    // the 1e12/85 defaults; 2e5 must throw, not silently wrap
+    val edges = Seq(("a", "b", 200000L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, "src", "dst", 1, weightCol = Some("w"))
+    }
+    assert(e.getMessage.contains("Rescale"))
+    // same weights under a rescaled totalUnits pass the gate
+    assert(GraphOps.pageRank(edges, "src", "dst", 1,
+             totalUnits = 1000000L, weightCol = Some("w")).count() === 2)
+  }
+
+  test("hits: THROWS when degree*scale*scale would wrap int64") {
+    // scale=2e9 -> allowed max degree = int64max/4e18 = 2; in-degree 3
+    // must fail loud before the recurrence wraps
+    val edges = (1L to 3L).map(i => (s"h$i", "a")).toDF("s", "d")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.hits(edges, "s", "d", iterations = 1, scale = 2000000000L)
+    }
+    assert(e.getMessage.contains("Lower `scale`"))
+    // the same graph at the default scale is fine
+    assert(GraphOps.hits(edges, "s", "d", iterations = 1).count() === 4)
+  }
+
   test("pageRank: result is partition-invariant") {
     val edges = (0L until 200L)
       .map(i => (s"n${i % 40}", s"n${(i * 7 + 3) % 40}"))
