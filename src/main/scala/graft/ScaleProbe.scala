@@ -467,7 +467,36 @@ object ScaleProbe {
     time(s"image_neardup_${mult}x") {
       val ids = spark.range(5000L * mult).toDF("doc_id")
       println("  image near-dup pairs: " + graft.operators.Multimodal
-        .imageNearDupPairs(spark, ids, madE6Max = 15000000L).count())
+        .imageNearDupPairs(
+          spark,
+          graft.operators.Multimodal.withPayload(spark, ids),
+          madE6Max = 15000000L, hashBits = 4).count())
+    }
+    // --- image near-dup, SAME-DIMENSION corpus, 4-bit vs 64-bit hash
+    // (q144 shape): every card is 32×32, so (w, h) carries zero
+    // selectivity and the hash is the only bucketing. The 4-bit hash
+    // has 16 possible buckets — candidates grow ~n²/16 no matter how
+    // visually diverse the corpus; the 64-bit block grid buckets by
+    // visual structure, so candidate growth tracks true duplicate
+    // structure. madE6Max = int64-safe huge keeps every candidate, so
+    // the printed counts ARE the candidate counts.
+    time(s"image_hash_selectivity_${mult}x") {
+      import spark.implicits._
+      val n = 200L * mult
+      val cards = spark.range(n).as[Long].map { id =>
+        graft.operators.Multimodal.MediaRow(
+          id,
+          graft.operators.Multimodal.encodeCard(32, 32, (x, y) =>
+            (((id % 251) + (1 + id % 15) * x + (1 + id % 13) * y)
+              % 251).toInt))
+      }.localCheckpoint()
+      val c4 = graft.operators.Multimodal
+        .imageNearDupPairs(spark, cards, madE6Max = 1000000000L,
+                           hashBits = 4).count()
+      val c64 = graft.operators.Multimodal
+        .imageNearDupPairs(spark, cards, madE6Max = 1000000000L,
+                           hashBits = 64).count()
+      println(s"  candidates: hash4=$c4 hash64=$c64 (n=$n)")
     }
     // --- bigram LM scoring (q133 shape): model size is bounded by the
     // corpus vocabulary (the perturbed copies add ~one new type each),

@@ -47,16 +47,17 @@ object Multimodal {
   def dimsFor(id: Long): (Int, Int, Long) =
     ((id % 7 + 2).toInt, (id % 5 + 2).toInt, id % 997)
 
-  /** Encode the test card for `id` as real PNG bytes. */
-  def encodePng(id: Long): Array[Byte] = {
-    val (w, h, seed) = dimsFor(id)
+  /** Encode an arbitrary grayscale card (`pixel(x, y)` in [0, 255]) as
+    * real PNG bytes — the shared codec leg of every fixture generator.
+    */
+  def encodeCard(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, ((seed + 7L * x + 13L * y) % 251).toInt)
+        raster.setSample(x, y, 0, pixel(x, y))
         x += 1
       }
       y += 1
@@ -64,6 +65,29 @@ object Multimodal {
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Encode the test card for `id` as real PNG bytes. */
+  def encodePng(id: Long): Array[Byte] = {
+    val (w, h, seed) = dimsFor(id)
+    encodeCard(w, h, (x, y) => ((seed + 7L * x + 13L * y) % 251).toInt)
+  }
+
+  /** GRID test-card family: ≥16×16 cards (w, h ∈ {16, 24, 32}) so the
+    * 64-bit 8×8-block hash is non-degenerate (every block ≥ 2×2
+    * pixels). seed = (id/18) % 251 makes ids 18k+j and 18k+j+9 (j < 9)
+    * EXACT duplicates (same dims, same seed) and ids 18 apart
+    * brightness-shifted near-duplicates — the duplicate structure a
+    * near-dup gate needs, all pure arithmetic a SQL oracle re-derives.
+    */
+  def dimsGridFor(id: Long): (Int, Int, Long) =
+    ((16 + 8 * (id % 3)).toInt, (16 + 8 * ((id / 3) % 3)).toInt,
+     (id / 18) % 251)
+
+  /** Encode the grid test card for `id` as real PNG bytes. */
+  def encodePngGrid(id: Long): Array[Byte] = {
+    val (w, h, seed) = dimsGridFor(id)
+    encodeCard(w, h, (x, y) => ((seed + 7L * x + 13L * y) % 251).toInt)
   }
 
   /** Decode real image bytes → (width, height, exact pixel sum over all
@@ -97,6 +121,14 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, encodePng(id))))
+  }
+
+  /** [[withPayload]] for the ≥16×16 grid-card family ([[dimsGridFor]]). */
+  def withGridPayload(spark: SparkSession, docs: DataFrame)
+      : Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaRow(id, encodePngGrid(id))))
   }
 
   /** Feature extraction over media rows: one narrow mapPartitions pass
@@ -167,14 +199,66 @@ object Multimodal {
     }
   }
 
+  /** 64-bit 8×8 BLOCK-GRID perceptual hash — the production-selectivity
+    * sibling of [[aHash4]]: the image is cut into an 8×8 grid of blocks
+    * (pixel (x, y) falls in block `by·8 + bx` with `bx = x·8 / w`,
+    * `by = y·8 / h`, floor — every block non-empty for w, h ≥ 8) and
+    * bit b is set iff block b's pixel mean exceeds the image mean,
+    * compared cross-multiplied (`bsum·n > total·bn`) so the hash stays
+    * exact integer arithmetic a SQL oracle mirrors bit-for-bit.
+    *
+    * Why 64 bits matter at scale: [[aHash4]]'s bucket count is FIXED at
+    * 16 per (w, h) — on a same-dimension corpus candidates grow
+    * ~n²/16. The 64-bit grid's bucket count scales with the visual
+    * diversity of the corpus itself, keeping candidate generation
+    * bucket-bound (the standard aHash deployed by image-dedup
+    * pipelines). Bit 63 may set the sign; the value is an opaque
+    * bucket key, never ordered on.
+    */
+  def aHash64(w: Int, h: Int, px: Array[Long]): Long = {
+    require(w >= 8 && h >= 8,
+      s"aHash64 needs w, h >= 8 for a non-degenerate 8x8 grid: ${w}x$h")
+    val total = px.sum
+    val n = px.length.toLong
+    val bsum = new Array[Long](64)
+    val bn = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val b = by * 8 + x * 8 / w
+        bsum(b) += px(y * w + x)
+        bn(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 64) {
+      if (bsum(b) * n > total * bn(b)) acc |= (1L << b)
+      b += 1
+    }
+    acc
+  }
+
   case class HashedImage(doc_id: Long, width: Long, height: Long,
-                         hash4: Long, px: Array[Long])
+                         hash: Long, px: Array[Long])
 
   /** Image near-duplicate pairs over REAL decoded rasters: decode each
     * payload once (narrow pass), bucket candidates by (width, height,
-    * [[aHash4]]), verify each candidate pair EXACTLY by mean absolute
-    * pixel difference, floor-scaled e6 (`(1e6·Σ|a−b|) div n_pixels`),
-    * and keep pairs at or under `madE6Max`.
+    * perceptual hash), verify each candidate pair EXACTLY by mean
+    * absolute pixel difference, floor-scaled e6
+    * (`(1e6·Σ|a−b|) div n_pixels`), and keep pairs at or under
+    * `madE6Max`.
+    *
+    * `hashBits` picks the bucketing hash: 64 ([[aHash64]], the
+    * DEFAULT) keeps candidate counts bucket-bound even on a
+    * same-dimension corpus — the production setting; 4 ([[aHash4]])
+    * is the coarse fixture hash with a FIXED 16 buckets per (w, h):
+    * fine for small or dimension-diverse corpora, ~n²/16 candidate
+    * growth otherwise.
     *
     * This is the dedup-pipeline index shape (bucket → verify) applied
     * to the image modality: candidates are hash-bucket-bound, never
@@ -183,24 +267,27 @@ object Multimodal {
     * surfaces" — recall is the knob (hash bits / grid), measured per
     * deployment, not silently assumed.
     */
-  def imageNearDupPairs(spark: SparkSession, docs: DataFrame,
-                        madE6Max: Long): DataFrame = {
+  def imageNearDupPairs(spark: SparkSession, media: Dataset[MediaRow],
+                        madE6Max: Long, hashBits: Int = 64): DataFrame = {
     import spark.implicits._
+    require(hashBits == 4 || hashBits == 64,
+      s"hashBits must be 4 or 64: $hashBits")
     // localCheckpoint so the self-join below reads the DECODED frame
     // twice, not the decoder — one codec pass per payload, which is the
     // production shape anyway (hash once, store the signature). The
     // materialized rows carry rasters, not payloads: smaller than the
     // encoded corpus for small images, and at raster-heavy scale the
     // checkpoint is exactly the signature store you'd persist.
-    val hashed = withPayload(spark, docs).mapPartitions(_.map { r =>
+    val hashed = media.mapPartitions(_.map { r =>
       val (w, h, px) = decodePixels(r.payload)
-      HashedImage(r.doc_id, w.toLong, h.toLong, aHash4(w, h, px), px)
+      val hv = if (hashBits == 64) aHash64(w, h, px) else aHash4(w, h, px)
+      HashedImage(r.doc_id, w.toLong, h.toLong, hv, px)
     }).toDF().localCheckpoint()
     val a = hashed.select(col("doc_id").as("doc_a"), col("width"),
-                          col("height"), col("hash4"), col("px").as("pxa"))
+                          col("height"), col("hash"), col("px").as("pxa"))
     val b = hashed.select(col("doc_id").as("doc_b"), col("width"),
-                          col("height"), col("hash4"), col("px").as("pxb"))
-    a.join(b, Seq("width", "height", "hash4"))
+                          col("height"), col("hash"), col("px").as("pxb"))
+    a.join(b, Seq("width", "height", "hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
               expr("""(1000000 * aggregate(zip_with(pxa, pxb,

@@ -277,8 +277,26 @@ object PipelineQueries {
     * q22/q65 bucket-then-verify dedup gates.
     */
   def q135ImageNeardup(s: SparkSession, dir: String): DataFrame =
-    Multimodal.imageNearDupPairs(s, Tables.documents(s, dir),
-                                 madE6Max = 15000000L)
+    Multimodal.imageNearDupPairs(
+        s, Multimodal.withPayload(s, Tables.documents(s, dir)),
+        madE6Max = 15000000L, hashBits = 4)
+      .orderBy("doc_a", "doc_b")
+
+  /** q144 — the PRODUCTION 64-bit 8×8-block-grid hash
+    * ([[Multimodal.aHash64]]) gated on the ≥16×16 grid-card fixture:
+    * same bucket-then-verify chain as q135 but with the hash whose
+    * bucket count scales with corpus diversity instead of the fixed
+    * 16-per-dimension fixture hash. The oracle replays the card
+    * arithmetic, the 8×8 block assignment (`bx = x·8 // w`), the
+    * cross-multiplied bit rule (as two 32-bit halves — DuckDB's SUM
+    * promotes to int128, so the sign bit can't ride a single BIGINT
+    * sum), the (w, h, hash) bucket join, and the exact SAD verify —
+    * a one-pixel decode deviation or one flipped grid bit breaks it.
+    */
+  def q144ImageNeardup64(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDupPairs(
+        s, Multimodal.withGridPayload(s, Tables.documents(s, dir)),
+        madE6Max = 5000000L, hashBits = 64)
       .orderBy("doc_a", "doc_b")
 
   /** Embedding-cosine near-dup pairs (sim ≥ 0.4), exact baseline. */
@@ -511,6 +529,7 @@ object PipelineQueries {
     "q30_multimodal"       -> (q30Multimodal _),
     "q131_image_files"     -> (q131ImageFiles _),
     "q135_image_neardup"   -> (q135ImageNeardup _),
+    "q144_image_neardup64" -> (q144ImageNeardup64 _),
     "q138_span_trim"       -> (q138SpanTrim _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
@@ -1162,6 +1181,51 @@ object PipelineQueries {
         |SELECT doc_a, doc_b,
         |  CAST((1000000 * sad) // np AS BIGINT) AS mad_e6
         |FROM diff WHERE (1000000 * sad) // np <= 15000000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q144: the q135 chain with the PRODUCTION 64-bit 8×8-block-grid
+    // hash on the ≥16×16 grid cards. Block of pixel (x,y) is
+    // ((y*8)//h)*8 + (x*8)//w; bit b set iff block-mean > image-mean,
+    // cross-multiplied. The 64-bit key is carried as two 32-bit halves
+    // (lo/hi) because DuckDB promotes BIGINT SUM to int128 — bit 63
+    // would diverge from the engine's signed-long key — and the bucket
+    // equivalence (w, h, lo, hi) ≡ (w, h, hash64) is a bijection.
+    "q144_image_neardup64" ->
+      """WITH d AS (SELECT doc_id, 16 + 8 * (doc_id % 3) AS w,
+        |                  16 + 8 * ((doc_id // 3) % 3) AS h,
+        |                  (doc_id // 18) % 251 AS seed FROM documents),
+        |px AS (SELECT doc_id, w, h, x.ux AS x, y.uy AS y,
+        |              (seed + 7 * x.ux + 13 * y.uy) % 251 AS v
+        |       FROM d, unnest(generate_series(0, w - 1)) AS x(ux),
+        |              unnest(generate_series(0, h - 1)) AS y(uy)),
+        |tot AS (SELECT doc_id, SUM(v) AS ts, COUNT(*) AS tn
+        |        FROM px GROUP BY 1),
+        |bd AS (SELECT doc_id,
+        |         ((y * 8) // h) * 8 + (x * 8) // w AS b,
+        |         SUM(v) AS bs, COUNT(*) AS bn
+        |       FROM px GROUP BY 1, 2),
+        |bits AS (SELECT bd.doc_id,
+        |           CAST(SUM(CASE WHEN bs * tn > ts * bn AND b < 32
+        |                THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo,
+        |           CAST(SUM(CASE WHEN bs * tn > ts * bn AND b >= 32
+        |                THEN (1::BIGINT << (b - 32)) ELSE 0 END)
+        |             AS BIGINT) AS hi
+        |         FROM bd JOIN tot USING (doc_id) GROUP BY 1),
+        |img AS (SELECT d.doc_id, d.w, d.h, b.lo, b.hi
+        |        FROM d JOIN bits b USING (doc_id)),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM img a JOIN img b
+        |           ON a.w = b.w AND a.h = b.h AND a.lo = b.lo
+        |              AND a.hi = b.hi AND a.doc_id < b.doc_id),
+        |diff AS (SELECT doc_a, doc_b,
+        |           SUM(ABS(pa.v - pb.v)) AS sad, COUNT(*) AS np
+        |         FROM cand
+        |         JOIN px pa ON pa.doc_id = doc_a
+        |         JOIN px pb ON pb.doc_id = doc_b
+        |                   AND pb.x = pa.x AND pb.y = pa.y
+        |         GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST((1000000 * sad) // np AS BIGINT) AS mad_e6
+        |FROM diff WHERE (1000000 * sad) // np <= 5000000
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q31_embed_neardup" ->
       s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM embeddings),

@@ -69,9 +69,75 @@ class MultimodalSpec extends SparkSpec {
     // ids 0 and 34895 (= lcm(7,5,997)) share (w, h, seed): identical
     // images; id 1 differs in every dimension
     val docs = Seq(0L, 34895L, 1L).toDF("doc_id")
-    val got = Multimodal.imageNearDupPairs(spark, docs, madE6Max = 0L)
+    val got = Multimodal.imageNearDupPairs(
+        spark, Multimodal.withPayload(spark, docs), madE6Max = 0L,
+        hashBits = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((0L, 34895L, 0L)))
+  }
+
+  test("aHash64: 8x8 grid bits follow block mean vs image mean exactly") {
+    // 16x16 card, exact 2x2 blocks: make block (bx, by) = (0, 0) hot
+    val w = 16; val h = 16
+    val hot = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      if (x < 2 && y < 2) 255L else 0L
+    }
+    assert(Multimodal.aHash64(w, h, hot) === 1L) // only bit 0 set
+    // uniform: no strict winner anywhere
+    assert(Multimodal.aHash64(w, h, Array.fill(w * h)(7L)) === 0L)
+    // brightest block = bottom-right -> bit 63 (the sign bit, still a
+    // valid opaque bucket key)
+    val br = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      if (x >= 14 && y >= 14) 255L else 0L
+    }
+    assert(Multimodal.aHash64(w, h, br) === Long.MinValue)
+    // brightness shift leaves the hash unchanged (no wraparound)
+    val base = Array.tabulate(w * h)(i => (i % 97).toLong)
+    assert(Multimodal.aHash64(w, h, base) ===
+           Multimodal.aHash64(w, h, base.map(_ + 11L)))
+    // degenerate grid fails fast
+    intercept[IllegalArgumentException] {
+      Multimodal.aHash64(4, 4, Array.fill(16)(0L))
+    }
+  }
+
+  test("aHash64 separates same-dimension cards the 4-bit hash lumps together") {
+    import spark.implicits._
+    // 40 same-size cards with distinct gradients: (w, h) is useless as
+    // a key, and the 4-bit hash collapses them into <= 16 buckets; the
+    // 64-bit grid hash must give (near-)distinct keys so candidates
+    // stay bucket-bound. madE6Max huge => output = candidate pairs.
+    val cards = spark.range(40L).as[Long].map { id =>
+      Multimodal.MediaRow(id, Multimodal.encodeCard(32, 32, (x, y) =>
+        (((id % 251) + (1 + id % 15) * x + (1 + id % 13) * y)
+          % 251).toInt))
+    }
+    val c4 = Multimodal.imageNearDupPairs(spark, cards,
+               madE6Max = 1000000000L, hashBits = 4).count()
+    val c64 = Multimodal.imageNearDupPairs(spark, cards,
+                madE6Max = 1000000000L, hashBits = 64).count()
+    assert(c4 >= 40L, s"expected heavy 4-bit collision load, got $c4")
+    assert(c64 < c4 / 10,
+      s"64-bit hash should be ~collision-free here: c64=$c64 c4=$c4")
+  }
+
+  test("grid cards: ids 18k+j / 18k+j+9 (j<9) are exact duplicates") {
+    // the q144 fixture's duplicate structure, asserted at the byte level
+    assert(Multimodal.dimsGridFor(3L) === Multimodal.dimsGridFor(12L))
+    assert(Multimodal.encodePngGrid(3L).toSeq ===
+           Multimodal.encodePngGrid(12L).toSeq)
+    // 18 apart: same dims, seed differs by 1 -> near but NOT identical
+    assert(Multimodal.dimsGridFor(3L)._1 === Multimodal.dimsGridFor(21L)._1)
+    assert(Multimodal.dimsGridFor(3L)._2 === Multimodal.dimsGridFor(21L)._2)
+    assert(Multimodal.encodePngGrid(3L).toSeq !==
+           Multimodal.encodePngGrid(21L).toSeq)
+    // every grid card is >= 16x16 (aHash64 non-degenerate)
+    (0L until 60L).foreach { id =>
+      val (w, h, _) = Multimodal.dimsGridFor(id)
+      assert(w >= 16 && h >= 16)
+    }
   }
 
   test("extractFeatures runs the decode as one narrow pass (no shuffle)") {
