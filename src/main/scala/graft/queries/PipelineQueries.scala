@@ -299,6 +299,33 @@ object PipelineQueries {
         madE6Max = 5000000L, hashBits = 64)
       .orderBy("doc_a", "doc_b")
 
+  /** q145 — CROSS-MODALITY dedup composition: LLM pipelines dedup each
+    * modality separately (text near-dup via MinHash+LSH, images via
+    * perceptual hash) and must then merge the verdicts — a doc is a
+    * duplicate if EITHER modality says so, and keeper selection has to
+    * run on the union graph or two modalities can each keep a
+    * different member of the same mixed cluster. Here: q22's exact-
+    * verified text pairs ∪ q135's image pairs over the shared doc_id
+    * namespace → connected components → one keeper (min id) per
+    * component. The union is pair-schema-aligned, so no new shuffle
+    * shape appears — the composition rides the existing CC machinery
+    * unchanged.
+    */
+  def q145CrossModalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val textPairs = Dedup
+      .minhashDedupPairs(docs, "doc_id", "text", n = 3, num = 4, den = 5)
+      .select(col("doc_a"), col("doc_b"))
+    val imagePairs = Multimodal.imageNearDupPairs(
+        s, Multimodal.withPayload(s, docs),
+        madE6Max = 15000000L, hashBits = 4)
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.applyDedup(docs.select("doc_id"), "doc_id",
+                     textPairs.union(imagePairs))
+      .select(col("doc_id"), col("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs (sim ≥ 0.4), exact baseline. */
   def q31EmbedNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
@@ -530,6 +557,7 @@ object PipelineQueries {
     "q131_image_files"     -> (q131ImageFiles _),
     "q135_image_neardup"   -> (q135ImageNeardup _),
     "q144_image_neardup64" -> (q144ImageNeardup64 _),
+    "q145_crossmodal_dedup" -> (q145CrossModalDedup _),
     "q138_span_trim"       -> (q138SpanTrim _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
@@ -1227,6 +1255,64 @@ object PipelineQueries {
         |  CAST((1000000 * sad) // np AS BIGINT) AS mad_e6
         |FROM diff WHERE (1000000 * sad) // np <= 5000000
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q145: the q22-exact-Jaccard and q135-image CTE families composed —
+    // pair union → recursive-CTE components → min-id keeper (the q54
+    // keeper rule). Image CTEs carry an im* prefix to keep both
+    // namespaces in one WITH.
+    "q145_crossmodal_dedup" ->
+      s"""WITH RECURSIVE
+        |$shingleCte,
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 5 >= (sa.sz + sb.sz - inter_cnt) * 4),
+        |imd AS (SELECT doc_id, doc_id % 7 + 2 AS w, doc_id % 5 + 2 AS h,
+        |               doc_id % 997 AS seed FROM documents),
+        |impx AS (SELECT doc_id, w, h, x.ux AS x, y.uy AS y,
+        |                (seed + 7 * x.ux + 13 * y.uy) % 251 AS v
+        |         FROM imd, unnest(generate_series(0, w - 1)) AS x(ux),
+        |                unnest(generate_series(0, h - 1)) AS y(uy)),
+        |imtot AS (SELECT doc_id, SUM(v) AS ts, COUNT(*) AS tn
+        |          FROM impx GROUP BY 1),
+        |imqd AS (SELECT doc_id,
+        |           (CASE WHEN x >= w // 2 THEN 1 ELSE 0 END)
+        |           + 2 * (CASE WHEN y >= h // 2 THEN 1 ELSE 0 END) AS q,
+        |           SUM(v) AS qs, COUNT(*) AS qn
+        |         FROM impx GROUP BY 1, 2),
+        |imbits AS (SELECT imqd.doc_id,
+        |             SUM(CASE WHEN qs * tn > ts * qn
+        |                 THEN (1 << q) ELSE 0 END) AS hash4
+        |           FROM imqd JOIN imtot USING (doc_id) GROUP BY 1),
+        |imimg AS (SELECT imd.doc_id, imd.w, imd.h, b.hash4
+        |          FROM imd JOIN imbits b USING (doc_id)),
+        |imcand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |           FROM imimg a JOIN imimg b
+        |             ON a.w = b.w AND a.h = b.h AND a.hash4 = b.hash4
+        |                AND a.doc_id < b.doc_id),
+        |imdiff AS (SELECT doc_a, doc_b,
+        |             SUM(ABS(pa.v - pb.v)) AS sad, COUNT(*) AS np
+        |           FROM imcand
+        |           JOIN impx pa ON pa.doc_id = doc_a
+        |           JOIN impx pb ON pb.doc_id = doc_b
+        |                       AND pb.x = pa.x AND pb.y = pa.y
+        |           GROUP BY 1, 2),
+        |ip AS (SELECT doc_a, doc_b FROM imdiff
+        |       WHERE (1000000 * sad) // np <= 15000000),
+        |allp AS (SELECT doc_a, doc_b FROM jp
+        |         UNION SELECT doc_a, doc_b FROM ip),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM allp
+        |      UNION ALL SELECT doc_b, doc_a FROM allp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |cc AS (SELECT a AS doc_id, MIN(b) AS component
+        |       FROM reach GROUP BY a)
+        |SELECT dd.doc_id,
+        |  (cc.component IS NULL OR cc.component = dd.doc_id) AS kept
+        |FROM documents dd LEFT JOIN cc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q31_embed_neardup" ->
       s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM embeddings),
          |b AS (SELECT vec_id AS vec_b, embedding AS vb FROM embeddings),
