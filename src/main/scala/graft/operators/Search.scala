@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -65,4 +66,83 @@ object Search {
                             phrase: org.apache.spark.sql.Column) =
     instr(concat(lit(" "), text, lit(" ")),
           concat(lit(" "), phrase, lit(" "))).cast("long")
+
+  /** BM25 RANKED retrieval, top-k docs per query, EXACT INTEGER
+    * arithmetic (k1 = 6/5, b = 3/4 — the standard 1.2 / 0.75 as
+    * rationals). Per query term t in doc d:
+    *
+    *   tf-term = tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    *           = 22·10¹²·tf div (10⁷·tf + 3·10⁶ + 9·r_e6)   [×10⁷·10⁶]
+    *   r_e6    = (10⁶·dl·N) div L        (dl/avgdl, avgdl = L/N)
+    *   idf_e6  = (10⁶·(2(N−df)+1)) div (2df+1)
+    *   contrib = (idf_e6 · tf-term_e6) div 10⁶;  score = Σ contribs
+    *
+    * idf is the RATIONAL form (the argument of BM25's log, without the
+    * log) — the [[graft.queries.AdvancedQueries.q35Tfidf]] discipline:
+    * monotone in df like log-idf, but floor-exact integers end to end,
+    * so a SQL oracle replays every division (no libm ulp to drift).
+    * Overflow bounds (documented, q133/q139-style): 22·10¹²·tf needs
+    * tf < 4·10⁵; idf_e6·term_e6 needs N/df ≲ 2·10⁶ — a term in fewer
+    * than one-in-2-million docs overflows; rescale idf (e3) for
+    * web-scale N.
+    *
+    * Plan shape (the q35 linear-window pipeline + the bounded top-k
+    * aggregator): ONE explode of the corpus → tf aggregate; dl as a
+    * window sum over tf (doc_id grain); term-filter THEN df as a
+    * window count (term grain — post-filter rows still carry every doc
+    * containing the term, so df is exact); query terms and the 1-row
+    * (N, L) totals broadcast; final per-query top-k via
+    * [[graft.functions.TopKAgg]] — map-side-combined, state ≤ k rows
+    * per query, never a full sort. Ties break ascending doc_id (a
+    * total order the oracle mirrors).
+    *
+    * Production note: tf/dl/df are corpus statistics a deployment
+    * materializes ONCE (bucketed by term) and reuses per query batch;
+    * here they derive inline from the same scan, which is the same
+    * plan downstream of the postings.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[String], k: Int): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_.trim.nonEmpty),
+      "queries must be non-empty")
+    require(k >= 1, s"k must be >= 1: $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries.map { q =>
+      (q, q.split(" ").filter(_.nonEmpty).distinct)
+    }.toDF("query", "toks")
+      .select(col("query"), explode(col("toks")).as("term"))
+    val allToks = queries.flatMap(_.split(" ")).filter(_.nonEmpty).distinct
+    val words = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"),
+              explode(TextFunctions.words(col(textCol))).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("dl",
+        sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+    // 1-row corpus totals, broadcast — N and L, never a driver collect.
+    // L from size(words) on the unexploded scan: one narrow pass.
+    val totals = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextFunctions.words(col(textCol)))).cast("long").as("l_tot"))
+    val scored = tf.filter(col("term").isin(allToks: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(broadcast(qt), Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("r_e6", expr("(1000000 * dl * n_docs) div l_tot"))
+      .withColumn("term_e6",
+        expr("(22000000000000 * tf) div " +
+             "(10000000 * tf + 3000000 + 9 * r_e6)"))
+      .withColumn("idf_e6",
+        expr("(1000000 * (2 * (n_docs - df) + 1)) div (2 * df + 1)"))
+      .withColumn("contrib_e6", expr("(idf_e6 * term_e6) div 1000000"))
+      .groupBy(col("query"), col("doc_id"))
+      .agg(sum(col("contrib_e6")).as("score_e6"))
+    scored.groupBy(col("query"))
+      .agg(graft.functions.TopKAgg.topKByValue(k)(
+             col("score_e6").cast("double"), col("doc_id")).as("tk"))
+      .select(col("query"), posexplode(col("tk")))
+      .select(col("query"), (col("pos") + 1).cast("long").as("rnk"),
+              col("col").getField("_2").as("doc_id"),
+              col("col").getField("_1").cast("long").as("score_e6"))
+  }
 }

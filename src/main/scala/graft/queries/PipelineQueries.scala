@@ -139,6 +139,25 @@ object PipelineQueries {
             "zebra unicorn"))
       .orderBy("phrase", "doc_id")
 
+  /** q146 — BM25 ranked retrieval, top-5 per query
+    * ([[graft.operators.Search.bm25TopK]]): bag-of-words scoring over
+    * q91's query panel (union semantics — any matching term scores;
+    * the all-absent "zebra unicorn" query must contribute zero rows).
+    * Exact integer BM25 (rational idf, cross-multiplied tf-term; k1 =
+    * 1.2, b = 0.75 as rationals), top-k via the bounded map-side
+    * [[graft.functions.TopKAgg]] aggregator. The oracle re-derives
+    * tf/dl/df/N/L and every floor division, and ranks with a
+    * row_number window whose (score desc, doc_id asc) order mirrors
+    * the aggregator's tie rule — a one-unit drift in any division or
+    * a tie mis-break reorders rows and fails the hash.
+    */
+  def q146Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.bm25TopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("key agg row", "batch window spark", "data query small",
+            "zebra unicorn"), k = 5)
+      .orderBy("query", "rnk")
+
   /** q93 — ANN index quality report: recall@3 of the LSH index (q25's
     * exact configuration) against the exact top-3 (q24's sweep), per
     * query — the measurement every deployment runs before trusting an
@@ -558,6 +577,7 @@ object PipelineQueries {
     "q135_image_neardup"   -> (q135ImageNeardup _),
     "q144_image_neardup64" -> (q144ImageNeardup64 _),
     "q145_crossmodal_dedup" -> (q145CrossModalDedup _),
+    "q146_bm25"            -> (q146Bm25 _),
     "q138_span_trim"       -> (q138SpanTrim _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
@@ -987,6 +1007,46 @@ object PipelineQueries {
         |FROM documents CROSS JOIN p
         |WHERE strpos(' ' || text || ' ', ' ' || phrase || ' ') > 0
         |ORDER BY phrase, doc_id""".stripMargin,
+    // q146: tf/dl/df/N/L and every BM25 floor division re-derived; the
+    // row_number (score DESC, doc_id) window mirrors the TopKByValue
+    // tie rule. Queries expand to (query, term) VALUES rows.
+    "q146_bm25" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM words GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |               (SELECT COUNT(*) FROM words) AS l_tot),
+        |qt(query, term) AS (VALUES
+        |  ('key agg row', 'key'), ('key agg row', 'agg'),
+        |  ('key agg row', 'row'),
+        |  ('batch window spark', 'batch'),
+        |  ('batch window spark', 'window'),
+        |  ('batch window spark', 'spark'),
+        |  ('data query small', 'data'), ('data query small', 'query'),
+        |  ('data query small', 'small'),
+        |  ('zebra unicorn', 'zebra'), ('zebra unicorn', 'unicorn')),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf
+        |          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query, tf.doc_id,
+        |    SUM((((1000000 * (2 * (n_docs - df) + 1)) // (2 * df + 1))
+        |         * ((22000000000000 * tf.tf) //
+        |            (10000000 * tf.tf + 3000000
+        |             + 9 * ((1000000 * dl * n_docs) // l_tot))))
+        |        // 1000000) AS score_e6
+        |  FROM tf
+        |  JOIN qt USING (term)
+        |  JOIN dlen USING (doc_id)
+        |  JOIN dfreq USING (term), tot
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query
+        |        ORDER BY score_e6 DESC, doc_id) AS rnk FROM scored)
+        |SELECT query, CAST(rnk AS BIGINT) AS rnk, doc_id,
+        |  CAST(score_e6 AS BIGINT) AS score_e6
+        |FROM r WHERE rnk <= 5 ORDER BY query, rnk""".stripMargin,
     // q93: q25's LSH chain and q24's exact chain recomposed, joined on
     // (qid, neighbor) — integer recall, floor-scaled.
     "q93_ann_recall" ->

@@ -38,4 +38,50 @@ class SearchSpec extends SparkSpec {
       Search.phraseSearch(docs, "doc_id", "text", Seq("  "))
     }
   }
+
+  test("bm25TopK: hand-derived single-term scores; higher tf ranks first") {
+    // corpus: 3 docs, all length 2 => dl = avgdl => r_e6 = 1e6 exactly.
+    // 'cat' df = 2, N = 3: idf_e6 = (1e6*(2*1+1)) div 5 = 600000.
+    // tf=1: term_e6 = 22e12 div (1e7 + 3e6 + 9e6) = 1000000
+    //   -> contrib = 600000
+    // tf=2 (doc 20, dl=2): r_e6=1e6,
+    //   term_e6 = 44e12 div (2e7+3e6+9e6) = 1375000 -> contrib = 825000
+    val corpus = Seq(
+      (10L, "cat dog"), (20L, "cat cat"), (30L, "dog bird"))
+      .toDF("doc_id", "text")
+    val got = Search.bm25TopK(corpus, "doc_id", "text",
+        Seq("cat"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("cat", 1L, 20L, 825000L),
+      ("cat", 2L, 10L, 600000L)))
+  }
+
+  test("bm25TopK: k-boundary ties break ascending doc_id, k truncates") {
+    // four identical docs tie exactly; k=3 must keep the three lowest
+    // ids in rank order and drop the fourth
+    val corpus = Seq(
+      (7L, "tie word"), (3L, "tie word"), (9L, "tie word"),
+      (5L, "tie word"), (99L, "other text"))
+      .toDF("doc_id", "text")
+    val got = Search.bm25TopK(corpus, "doc_id", "text",
+        Seq("tie"), k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 3L), (2L, 5L), (3L, 7L)))
+  }
+
+  test("bm25TopK: multi-term union semantics; absent query yields nothing") {
+    val corpus = Seq(
+      (1L, "alpha beta"), (2L, "alpha alpha"), (3L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val got = Search.bm25TopK(corpus, "doc_id", "text",
+        Seq("alpha delta", "zebra"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    // union: docs 1 and 2 match 'alpha'; doc 3 matches 'delta'
+    assert(got.map(_._1).forall(_ == "alpha delta"))
+    assert(got.map(_._2).toSet === Set(1L, 2L, 3L))
+    assert(Search.bm25TopK(corpus, "doc_id", "text",
+      Seq("zebra"), k = 2).count() === 0)
+  }
 }
