@@ -225,8 +225,31 @@ object GraphOps {
       .join(outw, Seq("src"))
       .localCheckpoint()
 
-    var ranks = nodes.withColumn("rank_units", lit(totalUnits / n))
-      .localCheckpoint()
+    val ranks = rankLoop(
+      ew, nodes.withColumn("__base", lit(base)),
+      nodes.withColumn("rank_units", lit(totalUnits / n)).localCheckpoint(),
+      iterations, dampNum, dampDen)
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ew)
+    // ranks is itself checkpointed (materialized), so releasing the node
+    // blocks here cannot recompute anything downstream
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodes)
+    ranks
+  }
+
+  /** The shared PageRank recurrence: per iteration ONE keyed join of
+    * ranks onto the prepped adjacency (`ew` = edges with `__w` and
+    * per-src `__outw`) + one map-combined sum by dst, then restart
+    * mass from `nodesBase`'s per-node `__base` column — a CONSTANT
+    * column for classic PageRank, a seed-indicator column for the
+    * personalized variant; the loop itself is identical. Each round
+    * localCheckpoints and releases the previous round's blocks, so
+    * lineage and storage stay O(1) in the iteration count.
+    */
+  private def rankLoop(ew: DataFrame, nodesBase: DataFrame,
+                       ranks0: DataFrame, iterations: Int,
+                       dampNum: Long, dampDen: Long): DataFrame = {
+    var ranks = ranks0
     var i = 0
     while (i < iterations) {
       val contrib = ew
@@ -236,20 +259,96 @@ object GraphOps {
                 expr(s"(__r * $dampNum * __w) div ($dampDen * __outw)")
                   .as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      val next = nodes
+      val next = nodesBase
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-                (lit(base) + coalesce(col("__in"), lit(0L))).as("rank_units"))
+                (col("__base") + coalesce(col("__in"), lit(0L)))
+                  .as("rank_units"))
         .localCheckpoint()
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ranks)
       ranks = next
       i += 1
     }
+    ranks
+  }
+
+  /** PERSONALIZED PageRank, EXACT INTEGER: the teleport mass restarts
+    * at a SEED SET instead of uniformly — rank becomes proximity to
+    * the seeds through the link structure. The triage query of a
+    * similarity graph: seed the known-bad docs, rank everything by
+    * closeness (q147 seeds suppliers and ranks customers by trade
+    * proximity). Same recurrence as [[pageRank]] (shared [[rankLoop]]);
+    * only `base` changes from a constant to a per-node column:
+    *
+    *   base(v) = totalUnits·(den−num) div (den·|S|)  if v ∈ S, else 0
+    *   rank0(v) = totalUnits div |S|                 if v ∈ S, else 0
+    *
+    * Every seed must appear in the graph — teleport mass aimed at an
+    * absent node would silently vanish from circulation (a rescale
+    * with no error), so that fails loud instead. Dangling-node mass
+    * drains exactly as in [[pageRank]] (documented divergence).
+    * Unweighted edges (w = 1): ranks never exceed totalUnits, so the
+    * default units are int64-safe without a weight check.
+    *
+    * Output: (node, rank_units) for every node in `edges`; non-seed
+    * nodes unreachable from the seeds get 0.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedCol: String, iterations: Int,
+                           totalUnits: Long = 1000000000000L,
+                           dampNum: Long = 85, dampDen: Long = 100)
+      : DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum > 0 && dampNum < dampDen,
+            s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         lit(1L).as("__w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+      .localCheckpoint()
+    val nSeedsTotal = sd.count() // control-plane scalars, one number each
+    require(nSeedsTotal > 0,
+      "personalizedPageRank needs a non-empty seed set")
+    val nSeeds = sd.join(nodes, Seq("node")).count()
+    require(nSeeds == nSeedsTotal,
+      s"personalizedPageRank: ${nSeedsTotal - nSeeds} seed(s) do not " +
+      "appear in the edge set — teleport mass aimed at an absent node " +
+      "would silently vanish; drop absent seeds explicitly if intended.")
+    val base = totalUnits * (dampDen - dampNum) / (dampDen * nSeeds)
+    require(base > 0,
+      s"personalizedPageRank: totalUnits=$totalUnits is too small for " +
+      s"$nSeeds seeds at damping $dampNum/$dampDen (per-seed restart " +
+      "mass floors to 0) — raise totalUnits.")
+    val rInit = totalUnits / nSeeds
+    // seed flag joined ONCE, materialized, and reused by both the base
+    // column and the initial ranks — the per-node restart vector
+    val nodesBase = nodes
+      .join(sd.withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"),
+              when(col("__s").isNotNull, lit(base)).otherwise(lit(0L))
+                .as("__base"))
+      .localCheckpoint()
+    val ew = e
+      .join(e.groupBy(col("src")).agg(sum(col("__w")).as("__outw")),
+            Seq("src"))
+      .localCheckpoint()
+    val ranks0 = nodesBase
+      .select(col("node"),
+              when(col("__base") > 0, lit(rInit)).otherwise(lit(0L))
+                .as("rank_units"))
+      .localCheckpoint()
+    val ranks = rankLoop(ew, nodesBase, ranks0, iterations,
+                         dampNum, dampDen)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ew)
-    // ranks is itself checkpointed (materialized), so releasing the node
-    // blocks here cannot recompute anything downstream
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodes)
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(sd)
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodesBase)
     ranks
   }
 

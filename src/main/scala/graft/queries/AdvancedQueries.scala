@@ -1028,6 +1028,35 @@ object AdvancedQueries {
       .orderBy(col("node"))
   }
 
+  /** q147 — PERSONALIZED PageRank over the trade graph
+    * ([[GraphOps.personalizedPageRank]]): teleport mass restarts at
+    * suppliers 1–10 instead of uniformly, so customer ranks measure
+    * trade PROXIMITY to that seed set — the similarity-graph triage
+    * query (seed the known-bad docs, rank the rest by closeness).
+    * Same unrolled-CTE oracle family as q134 with the uniform base
+    * replaced by the per-node seed-indicator base; output the top-100
+    * customers by rank (ties broken by node — a total order).
+    */
+  def q147PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val rel = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"))
+      .join(Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("sup"),
+              concat(lit("c"), col("o_custkey")).as("cust"))
+      .distinct()
+    val edges = rel.select(col("sup").as("src"), col("cust").as("dst"))
+      .union(rel.select(col("cust").as("src"), col("sup").as("dst")))
+    val seeds = rel.select(col("sup").as("node")).distinct()
+      .filter(expr("CAST(substring(node, 2, 18) AS BIGINT) <= 10"))
+    GraphOps.personalizedPageRank(edges, "src", "dst", seeds, "node",
+                                  iterations = 5)
+      .filter(col("node").startsWith("c"))
+      .orderBy(col("rank_units").desc, col("node"))
+      .limit(100)
+  }
+
   /** q142 — session PATH mining: the top-25 event-type trigrams taken
     * by users WITHIN a session (6h-gap sessionization, the q32 family),
     * deterministic (count desc, path) cut — the "what do people
@@ -1182,6 +1211,50 @@ object AdvancedQueries {
        |WHERE node LIKE 's%' ORDER BY node""".stripMargin
   }
 
+  /** q147 oracle: [[GraphOps.personalizedPageRank]] unrolled — the
+    * q134 CTE family with the uniform base/init replaced by the
+    * seed-indicator forms (per-seed restart mass and initial rank,
+    * 0 elsewhere), seeds = suppliers 1–10.
+    */
+  private val pprOracleSql: String = {
+    def iterCte(i: Int): String =
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |    SUM((r.r * 85 * e.w) // (100 * d.outw)) AS cin
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src
+         |         JOIN d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL
+         |         THEN (SELECT base FROM params) ELSE 0 END
+         |    + COALESCE(c.cin, 0) AS r
+         |  FROM n LEFT JOIN seeds s ON s.node = n.node
+         |         LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+    s"""WITH rel AS (
+       |  SELECT DISTINCT 's' || l_suppkey AS sup, 'c' || o_custkey AS cust
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT sup AS src, cust AS dst, 1 AS w FROM rel
+       |      UNION ALL SELECT cust, sup, 1 FROM rel),
+       |n AS (SELECT DISTINCT node FROM
+       |        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |d AS (SELECT src, SUM(w) AS outw FROM e GROUP BY 1),
+       |seeds AS (SELECT node FROM n
+       |          WHERE node LIKE 's%'
+       |            AND CAST(SUBSTR(node, 2) AS BIGINT) <= 10),
+       |params AS (SELECT COUNT(*) AS ns,
+       |    1000000000000 // COUNT(*) AS r_init,
+       |    (1000000000000 * 15) // (100 * COUNT(*)) AS base FROM seeds),
+       |r0 AS (SELECT n.node,
+       |         CASE WHEN s.node IS NOT NULL
+       |              THEN (SELECT r_init FROM params) ELSE 0 END AS r
+       |       FROM n LEFT JOIN seeds s ON s.node = n.node),
+       |${(1 to 5).map(iterCte).mkString(",\n")}
+       |SELECT node, CAST(r AS BIGINT) AS rank_units FROM r5
+       |WHERE node LIKE 'c%'
+       |ORDER BY r DESC, node LIMIT 100""".stripMargin
+  }
+
   /** q141 oracle: [[GraphOps.hits]] unrolled — per iteration an
     * authority half-step and a hub half-step, each followed by the
     * integer max-normalization. The max is a WINDOW aggregate
@@ -1273,6 +1346,7 @@ object AdvancedQueries {
     "q134_pagerank" -> (q134Pagerank _),
     "q140_pagerank_weighted" -> (q140PagerankWeighted _),
     "q141_hits" -> (q141Hits _),
+    "q147_ppr" -> (q147PersonalizedPagerank _),
     "q142_session_paths" -> (q142SessionPaths _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
     "q137_attribution" -> (q137Attribution _),
@@ -1868,6 +1942,7 @@ object AdvancedQueries {
     "q134_pagerank" -> pagerankOracle(weighted = false),
     "q140_pagerank_weighted" -> pagerankOracle(weighted = true),
     "q141_hits" -> hitsOracleSql,
+    "q147_ppr" -> pprOracleSql,
     // q142: the q32 session CTE family extended with two leads and the
     // trigram count — sessionization, ordering tie-breaks, and the
     // deterministic top-25 cut are all re-derived.

@@ -242,6 +242,52 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.hits(edges, "s", "d", iterations = 1).count() === 4)
   }
 
+  test("personalizedPageRank: hand-derived 2-cycle from a single seed") {
+    // a <-> b, seed {a}, 1 iteration:
+    // base = 1e12*15/100 = 1.5e11 (only a); r0: a = 1e12, b = 0
+    // contrib: b gets (1e12*85)//100 = 8.5e11; a gets (0*85)//100 = 0
+    // r1: a = 1.5e11, b = 8.5e11
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = GraphOps.personalizedPageRank(
+        edges, "src", "dst", seeds, "node", iterations = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === Seq(("a", 150000000000L), ("b", 850000000000L)))
+  }
+
+  test("personalizedPageRank: mass stays near the seed side of a barbell") {
+    // two triangles bridged by one edge; seeding one triangle must rank
+    // its members above every node of the far triangle
+    val edges = (Seq(("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+                     ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+                     ("a1", "b1"))
+      ++ Seq(("a2", "a1"), ("a3", "a2"), ("a1", "a3"),
+             ("b2", "b1"), ("b3", "b2"), ("b1", "b3"),
+             ("b1", "a1"))).toDF("src", "dst")
+    val ranks = GraphOps.personalizedPageRank(
+        edges, "src", "dst", Seq("a1", "a2", "a3").toDF("node"), "node",
+        iterations = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val aMin = Seq("a1", "a2", "a3").map(ranks).min
+    val bMax = Seq("b1", "b2", "b3").map(ranks).max
+    assert(aMin > bMax, s"seed side must outrank far side: $ranks")
+    // unreachable-from-seeds is not possible here; total mass never grows
+    assert(ranks.values.map(BigInt(_)).sum <= BigInt(1000000000000L))
+  }
+
+  test("personalizedPageRank: THROWS on absent or empty seed sets") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val absent = intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(edges, "src", "dst",
+        Seq("zz").toDF("node"), "node", iterations = 1)
+    }
+    assert(absent.getMessage.contains("do not"))
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(edges, "src", "dst",
+        Seq.empty[String].toDF("node"), "node", iterations = 1)
+    }
+  }
+
   test("pageRank: result is partition-invariant") {
     val edges = (0L until 200L)
       .map(i => (s"n${i % 40}", s"n${(i * 7 + 3) % 40}"))
