@@ -91,7 +91,58 @@ object Bench {
         s"\"mem_spill_bytes\":$ms,\"disk_spill_bytes\":$ds}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"sf":"$sfDir","delta_vs_prev":${deltaVsPrev(results)}}"""
+    println(line)
+    // The driver's tail capture truncates this line at 2000 chars (r06
+    // lost every per-query timing that way) — persist the full JSON as a
+    // committed artifact. Best-effort: a read-only cwd must not fail the
+    // bench.
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCH_LOCAL_r$currentRound.json"), line)
+    } catch { case _: Throwable => () }
     spark.stop()
+  }
+
+  /** Round number = max N of CORRECTNESS_r<N>.json present + 1 (the
+    * driver writes that file at the END of round N, so during round N
+    * only rounds < N exist). Falls back to 0 outside the repo.
+    */
+  private def currentRound: Int = {
+    val rx = "CORRECTNESS_r(\\d+)\\.json".r
+    val names = Option(new java.io.File(".").list()).getOrElse(Array.empty)
+    val rounds = names.collect { case rx(n) => n.toInt }
+    if (rounds.isEmpty) 0 else rounds.max + 1
+  }
+
+  /** Per-query shuffle-byte growth vs the previous round's committed
+    * BENCH_LOCAL artifact: flags any query whose (write + read) shuffle
+    * bytes grew > 20% — a plan regression signal wall-clock noise can't
+    * fake. The previous artifact is self-generated JSON with a fixed
+    * shape, so a regex pull of the two counters is sufficient (no JSON
+    * dependency in the library).
+    */
+  private def deltaVsPrev(
+      results: Iterable[(String, (Double, Long, Long, Long, Long))]): String = {
+    val prevFile = (1 until currentRound).reverse.iterator
+      .map(n => n -> new java.io.File(s"BENCH_LOCAL_r$n.json"))
+      .find(_._2.isFile)
+    val prev: Map[String, Long] = prevFile match {
+      case None => Map.empty
+      case Some((_, f)) =>
+        val text = try java.nio.file.Files.readString(f.toPath)
+                   catch { case _: Throwable => "" }
+        val rx = ("\"(q[^\"]+)\":\\{\"shuffle_write_bytes\":(\\d+)," +
+                  "\"shuffle_read_bytes\":(\\d+)").r
+        rx.findAllMatchIn(text)
+          .map(m => m.group(1) -> (m.group(2).toLong + m.group(3).toLong))
+          .toMap
+    }
+    val flagged = results.iterator.collect {
+      case (name, (_, sw, sr, _, _)) if prev.contains(name) &&
+          sw + sr > prev(name) * 12L / 10L && sw + sr - prev(name) > 4096L =>
+        s"""\"$name\":{\"prev_shuffle_bytes\":${prev(name)},\"now_shuffle_bytes\":${sw + sr}}"""
+    }.toSeq
+    s"""{"prev_round":${prevFile.map(_._1).getOrElse(-1)},"flagged":${flagged.mkString("[", ",", "]")}}"""
   }
 }

@@ -457,6 +457,39 @@ object ScaleProbe {
       println("  ranked nodes: " +
         GraphOps.pageRank(edges, "src", "dst", iterations = 5).count())
     }
+    // --- HITS (q141 shape): same disjoint-namespace trade-graph
+    // inflation as the pagerank probe. Per half-step work is one keyed
+    // join + one map-combined sum + a 1-row max broadcast back
+    // (control-plane), so at a fixed iteration count time must grow
+    // linearly in edges; the barrier count stays constant.
+    def tradeEdges() = {
+      val rel = Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_orderkey"))
+        .join(Tables.orders(spark, dir)
+                .select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("s"), col("l_suppkey")).as("sup"),
+                concat(lit("c"), col("o_custkey")).as("cust"))
+        .distinct()
+      rel.crossJoin(copies)
+        .select(concat(col("sup"), lit("_"), col("copy")).as("sup"),
+                concat(col("cust"), lit("_"), col("copy")).as("cust"))
+        .repartition(64)
+    }
+    time(s"hits_${mult}x") {
+      val relC = tradeEdges()
+      println("  hits nodes: " +
+        GraphOps.hits(relC, "sup", "cust", iterations = 3).count())
+    }
+    // --- clustering coefficients (q143 shape): triangles + degree agg
+    // over the same inflated namespaces. The degree-ordered triangle
+    // listing is the dominant term — wedge work is Σ min-degree per
+    // edge, which inflates linearly under disjoint copies.
+    time(s"clustering_coef_${mult}x") {
+      val relC = tradeEdges()
+      val cc = GraphOps.clusteringCoefficients(relC, "sup", "cust")
+      println("  coef nodes: " + cc.count())
+    }
     // --- image near-dup (q135 shape): decode cost is linear in images;
     // candidate pairs are bucket-bound by (w, h, hash4) — with the
     // fixture's 4-bit oracle-mirrorable hash the bucket count is FIXED,
