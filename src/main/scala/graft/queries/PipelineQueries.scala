@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Membership, Multimodal, Similarity}
+import graft.operators.{Audio, Dedup, Membership, Multimodal, Similarity}
 
 /** Training-data pipeline pack over `documents` / `embeddings`:
   * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -345,6 +345,44 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q148 — audio-modality decode, REAL codec both legs: per-doc
+    * deterministic PCM16 signals wrapped in actual RIFF/WAV bytes
+    * ([[Audio.encodeWav]]), decoded back through the JDK's
+    * `javax.sound.sampled.AudioSystem` in a narrow mapPartitions pass;
+    * duration / peak / energy / silence-ratio come from the decoded
+    * samples while the oracle re-derives them from the signal
+    * arithmetic — a one-sample codec deviation (byte order, header
+    * length, chunk offset) breaks the gate. `n_bytes` (container
+    * size) is deliberately excluded. The audio analog of q30.
+    */
+  def q148AudioFeatures(s: SparkSession, dir: String): DataFrame =
+    Audio.extractFeatures(s, Audio.withPayload(s, Tables.documents(s, dir)))
+      .toDF()
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+              col("duration_ms"), col("peak_abs"), col("sum_abs"),
+              col("sum_sq"), col("silence_e6"))
+      .orderBy("doc_id")
+
+  /** q149 — audio near-duplicate pairs over REAL decoded signals
+    * ([[Audio.audioNearDupPairs]]): energy-envelope perceptual-hash
+    * buckets (frame loudness vs signal mean, cross-multiplied) → exact
+    * summed frame-energy-difference verify, floor-scaled e6 per
+    * sample. The oracle replays the fixture signal arithmetic AND the
+    * whole index — frame energies, hash bits, (n_samples, hash)
+    * bucket join, EAD verify — so the Spark side's real WAV decode
+    * must reproduce every sample to land the same pairs. The audio
+    * analog of the q135/q144 image gates.
+    */
+  def q149AudioNeardup(s: SparkSession, dir: String): DataFrame =
+    // 150000 sits in the measured gap between the close-re-encode
+    // pairs (ead_e6 ≤ 85,416 at sf0.01) and the degraded-copy pairs
+    // (≥ 422,500) — the cut drops every seed+10 candidate, so the
+    // verify stage is live, not decoration.
+    Audio.audioNearDupPairs(
+        s, Audio.withDupPayload(s, Tables.documents(s, dir)),
+        eadE6Max = 150000L)
+      .orderBy("doc_a", "doc_b")
+
   /** Embedding-cosine near-dup pairs (sim ≥ 0.4), exact baseline. */
   def q31EmbedNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
@@ -577,6 +615,8 @@ object PipelineQueries {
     "q135_image_neardup"   -> (q135ImageNeardup _),
     "q144_image_neardup64" -> (q144ImageNeardup64 _),
     "q145_crossmodal_dedup" -> (q145CrossModalDedup _),
+    "q148_audio_features"  -> (q148AudioFeatures _),
+    "q149_audio_neardup"   -> (q149AudioNeardup _),
     "q146_bm25"            -> (q146Bm25 _),
     "q138_span_trim"       -> (q138SpanTrim _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
@@ -1373,6 +1413,67 @@ object PipelineQueries {
         |  (cc.component IS NULL OR cc.component = dd.doc_id) AS kept
         |FROM documents dd LEFT JOIN cc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q148: the oracle replays the WAV test-signal arithmetic
+    // (v(t) = (seed + 37t) mod 2001 − 1000, gated to silence on every
+    // 4th 400-sample frame) — the Spark side must produce the same
+    // numbers from an ACTUAL AudioSystem decode of actual RIFF bytes,
+    // so a header/byte-order/offset bug is a hash miss.
+    "q148_audio_features" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 5 + 2) * 800 AS n,
+        |                  doc_id % 499 AS seed FROM documents),
+        |s AS (SELECT doc_id, n,
+        |        CASE WHEN ((t.ut // 400) + seed) % 4 = 0 THEN 0
+        |             ELSE (seed + 37 * t.ut) % 2001 - 1000 END AS v
+        |      FROM d, unnest(generate_series(0, n - 1)) AS t(ut))
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |       CAST(n AS BIGINT) AS n_samples,
+        |       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |       CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+        |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |       CAST(1000000 * SUM(CASE WHEN ABS(v) <= 10 THEN 1
+        |            ELSE 0 END) // n AS BIGINT) AS silence_e6
+        |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // q149: the oracle replays the dup-family signal AND the whole
+    // index — per-frame energies, mean-comparison hash bits,
+    // (n_samples, hash) bucket join, exact frame-energy-difference
+    // verify — so the real WAV decode must reproduce every sample to
+    // surface the same pairs.
+    "q149_audio_neardup" ->
+      """WITH d0 AS (SELECT doc_id, doc_id // 8 AS block,
+        |                   doc_id // 16 AS base FROM documents),
+        |d AS (SELECT doc_id, (base % 5 + 2) * 800 AS n,
+        |             base % 499 + CASE WHEN block % 2 = 0 THEN 0
+        |                  WHEN base % 3 = 0 THEN 10 ELSE 1 END AS seed,
+        |             (base * 37 + 11) %
+        |               (1::BIGINT << ((base % 5 + 2) * 2)) AS env
+        |      FROM d0),
+        |s AS (SELECT doc_id, n, t.ut AS t,
+        |             (CASE WHEN ((env >> (t.ut // 400)) & 1) = 1
+        |              THEN 3 ELSE 1 END)
+        |             * ((seed + 37 * t.ut) % 2001 - 1000) AS v
+        |      FROM d, unnest(generate_series(0, n - 1)) AS t(ut)),
+        |fe AS (SELECT doc_id, n, t // 400 AS f,
+        |              CAST(SUM(ABS(v)) AS BIGINT) AS fe
+        |       FROM s GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(SUM(fe) AS BIGINT) AS total
+        |        FROM fe GROUP BY 1),
+        |h AS (SELECT fe.doc_id, fe.n,
+        |        CAST(SUM(CASE WHEN fe.fe * (fe.n // 400) > tot.total
+        |             THEN (1::BIGINT << f) ELSE 0 END) AS BIGINT) AS hash
+        |      FROM fe JOIN tot USING (doc_id) GROUP BY 1, 2),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n
+        |         FROM h a JOIN h b ON a.n = b.n AND a.hash = b.hash
+        |                          AND a.doc_id < b.doc_id),
+        |diff AS (SELECT doc_a, doc_b, cand.n AS n,
+        |                SUM(ABS(fa.fe - fb.fe)) AS ead
+        |         FROM cand
+        |         JOIN fe fa ON fa.doc_id = doc_a
+        |         JOIN fe fb ON fb.doc_id = doc_b AND fb.f = fa.f
+        |         GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, CAST((1000000 * ead) // n AS BIGINT) AS ead_e6
+        |FROM diff WHERE (1000000 * ead) // n <= 150000
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q31_embed_neardup" ->
       s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM embeddings),
          |b AS (SELECT vec_id AS vec_b, embedding AS vb FROM embeddings),
