@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Video-modality plumbing: frame-sampled decode and fingerprint
+  * near-dup over opaque `binary` payloads, composing the REAL image
+  * codec in [[Multimodal]].
+  *
+  * Container: the JVM ships no video codec, so payloads use a minimal
+  * deterministic frame container — `GVID` magic, big-endian frame
+  * count, then per frame a big-endian byte length + REAL PNG bytes
+  * (encoded and decoded via `javax.imageio`, same as the image path).
+  * The container is the FIXTURE leg (a stand-in for mp4/mkv demuxing);
+  * everything downstream of "hand me frame f's encoded bytes" — the
+  * Spark plumbing, the skip-vs-decode economics, the per-frame codec,
+  * the fingerprint index — is real and oracle-gated.
+  *
+  * Frame SAMPLING is the point of the operator: [[sampleFrames]] walks
+  * the container by length fields and decodes ONLY every `stride`-th
+  * frame — the skipped frames' bytes are never fed to the codec, which
+  * is what makes feature extraction affordable on a video corpus
+  * (decode cost ∝ sampled frames, not total frames). One narrow
+  * mapPartitions pass; payload bytes never enter an exchange.
+  */
+object Video {
+
+  /** Frames-per-payload and content seed for `id`'s fixture video
+    * (the FEATURE family, q150): groups of 5 consecutive ids share
+    * one (frame count, seed) — byte-identical payloads. Frames are
+    * 16×16 gradient cards; the near-dup gate uses the separate
+    * contrast-pattern family ([[dupParamsFor]]) because a pure
+    * gradient's 2×2-block means are near-ties under [[Multimodal.aHash64]]
+    * and tiny shifts flip knife-edge bits.
+    */
+  def paramsFor(id: Long): (Int, Long) = {
+    val g = id / 5
+    (((g % 3 + 2) * 4).toInt, g % 251)
+  }
+
+  val FrameW = 16
+  val FrameH = 16
+
+  /** Pixel (x, y) of frame f: the gradient card family with a
+    * per-frame phase (`11·f`) so frames within one video differ.
+    */
+  def framePixel(seed: Long, f: Int, x: Int, y: Int): Int =
+    ((seed + 11L * f + 7L * x + 13L * y) % 251).toInt
+
+  /** Encode the fixture video for `id`: real PNG frames in the GVID
+    * length-prefixed container.
+    */
+  def encodeVideo(id: Long): Array[Byte] = {
+    val (nFrames, seed) = paramsFor(id)
+    packFrames((0 until nFrames).map { f =>
+      Multimodal.encodeCard(FrameW, FrameH, (x, y) => framePixel(seed, f, x, y))
+    })
+  }
+
+  /** Parse the container and decode every `stride`-th frame (frame
+    * indices 0, stride, 2·stride, …). Skipped frames are SKIPPED —
+    * their bytes are never decoded, only stepped over via the length
+    * field. Returns (total frame count, decoded sampled frames as
+    * (frame_idx, width, height, pixels)).
+    */
+  def sampleFrames(bytes: Array[Byte], stride: Int)
+      : (Int, Seq[(Int, Int, Int, Array[Long])]) = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val magic = new Array[Byte](4)
+    buf.get(magic)
+    require(new String(magic, "US-ASCII") == "GVID",
+      "undecodable video payload: bad magic")
+    val nFrames = buf.getInt
+    require(nFrames >= 0, s"negative frame count $nFrames")
+    val sampled = Seq.newBuilder[(Int, Int, Int, Array[Long])]
+    var f = 0
+    while (f < nFrames) {
+      val len = buf.getInt
+      if (f % stride == 0) {
+        val frame = new Array[Byte](len)
+        buf.get(frame)
+        val (w, h, px) = Multimodal.decodePixels(frame)
+        sampled += ((f, w, h, px))
+      } else {
+        buf.position(buf.position() + len) // step over, never decode
+      }
+      f += 1
+    }
+    (nFrames, sampled.result())
+  }
+
+  /** Near-dup fixture family. Groups of 5 ids (g = id/5) are
+    * byte-identical; group pairs (2b, 2b+1) share base b — same frame
+    * count `(b%3+2)·4`, same 64-block CONTRAST PATTERN (block k is
+    * +150 bright iff `((b >> (k mod 6)) + k/6)` is odd — b's binary
+    * digits tiled with alternating inversion, so patterns are distinct
+    * across bases and [[Multimodal.aHash64]] buckets are selective) —
+    * with the odd group's gradient seed shifted: +1 for most bases (a
+    * close re-encode, KEPT) but +25 on every 5th base (a degraded
+    * copy: `|(c+25) mod 50 − c mod 50|` = 25 at every pixel, ~12×
+    * the near drift, DROPPED — and since the signed shift averages
+    * ~0 per block, the hash still matches, so the degraded pair
+    * SURFACES as a candidate and the verify threshold is a live
+    * cut). The strong ±150 block contrast is what the gradient-only
+    * family lacks: pattern bits dominate the aHash margin, so a
+    * 1-unit gradient drift cannot flip buckets. All pure arithmetic
+    * a SQL oracle re-derives.
+    */
+  def dupParamsFor(id: Long): (Long, Int, Long) = {
+    val g = id / 5
+    val base = g / 2
+    val shift = if (g % 2 == 0) 0 else if (base % 5 == 0) 25 else 1
+    (base, ((base % 3 + 2) * 4).toInt, base % 499 + shift)
+  }
+
+  /** Pixel (x, y) of dup-family frame f: block contrast + gradient. */
+  def dupFramePixel(base: Long, seed: Long, f: Int, x: Int, y: Int): Int = {
+    val blk = (y / 2) * 8 + x / 2
+    val pat = (((base >> (blk % 6)) + blk / 6) & 1L).toInt
+    150 * pat + ((seed + 11L * f + 7L * x + 13L * y) % 50).toInt
+  }
+
+  /** Encode the dup-family fixture video for `id`. */
+  def encodeDupVideo(id: Long): Array[Byte] = {
+    val (base, nFrames, seed) = dupParamsFor(id)
+    val frames = (0 until nFrames).map { f =>
+      Multimodal.encodeCard(FrameW, FrameH,
+                            (x, y) => dupFramePixel(base, seed, f, x, y))
+    }
+    packFrames(frames)
+  }
+
+  private def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.writeBytes("GVID")
+    dos.writeInt(frames.length)
+    frames.foreach { b => dos.writeInt(b.length); dos.write(b) }
+    out.toByteArray
+  }
+
+  case class VideoRow(doc_id: Long, payload: Array[Byte])
+
+  /** Attach a fixture video payload to the documents table. */
+  def withPayload(spark: SparkSession, docs: DataFrame): Dataset[VideoRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => VideoRow(id, encodeVideo(id))))
+  }
+
+  /** [[withPayload]] for the near-dup fixture family
+    * ([[dupParamsFor]]).
+    */
+  def withDupPayload(spark: SparkSession, docs: DataFrame)
+      : Dataset[VideoRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => VideoRow(id, encodeDupVideo(id))))
+  }
+
+  /** Frame-sampled features: one row per (video, sampled frame) with
+    * the decoded frame's exact pixel sum — the schema a downstream
+    * vision featurizer consumes. One narrow pass, no shuffle.
+    */
+  def frameFeatures(spark: SparkSession, media: Dataset[VideoRow],
+                    stride: Int): DataFrame = {
+    import spark.implicits._
+    media.flatMap { r =>
+      val (nFrames, frames) = sampleFrames(r.payload, stride)
+      frames.map { case (f, w, h, px) =>
+        (r.doc_id, nFrames.toLong, f.toLong, w.toLong, h.toLong, px.sum)
+      }
+    }.toDF("doc_id", "n_frames", "frame_idx", "width", "height",
+           "pixel_sum")
+  }
+
+  case class FingerprintedVideo(doc_id: Long, n_frames: Long,
+                                fp: Array[Long], px: Array[Long])
+
+  /** Video near-duplicate pairs: fingerprint = the sequence of
+    * [[Multimodal.aHash64]] hashes of the sampled frames; candidates
+    * bucket on (n_frames, full fingerprint) — sampled-hash-sequence
+    * equality, the video analog of the image hash bucket — and verify
+    * EXACTLY by summed absolute pixel difference over the sampled
+    * frames, floor-scaled e6 per compared pixel. Decode-once
+    * (localCheckpoint signature store), bucket → verify, never
+    * all-pairs.
+    */
+  def videoNearDupPairs(spark: SparkSession, media: Dataset[VideoRow],
+                        stride: Int, vadE6Max: Long): DataFrame = {
+    import spark.implicits._
+    val fp = media.mapPartitions(_.map { r =>
+      val (nFrames, frames) = sampleFrames(r.payload, stride)
+      val hashes = frames.map { case (_, w, h, px) =>
+        Multimodal.aHash64(w, h, px)
+      }.toArray
+      FingerprintedVideo(r.doc_id, nFrames.toLong, hashes,
+                         frames.flatMap(_._4).toArray)
+    }).toDF().localCheckpoint()
+    val a = fp.select(col("doc_id").as("doc_a"), col("n_frames"),
+                      col("fp"), col("px").as("pxa"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("n_frames"),
+                      col("fp"), col("px").as("pxb"))
+    a.join(b, Seq("n_frames", "fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              expr("""(1000000 * aggregate(zip_with(pxa, pxb,
+                     |  (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v))
+                     |div size(pxa)""".stripMargin).as("vad_e6"))
+      .filter(col("vad_e6") <= vadE6Max)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Audio, Dedup, Membership, Multimodal, Similarity}
+import graft.operators.{Audio, Dedup, Membership, Multimodal, Similarity, Video}
 
 /** Training-data pipeline pack over `documents` / `embeddings`:
   * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -383,6 +383,39 @@ object PipelineQueries {
         eadE6Max = 150000L)
       .orderBy("doc_a", "doc_b")
 
+  /** q150 — video frame sampling: parse the GVID container by length
+    * fields, decode ONLY every 4th frame through the real ImageIO
+    * codec (skipped frames are stepped over, never decoded — the
+    * economics that make video featurization affordable), emit one
+    * row per sampled frame with its exact pixel sum. The oracle
+    * re-derives the frame arithmetic for exactly the sampled indices,
+    * so decoding the wrong frames — or the right frames wrongly —
+    * breaks the gate.
+    */
+  def q150VideoFrames(s: SparkSession, dir: String): DataFrame =
+    Video.frameFeatures(s, Video.withPayload(s, Tables.documents(s, dir)),
+                        stride = 4)
+      .orderBy("doc_id", "frame_idx")
+
+  /** q151 — video near-duplicate pairs ([[Video.videoNearDupPairs]]):
+    * fingerprint = the aHash64 sequence of the sampled frames,
+    * candidates bucket on (n_frames, fingerprint) equality, verify is
+    * the exact summed pixel difference over sampled frames,
+    * floor-scaled e6 per pixel. The oracle replays the dup-family
+    * card arithmetic, the per-frame 64-bit hash (as two 32-bit
+    * halves), the fingerprint bucket join, and the verify — the video
+    * analog of the q144 image gate, with the threshold again a live
+    * cut (degraded copies surface as candidates at exactly 25e6 and
+    * are dropped).
+    */
+  def q151VideoNeardup(s: SparkSession, dir: String): DataFrame =
+    // 8e6 sits in the measured gap: close re-encodes verify at
+    // 1.84-2.13e6, degraded copies at 25e6 (all candidates, all cut)
+    Video.videoNearDupPairs(
+        s, Video.withDupPayload(s, Tables.documents(s, dir)),
+        stride = 4, vadE6Max = 8000000L)
+      .orderBy("doc_a", "doc_b")
+
   /** Embedding-cosine near-dup pairs (sim ≥ 0.4), exact baseline. */
   def q31EmbedNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
@@ -617,6 +650,8 @@ object PipelineQueries {
     "q145_crossmodal_dedup" -> (q145CrossModalDedup _),
     "q148_audio_features"  -> (q148AudioFeatures _),
     "q149_audio_neardup"   -> (q149AudioNeardup _),
+    "q150_video_frames"    -> (q150VideoFrames _),
+    "q151_video_neardup"   -> (q151VideoNeardup _),
     "q146_bm25"            -> (q146Bm25 _),
     "q138_span_trim"       -> (q138SpanTrim _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
@@ -1473,6 +1508,80 @@ object PipelineQueries {
         |         GROUP BY 1, 2, 3)
         |SELECT doc_a, doc_b, CAST((1000000 * ead) // n AS BIGINT) AS ead_e6
         |FROM diff WHERE (1000000 * ead) // n <= 150000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q150: the oracle re-derives the gradient-card arithmetic for
+    // exactly the stride-4 sampled frame indices — the Spark side must
+    // produce the same sums from ACTUAL container walking + ImageIO
+    // decode of the sampled frames only.
+    "q150_video_frames" ->
+      """WITH d AS (SELECT doc_id, ((doc_id // 5) % 3 + 2) * 4 AS nf,
+        |                  (doc_id // 5) % 251 AS seed FROM documents),
+        |fr AS (SELECT doc_id, nf, seed, f.uf AS f
+        |       FROM d, unnest(generate_series(0, nf - 1)) AS f(uf)
+        |       WHERE f.uf % 4 = 0),
+        |px AS (SELECT doc_id, nf, f,
+        |              (seed + 11 * f + 7 * x.ux + 13 * y.uy) % 251 AS v
+        |       FROM fr, unnest(generate_series(0, 15)) AS x(ux),
+        |                unnest(generate_series(0, 15)) AS y(uy))
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(f AS BIGINT) AS frame_idx,
+        |       CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |       CAST(SUM(v) AS BIGINT) AS pixel_sum
+        |FROM px GROUP BY doc_id, nf, f
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // q151: the oracle replays the dup-family contrast-pattern cards,
+    // the per-sampled-frame aHash64 (as two 32-bit halves), the
+    // ordered-fingerprint bucket join, and the exact pixel-difference
+    // verify — a wrong frame skipped, a flipped grid bit, or a
+    // one-pixel decode deviation surfaces different pairs.
+    "q151_video_neardup" ->
+      """WITH d0 AS (SELECT doc_id, doc_id // 5 AS g FROM documents),
+        |d AS (SELECT doc_id, g // 2 AS base,
+        |             ((g // 2) % 3 + 2) * 4 AS nf,
+        |             (g // 2) % 499 + CASE WHEN g % 2 = 0 THEN 0
+        |                  WHEN (g // 2) % 5 = 0 THEN 25 ELSE 1 END AS seed
+        |      FROM d0),
+        |fr AS (SELECT doc_id, base, nf, seed, f.uf AS f
+        |       FROM d, unnest(generate_series(0, nf - 1)) AS f(uf)
+        |       WHERE f.uf % 4 = 0),
+        |px AS (SELECT doc_id, nf, f, x.ux AS x, y.uy AS y,
+        |              (y.uy // 2) * 8 + x.ux // 2 AS blk,
+        |              150 * (((base >> (((y.uy // 2) * 8 + x.ux // 2) % 6))
+        |                      + ((y.uy // 2) * 8 + x.ux // 2) // 6) & 1)
+        |              + (seed + 11 * f + 7 * x.ux + 13 * y.uy) % 50 AS v
+        |       FROM fr, unnest(generate_series(0, 15)) AS x(ux),
+        |                unnest(generate_series(0, 15)) AS y(uy)),
+        |tot AS (SELECT doc_id, f, SUM(v) AS ts, COUNT(*) AS tn
+        |        FROM px GROUP BY 1, 2),
+        |bd AS (SELECT doc_id, f, blk AS b, SUM(v) AS bs, COUNT(*) AS bn
+        |       FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT bd.doc_id, bd.f,
+        |           CAST(SUM(CASE WHEN bs * tn > ts * bn AND b < 32
+        |                THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo,
+        |           CAST(SUM(CASE WHEN bs * tn > ts * bn AND b >= 32
+        |                THEN (1::BIGINT << (b - 32)) ELSE 0 END)
+        |             AS BIGINT) AS hi
+        |         FROM bd JOIN tot ON tot.doc_id = bd.doc_id
+        |                         AND tot.f = bd.f
+        |         GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, list(lo ORDER BY f) AS fplo,
+        |              list(hi ORDER BY f) AS fphi
+        |       FROM bits GROUP BY 1),
+        |vmeta AS (SELECT d.doc_id, d.nf, fp.fplo, fp.fphi
+        |          FROM d JOIN fp USING (doc_id)),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM vmeta a JOIN vmeta b
+        |           ON a.nf = b.nf AND a.fplo = b.fplo AND a.fphi = b.fphi
+        |              AND a.doc_id < b.doc_id),
+        |diff AS (SELECT doc_a, doc_b,
+        |           SUM(ABS(pa.v - pb.v)) AS vad, COUNT(*) AS np
+        |         FROM cand
+        |         JOIN px pa ON pa.doc_id = doc_a
+        |         JOIN px pb ON pb.doc_id = doc_b AND pb.f = pa.f
+        |                   AND pb.x = pa.x AND pb.y = pa.y
+        |         GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST((1000000 * vad) // np AS BIGINT) AS vad_e6
+        |FROM diff WHERE (1000000 * vad) // np <= 8000000
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q31_embed_neardup" ->
       s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM embeddings),

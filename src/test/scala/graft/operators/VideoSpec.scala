@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class VideoSpec extends SparkSpec {
+
+  test("GVID container round-trips every frame through the real codec") {
+    for (id <- Seq(0L, 7L, 12L)) {
+      val (nf, seed) = Video.paramsFor(id)
+      val (gotN, frames) = Video.sampleFrames(Video.encodeVideo(id), 1)
+      assert(gotN === nf && frames.length === nf)
+      for ((f, w, h, px) <- frames) {
+        assert(w === Video.FrameW && h === Video.FrameH)
+        for (y <- 0 until h; x <- 0 until w)
+          assert(px(y * w + x) === Video.framePixel(seed, f, x, y),
+                 s"id=$id frame=$f pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("sampleFrames decodes only every stride-th frame") {
+    val id = 5L // group 1: 12 frames
+    val (nf, frames) = Video.sampleFrames(Video.encodeVideo(id), 4)
+    assert(nf === 12)
+    assert(frames.map(_._1) === Seq(0, 4, 8))
+  }
+
+  test("sampleFrames fails fast on a bad container") {
+    val e = intercept[IllegalArgumentException] {
+      Video.sampleFrames("NOPE".getBytes ++ new Array[Byte](8), 1)
+    }
+    assert(e.getMessage.contains("bad magic"))
+  }
+
+  test("frameFeatures matches the card arithmetic end-to-end") {
+    import spark.implicits._
+    val docs = Seq(0L, 5L).toDF("doc_id")
+    val rows = Video.frameFeatures(spark, Video.withPayload(spark, docs),
+                                   stride = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+                (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    for (id <- Seq(0L, 5L)) {
+      val (nf, seed) = Video.paramsFor(id)
+      val sampled = (0 until nf).filter(_ % 4 == 0)
+      for (f <- sampled) {
+        val (gotNf, w, h, sum) = rows((id, f.toLong))
+        assert(gotNf === nf.toLong && w === 16L && h === 16L)
+        val expected = (for (y <- 0 until 16; x <- 0 until 16)
+          yield Video.framePixel(seed, f, x, y).toLong).sum
+        assert(sum === expected, s"id=$id frame=$f")
+      }
+      assert(rows.keys.count(_._1 == id) === sampled.length)
+    }
+  }
+
+  test("videoNearDupPairs: exact dups at 0, close re-encode kept, " +
+       "degraded copy surfaced but cut, foreign bases never bucket") {
+    import spark.implicits._
+    // groups g = id/5: ids 0,5 are groups 0,1 (base 0, DEGRADED seed
+    // +25); ids 10,15 are groups 2,3 (base 1, close seed +1); id 20 is
+    // group 4 (base 2, foreign); ids 0-4 one byte-identical group
+    val docs = Seq(0L, 1L, 5L, 10L, 15L, 20L).toDF("doc_id")
+    val all = Video.videoNearDupPairs(
+        spark, Video.withDupPayload(spark, docs),
+        stride = 4, vadE6Max = Long.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(all((0L, 1L)) === 0L)                       // exact duplicate
+    assert(all.contains((10L, 15L)) && all((10L, 15L)) > 0L)
+    assert(all((10L, 15L)) <= 8000000L)                // close re-encode
+    assert(all.contains((0L, 5L)) && all((0L, 5L)) > 8000000L) // degraded
+    assert(!all.keys.exists { case (a, b) => a == 20L || b == 20L })
+    val kept = Video.videoNearDupPairs(
+        spark, Video.withDupPayload(spark, docs),
+        stride = 4, vadE6Max = 8000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept === Set((0L, 1L), (10L, 15L)))
+  }
+}
