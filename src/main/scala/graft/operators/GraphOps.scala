@@ -543,4 +543,70 @@ object GraphOps {
       .select(col("__t").getItem(0).as("a"), col("__t").getItem(1).as("b"),
               col("__t").getItem(2).as("c"))
   }
+
+  /** Label-propagation communities (synchronous, deterministic).
+    *
+    * Community detection BELOW the connected-component grain: CC merges
+    * everything reachable, LPA splits a component into densely-linked
+    * families — on a dup graph, the template families inside one giant
+    * "everything shares some chunk" component. Labels start as the
+    * vertex's own id; each round, every vertex synchronously adopts the
+    * most frequent label among its NEIGHBORS (not itself), ties broken
+    * by the SMALLEST label — both rules fixed, so the result is
+    * bit-reproducible at any partitioning and HASH-GATEABLE (classic
+    * async/random-tie LPA is not). The fixed `iterations` count is the
+    * contract (synchronous LPA on bipartite-ish structures can
+    * 2-cycle, so "run to convergence" is not well-defined);
+    * neighborhood majorities stabilize small dense families in 2–3
+    * rounds.
+    *
+    * Per round: ONE keyed join (neighbor label lookup) + one
+    * (node, label) count + one per-node argmax — the argmax rides a
+    * single `max(struct(cnt, -label))` aggregate, no window, so the
+    * round is two map-combined shuffles on node id. `localCheckpoint`
+    * keeps O(1) rounds of lineage/storage, mirroring [[pageRank]].
+    * Requires non-negative integer vertex ids (the negation trick);
+    * fails loud otherwise.
+    *
+    * Output: (node, community) for every vertex with at least one
+    * edge; community = the adopted label after `iterations` rounds.
+    */
+  def labelPropagation(edges: DataFrame, uCol: String, vCol: String,
+                       iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val raw = edges
+      .select(col(uCol).cast("long").as("u"), col(vCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    val sym = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+    val nBadIds = sym.filter(col("u") < 0 || col("u").isNull)
+      .limit(1).count()
+    require(nBadIds == 0,
+      "labelPropagation requires non-negative non-null vertex ids " +
+        "(the deterministic tie-break negates labels)")
+    var labels = sym.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iterations) {
+      // each vertex u counts its neighbors' labels: join on the
+      // neighbor end, count per (u, label), then argmax by
+      // (count DESC, label ASC) via one struct-max aggregate
+      val next = sym
+        .join(labels.select(col("node").as("v"), col("label").as("nl")),
+              Seq("v"))
+        .groupBy(col("u"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("nl")).as("neg"))).as("best"))
+        .select(col("u").as("node"), (-col("best.neg")).as("label"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(labels)
+      labels = next
+      i += 1
+    }
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(sym)
+    labels.select(col("node"), col("label").as("community"))
+  }
 }

@@ -563,6 +563,30 @@ object CurationQueries {
       .orderBy(col("node"))
   }
 
+  /** q152 — label-propagation communities over the q104 dup graph
+    * ([[graft.operators.GraphOps.labelPropagation]]): community
+    * detection BELOW the connected-component grain — CC merges
+    * everything reachable through any shared chunk, LPA splits that
+    * into densely-linked template families. Synchronous rounds,
+    * most-frequent-neighbor label, min-label ties: deterministic, so
+    * the 3-iteration result is hash-gateable against the unrolled
+    * oracle.
+    */
+  def q152LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val ch = graft.operators.Chunking.contentDefinedChunks(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", modulus = 16)
+      .select(col("chunk_md5").as("h"), col("doc_id"))
+      .localCheckpoint()
+    val edges = ch.select(col("h"), col("doc_id").as("u"))
+      .join(ch.select(col("h"), col("doc_id").as("v")), Seq("h"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    graft.operators.GraphOps.labelPropagation(edges, "u", "v",
+                                              iterations = 3)
+      .orderBy(col("node"))
+  }
+
   /** q86 — rebalance to a target language mix (en 40%, others 15%):
     * the largest subset realizing the recipe, scale bound by the
     * scarcest language, per-language quotas filled in deterministic
@@ -891,7 +915,8 @@ object CurationQueries {
     "q104_dup_triangles"   -> (q104DupTriangles _),
     "q133_bigram_lm"       -> (q133BigramLm _),
     "q139_pair_lift"       -> (q139PairLift _),
-    "q143_clustering_coeff" -> (q143ClusteringCoeff _)
+    "q143_clustering_coeff" -> (q143ClusteringCoeff _),
+    "q152_label_prop"      -> (q152LabelProp _)
   )
 
   /** DuckDB mirror of [[graft.operators.ZOrder.spread32]]: the same five
@@ -1462,6 +1487,36 @@ object CurationQueries {
         |            // (degree * (degree - 1))
         |       ELSE 0 END AS BIGINT) AS coeff_e6
         |FROM deg d LEFT JOIN tc ON tc.node = d.node
-        |ORDER BY d.node""".stripMargin
+        |ORDER BY d.node""".stripMargin,
+    // q152: the q104 graph CTEs + three unrolled synchronous LPA
+    // rounds — most-frequent-neighbor label, min-label tie-break,
+    // exactly the operator's fixed rules.
+    "q152_label_prop" ->
+      s"""WITH $cdcChunksCte,
+        |e AS (
+        |  SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+        |  FROM ch x JOIN ch y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |l0 AS (SELECT u AS node, u AS label FROM sym GROUP BY u),
+        |c1 AS (SELECT s.u AS node, l.label, COUNT(*) AS c
+        |       FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.u AS node, l.label, COUNT(*) AS c
+        |       FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT s.u AS node, l.label, COUNT(*) AS c
+        |       FROM sym s JOIN l2 l ON l.node = s.v GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        |         FROM c3) WHERE rn = 1)
+        |SELECT node, CAST(label AS BIGINT) AS community
+        |FROM l3 ORDER BY node""".stripMargin
   )
 }

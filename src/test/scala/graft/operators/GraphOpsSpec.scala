@@ -297,4 +297,48 @@ class GraphOpsSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(run(edges).toSeq === run(edges.repartition(13)).toSeq)
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphOps.labelPropagation(edges.toDF("u", "v"), "u", "v", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: triangle plus pendant converges to min label") {
+    // hand-derived: l1 = (1->2, 2->1, 3->1, 4->3); l2 = all 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    assert(lpa(edges, 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    assert(lpa(edges, 2) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(lpa(edges, 3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("labelPropagation: bridged cliques split into two communities") {
+    // hand-derived 3-round trace: clique A keeps label 1, clique B
+    // settles on label 3 (the bridge dragged A's round-1 label across)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+                    (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val got = lpa(edges, 3)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                       10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
+  test("labelPropagation: deterministic min-label tie-break, " +
+       "partition-invariant") {
+    // path 1-2-3: node 2 sees labels {1, 3} tied -> adopts 1
+    assert(lpa(Seq((1L, 2L), (2L, 3L)), 1) ===
+           Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    val edges = (0L until 300L).map(i => (i % 60, (i * 13 + 7) % 60))
+    val df = edges.toDF("u", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      GraphOps.labelPropagation(d, "u", "v", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(run(df).toSeq === run(df.repartition(13)).toSeq)
+  }
+
+  test("labelPropagation: fails loud on negative ids or zero iterations") {
+    intercept[IllegalArgumentException] {
+      lpa(Seq((-1L, 2L)), 1)
+    }
+    intercept[IllegalArgumentException] {
+      lpa(Seq((1L, 2L)), 0)
+    }
+  }
 }
