@@ -1137,6 +1137,25 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q153 — robust per-category outlier summary
+    * ([[graft.operators.RobustStats.madOutlierSummary]]): median ±
+    * 3·MAD over order totals in cents, per priority class — the
+    * data-quality triage rule that mean/stddev cannot provide because
+    * outliers drag their own detector. Every statistic is a
+    * nearest-rank order statistic, so the summary is exact integer
+    * arithmetic, hash-gated.
+    */
+  def q153MadOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.madOutlierSummary(
+        Tables.orders(s, dir).select(
+          col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents")),
+        "o_orderpriority", "cents", k = 3)
+      .select(col("o_orderpriority"), col("n_rows"),
+              col("median").as("median_cents"), col("mad").as("mad_cents"),
+              col("n_outliers"))
+      .orderBy("o_orderpriority")
+
   /** q137 — LAST-TOUCH conversion attribution: every purchase event is
     * credited to the latest strictly-earlier non-purchase event by the
     * same user within a 7-day lookback, deterministic tie-break on
@@ -1347,6 +1366,7 @@ object AdvancedQueries {
     "q140_pagerank_weighted" -> (q140PagerankWeighted _),
     "q141_hits" -> (q141Hits _),
     "q147_ppr" -> (q147PersonalizedPagerank _),
+    "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
     "q137_attribution" -> (q137Attribution _),
@@ -1943,6 +1963,32 @@ object AdvancedQueries {
     "q140_pagerank_weighted" -> pagerankOracle(weighted = true),
     "q141_hits" -> hitsOracleSql,
     "q147_ppr" -> pprOracleSql,
+    // q153: medians/MAD as ROW_NUMBER rank selection with the same
+    // lower-middle rank rule, deviations and the 3*MAD cut re-derived.
+    "q153_mad_outliers" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS x
+        |           FROM orders),
+        |r AS (SELECT g, x,
+        |        ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |        COUNT(*) OVER (PARTITION BY g) AS n FROM v),
+        |med AS (SELECT g, x AS med, n FROM r
+        |        WHERE rn = (n - 1) // 2 + 1),
+        |dev AS (SELECT v.g, ABS(v.x - med.med) AS dev, med.med, med.n
+        |        FROM v JOIN med USING (g)),
+        |rd AS (SELECT g, dev, med, n,
+        |         ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev) AS rn
+        |       FROM dev),
+        |mad AS (SELECT g, dev AS mad FROM rd
+        |        WHERE rn = (n - 1) // 2 + 1)
+        |SELECT dev.g AS o_orderpriority,
+        |  CAST(MAX(dev.n) AS BIGINT) AS n_rows,
+        |  CAST(MAX(dev.med) AS BIGINT) AS median_cents,
+        |  CAST(MAX(mad.mad) AS BIGINT) AS mad_cents,
+        |  CAST(SUM(CASE WHEN dev.dev > mad.mad * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (g)
+        |GROUP BY dev.g ORDER BY o_orderpriority""".stripMargin,
     // q142: the q32 session CTE family extended with two leads and the
     // trigram count — sessionization, ordering tie-breaks, and the
     // deterministic top-25 cut are all re-derived.
