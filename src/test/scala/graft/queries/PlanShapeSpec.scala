@@ -385,4 +385,83 @@ class PlanShapeSpec extends SparkSpec {
            plan.contains("BroadcastHashJoin"),
       "the 1-row corpus count joins via broadcast")
   }
+
+  test("q148/q150: media feature extraction is a shuffle-free narrow " +
+       "pass — payload bytes never enter an exchange") {
+    import graft.operators.{Audio, Video}
+    val docs = graft.Tables.documents(spark, sf)
+    val audio = Audio.extractFeatures(spark, Audio.withPayload(spark, docs))
+      .toDF()
+    assert(!audio.queryExecution.executedPlan.toString.contains("Exchange"),
+      "audio decode + features must be one narrow pass")
+    val video = Video.frameFeatures(spark, Video.withPayload(spark, docs),
+                                    stride = 4)
+    assert(!video.queryExecution.executedPlan.toString.contains("Exchange"),
+      "video container walk + sampled decode must be one narrow pass")
+  }
+
+  test("q149/q151: media near-dup candidates come from keyed bucket " +
+       "joins — never a cross product over payloads") {
+    val p149 = finalPlan(PipelineQueries.q149AudioNeardup(spark, sf))
+    assert(!p149.contains("CartesianProduct") &&
+           !p149.contains("BroadcastNestedLoopJoin"),
+      "audio candidates must bucket on (n_samples, hash)")
+    val p151 = finalPlan(PipelineQueries.q151VideoNeardup(spark, sf))
+    assert(!p151.contains("CartesianProduct") &&
+           !p151.contains("BroadcastNestedLoopJoin"),
+      "video candidates must bucket on (n_frames, fingerprint)")
+  }
+
+  test("q152: each LPA round is keyed join + hash aggs — no window, " +
+       "no cross product") {
+    // localCheckpoint truncates lineage, so the FINAL plan is just a
+    // checkpoint scan — capture every executed plan (one per round's
+    // materialization) through a listener and assert across them all
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.synchronized {
+        plans += qe.executedPlan.toString
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    // the q152 INPUT (CDC chunk graph) legitimately windows per doc —
+    // scope the capture to the LPA operator itself on plain edges
+    import spark.implicits._
+    val edges = (0L until 400L).map(i => (i % 80, (i * 13 + 7) % 80))
+      .toDF("u", "v")
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.GraphOps.labelPropagation(edges, "u", "v", 3)
+        .collect()
+      // listener delivery is async; settle until the captured set stops
+      // growing (same discipline as Bench's metrics listener)
+      var prev = -1
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val cur = plans.synchronized(plans.size)
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val all = plans.synchronized(plans.mkString("\n"))
+    assert(!all.contains("Window"),
+      "the argmax must be a struct-max aggregate, not a window rank")
+    assert(!all.contains("CartesianProduct") &&
+           !all.contains("BroadcastNestedLoopJoin"),
+      "neighbor label lookup must stay keyed")
+    assert(all.contains("HashAggregate"), "count/argmax as hash aggs")
+  }
+
+  test("q153: the 1-row-per-group median/MAD sides broadcast — the " +
+       "value scan never sort-merges") {
+    val plan = finalPlan(AdvancedQueries.q153MadOutliers(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "median and MAD joins must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "no sort-merge against the tiny statistics sides")
+  }
 }
