@@ -490,6 +490,51 @@ object ScaleProbe {
       val cc = GraphOps.clusteringCoefficients(relC, "sup", "cust")
       println("  coef nodes: " + cc.count())
     }
+    // --- label propagation (q152 shape): same inflated trade graph;
+    // per round one keyed join + two hash aggs, so fixed-iteration
+    // time must grow linearly in edges.
+    time(s"lpa_${mult}x") {
+      // numeric ids (LPA's tie-break requires them): supplier and
+      // customer ranges kept disjoint, copies namespaced by multiplier
+      val rel = Tables.lineitem(spark, dir)
+        .select(col("l_suppkey"), col("l_orderkey"))
+        .join(Tables.orders(spark, dir)
+                .select(col("o_orderkey"), col("o_custkey")),
+              col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("sup"),
+                col("o_custkey").cast("long").as("cust"))
+        .distinct()
+      val relC = rel.crossJoin(copies)
+        .select((col("sup") * mult + col("copy")).as("u"),
+                (lit(100000000L) + col("cust") * mult + col("copy"))
+                  .as("v"))
+        .repartition(64)
+      println("  lpa nodes: " +
+        GraphOps.labelPropagation(relC, "u", "v", iterations = 3).count())
+    }
+    // --- audio near-dup (q149 shape): decode cost linear in payloads;
+    // candidates bucket on (n_samples, energy hash) — the dup family's
+    // per-base envelope keeps buckets selective, so candidate growth
+    // tracks true duplicate structure (blocks of 8 + base pairs), not
+    // n²/buckets.
+    time(s"audio_neardup_${mult}x") {
+      val ids = spark.range(5000L * mult).toDF("doc_id")
+      println("  audio near-dup pairs: " + graft.operators.Audio
+        .audioNearDupPairs(
+          spark, graft.operators.Audio.withDupPayload(spark, ids),
+          eadE6Max = 150000L).count())
+    }
+    // --- video near-dup (q151 shape): sampled-frame decode linear in
+    // payloads; candidates bucket on (n_frames, aHash64 fingerprint) —
+    // per-base contrast patterns keep fingerprints distinct across
+    // bases (64 patterns cycle mod 64), so candidates stay bucket-bound.
+    time(s"video_neardup_${mult}x") {
+      val ids = spark.range(5000L * mult).toDF("doc_id")
+      println("  video near-dup pairs: " + graft.operators.Video
+        .videoNearDupPairs(
+          spark, graft.operators.Video.withDupPayload(spark, ids),
+          stride = 4, vadE6Max = 8000000L).count())
+    }
     // --- image near-dup (q135 shape): decode cost is linear in images;
     // candidate pairs are bucket-bound by (w, h, hash4) — with the
     // fixture's 4-bit oracle-mirrorable hash the bucket count is FIXED,

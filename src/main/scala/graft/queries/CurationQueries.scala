@@ -134,6 +134,44 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q154 — the curation DECISION LAYER: q26's language-ID, q27's
+    * quality signals, and q60's duplicate-word fraction composed into
+    * one per-doc verdict with FIRST-FAILING-RULE precedence (non_en →
+    * too_short → repetitive → low_quality → keep) — the C4/CCNet-style
+    * gate an LLM pipeline actually executes, where rule ORDER is part
+    * of the contract (a non-English doc must report non_en even if it
+    * is also short). Signals are per-row expressions plus q60's one
+    * word-count aggregate; precedence is a single CASE chain in
+    * codegen.
+    */
+  def q154QualityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = TextFunctions.words(col("text"))
+    val scores = TextFunctions.LangStopwords.map { case (l, _) =>
+      l -> TextFunctions.langScore(w, l).cast("long")
+    }.toMap
+    val nChars = length(col("text")).cast("long")
+    val nWords = size(w).cast("long")
+    val stopE6 = floor(lit(1000000.0d) * scores("en") / nWords).cast("long")
+    val perDoc = docs.select(
+      col("doc_id"), TextFunctions.langPredict(scores).as("lang_pred"),
+      nWords.as("n_words"), stopE6.as("stop_e6"))
+    val dup = docs
+      .select(col("doc_id"), explode(w).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(floor(lit(1000000.0d) * (sum(col("cnt")) - count(lit(1)))
+             / sum(col("cnt"))).cast("long").as("dup_word_e6"))
+    perDoc.join(dup, "doc_id")
+      .select(col("doc_id"),
+        when(col("lang_pred") =!= "en", "non_en")
+          .when(col("n_words") < 20, "too_short")
+          .when(col("dup_word_e6") > 650000, "repetitive")
+          .when(col("stop_e6") < 40000, "low_quality")
+          .otherwise("keep").as("verdict"))
+      .orderBy("doc_id")
+  }
+
   /** q62 — token-budget mixing: per source, take docs in deterministic
     * md5 order until 1000 whitespace tokens; aggregate membership
     * fingerprints per source. See [[Sampling.tokenBudget]].
@@ -916,7 +954,8 @@ object CurationQueries {
     "q133_bigram_lm"       -> (q133BigramLm _),
     "q139_pair_lift"       -> (q139PairLift _),
     "q143_clustering_coeff" -> (q143ClusteringCoeff _),
-    "q152_label_prop"      -> (q152LabelProp _)
+    "q152_label_prop"      -> (q152LabelProp _),
+    "q154_quality_gate"    -> (q154QualityGate _)
   )
 
   /** DuckDB mirror of [[graft.operators.ZOrder.spread32]]: the same five
@@ -1517,6 +1556,39 @@ object CurationQueries {
         |           PARTITION BY node ORDER BY c DESC, label ASC) AS rn
         |         FROM c3) WHERE rn = 1)
         |SELECT node, CAST(label AS BIGINT) AS community
-        |FROM l3 ORDER BY node""".stripMargin
+        |FROM l3 ORDER BY node""".stripMargin,
+    // q154: the q26 language CTE + q27 signal arithmetic + q60
+    // duplicate-word CTE composed under the same CASE precedence.
+    "q154_quality_gate" ->
+      """WITH t AS (SELECT doc_id, text,
+        |             string_split(text, ' ') AS w FROM documents),
+        |sig AS (SELECT doc_id, len(w) AS n_words,
+        |  len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS s_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','zu'))) AS s_de,
+        |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+        |  len(list_filter(w, x -> x IN ('le','les','de','et','un','est','dans','que'))) AS s_fr
+        |  FROM t),
+        |lang AS (SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+        |  n_words,
+        |  CAST(floor(1000000.0 * s_en / n_words) AS BIGINT) AS stop_e6
+        |  FROM sig),
+        |wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM
+        |         (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |          FROM documents) GROUP BY 1, 2),
+        |dup AS (SELECT doc_id,
+        |  CAST(floor(1000000.0 * (SUM(cnt) - COUNT(*)) / SUM(cnt))
+        |    AS BIGINT) AS dup_word_e6
+        |  FROM wc GROUP BY doc_id)
+        |SELECT l.doc_id,
+        |  CASE WHEN lang_pred <> 'en' THEN 'non_en'
+        |       WHEN n_words < 20 THEN 'too_short'
+        |       WHEN dup_word_e6 > 650000 THEN 'repetitive'
+        |       WHEN stop_e6 < 40000 THEN 'low_quality'
+        |       ELSE 'keep' END AS verdict
+        |FROM lang l JOIN dup USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin
   )
 }
