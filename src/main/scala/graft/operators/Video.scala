@@ -93,19 +93,21 @@ object Video {
   /** Near-dup fixture family. Groups of 5 ids (g = id/5) are
     * byte-identical; group pairs (2b, 2b+1) share base b — same frame
     * count `(b%3+2)·4`, same 64-block CONTRAST PATTERN (block k is
-    * +150 bright iff `((b >> (k mod 6)) + k/6)` is odd — b's binary
-    * digits tiled with alternating inversion, so patterns are distinct
-    * across bases and [[Multimodal.aHash64]] buckets are selective) —
-    * with the odd group's gradient seed shifted: +1 for most bases (a
-    * close re-encode, KEPT) but +25 on every 5th base (a degraded
-    * copy: `|(c+25) mod 50 − c mod 50|` = 25 at every pixel, ~12×
-    * the near drift, DROPPED — and since the signed shift averages
-    * ~0 per block, the hash still matches, so the degraded pair
-    * SURFACES as a candidate and the verify threshold is a live
-    * cut). The strong ±150 block contrast is what the gradient-only
-    * family lacks: pattern bits dominate the aHash margin, so a
-    * 1-unit gradient drift cannot flip buckets. All pure arithmetic
-    * a SQL oracle re-derives.
+    * +150 bright iff bit k of the base's md5-derived 64-bit pattern
+    * word is set — full-entropy patterns, so bucket selectivity keeps
+    * scaling with the corpus; an earlier arithmetic pattern used only
+    * 6 bits of the base, cycled mod 64, and the 30× probe measured
+    * the resulting quadratic alias-pair growth) — with the odd
+    * group's gradient seed shifted: +1 for most bases (a close
+    * re-encode, KEPT) but +25 on every 5th base (a degraded copy:
+    * `|(c+25) mod 50 − c mod 50|` = 25 at every pixel, ~12× the near
+    * drift, DROPPED — and since the signed shift averages ~0 per
+    * block, the hash still matches, so the degraded pair SURFACES as
+    * a candidate and the verify threshold is a live cut). The strong
+    * ±150 block contrast is what the gradient-only family lacks:
+    * pattern bits dominate the aHash margin, so a 1-unit gradient
+    * drift cannot flip buckets. The md5 is the repo's portable-hash
+    * discipline — a SQL oracle re-derives it hex-digit for hex-digit.
     */
   def dupParamsFor(id: Long): (Long, Int, Long) = {
     val g = id / 5
@@ -114,21 +116,42 @@ object Video {
     (base, ((base % 3 + 2) * 4).toInt, base % 499 + shift)
   }
 
+  /** The base's 64-bit contrast pattern as two 32-bit words
+    * (lo = md5 hex digits 1-8, hi = digits 9-16 of the base's decimal
+    * string — the same `('0x' \|\| substr(md5(...), …))::BIGINT`
+    * parse the oracles use).
+    */
+  def dupPatternWords(base: Long): (Long, Long) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(base.toString.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16),
+     java.lang.Long.parseLong(hex.substring(8, 16), 16))
+  }
+
   /** Pixel (x, y) of dup-family frame f: block contrast + gradient. */
   def dupFramePixel(base: Long, seed: Long, f: Int, x: Int, y: Int): Int = {
     val blk = (y / 2) * 8 + x / 2
-    val pat = (((base >> (blk % 6)) + blk / 6) & 1L).toInt
+    val (lo, hi) = dupPatternWords(base)
+    val word = if (blk < 32) lo else hi
+    val pat = ((word >> (blk % 32)) & 1L).toInt
     150 * pat + ((seed + 11L * f + 7L * x + 13L * y) % 50).toInt
   }
 
-  /** Encode the dup-family fixture video for `id`. */
+  /** Encode the dup-family fixture video for `id` (pattern words
+    * hoisted: one md5 per video, not per pixel).
+    */
   def encodeDupVideo(id: Long): Array[Byte] = {
     val (base, nFrames, seed) = dupParamsFor(id)
-    val frames = (0 until nFrames).map { f =>
-      Multimodal.encodeCard(FrameW, FrameH,
-                            (x, y) => dupFramePixel(base, seed, f, x, y))
+    val (lo, hi) = dupPatternWords(base)
+    def pixel(f: Int)(x: Int, y: Int): Int = {
+      val blk = (y / 2) * 8 + x / 2
+      val pat = (((if (blk < 32) lo else hi) >> (blk % 32)) & 1L).toInt
+      150 * pat + ((seed + 11L * f + 7L * x + 13L * y) % 50).toInt
     }
-    packFrames(frames)
+    packFrames((0 until nFrames).map { f =>
+      Multimodal.encodeCard(FrameW, FrameH, pixel(f))
+    })
   }
 
   private def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {

@@ -1539,15 +1539,21 @@ object PipelineQueries {
         |d AS (SELECT doc_id, g // 2 AS base,
         |             ((g // 2) % 3 + 2) * 4 AS nf,
         |             (g // 2) % 499 + CASE WHEN g % 2 = 0 THEN 0
-        |                  WHEN (g // 2) % 5 = 0 THEN 25 ELSE 1 END AS seed
+        |                  WHEN (g // 2) % 5 = 0 THEN 25 ELSE 1 END AS seed,
+        |             ('0x' || substr(md5(CAST(g // 2 AS VARCHAR)), 1, 8))
+        |               ::BIGINT AS plo,
+        |             ('0x' || substr(md5(CAST(g // 2 AS VARCHAR)), 9, 8))
+        |               ::BIGINT AS phi
         |      FROM d0),
-        |fr AS (SELECT doc_id, base, nf, seed, f.uf AS f
+        |fr AS (SELECT doc_id, base, nf, seed, plo, phi, f.uf AS f
         |       FROM d, unnest(generate_series(0, nf - 1)) AS f(uf)
         |       WHERE f.uf % 4 = 0),
         |px AS (SELECT doc_id, nf, f, x.ux AS x, y.uy AS y,
         |              (y.uy // 2) * 8 + x.ux // 2 AS blk,
-        |              150 * (((base >> (((y.uy // 2) * 8 + x.ux // 2) % 6))
-        |                      + ((y.uy // 2) * 8 + x.ux // 2) // 6) & 1)
+        |              150 * ((CASE WHEN (y.uy // 2) * 8 + x.ux // 2 < 32
+        |                      THEN plo ELSE phi END
+        |                      >> (((y.uy // 2) * 8 + x.ux // 2) % 32))
+        |                     & 1)
         |              + (seed + 11 * f + 7 * x.ux + 13 * y.uy) % 50 AS v
         |       FROM fr, unnest(generate_series(0, 15)) AS x(ux),
         |                unnest(generate_series(0, 15)) AS y(uy)),
