@@ -416,6 +416,31 @@ object PipelineQueries {
         stride = 4, vadE6Max = 8000000L)
       .orderBy("doc_a", "doc_b")
 
+  /** q155 — corpus n-gram NOVELTY: per doc, the fraction of its
+    * distinct 3-word shingles that occur in NO other document
+    * (corpus document-frequency 1), floor-scaled e6. The inverse-df
+    * boilerplate signal: template-heavy docs score low, original
+    * prose scores high — the corpus-level complement to q60's
+    * within-doc repetition. Shape: one shingle explode + two
+    * map-combined hash aggs + one keyed join on the shingle (the
+    * TF-IDF df shape); docs with fewer than 3 words have no shingles
+    * and are excluded by definition.
+    */
+  def q155NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+              floor(lit(1000000.0d) * col("n_unique") / col("n_shingles"))
+                .cast("long").as("novelty_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs (sim ≥ 0.4), exact baseline. */
   def q31EmbedNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
@@ -652,6 +677,7 @@ object PipelineQueries {
     "q149_audio_neardup"   -> (q149AudioNeardup _),
     "q150_video_frames"    -> (q150VideoFrames _),
     "q151_video_neardup"   -> (q151VideoNeardup _),
+    "q155_ngram_novelty"   -> (q155NgramNovelty _),
     "q146_bm25"            -> (q146Bm25 _),
     "q138_span_trim"       -> (q138SpanTrim _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
@@ -1509,6 +1535,18 @@ object PipelineQueries {
         |SELECT doc_a, doc_b, CAST((1000000 * ead) // n AS BIGINT) AS ead_e6
         |FROM diff WHERE (1000000 * ead) // n <= 150000
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q155: the q22 shingle-set CTEs + a corpus df aggregate under the
+    // same floor scaling.
+    "q155_ngram_novelty" ->
+      s"""WITH $shingleSetsCte,
+        |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  CAST(floor(1000000.0 * SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+        |    / COUNT(*)) AS BIGINT) AS novelty_e6
+        |FROM sh JOIN df USING (shingle)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
     // q150: the oracle re-derives the gradient-card arithmetic for
     // exactly the stride-4 sampled frame indices — the Spark side must
     // produce the same sums from ACTUAL container walking + ImageIO
