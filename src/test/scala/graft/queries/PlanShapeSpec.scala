@@ -464,4 +464,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "no sort-merge against the tiny statistics sides")
   }
+
+  test("q154: the verdict CASE chain stays in codegen, the per-row " +
+       "signal side broadcasts, and the word agg keeps map-side partials") {
+    val plan = finalPlan(CurationQueries.q154QualityGate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-row signals join the word agg via broadcast, not sort-merge")
+    assert(!plan.contains("SortMergeJoin"))
+    assert(plan.contains("partial_sum"),
+      "dup-word counts must combine map-side before the doc_id shuffle")
+    assert(!plan.contains("Window"),
+      "the gate is CASE precedence — no window operator anywhere")
+    assert(plan.contains("CASE WHEN"),
+      "verdict precedence must be one codegen CASE chain, not a join")
+  }
+
+  test("q155: df side prunes to text-only scan; both aggs keep " +
+       "map-side partials; no window") {
+    val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
+    assert(plan.contains("partial_count"),
+      "shingle df and per-doc counts must map-combine")
+    assert(!plan.contains("Window"), "pure hash aggs — no window")
+    assert(plan.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("struct<text:string>")),
+      "the corpus-df branch must prune doc_id from its scan")
+  }
 }
