@@ -23,13 +23,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
-    * long nanoseconds. Normalize to a micros timestamp with integer DIV
-    * (double division would lose precision above 2^53 ns).
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (arriving as long
+    * nanoseconds under nanosAsLong) and as TIMESTAMP(MICROS) (arriving as
+    * timestamp / timestamp_ntz). Branch on the arriving type so both
+    * generations of the testdata read to the same TimestampType column:
+    * long nanos normalize via integer DIV (double division would lose
+    * precision above 2^53 ns); NTZ casts 1:1 under the UTC session TZ.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
