@@ -609,4 +609,119 @@ object GraphOps {
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(sym)
     labels.select(col("node"), col("label").as("community"))
   }
+
+  /** k-CORE: the maximal subgraph where every vertex keeps degree ≥ k,
+    * found by Matula–Beck peeling — repeatedly delete vertices whose
+    * CURRENT degree (in the surviving subgraph) is below k until none
+    * remain. On a near-dup candidate graph this separates the dense
+    * duplicate families (which survive high k) from the threshold-noise
+    * fringe the pair generator attaches to them.
+    *
+    * Per round: one degree aggregate over surviving edges + two
+    * semi-joins to drop edges touching peeled vertices — all keyed
+    * shuffles, fully distributed, no per-vertex driver state.
+    * `localCheckpoint` keeps plan size and storage O(1) in rounds.
+    * Termination is exact: the surviving-vertex count is a strictly
+    * decreasing integer witness; unchanged count ⟺ fixpoint. Peeling
+    * removes ≥ 1 vertex per non-final round, but in practice cascades
+    * settle in a handful of rounds; if `maxRounds` is hit while still
+    * peeling this THROWS rather than returning a too-large "core".
+    *
+    * Output: (node, core_degree) — survivors with their degree inside
+    * the k-core (≥ k by construction). Multi-edges count once (the
+    * input is distinct-ed); self-loops are dropped.
+    * Returns (result, rounds) — rounds is the ScaleProbe diagnostic.
+    */
+  def kCoreWithStats(edges: DataFrame, uCol: String, vCol: String,
+                     k: Int, maxRounds: Int = 50): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val raw = edges
+      .select(col(uCol).as("u"), col(vCol).as("v"))
+      .filter(col("u") =!= col("v"))
+    var sym = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint()
+
+    def survivorCount(e: DataFrame): Long =
+      e.select(col("u")).distinct().count()
+
+    var prev = survivorCount(sym)
+    var rounds = 0
+    var converged = prev == 0L
+    while (!converged && rounds < maxRounds) {
+      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("u").as("__keep"))
+      val next = sym
+        .join(keep, sym("u") === col("__keep"), "left_semi")
+        .join(keep.select(col("__keep").as("__keepv")),
+              sym("v") === col("__keepv"), "left_semi")
+        .localCheckpoint()
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(sym)
+      sym = next
+      val n = survivorCount(sym)
+      converged = n == prev || n == 0L
+      prev = n
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kCore still peeling after $maxRounds rounds — raise maxRounds " +
+        "(each round removes at least one vertex, so rounds are bounded " +
+        "by the peel-cascade depth)")
+    val out = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("core_degree"))
+    (out, rounds)
+  }
+
+  /** [[kCoreWithStats]] without the round count. */
+  def kCore(edges: DataFrame, uCol: String, vCol: String,
+            k: Int, maxRounds: Int = 50): DataFrame =
+    kCoreWithStats(edges, uCol, vCol, k, maxRounds)._1
+
+  /** Multi-source BFS: minimum hop distance from any seed vertex,
+    * computed over exactly `maxHops` frontier-relaxation rounds. The
+    * round count is part of the SEMANTICS (dist > maxHops ⇒ vertex
+    * absent), which makes the whole computation reproducible by a SQL
+    * oracle as `maxHops` unrolled CTEs — no convergence test, no float,
+    * no nondeterminism: dist(v) after round i is exactly
+    * min(dist_{i-1}(v), 1 + min over in-neighbors' dist_{i-1}).
+    * Callers wanting "full" BFS pass maxHops ≥ graph diameter; extra
+    * rounds are exact no-ops.
+    *
+    * The per-round cost is one keyed join (edges ⋈ current labels) +
+    * one min-aggregate — the textbook distributed BFS relaxation; the
+    * frontier never materializes on the driver. Distances are exact
+    * integers. Edges are treated as DIRECTED (symmetrize upstream for
+    * undirected reachability).
+    *
+    * Output: (node, dist) for every vertex with dist ≤ maxHops,
+    * including the seeds at dist 0. Seeds not present in the edge set
+    * still appear (dist 0) — reachability is from the seed SET.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    var i = 0
+    while (i < maxHops) {
+      val relaxed = e
+        .join(dist.select(col("node").as("src"), col("dist").as("__sd")),
+              Seq("src"))
+        .select(col("dst").as("node"), (col("__sd") + 1L).as("dist"))
+      val next = dist.union(relaxed)
+        .groupBy(col("node"))
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(dist)
+      dist = next
+      i += 1
+    }
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
+    dist
+  }
 }

@@ -23,6 +23,15 @@ object AdvancedQueries {
   /** Session gap threshold: 6 hours, in microseconds. */
   private val SessionGapUs = 21600000000L
 
+  /** q156 k-core threshold and peel-round budget (oracle unrolls the
+    * same count; Spark throws if the fixpoint needs more). */
+  private val KCoreK = 25
+  private val KCoreRounds = 12
+
+  /** q157 BFS hop cap — part of the query semantics (dist > cap ⇒
+    * node absent), so oracle and operator share it. */
+  private val BfsMaxHops = 4
+
   /** §2.10-adjacent: sessionization over the event stream. Events are
     * grouped per user into sessions split at gaps > 6h, then rolled up to
     * per-user session stats. The windows shuffle ONCE on user_id; the gap
@@ -1057,6 +1066,53 @@ object AdvancedQueries {
       .limit(100)
   }
 
+  /** q156 — k-CORE of the part↔supplier sourcing graph
+    * ([[GraphOps.kCore]], k = [[KCoreK]]): peel away thinly-sourced
+    * parts/suppliers until everyone left has ≥ k surviving partners —
+    * the dense procurement core that stays robust when fringe
+    * relations churn (on a dup graph: the dense duplicate families).
+    * Peeling runs to its exact fixpoint (maxRounds = [[KCoreRounds]],
+    * throws beyond); the oracle unrolls the same number of peel
+    * rounds as CTEs — extra rounds past the fixpoint are no-ops, so
+    * both sides compute the identical core and per-node core degree.
+    */
+  def q156KCore(s: SparkSession, dir: String): DataFrame = {
+    val rel = Tables.lineitem(s, dir)
+      .select(concat(lit("p"), col("l_partkey")).as("u"),
+              concat(lit("s"), col("l_suppkey")).as("v"))
+      .distinct()
+    GraphOps.kCore(rel, "u", "v", k = KCoreK, maxRounds = KCoreRounds)
+      .orderBy(col("node"))
+  }
+
+  /** q157 — multi-source BFS over the supplier↔customer trade graph
+    * ([[GraphOps.bfsHops]]): minimum hop distance from the seed set
+    * {suppliers 1–5} within [[BfsMaxHops]] hops — the contamination
+    * blast-radius query (seed the known-bad nodes, grade everything
+    * by proximity). Hop counts are exact integers and the hop cap is
+    * part of the semantics, so the oracle re-runs the identical
+    * relaxation as [[BfsMaxHops]] unrolled CTEs — reachability,
+    * distance, and frontier membership all hash-gated.
+    */
+  def q157BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val rel = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"))
+      .join(Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("sup"),
+              concat(lit("c"), col("o_custkey")).as("cust"))
+      .distinct()
+    val edges = rel.select(col("sup").as("src"), col("cust").as("dst"))
+      .union(rel.select(col("cust").as("src"), col("sup").as("dst")))
+    val seeds = Tables.supplier(s, dir)
+      .filter(col("s_suppkey") <= 5)
+      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+    GraphOps.bfsHops(edges, "src", "dst", seeds, "node",
+                     maxHops = BfsMaxHops)
+      .orderBy(col("node"))
+  }
+
   /** q142 — session PATH mining: the top-25 event-type trigrams taken
     * by users WITHIN a session (6h-gap sessionization, the q32 family),
     * deterministic (count desc, path) cut — the "what do people
@@ -1274,6 +1330,63 @@ object AdvancedQueries {
        |ORDER BY r DESC, node LIMIT 100""".stripMargin
   }
 
+  /** q156 oracle: [[GraphOps.kCore]]'s peel unrolled — round CTE i
+    * keeps the edges whose BOTH endpoint degrees among round-(i−1)
+    * surviving edges are ≥ k (vertex-peel expressed on the symmetric
+    * edge set). Each round reads its predecessor exactly ONCE, via
+    * window degrees — a self-join form would reference it 2–3×, and
+    * a CTE-inlining engine re-executes the chain per reference:
+    * exponential in the round count (the q141 lesson). [[KCoreRounds]]
+    * rounds are generated (the operator throws if its fixpoint needs
+    * more); rounds past the fixpoint are no-ops, so both sides yield
+    * the identical core and per-node core degree.
+    */
+  private val kcoreOracleSql: String = {
+    def roundCte(i: Int): String =
+      s"""e$i AS (
+         |  SELECT u, v FROM (
+         |    SELECT u, v,
+         |      COUNT(*) OVER (PARTITION BY u) AS du,
+         |      COUNT(*) OVER (PARTITION BY v) AS dv
+         |    FROM e${i - 1})
+         |  WHERE du >= $KCoreK AND dv >= $KCoreK)""".stripMargin
+    s"""WITH rel AS (
+       |  SELECT DISTINCT 'p' || l_partkey AS pu, 's' || l_suppkey AS sv
+       |  FROM lineitem),
+       |e0 AS (SELECT pu AS u, sv AS v FROM rel
+       |       UNION ALL SELECT sv, pu FROM rel),
+       |${(1 to KCoreRounds).map(roundCte).mkString(",\n")}
+       |SELECT u AS node, COUNT(*) AS core_degree FROM e$KCoreRounds
+       |GROUP BY u ORDER BY node""".stripMargin
+  }
+
+  /** q157 oracle: [[GraphOps.bfsHops]]'s relaxation unrolled — round
+    * CTE i takes the min of the previous labels and
+    * (in-neighbor label + 1), exactly [[BfsMaxHops]] times. The hop
+    * cap is the semantics, so no convergence reasoning is needed:
+    * both sides compute the same bounded-depth distance map.
+    */
+  private val bfsOracleSql: String = {
+    def roundCte(i: Int): String =
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst, d.dist + 1 FROM e
+         |    JOIN d${i - 1} d ON e.src = d.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH rel AS (
+       |  SELECT DISTINCT 's' || l_suppkey AS sup, 'c' || o_custkey AS cust
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT sup AS src, cust AS dst FROM rel
+       |      UNION ALL SELECT cust, sup FROM rel),
+       |d0 AS (SELECT DISTINCT 's' || s_suppkey AS node, 0 AS dist
+       |       FROM supplier WHERE s_suppkey <= 5),
+       |${(1 to BfsMaxHops).map(roundCte).mkString(",\n")}
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$BfsMaxHops
+       |ORDER BY node""".stripMargin
+  }
+
   /** q141 oracle: [[GraphOps.hits]] unrolled — per iteration an
     * authority half-step and a hub half-step, each followed by the
     * integer max-normalization. The max is a WINDOW aggregate
@@ -1366,6 +1479,8 @@ object AdvancedQueries {
     "q140_pagerank_weighted" -> (q140PagerankWeighted _),
     "q141_hits" -> (q141Hits _),
     "q147_ppr" -> (q147PersonalizedPagerank _),
+    "q156_kcore" -> (q156KCore _),
+    "q157_bfs_hops" -> (q157BfsHops _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
@@ -1963,6 +2078,8 @@ object AdvancedQueries {
     "q140_pagerank_weighted" -> pagerankOracle(weighted = true),
     "q141_hits" -> hitsOracleSql,
     "q147_ppr" -> pprOracleSql,
+    "q156_kcore" -> kcoreOracleSql,
+    "q157_bfs_hops" -> bfsOracleSql,
     // q153: medians/MAD as ROW_NUMBER rank selection with the same
     // lower-middle rank rule, deviations and the 3*MAD cut re-derived.
     "q153_mad_outliers" ->

@@ -341,4 +341,59 @@ class GraphOpsSpec extends SparkSpec {
       lpa(Seq((1L, 2L)), 0)
     }
   }
+
+  test("kCore peels the fringe and keeps the dense core with degrees") {
+    // K4 on {1,2,3,4} plus a pendant path 4-5-6: 2-core = the K4
+    // (peeling 6 drops 5's degree to 1, cascading 5 out, then 4 keeps
+    // degree 3 inside the clique)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)
+    ).toDF("a", "b")
+    val (out, rounds) = GraphOps.kCoreWithStats(edges, "a", "b", k = 2)
+    val m = out.as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(rounds >= 2, s"pendant path must cascade over 2+ rounds: $rounds")
+  }
+
+  test("kCore: whole graph below k peels to empty; at k it survives") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("a", "b")
+    assert(GraphOps.kCore(tri, "a", "b", k = 3).isEmpty)
+    assert(GraphOps.kCore(tri, "a", "b", k = 2).count() === 3L)
+  }
+
+  test("kCore is partitioning-invariant and ignores self-loops/dups") {
+    val edges = (Seq((7L, 7L), (1L, 2L), (2L, 1L)) ++
+      (0L until 200L).map(i => (i % 20, (i * 7 + 3) % 20))).toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      GraphOps.kCore(d, "a", "b", k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val base = GraphOps.kCore(edges, "a", "b", k = 4)
+    assert(base.filter("node = 7").isEmpty) // self-loop contributes nothing
+    assert(run(edges).toSeq === run(edges.repartition(13)).toSeq)
+  }
+
+  test("bfsHops: min hop distance from the seed set, capped at maxHops") {
+    // directed path 1->2->3->4->5 plus shortcut 1->4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("s", "d")
+    val seeds = Seq(1L).toDF("node")
+    val out = GraphOps.bfsHops(edges, "s", "d", seeds, "node", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    // dist(4) = 1 via the shortcut, dist(5) = 2; 3 is at hop 2 as well
+    assert(out === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // hop cap 1 excludes the 2-hop frontier entirely
+    val capped = GraphOps.bfsHops(edges, "s", "d", seeds, "node", maxHops = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("bfsHops: multi-source takes the nearest seed; isolated seed kept") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 3L)).toDF("s", "d")
+    val seeds = Seq(1L, 10L, 99L).toDF("node")
+    val out = GraphOps.bfsHops(edges, "s", "d", seeds, "node", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 10L -> 0L, 99L -> 0L,
+                       2L -> 1L, 3L -> 1L))
+  }
 }
