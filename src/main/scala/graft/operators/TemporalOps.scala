@@ -202,4 +202,49 @@ object TemporalOps {
       .filter(col("__is_right") === 0)
       .select((leftCols.map(col) :+ col(rightTime)): _*)
   }
+
+  /** SCD TYPE-2 dimension build from a change log: collapse each key's
+    * observation stream to its attribute CHANGE POINTS and emit one
+    * validity interval per run — (key, attr, valid_from_us, valid_to_us,
+    * is_current), half-open [from, to), current rows open-ended (null
+    * `valid_to_us`, is_current 1). The warehouse history table every
+    * BI layer joins dimensions against, built as a query instead of a
+    * mutation log.
+    *
+    * Order within a key is (ts, tieCol) — the tie column makes runs
+    * deterministic when several observations share a timestamp. Times
+    * are compared and emitted as exact integer microseconds,
+    * engine-portable. Attribute comparison is null-safe (a null attr
+    * is a value, and a run of nulls is one interval).
+    *
+    * Cost: ONE shuffle on the key — both windows (lag to find change
+    * points, lead to close intervals) share the same partitioning, so
+    * Catalyst plans a single Exchange; nothing touches the driver.
+    * At 100 TB the change log shuffles once by key, which is the
+    * floor for any per-key history computation.
+    */
+  def scd2(log: DataFrame, keyCol: String, attrCol: String,
+           tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(tieCol))
+    val marked = log
+      .select(col(keyCol), col(attrCol),
+              unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+              col(tieCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // a run BOUNDARY: first observation, or attribute differs from
+      // the previous one — null-safely, so lag's "no previous row" null
+      // can't be confused with a genuinely-null previous attribute
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
+    val w2 = Window.partitionBy(col(keyCol))
+      .orderBy(col("__us"), col(tieCol))
+    marked
+      .withColumn("valid_to_us", lead(col("__us"), 1).over(w2))
+      .select(col(keyCol), col(attrCol),
+              col("__us").as("valid_from_us"),
+              col("valid_to_us"),
+              when(col("valid_to_us").isNull, lit(1))
+                .otherwise(lit(0)).as("is_current"))
+  }
 }

@@ -1085,6 +1085,23 @@ object AdvancedQueries {
       .orderBy(col("node"))
   }
 
+  /** q158 — SCD TYPE-2 dimension build ([[TemporalOps.scd2]]): each
+    * user's event-type stream collapses to validity intervals — one
+    * row per attribute run, half-open [from, to) in exact integer
+    * microseconds, the current run open-ended. The standard warehouse
+    * history-dimension build (track a customer's segment/tier over
+    * time) expressed as ONE keyed shuffle + two same-partition
+    * windows; the oracle replays the identical lag/lead arithmetic.
+    */
+  def q158Scd2(s: SparkSession, dir: String): DataFrame = {
+    TemporalOps.scd2(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"),
+                col("event_id")),
+      "user_id", "event_type", "ts", "event_id")
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
   /** q157 — multi-source BFS over the supplier↔customer trade graph
     * ([[GraphOps.bfsHops]]): minimum hop distance from the seed set
     * {suppliers 1–5} within [[BfsMaxHops]] hops — the contamination
@@ -1481,6 +1498,7 @@ object AdvancedQueries {
     "q147_ppr" -> (q147PersonalizedPagerank _),
     "q156_kcore" -> (q156KCore _),
     "q157_bfs_hops" -> (q157BfsHops _),
+    "q158_scd2" -> (q158Scd2 _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
@@ -2080,6 +2098,24 @@ object AdvancedQueries {
     "q147_ppr" -> pprOracleSql,
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
+    "q158_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_type, us, event_id,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |c AS (SELECT * FROM m
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, us AS valid_from_us,
+        |  lead(us) OVER w2 AS valid_to_us,
+        |  CASE WHEN lead(us) OVER w2 IS NULL THEN 1 ELSE 0 END
+        |    AS is_current
+        |FROM c
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY user_id, valid_from_us""".stripMargin,
     // q153: medians/MAD as ROW_NUMBER rank selection with the same
     // lower-middle rank rule, deviations and the 3*MAD cut re-derived.
     "q153_mad_outliers" ->

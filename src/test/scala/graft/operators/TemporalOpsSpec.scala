@@ -172,4 +172,41 @@ class TemporalOpsSpec extends SparkSpec {
       TemporalOps.intervalOverlapJoin(a, "s", "e", a, "s", "e", 10)
     }
   }
+
+  test("scd2 collapses runs to half-open intervals with a current row") {
+    val log = Seq(
+      (1L, "bronze", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "bronze", ts("2024-01-02 00:00:00"), 2L), // same run
+      (1L, "silver", ts("2024-01-03 00:00:00"), 3L),
+      (1L, "bronze", ts("2024-01-04 00:00:00"), 4L), // value can recur
+      (2L, "gold",   ts("2024-01-01 00:00:00"), 5L)
+    ).toDF("k", "tier", "t", "id")
+    val out = TemporalOps.scd2(log, "k", "tier", "t", "id")
+      .orderBy("k", "valid_from_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+                 if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))
+    def us(s: String) = ts(s).getTime * 1000L
+    assert(out.toSeq === Seq(
+      (1L, "bronze", us("2024-01-01 00:00:00"), us("2024-01-03 00:00:00"), 0),
+      (1L, "silver", us("2024-01-03 00:00:00"), us("2024-01-04 00:00:00"), 0),
+      (1L, "bronze", us("2024-01-04 00:00:00"), -1L, 1),
+      (2L, "gold",   us("2024-01-01 00:00:00"), -1L, 1)))
+  }
+
+  test("scd2: ties break on the tie column; null attrs form runs") {
+    val log = Seq(
+      (1L, Option("a"), ts("2024-01-01 00:00:00"), 2L),
+      (1L, Option("b"), ts("2024-01-01 00:00:00"), 1L), // earlier tie
+      (1L, None,        ts("2024-01-02 00:00:00"), 3L),
+      (1L, None,        ts("2024-01-03 00:00:00"), 4L)  // same null run
+    ).toDF("k", "attr", "t", "id")
+    // b's interval is zero-length [t1, t1) — it closes at tied-instant
+    // t1 when a (larger tie) takes over; sort from/to puts it first
+    val out = TemporalOps.scd2(log, "k", "attr", "t", "id")
+      .orderBy(col("valid_from_us"), col("valid_to_us").asc_nulls_last)
+      .collect()
+      .map(r => (Option(r.getString(1)), r.getInt(4)))
+    assert(out.toSeq === Seq((Some("b"), 0), (Some("a"), 0), (None, 1)))
+  }
 }

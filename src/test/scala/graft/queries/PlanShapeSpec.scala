@@ -332,6 +332,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), "window functions must plan as Window")
   }
 
+  test("q158: SCD2 runs on ONE user_id exchange — lag, row filter, and " +
+       "lead all share the key partitioning") {
+    val plan = finalPlan(AdvancedQueries.queries("q158_scd2")(spark, sf))
+    val n = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1,
+      s"both scd2 windows must reuse one exchange, found $n:\n$plan")
+  }
+
   test("semantic Top-N query respects the filter context in the rank") {
     val plan = finalPlan(SemanticQueries.q19SemanticTopN(spark, sf))
     assert(plan.contains("LeftSemi"))
