@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Audio, Dedup, Membership, Multimodal, Similarity, Video}
+import graft.operators.{Audio, Classification, Dedup, Membership, Multimodal, Similarity, Video}
 
 /** Training-data pipeline pack over `documents` / `embeddings`:
   * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -157,6 +157,37 @@ object PipelineQueries {
         Seq("key agg row", "batch window spark", "data query small",
             "zebra unicorn"), k = 5)
       .orderBy("query", "rnk")
+
+  /** q159 — nearest-centroid label transfer
+    * ([[graft.operators.Classification]]): train per-language term
+    * centroids on the doc_id % 5 ≠ 0 slice, predict the held-out
+    * slice, report prediction vs truth per doc. The
+    * small-labeled-slice → whole-corpus tagging pass, in exact
+    * integers end to end: centroid weights are floor-scaled rationals
+    * and scores are long dot products, so the oracle re-derives every
+    * weight and the argmax tie-break — one drifted division flips a
+    * prediction and fails the hash.
+    */
+  def q159CentroidClassify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"), col("lang"),
+                            explode(split(col("text"), " ")).as("term"))
+    val model = Classification.trainCentroids(
+      words.filter(col("doc_id") % 5 =!= 0).select(col("lang"), col("term")),
+      "lang", "term")
+    Classification.predictNearestCentroid(
+        words.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), col("term")),
+        "doc_id", "term", model)
+      .join(docs.select(col("doc_id").as("id"),
+                        col("lang").as("true_lang")), Seq("id"))
+      .select(col("id").as("doc_id"),
+              col("pred_label").as("pred_lang"),
+              col("score_e6"), col("true_lang"),
+              when(col("pred_label") === col("true_lang"), 1)
+                .otherwise(0).as("correct"))
+      .orderBy("doc_id")
+  }
 
   /** q93 — ANN index quality report: recall@3 of the LSH index (q25's
     * exact configuration) against the exact top-3 (q24's sweep), per
@@ -679,6 +710,7 @@ object PipelineQueries {
     "q151_video_neardup"   -> (q151VideoNeardup _),
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
     "q146_bm25"            -> (q146Bm25 _),
+    "q159_centroid_classify" -> (q159CentroidClassify _),
     "q138_span_trim"       -> (q138SpanTrim _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
@@ -1111,6 +1143,30 @@ object PipelineQueries {
     // q146: tf/dl/df/N/L and every BM25 floor division re-derived; the
     // row_number (score DESC, doc_id) window mirrors the TopKByValue
     // tie rule. Queries expand to (query, term) VALUES rows.
+    "q159_centroid_classify" ->
+      """WITH words AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tr AS (SELECT lang AS label, term FROM words WHERE doc_id % 5 <> 0),
+        |ctf AS (SELECT label, term, COUNT(*) AS ctf FROM tr GROUP BY 1, 2),
+        |clen AS (SELECT label, COUNT(*) AS clen FROM tr GROUP BY 1),
+        |model AS (
+        |  SELECT label, term, (ctf * 1000000) // clen AS w
+        |  FROM ctf JOIN clen USING (label)),
+        |te AS (SELECT doc_id, term, COUNT(*) AS tf FROM words
+        |       WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT te.doc_id, m.label, SUM(te.tf * m.w) AS score_e6
+        |  FROM te JOIN model m USING (term) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, label, score_e6, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_e6 DESC, label ASC) AS rn
+        |  FROM scored)
+        |SELECT b.doc_id, b.label AS pred_lang,
+        |  CAST(b.score_e6 AS BIGINT) AS score_e6, d.lang AS true_lang,
+        |  CASE WHEN b.label = d.lang THEN 1 ELSE 0 END AS correct
+        |FROM best b JOIN documents d ON b.doc_id = d.doc_id
+        |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin,
     "q146_bm25" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
