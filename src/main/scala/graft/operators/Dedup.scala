@@ -170,6 +170,88 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
   }
 
+  /** DIRECTIONAL CONTAINMENT pairs: C(a→b) = |A∩B| / |A| ≥ num/den,
+    * a ≠ b — the doc-inside-doc detector Jaccard structurally misses
+    * (a paragraph quoted whole inside a 10× larger page has high
+    * containment but low Jaccard; C4-style pipelines drop the
+    * contained copy, not both). Asymmetric by design: (a,b) and (b,a)
+    * are independent verdicts.
+    *
+    * Prefix filtering adapts to the asymmetry: C ≥ t forces
+    * |A∩B| ≥ ⌈t·|A|⌉, so only A's ⌈(1−t)·|A|⌉+1-token PREFIX (by
+    * ascending global df, rarest first) probes the index — but the
+    * match can sit anywhere in B, so B indexes ALL its tokens (with
+    * their ranks, for the positional bound). Candidate volume stays
+    * bucket-bound for the same reason as [[ppjoinPairs]]: prefix
+    * tokens are globally rare, so BOTH posting lists at a colliding
+    * token are short. Pruning before verification:
+    *  - length: |B| ≥ ⌈t·|A|⌉ (the overlap can't exceed |B|);
+    *  - positional: a collision at ranks (i, j) bounds the overlap by
+    *    min(i−1, j−1) + 1 + min(|A|−i, |B|−j); the pair survives only
+    *    if its tightest bound still reaches ⌈t·|A|⌉.
+    * Survivors verify exactly (one array_intersect per pair). All
+    * integer arithmetic — `den·inter ≥ num·szA` — so a SQL oracle
+    * gates the filters' soundness: a missed pair is a hash mismatch.
+    *
+    * Output: (doc_a, doc_b, inter_cnt, sz_a, sz_b) where doc_a is the
+    * contained side.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, num: Int, den: Int): DataFrame = {
+    require(num >= 1 && den >= num, s"need 0 < num/den <= 1: $num/$den")
+    val sets = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"),
+              TextFunctions.shingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val post = sets.select(col("doc_id"), col("sz"),
+                             explode(col("sh")).as("shingle"))
+      val dfreq = post.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("shingle"))
+      val ranked = post.join(dfreq, Seq("shingle"))
+        .withColumn("rk", row_number().over(rk).cast("long"))
+      // ceil(t·sz) in integers; A probes with rank ≤ sz − c + 1
+      val c = floor((col("sz") * num + (den - 1)) / lit(den)).cast("long")
+      val prefixA = ranked
+        .filter(col("rk") <= col("sz") - c + 1)
+        .select(col("shingle"), col("doc_id").as("doc_a"),
+                col("rk").as("rk_a"), col("sz").as("sz_a"))
+      val fullB = ranked
+        .select(col("shingle"), col("doc_id").as("doc_b"),
+                col("rk").as("rk_b"), col("sz").as("sz_b"))
+      val cA = floor((col("sz_a") * num + (den - 1)) / lit(den))
+        .cast("long")
+      val cand = prefixA.join(fullB, Seq("shingle"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .filter(col("sz_b") >= cA) // overlap ≤ |B|
+        .withColumn("ub",
+          least(col("rk_a"), col("rk_b")) +
+            least(col("sz_a") - col("rk_a"), col("sz_b") - col("rk_b")))
+        .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+        .agg(min(col("ub")).as("ubound"))
+        .filter(col("ubound") >= cA)
+        .select(col("doc_a"), col("doc_b"))
+      val out = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+                          col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+                          col("sz").as("sz_b")), Seq("doc_b"))
+        .withColumn("inter_cnt",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .filter(col("inter_cnt") * den >= col("sz_a") * num)
+        .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
+                col("sz_a").cast("long").as("sz_a"),
+                col("sz_b").cast("long").as("sz_b"))
+        .localCheckpoint() // materialize before releasing the sets cache
+      out
+    } finally sets.unpersist()
+  }
+
   /** MinHash signature (array<long>, length `numPerm`) of a shingle set:
     * sig[i] = min over shingles of ((a_i·h32(s) + b_i) mod p), where h32
     * and the perm family are [[PortableHash]]'s. Computed by the codegen'd

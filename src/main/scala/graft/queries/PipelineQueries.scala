@@ -81,6 +81,19 @@ object PipelineQueries {
                       n = 3, num = 4, den = 5)
       .orderBy("doc_a", "doc_b")
 
+  /** q160 — directional containment pairs ([[Dedup.containmentPairs]],
+    * C(a→b) = |A∩B|/|A| ≥ 9/10): the doc-inside-doc detector the
+    * symmetric Jaccard family (q21/q22/q107) structurally misses — a
+    * paragraph quoted whole inside a 10× page has C ≈ 1 but J ≈ 0.1.
+    * Probe-side prefix + length + positional filters keep candidates
+    * bucket-bound; the oracle is the naive all-ordered-pairs SQL, so a
+    * single pair missed by any filter fails the hash.
+    */
+  def q160Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+                           n = 3, num = 9, den = 10)
+      .orderBy("doc_a", "doc_b")
+
   /** MinHash(128) + LSH(32×4) candidates, exact-verified to J ≥ 4/5. */
   def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedupPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -691,6 +704,7 @@ object PipelineQueries {
     "q20_dedup_exact_docs" -> (q20DedupExactDocs _),
     "q21_ngram_jaccard"    -> (q21NgramJaccard _),
     "q107_ppjoin_jaccard"  -> (q107PpjoinJaccard _),
+    "q160_containment"     -> (q160Containment _),
     "q22_minhash_lsh"      -> (q22MinhashLsh _),
     "q23_simhash"          -> (q23Simhash _),
     "q24_embed_knn"        -> (q24EmbedKnn _),
@@ -1089,6 +1103,19 @@ object PipelineQueries {
         |FROM t LEFT JOIN reb USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q21_ngram_jaccard" -> jaccardSql(1, 2),
     "q107_ppjoin_jaccard" -> jaccardSql(4, 5), // same semantics, new path
+    "q160_containment" ->
+      s"""WITH $shingleSetsCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    COUNT(*) AS inter_cnt
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter_cnt, sa.sz AS sz_a, sb.sz AS sz_b
+         |FROM pairs
+         |JOIN sz sa ON sa.doc_id = doc_a
+         |JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE inter_cnt * 10 >= sa.sz * 9
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q22_minhash_lsh"   -> jaccardSql(4, 5),
     "q52_minhash_ckpt"  -> jaccardSql(4, 5),
     "q64_incremental_dedup" ->
