@@ -512,6 +512,34 @@ object ScaleProbe {
       println("  lpa nodes: " +
         GraphOps.labelPropagation(relC, "u", "v", iterations = 3).count())
     }
+    // --- k-core (q156 shape): part↔supplier sourcing graph inflated
+    // as disjoint namespaced copies, so core structure and round count
+    // are invariant while edges grow linearly. Per peel round: one
+    // degree agg + two semi-joins — time must grow linearly in edges
+    // at the (constant) round count.
+    time(s"kcore_${mult}x") {
+      val rel = Tables.lineitem(spark, dir)
+        .select(concat(lit("p"), col("l_partkey")).as("u"),
+                concat(lit("s"), col("l_suppkey")).as("v"))
+        .distinct()
+      val relC = rel.crossJoin(copies)
+        .select(concat(col("u"), lit("_"), col("copy")).as("u"),
+                concat(col("v"), lit("_"), col("copy")).as("v"))
+        .repartition(64)
+      val (core, rounds) =
+        GraphOps.kCoreWithStats(relC, "u", "v", k = 25)
+      println(s"  kcore nodes: ${core.count()} rounds: $rounds")
+    }
+    // --- containment pairs (q160 shape): same perturbed-copy corpus as
+    // the Jaccard probes — copies of a base contain each other almost
+    // fully, so TRUE directional pairs grow ~mult² per family (that's
+    // the data, not the algorithm). The probe's question is whether
+    // candidate generation stays prefix-bound: time should track the
+    // emitted-pair curve, never all-pairs n².
+    time(s"containment_${mult}x") {
+      println("  containment pairs: " + Dedup
+        .containmentPairs(docs, "doc_id", "text", 3, 9, 10).count())
+    }
     // --- audio near-dup (q149 shape): decode cost linear in payloads;
     // candidates bucket on (n_samples, energy hash) — the dup family's
     // per-base envelope keeps buckets selective, so candidate growth

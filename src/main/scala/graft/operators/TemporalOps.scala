@@ -247,4 +247,48 @@ object TemporalOps {
               when(col("valid_to_us").isNull, lit(1))
                 .otherwise(lit(0)).as("is_current"))
   }
+
+  /** DAILY RESAMPLE with last-observation-carried-forward: turn an
+    * irregular per-key observation log into a dense per-key daily
+    * series over each key's OWN [first, last] observation span —
+    * missing days inherit the most recent observed value (`observed`
+    * flags the real points). The gap-filling every balance/inventory/
+    * metrics table needs before day-grain joins or rolling windows
+    * make sense.
+    *
+    * Pipeline: last-observation-per-day is a map-combined
+    * max(struct(us, tie, value)) aggregate (~1 shuffled row per
+    * key-day); spans are a per-key min/max agg; the day axis comes
+    * from a distributed `sequence` explode (never a driver loop); the
+    * carry-forward is one `last(ignoreNulls)` running window per key.
+    * Day 1 of every span is observed by construction, so the LOCF
+    * value is never null. All keyed shuffles — at 100 TB the output
+    * size is Σ span-days per key, the result's own size.
+    */
+  def locfResampleDaily(log: DataFrame, keyCol: String, tsCol: String,
+                        tieCol: String, valueCol: String): DataFrame = {
+    val obs = log.select(
+      col(keyCol), to_date(col(tsCol).cast("timestamp")).as("day"),
+      unix_micros(col(tsCol).cast("timestamp")).as("__us"),
+      col(tieCol), col(valueCol))
+    val lastPerDay = obs
+      .groupBy(col(keyCol), col("day"))
+      .agg(max(struct(col("__us"), col(tieCol), col(valueCol)))
+             .as("__t"))
+      .select(col(keyCol), col("day"),
+              col(s"__t.$valueCol").as("__day_val"))
+    val days = lastPerDay
+      .groupBy(col(keyCol))
+      .agg(min(col("day")).as("__mn"), max(col("day")).as("__mx"))
+      .select(col(keyCol),
+              explode(sequence(col("__mn"), col("__mx"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(lastPerDay, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+              last(col("__day_val"), ignoreNulls = true).over(w)
+                .as(valueCol),
+              when(col("__day_val").isNotNull, lit(1)).otherwise(lit(0))
+                .as("observed"))
+  }
 }

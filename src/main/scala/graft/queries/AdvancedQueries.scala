@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.{PortableHash, TextFunctions}
-import graft.operators.{Dedup, GraphOps, Partitioning, SkewOps, TemporalOps}
+import graft.operators.{Dedup, GraphOps, IncrementalAgg, Partitioning, SkewOps, TemporalOps}
 
 /** Advanced operator pack: sessionization, deterministic sampling splits,
   * vocabulary building, TF-IDF, grouping-set rollup, dedup-group
@@ -1102,6 +1102,48 @@ object AdvancedQueries {
       .orderBy(col("user_id"), col("valid_from_us"))
   }
 
+  /** q161 — batch MERGE INTO ([[IncrementalAgg.applyChangelog]]): the
+    * events stream replays as an upsert/delete changelog over the
+    * customer snapshot (key = user_id + 1400, so updates, inserts, AND
+    * deletes are all live paths at every SF; 'error' events delete,
+    * anything else upserts the floor-cents value; latest (ts,
+    * event_id) wins). Latest-per-key is ONE map-combined struct-max
+    * aggregate — the shuffle carries ~1 row per changed key — then one
+    * full-outer join. The oracle replays the same resolution with a
+    * DESC row_number.
+    */
+  def q161ChangelogMerge(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"),
+              floor(col("c_acctbal") * 100).cast("long").as("bal_e2"))
+    val log = Tables.events(s, dir).select(
+      (col("user_id") + 1400).as("c_custkey"),
+      unix_micros(col("ts")).as("__us"), col("event_id"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      floor(col("value") * 100).cast("long").as("bal_e2"))
+    IncrementalAgg.applyChangelog(snap, log, "c_custkey",
+        Seq("__us", "event_id"), "op", "D", Seq("bal_e2"))
+      .orderBy("c_custkey")
+  }
+
+  /** q162 — daily LOCF resample ([[TemporalOps.locfResampleDaily]]):
+    * each sampled user's irregular event-value stream becomes a dense
+    * daily series over the user's own span, gaps inheriting the last
+    * observed floor-cents value. Last-per-day resolves by (ts,
+    * event_id) via the map-combined struct-max; the day axis is a
+    * distributed `sequence` explode; the oracle replays it with
+    * `generate_series` + `last_value IGNORE NULLS`.
+    */
+  def q162LocfResample(s: SparkSession, dir: String): DataFrame = {
+    TemporalOps.locfResampleDaily(
+        Tables.events(s, dir)
+          .filter(col("user_id") % 10 === 1)
+          .select(col("user_id"), col("ts"), col("event_id"),
+                  floor(col("value") * 100).cast("long").as("bal_e2")),
+        "user_id", "ts", "event_id", "bal_e2")
+      .orderBy("user_id", "day")
+  }
+
   /** q157 — multi-source BFS over the supplier↔customer trade graph
     * ([[GraphOps.bfsHops]]): minimum hop distance from the seed set
     * {suppliers 1–5} within [[BfsMaxHops]] hops — the contamination
@@ -1499,6 +1541,8 @@ object AdvancedQueries {
     "q156_kcore" -> (q156KCore _),
     "q157_bfs_hops" -> (q157BfsHops _),
     "q158_scd2" -> (q158Scd2 _),
+    "q161_changelog_merge" -> (q161ChangelogMerge _),
+    "q162_locf_resample" -> (q162LocfResample _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
@@ -2098,6 +2142,53 @@ object AdvancedQueries {
     "q147_ppr" -> pprOracleSql,
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
+    "q162_locf_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,
+        |    event_id, CAST(floor(value * 100) AS BIGINT) AS bal_e2
+        |  FROM events WHERE user_id % 10 = 1),
+        |r AS (
+        |  SELECT user_id, day, bal_e2, row_number() OVER (
+        |    PARTITION BY user_id, day
+        |    ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM e),
+        |lastday AS (SELECT user_id, day, bal_e2 FROM r WHERE rn = 1),
+        |span AS (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+        |         FROM lastday GROUP BY user_id),
+        |axis AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 DAY))::DATE AS day
+        |  FROM span),
+        |dense AS (
+        |  SELECT a.user_id, a.day, l.bal_e2 AS dv
+        |  FROM axis a LEFT JOIN lastday l
+        |    ON a.user_id = l.user_id AND a.day = l.day)
+        |SELECT user_id, day,
+        |  last_value(dv IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS bal_e2,
+        |  CASE WHEN dv IS NOT NULL THEN 1 ELSE 0 END AS observed
+        |FROM dense ORDER BY user_id, day""".stripMargin,
+    "q161_changelog_merge" ->
+      """WITH snap AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_e2
+        |  FROM customer),
+        |l AS (
+        |  SELECT user_id + 1400 AS k, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(floor(value * 100) AS BIGINT) AS nb
+        |  FROM events),
+        |r AS (
+        |  SELECT k, op, nb, row_number() OVER (
+        |    PARTITION BY k ORDER BY us DESC, event_id DESC) AS rn
+        |  FROM l),
+        |last AS (SELECT k, op, nb FROM r WHERE rn = 1)
+        |SELECT COALESCE(s.c_custkey, t.k) AS c_custkey, s.c_name,
+        |  CASE WHEN t.op IS NOT NULL THEN t.nb ELSE s.bal_e2 END AS bal_e2
+        |FROM snap s FULL OUTER JOIN last t ON s.c_custkey = t.k
+        |WHERE t.op IS NULL OR t.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     "q158_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id

@@ -45,4 +45,43 @@ class IncrementalAggSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("avg_v"))
   }
+
+  test("applyChangelog: update, delete, insert, and latest-wins") {
+    val snap = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "v")
+    val log = Seq(
+      (1L, 100L, 1L, "U", 11L), // update k=1
+      (1L, 200L, 2L, "U", 12L), // later update wins
+      (2L, 100L, 3L, "D", 0L),  // delete k=2
+      (5L, 100L, 4L, "U", 50L), // insert k=5
+      (6L, 100L, 5L, "D", 0L)   // delete of an absent key: no-op
+    ).toDF("k", "ts", "id", "op", "v")
+    val out = IncrementalAgg
+      .applyChangelog(snap, log, "k", Seq("ts", "id"), "op", "D", Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+                 r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, Some("a"), 12L),  // updated, name survives
+      (3L, Some("c"), 30L),  // untouched
+      (5L, None, 50L)))      // inserted, no name
+  }
+
+  test("applyChangelog: delete-then-reinsert resolves by order; " +
+       "null ordering fails loud") {
+    val snap = Seq((1L, 1L)).toDF("k", "v")
+    val log = Seq((1L, 1L, "D", 0L), (1L, 2L, "U", 9L))
+      .toDF("k", "ts", "op", "v")
+    val out = IncrementalAgg
+      .applyChangelog(snap, log, "k", Seq("ts"), "op", "D", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 9L)))
+    val badLog = Seq((Option(1L), Option.empty[Long], "U", 5L))
+      .toDF("k", "ts", "op", "v")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.applyChangelog(snap, badLog, "k", Seq("ts"),
+                                    "op", "D", Seq("v"))
+    }
+    assert(e.getMessage.contains("latest"))
+  }
 }

@@ -209,4 +209,34 @@ class TemporalOpsSpec extends SparkSpec {
       .map(r => (Option(r.getString(1)), r.getInt(4)))
     assert(out.toSeq === Seq((Some("b"), 0), (Some("a"), 0), (None, 1)))
   }
+
+  test("locfResampleDaily fills gaps forward within each key's span") {
+    val log = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1L, 10L),
+      (1L, ts("2024-01-01 18:00:00"), 2L, 11L), // same day: later wins
+      (1L, ts("2024-01-04 12:00:00"), 3L, 40L), // 2-day gap
+      (2L, ts("2024-02-10 00:00:00"), 4L, 99L)  // single-point span
+    ).toDF("k", "t", "id", "v")
+    val out = TemporalOps.locfResampleDaily(log, "k", "t", "id", "v")
+      .orderBy("k", "day")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+                 r.getInt(3)))
+    assert(out.toSeq === Seq(
+      (1L, "2024-01-01", 11L, 1),
+      (1L, "2024-01-02", 11L, 0),
+      (1L, "2024-01-03", 11L, 0),
+      (1L, "2024-01-04", 40L, 1),
+      (2L, "2024-02-10", 99L, 1)))
+  }
+
+  test("locfResampleDaily: same-day ties resolve by the tie column") {
+    val log = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 5L, 50L),
+      (1L, ts("2024-01-01 09:00:00"), 6L, 60L) // same instant, higher tie
+    ).toDF("k", "t", "id", "v")
+    val out = TemporalOps.locfResampleDaily(log, "k", "t", "id", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 60L)))
+  }
 }
