@@ -341,6 +341,31 @@ class PlanShapeSpec extends SparkSpec {
       s"both scd2 windows must reuse one exchange, found $n:\n$plan")
   }
 
+  test("q159: the centroid model broadcasts to the scoring join — " +
+       "the corpus side never shuffles on term") {
+    val plan = finalPlan(PipelineQueries.queries("q159_centroid_classify")(
+      spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join must broadcast:\n$plan")
+  }
+
+  test("q161: changelog merge is a map-combined struct-max agg + one " +
+       "full-outer join — no window sort over the log") {
+    val plan = finalPlan(AdvancedQueries.queries("q161_changelog_merge")(
+      spark, sf))
+    assert(!plan.contains("Window"),
+      s"latest-per-key must be an aggregate, not a window:\n$plan")
+    assert(plan.contains("FullOuter"),
+      s"merge must plan a full-outer join:\n$plan")
+    // partial_max before the exchange = map-side combine intact (struct
+    // max isn't hash-aggregable, so the pair plans as SortAggregate —
+    // the ~1-row-per-key shuffle claim is the partial, not the hash)
+    assert(plan.contains("partial_max"),
+      s"expected a partial aggregate before the shuffle:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Aggregate")) >= 2,
+      s"expected partial+final aggregate pair:\n$plan")
+  }
+
   test("semantic Top-N query respects the filter context in the rank") {
     val plan = finalPlan(SemanticQueries.q19SemanticTopN(spark, sf))
     assert(plan.contains("LeftSemi"))
