@@ -700,19 +700,57 @@ object GraphOps {
     */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
-    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      .localCheckpoint()
+      .withColumn("__w", lit(1L))
+    relaxDistances(e, seeds, seedCol, maxHops)
+  }
+
+  /** WEIGHTED shortest distances from a seed set — Bellman–Ford with a
+    * bounded relaxation-round count: after round i, dist(v) is the
+    * exact minimum total weight over paths of ≤ i EDGES from any seed
+    * (vertices with no such path are absent). Like [[bfsHops]] the
+    * round cap is part of the semantics, so a SQL oracle unrolls the
+    * identical recurrence — no convergence test, no floats. For full
+    * shortest paths pass rounds ≥ the longest shortest-path edge
+    * count; extra rounds are exact no-ops (weights are nonnegative,
+    * ENFORCED — a negative weight would make bounded-round "distance"
+    * meaningless and is refused loudly, as are null weights).
+    * Overflow bound: dist ≤ rounds · max(weight) — far inside int64
+    * for any sane weighting.
+    *
+    * Per round ONE keyed join + ONE map-combined min aggregate;
+    * parallel edges need no pre-aggregation (min absorbs them).
+    */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: String, seeds: DataFrame,
+                        seedCol: String, rounds: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+                         col(weightCol).cast("long").as("__w"))
+    val bad = e.filter(col("__w").isNull || col("__w") < 0)
+      .limit(1).count()
+    require(bad == 0,
+      "weightedDistances requires nonnegative non-null weights — " +
+      "negative edges make bounded-round distances meaningless")
+    relaxDistances(e, seeds, seedCol, rounds)
+  }
+
+  /** Shared bounded-round relaxation core of [[bfsHops]] /
+    * [[weightedDistances]]: edges must carry (src, dst, __w).
+    */
+  private def relaxDistances(edges: DataFrame, seeds: DataFrame,
+                             seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = edges.localCheckpoint()
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
       .localCheckpoint()
     var i = 0
-    while (i < maxHops) {
+    while (i < rounds) {
       val relaxed = e
         .join(dist.select(col("node").as("src"), col("dist").as("__sd")),
               Seq("src"))
-        .select(col("dst").as("node"), (col("__sd") + 1L).as("dist"))
+        .select(col("dst").as("node"), (col("__sd") + col("__w")).as("dist"))
       val next = dist.union(relaxed)
         .groupBy(col("node"))
         .agg(min(col("dist")).as("dist"))

@@ -972,6 +972,31 @@ object AdvancedQueries {
         |GROUP BY p_type ORDER BY p_type""".stripMargin)
   }
 
+  /** q164 — explicit GROUPING SETS (the §2.8 family's third member
+    * beside ROLLUP q36 / CUBE q109): an ARBITRARY set list —
+    * (priority, status), (priority), (status), () — which neither
+    * rollup nor cube expresses (cube emits the extra (status) set but
+    * pays for all 2ⁿ; here the sets are chosen). Revenue is
+    * decimal-exact (the q36 discipline); `grouping()` flags
+    * disambiguate real NULLs from subtotal rows.
+    */
+  def q164GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM graft_orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_pri, g_st,
+        |         o_orderpriority ASC NULLS FIRST,
+        |         o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
   /** q88 — table profiling (the ANALYZE summary): per-column row/null/
     * exact-distinct counts and native-type min/max over lineitem's
     * integer and flag columns (see [[graft.operators.Profiling]] — one
@@ -1124,6 +1149,35 @@ object AdvancedQueries {
     IncrementalAgg.applyChangelog(snap, log, "c_custkey",
         Seq("__us", "event_id"), "op", "D", Seq("bal_e2"))
       .orderBy("c_custkey")
+  }
+
+  /** q163 — weighted shortest distances
+    * ([[GraphOps.weightedDistances]]): Bellman–Ford over the trade
+    * graph with lineitem-count edge weights, seeds = suppliers 1–5,
+    * 4 relaxation rounds — q157's blast radius upgraded to COST
+    * (cheapest total trade intensity from any seed, over paths of ≤ 4
+    * edges). Integer weights, bounded rounds: the oracle unrolls the
+    * identical recurrence.
+    */
+  def q163WeightedPaths(s: SparkSession, dir: String): DataFrame = {
+    val rel = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"))
+      .join(Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("s"), col("l_suppkey")).as("sup"),
+               concat(lit("c"), col("o_custkey")).as("cust"))
+      .agg(count(lit(1)).as("w"))
+    val edges = rel
+      .select(col("sup").as("src"), col("cust").as("dst"), col("w"))
+      .union(rel.select(col("cust").as("src"), col("sup").as("dst"),
+                        col("w")))
+    val seeds = Tables.supplier(s, dir)
+      .filter(col("s_suppkey") <= 5)
+      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+    GraphOps.weightedDistances(edges, "src", "dst", "w", seeds, "node",
+                               rounds = 4)
+      .orderBy(col("node"))
   }
 
   /** q162 — daily LOCF resample ([[TemporalOps.locfResampleDaily]]):
@@ -1419,6 +1473,33 @@ object AdvancedQueries {
        |GROUP BY u ORDER BY node""".stripMargin
   }
 
+  /** q163 oracle: [[GraphOps.weightedDistances]] unrolled — the q157
+    * relaxation with `+ e.w` instead of `+ 1`, weights = lineitem
+    * count per trade relation, same bounded-round semantics.
+    */
+  private val weightedPathsOracleSql: String = {
+    def roundCte(i: Int): String =
+      s"""d$i AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst, d.dist + e.w FROM e
+         |    JOIN d${i - 1} d ON e.src = d.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH rel AS (
+       |  SELECT 's' || l_suppkey AS sup, 'c' || o_custkey AS cust,
+       |    COUNT(*) AS w
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |e AS (SELECT sup AS src, cust AS dst, w FROM rel
+       |      UNION ALL SELECT cust, sup, w FROM rel),
+       |d0 AS (SELECT DISTINCT 's' || s_suppkey AS node, 0 AS dist
+       |       FROM supplier WHERE s_suppkey <= 5),
+       |${(1 to 4).map(roundCte).mkString(",\n")}
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
+       |ORDER BY node""".stripMargin
+  }
+
   /** q157 oracle: [[GraphOps.bfsHops]]'s relaxation unrolled — round
     * CTE i takes the min of the previous labels and
     * (in-neighbor label + 1), exactly [[BfsMaxHops]] times. The hop
@@ -1543,6 +1624,8 @@ object AdvancedQueries {
     "q158_scd2" -> (q158Scd2 _),
     "q161_changelog_merge" -> (q161ChangelogMerge _),
     "q162_locf_resample" -> (q162LocfResample _),
+    "q163_weighted_paths" -> (q163WeightedPaths _),
+    "q164_grouping_sets" -> (q164GroupingSets _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
@@ -2142,6 +2225,20 @@ object AdvancedQueries {
     "q147_ppr" -> pprOracleSql,
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
+    "q163_weighted_paths" -> weightedPathsOracleSql,
+    "q164_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CASE WHEN GROUPING(o_orderpriority) THEN 1 ELSE 0 END AS g_pri,
+        |  CASE WHEN GROUPING(o_orderstatus) THEN 1 ELSE 0 END AS g_st,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_pri, g_st,
+        |         o_orderpriority ASC NULLS FIRST,
+        |         o_orderstatus ASC NULLS FIRST""".stripMargin,
     "q162_locf_resample" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,

@@ -396,4 +396,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(out === Map(1L -> 0L, 10L -> 0L, 99L -> 0L,
                        2L -> 1L, 3L -> 1L))
   }
+
+  test("weightedDistances: a longer-edge-count cheaper path wins once " +
+       "rounds admit it; parallel edges take the min") {
+    // 1->3 direct costs 10; 1->2->3 costs 2+3=5 but needs 2 rounds;
+    // parallel 1->2 edges (2 and 7) resolve to 2
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 7L), (1L, 2L, 2L),
+                    (2L, 3L, 3L)).toDF("s", "d", "w")
+    val seeds = Seq(1L).toDF("node")
+    def run(r: Int) = GraphOps
+      .weightedDistances(edges, "s", "d", "w", seeds, "node", r)
+      .as[(Long, Long)].collect().toMap
+    assert(run(1) === Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    assert(run(2) === Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+    assert(run(3) === run(2)) // extra rounds are exact no-ops
+  }
+
+  test("weightedDistances refuses negative or null weights") {
+    val seeds = Seq(1L).toDF("node")
+    intercept[IllegalArgumentException] {
+      GraphOps.weightedDistances(
+        Seq((1L, 2L, -1L)).toDF("s", "d", "w"), "s", "d", "w",
+        seeds, "node", 2)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.weightedDistances(
+        Seq((1L, 2L, Option.empty[Long])).toDF("s", "d", "w"),
+        "s", "d", "w", seeds, "node", 2)
+    }
+  }
 }
