@@ -696,6 +696,54 @@ object Dedup {
     (out, labels)
   }
 
+  /** QUALITY-AWARE KEEPER ELECTION — the production refinement of
+    * [[applyDedup]]'s min-id rule: within each near-dup component the
+    * surviving copy is the HIGHEST-QUALITY one (integer score,
+    * caller-chosen: word count, quality-gate signals, recency), ties
+    * to the smallest id. "Which crawl of this page do we train on" is
+    * a quality decision, not an id accident.
+    *
+    * Returns one row per doc: (id, component, keeper_id, kept) — the
+    * full decision table, auditable (component and elected keeper are
+    * visible, not just the boolean). Singletons keep themselves.
+    * Cost on top of the pairs: the CC rounds + one per-component
+    * struct-max argmax + two keyed joins. Ids must be numeric (the
+    * tie-break negates them — same contract as labelPropagation).
+    * Second return = the CC labels' release handle
+    * ([[applyDedupReleasable]] discipline).
+    */
+  def electKeepersReleasable(docs: DataFrame, idCol: String,
+                             qualityCol: String, pairs: DataFrame,
+                             aCol: String = "doc_a", bCol: String = "doc_b")
+      : (DataFrame, DataFrame) = {
+    val badIds = docs
+      .filter(col(idCol).isNull || col(idCol) < 0).limit(1).count()
+    require(badIds == 0,
+      "electKeepers requires non-negative non-null numeric ids " +
+        "(the deterministic tie-break negates them)")
+    val labels = GraphOps.connectedComponents(pairs, aCol, bCol)
+    val cc = labels.toDF(idCol, "__comp")
+    val withComp = docs
+      .select(col(idCol), col(qualityCol).cast("long").as("__q"))
+      .join(cc, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("__comp"), col(idCol)))
+    val keepers = withComp
+      .groupBy(col("component"))
+      .agg(max(struct(col("__q"), (-col(idCol)).as("__neg"))).as("__top"))
+      .select(col("component"), (-col("__top.__neg")).as("keeper_id"))
+    val out = withComp
+      .join(keepers, Seq("component"))
+      .select(col(idCol), col("component"), col("keeper_id"),
+              (col(idCol) === col("keeper_id")).as("kept"))
+    (out, labels)
+  }
+
+  /** [[electKeepersReleasable]] for one-shot batch callers. */
+  def electKeepers(docs: DataFrame, idCol: String, qualityCol: String,
+                   pairs: DataFrame, aCol: String = "doc_a",
+                   bCol: String = "doc_b"): DataFrame =
+    electKeepersReleasable(docs, idCol, qualityCol, pairs, aCol, bCol)._1
+
   /** 64-bit SimHash over word occurrences: bit b of the signature is set
     * iff Σ_words (2·bit_b(h64(w)) − 1) > 0, h64 = first 8 md5 bytes (hi
     * half ≡ [[PortableHash.h32]]). Computed by the codegen'd

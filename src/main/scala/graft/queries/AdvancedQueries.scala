@@ -159,6 +159,26 @@ object AdvancedQueries {
       .orderBy("doc_id")
   }
 
+  /** q165 — quality-aware keeper election ([[Dedup.electKeepers]]):
+    * q54's dedup decision upgraded from "min id survives" to "the
+    * highest-WORD-COUNT copy survives, ties to the smallest id" — the
+    * which-crawl-do-we-train-on decision, emitted as the full
+    * auditable table (doc, component, elected keeper, kept). Same
+    * Jaccard-1/2 components as q54, so the two queries' keeper
+    * choices are directly comparable in the output.
+    */
+  def q165KeeperElection(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 2)
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.electKeepers(
+        docs.select(col("doc_id"),
+                    size(split(col("text"), " ")).as("n_words")),
+        "doc_id", "n_words", pairs)
+      .orderBy("doc_id")
+  }
+
   /** As-of join: each event picks the latest order date ≤ its timestamp
     * for the same key — via the union-and-carry-forward window plan (one
     * shuffle on the key, no per-row subquery). See [[TemporalOps.asofJoin]].
@@ -1626,6 +1646,7 @@ object AdvancedQueries {
     "q162_locf_resample" -> (q162LocfResample _),
     "q163_weighted_paths" -> (q163WeightedPaths _),
     "q164_grouping_sets" -> (q164GroupingSets _),
+    "q165_keeper_election" -> (q165KeeperElection _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
@@ -1740,6 +1761,46 @@ object AdvancedQueries {
         |    AS sum_value_e2
         |FROM err JOIN pur ON p BETWEEN s AND e
         |GROUP BY err_id ORDER BY err_id""".stripMargin,
+    "q165_keeper_election" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |q AS (SELECT doc_id, len(w) AS n_words FROM words),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |cc AS (SELECT a AS doc_id, MIN(b) AS component
+        |       FROM reach GROUP BY a),
+        |withc AS (
+        |  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component,
+        |    q.n_words
+        |  FROM documents d LEFT JOIN cc USING (doc_id)
+        |  JOIN q USING (doc_id)),
+        |k AS (
+        |  SELECT component, doc_id AS keeper_id, row_number() OVER (
+        |    PARTITION BY component
+        |    ORDER BY n_words DESC, doc_id ASC) AS rn
+        |  FROM withc)
+        |SELECT w.doc_id, w.component, k.keeper_id,
+        |  w.doc_id = k.keeper_id AS kept
+        |FROM withc w JOIN k ON w.component = k.component AND k.rn = 1
+        |ORDER BY w.doc_id""".stripMargin,
     "q54_dedup_apply" ->
       """WITH RECURSIVE
         |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -61,6 +61,26 @@ class ContainmentSpec extends SparkSpec {
     }
   }
 
+  test("electKeepers: quality argmax per component, ties to min id, " +
+       "singletons keep themselves, bad ids refused") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L))
+      .toDF("doc_id", "q")
+    // component {1,2,3} (chain), singleton {4}
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.electKeepers(docs, "doc_id", "q", pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 r.getBoolean(3))).sortBy(_._1)
+    // keeper of {1,2,3}: quality 9 tie between 2 and 3 -> min id 2
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (4L, 4L, 4L, true)))
+    intercept[IllegalArgumentException] {
+      Dedup.electKeepers(Seq((-1L, 1L)).toDF("doc_id", "q"),
+                         "doc_id", "q", pairs).collect()
+    }
+  }
+
   test("containment is directional where Jaccard is blind") {
     // fragment (6 tokens of shingles) inside a much larger page
     val page = (1 to 40).map(i => f"t$i%02d").mkString(" ")
