@@ -86,4 +86,48 @@ object ItemsetMining {
               expr("(1000000 * n_ids * __n) div (__na * __nb)")
                 .as("lift_e6"))
   }
+
+  /** Frequent TRIPLES — Apriori at depth 3, with the full downward-
+    * closure prune: a (a,b,c) candidate exists only when ALL THREE of
+    * its sub-pairs are frequent (not merely its items), so the
+    * within-id expansion joins PAIR-pruned occurrences against the
+    * support-bounded frequent-pair table — three broadcastable
+    * semi-joins between the id-keyed joins, which is what keeps depth
+    * 3 from cubing: a document expands only into candidates every
+    * depth-2 gate already admitted.
+    * Output: `item_a` < `item_b` < `item_c`, `n_ids` — exact counts.
+    */
+  def frequentTriples(df: DataFrame, idCol: String, itemsCol: String,
+                      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1: $minSupport")
+    val items = df.select(col(idCol).as("__id"),
+                          explode(array_distinct(col(itemsCol))).as("item"))
+      .distinct()
+    val freq = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+      .filter(col("n_item") >= minSupport)
+      .select("item")
+    val ft = items.join(freq, Seq("item"), "left_semi")
+    val a = ft.select(col("__id"), col("item").as("item_a"))
+    val b = ft.select(col("__id").as("__id2"), col("item").as("item_b"))
+    val idPairs = a
+      .join(b, col("__id") === col("__id2") && col("item_a") < col("item_b"))
+      .select(col("__id"), col("item_a"), col("item_b"))
+    val fp = idPairs.groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("__np"))
+      .filter(col("__np") >= minSupport)
+      .select(col("item_a"), col("item_b"))
+    val prunedPairs = idPairs.join(fp, Seq("item_a", "item_b"), "left_semi")
+    val c = ft.select(col("__id").as("__id3"), col("item").as("item_c"))
+    prunedPairs
+      .join(c, col("__id") === col("__id3") && col("item_b") < col("item_c"))
+      .join(fp.select(col("item_a"), col("item_b").as("item_c")),
+            Seq("item_a", "item_c"), "left_semi")
+      .join(fp.select(col("item_a").as("item_b"),
+                      col("item_b").as("item_c")),
+            Seq("item_b", "item_c"), "left_semi")
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("n_ids"))
+      .filter(col("n_ids") >= minSupport)
+  }
 }

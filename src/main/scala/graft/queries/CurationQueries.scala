@@ -510,6 +510,28 @@ object CurationQueries {
       .limit(50)
   }
 
+  /** q166 — frequent token TRIPLES at the q99 support
+    * ([[graft.operators.ItemsetMining.frequentTriples]]): Apriori at
+    * depth 3 with the full downward-closure prune — candidates expand
+    * only through sub-pairs the depth-2 gate admitted, which is what
+    * keeps the within-doc expansion from cubing. Top-50 by document
+    * frequency, deterministic order.
+    */
+  def q166FrequentTriples(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val minSup = docs.count() / 5
+    graft.operators.ItemsetMining.frequentTriples(
+        docs.select(col("doc_id"),
+          filter(TextFunctions.words(col("text")),
+                 w => length(w) > 0).as("toks")),
+        "doc_id", "toks", minSup)
+      .select(col("item_a").as("token_a"), col("item_b").as("token_b"),
+              col("item_c").as("token_c"), col("n_ids").as("n_docs"))
+      .orderBy(col("n_docs").desc, col("token_a"), col("token_b"),
+               col("token_c"))
+      .limit(50)
+  }
+
   /** q139 — lexical association (PMI lift) over the q99 pair family:
     * `lift_e6` = floor-scaled p(a,b)/(p(a)·p(b)) per frequent
     * co-occurring token pair (see [[graft.operators.ItemsetMining
@@ -953,6 +975,7 @@ object CurationQueries {
     "q104_dup_triangles"   -> (q104DupTriangles _),
     "q133_bigram_lm"       -> (q133BigramLm _),
     "q139_pair_lift"       -> (q139PairLift _),
+    "q166_frequent_triples" -> (q166FrequentTriples _),
     "q143_clustering_coeff" -> (q143ClusteringCoeff _),
     "q152_label_prop"      -> (q152LabelProp _),
     "q154_quality_gate"    -> (q154QualityGate _)
@@ -1299,6 +1322,36 @@ object CurationQueries {
         |FROM r ORDER BY doc_id""".stripMargin,
     "q85_bpe_merges" -> bpeOracleSql,
     "q98_bpe_encode" -> bpeEncodeOracleSql,
+    "q166_frequent_triples" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |s AS (SELECT COUNT(*)//5 AS ms FROM documents),
+        |freq AS (
+        |  SELECT token FROM toks GROUP BY token
+        |  HAVING COUNT(*) >= (SELECT ms FROM s)),
+        |ft AS (SELECT doc_id, token FROM toks
+        |       WHERE token IN (SELECT token FROM freq)),
+        |ip AS (
+        |  SELECT a.doc_id, a.token AS ta, b.token AS tb
+        |  FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token),
+        |fp AS (SELECT ta, tb FROM ip GROUP BY ta, tb
+        |       HAVING COUNT(*) >= (SELECT ms FROM s)),
+        |ipp AS (SELECT ip.* FROM ip JOIN fp USING (ta, tb)),
+        |tri AS (
+        |  SELECT ipp.ta, ipp.tb, c.token AS tc,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM ipp JOIN ft c
+        |    ON c.doc_id = ipp.doc_id AND c.token > ipp.tb
+        |  JOIN fp f1 ON f1.ta = ipp.ta AND f1.tb = c.token
+        |  JOIN fp f2 ON f2.ta = ipp.tb AND f2.tb = c.token
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= (SELECT ms FROM s))
+        |SELECT ta AS token_a, tb AS token_b, tc AS token_c, n_docs
+        |FROM tri
+        |ORDER BY n_docs DESC, token_a, token_b, token_c
+        |LIMIT 50""".stripMargin,
     "q99_cooccur_pairs" ->
       """WITH toks AS (
         |  SELECT DISTINCT doc_id, t AS token FROM (

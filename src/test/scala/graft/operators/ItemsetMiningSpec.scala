@@ -81,4 +81,37 @@ class ItemsetMiningSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
     assert(got.toSeq === Seq(("x", "y", 1000000L)))
   }
+
+  test("frequentTriples: exact counts, ordered items, pair-prune is " +
+       "lossless (parity with the naive triple count)") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "c", "d")),
+      (3L, Seq("a", "b", "d")), (4L, Seq("b", "c", "d")),
+      (5L, Seq("a", "c"))
+    ).toDF("id", "items")
+    val got = ItemsetMining.frequentTriples(df, "id", "items", 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 r.getLong(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    // naive: abc in {1,2}, abd in {2,3}, acd in {2}, bcd in {2,4}
+    assert(got.toSeq === Seq(
+      ("a", "b", "c", 2L), ("a", "b", "d", 2L), ("b", "c", "d", 2L)))
+  }
+
+  test("frequentTriples: an infrequent sub-pair kills the candidate " +
+       "even when all three items are frequent") {
+    // items x,y,z each appear 3x (frequent at minSup=3), but pair
+    // (x,z) co-occurs only twice -> triple (x,y,z) must not surface
+    // even though it occurs twice; at minSup=2 it would
+    val df = Seq(
+      (1L, Seq("x", "y", "z")), (2L, Seq("x", "y", "z")),
+      (3L, Seq("x", "y")), (4L, Seq("y", "z")),
+      (5L, Seq("x")), (6L, Seq("z"))
+    ).toDF("id", "items")
+    assert(ItemsetMining.frequentTriples(df, "id", "items", 3L).isEmpty)
+    val loose = ItemsetMining.frequentTriples(df, "id", "items", 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(loose.toSeq === Seq(("x", "y", "z")))
+  }
 }
