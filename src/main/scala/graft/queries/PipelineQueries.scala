@@ -171,6 +171,45 @@ object PipelineQueries {
             "zebra unicorn"), k = 5)
       .orderBy("query", "rnk")
 
+  /** q167 — HYBRID retrieval with reciprocal-rank fusion: the q146
+    * BM25 text leg and the q24 exact-cosine vector leg (the corpus is
+    * doc↔vec aligned 1:1), each at k=10, fused per query by
+    * RRF(d) = Σ_legs ⌊1e6 / (60 + rank)⌋ — the standard k=60 fusion,
+    * floor-per-term so the score is an exact integer both engines
+    * derive identically. The lexical-OR-semantic union every RAG
+    * stack runs: rank positions, fused scores, leg counts, and the
+    * top-5 cut all hash-gated. The all-miss text query ('zebra
+    * unicorn') fuses from the vector leg alone — n_legs records it.
+    */
+  def q167HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qmap = Seq(("key agg row", 0L), ("batch window spark", 1L),
+                   ("data query small", 2L), ("zebra unicorn", 3L))
+    val tLeg = graft.operators.Search.bm25TopK(
+        Tables.documents(s, dir), "doc_id", "text", qmap.map(_._1), k = 10)
+      .join(broadcast(qmap.toDF("query", "qid")), Seq("query"))
+      .select(col("qid"), col("doc_id"), col("rnk").cast("long").as("rnk"))
+    val emb = Tables.embeddings(s, dir)
+    val vLeg = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        k = 10)
+      .select(col("qid"), col("neighbor_id").as("doc_id"),
+              col("rnk").cast("long").as("rnk"))
+    val fused = tLeg.union(vLeg)
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(expr("1000000 div (60 + rnk)")).as("rrf_e6"),
+           count(lit(1)).as("n_legs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("rrf_e6"),
+              col("n_legs"))
+      .orderBy("qid", "rnk")
+  }
+
   /** q159 — nearest-centroid label transfer
     * ([[graft.operators.Classification]]): train per-language term
     * centroids on the doc_id % 5 ≠ 0 slice, predict the held-out
@@ -725,6 +764,7 @@ object PipelineQueries {
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
     "q146_bm25"            -> (q146Bm25 _),
     "q159_centroid_classify" -> (q159CentroidClassify _),
+    "q167_hybrid_rrf"      -> (q167HybridRrf _),
     "q138_span_trim"       -> (q138SpanTrim _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
@@ -1170,6 +1210,67 @@ object PipelineQueries {
     // q146: tf/dl/df/N/L and every BM25 floor division re-derived; the
     // row_number (score DESC, doc_id) window mirrors the TopKByValue
     // tie rule. Queries expand to (query, term) VALUES rows.
+    "q167_hybrid_rrf" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+         |       FROM words GROUP BY 1, 2),
+         |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
+         |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         |               (SELECT COUNT(*) FROM words) AS l_tot),
+         |qt(query, term) AS (VALUES
+         |  ('key agg row', 'key'), ('key agg row', 'agg'),
+         |  ('key agg row', 'row'),
+         |  ('batch window spark', 'batch'),
+         |  ('batch window spark', 'window'),
+         |  ('batch window spark', 'spark'),
+         |  ('data query small', 'data'), ('data query small', 'query'),
+         |  ('data query small', 'small'),
+         |  ('zebra unicorn', 'zebra'), ('zebra unicorn', 'unicorn')),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf
+         |          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+         |scored AS (
+         |  SELECT qt.query, tf.doc_id,
+         |    SUM((((1000000 * (2 * (n_docs - df) + 1)) // (2 * df + 1))
+         |         * ((22000000000000 * tf.tf) //
+         |            (10000000 * tf.tf + 3000000
+         |             + 9 * ((1000000 * dl * n_docs) // l_tot))))
+         |        // 1000000) AS score_e6
+         |  FROM tf
+         |  JOIN qt USING (term)
+         |  JOIN dlen USING (doc_id)
+         |  JOIN dfreq USING (term), tot
+         |  GROUP BY 1, 2),
+         |tr AS (SELECT *, row_number() OVER (PARTITION BY query
+         |         ORDER BY score_e6 DESC, doc_id) AS rnk FROM scored),
+         |tl AS (
+         |  SELECT CAST(CASE query
+         |    WHEN 'key agg row' THEN 0 WHEN 'batch window spark' THEN 1
+         |    WHEN 'data query small' THEN 2 ELSE 3 END AS BIGINT) AS qid,
+         |    doc_id, rnk
+         |  FROM tr WHERE rnk <= 10),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id < 4),
+         |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |sv AS (SELECT qid, vec_id, ${cosSql("qv", "cv")} AS cos
+         |       FROM q CROSS JOIN c WHERE vec_id <> qid),
+         |vr AS (SELECT qid, vec_id AS doc_id,
+         |         row_number() OVER (PARTITION BY qid
+         |                            ORDER BY cos DESC, vec_id) AS rnk
+         |       FROM sv),
+         |vl AS (SELECT qid, doc_id, rnk FROM vr WHERE rnk <= 10),
+         |legs AS (SELECT * FROM tl UNION ALL SELECT * FROM vl),
+         |f AS (SELECT qid, doc_id,
+         |        SUM(1000000 // (60 + rnk)) AS rrf_e6,
+         |        COUNT(*) AS n_legs
+         |      FROM legs GROUP BY 1, 2),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY rrf_e6 DESC, doc_id) AS rnk FROM f)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id,
+         |  CAST(rrf_e6 AS BIGINT) AS rrf_e6,
+         |  CAST(n_legs AS BIGINT) AS n_legs
+         |FROM fr WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "q159_centroid_classify" ->
       """WITH words AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
