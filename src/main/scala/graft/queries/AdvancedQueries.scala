@@ -1017,6 +1017,38 @@ object AdvancedQueries {
         |         o_orderstatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** q168 — per-group OLS trend slope as an EXACT RATIONAL: for each
+    * order priority, the least-squares slope of price-cents over
+    * epoch-day, emitted as the (numerator, denominator) pair
+    * n·Σxy − Σx·Σy / n·Σx² − (Σx)² in DECIMAL(38,0) — no float ever
+    * enters, so the regression every dashboard fits is hash-gateable
+    * (a float slope sums in shuffle order and is not). Per-row
+    * products fit int64 (day ≈ 2·10⁴, cents ≈ 5·10⁷); the sums and
+    * the final cross-multiplies live in decimal(38,0), good to 10³⁸.
+    * One map-combined aggregate, one shuffle.
+    */
+  def q168GroupOls(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("x"),
+      floor(col("o_totalprice") * 100).cast("long").as("y"))
+    o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+           sum(col("x").cast(d38)).as("sx"),
+           sum(col("y").cast(d38)).as("sy"),
+           sum((col("x") * col("y")).cast(d38)).as("sxy"),
+           sum((col("x") * col("x")).cast(d38)).as("sxx"))
+      .select(col("o_orderpriority"),
+              col("n").cast("long").as("n_orders"),
+              (col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast(d38).cast("string").as("slope_num"),
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast(d38).cast("string").as("slope_den"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q88 — table profiling (the ANALYZE summary): per-column row/null/
     * exact-distinct counts and native-type min/max over lineitem's
     * integer and flag columns (see [[graft.operators.Profiling]] — one
@@ -1647,6 +1679,7 @@ object AdvancedQueries {
     "q163_weighted_paths" -> (q163WeightedPaths _),
     "q164_grouping_sets" -> (q164GroupingSets _),
     "q165_keeper_election" -> (q165KeeperElection _),
+    "q168_group_ols" -> (q168GroupOls _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
@@ -2287,6 +2320,27 @@ object AdvancedQueries {
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
     "q163_weighted_paths" -> weightedPathsOracleSql,
+    "q168_group_ols" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+        |      AS x,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS y
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderpriority,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM o GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+        |  CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS slope_num,
+        |  CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS slope_den
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
     "q164_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
         |  CASE WHEN GROUPING(o_orderpriority) THEN 1 ELSE 0 END AS g_pri,
