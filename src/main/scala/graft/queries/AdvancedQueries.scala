@@ -1049,6 +1049,67 @@ object AdvancedQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** q169 — distribution-position window functions in EXACT RATIONALS:
+    * percent_rank and cume_dist re-derived from row_number and the
+    * partition count under a strict total order (cents, orderkey), as
+    * ⌊(rn−1)·1e6/(n−1)⌋ and ⌊rn·1e6/n⌋ — the built-ins return floats
+    * and are ungateable; the rational forms carry the same
+    * information. Both windows share the one partition exchange.
+    */
+  def q169WindowPositions(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("o_orderpriority"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+              col("rn"),
+              expr("((rn - 1) * 1000000) div (n - 1)").as("pct_rank_e6"),
+              expr("(rn * 1000000) div n").as("cume_dist_e6"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q170 — INTERVAL COALESCING (gaps and islands): merge each user's
+    * overlapping/adjacent event micro-intervals ([ts, ts+30min]) into
+    * maximal covered islands — the coverage complement to q105's
+    * overlap pairs and q106's peak concurrency: "how much wall-clock
+    * was this user active, in how many stretches". Island boundaries
+    * via the classic running-max-of-ends window, island ids via a
+    * running sum of boundary flags — BOTH windows and the final
+    * per-island aggregate share the user exchange. Exact integer
+    * microseconds end to end.
+    */
+  def q170IntervalIslands(s: SparkSession, dir: String): DataFrame = {
+    val HalfHourUs = 1800000000L
+    val iv = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) + HalfHourUs).as("e"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("e"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val marked = iv
+      .withColumn("__maxe", max(col("e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__maxe").isNull || col("s") > col("__maxe"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("island_start_us"),
+           max(col("e")).as("island_end_us"),
+           count(lit(1)).as("n_events"))
+      .withColumn("covered_us",
+        col("island_end_us") - col("island_start_us"))
+      .filter(col("user_id") % 10 === 3)
+      .orderBy("user_id", "island")
+  }
+
   /** q88 — table profiling (the ANALYZE summary): per-column row/null/
     * exact-distinct counts and native-type min/max over lineitem's
     * integer and flag columns (see [[graft.operators.Profiling]] — one
@@ -1680,6 +1741,8 @@ object AdvancedQueries {
     "q164_grouping_sets" -> (q164GroupingSets _),
     "q165_keeper_election" -> (q165KeeperElection _),
     "q168_group_ols" -> (q168GroupOls _),
+    "q169_window_positions" -> (q169WindowPositions _),
+    "q170_interval_islands" -> (q170IntervalIslands _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
@@ -2320,6 +2383,47 @@ object AdvancedQueries {
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
     "q163_weighted_paths" -> weightedPathsOracleSql,
+    "q169_window_positions" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderkey, o_orderpriority, cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY cents, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM o)
+        |SELECT o_orderkey, o_orderpriority, cents,
+        |  CAST(rn AS BIGINT) AS rn,
+        |  ((rn - 1) * 1000000) // (n - 1) AS pct_rank_e6,
+        |  (rn * 1000000) // n AS cume_dist_e6
+        |FROM r WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin,
+    "q170_interval_islands" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv),
+        |f AS (
+        |  SELECT *, CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END
+        |    AS newi
+        |  FROM m),
+        |g AS (
+        |  SELECT *, SUM(newi) OVER (
+        |    PARTITION BY user_id ORDER BY s, e, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f)
+        |SELECT user_id, CAST(island AS BIGINT) AS island,
+        |  MIN(s) AS island_start_us, MAX(e) AS island_end_us,
+        |  COUNT(*) AS n_events,
+        |  MAX(e) - MIN(s) AS covered_us
+        |FROM g WHERE user_id % 10 = 3
+        |GROUP BY user_id, island ORDER BY user_id, island""".stripMargin,
     "q168_group_ols" ->
       """WITH o AS (
         |  SELECT o_orderpriority,
