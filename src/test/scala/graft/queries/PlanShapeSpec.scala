@@ -366,6 +366,35 @@ class PlanShapeSpec extends SparkSpec {
       s"expected partial+final aggregate pair:\n$plan")
   }
 
+  test("q169: both distribution windows share ONE priority exchange") {
+    val plan = finalPlan(AdvancedQueries.queries("q169_window_positions")(
+      spark, sf))
+    val n = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(n == 1,
+      s"row_number and count windows must reuse one exchange:\n$plan")
+  }
+
+  test("q170: islands run on the user exchange — windows + island agg, " +
+       "no extra shuffle beyond the group keys") {
+    val plan = finalPlan(AdvancedQueries.queries("q170_interval_islands")(
+      spark, sf))
+    val n = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(n <= 2, s"expected <=2 hash exchanges, found $n:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q166: depth-3 Apriori joins stay keyed — no cartesian, and the " +
+       "support-bounded pair table broadcasts into the semi-joins") {
+    val plan = finalPlan(CurationQueries.queries("q166_frequent_triples")(
+      spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      s"triple expansion must never plan a cross product:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the frequent-pair prunes should broadcast:\n$plan")
+  }
+
   test("semantic Top-N query respects the filter context in the rank") {
     val plan = finalPlan(SemanticQueries.q19SemanticTopN(spark, sf))
     assert(plan.contains("LeftSemi"))
