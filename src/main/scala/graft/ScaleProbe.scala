@@ -540,6 +540,20 @@ object ScaleProbe {
       println("  containment pairs: " + Dedup
         .containmentPairs(docs, "doc_id", "text", 3, 9, 10).count())
     }
+    // --- depth-3 Apriori (q166 shape): RELATIVE support (n/5) scales
+    // with the corpus, so the frequent vocabulary and itemset counts
+    // are inflation-invariant; time must track the id-keyed expansion
+    // (linear in docs), never the candidate cube.
+    time(s"triples_${mult}x") {
+      val minSup = docs.count() / 5
+      println("  frequent triples: " + graft.operators.ItemsetMining
+        .frequentTriples(
+          docs.select(col("doc_id"),
+            org.apache.spark.sql.functions.filter(
+              graft.functions.TextFunctions.words(col("text")),
+              w => length(w) > 0).as("toks")),
+          "doc_id", "toks", minSup).count())
+    }
     // --- audio near-dup (q149 shape): decode cost linear in payloads;
     // candidates bucket on (n_samples, energy hash) — the dup family's
     // per-base envelope keeps buckets selective, so candidate growth
