@@ -210,6 +210,46 @@ object PipelineQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** q171 — cluster TOPIC TERMS (c-TF-IDF, BERTopic-style, log-free):
+    * label each embedding cluster (q68's k-means, doc↔vec 1:1) by the
+    * terms most over-represented in it vs the corpus — score_e6 =
+    * ⌊1e6 · tf_c · T / (len_c · f_t)⌋, the term↔cluster lift (the
+    * rational surrogate for c-TF-IDF's log idf: monotone, so the
+    * ranking is identical and the integer gate holds; the q139
+    * argument). Top-5 terms per cluster, min tf 5, deterministic
+    * (score desc, term) cut — "what is this cluster about", the topic
+    * audit every embedding-clustered corpus triage runs.
+    */
+  def q171ClusterTerms(s: SparkSession, dir: String): DataFrame = {
+    val asg = graft.operators.Clustering.kmeansAssign(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, dims = 64, iters = 3)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val withC = toks.join(asg, Seq("doc_id"))
+    val tfc = withC.groupBy(col("cid"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .filter(col("tf") >= 5)
+    val lenc = withC.groupBy(col("cid")).agg(count(lit(1)).as("len_c"))
+    val ftot = toks.groupBy(col("term")).agg(count(lit(1)).as("f_t"))
+    val tot = toks.agg(count(lit(1)).as("t_tot"))
+    val scored = tfc.join(lenc, Seq("cid")).join(ftot, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .select(col("cid"), col("term"), col("tf"),
+              expr("(1000000 * tf * t_tot) div (len_c * f_t)")
+                .as("score_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(col("score_e6").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("cid"), col("rnk"), col("term"), col("tf"),
+              col("score_e6"))
+      .orderBy("cid", "rnk")
+  }
+
   /** q159 — nearest-centroid label transfer
     * ([[graft.operators.Classification]]): train per-language term
     * centroids on the doc_id % 5 ≠ 0 slice, predict the held-out
@@ -765,6 +805,7 @@ object PipelineQueries {
     "q146_bm25"            -> (q146Bm25 _),
     "q159_centroid_classify" -> (q159CentroidClassify _),
     "q167_hybrid_rrf"      -> (q167HybridRrf _),
+    "q171_cluster_terms"   -> (q171ClusterTerms _),
     "q138_span_trim"       -> (q138SpanTrim _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
@@ -960,6 +1001,31 @@ object PipelineQueries {
        |${kmAssign("a3", "c3")}""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q171_cluster_terms" ->
+      s"""WITH $kmChainCtes,
+         |asg AS (SELECT vec_id AS doc_id, cid FROM a3 WHERE rn = 1),
+         |toks AS (
+         |  SELECT doc_id, t AS term FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |    FROM documents)
+         |  WHERE length(t) > 0),
+         |wc AS (SELECT toks.doc_id, asg.cid, toks.term
+         |       FROM toks JOIN asg USING (doc_id)),
+         |tfc AS (SELECT cid, term, COUNT(*) AS tf FROM wc
+         |        GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         |lenc AS (SELECT cid, COUNT(*) AS len_c FROM wc GROUP BY 1),
+         |ftot AS (SELECT term, COUNT(*) AS f_t FROM toks GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS t_tot FROM toks),
+         |sc AS (
+         |  SELECT tfc.cid, tfc.term, tfc.tf,
+         |    (1000000 * tfc.tf * t_tot) // (len_c * f_t) AS score_e6
+         |  FROM tfc JOIN lenc USING (cid) JOIN ftot USING (term), tot),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cid
+         |        ORDER BY score_e6 DESC, term) AS rnk FROM sc)
+         |SELECT CAST(cid AS BIGINT) AS cid, CAST(rnk AS BIGINT) AS rnk,
+         |  term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(score_e6 AS BIGINT) AS score_e6
+         |FROM r WHERE rnk <= 5 ORDER BY cid, rnk""".stripMargin,
     "q68_kmeans" ->
       s"""WITH $kmChainCtes
          |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
