@@ -178,6 +178,48 @@ object Sampling {
     * each group; a pathologically hot source sorts on one reducer — for
     * that case pre-aggregate per (source, hash-prefix) sub-budgets.
     */
+  /** TEMPERATURE-SHARPENED MIXING QUOTAS with largest-remainder
+    * apportionment — the data-mixing step of a pretraining pipeline:
+    * given per-source sizes, allocate a fixed sample budget across
+    * sources with weights ∝ size^(1/T), EXACTLY. T = 1/2 sharpens by
+    * SQUARING (integer-expressible; general real temperatures need
+    * pow — this is the exact-arithmetic point on the dial, and the
+    * ranking behavior is the same family), T = 1 is proportional.
+    * Fractional seats resolve by the largest-remainder (Hamilton)
+    * method: floor every quota, then hand the leftover seats to the
+    * largest remainders, ties to the smaller source name — exact
+    * integer apportionment, Σ quota == budget ALWAYS (the property
+    * float rounding can't give).
+    *
+    * One tiny aggregate (|sources| rows) + a window over it —
+    * control-plane-sized regardless of corpus size; the expensive
+    * part (actually drawing each source's quota) composes with
+    * [[stratified]]/[[weightedSample]] downstream.
+    */
+  def temperatureQuotas(df: DataFrame, sourceCol: String, budget: Long,
+                        sharpen: Boolean): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val sizes = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n"))
+    val weighted = sizes.withColumn("w",
+      if (sharpen) col("n") * col("n") else col("n"))
+    val tot = weighted.agg(sum(col("w")).as("w_tot"))
+    val base = weighted.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"), col("w"),
+              expr(s"($budget * w) div w_tot").as("floor_q"),
+              expr(s"($budget * w) % w_tot").as("rem"))
+    val leftover = base
+      .agg((lit(budget) - sum(col("floor_q"))).as("__left"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    base.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(w))
+      .select(col("source"), col("n"), col("w"),
+              (col("floor_q") +
+                when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+                .as("quota"))
+  }
+
   def tokenBudget(df: DataFrame, keyCol: String, idCol: String,
                   tokensCol: String, budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")

@@ -1110,6 +1110,33 @@ object AdvancedQueries {
       .orderBy("user_id", "island")
   }
 
+  /** q172 — temperature-sharpened source-mixing quotas
+    * ([[graft.operators.Sampling.temperatureQuotas]]): a 300-doc
+    * budget apportioned across document sources with weights ∝ size²
+    * (T = 1/2 — the exact-integer point on the temperature dial) by
+    * the largest-remainder method, so Σ quota == budget EXACTLY —
+    * the pretraining data-mixing allocation, hash-gated down to every
+    * remainder tie.
+    */
+  def q172TemperatureQuotas(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureQuotas(
+        Tables.documents(s, dir), "source", budget = 300L,
+        sharpen = true)
+      .orderBy("source")
+
+  /** q173 — rendezvous sharding
+    * ([[graft.operators.Partitioning.rendezvousShard]]): every doc to
+    * the shard maximizing the portable (key, shard) hash — the stable
+    * layout mod-S can't give (removing a shard moves only its own
+    * keys; `RendezvousSpec` proves that property). Zero shuffle: the
+    * argmax is a per-row fold over the 8-shard axis.
+    */
+  def q173RendezvousShard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Partitioning.rendezvousShard(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+        shards = 8)
+      .orderBy("doc_id")
+
   /** q88 — table profiling (the ANALYZE summary): per-column row/null/
     * exact-distinct counts and native-type min/max over lineitem's
     * integer and flag columns (see [[graft.operators.Profiling]] — one
@@ -1743,6 +1770,8 @@ object AdvancedQueries {
     "q168_group_ols" -> (q168GroupOls _),
     "q169_window_positions" -> (q169WindowPositions _),
     "q170_interval_islands" -> (q170IntervalIslands _),
+    "q172_temperature_quotas" -> (q172TemperatureQuotas _),
+    "q173_rendezvous_shard" -> (q173RendezvousShard _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
     "q136_exact_quartiles" -> (q136ExactQuartiles _),
@@ -2383,6 +2412,34 @@ object AdvancedQueries {
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
     "q163_weighted_paths" -> weightedPathsOracleSql,
+    "q172_temperature_quotas" ->
+      """WITH sizes AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |wt AS (SELECT source, n, n * n AS w FROM sizes),
+        |tot AS (SELECT SUM(w) AS w_tot FROM wt),
+        |base AS (
+        |  SELECT source, n, w,
+        |    (300 * w) // w_tot AS floor_q, (300 * w) % w_tot AS rem
+        |  FROM wt, tot),
+        |lo AS (SELECT 300 - SUM(floor_q) AS leftover FROM base),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+        |        AS rk FROM base)
+        |SELECT source, n, CAST(w AS BIGINT) AS w,
+        |  CAST(floor_q + CASE WHEN rk <= (SELECT leftover FROM lo)
+        |                      THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r ORDER BY source""".stripMargin,
+    "q173_rendezvous_shard" ->
+      """WITH ax AS (SELECT unnest(generate_series(0, 7)) AS s),
+        |hw AS (
+        |  SELECT doc_id, s,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || s::VARCHAR),
+        |                    1, 8))::BIGINT AS h
+        |  FROM documents CROSS JOIN ax),
+        |r AS (SELECT doc_id, s, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY h DESC, s ASC) AS rn
+        |      FROM hw)
+        |SELECT doc_id, CAST(s AS BIGINT) AS shard
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q169_window_positions" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderpriority,
