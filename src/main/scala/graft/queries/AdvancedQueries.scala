@@ -1137,6 +1137,38 @@ object AdvancedQueries {
         shards = 8)
       .orderBy("doc_id")
 
+  /** q174 — exact TIME-WEIGHTED average value per user (TWAP / the
+    * metering integral): each observation holds its floor-cents value
+    * until the next one (the LOCF semantics), so the integral is
+    * Σ cents_i · Δus_i via one lead window, carried in decimal(38,0)
+    * (µs spans × cents overflow int64) and rendered as an exact
+    * string (the q168 bridge discipline); twap_e2 = ⌊integral/span⌋
+    * back in int64 cents. Users with one observation have no span and
+    * are excluded by definition. ONE user exchange carries the window
+    * and the aggregate.
+    */
+  def q174Twap(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val obs = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    obs.withColumn("__nxt", lead(col("us"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_segments"),
+           sum((col("__nxt") - col("us")).cast(d38) *
+                 col("cents").cast(d38)).as("__integral"),
+           sum((col("__nxt") - col("us")).cast(d38)).as("__span"))
+      .select(col("user_id"), col("n_segments"),
+              col("__integral").cast(d38).cast("string").as("integral"),
+              col("__span").cast("long").as("span_us"),
+              expr("__integral div __span").cast("long").as("twap_e2"))
+      .orderBy("user_id")
+  }
+
   /** q88 — table profiling (the ANALYZE summary): per-column row/null/
     * exact-distinct counts and native-type min/max over lineitem's
     * integer and flag columns (see [[graft.operators.Profiling]] — one
@@ -1771,6 +1803,7 @@ object AdvancedQueries {
     "q169_window_positions" -> (q169WindowPositions _),
     "q170_interval_islands" -> (q170IntervalIslands _),
     "q172_temperature_quotas" -> (q172TemperatureQuotas _),
+    "q174_twap" -> (q174Twap _),
     "q173_rendezvous_shard" -> (q173RendezvousShard _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
@@ -2412,6 +2445,26 @@ object AdvancedQueries {
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
     "q163_weighted_paths" -> weightedPathsOracleSql,
+    "q174_twap" ->
+      """WITH obs AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id, us, cents,
+        |    lead(us) OVER (PARTITION BY user_id
+        |                   ORDER BY us, event_id) AS nxt
+        |  FROM obs),
+        |a AS (
+        |  SELECT user_id, COUNT(*) AS n_segments,
+        |    SUM(CAST(nxt - us AS HUGEINT) * cents) AS integral,
+        |    SUM(CAST(nxt - us AS HUGEINT)) AS span
+        |  FROM seg WHERE nxt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_segments,
+        |  CAST(CAST(integral AS DECIMAL(38,0)) AS VARCHAR) AS integral,
+        |  CAST(span AS BIGINT) AS span_us,
+        |  CAST(integral // span AS BIGINT) AS twap_e2
+        |FROM a ORDER BY user_id""".stripMargin,
     "q172_temperature_quotas" ->
       """WITH sizes AS (
         |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
