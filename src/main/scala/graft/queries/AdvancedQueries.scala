@@ -1169,6 +1169,68 @@ object AdvancedQueries {
       .orderBy("user_id")
   }
 
+  /** q175 — referential-integrity audit (the dbt-test pack as one
+    * query): for each foreign-key edge of the star (orders→customer,
+    * lineitem→orders, lineitem→part, lineitem→supplier,
+    * customer→nation), the child row count, orphan count (anti-join),
+    * and floor-scaled coverage rate — the continuous data-quality
+    * check a warehouse runs after every load. Each edge is one
+    * anti-join against a (broadcastable) parent keyset; exact
+    * integers throughout.
+    */
+  def q175RiAudit(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val n = child.agg(count(lit(1)).as("n_rows"))
+      val orph = child
+        .join(parent.select(col(pk).as(fk)).distinct(),
+              Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      n.crossJoin(orph)
+        .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"),
+                expr("((n_rows - n_orphans) * 1000000) div n_rows")
+                  .as("coverage_e6"))
+    }
+    val o = Tables.orders(s, dir); val l = Tables.lineitem(s, dir)
+    Seq(
+      edge("orders->customer", o, "o_custkey",
+           Tables.customer(s, dir), "c_custkey"),
+      edge("lineitem->orders", l, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem->part", l, "l_partkey",
+           Tables.part(s, dir), "p_partkey"),
+      edge("lineitem->supplier", l, "l_suppkey",
+           Tables.supplier(s, dir), "s_suppkey"),
+      edge("customer->nation", Tables.customer(s, dir), "c_nationkey",
+           Tables.nation(s, dir), "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy("edge")
+  }
+
+  /** q176 — equi-depth BIN ASSIGNMENT (feature binning): each order
+    * lands in its within-priority price quartile via the exact rank
+    * rule bin = (4·(rn−1)) div n under the strict (cents, orderkey)
+    * order — the discretization step feature pipelines run before
+    * crossing or bucketed encoding; per-bin count/min/max audit the
+    * cut points. Ranks ride the q169 exchange shape (one window, one
+    * aggregate).
+    */
+  def q176EquiDepthBins(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("o_orderpriority"))
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("bin", expr("(4 * (rn - 1)) div n"))
+      .groupBy(col("o_orderpriority"), col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+           min(col("cents")).as("min_cents"),
+           max(col("cents")).as("max_cents"))
+      .orderBy("o_orderpriority", "bin")
+  }
+
   /** q88 — table profiling (the ANALYZE summary): per-column row/null/
     * exact-distinct counts and native-type min/max over lineitem's
     * integer and flag columns (see [[graft.operators.Profiling]] — one
@@ -1804,6 +1866,8 @@ object AdvancedQueries {
     "q170_interval_islands" -> (q170IntervalIslands _),
     "q172_temperature_quotas" -> (q172TemperatureQuotas _),
     "q174_twap" -> (q174Twap _),
+    "q175_ri_audit" -> (q175RiAudit _),
+    "q176_equidepth_bins" -> (q176EquiDepthBins _),
     "q173_rendezvous_shard" -> (q173RendezvousShard _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
@@ -2445,6 +2509,48 @@ object AdvancedQueries {
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
     "q163_weighted_paths" -> weightedPathsOracleSql,
+    "q175_ri_audit" ->
+      """WITH e1 AS (
+        |  SELECT 'orders->customer' AS edge, COUNT(*) AS n_rows,
+        |    COUNT(*) FILTER (WHERE c_custkey IS NULL) AS n_orphans
+        |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey),
+        |e2 AS (
+        |  SELECT 'lineitem->orders', COUNT(*),
+        |    COUNT(*) FILTER (WHERE o_orderkey IS NULL)
+        |  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey),
+        |e3 AS (
+        |  SELECT 'lineitem->part', COUNT(*),
+        |    COUNT(*) FILTER (WHERE p_partkey IS NULL)
+        |  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey),
+        |e4 AS (
+        |  SELECT 'lineitem->supplier', COUNT(*),
+        |    COUNT(*) FILTER (WHERE s_suppkey IS NULL)
+        |  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey),
+        |e5 AS (
+        |  SELECT 'customer->nation', COUNT(*),
+        |    COUNT(*) FILTER (WHERE n_nationkey IS NULL)
+        |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |      UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        |      UNION ALL SELECT * FROM e5)
+        |SELECT edge, n_rows, n_orphans,
+        |  ((n_rows - n_orphans) * 1000000) // n_rows AS coverage_e6
+        |FROM u ORDER BY edge""".stripMargin,
+    "q176_equidepth_bins" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY cents, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM o)
+        |SELECT o_orderpriority, (4 * (rn - 1)) // n AS bin,
+        |  COUNT(*) AS n_orders, MIN(cents) AS min_cents,
+        |  MAX(cents) AS max_cents
+        |FROM r GROUP BY 1, 2 ORDER BY o_orderpriority, bin""".stripMargin,
     "q174_twap" ->
       """WITH obs AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us,
