@@ -1231,6 +1231,75 @@ object AdvancedQueries {
       .orderBy("o_orderpriority", "bin")
   }
 
+  /** q177 — similarity-graph TRANSITIVITY audit: over the q54
+    * Jaccard-1/2 pair set, the fraction of wedges (a~b, b~c) that
+    * close (a~c) — the measurement that justifies (or indicts)
+    * clustering a THRESHOLD graph with connected components: low
+    * closure means CC merges through chains the threshold never
+    * endorsed pairwise. One symmetric self-join on the wedge middle +
+    * one semi-join against the pair set; exact integers, one summary
+    * row.
+    */
+  def q177TransitivityAudit(s: SparkSession, dir: String): DataFrame = {
+    val p = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id",
+                               "text", n = 3, num = 1, den = 2)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val wedges = p.select(col("doc_a").as("x"), col("doc_b").as("mid"))
+      .union(p.select(col("doc_b").as("x"), col("doc_a").as("mid")))
+    val wedgePairs = wedges
+      .join(wedges.select(col("mid"), col("x").as("y")), Seq("mid"))
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y"))
+      .localCheckpoint()
+    val nP = p.agg(count(lit(1)).as("n_pairs"))
+    val nW = wedgePairs.agg(count(lit(1)).as("n_wedges"))
+    val nC = wedgePairs
+      .join(p.select(col("doc_a").as("x"), col("doc_b").as("y")),
+            Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_closed"))
+    nP.crossJoin(nW).crossJoin(nC)
+      .select(col("n_pairs"), col("n_wedges"), col("n_closed"),
+              when(col("n_wedges") === 0, 0L)
+                .otherwise(expr("(n_closed * 1000000) div n_wedges"))
+                .as("closure_e6"))
+  }
+
+  /** q178 — corpus-half TOKEN DRIFT (total variation distance, exact
+    * rational): the token distributions of the doc_id-even and -odd
+    * halves compared as TVD = Σ|c_a·N_b − c_b·N_a| / (2·N_a·N_b),
+    * cross-multiplied so no division happens until the final floor —
+    * the drift monitor a pipeline points at yesterday-vs-today or
+    * source-vs-source before a mixture decision. Numerator carried in
+    * decimal(38,0), rendered exact; one full-outer term join.
+    */
+  def q178TokenDrift(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val ca = toks.filter(col("doc_id") % 2 === 0)
+      .groupBy("term").agg(count(lit(1)).as("c_a"))
+    val cb = toks.filter(col("doc_id") % 2 === 1)
+      .groupBy("term").agg(count(lit(1)).as("c_b"))
+    val joined = ca.join(cb, Seq("term"), "full_outer")
+      .select(coalesce(col("c_a"), lit(0L)).as("c_a"),
+              coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .localCheckpoint()
+    val tot = joined.agg(sum(col("c_a")).as("n_a"),
+                         sum(col("c_b")).as("n_b"))
+    joined.crossJoin(broadcast(tot))
+      .select(abs(col("c_a").cast(d38) * col("n_b") -
+                  col("c_b").cast(d38) * col("n_a")).as("__d"),
+              col("n_a"), col("n_b"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("__d")).as("__l1"))
+      .select(col("n_a").as("n_a_tokens"), col("n_b").as("n_b_tokens"),
+              col("__l1").cast(d38).cast("string").as("l1_num"),
+              expr("(1000000 * __l1) div (2 * n_a * n_b)")
+                .cast("long").as("tvd_e6"))
+  }
+
   /** q88 — table profiling (the ANALYZE summary): per-column row/null/
     * exact-distinct counts and native-type min/max over lineitem's
     * integer and flag columns (see [[graft.operators.Profiling]] — one
@@ -1868,6 +1937,8 @@ object AdvancedQueries {
     "q174_twap" -> (q174Twap _),
     "q175_ri_audit" -> (q175RiAudit _),
     "q176_equidepth_bins" -> (q176EquiDepthBins _),
+    "q177_transitivity" -> (q177TransitivityAudit _),
+    "q178_token_drift" -> (q178TokenDrift _),
     "q173_rendezvous_shard" -> (q173RendezvousShard _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
@@ -2509,6 +2580,63 @@ object AdvancedQueries {
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
     "q163_weighted_paths" -> weightedPathsOracleSql,
+    "q177_transitivity" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |               FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |wg AS (SELECT doc_a AS x, doc_b AS mid FROM jp
+        |       UNION ALL SELECT doc_b, doc_a FROM jp),
+        |wp AS (
+        |  SELECT a.x, b.x AS y FROM wg a JOIN wg b ON a.mid = b.mid
+        |  WHERE a.x < b.x),
+        |agg AS (
+        |  SELECT (SELECT COUNT(*) FROM jp) AS n_pairs,
+        |    (SELECT COUNT(*) FROM wp) AS n_wedges,
+        |    (SELECT COUNT(*) FROM wp
+        |     JOIN jp ON wp.x = jp.doc_a AND wp.y = jp.doc_b) AS n_closed)
+        |SELECT n_pairs, n_wedges, n_closed,
+        |  CASE WHEN n_wedges = 0 THEN 0
+        |       ELSE (n_closed * 1000000) // n_wedges END AS closure_e6
+        |FROM agg""".stripMargin,
+    "q178_token_drift" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS term FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |ca AS (SELECT term, COUNT(*) AS c_a FROM toks
+        |       WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cb AS (SELECT term, COUNT(*) AS c_b FROM toks
+        |       WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        |  FROM ca FULL OUTER JOIN cb USING (term)),
+        |tot AS (SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM j),
+        |l1 AS (
+        |  SELECT SUM(abs(CAST(c_a AS HUGEINT) * n_b
+        |                 - CAST(c_b AS HUGEINT) * n_a)) AS l1n,
+        |    ANY_VALUE(n_a) AS n_a, ANY_VALUE(n_b) AS n_b
+        |  FROM j, tot)
+        |SELECT CAST(n_a AS BIGINT) AS n_a_tokens,
+        |  CAST(n_b AS BIGINT) AS n_b_tokens,
+        |  CAST(CAST(l1n AS DECIMAL(38,0)) AS VARCHAR) AS l1_num,
+        |  CAST((1000000 * l1n) // (2 * CAST(n_a AS HUGEINT) * n_b)
+        |    AS BIGINT) AS tvd_e6
+        |FROM l1""".stripMargin,
     "q175_ri_audit" ->
       """WITH e1 AS (
         |  SELECT 'orders->customer' AS edge, COUNT(*) AS n_rows,
