@@ -161,4 +161,75 @@ class PropertySpec extends AnyFunSuite {
       assert(out === expected, s"gaps=$gs")
     }
   }
+
+  test("scd2: intervals tile the key's span — from == previous to, one " +
+       "open current row, interval count == run count") {
+    val logs: Gen[List[(Long, String)]] = Gen.choose(1, 25).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(Gen.choose(0L, 20L),
+                             Gen.oneOf("a", "b", "c"))))
+    forSamples(logs, n = 15) { obs =>
+      // distinct micro-times so the tie column is irrelevant here
+      val rows = obs.zipWithIndex.map { case ((dt, v), i) =>
+        val us = dt * 86400000000L + i * 1000L
+        val ts = new java.sql.Timestamp(us / 1000)
+        (1L, v, ts, i.toLong)
+      }
+      val out = TemporalOps.scd2(rows.toDF("k", "attr", "t", "i"),
+                                 "k", "attr", "t", "i")
+        .orderBy("valid_from_us")
+        .collect()
+        .map(r => (r.getString(1), r.getLong(2),
+                   if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      // reference: collapse the (time, tie)-ordered stream into runs
+      val ordered = rows.sortBy(r => (r._3.getTime, r._4)).map(_._2)
+      val runs = ordered.foldLeft(List.empty[String]) {
+        case (acc, v) if acc.headOption.contains(v) => acc
+        case (acc, v) => v :: acc
+      }.reverse
+      assert(out.length === runs.length, s"obs=$obs")
+      assert(out.map(_._1).toSeq === runs, s"obs=$obs")
+      // tiling: each interval closes exactly where the next opens;
+      // only the last is open-ended
+      out.sliding(2).foreach {
+        case Array((_, _, Some(to)), (_, from, _)) =>
+          assert(to === from, s"gap/overlap in $obs")
+        case _ =>
+      }
+      assert(out.last._3.isEmpty && out.init.forall(_._3.nonEmpty))
+    }
+  }
+
+  test("containmentPairs equals the naive all-pairs join on random " +
+       "corpora at random thresholds") {
+    val corpora: Gen[(List[List[String]], (Int, Int))] = for {
+      k <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(k, wordLists.suchThat(_.size >= 3))
+      den <- Gen.choose(2, 10)
+      num <- Gen.choose(1, den)
+    } yield (docs, (num, den))
+    forSamples(corpora, n = 10) { case (docs, (num, den)) =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val fast = norm(Dedup.containmentPairs(df, "doc_id", "text",
+                                             2, num, den)
+        .select("doc_a", "doc_b", "inter_cnt"))
+      val sh = df.select(col("doc_id"),
+          TextFunctions.shingles(col("text"), 2).as("sh"))
+        .withColumn("sz", size(col("sh"))).filter(col("sz") > 0)
+      val slow = norm(sh.select(col("doc_id").as("doc_a"),
+                                col("sh").as("sa"), col("sz").as("za"))
+        .crossJoin(sh.select(col("doc_id").as("doc_b"),
+                             col("sh").as("sb")))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .withColumn("inter_cnt",
+          size(array_intersect(col("sa"), col("sb"))).cast("long"))
+        .filter(col("inter_cnt") * den >= col("za") * num)
+        .select("doc_a", "doc_b", "inter_cnt"))
+      assert(fast === slow, s"docs=$docs t=$num/$den")
+    }
+  }
 }
