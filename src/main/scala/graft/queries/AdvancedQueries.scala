@@ -1300,6 +1300,47 @@ object AdvancedQueries {
                 .cast("long").as("tvd_e6"))
   }
 
+  /** q179 — NULL-semantics conformance: one query exercising the
+    * null rules engines most often disagree on, each hash-gated —
+    * nulls from `nullif` participate in (1) grouping (null is a
+    * group), (2) count vs count(col) vs count(distinct col), (3)
+    * null-safe equality (`<=>` / IS NOT DISTINCT FROM) in a
+    * self-join, and (4) aggregate null-skipping (sum/min ignore
+    * nulls; sum of all-null is null, surfaced via coalesce(-1)).
+    * Clerk 'F' rows get a null status at every SF, so every branch
+    * is live.
+    */
+  def q179NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority"),
+      nullif(col("o_orderstatus"), lit("F")).as("st"),
+      when(col("o_orderstatus") === "F", lit(null).cast("long"))
+        .otherwise(floor(col("o_totalprice") * 100).cast("long"))
+        .as("cents"))
+    val base = o.groupBy(col("o_orderpriority"), col("st"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("st")).as("n_st"),
+           countDistinct(col("st")).as("n_distinct_st"),
+           coalesce(sum(col("cents")), lit(-1L)).as("sum_cents_nv"))
+    val pairs = o.select(col("o_orderpriority").as("p1"), col("st"))
+      .groupBy(col("p1"), col("st")).agg(count(lit(1)).as("c1"))
+      .join(o.select(col("o_orderpriority").as("p2"),
+                     col("st").as("st2"))
+              .groupBy(col("p2"), col("st2")).agg(count(lit(1)).as("c2")),
+            col("st") <=> col("st2"))
+      .groupBy(col("p1"), col("st"))
+      .agg(sum(col("c2")).as("nullsafe_partner_rows"))
+      .select(col("p1").as("__p"), col("st").as("__s"),
+              col("nullsafe_partner_rows"))
+    base.join(pairs,
+              base("o_orderpriority") === col("__p") &&
+                base("st") <=> col("__s"))
+      .select(col("o_orderpriority"), col("st"), col("n_rows"),
+              col("n_st"), col("n_distinct_st"), col("sum_cents_nv"),
+              col("nullsafe_partner_rows"))
+      .orderBy(col("o_orderpriority"), col("st").asc_nulls_first)
+  }
+
   /** q88 — table profiling (the ANALYZE summary): per-column row/null/
     * exact-distinct counts and native-type min/max over lineitem's
     * integer and flag columns (see [[graft.operators.Profiling]] — one
@@ -1939,6 +1980,7 @@ object AdvancedQueries {
     "q176_equidepth_bins" -> (q176EquiDepthBins _),
     "q177_transitivity" -> (q177TransitivityAudit _),
     "q178_token_drift" -> (q178TokenDrift _),
+    "q179_null_semantics" -> (q179NullSemantics _),
     "q173_rendezvous_shard" -> (q173RendezvousShard _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
@@ -2580,6 +2622,31 @@ object AdvancedQueries {
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
     "q163_weighted_paths" -> weightedPathsOracleSql,
+    "q179_null_semantics" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, nullif(o_orderstatus, 'F') AS st,
+        |    CASE WHEN o_orderstatus = 'F' THEN NULL
+        |         ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END
+        |      AS cents
+        |  FROM orders),
+        |base AS (
+        |  SELECT o_orderpriority, st, COUNT(*) AS n_rows,
+        |    COUNT(st) AS n_st, COUNT(DISTINCT st) AS n_distinct_st,
+        |    COALESCE(SUM(cents), -1) AS sum_cents_nv
+        |  FROM o GROUP BY 1, 2),
+        |g AS (SELECT o_orderpriority AS p, st, COUNT(*) AS c
+        |      FROM o GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.p, a.st, SUM(b.c) AS nullsafe_partner_rows
+        |  FROM g a JOIN g b ON a.st IS NOT DISTINCT FROM b.st
+        |  GROUP BY 1, 2)
+        |SELECT base.o_orderpriority, base.st, n_rows, n_st,
+        |  n_distinct_st, CAST(sum_cents_nv AS BIGINT) AS sum_cents_nv,
+        |  CAST(nullsafe_partner_rows AS BIGINT) AS nullsafe_partner_rows
+        |FROM base JOIN pairs
+        |  ON base.o_orderpriority = pairs.p
+        | AND base.st IS NOT DISTINCT FROM pairs.st
+        |ORDER BY base.o_orderpriority, base.st ASC NULLS FIRST""".stripMargin,
     "q177_transitivity" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
         |               FROM documents),
