@@ -1341,6 +1341,55 @@ object AdvancedQueries {
       .orderBy(col("o_orderpriority"), col("st").asc_nulls_first)
   }
 
+  /** q180 — vocabulary richness (Chao1 estimator, exact rational):
+    * how many token types the corpus has NOT yet shown us —
+    * the BIAS-CORRECTED form Chao1 = D + f1·(f1−1)/(2·(f2+1)) from
+    * the distinct count D and the singleton/doubleton
+    * frequencies-of-frequencies, floor-scaled e2 — defined for every
+    * corpus including f2 = 0 (this one: the shared-vocab synthetic
+    * corpus has no rare tail, so the estimator says "you've seen it
+    * all" — chao1 ≈ D, which is itself the interesting reading). The coverage question every crawl
+    * budget decision asks — "is more data buying new vocabulary" —
+    * from two hash aggregates.
+    */
+  def q180Chao1(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    counts.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_types"), col("n_tokens"), col("f1"), col("f2"),
+              expr("100 * n_types + (100 * f1 * (f1 - 1)) " +
+                   "div (2 * (f2 + 1))").as("chao1_e2"))
+  }
+
+  /** q181 — source concentration (Gini coefficient, exact integer
+    * expression): who dominates the corpus — G over per-source doc
+    * counts via the sorted-rank form
+    * G_e6 = (2e6·Σ i·xᵢ) div (n·Σx) − (1e6·(n+1)) div n, every
+    * operation a floor on integers so both engines compute the
+    * identical value (the float Gini is shuffle-order-dependent).
+    * The mixture-health gauge next to q178's drift and q172's
+    * quotas. Rank window over |sources| rows — control-plane sized.
+    */
+  def q181SourceGini(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("x"), col("source"))
+    sizes.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_sources"),
+           sum(col("x")).as("n_docs"),
+           sum(col("i") * col("x")).as("iwx"))
+      .select(col("n_sources"), col("n_docs"),
+              expr("(2000000 * iwx) div (n_sources * n_docs) - " +
+                   "(1000000 * (n_sources + 1)) div n_sources")
+                .as("gini_e6"))
+  }
+
   /** q88 — table profiling (the ANALYZE summary): per-column row/null/
     * exact-distinct counts and native-type min/max over lineitem's
     * integer and flag columns (see [[graft.operators.Profiling]] — one
@@ -1981,6 +2030,8 @@ object AdvancedQueries {
     "q177_transitivity" -> (q177TransitivityAudit _),
     "q178_token_drift" -> (q178TokenDrift _),
     "q179_null_semantics" -> (q179NullSemantics _),
+    "q180_chao1" -> (q180Chao1 _),
+    "q181_source_gini" -> (q181SourceGini _),
     "q173_rendezvous_shard" -> (q173RendezvousShard _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
@@ -2622,6 +2673,33 @@ object AdvancedQueries {
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
     "q163_weighted_paths" -> weightedPathsOracleSql,
+    "q180_chao1" ->
+      """WITH toks AS (
+        |  SELECT t AS term FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE length(t) > 0),
+        |c AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY 1)
+        |SELECT COUNT(*) AS n_types,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  CAST(100 * COUNT(*)
+        |    + (100 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |           * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
+        |      // (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+        |    AS BIGINT) AS chao1_e2
+        |FROM c""".stripMargin,
+    "q181_source_gini" ->
+      """WITH sizes AS (
+        |  SELECT source, COUNT(*) AS x FROM documents GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, source) AS i
+        |      FROM sizes)
+        |SELECT COUNT(*) AS n_sources,
+        |  CAST(SUM(x) AS BIGINT) AS n_docs,
+        |  CAST((2000000 * SUM(i * x)) // (COUNT(*) * SUM(x))
+        |    - (1000000 * (COUNT(*) + 1)) // COUNT(*) AS BIGINT)
+        |    AS gini_e6
+        |FROM r""".stripMargin,
     "q179_null_semantics" ->
       """WITH o AS (
         |  SELECT o_orderpriority, nullif(o_orderstatus, 'F') AS st,
