@@ -1390,6 +1390,33 @@ object AdvancedQueries {
                 .as("gini_e6"))
   }
 
+  /** q182 — DEDUP YIELD report: the one-row funnel every pipeline run
+    * prints — corpus size, survivors of exact dedup (distinct
+    * contents), survivors of Jaccard-1/2 near-dup clustering (q54's
+    * keeper rule), and the floor-scaled retention rates. Composes
+    * [[Dedup.exactByContent]]'s semantic (distinct md5) with
+    * [[Dedup.applyDedup]]; the oracle recomposes the q54 recursive-CC
+    * skeleton plus a distinct-content count.
+    */
+  def q182DedupYield(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 2)
+      .select(col("doc_a"), col("doc_b"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nExact = docs.agg(countDistinct(md5(col("text")))
+                            .as("n_exact_kept"))
+    val nNear = Dedup.applyDedup(docs.select("doc_id"), "doc_id", pairs)
+      .filter(col("kept"))
+      .agg(count(lit(1)).as("n_neardup_kept"))
+    nDocs.crossJoin(nExact).crossJoin(nNear)
+      .select(col("n_docs"), col("n_exact_kept"), col("n_neardup_kept"),
+              expr("(n_exact_kept * 1000000) div n_docs")
+                .as("exact_rate_e6"),
+              expr("(n_neardup_kept * 1000000) div n_docs")
+                .as("neardup_rate_e6"))
+  }
+
   /** q88 — table profiling (the ANALYZE summary): per-column row/null/
     * exact-distinct counts and native-type min/max over lineitem's
     * integer and flag columns (see [[graft.operators.Profiling]] — one
@@ -2032,6 +2059,7 @@ object AdvancedQueries {
     "q179_null_semantics" -> (q179NullSemantics _),
     "q180_chao1" -> (q180Chao1 _),
     "q181_source_gini" -> (q181SourceGini _),
+    "q182_dedup_yield" -> (q182DedupYield _),
     "q173_rendezvous_shard" -> (q173RendezvousShard _),
     "q153_mad_outliers" -> (q153MadOutliers _),
     "q142_session_paths" -> (q142SessionPaths _),
@@ -2673,6 +2701,42 @@ object AdvancedQueries {
     "q156_kcore" -> kcoreOracleSql,
     "q157_bfs_hops" -> bfsOracleSql,
     "q163_weighted_paths" -> weightedPathsOracleSql,
+    "q182_dedup_yield" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |cc AS (SELECT a AS doc_id, MIN(b) AS component
+        |       FROM reach GROUP BY a),
+        |agg AS (
+        |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |    (SELECT COUNT(DISTINCT md5(text)) FROM documents)
+        |      AS n_exact_kept,
+        |    (SELECT COUNT(*) FROM documents d LEFT JOIN cc USING (doc_id)
+        |     WHERE cc.component IS NULL OR cc.component = d.doc_id)
+        |      AS n_neardup_kept)
+        |SELECT n_docs, n_exact_kept, n_neardup_kept,
+        |  (n_exact_kept * 1000000) // n_docs AS exact_rate_e6,
+        |  (n_neardup_kept * 1000000) // n_docs AS neardup_rate_e6
+        |FROM agg""".stripMargin,
     "q180_chao1" ->
       """WITH toks AS (
         |  SELECT t AS term FROM (
