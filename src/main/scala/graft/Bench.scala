@@ -91,16 +91,21 @@ object Bench {
         s"\"mem_spill_bytes\":$ms,\"disk_spill_bytes\":$ds}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"sf":"$sfDir","delta_vs_prev":${deltaVsPrev(results)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"sf":"$sfDir","delta_vs_prev":${deltaVsPrev(results, sfDir)}}"""
     println(line)
-    // The driver's tail capture truncates this line at 2000 chars (r06
-    // lost every per-query timing that way) — persist the full JSON as a
+    // The driver's tail capture truncates stdout at 2000 chars (r06 lost
+    // every per-query timing that way) — persist the full JSON as a
     // committed artifact. Best-effort: a read-only cwd must not fail the
     // bench.
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"BENCH_LOCAL_r$currentRound.json"), line)
     } catch { case _: Throwable => () }
+    // The per-query line above outgrew the driver's 2000-char tail in 5 of
+    // 7 rounds (`parsed` came back null). The FINAL stdout line is a
+    // compact, complete JSON object that always fits the tail; the full
+    // detail lives in the committed BENCH_LOCAL artifact.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL_r$currentRound.json"}""")
     spark.stop()
   }
 
@@ -121,28 +126,44 @@ object Bench {
     * fake. The previous artifact is self-generated JSON with a fixed
     * shape, so a regex pull of the two counters is sufficient (no JSON
     * dependency in the library).
+    *
+    * Only same-scale-factor artifacts are comparable: shuffle bytes scale
+    * with the data, so an sf0.01-vs-sf0.1 diff flags every query for the
+    * crime of reading 10× the input (the r8 artifact's 111 bogus flags).
+    * When the newest prior artifact ran at a different sf the comparison
+    * is skipped with an explicit note rather than emitting noise.
     */
   private def deltaVsPrev(
-      results: Iterable[(String, (Double, Long, Long, Long, Long))]): String = {
+      results: Iterable[(String, (Double, Long, Long, Long, Long))],
+      sfDir: String): String = {
     val prevFile = (1 until currentRound).reverse.iterator
       .map(n => n -> new java.io.File(s"BENCH_LOCAL_r$n.json"))
       .find(_._2.isFile)
-    val prev: Map[String, Long] = prevFile match {
-      case None => Map.empty
-      case Some((_, f)) =>
-        val text = try java.nio.file.Files.readString(f.toPath)
-                   catch { case _: Throwable => "" }
-        val rx = ("\"(q[^\"]+)\":\\{\"shuffle_write_bytes\":(\\d+)," +
-                  "\"shuffle_read_bytes\":(\\d+)").r
-        rx.findAllMatchIn(text)
-          .map(m => m.group(1) -> (m.group(2).toLong + m.group(3).toLong))
-          .toMap
+    val prevText = prevFile.map { case (_, f) =>
+      try java.nio.file.Files.readString(f.toPath)
+      catch { case _: Throwable => "" }
+    }.getOrElse("")
+    val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(prevText)
+      .map(_.group(1)).getOrElse("")
+    val prevRound = prevFile.map(_._1).getOrElse(-1)
+    if (prevFile.isEmpty) {
+      s"""{"prev_round":-1,"flagged":{}}"""
+    } else if (prevSf != sfDir) {
+      s"""{"prev_round":$prevRound,"skipped":"sf_mismatch: prev=$prevSf now=$sfDir","flagged":{}}"""
+    } else {
+      val rx = ("\"(q[^\"]+)\":\\{\"shuffle_write_bytes\":(\\d+)," +
+                "\"shuffle_read_bytes\":(\\d+)").r
+      val prev: Map[String, Long] = rx.findAllMatchIn(prevText)
+        .map(m => m.group(1) -> (m.group(2).toLong + m.group(3).toLong))
+        .toMap
+      val flagged = results.iterator.collect {
+        case (name, (_, sw, sr, _, _)) if prev.contains(name) &&
+            sw + sr > prev(name) * 12L / 10L && sw + sr - prev(name) > 4096L =>
+          s"""\"$name\":{\"prev_shuffle_bytes\":${prev(name)},\"now_shuffle_bytes\":${sw + sr}}"""
+      }.toSeq
+      // An object keyed by query (not bare pairs in an array — the r7
+      // shape produced invalid JSON the first time the list was non-empty).
+      s"""{"prev_round":$prevRound,"flagged":${flagged.mkString("{", ",", "}")}}"""
     }
-    val flagged = results.iterator.collect {
-      case (name, (_, sw, sr, _, _)) if prev.contains(name) &&
-          sw + sr > prev(name) * 12L / 10L && sw + sr - prev(name) > 4096L =>
-        s"""\"$name\":{\"prev_shuffle_bytes\":${prev(name)},\"now_shuffle_bytes\":${sw + sr}}"""
-    }.toSeq
-    s"""{"prev_round":${prevFile.map(_._1).getOrElse(-1)},"flagged":${flagged.mkString("[", ",", "]")}}"""
   }
 }

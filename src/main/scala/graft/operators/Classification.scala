@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * its term overlap with each centroid, take the argmax.
   *
   * Design notes for the 100 TB shape:
-  *  - The MODEL is small (|vocab| × |classes| rows) and broadcast to
-  *    the scoring join — the corpus side never shuffles on the term
-  *    key unless the model outgrows the broadcast threshold, in which
-  *    case Catalyst falls back to a shuffled hash join on `term`.
+  *  - The MODEL is small (|vocab| × |classes| rows); the scoring join
+  *    carries no broadcast hint, so AQE's runtime stats broadcast it
+  *    while it fits `autoBroadcastJoinThreshold` and genuinely fall
+  *    back to a shuffled hash join on `term` when a vocab×classes
+  *    model outgrows it — a forced `broadcast()` hint would override
+  *    the threshold and OOM the driver instead of falling back.
   *  - Centroid weights are floor-scaled integers
   *    `w_e6 = (1e6 · ctf) div clen` (ctf = term count within the
   *    class, clen = total class tokens), so scores are sums of
@@ -63,7 +65,7 @@ object Classification {
                              model: DataFrame): DataFrame = {
     val tf = tokens.groupBy(col(idCol).as("id"), col(termCol).as("term"))
       .agg(count(lit(1)).as("__tf"))
-    val scored = tf.join(broadcast(model), Seq("term"))
+    val scored = tf.join(model, Seq("term"))
       .groupBy(col("id"), col("label"))
       .agg(sum(col("__tf") * col("w_e6")).as("score_e6"))
     // argmax per doc: |classes| rows per id, so the row_number window

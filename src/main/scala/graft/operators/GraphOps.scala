@@ -697,6 +697,14 @@ object GraphOps {
     * Output: (node, dist) for every vertex with dist ≤ maxHops,
     * including the seeds at dist 0. Seeds not present in the edge set
     * still appear (dist 0) — reachability is from the seed SET.
+    *
+    * RELEASE CONTRACT: the returned frame is the final round's
+    * localCheckpoint (every per-round intermediate is already
+    * released), so it doubles as the release handle — long-lived
+    * callers must `GraftColumns.unpersistCheckpoint(result)` after
+    * materializing, or each call pins one dist RDD until driver GC
+    * (the [[graft.operators.Dedup.applyDedupReleasable]] discipline,
+    * with result == handle). Same contract for [[weightedDistances]].
     */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
               seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {

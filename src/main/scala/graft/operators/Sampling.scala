@@ -201,20 +201,30 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0: $budget")
     val sizes = df.groupBy(col(sourceCol).as("source"))
       .agg(count(lit(1)).as("n"))
-    val weighted = sizes.withColumn("w",
-      if (sharpen) col("n") * col("n") else col("n"))
-    val tot = weighted.agg(sum(col("w")).as("w_tot"))
+    // The sharpened weight n² and the budget·w products run in
+    // decimal(38,0): in LongType they wrap silently (non-ANSI) once a
+    // source passes ~3e9 rows — exactly the 100 TB regime — and a wrapped
+    // product breaks the Σ quota == budget guarantee without any error.
+    // Same discipline as the q168/q174/q178 exact-integer products; the
+    // output `w` column stays long for the gated schema (a value past
+    // long range surfaces as null, never as a wrapped positive).
+    val weighted = sizes.withColumn("wd",
+      if (sharpen) col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
+      else col("n").cast("decimal(38,0)"))
+    val tot = weighted.agg(sum(col("wd")).as("w_tot"))
     val base = weighted.crossJoin(broadcast(tot))
-      .select(col("source"), col("n"), col("w"),
-              expr(s"($budget * w) div w_tot").as("floor_q"),
-              expr(s"($budget * w) % w_tot").as("rem"))
+      .select(col("source"), col("n"), col("wd"),
+              expr(s"(CAST($budget AS DECIMAL(38,0)) * wd) div w_tot")
+                .as("floor_q"),
+              expr(s"(CAST($budget AS DECIMAL(38,0)) * wd) % w_tot")
+                .as("rem"))
     val leftover = base
       .agg((lit(budget) - sum(col("floor_q"))).as("__left"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col("source"))
     base.crossJoin(broadcast(leftover))
       .withColumn("__rk", row_number().over(w))
-      .select(col("source"), col("n"), col("w"),
+      .select(col("source"), col("n"), col("wd").cast("long").as("w"),
               (col("floor_q") +
                 when(col("__rk") <= col("__left"), 1L).otherwise(0L))
                 .as("quota"))

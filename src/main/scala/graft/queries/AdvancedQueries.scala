@@ -1055,6 +1055,11 @@ object AdvancedQueries {
     * ⌊(rn−1)·1e6/(n−1)⌋ and ⌊rn·1e6/n⌋ — the built-ins return floats
     * and are ungateable; the rational forms carry the same
     * information. Both windows share the one partition exchange.
+    * A single-row partition (n = 1) is pinned to pct_rank 0 in BOTH
+    * the operator and the oracle — otherwise Spark's div-by-zero
+    * yields NULL while DuckDB's `//` raises, a latent engine
+    * divergence on degenerate groups (percent_rank's own n=1
+    * convention is also 0).
     */
   def q169WindowPositions(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir).select(
@@ -1068,7 +1073,9 @@ object AdvancedQueries {
       .filter(col("o_orderkey") % 37 === 0)
       .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
               col("rn"),
-              expr("((rn - 1) * 1000000) div (n - 1)").as("pct_rank_e6"),
+              when(col("n") === 1L, 0L)
+                .otherwise(expr("((rn - 1) * 1000000) div (n - 1)"))
+                .as("pct_rank_e6"),
               expr("(rn * 1000000) div n").as("cume_dist_e6"))
       .orderBy("o_orderkey")
   }
@@ -2949,7 +2956,8 @@ object AdvancedQueries {
         |  FROM o)
         |SELECT o_orderkey, o_orderpriority, cents,
         |  CAST(rn AS BIGINT) AS rn,
-        |  ((rn - 1) * 1000000) // (n - 1) AS pct_rank_e6,
+        |  CASE WHEN n = 1 THEN 0
+        |       ELSE ((rn - 1) * 1000000) // (n - 1) END AS pct_rank_e6,
         |  (rn * 1000000) // n AS cume_dist_e6
         |FROM r WHERE o_orderkey % 37 = 0 ORDER BY o_orderkey""".stripMargin,
     "q170_interval_islands" ->
