@@ -207,23 +207,58 @@ object Audio {
     * signal mean, cross-multiplied — exact integer arithmetic, no
     * division to mirror). The audio analog of [[Multimodal.aHash4]]:
     * loudness-pattern buckets for near-dup candidate generation.
+    *
+    * SELECTIVITY CAVEAT (the r7 `weak`): one bit per frame means a
+    * fixed-length corpus of nf-frame clips lands in at most 2^nf
+    * buckets — candidates grow ~n²/2^nf, a candidate-stage explosion
+    * at 100 TB. [[energyHashBands]] is the production key (the
+    * aHash4 → aHash64 move).
     */
-  def energyHash(s: Array[Short]): (Long, Array[Long]) = {
+  def energyHash(s: Array[Short]): (Long, Array[Long]) =
+    energyHashBands(s, 1)
+
+  /** MULTI-BAND energy hash — [[energyHash]] with `bands` sub-frame
+    * energies per frame: frame f splits into `bands` equal
+    * [[FrameLen]]/bands-sample slots, slot (f, j)'s energy
+    * be(f·bands+j) = Σ|s| over its samples, and bit f·bands+j is set
+    * iff be·(n_frames·bands) > total — each slot's mean vs the signal
+    * mean, cross-multiplied, division-free. Same integer discipline,
+    * `bands`× the bits: a fixed-length corpus now spreads over
+    * 2^(nf·bands) buckets instead of 2^nf, which is what keeps the
+    * candidate stage bucket-bound on uniform-duration audio (voice
+    * clips, ad spots) — the exact move that took the image hash from
+    * aHash4 to aHash64 ([[Multimodal]]).
+    *
+    * Returns (hash, PER-FRAME energies): the verify metric stays the
+    * frame-level EAD, so band count tunes ONLY candidate selectivity,
+    * never the accept/reject arithmetic. nf·bands must fit a long's
+    * bit width (≤ 63).
+    */
+  def energyHashBands(s: Array[Short], bands: Int): (Long, Array[Long]) = {
     require(s.length % FrameLen == 0 && s.length > 0,
       s"signal length ${s.length} not a positive multiple of $FrameLen")
+    require(bands >= 1 && FrameLen % bands == 0,
+      s"bands must divide FrameLen=$FrameLen: $bands")
     val nf = s.length / FrameLen
+    require(nf.toLong * bands <= 63,
+      s"nf*bands = ${nf * bands} exceeds the 63-bit hash width")
+    val sub = FrameLen / bands
     val fe = new Array[Long](nf)
+    val be = new Array[Long](nf * bands)
     var t = 0
     while (t < s.length) {
-      fe(t / FrameLen) += math.abs(s(t).toLong)
+      val a = math.abs(s(t).toLong)
+      fe(t / FrameLen) += a
+      be(t / sub) += a
       t += 1
     }
     val total = fe.sum
+    val slots = nf * bands
     var acc = 0L
-    var f = 0
-    while (f < nf) {
-      if (fe(f) * nf > total) acc |= (1L << f)
-      f += 1
+    var k = 0
+    while (k < slots) {
+      if (be(k) * slots > total) acc |= (1L << k)
+      k += 1
     }
     (acc, fe)
   }
@@ -238,13 +273,20 @@ object Audio {
     * hash-bucket-bound, never all-pairs; like every LSH-family index
     * here the gate covers the pairs this index surfaces — recall is
     * the knob (frame count / hash), measured per deployment.
+    *
+    * `bands` widens the bucket key to nf·bands bits
+    * ([[energyHashBands]]): bands = 1 is the legacy envelope hash
+    * (kept for the q149 gate); bands = 4 is the production setting
+    * for fixed-length corpora, where the 1-band key's 2^nf buckets
+    * stop discriminating and candidates grow ~n²/2^nf. The verify
+    * arithmetic (frame-level EAD) is band-independent.
     */
   def audioNearDupPairs(spark: SparkSession, media: Dataset[AudioRow],
-                        eadE6Max: Long): DataFrame = {
+                        eadE6Max: Long, bands: Int = 1): DataFrame = {
     import spark.implicits._
     val hashed = media.mapPartitions(_.map { r =>
       val (_, s) = decodeWav(r.payload)
-      val (hv, fe) = energyHash(s)
+      val (hv, fe) = energyHashBands(s, bands)
       HashedAudio(r.doc_id, s.length.toLong, hv, fe)
     }).toDF().localCheckpoint()
     val a = hashed.select(col("doc_id").as("doc_a"), col("n_samples"),

@@ -53,13 +53,53 @@ object Dedup {
     }
   }
 
+  /** Keep at most `cap` docs per bucket, deterministically (the `cap`
+    * SMALLEST doc_ids — min-id sampling, so exact duplicates land on
+    * the same sample in every bucket and re-runs are stable). The
+    * family-size guard of the pair-graph dedup path: a viral template
+    * family of m docs otherwise materializes ~m²/2 true pairs PER
+    * BUCKET — output-quadratic, and the one shape that dominates the
+    * pair stage at 100 TB (§9's 52–61× shuffle rows on q21/q37/q54/
+    * q145/q165 are exactly this). One window shuffle on the bucket
+    * key, only when enabled.
+    */
+  private def capBuckets(df: DataFrame, bucketCols: Seq[String],
+                         cap: Int): DataFrame =
+    if (cap <= 0) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(bucketCols.map(col): _*)
+        .orderBy(col("doc_id"))
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= cap)
+        .drop("__rn")
+    }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
     * Emits (doc_a, doc_b, inter_cnt, union_cnt) for pairs with
     * J = inter/union ≥ num/den, compared in exact integer arithmetic
     * (den·inter ≥ num·union) — no floats anywhere.
+    *
+    * `maxBucketDocs` (default 0 = off = exact recall) caps each
+    * shingle's posting list to the cap smallest doc_ids before the
+    * candidate join — the per-bucket FAMILY-SIZE guard ([[capBuckets]]):
+    * pairs per shingle are then ≤ cap²/2 regardless of how viral a
+    * template family is. TRADE: pairs connected only through docs
+    * outside every shared bucket's sample are missed (they remain
+    * linked to the family's min-id members, which is what CC keeper
+    * election needs). With the cap ON, candidates from the capped
+    * index are verified EXACTLY against the FULL shingle sets — a
+    * capped posting list undercounts intersections, so the counting
+    * join is only trusted when uncapped. Audit the trade before
+    * enabling: `shinglePostings(...).groupBy("shingle").count()`
+    * is the bucket-size distribution the cap would sample.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, num: Int, den: Int): DataFrame = {
+                   n: Int, num: Int, den: Int,
+                   maxBucketDocs: Int = 0): DataFrame = {
+    if (maxBucketDocs > 0)
+      return jaccardPairsCapped(docs, idCol, textCol, n, num, den,
+                                maxBucketDocs)
     val p = shinglePostings(docs, idCol, textCol, n)
     val a = p.select(col("shingle"), col("doc_id").as("doc_a"),
                      col("sz").as("sz_a"))
@@ -72,6 +112,45 @@ object Dedup {
       .withColumn("union_cnt", col("sz_a") + col("sz_b") - col("inter_cnt"))
       .filter(col("inter_cnt") * den >= col("union_cnt") * num)
       .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+  }
+
+  /** [[jaccardPairs]] with the family-size cap ON: candidates come from
+    * the CAPPED index, verification from the FULL sets (exact Jaccard
+    * per surviving pair — same output schema and per-pair arithmetic
+    * as the uncapped path).
+    */
+  private def jaccardPairsCapped(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int, num: Int,
+                                 den: Int, cap: Int): DataFrame = {
+    val sets = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"),
+              TextFunctions.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val p = capBuckets(
+        sets.select(col("doc_id"), explode(col("sh")).as("shingle")),
+        Seq("shingle"), cap)
+      val cand = p.select(col("shingle"), col("doc_id").as("doc_a"))
+        .join(p.select(col("shingle"), col("doc_id").as("doc_b")),
+              Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      val verified = sets
+        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .join(cand, "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+              "doc_b")
+        .withColumn("inter_cnt",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("union_cnt",
+          size(col("sh_a")) + size(col("sh_b")) - col("inter_cnt"))
+        .filter(col("inter_cnt") * den >= col("union_cnt") * num)
+        .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
+        .localCheckpoint()
+      verified
+    } finally sets.unpersist()
   }
 
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin-style,
@@ -195,6 +274,15 @@ object Dedup {
     *
     * Output: (doc_a, doc_b, inter_cnt, sz_a, sz_b) where doc_a is the
     * contained side.
+    *
+    * RELEASE CONTRACT: the returned frame IS its own localCheckpoint
+    * (the intermediate shingle cache is already released before
+    * return), so the result doubles as the release handle — long-lived
+    * callers (streaming micro-batch loops) must call
+    * `GraftColumns.unpersistCheckpoint(result)` once done reading it,
+    * or each invocation pins one result RDD until driver GC
+    * ([[applyDedupReleasable]] discipline, with result == handle).
+    * One-shot batch queries can let session cleanup collect it.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, num: Int, den: Int): DataFrame = {
@@ -282,7 +370,8 @@ object Dedup {
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, num: Int, den: Int,
                         numPerm: Int = 128, bands: Int = 32,
-                        broadcastPairCap: Long = DefaultBroadcastPairCap)
+                        broadcastPairCap: Long = DefaultBroadcastPairCap,
+                        maxBucketDocs: Int = 0)
       : DataFrame = {
     // Shingle sets fan out to three consumers (banding + both verify
     // sides): persist so shingling/md5 runs once, not three times.
@@ -294,7 +383,8 @@ object Dedup {
       TextFunctions.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try pairsFromShingleSets(sets, num, den, numPerm, bands, broadcastPairCap)
+    try pairsFromShingleSets(sets, num, den, numPerm, bands,
+                             broadcastPairCap, maxBucketDocs)
     finally sets.unpersist()
   }
 
@@ -479,9 +569,17 @@ object Dedup {
 
   private def pairsFromShingleSets(sets: DataFrame, num: Int, den: Int,
                                    numPerm: Int, bands: Int,
-                                   broadcastPairCap: Long = DefaultBroadcastPairCap)
+                                   broadcastPairCap: Long = DefaultBroadcastPairCap,
+                                   maxBucketDocs: Int = 0)
       : DataFrame = {
-    val banded = bandKeys(sets, numPerm, bands)
+    // Family-size guard ([[capBuckets]]): an LSH bucket of m docs emits
+    // ~m²/2 candidates; with the cap, ≤ cap²/2 per (band, key). The
+    // verify stage below always reads the FULL sets, so surviving pairs
+    // carry exact inter/union counts — the cap trades only recall
+    // (pairs linked solely through unsampled bucket members), never
+    // precision. Default off = exact recall.
+    val banded = capBuckets(bandKeys(sets, numPerm, bands),
+                            Seq("band", "key"), maxBucketDocs)
 
     // Candidate pairs are consumed twice below (count + join), so
     // materialize once; eager localCheckpoint also makes the follow-up

@@ -267,12 +267,31 @@ object Similarity {
     * Output: (vec_id, cid, n_close, kept) — cluster id, count of
     * in-cluster neighbors at sim ≥ minSimE6/1e6 (either direction), and
     * the keep flag (no lower-id close neighbor).
+    *
+    * AUTO-K: `k = 0` derives k = ⌈n / targetClusterSize⌉ from a one-row
+    * corpus count, so the cluster count SCALES WITH THE CORPUS and the
+    * per-cluster quadratic term stays bounded by the caller's knob —
+    * a fixed k on a growing corpus is the degenerate regime where
+    * Σ|cluster|² reverts toward n² (the §9 fixed-k curve). Explicit
+    * k > 0 is honored unchanged (the q73 gate pins k = 8).
     */
   def semDedup(emb: DataFrame, minSimE6: Long, k: Int = 8,
-               dims: Int = 64, iters: Int = 3): DataFrame = {
+               dims: Int = 64, iters: Int = 3,
+               targetClusterSize: Long = 256L): DataFrame = {
     import org.apache.spark.sql.GraftColumns.unpersistCheckpoint
+    require(k >= 0, s"k must be >= 0 (0 = auto): $k")
+    require(targetClusterSize >= 1,
+      s"targetClusterSize must be >= 1: $targetClusterSize")
+    val kEff =
+      if (k > 0) k
+      else {
+        // control-plane count (one long), the bounded-collect discipline
+        val n = emb.count()
+        math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)
+          .min(Int.MaxValue.toLong).toInt
+      }
     val assign = Clustering.kmeansAssign(emb, "vec_id", "embedding",
-                                         k, dims, iters)
+                                         kEff, dims, iters)
     try {
       // one norm per vector below the pair join (the nearDupPairs
       // discipline: the quadratic stage does a single dot per pair)

@@ -506,6 +506,24 @@ object PipelineQueries {
         eadE6Max = 150000L)
       .orderBy("doc_a", "doc_b")
 
+  /** q183 — MULTI-BAND audio near-dup ([[Audio.energyHashBands]],
+    * bands = 4): the production bucket key for fixed-length corpora,
+    * where the 1-band envelope's 2^n_frames buckets stop
+    * discriminating (the r7 `weak`) — each 400-sample frame
+    * contributes 4 sub-band bits, so the key carries n_frames×4 bits
+    * and candidates stay bucket-bound (the aHash4 → aHash64 move,
+    * audio edition). Same fixture family and EAD threshold as q149;
+    * the oracle replays the sub-band bit arithmetic
+    * (be·(nf·4) > total, cross-multiplied) plus the frame-level
+    * verify, so a single misplaced band bit surfaces different
+    * candidates and breaks the hash.
+    */
+  def q183AudioNeardupMb(s: SparkSession, dir: String): DataFrame =
+    Audio.audioNearDupPairs(
+        s, Audio.withDupPayload(s, Tables.documents(s, dir)),
+        eadE6Max = 150000L, bands = 4)
+      .orderBy("doc_a", "doc_b")
+
   /** q150 — video frame sampling: parse the GVID container by length
     * fields, decode ONLY every 4th frame through the real ImageIO
     * codec (skipped frames are stepped over, never decoded — the
@@ -799,6 +817,7 @@ object PipelineQueries {
     "q145_crossmodal_dedup" -> (q145CrossModalDedup _),
     "q148_audio_features"  -> (q148AudioFeatures _),
     "q149_audio_neardup"   -> (q149AudioNeardup _),
+    "q183_audio_neardup_mb" -> (q183AudioNeardupMb _),
     "q150_video_frames"    -> (q150VideoFrames _),
     "q151_video_neardup"   -> (q151VideoNeardup _),
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
@@ -1773,6 +1792,49 @@ object PipelineQueries {
         |        CAST(SUM(CASE WHEN fe.fe * (fe.n // 400) > tot.total
         |             THEN (1::BIGINT << f) ELSE 0 END) AS BIGINT) AS hash
         |      FROM fe JOIN tot USING (doc_id) GROUP BY 1, 2),
+        |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n
+        |         FROM h a JOIN h b ON a.n = b.n AND a.hash = b.hash
+        |                          AND a.doc_id < b.doc_id),
+        |diff AS (SELECT doc_a, doc_b, cand.n AS n,
+        |                SUM(ABS(fa.fe - fb.fe)) AS ead
+        |         FROM cand
+        |         JOIN fe fa ON fa.doc_id = doc_a
+        |         JOIN fe fb ON fb.doc_id = doc_b AND fb.f = fa.f
+        |         GROUP BY 1, 2, 3)
+        |SELECT doc_a, doc_b, CAST((1000000 * ead) // n AS BIGINT) AS ead_e6
+        |FROM diff WHERE (1000000 * ead) // n <= 150000
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // q183: q149's dup-family signal replay, but the bucket hash is
+    // the MULTI-BAND key — slot k = (t//400)·4 + (t%400)//100, bit k
+    // set iff be·(nf·4) > total — while the EAD verify stays on the
+    // per-frame energies. A misplaced band bit changes the candidate
+    // set and the hash.
+    "q183_audio_neardup_mb" ->
+      """WITH d0 AS (SELECT doc_id, doc_id // 8 AS block,
+        |                   doc_id // 16 AS base FROM documents),
+        |d AS (SELECT doc_id, (base % 5 + 2) * 800 AS n,
+        |             base % 499 + CASE WHEN block % 2 = 0 THEN 0
+        |                  WHEN base % 3 = 0 THEN 10 ELSE 1 END AS seed,
+        |             (base * 37 + 11) %
+        |               (1::BIGINT << ((base % 5 + 2) * 2)) AS env
+        |      FROM d0),
+        |s AS (SELECT doc_id, n, t.ut AS t,
+        |             (CASE WHEN ((env >> (t.ut // 400)) & 1) = 1
+        |              THEN 3 ELSE 1 END)
+        |             * ((seed + 37 * t.ut) % 2001 - 1000) AS v
+        |      FROM d, unnest(generate_series(0, n - 1)) AS t(ut)),
+        |fe AS (SELECT doc_id, n, t // 400 AS f,
+        |              CAST(SUM(ABS(v)) AS BIGINT) AS fe
+        |       FROM s GROUP BY 1, 2, 3),
+        |be AS (SELECT doc_id, n, (t // 400) * 4 + (t % 400) // 100 AS k,
+        |              CAST(SUM(ABS(v)) AS BIGINT) AS be
+        |       FROM s GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, CAST(SUM(fe) AS BIGINT) AS total
+        |        FROM fe GROUP BY 1),
+        |h AS (SELECT be.doc_id, be.n,
+        |        CAST(SUM(CASE WHEN be.be * ((be.n // 400) * 4) > tot.total
+        |             THEN (1::BIGINT << k) ELSE 0 END) AS BIGINT) AS hash
+        |      FROM be JOIN tot USING (doc_id) GROUP BY 1, 2),
         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n
         |         FROM h a JOIN h b ON a.n = b.n AND a.hash = b.hash
         |                          AND a.doc_id < b.doc_id),

@@ -53,6 +53,63 @@ class AudioSpec extends SparkSpec {
     }
   }
 
+  test("energyHashBands: bands=1 equals the legacy envelope hash, " +
+       "bands=4 sets exactly the louder-than-mean slot bits") {
+    for (id <- Seq(0L, 3L, 17L, 42L)) {
+      val s = Audio.dupSignalFor(id)
+      val (h1a, fe1a) = Audio.energyHashBands(s, 1)
+      val (h1b, fe1b) = Audio.energyHash(s)
+      assert(h1a === h1b && fe1a.toSeq === fe1b.toSeq)
+      val (h4, fe4) = Audio.energyHashBands(s, 4)
+      // brute-force slot energies: slot k = 100-sample window k
+      val slots = s.length / 100
+      val be = Array.tabulate(slots)(k =>
+        (k * 100 until (k + 1) * 100).map(t => math.abs(s(t).toLong)).sum)
+      val total = be.sum
+      val want = (0 until slots)
+        .filter(k => be(k) * slots > total)
+        .map(k => 1L << k).sum
+      assert(h4 === want, s"bands=4 hash for id=$id")
+      // frame energies are band-independent (the verify contract)
+      assert(fe4.toSeq === Audio.energyHash(s)._2.toSeq)
+    }
+    // nf*bands must fit the 63-bit hash
+    intercept[IllegalArgumentException] {
+      Audio.energyHashBands(new Array[Short](8 * 400), 8)
+    }
+  }
+
+  test("audioNearDupPairs bands=4: exact duplicates still pair, and " +
+       "the wider key is strictly more selective on fixed-length clips") {
+    import spark.implicits._
+    // two ids per even block, bases 5..100 step 5: every clip has
+    // n = 2*800 samples (nf = 4) — a FIXED-LENGTH corpus, the regime
+    // where the 1-band key's 2^nf buckets stop discriminating.
+    // Simulated ground truth: 56 candidates at bands=1 vs 44 at
+    // bands=4, with all 20 within-block exact-dup pairs in both.
+    val ids = (1 to 20).flatMap { k =>
+      val b = 5L * k; Seq(16 * b, 16 * b + 1)
+    }
+    val docs = ids.toDF("doc_id")
+    def candCount(bands: Int): Long = Audio.audioNearDupPairs(
+        spark, Audio.withDupPayload(spark, docs),
+        eadE6Max = Long.MaxValue, bands = bands).count()
+    val c1 = candCount(1)
+    val c4 = candCount(4)
+    assert(c4 < c1,
+      s"bands=4 no more selective than bands=1 on fixed-length corpus " +
+        s"($c4 vs $c1)")
+    // within-block ids are byte-identical: always share the multi-band
+    // bucket and verify at distance 0 — recall on true duplicates is
+    // not traded for the selectivity
+    val kept = Audio.audioNearDupPairs(
+        spark, Audio.withDupPayload(spark, docs),
+        eadE6Max = 0L, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPairs = ids.grouped(2).map(p => (p(0), p(1))).toSet
+    assert(kept === wantPairs, s"got $kept")
+  }
+
   test("extractFeatures matches the signal arithmetic end-to-end") {
     import spark.implicits._
     val docs = Seq(3L, 12L).toDF("doc_id")

@@ -49,6 +49,29 @@ class SemDedupSpec extends SparkSpec {
     assert(got.getLong(2) == 0L && got.getBoolean(3), s"got $got")
   }
 
+  test("auto-k (k = 0) equals explicit k = ceil(n/targetClusterSize) " +
+       "on the same corpus") {
+    val df = Seq.tabulate(60) { i =>
+      i.toLong -> Array.tabulate(4)(d =>
+        (((i * 7 + d * 13) % 11) - 5).toFloat / (1 + (i % 3)).toFloat)
+    }.toDF("vec_id", "embedding")
+    // n = 60, targetClusterSize = 15 -> derived k = 4
+    val auto = Similarity.semDedup(df, minSimE6 = 900000L,
+        k = 0, dims = 4, iters = 2, targetClusterSize = 15L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+                           r.getLong(2), r.getBoolean(3))).toSet
+    val explicit = Similarity.semDedup(df, minSimE6 = 900000L,
+        k = 4, dims = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+                           r.getLong(2), r.getBoolean(3))).toSet
+    assert(auto == explicit,
+      s"diff: ${(auto diff explicit) ++ (explicit diff auto)}")
+    // degenerate knobs stay defined: one giant target cluster -> k = 1
+    val k1 = Similarity.semDedup(df, minSimE6 = 900000L,
+        k = 0, dims = 4, iters = 2, targetClusterSize = 1000000L)
+    assert(k1.select("cid").distinct().count() === 1L)
+  }
+
   test("equals the reference composition (assign + all-pairs, " +
        "same-cluster restriction) on arbitrary vectors") {
     val df = Seq.tabulate(60) { i =>
