@@ -542,6 +542,129 @@ class PlanShapeSpec extends SparkSpec {
       "verdict precedence must be one codegen CASE chain, not a join")
   }
 
+  test("q145: cross-modal composition adds no new shuffle shape — the " +
+       "keeper projection is one broadcast join over the CC labels") {
+    val plan = finalPlan(PipelineQueries.queries("q145_crossmodal_dedup")(
+      spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"component labels must broadcast into the keeper join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"the union-of-pair-families composition must not invent joins:\n$plan")
+    assert(!plan.contains("Window"),
+      "keeper election is a min-id rule, never a window")
+  }
+
+  test("q156/q157/q163: every graph round is keyed join + map-combined " +
+       "agg — no window, no product, anywhere in the iteration") {
+    // localCheckpoint truncates lineage per round, so capture every
+    // executed plan through a listener (the q152 discipline) and assert
+    // across ALL of them — one bad round would hide from the final plan
+    import spark.implicits._
+    val edges = (0L until 300L).map(i => (i % 60, (i * 17 + 3) % 60))
+      .toDF("u", "v")
+    val weighted = edges.withColumn("w",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("u") +
+          org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.lit(7L)) + 1L)
+    val seeds = Seq(0L, 7L).toDF("node")
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.synchronized {
+        plans += qe.executedPlan.toString
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.GraphOps.kCore(edges, "u", "v", k = 2).collect()
+      graft.operators.GraphOps.bfsHops(edges, "u", "v", seeds, "node",
+        maxHops = 4).collect()
+      graft.operators.GraphOps.weightedDistances(weighted, "u", "v", "w",
+        seeds, "node", rounds = 4).collect()
+      var prev = -1; var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val cur = plans.synchronized(plans.size)
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val all = plans.synchronized(plans.mkString("\n"))
+    assert(!all.contains("Window"),
+      "per-round relaxation must be joins + aggs, never a window sort")
+    assert(!all.contains("CartesianProduct") &&
+           !all.contains("BroadcastNestedLoopJoin"),
+      "frontier/degree lookups must stay keyed")
+    assert(all.contains("HashAggregate"),
+      "min-dist / degree aggregates must be hash aggs")
+  }
+
+  test("q167: both retrieval legs keep bounded-heap shapes — partial " +
+       "top-k aggregate, group-limited rank window, no sort-merge") {
+    val plan = finalPlan(PipelineQueries.queries("q167_hybrid_rrf")(
+      spark, sf))
+    assert(plan.contains("partial_topkbyvalue"),
+      s"per-leg top-k must map-combine through the typed aggregate:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the RRF rank must group-limit, not fully sort each query group:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"postings and model joins must broadcast or hash:\n$plan")
+    // the only unkeyed join allowed is the deliberate 1-row corpus-stats
+    // broadcast on each leg
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected unkeyed joins ($bnlj):\n$plan")
+  }
+
+  test("q107 vs q160: the byte-identical per-query shuffle totals are " +
+       "REAL — shared preprocessing shuffles, candidate stages broadcast") {
+    // The r7 audit note: both queries reported identical shuffle totals
+    // at two SFs. Stage-level measurement shows why: both run the SAME
+    // spread → postings → df → rank-window preprocessing over the same
+    // docs table (identical bytes, stage for stage), and their DIFFERENT
+    // candidate/verify stages all ride broadcast joins — zero shuffle
+    // bytes — so the per-query totals equal the shared stages' exactly.
+    // This test pins that explanation: totals equal AND both final plans
+    // broadcast their candidate joins. If a future change makes either
+    // candidate stage shuffle, the equality breaks loudly here first.
+    import java.util.concurrent.atomic.AtomicLong
+    val bytes = new AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) bytes.addAndGet(
+          m.shuffleWriteMetrics.bytesWritten +
+            m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def measure(name: String): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        bytes.set(0L)
+        PipelineQueries.queries(name)(spark, sf).count()
+        var prev = -1L; var same = 0
+        while (same < 3) {
+          Thread.sleep(100)
+          val cur = bytes.get
+          if (cur == prev) same += 1 else { same = 0; prev = cur }
+        }
+        bytes.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val b107 = measure("q107_ppjoin_jaccard")
+    val b160 = measure("q160_containment")
+    assert(b107 === b160,
+      s"q107/q160 shuffle totals diverged ($b107 vs $b160) — the shared-" +
+        "preprocessing explanation no longer holds; re-audit the plans")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
