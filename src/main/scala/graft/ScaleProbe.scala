@@ -618,6 +618,71 @@ object ScaleProbe {
                            hashBits = 64).count()
       println(s"  candidates: hash4=$c4 hash64=$c64 (n=$n)")
     }
+    // --- audio near-dup, FIXED-LENGTH corpus, 1-band vs 4-band energy
+    // hash (the q183 move): every clip is 1600 samples (4 frames), so
+    // n_samples carries zero selectivity and the hash is the only
+    // bucketing. The 1-band envelope has 4 bits → ≤16 buckets no matter
+    // how acoustically diverse the corpus — candidates grow ~n²/16; the
+    // 4-band key carries 16 bits of per-slot loudness structure, so
+    // candidate growth tracks true duplicate structure. eadE6Max huge
+    // keeps every candidate: the printed counts ARE candidate counts.
+    // (The audio edition of image_hash_selectivity — hash4 vs hash64.)
+    time(s"audio_hash_selectivity_${mult}x") {
+      import spark.implicits._
+      val n = 200L * mult
+      val clips = spark.range(n).as[Long].map { id =>
+        val s = new Array[Short](1600)
+        var t = 0
+        while (t < 1600) {
+          val slot = t / 100
+          // xor-mixed slot loudness (1..5): a plain linear pattern mod 5
+          // collapses to id mod 5 — the degenerate-family trap the LSH
+          // hyperplane audit already caught once
+          val v0 = id * 1000003L + slot * 7919L
+          val m = 1 + (((v0 ^ (v0 >>> 13)) % 5 + 5) % 5)
+          s(t) = (m * ((id % 499 + 37L * t) % 2001 - 1000)).toShort
+          t += 1
+        }
+        graft.operators.Audio.AudioRow(
+          id, graft.operators.Audio.encodeWav(s))
+      }.localCheckpoint()
+      val c1 = graft.operators.Audio.audioNearDupPairs(
+        spark, clips, eadE6Max = Long.MaxValue, bands = 1).count()
+      val c4 = graft.operators.Audio.audioNearDupPairs(
+        spark, clips, eadE6Max = Long.MaxValue, bands = 4).count()
+      println(s"  candidates: bands1=$c1 bands4=$c4 (n=$n)")
+    }
+    // --- SemDeDup auto-k (q73 shape, k = 0): the cluster count derives
+    // from the corpus (⌈n / targetClusterSize⌉), so the per-cluster
+    // quadratic term stays bounded WITHOUT the caller hand-scaling k per
+    // corpus size — the knob the fixed-k degenerate regime (above) is
+    // missing. targetClusterSize constant across mults ⇒ derived k grows
+    // with the corpus exactly like the hand-tuned 8·mult row.
+    time(s"semdedup_autok_${mult}x") {
+      // targetClusterSize 250 reproduces the hand-tuned 8·mult row's
+      // cluster count (20k/250 = 80, 60k/250 = 240); the knob is the
+      // DIRECT cost dial — a 2500 target (k = 8/24) measured 51 s/358 s
+      // at 10×/30×, the within-cluster quadratic at work
+      println("  kept: " + Similarity.semDedup(
+          emb, minSimE6 = 950000L, k = 0, dims = 64, iters = 3,
+          targetClusterSize = 250L)
+        .filter(col("kept")).count())
+    }
+    // --- pair-family cap (q22 shape + maxBucketDocs): the inflated
+    // corpus's duplicate families grow with mult, so uncapped TRUE pairs
+    // grow ~mult² per family (the §9 52–61× shuffle story on
+    // q21/q37/q54/q145/q165). The cap bounds the per-bucket candidate
+    // sample: capped pair counts must grow ~linearly (cap² per family ×
+    // linearly-growing family count), while cap-off tracks the true
+    // quadratic output. Both verify against FULL sets — precision is
+    // never traded, only tail recall within over-cap families.
+    time(s"dedup_family_cap_${mult}x") {
+      val off = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 4, 5)
+        .count()
+      val on = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 4, 5,
+          maxBucketDocs = 8).count()
+      println(s"  pairs: cap_off=$off cap_on(8)=$on")
+    }
     // --- bigram LM scoring (q133 shape): model size is bounded by the
     // corpus vocabulary (the perturbed copies add ~one new type each),
     // so train stays two map-combined aggs and scoring one hash join —

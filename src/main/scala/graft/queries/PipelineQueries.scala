@@ -67,6 +67,21 @@ object PipelineQueries {
                        n = 3, num = 1, den = 2)
       .orderBy("doc_a", "doc_b")
 
+  /** q184 — the FAMILY-SIZE CAP live on the inverted-index path
+    * ([[Dedup.jaccardPairs]] `maxBucketDocs = 2`): every shingle's
+    * posting list samples its 2 smallest doc_ids before the candidate
+    * join, candidates verify against FULL shingle sets (exact
+    * inter/union — the cap trades recall, never arithmetic). The
+    * oracle replays the cap itself (row_number per shingle ≤ 2) plus
+    * the full-set verification, so an unsound sample order or a
+    * verification against capped sets is a hash mismatch. Compare
+    * q21: same corpus/threshold uncapped.
+    */
+  def q184JaccardCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+                       n = 3, num = 1, den = 2, maxBucketDocs = 2)
+      .orderBy("doc_a", "doc_b")
+
   /** q107 — the SAME pairs as the exact-Jaccard oracle from a different
     * algorithm: PPJoin prefix filtering (see [[Dedup.ppjoinPairs]])
     * indexes only each set's rarest |x|−⌈t·|x|⌉+1 tokens instead of the
@@ -735,6 +750,22 @@ object PipelineQueries {
                         k = 8, dims = 64, iters = 3)
       .orderBy("vec_id")
 
+  /** q185 — SemDeDup AUTO-K end-to-end ([[Similarity.semDedup]]
+    * `k = 0`): the cluster count derives from the corpus
+    * (⌈n/targetClusterSize⌉); with a target above the corpus size the
+    * derivation lands on k = 1 at EVERY scale factor, which makes the
+    * whole derived-k path (count → ceil → fit → assign → in-cluster
+    * pairs → greedy keeper) SQL-expressible without k-dependent Lloyd
+    * CTEs — one cluster means all-pairs cosine plus the q73 keeper
+    * rule. Derived-k parity at k > 1 is `SemDedupSpec`'s gate; this
+    * one puts the derivation itself under the DuckDB oracle.
+    */
+  def q185SemDedupAutoK(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, dir), minSimE6 = 400000L,
+                        k = 0, dims = 64, iters = 3,
+                        targetClusterSize = 1000000000L)
+      .orderBy("vec_id")
+
   /** Nearest-centroid (Rocchio) text classifier, train + apply in one
     * plan — the classifier-based filtering shape of curation pipelines
     * (CCNet-style quality/language models) reduced to exact integer
@@ -818,6 +849,8 @@ object PipelineQueries {
     "q148_audio_features"  -> (q148AudioFeatures _),
     "q149_audio_neardup"   -> (q149AudioNeardup _),
     "q183_audio_neardup_mb" -> (q183AudioNeardupMb _),
+    "q184_jaccard_capped"  -> (q184JaccardCapped _),
+    "q185_semdedup_autok"  -> (q185SemDedupAutoK _),
     "q150_video_frames"    -> (q150VideoFrames _),
     "q151_video_neardup"   -> (q151VideoNeardup _),
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
@@ -1074,6 +1107,27 @@ object PipelineQueries {
          |    AS kept
          |FROM asg a LEFT JOIN cc ON cc.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    // q185: auto-k with an over-corpus target derives k = 1 — one
+    // cluster, so the oracle is all-pairs cosine + the q73 keeper rule
+    // with cid pinned to 0; the Spark side must reach the same place
+    // through count → ceil → 1-centroid Lloyd → assignment.
+    "q185_semdedup_autok" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+         |  WHERE CAST(floor(${cosSql("x.v", "y.v")} * 1000000) AS BIGINT)
+         |        >= 400000),
+         |cc AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_close FROM (
+         |         SELECT vec_a AS vec_id FROM pairs
+         |         UNION ALL SELECT vec_b FROM pairs)
+         |       GROUP BY vec_id)
+         |SELECT e.vec_id, CAST(0 AS BIGINT) AS cid,
+         |  COALESCE(cc.n_close, 0) AS n_close,
+         |  NOT EXISTS (SELECT 1 FROM pairs p WHERE p.vec_b = e.vec_id)
+         |    AS kept
+         |FROM e LEFT JOIN cc ON cc.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin,
     // q69: the q68 k-means chain feeds the q47 IVF chain — trained
     // centroids de-quantized to float (BIGINT/1e6 → FLOAT rounds
     // identically in IEEE), then assignment/probe/verify as in q47.
@@ -1227,6 +1281,31 @@ object PipelineQueries {
         |  md5(COALESCE(trimmed, '')) AS trimmed_md5
         |FROM t LEFT JOIN reb USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q21_ngram_jaccard" -> jaccardSql(1, 2),
+    // q184: the family-size cap replayed in SQL — row_number per shingle
+    // ≤ 2 (min-id sample) generates candidates, but inter/union counts
+    // come from the FULL sh postings (the cap-on verify contract).
+    "q184_jaccard_capped" ->
+      s"""WITH $shingleSetsCte,
+         |capped AS (SELECT doc_id, shingle FROM (
+         |  SELECT doc_id, shingle,
+         |    row_number() OVER (PARTITION BY shingle ORDER BY doc_id)
+         |      AS rn
+         |  FROM sh) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM capped a JOIN capped b USING (shingle)
+         |         WHERE a.doc_id < b.doc_id),
+         |iv AS (SELECT doc_a, doc_b, COUNT(*) AS inter_cnt
+         |       FROM cand
+         |       JOIN sh sa ON sa.doc_id = cand.doc_a
+         |       JOIN sh sb ON sb.doc_id = cand.doc_b
+         |                 AND sb.shingle = sa.shingle
+         |       GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter_cnt,
+         |  sa.sz + sb.sz - inter_cnt AS union_cnt
+         |FROM iv JOIN sz sa ON sa.doc_id = doc_a
+         |        JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q107_ppjoin_jaccard" -> jaccardSql(4, 5), // same semantics, new path
     "q160_containment" ->
       s"""WITH $shingleSetsCte,
