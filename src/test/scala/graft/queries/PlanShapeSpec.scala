@@ -463,8 +463,8 @@ class PlanShapeSpec extends SparkSpec {
       "video container walk + sampled decode must be one narrow pass")
   }
 
-  test("q149/q151: media near-dup candidates come from keyed bucket " +
-       "joins — never a cross product over payloads") {
+  test("q149/q151/q183: media near-dup candidates come from keyed " +
+       "bucket joins — never a cross product over payloads") {
     val p149 = finalPlan(PipelineQueries.q149AudioNeardup(spark, sf))
     assert(!p149.contains("CartesianProduct") &&
            !p149.contains("BroadcastNestedLoopJoin"),
@@ -473,6 +473,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p151.contains("CartesianProduct") &&
            !p151.contains("BroadcastNestedLoopJoin"),
       "video candidates must bucket on (n_frames, fingerprint)")
+    // the multi-band key changes selectivity, not plan shape
+    val p183 = finalPlan(PipelineQueries.queries("q183_audio_neardup_mb")(
+      spark, sf))
+    assert(!p183.contains("CartesianProduct") &&
+           !p183.contains("BroadcastNestedLoopJoin"),
+      "multi-band audio candidates must bucket on (n_samples, hash)")
+  }
+
+  test("q184: the capped-index path keeps keyed joins and verifies " +
+       "against the persisted full sets") {
+    val plan = finalPlan(PipelineQueries.queries("q184_jaccard_capped")(
+      spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"capped candidates must come from the shingle equi-join:\n$plan")
+    // the localCheckpoint materialization hides the internal plan from
+    // the query level; pin the operator's internals directly
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.synchronized {
+        plans += qe.executedPlan.toString
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, num = 1, den = 2, maxBucketDocs = 2).count()
+      var prev = -1; var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val cur = plans.synchronized(plans.size)
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val all = plans.synchronized(plans.mkString("\n"))
+    assert(all.contains("WindowGroupLimit") || all.contains("Window"),
+      "the per-bucket min-id sample is a rank window over the bucket key")
+    assert(all.contains("InMemoryTableScan"),
+      "verification must read the persisted FULL shingle sets")
+    assert(!all.contains("CartesianProduct"),
+      "no product anywhere in the capped path")
   }
 
   test("q152: each LPA round is keyed join + hash aggs — no window, " +
