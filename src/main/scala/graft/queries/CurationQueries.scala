@@ -942,6 +942,32 @@ object CurationQueries {
         Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** q187 — CCNet-style MIDDLE-PERPLEXITY selection: docs banded into
+    * exact global score terciles (band = ⌊(rank−1)·3/n⌋ over the total
+    * (score_e6, doc_id) order), keep the middle band — too-fluent text
+    * is boilerplate, too-surprising text is noise; the middle is where
+    * pretraining data lives. The global rank rides
+    * [[graft.operators.PrefixSum.runningTotal]] (range exchange +
+    * per-partition offsets — the q67 shards discipline), NEVER a
+    * single-partition window: corpus-global order statistics are
+    * exactly where the naive window formulation stops scaling. Oracle
+    * re-derives the q133 model, the rank, and the band arithmetic.
+    */
+  def q187PplBand(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val scored = LanguageModel.scoreDocuments(
+        Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("__one", lit(1L))
+    val totals = scored.agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.PrefixSum.runningTotal(
+      scored, "__one", Seq("score_e6", "doc_id"), cumCol = "rank")
+    ranked.crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_bigrams"), col("score_e6"),
+              expr("((rank - 1) * 3) div n").as("band"))
+      .withColumn("kept", col("band") === 1L)
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -974,6 +1000,7 @@ object CurationQueries {
     "q100_cdc_chunks"      -> (q100CdcChunks _),
     "q104_dup_triangles"   -> (q104DupTriangles _),
     "q133_bigram_lm"       -> (q133BigramLm _),
+    "q187_ppl_band"        -> (q187PplBand _),
     "q139_pair_lift"       -> (q139PairLift _),
     "q166_frequent_triples" -> (q166FrequentTriples _),
     "q143_clustering_coeff" -> (q143ClusteringCoeff _),
@@ -1525,6 +1552,32 @@ object CurationQueries {
         |  CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS score_e6
         |FROM bg JOIN m USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q187: the q133 model CTEs + a global rank over (score, doc_id)
+    // + the tercile band arithmetic — a one-unit score drift moves a
+    // doc across a band edge and breaks the hash.
+    "q187_ppl_band" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+        |  WHERE len(tk) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |m AS (SELECT w1, w2, (1000000 * c2) // c1 AS p_e6
+        |      FROM c2 JOIN c1 USING (w1)),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |         SUM(p_e6) // COUNT(*) AS score_e6
+        |       FROM bg JOIN m USING (w1, w2) GROUP BY doc_id),
+        |r AS (SELECT *,
+        |        row_number() OVER (ORDER BY score_e6, doc_id) AS rank,
+        |        (SELECT COUNT(*) FROM sc) AS n
+        |      FROM sc)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(score_e6 AS BIGINT) AS score_e6,
+        |  CAST(((rank - 1) * 3) // n AS BIGINT) AS band,
+        |  ((rank - 1) * 3) // n = 1 AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
     // q139: the q99 CTE family extended with unigram doc counts and the
     // integer lift ratio — counts, N, and the floor division are all
     // re-derived, so a drifted denominator is a hash mismatch.

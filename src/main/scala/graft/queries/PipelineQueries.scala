@@ -186,6 +186,53 @@ object PipelineQueries {
             "zebra unicorn"), k = 5)
       .orderBy("query", "rnk")
 
+  /** q186 — retrieval-quality gate: exact-integer MRR@10 of the q146
+    * BM25 ranking against a DERIVED relevance set (a doc is relevant
+    * to a query iff it contains EVERY query term — the conjunctive
+    * label both engines re-derive from the corpus, no human judgments
+    * needed). Per query: the first relevant rank within the top-10 and
+    * its reciprocal floor-scaled e6 (`1e6 div rank`, 0 when no
+    * relevant doc surfaces — the all-absent "zebra unicorn" query
+    * exercises that branch). The q93 discipline (measure the index
+    * before trusting it) applied to the lexical leg: a ranking
+    * regression that demotes a conjunctive match below rank 10 is a
+    * hash mismatch, not a silent quality drift.
+    */
+  def q186Bm25Mrr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val qs = Seq("key agg row", "batch window spark",
+                 "data query small", "zebra unicorn")
+    val ranked = graft.operators.Search.bm25TopK(
+      docs, "doc_id", "text", qs, k = 10)
+    val qterm = qs.flatMap(q =>
+        q.split(" ").filter(_.nonEmpty).distinct.map(t => (q, t)))
+      .toDF("query", "term")
+    val qn = qs.map(q =>
+        (q, q.split(" ").filter(_.nonEmpty).distinct.length.toLong))
+      .toDF("query", "n_terms")
+    val docTerms = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.words(col("text")))
+          .as("term"))
+      .distinct()
+    val rel = docTerms.join(broadcast(qterm), Seq("term"))
+      .groupBy(col("query"), col("doc_id"))
+      .agg(count(lit(1)).as("__hit"))
+      .join(broadcast(qn), Seq("query"))
+      .filter(col("__hit") === col("n_terms"))
+      .select(col("query"), col("doc_id"), lit(true).as("__rel"))
+    val firsts = ranked.join(rel, Seq("query", "doc_id"), "left")
+      .groupBy(col("query"))
+      .agg(min(when(col("__rel"), col("rnk"))).as("first_rel_rank"))
+    // left-join from the query PANEL: a query with zero scored docs
+    // ("zebra unicorn") must still report rr_e6 = 0, not vanish
+    qs.toDF("query").join(firsts, Seq("query"), "left")
+      .select(col("query"), col("first_rel_rank"),
+              coalesce(expr("1000000 div first_rel_rank"), lit(0L))
+                .as("rr_e6"))
+      .orderBy("query")
+  }
+
   /** q167 — HYBRID retrieval with reciprocal-rank fusion: the q146
     * BM25 text leg and the q24 exact-cosine vector leg (the corpus is
     * doc↔vec aligned 1:1), each at k=10, fused per query by
@@ -851,6 +898,7 @@ object PipelineQueries {
     "q183_audio_neardup_mb" -> (q183AudioNeardupMb _),
     "q184_jaccard_capped"  -> (q184JaccardCapped _),
     "q185_semdedup_autok"  -> (q185SemDedupAutoK _),
+    "q186_bm25_mrr"        -> (q186Bm25Mrr _),
     "q150_video_frames"    -> (q150VideoFrames _),
     "q151_video_neardup"   -> (q151VideoNeardup _),
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
@@ -1107,6 +1155,66 @@ object PipelineQueries {
          |    AS kept
          |FROM asg a LEFT JOIN cc ON cc.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+    // q186: the q146 BM25 chain at k=10 + a conjunctive relevance set
+    // (doc contains EVERY query term) + first-relevant-rank MRR — the
+    // ranking, the label derivation, and the reciprocal floor are all
+    // re-derived, so a ranking regression is a hash mismatch.
+    "q186_bm25_mrr" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM words GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |               (SELECT COUNT(*) FROM words) AS l_tot),
+        |qt(query, term) AS (VALUES
+        |  ('key agg row', 'key'), ('key agg row', 'agg'),
+        |  ('key agg row', 'row'),
+        |  ('batch window spark', 'batch'),
+        |  ('batch window spark', 'window'),
+        |  ('batch window spark', 'spark'),
+        |  ('data query small', 'data'), ('data query small', 'query'),
+        |  ('data query small', 'small'),
+        |  ('zebra unicorn', 'zebra'), ('zebra unicorn', 'unicorn')),
+        |nt(query, n_terms) AS (VALUES
+        |  ('key agg row', 3), ('batch window spark', 3),
+        |  ('data query small', 3), ('zebra unicorn', 2)),
+        |qp(query) AS (VALUES ('key agg row'), ('batch window spark'),
+        |  ('data query small'), ('zebra unicorn')),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf
+        |          WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+        |scored AS (
+        |  SELECT qt.query, tf.doc_id,
+        |    SUM((((1000000 * (2 * (n_docs - df) + 1)) // (2 * df + 1))
+        |         * ((22000000000000 * tf.tf) //
+        |            (10000000 * tf.tf + 3000000
+        |             + 9 * ((1000000 * dl * n_docs) // l_tot))))
+        |        // 1000000) AS score_e6
+        |  FROM tf
+        |  JOIN qt USING (term)
+        |  JOIN dlen USING (doc_id)
+        |  JOIN dfreq USING (term), tot
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query
+        |        ORDER BY score_e6 DESC, doc_id) AS rnk FROM scored),
+        |r10 AS (SELECT query, doc_id, rnk FROM r WHERE rnk <= 10),
+        |wd AS (SELECT DISTINCT doc_id, term FROM words),
+        |rel AS (SELECT qt.query, wd.doc_id
+        |        FROM wd JOIN qt USING (term)
+        |        JOIN nt ON nt.query = qt.query
+        |        GROUP BY qt.query, wd.doc_id, nt.n_terms
+        |        HAVING COUNT(*) = nt.n_terms),
+        |frr AS (SELECT r10.query,
+        |          MIN(CASE WHEN rel.doc_id IS NOT NULL
+        |              THEN r10.rnk END) AS fr
+        |        FROM r10 LEFT JOIN rel
+        |          ON rel.query = r10.query AND rel.doc_id = r10.doc_id
+        |        GROUP BY 1)
+        |SELECT qp.query, CAST(fr AS BIGINT) AS first_rel_rank,
+        |  CAST(COALESCE(1000000 // fr, 0) AS BIGINT) AS rr_e6
+        |FROM qp LEFT JOIN frr ON frr.query = qp.query
+        |ORDER BY qp.query""".stripMargin,
     // q185: auto-k with an over-corpus target derives k = 1 — one
     // cluster, so the oracle is all-pairs cosine + the q73 keeper rule
     // with cid pinned to 0; the Spark side must reach the same place
