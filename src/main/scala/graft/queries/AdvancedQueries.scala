@@ -143,6 +143,36 @@ object AdvancedQueries {
       .orderBy("doc_id")
   }
 
+  /** q188 — duplicate FAMILY-SIZE distribution: component sizes of the
+    * near-dup graph histogrammed (family_size → n_families), singletons
+    * included as the size-1 row (docs the pair generator never
+    * touched). This is the audit a deployment runs BEFORE picking the
+    * `maxBucketDocs` family cap (q184) or trusting the pair-stage cost
+    * model: a heavy tail here is exactly the viral-template regime
+    * where uncapped pair generation goes quadratic (§9's 52–61×
+    * shuffle story). Two hash aggregates on top of the gated CC labels
+    * — no new shuffle shape.
+    */
+  def q188FamilySizes(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 2)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .toDF("doc_id", "component")
+    val families = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("family_size"))
+      .groupBy(col("family_size"))
+      .agg(count(lit(1)).as("n_families"))
+    val singletons = docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_families"))
+      .select(lit(1L).as("family_size"), col("n_families"))
+    families.unionByName(singletons)
+      .filter(col("n_families") > 0)
+      .orderBy("family_size")
+  }
+
   /** The dedup APPLY step end-to-end: Jaccard pairs → connected
     * components → per-document kept/dropped flag (one keeper, the min
     * id, per near-dup group; unpaired docs trivially kept). This is the
@@ -2008,6 +2038,7 @@ object AdvancedQueries {
     "q35_tfidf"        -> (q35Tfidf _),
     "q36_rollup"       -> (q36Rollup _),
     "q37_dedup_groups" -> (q37DedupGroups _),
+    "q188_family_sizes" -> (q188FamilySizes _),
     "q38_asof_join"    -> (q38AsofJoin _),
     "q39_salted_join"  -> (q39SaltedJoin _),
     "q40_sketches"     -> (q40Sketches _),
@@ -2170,6 +2201,45 @@ object AdvancedQueries {
         |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)
         |SELECT a AS doc_id, MIN(b) AS component
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // q188: the q37 recursive-CC skeleton + component-size histogram +
+    // the singleton (never-paired) row via NOT IN.
+    "q188_family_sizes" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |cc AS (SELECT a AS doc_id, MIN(b) AS component
+        |       FROM reach GROUP BY a),
+        |fam AS (SELECT component, COUNT(*) AS family_size
+        |        FROM cc GROUP BY component),
+        |hist AS (SELECT family_size, COUNT(*) AS n_families
+        |         FROM fam GROUP BY family_size),
+        |singles AS (SELECT CAST(1 AS BIGINT) AS family_size,
+        |              COUNT(*) AS n_families
+        |            FROM documents
+        |            WHERE doc_id NOT IN (SELECT doc_id FROM cc))
+        |SELECT CAST(family_size AS BIGINT) AS family_size,
+        |  CAST(n_families AS BIGINT) AS n_families
+        |FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+        |WHERE n_families > 0 ORDER BY family_size""".stripMargin,
     "q55_range_join" ->
       """WITH err AS (
         |  SELECT event_id AS err_id, epoch_us(ts) AS s,
