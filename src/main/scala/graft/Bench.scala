@@ -91,7 +91,7 @@ object Bench {
         s"\"mem_spill_bytes\":$ms,\"disk_spill_bytes\":$ds}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"sf":"$sfDir","delta_vs_prev":${deltaVsPrev(results, sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"sf":"$sfDir","cpus":$cpus,"delta_vs_prev":${deltaVsPrev(results, sfDir, cpus)}}"""
     println(line)
     // The driver's tail capture truncates stdout at 2000 chars (r06 lost
     // every per-query timing that way) — persist the full JSON as a
@@ -127,15 +127,20 @@ object Bench {
     * shape, so a regex pull of the two counters is sufficient (no JSON
     * dependency in the library).
     *
-    * Only same-scale-factor artifacts are comparable: shuffle bytes scale
-    * with the data, so an sf0.01-vs-sf0.1 diff flags every query for the
-    * crime of reading 10× the input (the r8 artifact's 111 bogus flags).
-    * When the newest prior artifact ran at a different sf the comparison
-    * is skipped with an explicit note rather than emitting noise.
+    * Only same-scale-factor, same-parallelism artifacts are comparable:
+    * shuffle bytes scale with the data (an sf0.01-vs-sf0.1 diff flags
+    * every query for the crime of reading 10× the input — the r8
+    * artifact's 111 bogus flags) AND with the shuffle-partition count
+    * (per-partition framing/compression overhead: a 4-vs-32-thread diff
+    * measured 50 bogus flags on identical plans, small shuffles inflating
+    * exactly partitions-×). When the newest prior artifact ran at a
+    * different sf or cpus the comparison is skipped with an explicit
+    * note rather than emitting noise. Artifacts before r8 did not record
+    * cpus — an absent field is treated as a mismatch (unknown ≠ equal).
     */
   private def deltaVsPrev(
       results: Iterable[(String, (Double, Long, Long, Long, Long))],
-      sfDir: String): String = {
+      sfDir: String, cpus: String): String = {
     val prevFile = (1 until currentRound).reverse.iterator
       .map(n => n -> new java.io.File(s"BENCH_LOCAL_r$n.json"))
       .find(_._2.isFile)
@@ -145,11 +150,15 @@ object Bench {
     }.getOrElse("")
     val prevSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(prevText)
       .map(_.group(1)).getOrElse("")
+    val prevCpus = "\"cpus\":(\\d+)".r.findFirstMatchIn(prevText)
+      .map(_.group(1)).getOrElse("")
     val prevRound = prevFile.map(_._1).getOrElse(-1)
     if (prevFile.isEmpty) {
       s"""{"prev_round":-1,"flagged":{}}"""
     } else if (prevSf != sfDir) {
       s"""{"prev_round":$prevRound,"skipped":"sf_mismatch: prev=$prevSf now=$sfDir","flagged":{}}"""
+    } else if (prevCpus != cpus) {
+      s"""{"prev_round":$prevRound,"skipped":"cpus_mismatch: prev=${if (prevCpus.isEmpty) "unrecorded" else prevCpus} now=$cpus","flagged":{}}"""
     } else {
       val rx = ("\"(q[^\"]+)\":\\{\"shuffle_write_bytes\":(\\d+)," +
                 "\"shuffle_read_bytes\":(\\d+)").r

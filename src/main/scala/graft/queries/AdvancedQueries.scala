@@ -173,6 +173,68 @@ object AdvancedQueries {
       .orderBy("family_size")
   }
 
+  /** q189 — EXACT Spearman rank correlation between document length
+    * (bigram count) and LM quality score, as the rational
+    * ρ = (n(n²−1) − 6Σd²) / n(n²−1) in DECIMAL(38,0) strings (the
+    * q168 discipline — float ρ sums in shuffle order and is
+    * ungateable). "Does my quality score just measure length" is the
+    * first sanity check on any learned-or-statistical curation signal.
+    * Ranks are UNIQUE under the (metric, doc_id) total order (the
+    * deterministic-tie-break convention, documented: statistical ties
+    * get id-order ranks), and BOTH global ranks ride
+    * [[graft.operators.PrefixSum.runningTotal]] — never a
+    * single-partition window. Per-row d² products run in decimal:
+    * long d² wraps at |d| > 3e9, i.e. exactly the 100 TB corpus sizes
+    * this targets.
+    */
+  def q189Spearman(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val sc = graft.operators.LanguageModel.scoreDocuments(
+        Tables.documents(s, dir), "doc_id", "text")
+      .withColumn("__one", lit(1L))
+    val rx = graft.operators.PrefixSum.runningTotal(
+      sc, "__one", Seq("n_bigrams", "doc_id"), cumCol = "rank_x")
+    val rxy = graft.operators.PrefixSum.runningTotal(
+      rx, "__one", Seq("score_e6", "doc_id"), cumCol = "rank_y")
+    rxy
+      .select((col("rank_x") - col("rank_y")).cast(d38).as("d"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+           sum(col("d") * col("d")).as("sd2"))
+      .select(col("n").cast("long").as("n_docs"),
+              (col("n") * (col("n") * col("n") - 1) - lit(6) * col("sd2"))
+                .cast(d38).cast("string").as("rho_num"),
+              (col("n") * (col("n") * col("n") - 1))
+                .cast(d38).cast("string").as("rho_den"))
+  }
+
+  /** q190 — k-ANONYMITY AUDIT (k = 5) over the customer
+    * quasi-identifier tuple (nation, market segment, account-balance
+    * band): how many identifier groups exist, how many hold fewer than
+    * k members, and how many rows sit in those re-identifiable groups
+    * — the privacy-side curation gate next to q59's PII redaction
+    * (redaction scrubs direct identifiers; k-anonymity measures the
+    * indirect ones). The balance band is exact-integer
+    * (`(cents + 1e5) div 2e5` — shifted nonnegative so truncating and
+    * floor division agree across engines). One map-combined group agg
+    * + a 1-row reduction.
+    */
+  def q190KAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+              expr("(CAST(floor(c_acctbal * 100) AS BIGINT) + 100000) " +
+                   "div 200000").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    g.agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("n") < 5, col("n")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(col("n")).as("n_rows"))
+      .select(col("n_groups"), col("n_small_groups"),
+              col("rows_at_risk"), col("n_rows"),
+              expr("(1000000 * rows_at_risk) div n_rows").as("risk_e6"))
+  }
+
   /** The dedup APPLY step end-to-end: Jaccard pairs → connected
     * components → per-document kept/dropped flag (one keeper, the min
     * id, per near-dup group; unpaired docs trivially kept). This is the
@@ -2039,6 +2101,8 @@ object AdvancedQueries {
     "q36_rollup"       -> (q36Rollup _),
     "q37_dedup_groups" -> (q37DedupGroups _),
     "q188_family_sizes" -> (q188FamilySizes _),
+    "q189_spearman" -> (q189Spearman _),
+    "q190_k_anonymity" -> (q190KAnonymity _),
     "q38_asof_join"    -> (q38AsofJoin _),
     "q39_salted_join"  -> (q39SaltedJoin _),
     "q40_sketches"     -> (q40Sketches _),
@@ -2240,6 +2304,55 @@ object AdvancedQueries {
         |  CAST(n_families AS BIGINT) AS n_families
         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
         |WHERE n_families > 0 ORDER BY family_size""".stripMargin,
+    // q189: the q133 model CTEs + two rank windows + the HUGEINT
+    // Spearman rational, emitted as DECIMAL(38,0) strings.
+    "q189_spearman" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+        |  FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+        |  WHERE len(tk) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |m AS (SELECT w1, w2, (1000000 * c2) // c1 AS p_e6
+        |      FROM c2 JOIN c1 USING (w1)),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |         SUM(p_e6) // COUNT(*) AS score_e6
+        |       FROM bg JOIN m USING (w1, w2) GROUP BY doc_id),
+        |r AS (SELECT doc_id,
+        |        row_number() OVER (ORDER BY n_bigrams, doc_id) AS rank_x,
+        |        row_number() OVER (ORDER BY score_e6, doc_id) AS rank_y
+        |      FROM sc),
+        |a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |        CAST(SUM(CAST(rank_x - rank_y AS HUGEINT)
+        |                 * (rank_x - rank_y)) AS HUGEINT) AS sd2
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST(CAST(n * (n * n - 1) - 6 * sd2 AS DECIMAL(38,0))
+        |       AS VARCHAR) AS rho_num,
+        |  CAST(CAST(n * (n * n - 1) AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS rho_den
+        |FROM a""".stripMargin,
+    // q190: group counts over the quasi-identifier tuple + the 1-row
+    // below-k reduction; the balance band is shifted-nonnegative
+    // integer division so both engines floor identically.
+    "q190_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    (CAST(floor(c_acctbal * 100) AS BIGINT) + 100000) // 200000
+        |      AS bal_band,
+        |    COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small_groups,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST((1000000 * SUM(CASE WHEN n < 5 THEN n ELSE 0 END))
+        |       // SUM(n) AS BIGINT) AS risk_e6
+        |FROM g""".stripMargin,
     "q55_range_join" ->
       """WITH err AS (
         |  SELECT event_id AS err_id, epoch_us(ts) AS s,
