@@ -770,4 +770,56 @@ object GraphOps {
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
     dist
   }
+
+  /** PER-SEED bounded BFS: distances keyed by (seed, node) — unlike
+    * [[bfsHops]], which merges the seed set into one frontier, each
+    * seed keeps its own distance map, so per-seed radius/eccentricity
+    * and reach statistics fall out of a single aggregate over the
+    * result. After round i, `hops` is the exact minimum hop count
+    * over paths of ≤ i edges from THAT seed (pairs with no such path
+    * are absent); the round cap is part of the semantics, so a SQL
+    * oracle unrolls the identical recurrence.
+    *
+    * Scale: state is O(seeds × reached nodes) — linear in the seed
+    * count, which is the knob. Per round ONE keyed join on `src`
+    * (the relaxation) + ONE map-combined min aggregate on
+    * (seed, node); the seed column rides the shuffle for free as part
+    * of the grouping key. For |seeds| ≫ tens, prefer sketch-based
+    * all-pairs methods (HyperANF-style) — this operator is the exact
+    * small-seed-panel tool (contamination radius, hub eccentricity).
+    *
+    * RELEASE CONTRACT: identical to [[bfsHops]] — the returned frame
+    * is the final round's localCheckpoint and doubles as the release
+    * handle.
+    */
+  def perSeedHops(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, seedCol: String,
+                  maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var dist = seeds.select(col(seedCol).as("seed")).distinct()
+      .select(col("seed"), col("seed").as("node"),
+              lit(0L).as("hops"))
+      .localCheckpoint()
+    var i = 0
+    while (i < maxHops) {
+      val relaxed = e
+        .join(dist.select(col("seed"), col("node").as("src"),
+                          col("hops").as("__sd")),
+              Seq("src"))
+        .select(col("seed"), col("dst").as("node"),
+                (col("__sd") + 1L).as("hops"))
+      val next = dist.union(relaxed)
+        .groupBy(col("seed"), col("node"))
+        .agg(min(col("hops")).as("hops"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(dist)
+      dist = next
+      i += 1
+    }
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
+    dist
+  }
 }

@@ -235,6 +235,255 @@ object AdvancedQueries {
               expr("(1000000 * rows_at_risk) div n_rows").as("risk_e6"))
   }
 
+  /** Benford's-law first-digit probabilities, e9 fixed-point
+    * (⌊10⁹·log₁₀(1+1/d)⌉ for d = 1..9 — literal constants shared with
+    * the oracle, so no runtime transcendental enters either engine;
+    * they sum to 10⁹+1, the unavoidable rounding residue, documented
+    * rather than fudged). */
+  private val BenfordE9 = Seq(301029996L, 176091259L, 124938737L,
+    96910013L, 79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
+
+  /** q191 — BENFORD FIRST-DIGIT AUDIT over order totals: per leading
+    * digit the observed count, the Benford-expected count (e3
+    * fixed-point), and the exact-integer χ² contribution (e6). Synthetic
+    * or manipulated numeric columns betray themselves here — TPC-H
+    * prices are uniform-ish, so the audit SHOULD flag them, and does.
+    *
+    * Arithmetic discipline: expectations ride the e9 constant table
+    * ([[BenfordE9]]); exp_e3 = (N·p_e9) div 10⁶ and
+    * chi2_e6 = (diff_e3²·10³) div exp_e3 run in decimal(38,0) — at
+    * 10¹² rows diff_e3 ≈ 10¹⁵, squared 10³⁰, inside decimal(38)'s
+    * range where a long would have wrapped at diff_e3 > 3·10⁹. Both
+    * div numerators are nonnegative, so truncating and floor division
+    * agree across engines (the q190 convention). First digit comes
+    * from floor-then-string in BOTH engines — a direct double→int
+    * cast would round in one engine and truncate in the other.
+    *
+    * Plan: one map-combined 9-group agg + a broadcast 1-row totals
+    * join; nothing after the first agg touches more than 9 rows.
+    */
+  def q191Benford(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pTable = array(BenfordE9.map(lit): _*)
+    val byDigit = Tables.orders(s, dir)
+      .select(substring(floor(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val tot = byDigit.agg(sum(col("n_obs")).as("n_total"))
+    byDigit.crossJoin(broadcast(tot))
+      .withColumn("p_e9", element_at(pTable, col("digit")))
+      .withColumn("exp_e3",
+        expr(s"(CAST(n_total AS $d38) * p_e9) div 1000000"))
+      .withColumn("diff_e3",
+        col("n_obs").cast(d38) * 1000 - col("exp_e3"))
+      .select(col("digit"), col("n_obs"),
+              col("exp_e3").cast("long").as("exp_e3"),
+              expr("(diff_e3 * diff_e3 * 1000) div exp_e3")
+                .cast("long").as("chi2_e6"))
+      .orderBy("digit")
+  }
+
+  /** q192 — SPLIT-LEAKAGE AUDIT: do any near-dup families straddle the
+    * train/val/test hash split? The q33 split is doc-id-hash uniform —
+    * it knows nothing about near-duplicates, so a family of size s
+    * lands entirely in train only with probability 0.8^s; leaked
+    * members inflate eval scores exactly like q63's benchmark
+    * contamination. This measures the leak BEFORE training: multi-member
+    * Jaccard families (q37's components), each labeled by how many
+    * distinct splits its members landed in.
+    *
+    * Output is the one-row verdict: multi-member family count, leaky
+    * family count, documents sitting in leaky families, and the
+    * leaked-document rate (e6). The fix this audit motivates is
+    * family-level splitting — hash the component label, not the doc id
+    * — and rerunning it on that split returns zero by construction.
+    *
+    * Plan: the gated q37 pair+CC shapes, one groupBy(component) agg
+    * carrying two map-combined counts, a 1-row reduction. No new
+    * shuffle shape beyond q37 itself.
+    */
+  def q192SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 2)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .toDF("doc_id", "component")
+    val withSplit = cc
+      .withColumn("bucket",
+        pmod(PortableHash.h32(col("doc_id").cast("string")), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+    val fams = withSplit.groupBy(col("component"))
+      .agg(count(lit(1)).as("family_size"),
+           countDistinct(col("split")).as("n_splits"))
+    fams.agg(
+        count(lit(1)).as("n_multi_families"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+          .as("n_leaky_families"),
+        sum(when(col("n_splits") > 1, col("family_size")).otherwise(0L))
+          .as("docs_in_leaky"),
+        sum(col("family_size")).as("docs_in_families"))
+      .select(col("n_multi_families"), col("n_leaky_families"),
+              col("docs_in_leaky"),
+              expr("(1000000 * docs_in_leaky) div docs_in_families")
+                .as("leak_rate_e6"))
+  }
+
+  /** q193 — BLOCKED EDIT-DISTANCE NEAR-DUP: candidate pairs share a
+    * blocking key (the part-name noun), survivors have Levenshtein
+    * distance ≤ 2, reported as a distance histogram. This is the
+    * fuzzy-KEY dedup tool (catalog titles, author names, product
+    * variants) where shingle Jaccard (q21) is too coarse — a one-char
+    * typo moves every containing shingle, but is edit distance 1.
+    *
+    * Blocking IS the scale semantics, stated rather than hidden: the
+    * candidate stage is quadratic per block, never global — cost
+    * Σ_b |block_b|², so the blocking key's granularity is the knob
+    * (compose the noun with a length band to split hot blocks; the
+    * q184 family-cap pattern applies unchanged if a block still
+    * explodes). Distance itself is Spark's codegen'd `levenshtein` —
+    * identical integer semantics in DuckDB's `levenshtein`, so the
+    * histogram is exactly gateable. dist=0 rows are exact-dup names
+    * (TPC-H's 92-word vocabulary collides), a free exact-dedup signal.
+    *
+    * Plan: one self-join shuffled on the block key, the distance
+    * filter inside the join's codegen stage, then a 3-group agg.
+    */
+  def q193EditdistBlocked(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
+              element_at(split(col("p_name"), " "), 2).as("noun"))
+    val a = p.select(col("pk").as("pk_a"), col("nm").as("nm_a"),
+                     col("noun"))
+    val b = p.select(col("pk").as("pk_b"), col("nm").as("nm_b"),
+                     col("noun"))
+    a.join(b, Seq("noun"))
+      .filter(col("pk_a") < col("pk_b"))
+      .select(levenshtein(col("nm_a"), col("nm_b")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("dist")
+  }
+
+  /** q194 — INDEPENDENCE RESIDUALS for the (lang × source) contingency
+    * table: per cell the observed count and the exact fixed-point
+    * relative deviation from independence,
+    * res_e6 = sign · (|N·obs − r·c| · 10⁶) div (r·c) — i.e. obs/exp − 1
+    * in e6, where exp = r·c/N. A source whose language mix diverges
+    * from the corpus (res far from 0) is exactly where curation
+    * stratification (q78's epoch mix, q172's quotas) must intervene;
+    * res ≈ 0 everywhere means lang and source are independent and
+    * uniform sampling is safe.
+    *
+    * Sign discipline: the numerator N·obs − r·c is SIGNED, and
+    * truncating (Spark `div`) vs flooring engines disagree on negative
+    * quotients — so the division runs on the absolute value and the
+    * sign multiplies back afterwards (exact, engine-agnostic; the
+    * q190 shifted-nonnegative convention generalized). decimal(38,0)
+    * throughout: N·obs·10⁶ ≈ 10²⁸ at 10¹² rows — far past long, well
+    * inside decimal(38).
+    *
+    * Plan: three map-combined aggs (cell, row, column margins) joined
+    * broadcast — margins are ≤ |langs| and |sources| rows — plus the
+    * 1-row total; cells = |langs|·|sources|, tiny at any corpus scale.
+    */
+  def q194IndepResiduals(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val docs = Tables.documents(s, dir)
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_obs"))
+    val rows = docs.groupBy(col("lang")).agg(count(lit(1)).as("r_tot"))
+    val cols = docs.groupBy(col("source")).agg(count(lit(1)).as("c_tot"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    cells
+      .join(broadcast(rows), Seq("lang"))
+      .join(broadcast(cols), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("num",
+        expr(s"CAST(n_total AS $d38) * n_obs - CAST(r_tot AS $d38) * c_tot"))
+      .withColumn("den", expr(s"CAST(r_tot AS $d38) * c_tot"))
+      .select(col("lang"), col("source"), col("n_obs"),
+              (when(col("num") < 0, -1L).otherwise(1L) *
+                expr("(abs(num) * 1000000) div den").cast("long"))
+                .as("res_e6"))
+      .orderBy("lang", "source")
+  }
+
+  /** q195 — BOUNDED ECCENTRICITY of a seed panel
+    * ([[GraphOps.perSeedHops]]): for each seed supplier, the max
+    * shortest-path hop count to anything it reaches within
+    * [[BfsMaxHops]] hops, plus its reach count. q157 answers "how far
+    * is everything from the seed SET" (one merged frontier); this
+    * keeps per-seed frontiers, so hub-ness becomes comparable ACROSS
+    * seeds — a supplier whose 4-hop eccentricity is 2 saturated its
+    * neighborhood (a hub); one still at 4 sits on the periphery.
+    *
+    * The hop cap is part of the semantics (the q157 convention), so
+    * the oracle unrolls the identical (seed, node) relaxation — no
+    * convergence argument needed. State is O(seeds × reach): the seed
+    * panel size is the explicit scale knob, and the relaxation rounds
+    * are each ONE keyed join + ONE map-combined min agg with the seed
+    * riding the grouping key.
+    */
+  def q195EccBounded(s: SparkSession, dir: String): DataFrame = {
+    val rel = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("sup"),
+              concat(lit("c"), col("o_custkey")).as("cust"))
+      .distinct()
+    val edges = rel.select(col("sup").as("src"), col("cust").as("dst"))
+      .unionByName(rel.select(col("cust").as("src"), col("sup").as("dst")))
+    val seeds = Tables.supplier(s, dir)
+      .filter(col("s_suppkey") <= 5)
+      .select(concat(lit("s"), col("s_suppkey")).as("seed"))
+    GraphOps.perSeedHops(edges, "src", "dst", seeds, "seed",
+                         maxHops = BfsMaxHops)
+      .groupBy(col("seed"))
+      .agg(max(col("hops")).as("ecc"),
+           count(lit(1)).as("n_reached"))
+      .orderBy("seed")
+  }
+
+  /** q196 — DEDUP FIXED-POINT AUDIT: run the q54 pipeline (Jaccard
+    * pairs → CC → min-id keeper), then re-run pair generation on the
+    * KEPT corpus and count survivors. The count is provably zero —
+    * pair membership is pairwise (removing documents can't create a
+    * pair), so second-pass pairs are original pairs with both ends
+    * kept, i.e. two keepers in one component — contradiction. But
+    * "provably" is about THIS composition of threshold and keeper
+    * rule; the audit exists because real pipelines break the premise
+    * (re-normalizing text between passes, per-pass thresholds,
+    * sampling the pair stage) and silently ship half-deduped corpora.
+    * Both engines COMPUTE the invariant from the data — the oracle
+    * re-derives components, keepers, and second-pass pairs in SQL
+    * rather than asserting 0.
+    *
+    * Plan: the q54 shapes plus one semi-join (kept filter) and a
+    * second pair stage over the ~deduped (smaller) corpus; the audit
+    * costs less than the dedup it certifies.
+    */
+  def q196DedupFixedpoint(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 2)
+      .select(col("doc_a"), col("doc_b"))
+    val kept = Dedup.applyDedup(docs.select("doc_id"), "doc_id", pairs)
+      .filter(col("kept"))
+      .select(col("doc_id"))
+    val keptDocs = docs.join(kept, Seq("doc_id"), "left_semi")
+    val secondPass = Dedup
+      .jaccardPairs(keptDocs, "doc_id", "text", n = 3, num = 1, den = 2)
+    kept.agg(count(lit(1)).as("n_docs_kept"))
+      .crossJoin(
+        secondPass.agg(count(lit(1)).as("n_second_pass_pairs")))
+  }
+
   /** The dedup APPLY step end-to-end: Jaccard pairs → connected
     * components → per-document kept/dropped flag (one keeper, the min
     * id, per near-dup group; unpaired docs trivially kept). This is the
@@ -2046,6 +2295,34 @@ object AdvancedQueries {
        |ORDER BY node""".stripMargin
   }
 
+  /** q195 oracle: [[GraphOps.perSeedHops]] unrolled — the q157 (bfs)
+    * relaxation with the seed column riding the state key, so round
+    * CTE i min-merges (seed, node, dist) triples; the final aggregate
+    * takes per-seed MAX (eccentricity) and COUNT (reach).
+    */
+  private val eccOracleSql: String = {
+    def roundCte(i: Int): String =
+      s"""d$i AS (
+         |  SELECT seed, node, MIN(dist) AS dist FROM (
+         |    SELECT seed, node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d.seed, e.dst, d.dist + 1 FROM e
+         |    JOIN d${i - 1} d ON e.src = d.node)
+         |  GROUP BY seed, node)""".stripMargin
+    s"""WITH rel AS (
+       |  SELECT DISTINCT 's' || l_suppkey AS sup, 'c' || o_custkey AS cust
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT sup AS src, cust AS dst FROM rel
+       |      UNION ALL SELECT cust, sup FROM rel),
+       |d0 AS (SELECT DISTINCT 's' || s_suppkey AS seed,
+       |         's' || s_suppkey AS node, 0 AS dist
+       |       FROM supplier WHERE s_suppkey <= 5),
+       |${(1 to BfsMaxHops).map(roundCte).mkString(",\n")}
+       |SELECT seed, CAST(MAX(dist) AS BIGINT) AS ecc,
+       |  CAST(COUNT(*) AS BIGINT) AS n_reached
+       |FROM d$BfsMaxHops GROUP BY seed ORDER BY seed""".stripMargin
+  }
+
   /** q141 oracle: [[GraphOps.hits]] unrolled — per iteration an
     * authority half-step and a hub half-step, each followed by the
     * integer max-normalization. The max is a WINDOW aggregate
@@ -2103,6 +2380,12 @@ object AdvancedQueries {
     "q188_family_sizes" -> (q188FamilySizes _),
     "q189_spearman" -> (q189Spearman _),
     "q190_k_anonymity" -> (q190KAnonymity _),
+    "q191_benford" -> (q191Benford _),
+    "q192_split_leakage" -> (q192SplitLeakage _),
+    "q193_editdist_blocked" -> (q193EditdistBlocked _),
+    "q194_indep_residuals" -> (q194IndepResiduals _),
+    "q195_ecc_bounded" -> (q195EccBounded _),
+    "q196_dedup_fixedpoint" -> (q196DedupFixedpoint _),
     "q38_asof_join"    -> (q38AsofJoin _),
     "q39_salted_join"  -> (q39SaltedJoin _),
     "q40_sketches"     -> (q40Sketches _),
@@ -2353,6 +2636,162 @@ object AdvancedQueries {
         |  CAST((1000000 * SUM(CASE WHEN n < 5 THEN n ELSE 0 END))
         |       // SUM(n) AS BIGINT) AS risk_e6
         |FROM g""".stripMargin,
+    // q191: the e9 Benford constants as a CASE table (identical
+    // literals to BenfordE9), HUGEINT products (the q189 discipline),
+    // floor-then-string first digit.
+    "q191_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+        |t AS (SELECT SUM(n_obs) AS n_total FROM g),
+        |p AS (SELECT digit, n_obs, n_total,
+        |        CASE digit WHEN 1 THEN 301029996 WHEN 2 THEN 176091259
+        |          WHEN 3 THEN 124938737 WHEN 4 THEN 96910013
+        |          WHEN 5 THEN 79181246 WHEN 6 THEN 66946790
+        |          WHEN 7 THEN 57991947 WHEN 8 THEN 51152522
+        |          ELSE 45757491 END AS p_e9
+        |      FROM g CROSS JOIN t),
+        |e AS (SELECT digit, n_obs,
+        |        (CAST(n_total AS HUGEINT) * p_e9) // 1000000 AS exp_e3
+        |      FROM p),
+        |f AS (SELECT digit, n_obs, exp_e3,
+        |        CAST(n_obs AS HUGEINT) * 1000 - exp_e3 AS diff_e3
+        |      FROM e)
+        |SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST(exp_e3 AS BIGINT) AS exp_e3,
+        |  CAST((diff_e3 * diff_e3 * 1000) // exp_e3 AS BIGINT) AS chi2_e6
+        |FROM f ORDER BY digit""".stripMargin,
+    // q192: the q37 recursive-CC skeleton + the q33 md5 split + the
+    // per-family distinct-split count and 1-row verdict.
+    "q192_split_leakage" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |cc AS (SELECT a AS doc_id, MIN(b) AS component
+        |       FROM reach GROUP BY a),
+        |fam AS (
+        |  SELECT component, COUNT(*) AS family_size,
+        |    COUNT(DISTINCT CASE WHEN b < 80 THEN 'train'
+        |                        WHEN b < 90 THEN 'val'
+        |                        ELSE 'test' END) AS n_splits
+        |  FROM (SELECT doc_id, component,
+        |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+        |            AS b
+        |        FROM cc)
+        |  GROUP BY component)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_families,
+        |  CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaky_families,
+        |  CAST(SUM(CASE WHEN n_splits > 1 THEN family_size ELSE 0 END)
+        |       AS BIGINT) AS docs_in_leaky,
+        |  CAST((1000000 * SUM(CASE WHEN n_splits > 1 THEN family_size
+        |                           ELSE 0 END))
+        |       // SUM(family_size) AS BIGINT) AS leak_rate_e6
+        |FROM fam""".stripMargin,
+    // q193: identical blocking self-join; DuckDB's levenshtein is the
+    // same unit-cost edit distance as Spark's.
+    "q193_editdist_blocked" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS pk, p_name AS nm,
+        |    split_part(p_name, ' ', 2) AS noun
+        |  FROM part)
+        |SELECT CAST(dist AS BIGINT) AS dist,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM (
+        |  SELECT levenshtein(a.nm, b.nm) AS dist
+        |  FROM p a JOIN p b ON a.noun = b.noun AND a.pk < b.pk)
+        |WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin,
+    // q194: margins joined back to cells; the signed numerator divides
+    // as |num| // den with the sign multiplied back (truncation-vs-
+    // floor engine divergence avoided).
+    "q194_indep_residuals" ->
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS n_obs
+        |               FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, COUNT(*) AS r_tot FROM documents GROUP BY 1),
+        |c AS (SELECT source, COUNT(*) AS c_tot FROM documents GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS n_total FROM documents),
+        |j AS (SELECT lang, source, n_obs,
+        |        CAST(n_total AS HUGEINT) * n_obs
+        |          - CAST(r_tot AS HUGEINT) * c_tot AS num,
+        |        CAST(r_tot AS HUGEINT) * c_tot AS den
+        |      FROM cells JOIN r USING (lang) JOIN c USING (source)
+        |      CROSS JOIN t)
+        |SELECT lang, source, CAST(n_obs AS BIGINT) AS n_obs,
+        |  CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |       * ((abs(num) * 1000000) // den) AS BIGINT) AS res_e6
+        |FROM j ORDER BY lang, source""".stripMargin,
+    // q195: the q157 relaxation unrolled with the seed riding the
+    // state key — round i min-merges (seed, node) labels.
+    "q195_ecc_bounded" -> eccOracleSql,
+    // q196: the q37 recursive-CC skeleton, min-id keepers, then the
+    // ENTIRE shingle→pairs stage re-run on the kept subset — the
+    // oracle computes the fixed-point count, it does not assert 0.
+    "q196_dedup_fixedpoint" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |cc AS (SELECT a AS doc_id, MIN(b) AS component
+        |       FROM reach GROUP BY a),
+        |kept AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cc)
+        |  UNION ALL
+        |  SELECT doc_id FROM cc WHERE doc_id = component),
+        |sh2 AS (SELECT s.doc_id, s.shingle FROM sh s
+        |        JOIN kept k ON k.doc_id = s.doc_id),
+        |sz2 AS (SELECT doc_id, COUNT(*) AS sz FROM sh2 GROUP BY doc_id),
+        |pairs2 AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh2 a JOIN sh2 b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp2 AS (
+        |  SELECT doc_a, doc_b FROM pairs2
+        |  JOIN sz2 sa ON sa.doc_id = doc_a
+        |  JOIN sz2 sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_docs_kept,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM jp2)
+        |    AS n_second_pass_pairs""".stripMargin,
     "q55_range_join" ->
       """WITH err AS (
         |  SELECT event_id AS err_id, epoch_us(ts) AS s,

@@ -412,6 +412,49 @@ class GraphOpsSpec extends SparkSpec {
     assert(run(3) === run(2)) // extra rounds are exact no-ops
   }
 
+  test("perSeedHops keeps per-seed frontiers independent; min over " +
+       "seeds reproduces bfsHops") {
+    // 1->2->3->4 and 10->3: seed 1 reaches 3 in 2, seed 10 in 1 — the
+    // merged bfsHops frontier would collapse that distinction
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 3L))
+      .toDF("s", "d")
+    val seeds = Seq(1L, 10L).toDF("n")
+    val per = GraphOps.perSeedHops(edges, "s", "d", seeds, "n", maxHops = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (seed, node, h) => (seed, node) -> h }.toMap
+    assert(per === Map(
+      (1L, 1L) -> 0L, (1L, 2L) -> 1L, (1L, 3L) -> 2L, (1L, 4L) -> 3L,
+      (10L, 10L) -> 0L, (10L, 3L) -> 1L, (10L, 4L) -> 2L))
+    // collapsing per-seed labels with min == the merged-frontier bfs
+    val merged = GraphOps
+      .bfsHops(edges, "s", "d", seeds.toDF("node"), "node", maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    val collapsed = per.groupBy(_._1._2).map { case (n, m) =>
+      n -> m.values.min }
+    assert(collapsed === merged)
+  }
+
+  test("perSeedHops: hop cap truncates each seed's frontier separately; " +
+       "eccentricity falls out as the per-seed max") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val seeds = Seq(1L, 10L).toDF("n")
+    val out = GraphOps.perSeedHops(edges, "s", "d", seeds, "n", maxHops = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSet === Set((1L, 1L, 0L), (1L, 2L, 1L),
+                             (10L, 10L, 0L), (10L, 11L, 1L)))
+    val ecc = out.groupBy(_._1).map { case (s0, rows) =>
+      s0 -> rows.map(_._3).max }
+    assert(ecc === Map(1L -> 1L, 10L -> 1L))
+  }
+
+  test("perSeedHops: maxHops = 0 returns just the seeds at distance 0") {
+    val edges = Seq((1L, 2L)).toDF("s", "d")
+    val seeds = Seq(1L, 1L, 7L).toDF("n") // dup seed rows collapse
+    val out = GraphOps.perSeedHops(edges, "s", "d", seeds, "n", maxHops = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 0L), (7L, 7L, 0L)))
+  }
+
   test("weightedDistances refuses negative or null weights") {
     val seeds = Seq(1L).toDF("node")
     intercept[IllegalArgumentException] {
