@@ -792,6 +792,70 @@ object GraphOps {
     * is the final round's localCheckpoint and doubles as the release
     * handle.
     */
+  /** SHORTEST-PATH COUNTS from one seed — the forward (σ) phase of
+    * Brandes' betweenness algorithm, level-synchronous: after round i
+    * the settled set holds (node, dist, sigma) for every node within
+    * i hops, where sigma = the EXACT number of distinct shortest paths
+    * from the seed. Round i extends the dist-(i−1) frontier by one
+    * edge and sums sigma over predecessors; nodes already settled are
+    * anti-joined away (a path through a closer node is not shortest).
+    * Only frontier sources feed the extension, so the sum picks up
+    * exactly the dist-(i−1) predecessors — the BFS-DAG recurrence
+    * σ(v) = Σ_{u∈pred(v)} σ(u).
+    *
+    * sigma grows MULTIPLICATIVELY with level width (dense bipartite
+    * graphs reach 10¹⁰⁺ within 4 hops at modest scale), so it rides
+    * decimal(38,0) end to end — a long would wrap silently around
+    * 9·10¹⁸ on exactly the corpora worth measuring. The hop cap is
+    * part of the semantics (the [[bfsHops]] convention): a SQL oracle
+    * unrolls the identical recurrence, no convergence test.
+    *
+    * Per round: ONE keyed join on `src` + ONE map-combined sum agg +
+    * ONE anti-join against the settled set. State is O(reached
+    * nodes); the frontier never touches the driver.
+    *
+    * RELEASE CONTRACT: identical to [[bfsHops]] — the returned frame
+    * is the final merged localCheckpoint and doubles as the release
+    * handle.
+    */
+  def pathCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                 seed: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val d38 = "decimal(38,0)"
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var settled = e.sparkSession.range(1)
+      .select(lit(seed).as("node"), lit(0L).as("dist"),
+              lit(1L).cast(d38).as("sigma"))
+      .localCheckpoint()
+    var frontier = settled
+    var i = 0
+    while (i < maxHops) {
+      val ext = e
+        .join(frontier.select(col("node").as("src"), col("sigma")),
+              Seq("src"))
+        .select(col("dst").as("node"), col("sigma"))
+        .groupBy(col("node"))
+        .agg(sum(col("sigma")).cast(d38).as("sigma"))
+      val nxt = ext
+        .join(settled.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit((i + 1).toLong).as("dist"), col("sigma"))
+        .localCheckpoint()
+      val merged = settled.union(nxt).localCheckpoint()
+      if (i > 0)
+        org.apache.spark.sql.GraftColumns.unpersistCheckpoint(frontier)
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(settled)
+      frontier = nxt
+      settled = merged
+      i += 1
+    }
+    if (maxHops > 0)
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(frontier)
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
+    settled
+  }
+
   def perSeedHops(edges: DataFrame, srcCol: String, dstCol: String,
                   seeds: DataFrame, seedCol: String,
                   maxHops: Int): DataFrame = {

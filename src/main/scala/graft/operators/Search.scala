@@ -101,6 +101,68 @@ object Search {
     * here they derive inline from the same scan, which is the same
     * plan downstream of the postings.
     */
+  /** SPARSE-VECTOR top-k retrieval: every document is a TF-IDF-weighted
+    * sparse vector over its terms (the q35 integer weighting:
+    * w_e6 = (10⁶·tf·N) div (df·len)), queries are corpus documents
+    * (`queryIds`), and score(q, d) = the exact sparse dot product
+    * Σ_t w_e6(q,t)·w_e6(d,t) — term-at-a-time evaluation over a
+    * postings join, the inverted-index companion to the dense-vector
+    * ANN family ([[Similarity]]).
+    *
+    * Scale semantics, stated not hidden: terms with df·10 > N are
+    * PRUNED from every vector — the impact-pruning knob that keeps
+    * posting lists (and therefore the candidate set per query)
+    * df-bounded instead of corpus-bounded. A stopword-dense query
+    * cannot touch every document; what it loses is exactly the
+    * low-idf mass that contributes least to the score. The pruning is
+    * part of the operator's definition, so the oracle replays it.
+    *
+    * Arithmetic: weights are floor-div longs (≤ ~10¹⁸ at N = 10¹²,
+    * inside int64); their PRODUCTS ride decimal(38,0) (HUGEINT in the
+    * oracle) — long×long would wrap at exactly the rare-term weights
+    * that matter most. Scores surface as strings (the q189 rational
+    * convention). Ties break ascending doc_id.
+    *
+    * Plan: postings shuffle on term (df-pruned), query vectors
+    * broadcast, one (query, doc) sum agg, then a rank window the
+    * optimizer group-limits (WindowGroupLimit) — never a full
+    * per-query sort.
+    */
+  def sparseTopK(docs: DataFrame, idCol: String, textCol: String,
+                 queryIds: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val d38 = "decimal(38,0)"
+    val words = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"),
+              explode(split(col(textCol), " ")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .filter(col("df") * 10 <= col("n_docs"))
+      .select(col("doc_id"), col("term"),
+              expr(s"(CAST(1000000 AS $d38) * tf * n_docs) div " +
+                   s"(CAST(df AS $d38) * dl)").as("w_e6"))
+    val q = w.join(
+        broadcast(queryIds.select(col(queryIds.columns.head).as("doc_id"))),
+        Seq("doc_id"))
+      .select(col("doc_id").as("query_id"), col("term"),
+              col("w_e6").as("qw"))
+    val scores = w.join(broadcast(q), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr(s"CAST(qw AS $d38) * w_e6")).cast(d38).as("score"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scores.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+              col("doc_id"), col("score").cast("string").as("score"))
+  }
+
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[String], k: Int): DataFrame = {
     require(queries.nonEmpty && queries.forall(_.trim.nonEmpty),

@@ -163,6 +163,43 @@ object Video {
     out.toByteArray
   }
 
+  /** Additive offset deriving scene B's contrast pattern from scene
+    * A's: independent md5 words, so the cross-cut hamming distance sits
+    * near 32 of 64 bits — far above [[sceneChanges]]' threshold, while
+    * within-scene consecutive frames differ only in the ±50 gradient
+    * residue the ±150 pattern contrast dominates.
+    */
+  val SceneSeedOffset = 100003L
+
+  /** (frame count, cut index) of `id`'s scene fixture: 8/12/16 frames,
+    * the cut at the midpoint — even, so stride-2 sampling LANDS on the
+    * cut frame and the detected boundary index is exact.
+    */
+  def sceneParamsFor(id: Long): (Int, Int) = {
+    val nf = ((id % 3 + 2) * 4).toInt
+    (nf, nf / 2)
+  }
+
+  /** Encode the scene-cut fixture video: the dup family's contrast
+    * cards ([[dupFramePixel]] arithmetic) with the 64-bit pattern
+    * switching from md5(id) to md5(id + [[SceneSeedOffset]]) at the
+    * cut frame.
+    */
+  def encodeSceneVideo(id: Long): Array[Byte] = {
+    val (nf, cut) = sceneParamsFor(id)
+    val (aLo, aHi) = dupPatternWords(id)
+    val (bLo, bHi) = dupPatternWords(id + SceneSeedOffset)
+    def pixel(f: Int)(x: Int, y: Int): Int = {
+      val blk = (y / 2) * 8 + x / 2
+      val (lo, hi) = if (f < cut) (aLo, aHi) else (bLo, bHi)
+      val pat = (((if (blk < 32) lo else hi) >> (blk % 32)) & 1L).toInt
+      150 * pat + ((id + 11L * f + 7L * x + 13L * y) % 50).toInt
+    }
+    packFrames((0 until nf).map { f =>
+      Multimodal.encodeCard(FrameW, FrameH, pixel(f))
+    })
+  }
+
   case class VideoRow(doc_id: Long, payload: Array[Byte])
 
   /** Attach a fixture video payload to the documents table. */
@@ -180,6 +217,44 @@ object Video {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => VideoRow(id, encodeDupVideo(id))))
+  }
+
+  /** [[withPayload]] for the scene-cut fixture family
+    * ([[sceneParamsFor]]).
+    */
+  def withScenePayload(spark: SparkSession, docs: DataFrame)
+      : Dataset[VideoRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => VideoRow(id, encodeSceneVideo(id))))
+  }
+
+  /** SCENE-CHANGE detection: a boundary is a consecutive SAMPLED-frame
+    * pair whose [[Multimodal.aHash64]] hamming distance exceeds
+    * `hammingMin`. Per video: total/sampled frame counts, boundary
+    * count, and the first boundary's frame index (−1 if none — the
+    * scene-segmentation signal a video training pipeline cuts clips
+    * on). The comparison runs on the hashes of frames stride-sampling
+    * ALREADY decoded — detection rides the q150 decode economics and
+    * adds zero codec work, one narrow map, no shuffle (consecutive
+    * frames of one video never span rows).
+    */
+  def sceneChanges(spark: SparkSession, media: Dataset[VideoRow],
+                   stride: Int, hammingMin: Int): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.map { r =>
+      val (nFrames, frames) = sampleFrames(r.payload, stride)
+      val hashes = frames.map { case (f, w, h, px) =>
+        (f, Multimodal.aHash64(w, h, px))
+      }
+      val bounds = hashes.iterator.sliding(2).withPartial(false).collect {
+        case Seq((_, h0), (f1, h1))
+            if java.lang.Long.bitCount(h0 ^ h1) > hammingMin => f1.toLong
+      }.toSeq
+      (r.doc_id, nFrames.toLong, hashes.size.toLong, bounds.size.toLong,
+       if (bounds.isEmpty) -1L else bounds.min)
+    }).toDF("doc_id", "n_frames", "n_sampled", "n_boundaries",
+            "first_boundary")
   }
 
   /** Frame-sampled features: one row per (video, sampled frame) with

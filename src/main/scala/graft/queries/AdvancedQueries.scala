@@ -484,6 +484,165 @@ object AdvancedQueries {
         secondPass.agg(count(lit(1)).as("n_second_pass_pairs")))
   }
 
+  /** q197 — ENTITY RESOLUTION end-to-end: blocking → pairwise match →
+    * connected components → survivorship, the record-linkage pipeline
+    * (catalog unification, author disambiguation, crawl-source merge)
+    * composed from gated pieces. Records are parts; the blocking key is
+    * the q193 name noun, the match rule is `levenshtein ≤ 1 AND same
+    * brand` (conjunctive rules shrink blocks BEFORE the quadratic
+    * stage — brand rides the join key, so the per-block candidate
+    * count divides by the brand cardinality rather than filtering
+    * after the fact), matches close transitively into entities
+    * ([[GraphOps.connectedComponents]]), and survivorship emits one
+    * row per multi-member entity: first-record-wins canonical name
+    * (`min_by` over the unique key — deterministic in both engines),
+    * member count, and the exact price range in cents.
+    *
+    * Scale: cost is Σ_block |block|² like q193 — the blocking key
+    * granularity is the knob, and the match-rule conjuncts belong IN
+    * the join key (here: noun AND brand) not the post-filter. CC is
+    * the q37 pointer-jumping shape; survivorship is one map-combined
+    * agg over matched nodes only (unmatched records never reach it).
+    */
+  private def erRecords(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
+              col("p_brand").as("br"),
+              element_at(split(col("p_name"), " "), 2).as("noun"),
+              floor(col("p_retailprice") * 100).cast("long").as("price_c"))
+
+  /** q197's match stage alone (blocked keyed self-join + edit-distance
+    * rule), exposed so [[PlanShapeSpec]] can pin its shape — the CC
+    * stage checkpoints this plan away from the final query's explain.
+    */
+  def erMatchPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = erRecords(s, dir)
+    val a = p.select(col("pk").as("pk_a"), col("nm").as("nm_a"),
+                     col("noun"), col("br"))
+    val b = p.select(col("pk").as("pk_b"), col("nm").as("nm_b"),
+                     col("noun"), col("br"))
+    a.join(b, Seq("noun", "br"))
+      .filter(col("pk_a") < col("pk_b") &&
+              levenshtein(col("nm_a"), col("nm_b")) <= 1)
+      .select(col("pk_a"), col("pk_b"))
+  }
+
+  def q197EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val p = erRecords(s, dir)
+    val cc = GraphOps.connectedComponents(
+        erMatchPairs(s, dir), "pk_a", "pk_b")
+      .toDF("pk", "entity_id")
+    cc.join(p, Seq("pk"))
+      .groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+           min_by(col("nm"), col("pk")).as("canonical_nm"),
+           min(col("price_c")).as("price_min_c"),
+           max(col("price_c")).as("price_max_c"))
+      .orderBy("entity_id")
+  }
+
+  /** q198 — FAMILY-SAFE K-FOLD SPLIT: the fix q192 motivates. q192
+    * measures how many near-dup families straddle a doc-id-hash split;
+    * this query assigns folds at FAMILY granularity — members of a
+    * Jaccard component hash their component label, singletons their
+    * own id — so near-duplicates can never straddle folds and
+    * cross-validation eval sets stay uncontaminated. Output is one row
+    * per fold (doc count, family-member count, multi-member family
+    * count) plus the recomputed global leak count, which is zero BY
+    * CONSTRUCTION — and, per the q196 convention, both engines compute
+    * it from the data rather than asserting it, because real pipelines
+    * break the construction (re-thresholded second passes, per-split
+    * normalization) and this audit is what catches them.
+    *
+    * Plan: the gated q37 pair+CC shapes, a left join of docs to their
+    * component (singletons pass through), one 5-group agg, and a 1-row
+    * leak reduction broadcast back onto the fold rows.
+    */
+  def q198FamilyFolds(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = Dedup
+      .jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+                    n = 3, num = 1, den = 2)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .toDF("doc_id", "component")
+    val folded = docs.join(cc, Seq("doc_id"), "left")
+      .withColumn("fold_key",
+        coalesce(col("component"), col("doc_id")).cast("string"))
+      .withColumn("fold", pmod(PortableHash.h32(col("fold_key")), lit(5L)))
+    val byFold = folded.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("component").isNotNull, 1L).otherwise(0L))
+             .as("n_family_docs"),
+           countDistinct(col("component")).as("n_families"))
+    val leak = folded.filter(col("component").isNotNull)
+      .groupBy(col("component"))
+      .agg(countDistinct(col("fold")).as("n_folds"))
+      .agg(sum(when(col("n_folds") > 1, 1L).otherwise(0L))
+        .as("n_leaky_families"))
+    byFold.crossJoin(broadcast(leak)).orderBy("fold")
+  }
+
+  /** q199 — l-DIVERSITY AUDIT (l = 3): the k-anonymity (q190)
+    * follow-up. k-anonymity counts group SIZES; a group of 50 rows
+    * that all share one market segment still leaks the sensitive
+    * attribute to anyone who can place a customer in the group.
+    * l-diversity requires ≥ l distinct sensitive values per
+    * quasi-identifier group — here quasi = (nation, balance band),
+    * sensitive = market segment. Output is the diversity histogram
+    * (groups and rows per distinct-segment count l) with a per-row
+    * below-threshold flag, so both the distribution and the verdict
+    * are in one gated table.
+    *
+    * Plan: one map-combined two-level agg (group → l, then histogram);
+    * nothing after the first agg exceeds the group count.
+    */
+  def q199LDiversity(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+              expr("(CAST(floor(c_acctbal * 100) AS BIGINT) + 100000) " +
+                   "div 200000").as("bal_band"),
+              col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(countDistinct(col("c_mktsegment")).as("l"),
+           count(lit(1)).as("n"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"))
+      .withColumn("below_l3", (col("l") < 3).cast("boolean"))
+      .orderBy("l")
+  }
+
+  /** q202 — SHORTEST-PATH COUNTS ([[GraphOps.pathCounts]]): for every
+    * node within [[BfsMaxHops]] hops of supplier s1 on the trade
+    * graph, the hop distance AND the exact number of distinct
+    * shortest paths (Brandes' σ) — the quantity behind betweenness
+    * centrality and path-redundancy audits (σ = 1 means a single
+    * bridge; high σ means the connection survives node loss). q157
+    * answers "how far", this adds "along how many routes".
+    *
+    * σ is combinatorial — on this bipartite graph it multiplies by
+    * the level width each hop — so it rides decimal(38,0) in Spark
+    * and HUGEINT in the oracle, surfaced as a string (the q189
+    * rational convention). The oracle unrolls the identical
+    * level-synchronous recurrence: round i sums σ over dist-(i−1)
+    * predecessors and excludes already-settled nodes.
+    */
+  def q202PathCounts(s: SparkSession, dir: String): DataFrame = {
+    val rel = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("sup"),
+              concat(lit("c"), col("o_custkey")).as("cust"))
+      .distinct()
+    val edges = rel.select(col("sup").as("src"), col("cust").as("dst"))
+      .unionByName(rel.select(col("cust").as("src"), col("sup").as("dst")))
+    GraphOps.pathCounts(edges, "src", "dst", seed = "s1",
+                        maxHops = BfsMaxHops)
+      .select(col("node"), col("dist"),
+              col("sigma").cast("string").as("sigma"))
+      .orderBy("node")
+  }
+
   /** The dedup APPLY step end-to-end: Jaccard pairs → connected
     * components → per-document kept/dropped flag (one keeper, the min
     * id, per near-dup group; unpaired docs trivially kept). This is the
@@ -2323,6 +2482,35 @@ object AdvancedQueries {
        |FROM d$BfsMaxHops GROUP BY seed ORDER BY seed""".stripMargin
   }
 
+  /** q202 oracle: [[GraphOps.pathCounts]] unrolled — round CTE i
+    * extends the dist-(i−1) frontier f(i−1) by one edge, sums σ over
+    * predecessors, drops settled nodes, and appends to the settled
+    * set s(i). HUGEINT σ mirrors Spark's decimal(38,0).
+    */
+  private val pathCountsOracleSql: String = {
+    def roundCte(i: Int): String =
+      s"""c$i AS (SELECT e.dst AS node, SUM(f.sigma) AS sigma
+         |        FROM e JOIN f${i - 1} f ON e.src = f.node
+         |        GROUP BY e.dst),
+         |f$i AS (SELECT c.node, c.sigma FROM c$i c
+         |        WHERE c.node NOT IN (SELECT node FROM s${i - 1})),
+         |s$i AS (SELECT node, dist, sigma FROM s${i - 1}
+         |        UNION ALL
+         |        SELECT node, $i AS dist, sigma FROM f$i)""".stripMargin
+    s"""WITH rel AS (
+       |  SELECT DISTINCT 's' || l_suppkey AS sup, 'c' || o_custkey AS cust
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT sup AS src, cust AS dst FROM rel
+       |      UNION ALL SELECT cust, sup FROM rel),
+       |s0 AS (SELECT 's1' AS node, 0 AS dist,
+       |         CAST(1 AS HUGEINT) AS sigma),
+       |f0 AS (SELECT node, sigma FROM s0),
+       |${(1 to BfsMaxHops).map(roundCte).mkString(",\n")}
+       |SELECT node, CAST(dist AS BIGINT) AS dist,
+       |  CAST(sigma AS VARCHAR) AS sigma
+       |FROM s$BfsMaxHops ORDER BY node""".stripMargin
+  }
+
   /** q141 oracle: [[GraphOps.hits]] unrolled — per iteration an
     * authority half-step and a hub half-step, each followed by the
     * integer max-normalization. The max is a WINDOW aggregate
@@ -2386,6 +2574,10 @@ object AdvancedQueries {
     "q194_indep_residuals" -> (q194IndepResiduals _),
     "q195_ecc_bounded" -> (q195EccBounded _),
     "q196_dedup_fixedpoint" -> (q196DedupFixedpoint _),
+    "q197_entity_resolution" -> (q197EntityResolution _),
+    "q198_family_folds" -> (q198FamilyFolds _),
+    "q199_l_diversity" -> (q199LDiversity _),
+    "q202_path_counts" -> (q202PathCounts _),
     "q38_asof_join"    -> (q38AsofJoin _),
     "q39_salted_join"  -> (q39SaltedJoin _),
     "q40_sketches"     -> (q40Sketches _),
@@ -2744,6 +2936,9 @@ object AdvancedQueries {
     // q195: the q157 relaxation unrolled with the seed riding the
     // state key — round i min-merges (seed, node) labels.
     "q195_ecc_bounded" -> eccOracleSql,
+    // q202: the Brandes forward phase unrolled — per round a
+    // predecessor-σ sum, a settled-set exclusion, an append.
+    "q202_path_counts" -> pathCountsOracleSql,
     // q196: the q37 recursive-CC skeleton, min-id keepers, then the
     // ENTIRE shingle→pairs stage re-run on the kept subset — the
     // oracle computes the fixed-point count, it does not assert 0.
@@ -2792,6 +2987,93 @@ object AdvancedQueries {
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_docs_kept,
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM jp2)
         |    AS n_second_pass_pairs""".stripMargin,
+    // q197: identical blocking join (noun AND brand in the key),
+    // levenshtein ≤ 1 matches, the q37 recursive-CC skeleton over
+    // part keys, arg_min survivorship (= Spark's min_by; pk unique so
+    // both are deterministic).
+    "q197_entity_resolution" ->
+      """WITH RECURSIVE
+        |p AS (SELECT p_partkey AS pk, p_name AS nm, p_brand AS br,
+        |        split_part(p_name, ' ', 2) AS noun,
+        |        CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c
+        |      FROM part),
+        |jp AS (SELECT a.pk AS pa, b.pk AS pb
+        |       FROM p a JOIN p b
+        |         ON a.noun = b.noun AND a.br = b.br AND a.pk < b.pk
+        |       WHERE levenshtein(a.nm, b.nm) <= 1),
+        |e AS (SELECT pa AS a, pb AS b FROM jp
+        |      UNION ALL SELECT pb, pa FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |cc AS (SELECT a AS pk, MIN(b) AS entity_id FROM reach GROUP BY a)
+        |SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  arg_min(nm, p.pk) AS canonical_nm,
+        |  CAST(MIN(price_c) AS BIGINT) AS price_min_c,
+        |  CAST(MAX(price_c) AS BIGINT) AS price_max_c
+        |FROM cc JOIN p ON p.pk = cc.pk
+        |GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+    // q198: the q37 recursive-CC skeleton, fold = md5-hash of the
+    // component label (singletons: own id), per-fold counts + the
+    // recomputed (not asserted) global leak count on every row.
+    "q198_family_folds" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |cc AS (SELECT a AS doc_id, MIN(b) AS component
+        |       FROM reach GROUP BY a),
+        |folded AS (
+        |  SELECT d.doc_id, cc.component,
+        |    ('0x' || substr(md5(CAST(COALESCE(cc.component, d.doc_id)
+        |                             AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold
+        |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+        |byfold AS (
+        |  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_family_docs,
+        |    CAST(COUNT(DISTINCT component) AS BIGINT) AS n_families
+        |  FROM folded GROUP BY fold),
+        |leak AS (
+        |  SELECT CAST(SUM(CASE WHEN n_folds > 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_leaky_families
+        |  FROM (SELECT component, COUNT(DISTINCT fold) AS n_folds
+        |        FROM folded WHERE component IS NOT NULL GROUP BY component))
+        |SELECT fold, n_docs, n_family_docs, n_families, n_leaky_families
+        |FROM byfold CROSS JOIN leak ORDER BY fold""".stripMargin,
+    // q199: the q190 quasi-identifier band, distinct-sensitive count
+    // per group, histogram by l.
+    "q199_l_diversity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey,
+        |    (CAST(floor(c_acctbal * 100) AS BIGINT) + 100000) // 200000
+        |      AS bal_band,
+        |    COUNT(DISTINCT c_mktsegment) AS l, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(l AS BIGINT) AS l,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  l < 3 AS below_l3
+        |FROM g GROUP BY l ORDER BY l""".stripMargin,
     "q55_range_join" ->
       """WITH err AS (
         |  SELECT event_id AS err_id, epoch_us(ts) AS s,

@@ -233,6 +233,25 @@ object PipelineQueries {
       .orderBy("query")
   }
 
+  /** q201 — SPARSE-VECTOR top-k retrieval ([[Search.sparseTopK]]):
+    * documents as df-pruned TF-IDF sparse vectors, query = the first
+    * five corpus documents, score = the exact integer sparse dot
+    * product over a postings join, top-3 per query. The term-at-a-time
+    * inverted-index retrieval shape next to q146's BM25 (probabilistic
+    * scoring) and q24's dense ANN — this is the one that needs NO
+    * model and no length normalization beyond tf/len. The df·10 ≤ N
+    * pruning is part of the semantics (the posting-length scale knob),
+    * so the oracle replays it; weight products ride decimal(38,0) /
+    * HUGEINT and surface as strings.
+    */
+  def q201SparseTopk(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Search.sparseTopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Tables.documents(s, dir).select(col("doc_id"))
+          .filter(col("doc_id") < 5),
+        k = 3)
+      .orderBy("query_id", "rnk")
+
   /** q167 — HYBRID retrieval with reciprocal-rank fusion: the q146
     * BM25 text leg and the q24 exact-cosine vector leg (the corpus is
     * doc↔vec aligned 1:1), each at k=10, fused per query by
@@ -619,6 +638,25 @@ object PipelineQueries {
         stride = 4, vadE6Max = 8000000L)
       .orderBy("doc_a", "doc_b")
 
+  /** q200 — SCENE-CHANGE detection ([[Video.sceneChanges]]): per
+    * video, consecutive stride-2-sampled frames whose aHash64 hamming
+    * distance exceeds 16 mark scene boundaries — the clip-segmentation
+    * primitive a video training pipeline cuts on before captioning or
+    * packing. The fixture switches its 64-bit contrast pattern at the
+    * (even, hence sampled) midpoint frame, so the detector must
+    * surface exactly that index; the oracle replays card arithmetic,
+    * per-frame hash halves, the consecutive-pair hamming, and the
+    * threshold — a skipped frame, a misaligned pair, or an off-by-one
+    * cut shows up as a different boundary index. Detection itself adds
+    * ZERO shuffle and zero extra decode on top of q150's sampling
+    * economics (one narrow map; a video's frames never span rows).
+    */
+  def q200SceneCuts(s: SparkSession, dir: String): DataFrame =
+    Video.sceneChanges(
+        s, Video.withScenePayload(s, Tables.documents(s, dir)),
+        stride = 2, hammingMin = 16)
+      .orderBy("doc_id")
+
   /** q155 — corpus n-gram NOVELTY: per doc, the fraction of its
     * distinct 3-word shingles that occur in NO other document
     * (corpus document-frequency 1), floor-scaled e6. The inverse-df
@@ -901,8 +939,10 @@ object PipelineQueries {
     "q186_bm25_mrr"        -> (q186Bm25Mrr _),
     "q150_video_frames"    -> (q150VideoFrames _),
     "q151_video_neardup"   -> (q151VideoNeardup _),
+    "q200_scene_cuts"      -> (q200SceneCuts _),
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
     "q146_bm25"            -> (q146Bm25 _),
+    "q201_sparse_topk"     -> (q201SparseTopk _),
     "q159_centroid_classify" -> (q159CentroidClassify _),
     "q167_hybrid_rrf"      -> (q167HybridRrf _),
     "q171_cluster_terms"   -> (q171ClusterTerms _),
@@ -1567,6 +1607,33 @@ object PipelineQueries {
         |  CASE WHEN b.label = d.lang THEN 1 ELSE 0 END AS correct
         |FROM best b JOIN documents d ON b.doc_id = d.doc_id
         |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin,
+    // q201: identical weighting (q35's integer tf-idf), identical
+    // df·10 ≤ N pruning, HUGEINT products, row_number tie rule.
+    "q201_sparse_topk" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |       FROM words GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (SELECT tf.doc_id, tf.term,
+        |        (CAST(1000000 AS HUGEINT) * tf.tf * n.n_docs)
+        |          // (CAST(dfq.df AS HUGEINT) * dlen.dl) AS w_e6
+        |      FROM tf JOIN dlen USING (doc_id) JOIN dfq USING (term), n
+        |      WHERE dfq.df * 10 <= n.n_docs),
+        |q AS (SELECT doc_id AS query_id, term, w_e6 AS qw
+        |      FROM w WHERE doc_id < 5),
+        |sc AS (SELECT q.query_id, w.doc_id, SUM(q.qw * w.w_e6) AS score
+        |       FROM w JOIN q USING (term)
+        |       WHERE w.doc_id <> q.query_id
+        |       GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id ASC) AS rnk FROM sc)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+        |  CAST(score AS VARCHAR) AS score
+        |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "q146_bm25" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -2126,6 +2193,59 @@ object PipelineQueries {
         |SELECT doc_a, doc_b, CAST((1000000 * vad) // np AS BIGINT) AS vad_e6
         |FROM diff WHERE (1000000 * vad) // np <= 8000000
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q200: the oracle replays the scene-family cards for exactly the
+    // stride-2 sampled indices (pattern seed switching at the
+    // midpoint cut), the per-frame aHash64 halves, the consecutive-
+    // pair hamming via bit_count(xor), and the > 16 threshold.
+    "q200_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 3 + 2) * 4 AS nf
+        |           FROM documents),
+        |fr AS (SELECT doc_id, nf, f.uf AS f,
+        |         CASE WHEN f.uf < nf // 2 THEN doc_id
+        |              ELSE doc_id + 100003 END AS pseed
+        |       FROM d, unnest(generate_series(0, nf - 1)) AS f(uf)
+        |       WHERE f.uf % 2 = 0),
+        |pw AS (SELECT doc_id, nf, f,
+        |         ('0x' || substr(md5(CAST(pseed AS VARCHAR)), 1, 8))
+        |           ::BIGINT AS plo,
+        |         ('0x' || substr(md5(CAST(pseed AS VARCHAR)), 9, 8))
+        |           ::BIGINT AS phi
+        |       FROM fr),
+        |px AS (SELECT doc_id, nf, f,
+        |         (y.uy // 2) * 8 + x.ux // 2 AS blk,
+        |         150 * ((CASE WHEN (y.uy // 2) * 8 + x.ux // 2 < 32
+        |                 THEN plo ELSE phi END
+        |                 >> (((y.uy // 2) * 8 + x.ux // 2) % 32)) & 1)
+        |         + (doc_id + 11 * f + 7 * x.ux + 13 * y.uy) % 50 AS v
+        |       FROM pw, unnest(generate_series(0, 15)) AS x(ux),
+        |                unnest(generate_series(0, 15)) AS y(uy)),
+        |tot AS (SELECT doc_id, f, SUM(v) AS ts, COUNT(*) AS tn
+        |        FROM px GROUP BY 1, 2),
+        |bd AS (SELECT doc_id, f, blk AS b, SUM(v) AS bs, COUNT(*) AS bn
+        |       FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT bd.doc_id, bd.f,
+        |           CAST(SUM(CASE WHEN bs * tn > ts * bn AND b < 32
+        |                THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS lo,
+        |           CAST(SUM(CASE WHEN bs * tn > ts * bn AND b >= 32
+        |                THEN (1::BIGINT << (b - 32)) ELSE 0 END)
+        |             AS BIGINT) AS hi
+        |         FROM bd JOIN tot ON tot.doc_id = bd.doc_id
+        |                         AND tot.f = bd.f
+        |         GROUP BY 1, 2),
+        |hb AS (SELECT b0.doc_id, b1.f AS f1,
+        |         bit_count(xor(b0.lo, b1.lo))
+        |           + bit_count(xor(b0.hi, b1.hi)) AS ham
+        |       FROM bits b0 JOIN bits b1
+        |         ON b1.doc_id = b0.doc_id AND b1.f = b0.f + 2),
+        |sm AS (SELECT doc_id, COUNT(*) AS n_sampled FROM bits GROUP BY 1),
+        |bo AS (SELECT doc_id, COUNT(*) AS n_boundaries, MIN(f1) AS fb
+        |       FROM hb WHERE ham > 16 GROUP BY 1)
+        |SELECT d.doc_id, CAST(d.nf AS BIGINT) AS n_frames,
+        |  CAST(sm.n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(bo.n_boundaries, 0) AS BIGINT) AS n_boundaries,
+        |  CAST(COALESCE(bo.fb, -1) AS BIGINT) AS first_boundary
+        |FROM d JOIN sm USING (doc_id) LEFT JOIN bo USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q31_embed_neardup" ->
       s"""WITH a AS (SELECT vec_id AS vec_a, embedding AS va FROM embeddings),
          |b AS (SELECT vec_id AS vec_b, embedding AS vb FROM embeddings),

@@ -713,6 +713,50 @@ class PlanShapeSpec extends SparkSpec {
         "preprocessing explanation no longer holds; re-audit the plans")
   }
 
+  test("q197: ER blocking conjuncts ride the join key — keyed join " +
+       "only, edit distance in the post-join filter, no window") {
+    // The CC stage localCheckpoints the match plan out of the final
+    // explain, so the match stage pins on its own plan.
+    val matchPlan = finalPlan(AdvancedQueries.erMatchPairs(spark, sf))
+    assert(!matchPlan.contains("CartesianProduct") &&
+           !matchPlan.contains("BroadcastNestedLoopJoin"),
+      s"the blocked self-join must stay keyed on (noun, brand):\n$matchPlan")
+    assert(matchPlan.contains("levenshtein"),
+      "the match rule must evaluate inside the join's filter stage")
+    val plan = finalPlan(AdvancedQueries.queries("q197_entity_resolution")(
+      spark, sf))
+    assert(!plan.contains("Window"),
+      "CC rounds + survivorship are joins and hash aggs, never a window")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"survivorship join must stay keyed:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("partial_count"),
+      "survivorship must keep map-side partials")
+  }
+
+  test("q198: fold assignment is one left join + hash aggs; the only " +
+       "unkeyed join is the 1-row leak broadcast") {
+    val plan = finalPlan(AdvancedQueries.queries("q198_family_folds")(
+      spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1,
+      s"only the deliberate 1-row leak-verdict broadcast allowed ($bnlj)")
+    assert(!plan.contains("Window"),
+      "fold histogram and leak count are hash aggs, never a window")
+  }
+
+  test("q199: the two-level diversity agg map-combines; nothing " +
+       "shuffles twice") {
+    val plan = finalPlan(AdvancedQueries.queries("q199_l_diversity")(
+      spark, sf))
+    assert(plan.contains("partial_count"),
+      s"group-size counts must map-combine:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin") &&
+           !plan.contains("CartesianProduct"),
+      "pure hash-agg pipeline")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
