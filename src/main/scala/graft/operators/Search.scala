@@ -109,13 +109,16 @@ object Search {
     * postings join, the inverted-index companion to the dense-vector
     * ANN family ([[Similarity]]).
     *
-    * Scale semantics, stated not hidden: terms with df·10 > N are
-    * PRUNED from every vector — the impact-pruning knob that keeps
+    * Scale semantics, stated not hidden: terms with df·dfDen > dfNum·N
+    * are PRUNED from every vector — the impact-pruning knob that keeps
     * posting lists (and therefore the candidate set per query)
     * df-bounded instead of corpus-bounded. A stopword-dense query
     * cannot touch every document; what it loses is exactly the
-    * low-idf mass that contributes least to the score. The pruning is
-    * part of the operator's definition, so the oracle replays it.
+    * low-idf mass that contributes least to the score. The ratio is
+    * caller-set (production wants aggressive cuts like 1/10; the gate
+    * fixture's 30-term vocabulary needs a looser one to stay
+    * non-vacuous) and is part of the operator's definition, so the
+    * oracle replays it.
     *
     * Arithmetic: weights are floor-div longs (≤ ~10¹⁸ at N = 10¹²,
     * inside int64); their PRODUCTS ride decimal(38,0) (HUGEINT in the
@@ -129,8 +132,11 @@ object Search {
     * per-query sort.
     */
   def sparseTopK(docs: DataFrame, idCol: String, textCol: String,
-                 queryIds: DataFrame, k: Int): DataFrame = {
+                 queryIds: DataFrame, k: Int,
+                 dfNum: Long = 1L, dfDen: Long = 10L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    require(dfNum >= 1 && dfDen >= 1,
+      s"df-pruning ratio must be positive: $dfNum/$dfDen")
     val d38 = "decimal(38,0)"
     val words = Partitioning.spread(docs)
       .select(col(idCol).as("doc_id"),
@@ -142,7 +148,7 @@ object Search {
       .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
       .join(df, Seq("term"))
       .crossJoin(broadcast(totals))
-      .filter(col("df") * 10 <= col("n_docs"))
+      .filter(col("df") * dfDen <= col("n_docs") * dfNum)
       .select(col("doc_id"), col("term"),
               expr(s"(CAST(1000000 AS $d38) * tf * n_docs) div " +
                    s"(CAST(df AS $d38) * dl)").as("w_e6"))

@@ -239,17 +239,21 @@ object PipelineQueries {
     * product over a postings join, top-3 per query. The term-at-a-time
     * inverted-index retrieval shape next to q146's BM25 (probabilistic
     * scoring) and q24's dense ANN — this is the one that needs NO
-    * model and no length normalization beyond tf/len. The df·10 ≤ N
-    * pruning is part of the semantics (the posting-length scale knob),
-    * so the oracle replays it; weight products ride decimal(38,0) /
-    * HUGEINT and surface as strings.
+    * model and no length normalization beyond tf/len. The df pruning
+    * is part of the semantics (the posting-length scale knob), so the
+    * oracle replays it — at 4/5 here: the fixture vocabulary is 30
+    * near-ubiquitous terms (df 373–402 of N = 500) plus one rare
+    * term, so df·5 ≤ 4N cuts exactly the hottest term ('batch',
+    * df 402) — a LIVE cut that leaves the gate non-vacuous, where the
+    * production-tight 1/10 ratio would zero every vector. Weight
+    * products ride decimal(38,0) / HUGEINT and surface as strings.
     */
   def q201SparseTopk(s: SparkSession, dir: String): DataFrame =
     graft.operators.Search.sparseTopK(
         Tables.documents(s, dir), "doc_id", "text",
         Tables.documents(s, dir).select(col("doc_id"))
           .filter(col("doc_id") < 5),
-        k = 3)
+        k = 3, dfNum = 4L, dfDen = 5L)
       .orderBy("query_id", "rnk")
 
   /** q167 — HYBRID retrieval with reciprocal-rank fusion: the q146
@@ -1608,7 +1612,7 @@ object PipelineQueries {
         |FROM best b JOIN documents d ON b.doc_id = d.doc_id
         |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin,
     // q201: identical weighting (q35's integer tf-idf), identical
-    // df·10 ≤ N pruning, HUGEINT products, row_number tie rule.
+    // df·5 ≤ 4N pruning, HUGEINT products, row_number tie rule.
     "q201_sparse_topk" ->
       """WITH words AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -1622,7 +1626,7 @@ object PipelineQueries {
         |        (CAST(1000000 AS HUGEINT) * tf.tf * n.n_docs)
         |          // (CAST(dfq.df AS HUGEINT) * dlen.dl) AS w_e6
         |      FROM tf JOIN dlen USING (doc_id) JOIN dfq USING (term), n
-        |      WHERE dfq.df * 10 <= n.n_docs),
+        |      WHERE dfq.df * 5 <= 4 * n.n_docs),
         |q AS (SELECT doc_id AS query_id, term, w_e6 AS qw
         |      FROM w WHERE doc_id < 5),
         |sc AS (SELECT q.query_id, w.doc_id, SUM(q.qw * w.w_e6) AS score

@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 class GraphOpsSpec extends SparkSpec {
@@ -453,6 +455,41 @@ class GraphOpsSpec extends SparkSpec {
     val out = GraphOps.perSeedHops(edges, "s", "d", seeds, "n", maxHops = 0)
       .as[(Long, Long, Long)].collect().toSet
     assert(out === Set((1L, 1L, 0L), (7L, 7L, 0L)))
+  }
+
+  private def sigmaMap(edges: org.apache.spark.sql.DataFrame,
+                       maxHops: Int): Map[String, (Long, Long)] =
+    GraphOps.pathCounts(edges, "s", "d", seed = "a", maxHops = maxHops)
+      .select(col("node"), col("dist"), col("sigma").cast("long"))
+      .as[(String, Long, Long)].collect()
+      .map { case (n, di, sg) => n -> (di, sg) }.toMap
+
+  test("pathCounts: the BFS-DAG sigma recurrence — a diamond doubles, " +
+       "the doubled count propagates, the hop cap truncates") {
+    // diamond a->b->z, a->c->z, then tail z->t
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "z"), ("c", "z"),
+                    ("z", "t")).toDF("s", "d")
+    val out = sigmaMap(edges, maxHops = 3)
+    assert(out === Map("a" -> (0L, 1L), "b" -> (1L, 1L), "c" -> (1L, 1L),
+                       "z" -> (2L, 2L), "t" -> (3L, 2L)))
+    assert(!sigmaMap(edges, maxHops = 2).contains("t"))
+  }
+
+  test("pathCounts: settled nodes are excluded — a longer route to an " +
+       "already-reached node never adds paths") {
+    // triangle a->b, b->c, a->c: c settles at dist 1 / sigma 1; the
+    // 2-edge route a->b->c is not shortest and must not contribute
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("s", "d")
+    assert(sigmaMap(edges, maxHops = 3) ===
+      Map("a" -> (0L, 1L), "b" -> (1L, 1L), "c" -> (1L, 1L)))
+  }
+
+  test("pathCounts: sigma multiplies with level width") {
+    // a fans to 3 middles which all reach z: sigma(z) = 3
+    val edges = Seq(("a", "m1"), ("a", "m2"), ("a", "m3"),
+                    ("m1", "z"), ("m2", "z"), ("m3", "z")).toDF("s", "d")
+    val out = sigmaMap(edges, maxHops = 2)
+    assert(out("z") === ((2L, 3L)))
   }
 
   test("weightedDistances refuses negative or null weights") {

@@ -84,4 +84,38 @@ class SearchSpec extends SparkSpec {
     assert(Search.bm25TopK(corpus, "doc_id", "text",
       Seq("zebra"), k = 2).count() === 0)
   }
+
+  test("sparseTopK: exact hand-computed dot products, df pruning kills " +
+       "the stopword, no-overlap docs never surface") {
+    // N = 6, every doc 3 tokens; 'the' (df 6) is pruned at ratio 1/2
+    // (df·2 ≤ 6 keeps df ≤ 3); docs 4-6 share no surviving term with
+    // the query and must be absent, not zero-scored
+    val corpus = Seq(
+      (1L, "the apple banana"), (2L, "the apple banana"),
+      (3L, "the apple zebra"), (4L, "the cat dog"),
+      (5L, "the cat dog"), (6L, "the lion tiger"))
+      .toDF("doc_id", "text")
+    val got = Search.sparseTopK(corpus, "doc_id", "text",
+        Seq(1L).toDF("doc_id"), k = 3, dfNum = 1L, dfDen = 2L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    // w(d,t) = (1e6·tf·N) div (df·len) = 6e6 div (3·df):
+    // apple (df 3) -> 666666, banana (df 2) -> 1000000
+    val sApple = BigInt(666666) * 666666
+    val sBanana = BigInt(1000000) * 1000000
+    assert(got.toSeq === Seq(
+      (1L, 1L, 2L, (sApple + sBanana).toString), // shares both terms
+      (1L, 2L, 3L, sApple.toString)))            // apple only
+  }
+
+  test("sparseTopK: the query doc never scores itself; k bounds rows") {
+    val corpus = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "y z"))
+      .toDF("doc_id", "text")
+    val got = Search.sparseTopK(corpus, "doc_id", "text",
+        Seq(1L).toDF("doc_id"), k = 1, dfNum = 1L, dfDen = 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
 }

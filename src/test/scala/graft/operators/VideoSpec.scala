@@ -78,4 +78,51 @@ class VideoSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(kept === Set((0L, 1L), (10L, 15L)))
   }
+
+  test("sceneChanges matches a direct hash-pair re-derivation and " +
+       "lands the boundary on the cut frame") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 7L, 11L)
+    val docs = ids.toDF("doc_id")
+    val got = Video.sceneChanges(
+        spark, Video.withScenePayload(spark, docs),
+        stride = 2, hammingMin = 16)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+                                 r.getLong(4)))
+      .toMap
+    for (id <- ids) {
+      val (nf, cut) = Video.sceneParamsFor(id)
+      val (_, frames) = Video.sampleFrames(Video.encodeSceneVideo(id), 2)
+      val hashes = frames.map { case (f, w, h, px) =>
+        (f, Multimodal.aHash64(w, h, px))
+      }
+      val bounds = hashes.sliding(2).collect {
+        case Seq((_, h0), (f1, h1))
+            if java.lang.Long.bitCount(h0 ^ h1) > 16 => f1
+      }.toSeq
+      val (gnf, gsm, gnb, gfb) = got(id)
+      assert(gnf === nf.toLong && gsm === hashes.length.toLong, s"id=$id")
+      assert(gnb === bounds.size.toLong, s"id=$id boundaries")
+      assert(gfb === (if (bounds.isEmpty) -1L else bounds.min.toLong))
+      // the fixture's pattern switch must be detected, exactly at the
+      // (sampled, even) cut index — independent md5 patterns sit ~32
+      // bits apart, far above the threshold
+      assert(bounds.contains(cut), s"id=$id missed the cut at $cut")
+    }
+  }
+
+  test("sceneChanges: an impossible threshold reports no boundaries " +
+       "with first_boundary = -1") {
+    import spark.implicits._
+    val rows = Video.sceneChanges(
+        spark, Video.withScenePayload(spark, Seq(3L, 4L).toDF("doc_id")),
+        stride = 2, hammingMin = 64)
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(3) === 0L)
+      assert(r.getLong(4) === -1L)
+    }
+  }
 }

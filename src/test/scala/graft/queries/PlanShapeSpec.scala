@@ -653,6 +653,68 @@ class PlanShapeSpec extends SparkSpec {
       "min-dist / degree aggregates must be hash aggs")
   }
 
+  test("q200: scene detection is one narrow map — no join, at most " +
+       "the output-sort exchange") {
+    val plan = finalPlan(PipelineQueries.queries("q200_scene_cuts")(
+      spark, sf))
+    assert(!plan.contains("Join"),
+      s"consecutive frames live in one row — nothing to join:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"only the final orderBy may exchange ($exchanges):\n$plan")
+  }
+
+  test("q201: sparse retrieval broadcasts query vectors, group-limits " +
+       "the rank, keeps the 1-row totals as the only unkeyed join") {
+    val plan = finalPlan(PipelineQueries.queries("q201_sparse_topk")(
+      spark, sf))
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k must group-limit, not fully sort each query group:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the query-vector postings join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // the 1-row totals broadcast appears once per weight-table consumer
+    // (the corpus leg and the query leg each rebuild w inline)
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"only the 1-row corpus-totals broadcasts ($bnlj)")
+  }
+
+  test("q202: every sigma round is keyed join + sum agg + anti-join — " +
+       "no window, no product, anywhere in the iteration") {
+    import spark.implicits._
+    val edges = (0L until 200L).map(i => (s"n${i % 40}", s"n${(i * 13 + 5) % 40}"))
+      .toDF("u", "v")
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.synchronized {
+        plans += qe.executedPlan.toString
+      }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      graft.operators.GraphOps.pathCounts(edges, "u", "v", seed = "n0",
+        maxHops = 4).collect()
+      var prev = -1; var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val cur = plans.synchronized(plans.size)
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    val all = plans.synchronized(plans.mkString("\n"))
+    assert(!all.contains("Window"),
+      "sigma propagation is joins + aggs, never a window sort")
+    assert(!all.contains("CartesianProduct"),
+      "frontier extension and settled exclusion must stay keyed")
+    assert(all.contains("HashAggregate"),
+      "the predecessor-sigma sum must be a hash agg")
+  }
+
   test("q167: both retrieval legs keep bounded-heap shapes — partial " +
        "top-k aggregate, group-limited rank window, no sort-merge") {
     val plan = finalPlan(PipelineQueries.queries("q167_hybrid_rrf")(
