@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Clustering, Dedup, GraphOps, Membership, Packing, Similarity, TemporalOps}
+import graft.operators.{Clustering, Dedup, GraphOps, Membership, Packing, Similarity, TemporalOps, Video}
 
 /** Dev tool: scale-up probe for the heavy operators.
   *
@@ -690,6 +690,83 @@ object ScaleProbe {
     time(s"bigram_lm_${mult}x") {
       println("  scored docs: " + graft.operators.LanguageModel
         .scoreDocuments(docs, "doc_id", "text").count())
+    }
+    // --- entity resolution (q197 shape): part records inflated as
+    // namespaced copies — the NOUN carries the copy suffix, so blocks
+    // stay their original size and family structure is invariant while
+    // record count grows linearly. The candidate stage is Σ|block|²;
+    // with bounded blocks its cost must grow linearly in copies, as
+    // must entities. A superlinear curve here means the blocking key
+    // leaked across copies (global quadratic — the failure mode
+    // blocking exists to prevent).
+    time(s"entity_resolution_${mult}x") {
+      val p0 = Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+                col("p_retailprice"))
+      val p = p0.crossJoin(copies)
+        .select((col("p_partkey") * mult + col("copy")).as("pk"),
+                col("p_name").as("nm"), col("p_brand").as("br"),
+                concat(element_at(split(col("p_name"), " "), 2),
+                       lit("_"), col("copy")).as("noun"),
+                floor(col("p_retailprice") * 100).cast("long")
+                  .as("price_c"))
+        .repartition(64)
+      val a = p.select(col("pk").as("pk_a"), col("nm").as("nm_a"),
+                       col("noun"), col("br"))
+      val b = p.select(col("pk").as("pk_b"), col("nm").as("nm_b"),
+                       col("noun"), col("br"))
+      val matches = a.join(b, Seq("noun", "br"))
+        .filter(col("pk_a") < col("pk_b") &&
+                levenshtein(col("nm_a"), col("nm_b")) <= 1)
+        .select(col("pk_a"), col("pk_b"))
+      val cc = GraphOps.connectedComponents(matches, "pk_a", "pk_b")
+        .toDF("pk", "entity_id")
+      println("  entities: " +
+        cc.groupBy("entity_id").count().count())
+    }
+    // --- shortest-path counts (q202 shape): the inflated trade graph
+    // (disjoint namespaced copies), seed in copy 0. Reach and sigma are
+    // copy-0-invariant by construction; what grows is the edge table
+    // every round's frontier join scans — per-round cost is one keyed
+    // join + one sum agg + one anti-join over E edges, so time must
+    // grow linearly in edges at the fixed round count (the pagerank
+    // discipline). Sigma magnitudes are asserted stable.
+    time(s"path_counts_${mult}x") {
+      val relC = tradeEdges()
+      val sym = relC.select(col("sup").as("src"), col("cust").as("dst"))
+        .unionByName(relC.select(col("cust").as("src"),
+                                 col("sup").as("dst")))
+      val out = GraphOps.pathCounts(sym, "src", "dst",
+                                    seed = "s1_0", maxHops = 4)
+      println("  reached: " + out.count())
+    }
+    // --- scene-change detection (q200 shape): decode cost ∝ sampled
+    // frames ∝ videos — the probe inflates the video count and the
+    // curve must be linear (one narrow map, no shuffle; nothing to
+    // degenerate except the codec itself). Boundary totals scale
+    // linearly with the copies too (fixture family is id-deterministic).
+    time(s"scene_cuts_${mult}x") {
+      val ids = docs0.select(col("doc_id")).crossJoin(copies)
+        .select((col("doc_id") * mult + col("copy")).as("doc_id"))
+        .repartition(64)
+      val out = Video.sceneChanges(
+          spark, Video.withScenePayload(spark, ids),
+          stride = 2, hammingMin = 16)
+      val agg = out.agg(count(lit(1)), sum(col("n_boundaries"))).collect()(0)
+      println(s"  videos: ${agg.getLong(0)} boundaries: ${agg.getLong(1)}")
+    }
+    // --- sparse top-k retrieval (q201 shape): postings grow linearly
+    // with the corpus; every copy token ('perturbcopyN', df = 500 per
+    // copy) survives the 4/5 pruning, and the common-vocabulary
+    // candidates grow linearly per query. Time must track postings —
+    // a quadratic curve means the df pruning stopped bounding the hot
+    // lists it exists to bound.
+    time(s"sparse_topk_${mult}x") {
+      val out = graft.operators.Search.sparseTopK(
+        docs, "doc_id", "text",
+        docs.select(col("doc_id")).filter(col("doc_id") < 5), k = 3,
+        dfNum = 4L, dfDen = 5L)
+      println("  result rows: " + out.count())
     }
     spark.stop()
   }

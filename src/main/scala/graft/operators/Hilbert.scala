@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Hilbert-curve data layout — the locality-stronger sibling of
+  * [[ZOrder]]. Both interleave two dimensions into one sort key so file
+  * min/max envelopes stay tight on BOTH columns; the Hilbert curve adds
+  * the property Z-order lacks: CONSECUTIVE cells are always
+  * grid-adjacent (no Z-shaped jumps across the plane), so file
+  * envelopes never straddle the diagonal seams where Morton locality
+  * tears. For range predicates the practical win is fewer boundary
+  * files per query rectangle; the cost is ~3 CASE branches per bit
+  * round instead of pure shift/mask.
+  *
+  * Execution shape, Spark-first: [[withHilbert]] is a chain of
+  * per-round projections (each round's x/y/d land in NAMED columns, so
+  * the expression tree stays linear in rounds — folding all 16 rounds
+  * into one Column would copy every subtree at each reference and blow
+  * up exponentially; Catalyst's CollapseProject keeps multi-referenced
+  * non-cheap aliases materialized, so the chain survives optimization
+  * intact). All integer CASE/AND/XOR arithmetic, fully inside
+  * whole-stage codegen; no UDF, no shuffle. [[layout]] pays the one
+  * range exchange any total sort pays and assigns files via
+  * [[PrefixSum]] — never a single-partition window.
+  *
+  * The round recurrence (the standard xy2d walk, top bit down):
+  * rx = bit s of x, ry = bit s of y; d += s²·((3·rx) xor ry); then
+  * rotate: when ry = 0, negate both (s−1−·) if rx = 1 and swap x↔y.
+  * s−1−x may go negative once upper bits are present — harmless and
+  * ENGINE-AGREED: only bits below s are ever examined again, and bits
+  * below s of s−1−x equal those of s−1−(x mod s) exactly (the
+  * subtracted multiple of s cannot borrow into them); Spark, DuckDB,
+  * and the JVM all run two's-complement int64 `&`.
+  *
+  * Domain contract: dimensions in [0, 2^16) (d fits 32 bits); violations
+  * fail fast — a curve over a clipped domain silently breaks locality.
+  * The SQL oracle generator ([[oracleCtes]]) derives from the SAME round
+  * constants, so the two sides cannot drift.
+  */
+object Hilbert {
+
+  /** Dimension bit width; d spans [0, 2^(2·Bits)). */
+  val Bits = 16
+
+  /** Round scales, high bit first — shared with the oracle generator. */
+  private[graft] val roundScales: Seq[Long] =
+    (Bits - 1 to 0 by -1).map(1L << _)
+
+  private def guard(c: Column): Column =
+    when(c.isNull.or(c < 0).or(c.cast(LongType) >= lit(1L << Bits)),
+         raise_error(concat(lit(s"hilbert: dimension out of [0, 2^$Bits): "),
+                            c.cast("string"))).cast(LongType))
+      .otherwise(c.cast(LongType))
+
+  /** Appends column `out` = the Hilbert d-value of (dimA, dimB). */
+  def withHilbert(df: DataFrame, dimA: String, dimB: String,
+                  out: String = "h"): DataFrame = {
+    val clash = df.columns.toSet
+      .intersect(Set(out, "__hx", "__hy", "__hd", "__rx", "__ry", "__nx"))
+    require(clash.isEmpty,
+      s"withHilbert: input columns collide with internal names: $clash")
+    var cur = df
+      .withColumn("__hx", guard(col(dimA)))
+      .withColumn("__hy", guard(col(dimB)))
+      .withColumn("__hd", lit(0L))
+    for (s <- roundScales) {
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__hd",
+          col("__hd") +
+            lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+               when(col("__rx") === 1, lit(s - 1) - col("__hy"))
+                 .otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__hy",
+          when(col("__ry") === 0,
+               when(col("__rx") === 1, lit(s - 1) - col("__hx"))
+                 .otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+    }
+    cur.withColumn(out, col("__hd"))
+      .drop("__hx", "__hy", "__hd", "__rx", "__ry", "__nx")
+  }
+
+  /** [[ZOrder.layout]] on the Hilbert key: appends `h` and `file_id`
+    * (0-based, `rowsPerFile` rows each in (h, tieBreak) order;
+    * `tieBreak` must be unique per row for a total, oracle-reproducible
+    * order).
+    */
+  def layout(df: DataFrame, dimA: String, dimB: String, tieBreak: Column,
+             rowsPerFile: Long): DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
+    val clash = df.columns.toSet
+      .intersect(Set("h", "file_id", "__tie", "__one", "__rn"))
+    require(clash.isEmpty,
+      s"layout: input columns collide with output/internal names: $clash")
+    val withH = withHilbert(df, dimA, dimB, out = "h")
+      .withColumn("__tie", tieBreak)
+      .withColumn("__one", lit(1L))
+    PrefixSum.runningTotal(withH, "__one", Seq("h", "__tie"), cumCol = "__rn")
+      .withColumn("file_id",
+        floor((col("__rn") - 1) / lit(rowsPerFile)).cast(LongType))
+      .drop("__tie", "__one", "__rn")
+  }
+
+  /** Per-file locality envelopes over a [[layout]] result — the footer
+    * statistics a scan prunes on, plus the file's h-range.
+    */
+  def localityReport(laid: DataFrame, dimA: String, dimB: String): DataFrame =
+    laid.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(col(dimA)).as("min_a"), max(col(dimA)).as("max_a"),
+           min(col(dimB)).as("min_b"), max(col(dimB)).as("max_b"),
+           min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
+      .orderBy("file_id")
+
+  /** DuckDB oracle fragment: the identical round chain as CTEs
+    * `h0..h$Bits`, generated from the SAME [[roundScales]]. `srcCte`
+    * must provide columns `$xCol`, `$yCol`, and the passthrough list
+    * `keep`; the final CTE `h$Bits` carries (keep, hd).
+    */
+  private[graft] def oracleCtes(srcCte: String, xCol: String, yCol: String,
+                                keep: String): String = {
+    val init =
+      s"""h0 AS (SELECT $keep, CAST($xCol AS BIGINT) AS hx,
+         |  CAST($yCol AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd
+         |  FROM $srcCte)""".stripMargin
+    val rounds = roundScales.zipWithIndex.map { case (s, i) =>
+      s"""h${i + 1} AS (
+         |  SELECT $keep,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+         |      THEN ${s - 1} - hy ELSE hy END ELSE hx END AS hx,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
+         |      THEN ${s - 1} - hx ELSE hx END ELSE hy END AS hy,
+         |    hd + ${s * s} * xor(3 * rx, ry) AS hd
+         |  FROM (SELECT *,
+         |          CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |          CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM h$i))""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+}

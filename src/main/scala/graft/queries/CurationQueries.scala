@@ -792,6 +792,29 @@ object CurationQueries {
     graft.operators.ZOrder.localityReport(laid, "l_partkey", "l_suppkey")
   }
 
+  /** q203 — HILBERT-curve layout ([[graft.operators.Hilbert]]): q97's
+    * experiment on the locality-stronger curve. Same dimensions, same
+    * 1000-row files, same per-file envelope report — directly
+    * comparable outputs, and the Hilbert adjacency property
+    * (consecutive cells always grid-adjacent, no Morton diagonal
+    * jumps) is what tightens boundary-file envelopes. The d-value is
+    * 16 rounds of CASE/AND/XOR integer arithmetic in named per-round
+    * columns (linear expression tree — see the operator scaladoc for
+    * why folding it into one Column would be exponential), the oracle
+    * CTE chain generates from the SAME round constants, and the only
+    * full-data exchange is the sort's range partition; file assignment
+    * rides [[graft.operators.PrefixSum]].
+    */
+  def q203Hilbert(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"))
+    val laid = graft.operators.Hilbert.layout(
+      li, "l_partkey", "l_suppkey",
+      col("l_orderkey") * 10 + col("l_linenumber"), rowsPerFile = 1000L)
+    graft.operators.Hilbert.localityReport(laid, "l_partkey", "l_suppkey")
+  }
+
   /** Shared q100/q104 oracle fragment: the CDC chunk table (word
     * positions → bigram-window boundary flags → running chunk ids →
     * per-chunk digest), ending at CTE `ch(doc_id, chunk_id, h)`. One
@@ -995,6 +1018,7 @@ object CurationQueries {
     "q95_outliers"         -> (q95Outliers _),
     "q96_data_diff"        -> (q96DataDiff _),
     "q97_zorder"           -> (q97Zorder _),
+    "q203_hilbert"         -> (q203Hilbert _),
     "q98_bpe_encode"       -> (q98BpeEncode _),
     "q99_cooccur_pairs"    -> (q99CooccurPairs _),
     "q100_cdc_chunks"      -> (q100CdcChunks _),
@@ -1532,6 +1556,24 @@ object CurationQueries {
          |  MIN(l_partkey) AS min_a, MAX(l_partkey) AS max_a,
          |  MIN(l_suppkey) AS min_b, MAX(l_suppkey) AS max_b,
          |  MIN(z) AS z_lo, MAX(z) AS z_hi
+         |FROM rn GROUP BY 1 ORDER BY file_id""".stripMargin,
+    // q203: the oracle's 16-round CTE chain generates from the SAME
+    // Hilbert.roundScales constants; the identical rank/file/envelope
+    // tail as q97.
+    "q203_hilbert" ->
+      s"""WITH src AS (
+         |  SELECT l_orderkey*10 + l_linenumber AS rid, l_partkey, l_suppkey
+         |  FROM lineitem),
+         |${graft.operators.Hilbert.oracleCtes(
+               "src", "l_partkey", "l_suppkey",
+               "rid, l_partkey, l_suppkey")},
+         |rn AS (SELECT *, row_number() OVER (ORDER BY hd, rid) AS rn
+         |       FROM h${graft.operators.Hilbert.Bits})
+         |SELECT CAST((rn-1)//1000 AS BIGINT) AS file_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(l_partkey) AS min_a, MAX(l_partkey) AS max_a,
+         |  MIN(l_suppkey) AS min_b, MAX(l_suppkey) AS max_b,
+         |  MIN(hd) AS h_lo, MAX(hd) AS h_hi
          |FROM rn GROUP BY 1 ORDER BY file_id""".stripMargin,
     // q133: the oracle retrains the SAME bigram model (counts + floor-
     // scaled conditional probabilities, integer division throughout)

@@ -276,6 +276,24 @@ class PlanShapeSpec extends SparkSpec {
       s"z-order layout must never plan a window:\n$rep")
   }
 
+  test("q203: hilbert d-value stays in whole-stage codegen as ONE " +
+       "projection; layout uses no window") {
+    val hdf = graft.operators.Hilbert.withHilbert(
+      graft.Tables.lineitem(spark, sf)
+        .select(org.apache.spark.sql.functions.col("l_partkey"),
+                org.apache.spark.sql.functions.col("l_suppkey")),
+      "l_partkey", "l_suppkey")
+    val hplan = finalPlan(hdf)
+    assert(hplan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("Project")),
+      s"the 16-round chain must collapse into codegen'd projections:\n$hplan")
+    assert(!hplan.contains("Exchange"),
+      s"the d-value itself must not shuffle:\n$hplan")
+    val rep = finalPlan(CurationQueries.q203Hilbert(spark, sf))
+    assert(!rep.contains("Window"),
+      s"hilbert layout must never plan a window:\n$rep")
+  }
+
   test("q99: pair mining — semi-join prune, keyed joins only, Top-N heap") {
     val plan = finalPlan(CurationQueries.q99CooccurPairs(spark, sf))
     assert(plan.contains("LeftSemi"),
