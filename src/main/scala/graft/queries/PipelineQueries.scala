@@ -661,6 +661,71 @@ object PipelineQueries {
         stride = 2, hammingMin = 16)
       .orderBy("doc_id")
 
+  /** q204 — MINHASH CALIBRATION AUDIT: the q93 measure-before-trusting
+    * discipline applied to the MinHash sketch itself. For every
+    * band-collision candidate pair (the q22 config: 128 perms, 32
+    * bands × 4 rows), the signature-agreement estimate
+    * est_e6 = ⌊1e6·matches/128⌋ next to the exact Jaccard and the
+    * SIGNED error — the table that justifies (or indicts) trusting
+    * sketch agreement as a similarity proxy at a given threshold.
+    * Everything is deterministic: the portable-hash permutation family
+    * (a_i = ((i·2654435761) mod 2²⁹)·2+1, b_i = (i·1013904223) mod
+    * (2³¹−1), h = (a·h32+b) mod 4294967311) replays in SQL, and the
+    * banding here joins on the RAW 4-slot signature slices (not the
+    * engine-native 8-byte band hash the production path uses for
+    * shuffle width — slice equality is exactly what that hash
+    * approximates, and it is what an oracle can re-derive). err is a
+    * subtraction of two already-floored ints — exact, no signed-floor
+    * hazard.
+    *
+    * Plan: signatures once (localCheckpoint store), banded self-join
+    * on (band, slice), sig+set joins for the agreement and verify
+    * counts; candidates only — never all pairs.
+    */
+  def q204MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val sets = graft.operators.Partitioning
+      .spread(Tables.documents(s, dir))
+      .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sets
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), 128))
+      .localCheckpoint()
+    val banded = sig.select(
+        col("doc_id"),
+        explode(array((0 until 32).map { b =>
+          struct(lit(b.toLong).as("band"),
+                 slice(col("sig"), b * 4 + 1, 4).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+              col("bk.key").as("key"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.key") === col("y.key") &&
+              col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+                        col("sh").as("sh_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+                        col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("match_cnt",
+        expr("""aggregate(zip_with(sig_a, sig_b,
+               |  (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
+               |  0L, (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("inter_cnt",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("union_cnt",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter_cnt"))
+      .select(col("doc_a"), col("doc_b"),
+              expr("(1000000 * match_cnt) div 128").as("est_e6"),
+              expr("(1000000 * inter_cnt) div union_cnt").as("jac_e6"),
+              (expr("(1000000 * match_cnt) div 128") -
+                expr("(1000000 * inter_cnt) div union_cnt")).as("err_e6"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q155 — corpus n-gram NOVELTY: per doc, the fraction of its
     * distinct 3-word shingles that occur in NO other document
     * (corpus document-frequency 1), floor-scaled e6. The inverse-df
@@ -947,6 +1012,7 @@ object PipelineQueries {
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
     "q146_bm25"            -> (q146Bm25 _),
     "q201_sparse_topk"     -> (q201SparseTopk _),
+    "q204_minhash_calibration" -> (q204MinhashCalibration _),
     "q159_centroid_classify" -> (q159CentroidClassify _),
     "q167_hybrid_rrf"      -> (q167HybridRrf _),
     "q171_cluster_terms"   -> (q171ClusterTerms _),
@@ -1611,6 +1677,55 @@ object PipelineQueries {
         |  CASE WHEN b.label = d.lang THEN 1 ELSE 0 END AS correct
         |FROM best b JOIN documents d ON b.doc_id = d.doc_id
         |WHERE rn = 1 ORDER BY b.doc_id""".stripMargin,
+    // q204: the portable-hash permutation family replayed literally
+    // (a/b/p constants from PortableHash.permHash), per-(doc, perm)
+    // min, band slices as ordered lists, candidate join on slice
+    // equality, agreement count via a perm-aligned self-join, exact
+    // Jaccard from the shared shingle CTEs.
+    "q204_minhash_calibration" ->
+      s"""WITH $shingleSetsCte,
+         |hs AS (SELECT doc_id, shingle,
+         |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+         |       FROM sh),
+         |sigrows AS (
+         |  SELECT doc_id, p.p AS perm,
+         |    MIN(((((p.p * 2654435761) % 536870912) * 2 + 1) * h
+         |         + (p.p * 1013904223) % 2147483647) % 4294967311) AS m
+         |  FROM hs CROSS JOIN range(128) p(p)
+         |  GROUP BY doc_id, p.p),
+         |bsig AS (SELECT doc_id, perm // 4 AS band,
+         |           list(m ORDER BY perm) AS key
+         |         FROM sigrows GROUP BY doc_id, perm // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bsig a JOIN bsig b
+         |           ON a.band = b.band AND a.key = b.key
+         |              AND a.doc_id < b.doc_id),
+         |mc AS (SELECT c.doc_a, c.doc_b,
+         |         SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS match_cnt
+         |       FROM cand c
+         |       JOIN sigrows sa ON sa.doc_id = c.doc_a
+         |       JOIN sigrows sb ON sb.doc_id = c.doc_b
+         |                      AND sb.perm = sa.perm
+         |       GROUP BY 1, 2),
+         |jc AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_cnt
+         |       FROM cand c
+         |       JOIN sh a ON a.doc_id = c.doc_a
+         |       JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |       GROUP BY 1, 2)
+         |SELECT mc.doc_a, mc.doc_b,
+         |  CAST((1000000 * match_cnt) // 128 AS BIGINT) AS est_e6,
+         |  CAST((1000000 * COALESCE(jc.inter_cnt, 0))
+         |       // (sza.sz + szb.sz - COALESCE(jc.inter_cnt, 0))
+         |    AS BIGINT) AS jac_e6,
+         |  CAST((1000000 * match_cnt) // 128
+         |       - (1000000 * COALESCE(jc.inter_cnt, 0))
+         |         // (sza.sz + szb.sz - COALESCE(jc.inter_cnt, 0))
+         |    AS BIGINT) AS err_e6
+         |FROM mc
+         |LEFT JOIN jc ON jc.doc_a = mc.doc_a AND jc.doc_b = mc.doc_b
+         |JOIN sz sza ON sza.doc_id = mc.doc_a
+         |JOIN sz szb ON szb.doc_id = mc.doc_b
+         |ORDER BY mc.doc_a, mc.doc_b""".stripMargin,
     // q201: identical weighting (q35's integer tf-idf), identical
     // df·5 ≤ 4N pruning, HUGEINT products, row_number tie rule.
     "q201_sparse_topk" ->

@@ -733,6 +733,20 @@ class PlanShapeSpec extends SparkSpec {
       "the predecessor-sigma sum must be a hash agg")
   }
 
+  test("q204: calibration candidates come from the keyed band join — " +
+       "no product, no window; the signature store is scanned, not " +
+       "recomputed") {
+    val plan = finalPlan(PipelineQueries.queries("q204_minhash_calibration")(
+      spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"banding + verify joins must stay keyed:\n$plan")
+    assert(!plan.contains("Window"), "aggregation only, no window")
+    assert(plan.contains("ExistingRDD"),
+      "signatures must come from the localCheckpoint store (computed " +
+      "once), not be re-derived per consumer")
+  }
+
   test("q167: both retrieval legs keep bounded-heap shapes — partial " +
        "top-k aggregate, group-limited rank window, no sort-merge") {
     val plan = finalPlan(PipelineQueries.queries("q167_hybrid_rrf")(
