@@ -203,6 +203,60 @@ object TemporalOps {
       .select((leftCols.map(col) :+ col(rightTime)): _*)
   }
 
+  /** NEAREST join (as-of, either direction): for each left row, the
+    * right row's time value CLOSEST to `eventTime` in absolute distance
+    * — backward or forward — for the same key; ties (equidistant
+    * before/after) take the EARLIER right time, so the result is a
+    * deterministic total choice. LEFT semantics: keys with no right
+    * rows surface with null. The sensor-alignment / label-attachment
+    * join: "match each reading to the closest calibration event",
+    * where plain as-of silently ignores a nearer future row.
+    *
+    * Plan shape: [[asofJoin]]'s union-carry formulation run BOTH ways
+    * over ONE key exchange — an ascending carry (last right time ≤ t)
+    * and a descending carry (first right time ≥ t) are two windows on
+    * the same partitioning, so Catalyst plans a single Exchange and
+    * two in-partition sorts; never the naive join-all-pairs-then-argmin
+    * explosion.
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame,
+                  key: String, eventTime: String, rightTime: String)
+      : DataFrame = {
+    val leftCols = left.columns
+    val r = right.filter(col(key).isNotNull).select(
+      col(key),
+      col(rightTime).cast("timestamp").as("__t"),
+      lit(1).as("__is_right"),
+      col(rightTime).as("__rt"))
+    val l = left.select(
+      (leftCols.map(col) :+
+        col(eventTime).cast("timestamp").as("__t") :+
+        lit(0).as("__is_right") :+
+        lit(null).cast(right.schema(rightTime).dataType).as("__rt")): _*)
+    // right rows sort before left rows at equal time in BOTH directions,
+    // so an exactly-coincident right row is eligible for both carries
+    val wB = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dist = (a: Column, b: Column) =>
+      abs(unix_micros(a.cast("timestamp")) - unix_micros(b.cast("timestamp")))
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__back", last(col("__rt"), ignoreNulls = true).over(wB))
+      .withColumn("__fwd", last(col("__rt"), ignoreNulls = true).over(wF))
+      .filter(col("__is_right") === 0)
+      .withColumn(rightTime,
+        when(col("__back").isNull, col("__fwd"))
+          .when(col("__fwd").isNull, col("__back"))
+          // tie -> the earlier (backward) value: __back <= t <= __fwd
+          .when(dist(col("__t"), col("__back")) <=
+                  dist(col("__t"), col("__fwd")), col("__back"))
+          .otherwise(col("__fwd")))
+      .select((leftCols.map(col) :+ col(rightTime)): _*)
+  }
+
   /** SCD TYPE-2 dimension build from a change log: collapse each key's
     * observation stream to its attribute CHANGE POINTS and emit one
     * validity interval per run — (key, attr, valid_from_us, valid_to_us,

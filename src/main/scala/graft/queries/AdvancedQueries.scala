@@ -643,6 +643,69 @@ object AdvancedQueries {
       .orderBy("node")
   }
 
+  /** q205 — DEDUP PROVENANCE (the explain table): one row per document
+    * with its dedup DECISION and the evidence — kept flag, component,
+    * elected keeper, and the exact Jaccard to the keeper when a DIRECT
+    * pair exists (null for members linked only transitively — exactly
+    * the rows q177's transitivity audit is about, now enumerable).
+    * This is the table a data-governance review asks for: not "37% was
+    * removed" (q182's funnel) but "WHY was doc 4711 removed, and how
+    * similar was it to what survived". Min-id keeper election means
+    * keeper == component label; direct evidence is a join of the
+    * gated pair set on (keeper, member).
+    *
+    * Plan: the q37 pair+CC shapes + one left join of docs to labels +
+    * one left join to keeper-side pairs; nothing new shuffles.
+    */
+  def q205DedupExplain(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = Dedup
+      .jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+                    n = 3, num = 1, den = 2)
+    val cc = GraphOps.connectedComponents(
+        pairs.select(col("doc_a"), col("doc_b")), "doc_a", "doc_b")
+      .toDF("doc_id", "component")
+    val direct = pairs.select(
+        col("doc_a").as("component"), col("doc_b").as("doc_id"),
+        expr("(1000000 * inter_cnt) div union_cnt").as("keeper_jac_e6"))
+    docs.join(cc, Seq("doc_id"), "left")
+      .withColumn("kept",
+        col("component").isNull || col("doc_id") === col("component"))
+      .withColumn("keeper", coalesce(col("component"), col("doc_id")))
+      .join(direct, Seq("component", "doc_id"), "left")
+      .select(col("doc_id"), col("kept"), col("component"),
+              col("keeper"), col("keeper_jac_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** q206 — NEAREST-event join ([[TemporalOps.nearestJoin]]): each
+    * event matched to the CLOSEST order date of the same user, in
+    * either direction — the sensor-alignment/label-attachment
+    * semantics plain as-of (q38) can't express (as-of ignores a
+    * nearer future row). Equidistant ties take the earlier date;
+    * users with no orders surface with nulls (left semantics). The
+    * signed day distance is exact integer in both engines.
+    *
+    * Plan: ONE key exchange carrying two in-partition sorts (the
+    * ascending and descending carries) — never join-all-pairs-then-
+    * argmin, which is what the oracle does (valid at oracle scale,
+    * quadratic per user at 100 TB).
+    */
+  def q206NearestEvent(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    TemporalOps.nearestJoin(
+        events, orders,
+        key = "user_id", eventTime = "ts", rightTime = "o_orderdate")
+      .withColumn("nearest_date", col("o_orderdate").cast("date"))
+      .withColumn("dist_days",
+        datediff(col("nearest_date"), to_date(col("ts"))).cast("long"))
+      .select("event_id", "user_id", "nearest_date", "dist_days")
+      .orderBy("event_id")
+  }
+
   /** The dedup APPLY step end-to-end: Jaccard pairs → connected
     * components → per-document kept/dropped flag (one keeper, the min
     * id, per near-dup group; unpaired docs trivially kept). This is the
@@ -2578,6 +2641,8 @@ object AdvancedQueries {
     "q198_family_folds" -> (q198FamilyFolds _),
     "q199_l_diversity" -> (q199LDiversity _),
     "q202_path_counts" -> (q202PathCounts _),
+    "q205_dedup_explain" -> (q205DedupExplain _),
+    "q206_nearest_event" -> (q206NearestEvent _),
     "q38_asof_join"    -> (q38AsofJoin _),
     "q39_salted_join"  -> (q39SaltedJoin _),
     "q40_sketches"     -> (q40Sketches _),
@@ -3155,6 +3220,66 @@ object AdvancedQueries {
         |  (cc.component IS NULL OR cc.component = d.doc_id) AS kept
         |FROM documents d LEFT JOIN cc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q205: the q37 recursive-CC skeleton with the pair stage ALSO
+    // emitting exact jaccard, keeper = component (min-id election),
+    // direct evidence joined on (keeper, member).
+    "q205_dedup_explain" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jpc AS (
+        |  SELECT doc_a, doc_b, inter_cnt,
+        |    sa.sz + sb.sz - inter_cnt AS union_cnt
+        |  FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jpc
+        |      UNION ALL SELECT doc_b, doc_a FROM jpc),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |cc AS (SELECT a AS doc_id, MIN(b) AS component
+        |       FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  (cc.component IS NULL OR d.doc_id = cc.component) AS kept,
+        |  cc.component,
+        |  COALESCE(cc.component, d.doc_id) AS keeper,
+        |  CAST((1000000 * jpc.inter_cnt) // jpc.union_cnt AS BIGINT)
+        |    AS keeper_jac_e6
+        |FROM documents d
+        |LEFT JOIN cc ON cc.doc_id = d.doc_id
+        |LEFT JOIN jpc ON jpc.doc_a = COALESCE(cc.component, d.doc_id)
+        |            AND jpc.doc_b = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // q206: the argmin formulation (valid at oracle scale) — all
+    // (event, order) pairs per user, rank by (abs distance, date) so
+    // equidistant ties take the earlier date, left join back to the
+    // event panel for no-order users.
+    "q206_nearest_event" ->
+      """WITH j AS (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderdate,
+        |    abs(epoch_us(CAST(e.ts AS TIMESTAMP))
+        |        - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))) AS d
+        |  FROM events e JOIN orders o ON o.o_custkey = e.user_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |        ORDER BY d, o_orderdate) AS rn FROM j)
+        |SELECT e.event_id, e.user_id,
+        |  CAST(r.o_orderdate AS DATE) AS nearest_date,
+        |  CAST(date_diff('day', CAST(e.ts AS DATE), r.o_orderdate)
+        |    AS BIGINT) AS dist_days
+        |FROM events e
+        |LEFT JOIN r ON r.event_id = e.event_id AND r.rn = 1
+        |ORDER BY e.event_id""".stripMargin,
     "q38_asof_join" ->
       """SELECT e.event_id, e.user_id,
         |  CAST(o.o_orderdate AS DATE) AS asof_date

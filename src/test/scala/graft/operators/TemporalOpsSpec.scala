@@ -133,6 +133,46 @@ class TemporalOpsSpec extends SparkSpec {
     assert(out(13L).isEmpty)
   }
 
+  test("nearestJoin: closest in either direction, equidistant tie " +
+       "takes the earlier, null when keyless") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-05 12:00:00")), // nearer backward (Jan 5 vs 9)
+      (11L, 1L, ts("2024-01-08 00:00:00")), // nearer forward (Jan 9)
+      (12L, 1L, ts("2024-01-01 00:00:00")), // before all → forward only
+      (13L, 1L, ts("2024-01-07 00:00:00")), // equidistant 5/9 → earlier (5)
+      (14L, 1L, ts("2024-01-09 00:00:00")), // exact hit → dist 0
+      (15L, 2L, ts("2024-06-01 00:00:00"))  // key with no right rows
+    ).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (1L, ts("2024-01-05 00:00:00")),
+      (1L, ts("2024-01-09 00:00:00")),
+      (1L, ts("2024-01-20 00:00:00"))
+    ).toDF("user_id", "rt")
+    val out = TemporalOps.nearestJoin(left, right, "user_id", "t", "rt")
+      .select(col("event_id"), col("rt").cast("string"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(10L).get.startsWith("2024-01-05"))
+    assert(out(11L).get.startsWith("2024-01-09"))
+    assert(out(12L).get.startsWith("2024-01-05"))
+    assert(out(13L).get.startsWith("2024-01-05"), "tie must take earlier")
+    assert(out(14L).get.startsWith("2024-01-09"))
+    assert(out(15L).isEmpty)
+  }
+
+  test("nearestJoin plans ONE key exchange for both direction carries") {
+    val left = Seq((10L, 1L, ts("2024-01-05 12:00:00")))
+      .toDF("event_id", "user_id", "t")
+    val right = Seq((1L, ts("2024-01-05 00:00:00"))).toDF("user_id", "rt")
+    val joined = TemporalOps.nearestJoin(left, right, "user_id", "t", "rt")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val keyExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(keyExchanges === 1,
+      s"both carries must share one key exchange ($keyExchanges):\n$plan")
+  }
+
   test("intervalOverlapJoin: inclusive overlap semantics, each pair once") {
     val a = Seq((1L, 0L, 10L), (2L, 20L, 30L), (3L, 5L, 55L))
       .toDF("aid", "sa", "ea")
