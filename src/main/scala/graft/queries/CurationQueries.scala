@@ -991,6 +991,83 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q207 — EXACT AUC (Mann–Whitney U with midranks): does the q133
+    * quality score actually separate English from non-English? AUC =
+    * P(score_pos > score_neg) + ½·P(=), computed exactly: midranks
+    * carry ties (2·midrank = 2·cum − cnt + 1 per tie group — integer),
+    * U·2 = Σ_pos 2·midrank − n_pos(n_pos+1), auc = 2U / (2·n_pos·n_neg)
+    * as a decimal(38,0) rational (the q189 string convention) plus the
+    * floored e6. Tie handling makes the value PARTITION-INVARIANT —
+    * a row_number-based AUC would depend on shuffle order within tie
+    * groups. Labels derive from the corpus (lang = 'en'), so both
+    * engines re-derive them; only documents the scorer covers (≥ 1
+    * known bigram) enter — stated, not hidden.
+    *
+    * Scale: the tie-group table is grouped BY SCORE (bounded by score
+    * cardinality, not corpus size), the global cumulative rides
+    * [[graft.operators.PrefixSum.runningTotal]] over that grouped
+    * table — never a single-partition window over the corpus.
+    */
+  def q207AucEnScore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val d38 = "decimal(38,0)"
+    val docs = Tables.documents(s, dir)
+    val scored = LanguageModel.scoreDocuments(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+                        (col("lang") === "en").as("pos")), Seq("doc_id"))
+    val grouped = scored.groupBy(col("score_e6"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(when(col("pos"), 1L).otherwise(0L)).as("pos_cnt"))
+    val cum = graft.operators.PrefixSum.runningTotal(
+      grouped, "cnt", Seq("score_e6"), cumCol = "cum")
+    cum
+      .select(col("pos_cnt"), col("cnt"),
+              expr(s"CAST(2 AS $d38) * cum - cnt + 1").as("r2"))
+      .agg(sum(col("pos_cnt")).as("n_pos"),
+           sum(col("cnt") - col("pos_cnt")).as("n_neg"),
+           sum(expr(s"CAST(pos_cnt AS $d38) * r2")).cast(d38).as("s2"))
+      .select(col("n_pos"), col("n_neg"),
+              expr(s"CAST(s2 - CAST(n_pos AS $d38) * (n_pos + 1) AS $d38)")
+                .cast("string").as("auc_num"),
+              expr(s"CAST(CAST(2 AS $d38) * n_pos * n_neg AS $d38)")
+                .cast("string").as("auc_den"),
+              expr(s"(1000000 * (s2 - CAST(n_pos AS $d38) * (n_pos + 1)))" +
+                   s" div (CAST(2 AS $d38) * n_pos * n_neg)")
+                .cast("long").as("auc_e6"))
+  }
+
+  /** q208 — SCORE RELIABILITY by rank decile (calibration/lift table):
+    * the q207 verdict unpacked — scored docs cut into exact global
+    * rank deciles (the q176 equi-depth rule over the unique
+    * (score_e6, doc_id) order), each reporting its size, positive
+    * count, positive rate e6, and score range. A monotone pos_rate
+    * column IS calibration; a flat one indicts the score. Global rank
+    * rides [[graft.operators.PrefixSum.runningTotal]] (the q187
+    * discipline), one 10-group agg after it.
+    */
+  def q208ScoreReliability(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val docs = Tables.documents(s, dir)
+    val scored = LanguageModel.scoreDocuments(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+                        (col("lang") === "en").as("pos")), Seq("doc_id"))
+      .withColumn("__one", lit(1L))
+    val totals = scored.agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.PrefixSum.runningTotal(
+      scored, "__one", Seq("score_e6", "doc_id"), cumCol = "rank")
+    ranked.crossJoin(broadcast(totals))
+      .withColumn("decile", expr("((rank - 1) * 10) div n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+           min(col("score_e6")).as("score_min"),
+           max(col("score_e6")).as("score_max"))
+      .withColumn("pos_rate_e6", expr("(1000000 * n_pos) div n_docs"))
+      .select("decile", "n_docs", "n_pos", "pos_rate_e6",
+              "score_min", "score_max")
+      .orderBy("decile")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1025,6 +1102,8 @@ object CurationQueries {
     "q104_dup_triangles"   -> (q104DupTriangles _),
     "q133_bigram_lm"       -> (q133BigramLm _),
     "q187_ppl_band"        -> (q187PplBand _),
+    "q207_auc_en_score"    -> (q207AucEnScore _),
+    "q208_score_reliability" -> (q208ScoreReliability _),
     "q139_pair_lift"       -> (q139PairLift _),
     "q166_frequent_triples" -> (q166FrequentTriples _),
     "q143_clustering_coeff" -> (q143ClusteringCoeff _),
@@ -1042,7 +1121,72 @@ object CurationQueries {
         s"((($s) | (($s) << $sh)) & $m)"
       }
 
+  /** The q133 scoring chain (model + per-doc scores) as a shared CTE
+    * block ending at `sc(doc_id, n_bigrams, score_e6)` — q207/q208
+    * build on it so the score definition cannot drift from q133's.
+    */
+  private val lmScoreCte: String =
+    """t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |bg AS (
+      |  SELECT doc_id, tk[g.i] AS w1, tk[g.i + 1] AS w2
+      |  FROM t, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+      |  WHERE len(tk) >= 2),
+      |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+      |m AS (SELECT w1, w2, (1000000 * c2) // c1 AS p_e6
+      |      FROM c2 JOIN c1 USING (w1)),
+      |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |         SUM(p_e6) // COUNT(*) AS score_e6
+      |       FROM bg JOIN m USING (w1, w2) GROUP BY doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // q207: the q133 chain + per-score tie groups, HUGEINT midrank
+    // arithmetic (2·midrank = 2·cum − cnt + 1), the U statistic as a
+    // DECIMAL(38,0) rational string + floored e6.
+    "q207_auc_en_score" ->
+      s"""WITH $lmScoreCte,
+         |lab AS (SELECT sc.score_e6, (d.lang = 'en') AS pos
+         |        FROM sc JOIN documents d USING (doc_id)),
+         |g AS (SELECT score_e6, COUNT(*) AS cnt,
+         |        SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS pos_cnt
+         |      FROM lab GROUP BY 1),
+         |c AS (SELECT *, SUM(cnt) OVER (ORDER BY score_e6) AS cum FROM g),
+         |a AS (SELECT CAST(SUM(pos_cnt) AS HUGEINT) AS n_pos,
+         |        CAST(SUM(cnt - pos_cnt) AS HUGEINT) AS n_neg,
+         |        SUM(CAST(pos_cnt AS HUGEINT) * (2 * cum - cnt + 1)) AS s2
+         |      FROM c)
+         |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST(n_neg AS BIGINT) AS n_neg,
+         |  CAST(CAST(s2 - n_pos * (n_pos + 1) AS DECIMAL(38,0))
+         |    AS VARCHAR) AS auc_num,
+         |  CAST(CAST(2 * n_pos * n_neg AS DECIMAL(38,0)) AS VARCHAR)
+         |    AS auc_den,
+         |  CAST((1000000 * (s2 - n_pos * (n_pos + 1)))
+         |       // (2 * n_pos * n_neg) AS BIGINT) AS auc_e6
+         |FROM a""".stripMargin,
+    // q208: the q133 chain + the unique-order global rank + the q176
+    // decile rule + per-decile counts and score ranges.
+    "q208_score_reliability" ->
+      s"""WITH $lmScoreCte,
+         |lab AS (SELECT sc.doc_id, sc.score_e6, (d.lang = 'en') AS pos
+         |        FROM sc JOIN documents d USING (doc_id)),
+         |r AS (SELECT *,
+         |        row_number() OVER (ORDER BY score_e6, doc_id) AS rank,
+         |        (SELECT COUNT(*) FROM lab) AS n
+         |      FROM lab),
+         |g AS (SELECT ((rank - 1) * 10) // n AS decile,
+         |        COUNT(*) AS n_docs,
+         |        SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         |        MIN(score_e6) AS score_min, MAX(score_e6) AS score_max
+         |      FROM r GROUP BY 1)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_pos AS BIGINT) AS n_pos,
+         |  CAST((1000000 * n_pos) // n_docs AS BIGINT) AS pos_rate_e6,
+         |  CAST(score_min AS BIGINT) AS score_min,
+         |  CAST(score_max AS BIGINT) AS score_max
+         |FROM g ORDER BY decile""".stripMargin,
     "q59_pii_redact" ->
       s"""WITH $piiSql
          |SELECT doc_id,
