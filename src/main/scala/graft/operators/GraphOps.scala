@@ -678,6 +678,50 @@ object GraphOps {
             k: Int, maxRounds: Int = 50): DataFrame =
     kCoreWithStats(edges, uCol, vCol, k, maxRounds)._1
 
+  /** INCREMENTAL component maintenance: merge an existing labeling with
+    * a batch of NEW edges without recomputing from scratch — the
+    * daily-increment shape of dedup clustering (yesterday's corpus is
+    * labeled; today's crawl adds pairs; relabeling 100 TB nightly is
+    * not an option). Each labeled node contributes one STAR edge to
+    * its component label; components are connected through their
+    * stars, so CC over (stars ∪ newEdges) yields exactly the labeling
+    * a full recompute over (oldEdges ∪ newEdges) would — same
+    * reachability, same min-id labels (labels are node ids, so the
+    * component minimum is preserved). That equivalence is the gate:
+    * q209's oracle IS the batch recompute.
+    *
+    * Cost: CC runs over |labels| + |newEdges| edges — the star set is
+    * LINEAR in labeled nodes regardless of how many original edges
+    * produced the labeling (a 10⁹-pair history collapses to one edge
+    * per node), and pointer-jumping rounds scale with the MERGED
+    * component diameter, which is ≤ old diameter + new-edge chains.
+    * Labeled nodes untouched by any new edge keep their label via the
+    * final left join (their star edge still re-derives it; the join
+    * also covers the general-API case of degenerate self-labeled
+    * singletons, which CC's edge-only labeling would drop).
+    *
+    * Input contract: `labels` columns (id, comp) with comp = the
+    * component's min node id (this function's own output shape);
+    * ids in `newEdges` may be new nodes.
+    */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame,
+                      srcCol: String, dstCol: String): DataFrame = {
+    val star = labels
+      .select(col("id"), col("comp"))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("src"), col("comp").as("dst"))
+    val e = star.unionByName(
+      newEdges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val merged = connectedComponents(e, "src", "dst").toDF("id", "__mc")
+    val kept = labels.select(col("id"), col("comp"))
+      .join(merged, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__mc"), col("comp")).as("comp"))
+    val newOnly = merged
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("__mc").as("comp"))
+    kept.unionByName(newOnly)
+  }
+
   /** Multi-source BFS: minimum hop distance from any seed vertex,
     * computed over exactly `maxHops` frontier-relaxation rounds. The
     * round count is part of the SEMANTICS (dist > maxHops ⇒ vertex

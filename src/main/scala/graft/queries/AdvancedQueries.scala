@@ -706,6 +706,78 @@ object AdvancedQueries {
       .orderBy("event_id")
   }
 
+  /** q209 — INCREMENTAL component maintenance
+    * ([[GraphOps.mergeComponents]]): the q37 pair set split
+    * deterministically into an "existing corpus" 80% and a "new batch"
+    * 20% (portable pair hash), the old pairs labeled, the new pairs
+    * MERGED into that labeling via star edges — and the oracle is the
+    * BATCH RECOMPUTE over all pairs (q37's own SQL, verbatim), so the
+    * gate asserts the central incremental-maintenance theorem:
+    * merge(label(old), new) ≡ label(old ∪ new), min-ids included. At
+    * 100 TB the star set is linear in labeled nodes no matter how many
+    * historical pairs produced them — relabeling cost tracks the
+    * increment, not the corpus history.
+    */
+  def q209IncrementalCc(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup
+      .jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+                    n = 3, num = 1, den = 2)
+      .select(col("doc_a"), col("doc_b"))
+      .withColumn("__new",
+        pmod(PortableHash.h32(
+          concat(col("doc_a").cast("string"), lit("_"),
+                 col("doc_b").cast("string"))), lit(5L)) === 0L)
+    val oldLabels = GraphOps.connectedComponents(
+        pairs.filter(!col("__new")), "doc_a", "doc_b")
+      .toDF("id", "comp")
+    GraphOps.mergeComponents(
+        oldLabels, pairs.filter(col("__new")), "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
+  /** q210 — WATERMARK REPLAY AUDIT: how much late data would a 1/6/24
+    * hour watermark have dropped on THIS stream's history? Arrival
+    * order is the event id (the ingest sequence); the running
+    * event-time maximum over that order is the watermark source, and
+    * an event is late for gap g iff its ts < running_max − g. One
+    * gated table — (gap_hours, n_late, n_events, late_rate_e6) — is
+    * the evidence a deployment sets its real watermark from, instead
+    * of folklore. The running max rides
+    * [[graft.operators.PrefixSum.runningMaxFlag]] (two-phase scan,
+    * range exchange + driver-folded offsets) — NEVER a
+    * single-partition window over the stream history, which is
+    * exactly where the naive formulation stops scaling.
+    */
+  def q210WatermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val rm = graft.operators.PrefixSum.runningMaxFlag(
+      ev, "ts_us", Seq("event_id"), maxCol = "wm_src")
+    val gaps = Seq(1L, 6L, 24L)
+    val flagged = gaps.foldLeft(rm) { (df, g) =>
+      df.withColumn(s"__late_$g",
+        when(col("ts_us") < col("wm_src") - g * 3600000000L, 1L)
+          .otherwise(0L))
+    }
+    val agg = flagged.agg(
+      count(lit(1)).as("n_events"),
+      sum(col("__late_1")).as("l1"),
+      sum(col("__late_6")).as("l6"),
+      sum(col("__late_24")).as("l24"))
+    agg.select(
+        explode(array(
+          struct(lit(1L).as("gap_hours"), col("l1").as("n_late"),
+                 col("n_events")),
+          struct(lit(6L).as("gap_hours"), col("l6").as("n_late"),
+                 col("n_events")),
+          struct(lit(24L).as("gap_hours"), col("l24").as("n_late"),
+                 col("n_events")))).as("r"))
+      .select(col("r.gap_hours"), col("r.n_late"), col("r.n_events"))
+      .withColumn("late_rate_e6", expr("(1000000 * n_late) div n_events"))
+      .orderBy("gap_hours")
+  }
+
   /** The dedup APPLY step end-to-end: Jaccard pairs → connected
     * components → per-document kept/dropped flag (one keeper, the min
     * id, per near-dup group; unpaired docs trivially kept). This is the
@@ -2643,6 +2715,8 @@ object AdvancedQueries {
     "q202_path_counts" -> (q202PathCounts _),
     "q205_dedup_explain" -> (q205DedupExplain _),
     "q206_nearest_event" -> (q206NearestEvent _),
+    "q209_incremental_cc" -> (q209IncrementalCc _),
+    "q210_watermark_audit" -> (q210WatermarkAudit _),
     "q38_asof_join"    -> (q38AsofJoin _),
     "q39_salted_join"  -> (q39SaltedJoin _),
     "q40_sketches"     -> (q40Sketches _),
@@ -3220,6 +3294,63 @@ object AdvancedQueries {
         |  (cc.component IS NULL OR cc.component = d.doc_id) AS kept
         |FROM documents d LEFT JOIN cc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q209: THE BATCH RECOMPUTE — q37's oracle verbatim. The split and
+    // the merge are Spark-side implementation detail; the theorem under
+    // test is that they are invisible in the result.
+    "q209_incremental_cc" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a)
+        |SELECT a AS doc_id, MIN(b) AS component
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // q210: the running max as a window over arrival order (valid at
+    // oracle scale), the same three gap cuts and floor rates.
+    "q210_watermark_audit" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |rm AS (SELECT *, MAX(ts_us) OVER (ORDER BY event_id) AS wm_src
+        |       FROM ev),
+        |a AS (SELECT COUNT(*) AS n_events,
+        |  SUM(CASE WHEN ts_us < wm_src - 3600000000 THEN 1 ELSE 0 END)
+        |    AS l1,
+        |  SUM(CASE WHEN ts_us < wm_src - 21600000000 THEN 1 ELSE 0 END)
+        |    AS l6,
+        |  SUM(CASE WHEN ts_us < wm_src - 86400000000 THEN 1 ELSE 0 END)
+        |    AS l24
+        |  FROM rm)
+        |SELECT gap_hours, n_late, n_events,
+        |  CAST((1000000 * n_late) // n_events AS BIGINT) AS late_rate_e6
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS gap_hours,
+        |    CAST(l1 AS BIGINT) AS n_late,
+        |    CAST(n_events AS BIGINT) AS n_events FROM a
+        |  UNION ALL
+        |  SELECT CAST(6 AS BIGINT), CAST(l6 AS BIGINT),
+        |    CAST(n_events AS BIGINT) FROM a
+        |  UNION ALL
+        |  SELECT CAST(24 AS BIGINT), CAST(l24 AS BIGINT),
+        |    CAST(n_events AS BIGINT) FROM a)
+        |ORDER BY gap_hours""".stripMargin,
     // q205: the q37 recursive-CC skeleton with the pair stage ALSO
     // emitting exact jaccard, keeper = component (min-id election),
     // direct evidence joined on (keeper, member).

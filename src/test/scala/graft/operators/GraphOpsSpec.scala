@@ -492,6 +492,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(out("z") === ((2L, 3L)))
   }
 
+  test("mergeComponents: new edges merge old components, labels match " +
+       "the batch recompute exactly (incl. min-ids and new nodes)") {
+    // old graph: {1,2,3} and {10,11} and {20,21}; new edges bridge
+    // 3-10 (merging two old components), add 30-31 (brand-new nodes),
+    // and touch nothing in {20,21} (must keep its old label)
+    val oldE = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val newE = Seq((3L, 10L), (30L, 31L)).toDF("a", "b")
+    val labels = GraphOps.connectedComponents(oldE, "a", "b")
+      .toDF("id", "comp")
+    val inc = GraphOps.mergeComponents(labels, newE, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val batch = GraphOps.connectedComponents(
+        oldE.unionByName(newE), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc === batch)
+    assert(inc(11L) === 1L, "merged component takes the global min id")
+    assert(inc(21L) === 20L, "untouched component keeps its label")
+    assert(inc(31L) === 30L, "new-node-only edges are labeled")
+  }
+
+  test("mergeComponents with no new edges is the identity") {
+    val oldE = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    val labels = GraphOps.connectedComponents(oldE, "a", "b")
+      .toDF("id", "comp")
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    val inc = GraphOps.mergeComponents(labels, none, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("weightedDistances refuses negative or null weights") {
     val seeds = Seq(1L).toDF("node")
     intercept[IllegalArgumentException] {
