@@ -1068,6 +1068,64 @@ object CurationQueries {
       .orderBy("decile")
   }
 
+  /** q212 — COMMUNITY MODULARITY of the q152 labels: did label
+    * propagation find real structure? Newman's Q as the exact rational
+    * Σ_c (4·m·m_c − d_c²) / (4m²) — numerator SIGNED (Q < 0 is a
+    * legal verdict: worse than random), so the e6 rendering divides
+    * |num| and multiplies the sign back (the q194 discipline); both
+    * rational parts surface as decimal(38,0) strings (d_c² at
+    * web-graph degrees is far past int64). Q ≈ 0 means the
+    * "communities" are noise and any per-community curation decision
+    * downstream is laundering randomness — the graph-quality audit
+    * next to q177's threshold-transitivity one.
+    *
+    * Plan: the gated q152 chunk-graph + LPA labels, a degree agg, two
+    * label joins for within-community edge counts, a 1-row reduction.
+    */
+  def q212Modularity(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ch = graft.operators.Chunking.contentDefinedChunks(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", modulus = 16)
+      .select(col("chunk_md5").as("h"), col("doc_id"))
+      .localCheckpoint()
+    val edges = ch.select(col("h"), col("doc_id").as("u"))
+      .join(ch.select(col("h"), col("doc_id").as("v")), Seq("h"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+      .localCheckpoint()
+    val labels = graft.operators.GraphOps.labelPropagation(
+      edges, "u", "v", iterations = 3)
+    val deg = edges.select(col("u").as("node"))
+      .unionByName(edges.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dC = deg.join(labels, Seq("node"))
+      .groupBy(col("community")).agg(sum(col("deg")).as("d_c"))
+    val mC = edges
+      .join(labels.select(col("node").as("u"),
+                          col("community").as("cu")), Seq("u"))
+      .join(labels.select(col("node").as("v"),
+                          col("community").as("cv")), Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .select(col("cu").as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("m_c"))
+    val m = edges.agg(count(lit(1)).as("m"))
+    dC.join(mC, Seq("community"), "left")
+      .withColumn("m_c", coalesce(col("m_c"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_communities"),
+           max(col("m")).as("m_edges"),
+           sum(expr(s"CAST(4 AS $d38) * m * m_c " +
+                    s"- CAST(d_c AS $d38) * d_c")).cast(d38).as("q_num"),
+           max(expr(s"CAST(4 AS $d38) * m * m")).cast(d38).as("q_den"))
+      .select(col("n_communities"), col("m_edges"),
+              col("q_num").cast("string").as("q_num"),
+              col("q_den").cast("string").as("q_den"),
+              (when(col("q_num") < 0, -1L).otherwise(1L) *
+                expr("(abs(q_num) * 1000000) div q_den").cast("long"))
+                .as("q_e6"))
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1104,6 +1162,7 @@ object CurationQueries {
     "q187_ppl_band"        -> (q187PplBand _),
     "q207_auc_en_score"    -> (q207AucEnScore _),
     "q208_score_reliability" -> (q208ScoreReliability _),
+    "q212_modularity"      -> (q212Modularity _),
     "q139_pair_lift"       -> (q139PairLift _),
     "q166_frequent_triples" -> (q166FrequentTriples _),
     "q143_clustering_coeff" -> (q143ClusteringCoeff _),
@@ -1849,6 +1908,58 @@ object CurationQueries {
         |         FROM c3) WHERE rn = 1)
         |SELECT node, CAST(label AS BIGINT) AS community
         |FROM l3 ORDER BY node""".stripMargin,
+    // q212: the q152 chunk-graph + unrolled-LPA CTEs extended with
+    // degree/within-edge/margin aggregates and the HUGEINT rational;
+    // signed numerator divides as |num| with the sign multiplied back.
+    "q212_modularity" ->
+      s"""WITH $cdcChunksCte,
+        |e AS (
+        |  SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+        |  FROM ch x JOIN ch y ON x.h = y.h AND x.doc_id < y.doc_id),
+        |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |l0 AS (SELECT u AS node, u AS label FROM sym GROUP BY u),
+        |c1 AS (SELECT s.u AS node, l.label, COUNT(*) AS c
+        |       FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1, 2),
+        |l1 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.u AS node, l.label, COUNT(*) AS c
+        |       FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1, 2),
+        |l2 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT s.u AS node, l.label, COUNT(*) AS c
+        |       FROM sym s JOIN l2 l ON l.node = s.v GROUP BY 1, 2),
+        |l3 AS (SELECT node, label FROM (
+        |         SELECT node, label, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+        |         FROM c3) WHERE rn = 1),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM
+        |          (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY node),
+        |dc AS (SELECT l.label AS community, SUM(d.deg) AS d_c
+        |       FROM deg d JOIN l3 l USING (node) GROUP BY 1),
+        |mc AS (SELECT lu.label AS community, COUNT(*) AS m_c
+        |       FROM e
+        |       JOIN l3 lu ON lu.node = e.u
+        |       JOIN l3 lv ON lv.node = e.v
+        |       WHERE lu.label = lv.label GROUP BY 1),
+        |mm AS (SELECT COUNT(*) AS m FROM e),
+        |a AS (SELECT COUNT(*) AS n_communities,
+        |        MAX(mm.m) AS m_edges,
+        |        SUM(CAST(4 AS HUGEINT) * mm.m * COALESCE(mc.m_c, 0)
+        |            - CAST(dc.d_c AS HUGEINT) * dc.d_c) AS q_num,
+        |        MAX(CAST(4 AS HUGEINT) * mm.m * mm.m) AS q_den
+        |      FROM dc LEFT JOIN mc USING (community) CROSS JOIN mm)
+        |SELECT CAST(n_communities AS BIGINT) AS n_communities,
+        |  CAST(m_edges AS BIGINT) AS m_edges,
+        |  CAST(CAST(q_num AS DECIMAL(38,0)) AS VARCHAR) AS q_num,
+        |  CAST(CAST(q_den AS DECIMAL(38,0)) AS VARCHAR) AS q_den,
+        |  CAST((CASE WHEN q_num < 0 THEN -1 ELSE 1 END)
+        |       * ((abs(q_num) * 1000000) // q_den) AS BIGINT) AS q_e6
+        |FROM a""".stripMargin,
     // q154: the q26 language CTE + q27 signal arithmetic + q60
     // duplicate-word CTE composed under the same CASE precedence.
     "q154_quality_gate" ->

@@ -726,6 +726,47 @@ object PipelineQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q211 — CROSS-SOURCE DUPLICATION MATRIX: the q21 near-dup pairs
+    * aggregated by unordered source pair, each cell carrying the pair
+    * count, both sources' corpus sizes, and the exact pair rate
+    * (pairs per possible pair: n·(n−1)/2 within a source, n_a·n_b
+    * across). The mixture-curation audit before source weighting:
+    * a hot off-diagonal cell means one source largely restates
+    * another and q172's quotas are double-counting; a hot diagonal
+    * means the source self-duplicates and its effective size is
+    * smaller than its row count. One broadcast source-lookup join on
+    * each pair side + a cell agg — no new shuffle beyond the gated
+    * pair stage.
+    */
+  def q211SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 2)
+      .join(broadcast(src.select(col("doc_id").as("doc_a"),
+                                 col("source").as("sa"))), Seq("doc_a"))
+      .join(broadcast(src.select(col("doc_id").as("doc_b"),
+                                 col("source").as("sb"))), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+              greatest(col("sa"), col("sb")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("source_lo"),
+                                    col("n").as("n_lo"))), Seq("source_lo"))
+      .join(broadcast(counts.select(col("source").as("source_hi"),
+                                    col("n").as("n_hi"))), Seq("source_hi"))
+      .withColumn("possible",
+        when(col("source_lo") === col("source_hi"),
+             expr("(n_lo * (n_lo - 1)) div 2"))
+          .otherwise(col("n_lo") * col("n_hi")))
+      .select(col("source_lo"), col("source_hi"), col("n_pairs"),
+              col("n_lo"), col("n_hi"),
+              expr("(1000000 * n_pairs) div possible").as("pair_rate_e6"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   /** q155 — corpus n-gram NOVELTY: per doc, the fraction of its
     * distinct 3-word shingles that occur in NO other document
     * (corpus document-frequency 1), floor-scaled e6. The inverse-df
@@ -1013,6 +1054,7 @@ object PipelineQueries {
     "q146_bm25"            -> (q146Bm25 _),
     "q201_sparse_topk"     -> (q201SparseTopk _),
     "q204_minhash_calibration" -> (q204MinhashCalibration _),
+    "q211_source_overlap"  -> (q211SourceOverlap _),
     "q159_centroid_classify" -> (q159CentroidClassify _),
     "q167_hybrid_rrf"      -> (q167HybridRrf _),
     "q171_cluster_terms"   -> (q171ClusterTerms _),
@@ -1499,6 +1541,35 @@ object PipelineQueries {
         |  md5(COALESCE(trimmed, '')) AS trimmed_md5
         |FROM t LEFT JOIN reb USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q21_ngram_jaccard" -> jaccardSql(1, 2),
+    // q211: the q21 pair CTEs + source lookups + the unordered cell agg
+    // + exact possible-pair denominators.
+    "q211_source_overlap" ->
+      s"""WITH $shingleCte,
+         |jp AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+         |cnts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+         |cells AS (
+         |  SELECT least(da.source, db.source) AS source_lo,
+         |         greatest(da.source, db.source) AS source_hi,
+         |         COUNT(*) AS n_pairs
+         |  FROM jp
+         |  JOIN documents da ON da.doc_id = jp.doc_a
+         |  JOIN documents db ON db.doc_id = jp.doc_b
+         |  GROUP BY 1, 2)
+         |SELECT source_lo, source_hi,
+         |  CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(lo.n AS BIGINT) AS n_lo, CAST(hi.n AS BIGINT) AS n_hi,
+         |  CAST((1000000 * n_pairs) //
+         |    (CASE WHEN source_lo = source_hi
+         |          THEN (lo.n * (lo.n - 1)) // 2
+         |          ELSE lo.n * hi.n END) AS BIGINT) AS pair_rate_e6
+         |FROM cells
+         |JOIN cnts lo ON lo.source = source_lo
+         |JOIN cnts hi ON hi.source = source_hi
+         |ORDER BY source_lo, source_hi""".stripMargin,
     // q184: the family-size cap replayed in SQL — row_number per shingle
     // ≤ 2 (min-id sample) generates candidates, but inter/union counts
     // come from the FULL sh postings (the cap-on verify contract).
