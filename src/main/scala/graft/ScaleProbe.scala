@@ -768,6 +768,23 @@ object ScaleProbe {
         dfNum = 4L, dfDen = 5L)
       println("  result rows: " + out.count())
     }
+    // --- curve-layout cost (q97 vs q203 shape): same input, same
+    // PrefixSum file assignment — the delta is the d-value arithmetic
+    // (5 shift/mask rounds vs 16 CASE rounds) and whether it evaluates
+    // once (checkpointed before the range sampler) or twice.
+    time("curve_layout_cost") {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_partkey"), col("l_suppkey"))
+      val t0 = System.nanoTime()
+      graft.operators.ZOrder.layout(li, "l_partkey", "l_suppkey",
+        col("l_orderkey") * 10 + col("l_linenumber"), 1000L).count()
+      val t1 = System.nanoTime()
+      graft.operators.Hilbert.layout(li, "l_partkey", "l_suppkey",
+        col("l_orderkey") * 10 + col("l_linenumber"), 1000L).count()
+      val t2 = System.nanoTime()
+      println(f"  zorder ${(t1 - t0) / 1e9}%.2f s  hilbert ${(t2 - t1) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

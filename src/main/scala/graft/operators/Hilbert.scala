@@ -102,13 +102,23 @@ object Hilbert {
       .intersect(Set("h", "file_id", "__tie", "__one", "__rn"))
     require(clash.isEmpty,
       s"layout: input columns collide with output/internal names: $clash")
+    // Materialize the d-values BEFORE the range exchange: the range
+    // partitioner's sampling job re-executes its input plan, and the
+    // 16-round arithmetic is expensive enough that evaluating it twice
+    // (sample pass + shuffle pass) measurably dominates — 13.6 s vs
+    // 4 s at sf0.1 for the whole layout. ZOrder skips this because its
+    // 5-round shift/mask spread is nearly free to recompute.
     val withH = withHilbert(df, dimA, dimB, out = "h")
       .withColumn("__tie", tieBreak)
       .withColumn("__one", lit(1L))
-    PrefixSum.runningTotal(withH, "__one", Seq("h", "__tie"), cumCol = "__rn")
+      .localCheckpoint()
+    val laid = PrefixSum
+      .runningTotal(withH, "__one", Seq("h", "__tie"), cumCol = "__rn")
       .withColumn("file_id",
         floor((col("__rn") - 1) / lit(rowsPerFile)).cast(LongType))
       .drop("__tie", "__one", "__rn")
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(withH)
+    laid
   }
 
   /** Per-file locality envelopes over a [[layout]] result — the footer

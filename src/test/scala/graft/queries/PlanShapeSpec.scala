@@ -747,6 +747,34 @@ class PlanShapeSpec extends SparkSpec {
       "once), not be re-derived per consumer")
   }
 
+  test("q207/q208/q210: corpus-global order statistics never plan a " +
+       "single-partition window — PrefixSum carries them") {
+    // the scale contract of the AUC/calibration/watermark family: an
+    // empty-partitionBy Window in any executed plan would be the
+    // global-order scale-killer these queries exist to avoid
+    for (name <- Seq("q207_auc_en_score", "q208_score_reliability")) {
+      val plan = finalPlan(CurationQueries.queries(name)(spark, sf))
+      assert(!plan.contains("Window"),
+        s"$name must ride PrefixSum, not a window:\n$plan")
+    }
+    val p210 = finalPlan(AdvancedQueries.queries("q210_watermark_audit")(
+      spark, sf))
+    assert(!p210.contains("Window"),
+      s"the running watermark max must ride PrefixSum:\n$p210")
+  }
+
+  test("q211: source lookups broadcast onto the pair stage — no " +
+       "sort-merge beyond the gated pair shapes, no product") {
+    val plan = finalPlan(PipelineQueries.queries("q211_source_overlap")(
+      spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"source/count lookups must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed joins:\n$plan")
+    assert(!plan.contains("Window"), "cell agg only, no window")
+  }
+
   test("q167: both retrieval legs keep bounded-heap shapes — partial " +
        "top-k aggregate, group-limited rank window, no sort-merge") {
     val plan = finalPlan(PipelineQueries.queries("q167_hybrid_rrf")(
