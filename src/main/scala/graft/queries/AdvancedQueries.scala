@@ -778,6 +778,47 @@ object AdvancedQueries {
       .orderBy("gap_hours")
   }
 
+  /** Exact power-of-two degree banding (band = ⌊log2 deg⌋) as ONE
+    * generated CASE chain — `floor(log2(x))` in floats is
+    * boundary-hazardous (log2(8) can land at 2.999… in one engine and
+    * 3.0 in the other); the CASE compares integers only. The SAME
+    * string feeds Spark's `expr` and the DuckDB oracle, so the bands
+    * cannot drift (the BenfordE9 shared-constant discipline).
+    */
+  private val DegBandSql: String =
+    (20 to 0 by -1).map(k => s"WHEN deg >= ${1L << k} THEN $k")
+      .mkString("CASE ", " ", " ELSE -1 END")
+
+  /** q213 — DEGREE PROFILE of the trade graph: node counts, degree
+    * ranges, and edge-endpoint mass per power-of-two degree band —
+    * the know-your-graph audit BEFORE running the iterative family
+    * (PageRank/HITS/BFS/k-core) on it: a heavy top band means hub
+    * nodes will dominate per-round join fan-out (the skew the salted
+    * and capped paths exist for), a missing tail means the graph is
+    * near-regular and plain hash partitioning is fine. §9's per-round
+    * cost commentary cites edge density; this query makes the
+    * distribution itself a gated artifact. Two hash aggs over the
+    * gated trade-graph shape.
+    */
+  def q213DegreeProfile(s: SparkSession, dir: String): DataFrame = {
+    val rel = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s"), col("l_suppkey")).as("sup"),
+              concat(lit("c"), col("o_custkey")).as("cust"))
+      .distinct()
+    val deg = rel.select(col("sup").as("node"))
+      .unionByName(rel.select(col("cust").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.withColumn("band", expr(DegBandSql).cast("long"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_nodes"),
+           min(col("deg")).as("deg_min"),
+           max(col("deg")).as("deg_max"),
+           sum(col("deg")).as("endpoint_mass"))
+      .orderBy("band")
+  }
+
   /** The dedup APPLY step end-to-end: Jaccard pairs → connected
     * components → per-document kept/dropped flag (one keeper, the min
     * id, per near-dup group; unpaired docs trivially kept). This is the
@@ -2717,6 +2758,7 @@ object AdvancedQueries {
     "q206_nearest_event" -> (q206NearestEvent _),
     "q209_incremental_cc" -> (q209IncrementalCc _),
     "q210_watermark_audit" -> (q210WatermarkAudit _),
+    "q213_degree_profile" -> (q213DegreeProfile _),
     "q38_asof_join"    -> (q38AsofJoin _),
     "q39_salted_join"  -> (q39SaltedJoin _),
     "q40_sketches"     -> (q40Sketches _),
@@ -3294,6 +3336,23 @@ object AdvancedQueries {
         |  (cc.component IS NULL OR cc.component = d.doc_id) AS kept
         |FROM documents d LEFT JOIN cc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q213: identical trade-graph degree CTEs + the SAME generated
+    // band CASE (DegBandSql is the single source for both engines).
+    "q213_degree_profile" ->
+      s"""WITH rel AS (
+         |  SELECT DISTINCT 's' || l_suppkey AS sup, 'c' || o_custkey AS cust
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |deg AS (SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT sup AS node FROM rel
+         |    UNION ALL SELECT cust FROM rel)
+         |  GROUP BY node),
+         |b AS (SELECT deg, $DegBandSql AS band FROM deg)
+         |SELECT CAST(band AS BIGINT) AS band,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(MIN(deg) AS BIGINT) AS deg_min,
+         |  CAST(MAX(deg) AS BIGINT) AS deg_max,
+         |  CAST(SUM(deg) AS BIGINT) AS endpoint_mass
+         |FROM b GROUP BY band ORDER BY band""".stripMargin,
     // q209: THE BATCH RECOMPUTE — q37's oracle verbatim. The split and
     // the merge are Spark-side implementation detail; the theorem under
     // test is that they are invisible in the result.
