@@ -70,28 +70,54 @@ object Bench {
     // depend on map iteration order, making per-query numbers
     // round-to-round noisy (the r3 "q37 regression" was exactly this
     // noise plus machine contention — isolated runs never reproduced it).
-    // The timed pass below therefore measures steady-state plan execution.
+    // The timed passes below therefore measure steady-state plan execution.
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     clearBlocks()
+    // BEST-OF-TWO timed passes per query: wall-clock on a shared box
+    // swings 1.5× with zero plan change (r8 recorded 556 s and 377 s for
+    // byte-identical shuffle metrics); the min of two back-to-back runs
+    // suppresses transient contention spikes, and the load/cpu fields
+    // below let the reader judge whatever noise remains. Shuffle bytes
+    // are pass-invariant, so they come from the second pass.
+    val loadStart = systemLoadAvg
+    val cpuT0 = processCpuNs
+    val wallT0 = System.nanoTime()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearBlocks()
+        dt
+      }
+      val d1 = onePass()
       metrics.reset()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val d2 = onePass()
       val (sw, sr, ms, ds) = metrics.settled
-      clearBlocks()
-      name -> ((dt, sw, sr, ms, ds))
+      name -> ((math.min(d1, d2), sw, sr, ms, ds, d1, d2))
     }
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+    val cpuSec = (processCpuNs - cpuT0) / 1e9
+    val loadEnd = systemLoadAvg
+    // Annotate (never refuse — the driver needs AN artifact) when the
+    // 1-min loadavg exceeds what this bench itself can generate: other
+    // work is stealing the cores and wall times are not trustworthy.
+    val contended = math.max(loadStart, loadEnd) > cpus.toDouble * 1.5
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val qm = results.map { case (k, (_, sw, sr, ms, ds)) =>
+    val qm = results.map { case (k, (_, sw, sr, ms, ds, d1, d2)) =>
       s"\"$k\":{\"shuffle_write_bytes\":$sw,\"shuffle_read_bytes\":$sr," +
-        s"\"mem_spill_bytes\":$ms,\"disk_spill_bytes\":$ds}"
+        s"\"mem_spill_bytes\":$ms,\"disk_spill_bytes\":$ds," +
+        s"\"pass1_sec\":$d1,\"pass2_sec\":$d2}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"sf":"$sfDir","cpus":$cpus,"delta_vs_prev":${deltaVsPrev(results, sfDir, cpus)}}"""
+    val totP1 = results.values.map(_._6).sum
+    val totP2 = results.values.map(_._7).sum
+    val loadLine =
+      f""""load":{"loadavg_1m_start":$loadStart%.2f,"loadavg_1m_end":$loadEnd%.2f,"cpu_wall_ratio":${if (wallSec > 0) cpuSec / wallSec else 0.0}%.2f,"contended":$contended,"total_pass1_sec":$totP1%.1f,"total_pass2_sec":$totP2%.1f}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"sf":"$sfDir","cpus":$cpus,$loadLine,"delta_vs_prev":${deltaVsPrev(results, sfDir, cpus)}}"""
     println(line)
     // The driver's tail capture truncates stdout at 2000 chars (r06 lost
     // every per-query timing that way) — persist the full JSON as a
@@ -105,9 +131,25 @@ object Bench {
     // 7 rounds (`parsed` came back null). The FINAL stdout line is a
     // compact, complete JSON object that always fits the tail; the full
     // detail lives in the committed BENCH_LOCAL artifact.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","detail":"BENCH_LOCAL_r$currentRound.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","contended":$contended,"detail":"BENCH_LOCAL_r$currentRound.json"}""")
     spark.stop()
   }
+
+  /** 1-minute system load average (-1.0 where the platform hides it). */
+  private def systemLoadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Cumulative JVM process CPU time, ns (0 where unavailable). The
+    * cpu/wall ratio over the timed section is the second contention
+    * witness: external load shows as wall growing while our own CPU
+    * share stays flat.
+    */
+  private def processCpuNs: Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => 0L
+    }
 
   /** Round number = max N of CORRECTNESS_r<N>.json present + 1 (the
     * driver writes that file at the END of round N, so during round N
@@ -139,7 +181,7 @@ object Bench {
     * cpus — an absent field is treated as a mismatch (unknown ≠ equal).
     */
   private def deltaVsPrev(
-      results: Iterable[(String, (Double, Long, Long, Long, Long))],
+      results: Iterable[(String, (Double, Long, Long, Long, Long, Double, Double))],
       sfDir: String, cpus: String): String = {
     val prevFile = (1 until currentRound).reverse.iterator
       .map(n => n -> new java.io.File(s"BENCH_LOCAL_r$n.json"))
@@ -166,7 +208,7 @@ object Bench {
         .map(m => m.group(1) -> (m.group(2).toLong + m.group(3).toLong))
         .toMap
       val flagged = results.iterator.collect {
-        case (name, (_, sw, sr, _, _)) if prev.contains(name) &&
+        case (name, (_, sw, sr, _, _, _, _)) if prev.contains(name) &&
             sw + sr > prev(name) * 12L / 10L && sw + sr - prev(name) > 4096L =>
           s"""\"$name\":{\"prev_shuffle_bytes\":${prev(name)},\"now_shuffle_bytes\":${sw + sr}}"""
       }.toSeq

@@ -153,6 +153,94 @@ object Dedup {
     } finally sets.unpersist()
   }
 
+  /** Blocked edit-distance self-join with a LENGTH-BAND composite key —
+    * the shared candidate-generation shape for fuzzy-KEY matching
+    * (catalog titles, author names, product variants; q193's distance
+    * histogram and q197's entity resolution both ride it). Candidate
+    * pairs share every `blockCols` value AND sit in the same or
+    * adjacent length band (band = len div bandWidth); survivors verify
+    * with exact `levenshtein ≤ maxDist` (the threshold form — the
+    * kernel early-exits any pair past the band, O(maxDist·len) not
+    * O(len²)).
+    *
+    * EXACTNESS: lev(a,b) ≤ d forces |len(a) − len(b)| ≤ d, so with
+    * bandWidth > maxDist a qualifying pair spans at most ADJACENT
+    * bands — probing (band, band+1) loses nothing and the output is
+    * identical to the bare blocked join for any bandWidth > maxDist.
+    * The banding is the scale knob the bare key lacks: Σ_b |block|²
+    * becomes Σ_cells |cell|·(|cell|+|cell₊₁|), so one viral blocking
+    * key (a hot product noun at 100 TB) splits across length cells
+    * instead of holding one reducer hostage.
+    *
+    * `maxCellRows` (default 0 = off = exact recall) additionally caps
+    * each (blockCols, band) cell to the cap smallest ids before the
+    * join — the [[capBuckets]] guard for cells that stay hot even
+    * after banding (all-same-length template families). TRADE: pairs
+    * beyond the sample are missed; audit the cell-size distribution
+    * (`groupBy(blockCols :+ band).count()`) before enabling.
+    *
+    * Output: (<idCol>_a, <textCol>_a, <idCol>_b, <textCol>_b, dist)
+    * with id_a < id_b and dist ≤ maxDist. Plan: two equi-joins
+    * shuffled on (blockCols…, __band) — same-band pairs ordered by id,
+    * adjacent-band pairs normalized to id order after the join — the
+    * distance filter inside each join stage, one union. The b-side
+    * exchange is identical in both branches (ReusedExchange); no
+    * cartesian product anywhere.
+    */
+  def blockedSelfJoin(records: DataFrame, idCol: String, textCol: String,
+                      blockCols: Seq[String], maxDist: Int,
+                      bandWidth: Int, maxCellRows: Int = 0): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(bandWidth > maxDist,
+      s"bandWidth ($bandWidth) must exceed maxDist ($maxDist): a " +
+        "qualifying pair's lengths differ by <= maxDist, and only " +
+        "bandWidth > maxDist confines it to same-or-adjacent bands")
+    val reserved = Seq("__id", "__txt", "__band", "__rn")
+    require(!blockCols.exists(reserved.contains),
+      s"blockCols must not use reserved names ${reserved.mkString(", ")}")
+    val idA = s"${idCol}_a"; val idB = s"${idCol}_b"
+    val txtA = s"${textCol}_a"; val txtB = s"${textCol}_b"
+    val base0 = records
+      .select((Seq(col(idCol).as("__id"), col(textCol).as("__txt")) ++
+        blockCols.map(col)): _*)
+      .withColumn("__band",
+        expr(s"CAST(length(__txt) AS BIGINT) div $bandWidth"))
+    val base = if (maxCellRows <= 0) base0 else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy((blockCols :+ "__band").map(col): _*)
+        .orderBy(col("__id"))
+      base0.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= maxCellRows)
+        .drop("__rn")
+    }
+    def side(ic: String, tc: String): DataFrame =
+      base.select((blockCols.map(col) :+ col("__band") :+
+        col("__id").as(ic) :+ col("__txt").as(tc)): _*)
+    val keys = blockCols :+ "__band"
+    val a = side(idA, txtA)
+    val b = side(idB, txtB)
+    def verified(cand: DataFrame): DataFrame = cand
+      .withColumn("dist",
+        levenshtein(col(txtA), col(txtB), maxDist).cast("long"))
+      .filter(col("dist") >= 0L)
+      .select(col(idA), col(txtA), col(idB), col(txtB), col("dist"))
+    // same band: each unordered pair once via the id-order filter
+    val same = verified(a.join(b, keys).filter(col(idA) < col(idB)))
+    // adjacent bands: the lower-band member probes band+1; each such
+    // pair appears exactly once, so normalize to id order via struct
+    // least/greatest (ids are the leading field and must be unique for
+    // the pair-once discipline — same requirement as the bare join).
+    val sa = struct(col(idA).as("id"), col(txtA).as("txt"))
+    val sb = struct(col(idB).as("id"), col(txtB).as("txt"))
+    val adj = verified(
+      a.withColumn("__band", col("__band") + 1L)
+        .join(b, keys)
+        .select(least(sa, sb).as("__p"), greatest(sa, sb).as("__q"))
+        .select(col("__p.id").as(idA), col("__p.txt").as(txtA),
+                col("__q.id").as(idB), col("__q.txt").as(txtB)))
+    same.unionByName(adj)
+  }
+
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin-style,
     * Xiao et al. 2008) — the third pair-generation strategy next to the
     * full inverted index ([[jaccardPairs]]) and MinHash LSH

@@ -886,6 +886,14 @@ object GraphOps {
         .join(settled.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit((i + 1).toLong).as("dist"), col("sigma"))
         .localCheckpoint()
+      // In non-ANSI mode a decimal(38,0) sum that exceeds 1e38 returns
+      // NULL instead of throwing, which would silently degrade those
+      // nodes' path counts; fail fast so overflow surfaces. The scan is
+      // frontier-sized and reads the checkpoint just materialized.
+      val nullSigma = nxt.filter(col("sigma").isNull).count()
+      require(nullSigma == 0L,
+        s"pathCounts: sigma overflowed decimal(38,0) at hop ${i + 1} " +
+          s"for $nullSigma node(s); the exact count is not representable")
       val merged = settled.union(nxt).localCheckpoint()
       if (i > 0)
         org.apache.spark.sql.GraftColumns.unpersistCheckpoint(frontier)

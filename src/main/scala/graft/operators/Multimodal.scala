@@ -296,6 +296,66 @@ object Multimodal {
       .filter(col("mad_e6") <= madE6Max)
   }
 
+  /** Per-image extract-once feature row ([[FeatureStore]] semantics):
+    * dims, BOTH bucket hashes, and the raster for exact verification —
+    * one decode pass serves every downstream image consumer. `hash64`
+    * is None below the 8×8 grid minimum (same images on which
+    * [[aHash64]] itself refuses); a 64-bit consumer over such a family
+    * fails fast rather than silently dropping the rows.
+    */
+  case class ImageFeatures(doc_id: Long, width: Long, height: Long,
+                           hash4: Long, hash64: Option[Long],
+                           px: Array[Long])
+
+  /** Extract-once feature table for an image fixture `family`: one
+    * codec pass per process; consumers read the parquet store.
+    */
+  def featureTable(spark: SparkSession, family: String,
+                   media: => Dataset[MediaRow]): DataFrame =
+    FeatureStore.tableFor(spark, s"image-$family") {
+      import spark.implicits._
+      media.mapPartitions(_.map { r =>
+        val (w, h, px) = decodePixels(r.payload)
+        ImageFeatures(r.doc_id, w.toLong, h.toLong, aHash4(w, h, px),
+                      if (w >= 8 && h >= 8) Some(aHash64(w, h, px))
+                      else None,
+                      px)
+      }).toDF()
+    }
+
+  /** [[imageNearDupPairs]] over an extract-once [[featureTable]]:
+    * identical bucket join + exact MAD verify, reading the signature
+    * store instead of re-decoding.
+    */
+  def imageNearDupPairsFrom(features: DataFrame, madE6Max: Long,
+                            hashBits: Int = 64): DataFrame = {
+    require(hashBits == 4 || hashBits == 64,
+      s"hashBits must be 4 or 64: $hashBits")
+    if (hashBits == 64) {
+      // parity with the direct path, where aHash64 throws on sub-8x8
+      // images: a null hash64 must not silently fall out of the join
+      val small = features.filter(col("hash64").isNull).limit(1)
+        .select("doc_id", "width", "height").collect()
+      require(small.isEmpty,
+        s"aHash64 needs w, h >= 8; feature row ${small.mkString} is smaller")
+    }
+    val hashCol = if (hashBits == 64) "hash64" else "hash4"
+    val hashed = features.select(col("doc_id"), col("width"),
+                                 col("height"), col(hashCol).as("hash"),
+                                 col("px"))
+    val a = hashed.select(col("doc_id").as("doc_a"), col("width"),
+                          col("height"), col("hash"), col("px").as("pxa"))
+    val b = hashed.select(col("doc_id").as("doc_b"), col("width"),
+                          col("height"), col("hash"), col("px").as("pxb"))
+    a.join(b, Seq("width", "height", "hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              expr("""(1000000 * aggregate(zip_with(pxa, pxb,
+                     |  (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v))
+                     |div size(pxa)""".stripMargin).as("mad_e6"))
+      .filter(col("mad_e6") <= madE6Max)
+  }
+
   /** Real-file ingestion path: Spark's `binaryFile` source → decode →
     * per-file features keyed by file name. `binaryFile` streams each
     * file as one row, so payload bytes hit exactly one task and the

@@ -273,6 +273,95 @@ object Video {
            "pixel_sum")
   }
 
+  /** Per-video extract-once feature row: everything the downstream
+    * video queries consume — sampled frame indices/dims/pixel-sums
+    * (q150), the aHash64 fingerprint sequence (q151 buckets, q200
+    * hamming), and the concatenated sampled pixels (q151's exact
+    * verify). One decode pass produces all of it.
+    */
+  case class VideoFeatures(doc_id: Long, n_frames: Long,
+                           idxs: Array[Long], widths: Array[Long],
+                           heights: Array[Long], pxsums: Array[Long],
+                           hashes: Array[Long], px: Array[Long])
+
+  /** Extract-once feature table for a fixture `family` at `stride`
+    * ([[FeatureStore]] semantics: ONE codec pass per process, every
+    * consumer reads the parquet). Payload bytes stay in this narrow
+    * extraction pass — downstream plans exchange only feature columns.
+    */
+  def featureTable(spark: SparkSession, family: String,
+                   media: => Dataset[VideoRow], stride: Int): DataFrame =
+    FeatureStore.tableFor(spark, s"video-$family-s$stride") {
+      import spark.implicits._
+      media.mapPartitions(_.map { r =>
+        val (nFrames, frames) = sampleFrames(r.payload, stride)
+        VideoFeatures(
+          r.doc_id, nFrames.toLong,
+          frames.map(_._1.toLong).toArray,
+          frames.map(_._2.toLong).toArray,
+          frames.map(_._3.toLong).toArray,
+          frames.map { case (_, _, _, px) => px.sum }.toArray,
+          frames.map { case (_, w, h, px) =>
+            Multimodal.aHash64(w, h, px) }.toArray,
+          frames.flatMap(_._4).toArray)
+      }).toDF()
+    }
+
+  /** [[frameFeatures]] over an extract-once [[featureTable]]: one
+    * narrow explode of the per-video arrays — identical output, zero
+    * codec work.
+    */
+  def frameFeaturesFrom(features: DataFrame): DataFrame =
+    features
+      .select(col("doc_id"), col("n_frames"),
+              explode(arrays_zip(col("idxs"), col("widths"),
+                                 col("heights"), col("pxsums"))).as("f"))
+      .select(col("doc_id"), col("n_frames"),
+              col("f.idxs").as("frame_idx"), col("f.widths").as("width"),
+              col("f.heights").as("height"),
+              col("f.pxsums").as("pixel_sum"))
+
+  /** [[sceneChanges]] over an extract-once [[featureTable]]: the
+    * consecutive-hash hamming test as array HOFs over the fingerprint
+    * sequence — identical output, zero codec work, still no shuffle.
+    */
+  def sceneChangesFrom(features: DataFrame, hammingMin: Int): DataFrame =
+    features
+      .withColumn("bounds", expr(
+        s"""CASE WHEN size(hashes) < 2 THEN array()
+           |ELSE filter(transform(sequence(1, size(hashes) - 1),
+           |  i -> CASE WHEN bit_count(hashes[i] ^ hashes[i-1])
+           |                  > $hammingMin
+           |            THEN idxs[i] ELSE CAST(-1 AS BIGINT) END),
+           |  x -> x >= 0) END""".stripMargin))
+      .select(col("doc_id"), col("n_frames"),
+              size(col("hashes")).cast("long").as("n_sampled"),
+              size(col("bounds")).cast("long").as("n_boundaries"),
+              coalesce(array_min(col("bounds")), lit(-1L))
+                .as("first_boundary"))
+
+  /** [[videoNearDupPairs]] over an extract-once [[featureTable]]:
+    * same (n_frames, fingerprint) bucket join and exact pixel verify,
+    * reading the parquet signature store instead of re-decoding (no
+    * localCheckpoint needed — the store IS the materialization).
+    */
+  def videoNearDupPairsFrom(features: DataFrame,
+                            vadE6Max: Long): DataFrame = {
+    val fp = features.select(col("doc_id"), col("n_frames"),
+                             col("hashes").as("fp"), col("px"))
+    val a = fp.select(col("doc_id").as("doc_a"), col("n_frames"),
+                      col("fp"), col("px").as("pxa"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("n_frames"),
+                      col("fp"), col("px").as("pxb"))
+    a.join(b, Seq("n_frames", "fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+              expr("""(1000000 * aggregate(zip_with(pxa, pxb,
+                     |  (x, y) -> abs(x - y)), 0L, (acc, v) -> acc + v))
+                     |div size(pxa)""".stripMargin).as("vad_e6"))
+      .filter(col("vad_e6") <= vadE6Max)
+  }
+
   case class FingerprintedVideo(doc_id: Long, n_frames: Long,
                                 fp: Array[Long], px: Array[Long])
 

@@ -32,6 +32,16 @@ object AdvancedQueries {
     * node absent), so oracle and operator share it. */
   private val BfsMaxHops = 4
 
+  /** Length-band width for the blocked edit-distance joins (q193,
+    * q197). Must exceed the largest edit window used (2) for the
+    * same+adjacent-band probe in [[Dedup.blockedSelfJoin]] to stay
+    * exact (bare-join oracles remain valid); the MINIMUM exact width
+    * (maxDist + 1) maximizes the occupied-cell count — the hot-block
+    * split factor — at fixed exactness, which matters here because
+    * this corpus's names span only ~3 length values per noun.
+    */
+  private val EditBandWidth = 3
+
   /** §2.10-adjacent: sessionization over the event stream. Events are
     * grouped per user into sessions split at gaps > 6h, then rolled up to
     * per-user session stats. The windows shuffle ONCE on user_id; the gap
@@ -341,30 +351,33 @@ object AdvancedQueries {
     * typo moves every containing shingle, but is edit distance 1.
     *
     * Blocking IS the scale semantics, stated rather than hidden: the
-    * candidate stage is quadratic per block, never global — cost
-    * Σ_b |block_b|², so the blocking key's granularity is the knob
-    * (compose the noun with a length band to split hot blocks; the
-    * q184 family-cap pattern applies unchanged if a block still
-    * explodes). Distance itself is Spark's codegen'd `levenshtein` —
-    * identical integer semantics in DuckDB's `levenshtein`, so the
-    * histogram is exactly gateable. dist=0 rows are exact-dup names
-    * (TPC-H's 92-word vocabulary collides), a free exact-dedup signal.
+    * candidate stage rides [[Dedup.blockedSelfJoin]], which composes
+    * the noun with a LENGTH BAND ([[EditBandWidth]] chars, > the edit
+    * window so same+adjacent-band probing is exact — output identical
+    * to the bare noun join) — cost Σ_cells |cell|·(|cell|+|cell₊₁|)
+    * instead of Σ_b |block_b|², so a hot noun block splits instead of
+    * holding one reducer hostage; the q184-style `maxCellRows` cap
+    * remains available for cells hot even after banding. Distance is
+    * Spark's codegen'd `levenshtein` (threshold form) — identical
+    * integer semantics in DuckDB's `levenshtein`, so the histogram is
+    * exactly gateable against the bare-join oracle. dist=0 rows are
+    * exact-dup names (TPC-H's 92-word vocabulary collides), a free
+    * exact-dedup signal.
     *
-    * Plan: one self-join shuffled on the block key, the distance
-    * filter inside the join's codegen stage, then a 3-group agg.
+    * Plan: two equi-joins shuffled on (noun, band) with the distance
+    * filter inside each join stage, a union, then a 3-group agg.
     */
   def q193EditdistBlocked(s: SparkSession, dir: String): DataFrame = {
+    // coalesce to '': Spark's element_at yields NULL for 1-word names
+    // (row silently excluded from blocking) while the oracle's
+    // split_part yields '' (rows block together) — the engines must
+    // agree on degenerate names even though TPC-H never produces one.
     val p = Tables.part(s, dir)
       .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
-              element_at(split(col("p_name"), " "), 2).as("noun"))
-    val a = p.select(col("pk").as("pk_a"), col("nm").as("nm_a"),
-                     col("noun"))
-    val b = p.select(col("pk").as("pk_b"), col("nm").as("nm_b"),
-                     col("noun"))
-    a.join(b, Seq("noun"))
-      .filter(col("pk_a") < col("pk_b"))
-      .select(levenshtein(col("nm_a"), col("nm_b")).cast("long").as("dist"))
-      .filter(col("dist") <= 2)
+              coalesce(element_at(split(col("p_name"), " "), 2), lit(""))
+                .as("noun"))
+    Dedup.blockedSelfJoin(p, "pk", "nm", Seq("noun"),
+                          maxDist = 2, bandWidth = EditBandWidth)
       .groupBy(col("dist"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("dist")
@@ -498,9 +511,10 @@ object AdvancedQueries {
     * (`min_by` over the unique key — deterministic in both engines),
     * member count, and the exact price range in cents.
     *
-    * Scale: cost is Σ_block |block|² like q193 — the blocking key
-    * granularity is the knob, and the match-rule conjuncts belong IN
-    * the join key (here: noun AND brand) not the post-filter. CC is
+    * Scale: the match stage rides [[Dedup.blockedSelfJoin]] like q193
+    * — (noun, brand) composed with the length band, so hot blocks
+    * split — and the match-rule conjuncts belong IN the join key
+    * (here: noun AND brand) not the post-filter. CC is
     * the q37 pointer-jumping shape; survivorship is one map-combined
     * agg over matched nodes only (unmatched records never reach it).
     */
@@ -508,24 +522,23 @@ object AdvancedQueries {
     Tables.part(s, dir)
       .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
               col("p_brand").as("br"),
-              element_at(split(col("p_name"), " "), 2).as("noun"),
+              // '' on 1-word names, matching split_part (see q193)
+              coalesce(element_at(split(col("p_name"), " "), 2), lit(""))
+                .as("noun"),
               floor(col("p_retailprice") * 100).cast("long").as("price_c"))
 
   /** q197's match stage alone (blocked keyed self-join + edit-distance
     * rule), exposed so [[PlanShapeSpec]] can pin its shape — the CC
     * stage checkpoints this plan away from the final query's explain.
+    * Rides [[Dedup.blockedSelfJoin]]: the (noun, brand) key composed
+    * with the length band, so the q193 skew lever is inherited here
+    * (and by any future blocked matcher) rather than re-derived.
     */
-  def erMatchPairs(s: SparkSession, dir: String): DataFrame = {
-    val p = erRecords(s, dir)
-    val a = p.select(col("pk").as("pk_a"), col("nm").as("nm_a"),
-                     col("noun"), col("br"))
-    val b = p.select(col("pk").as("pk_b"), col("nm").as("nm_b"),
-                     col("noun"), col("br"))
-    a.join(b, Seq("noun", "br"))
-      .filter(col("pk_a") < col("pk_b") &&
-              levenshtein(col("nm_a"), col("nm_b")) <= 1)
+  def erMatchPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockedSelfJoin(erRecords(s, dir), "pk", "nm",
+                          Seq("noun", "br"),
+                          maxDist = 1, bandWidth = EditBandWidth)
       .select(col("pk_a"), col("pk_b"))
-  }
 
   def q197EntityResolution(s: SparkSession, dir: String): DataFrame = {
     val p = erRecords(s, dir)
@@ -783,10 +796,12 @@ object AdvancedQueries {
     * boundary-hazardous (log2(8) can land at 2.999… in one engine and
     * 3.0 in the other); the CASE compares integers only. The SAME
     * string feeds Spark's `expr` and the DuckDB oracle, so the bands
-    * cannot drift (the BenfordE9 shared-constant discipline).
+    * cannot drift (the BenfordE9 shared-constant discipline). Bands
+    * cover the full positive-long range (k ≤ 62), so the banding is
+    * exactly ⌊log2 deg⌋ for every representable degree.
     */
   private val DegBandSql: String =
-    (20 to 0 by -1).map(k => s"WHEN deg >= ${1L << k} THEN $k")
+    (62 to 0 by -1).map(k => s"WHEN deg >= ${1L << k} THEN $k")
       .mkString("CASE ", " ", " ELSE -1 END")
 
   /** q213 — DEGREE PROFILE of the trade graph: node counts, degree

@@ -543,8 +543,11 @@ object PipelineQueries {
     val textPairs = Dedup
       .minhashDedupPairs(docs, "doc_id", "text", n = 3, num = 4, den = 5)
       .select(col("doc_a"), col("doc_b"))
-    val imagePairs = Multimodal.imageNearDupPairs(
-        s, Multimodal.withPayload(s, docs),
+    // extract-once: the image leg reads the per-process feature store
+    // (one decode pass per family per process, [[FeatureStore]])
+    val imagePairs = Multimodal.imageNearDupPairsFrom(
+        Multimodal.featureTable(s, s"grad-$dir",
+                                Multimodal.withPayload(s, docs)),
         madE6Max = 15000000L, hashBits = 4)
       .select(col("doc_a"), col("doc_b"))
     Dedup.applyDedup(docs.select("doc_id"), "doc_id",
@@ -619,8 +622,11 @@ object PipelineQueries {
     * breaks the gate.
     */
   def q150VideoFrames(s: SparkSession, dir: String): DataFrame =
-    Video.frameFeatures(s, Video.withPayload(s, Tables.documents(s, dir)),
-                        stride = 4)
+    // extract-once: reads the per-process frame-feature store
+    // ([[Video.featureTable]]); decode happens once per family/process
+    Video.frameFeaturesFrom(
+        Video.featureTable(s, s"grad-$dir",
+          Video.withPayload(s, Tables.documents(s, dir)), stride = 4))
       .orderBy("doc_id", "frame_idx")
 
   /** q151 — video near-duplicate pairs ([[Video.videoNearDupPairs]]):
@@ -636,10 +642,12 @@ object PipelineQueries {
     */
   def q151VideoNeardup(s: SparkSession, dir: String): DataFrame =
     // 8e6 sits in the measured gap: close re-encodes verify at
-    // 1.84-2.13e6, degraded copies at 25e6 (all candidates, all cut)
-    Video.videoNearDupPairs(
-        s, Video.withDupPayload(s, Tables.documents(s, dir)),
-        stride = 4, vadE6Max = 8000000L)
+    // 1.84-2.13e6, degraded copies at 25e6 (all candidates, all cut).
+    // extract-once: fingerprints + rasters come from the feature store.
+    Video.videoNearDupPairsFrom(
+        Video.featureTable(s, s"dup-$dir",
+          Video.withDupPayload(s, Tables.documents(s, dir)), stride = 4),
+        vadE6Max = 8000000L)
       .orderBy("doc_a", "doc_b")
 
   /** q200 — SCENE-CHANGE detection ([[Video.sceneChanges]]): per
@@ -656,9 +664,11 @@ object PipelineQueries {
     * economics (one narrow map; a video's frames never span rows).
     */
   def q200SceneCuts(s: SparkSession, dir: String): DataFrame =
-    Video.sceneChanges(
-        s, Video.withScenePayload(s, Tables.documents(s, dir)),
-        stride = 2, hammingMin = 16)
+    // extract-once: hamming over the stored fingerprint sequences
+    Video.sceneChangesFrom(
+        Video.featureTable(s, s"scene-$dir",
+          Video.withScenePayload(s, Tables.documents(s, dir)), stride = 2),
+        hammingMin = 16)
       .orderBy("doc_id")
 
   /** q204 — MINHASH CALIBRATION AUDIT: the q93 measure-before-trusting

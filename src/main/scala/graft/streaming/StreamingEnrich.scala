@@ -35,6 +35,14 @@ object StreamingEnrich {
                  dim: DataFrame, dimKey: String, attrCol: String)
       : DataFrame = {
     val eventCols = events.columns
+    // Collision guard (the Hilbert.withHilbert convention): the join
+    // introduces these names on the dim side; a same-named event column
+    // would make the join condition/select ambiguous or silently wrong.
+    val reserved = Set(attrCol, "__dk", "valid_from_us", "valid_to_us")
+    val clash = eventCols.filter(reserved)
+    require(clash.isEmpty,
+      s"enrichScd2: events must not carry column(s) ${clash.mkString(", ")}" +
+        " — they collide with the dimension-side names the join introduces")
     val d = dim.select(col(dimKey).as("__dk"), col(attrCol),
                        col("valid_from_us"), col("valid_to_us"))
     events.join(d,

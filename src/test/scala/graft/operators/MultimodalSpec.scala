@@ -153,4 +153,38 @@ class MultimodalSpec extends SparkSpec {
     assert(r5.width === w.toLong && r5.height === h.toLong &&
            r5.n_pixels === w.toLong * h)
   }
+
+  test("extract-once image pairs match the direct decode path (both " +
+       "hash widths, matching families)") {
+    import spark.implicits._
+    val docs = (0L to 24L).toDF("doc_id")
+    // 4-bit parity on the basic family (has sub-8x8 cards, like q145)
+    val feats4 = Multimodal.featureTable(spark, "spec-png",
+      Multimodal.withPayload(spark, docs))
+    val direct4 = Multimodal.imageNearDupPairs(
+        spark, Multimodal.withPayload(spark, docs),
+        madE6Max = 15000000L, hashBits = 4)
+      .collect().map(_.toString).toSet
+    val stored4 = Multimodal.imageNearDupPairsFrom(
+        feats4, madE6Max = 15000000L, hashBits = 4)
+      .collect().map(_.toString).toSet
+    assert(stored4 === direct4)
+    // 64-bit parity on the grid family (all >= 8x8, like q144)
+    val feats64 = Multimodal.featureTable(spark, "spec-png-grid",
+      Multimodal.withGridPayload(spark, docs))
+    val direct64 = Multimodal.imageNearDupPairs(
+        spark, Multimodal.withGridPayload(spark, docs),
+        madE6Max = 15000000L, hashBits = 64)
+      .collect().map(_.toString).toSet
+    val stored64 = Multimodal.imageNearDupPairsFrom(
+        feats64, madE6Max = 15000000L, hashBits = 64)
+      .collect().map(_.toString).toSet
+    assert(stored64 === direct64)
+    // a 64-bit consumer over the small-image family fails fast, like
+    // the direct path's aHash64 require
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairsFrom(feats4, madE6Max = 1L,
+                                       hashBits = 64)
+    }
+  }
 }

@@ -125,4 +125,45 @@ class VideoSpec extends SparkSpec {
       assert(r.getLong(4) === -1L)
     }
   }
+
+  test("extract-once feature-table consumers match the direct decode " +
+       "paths row for row") {
+    import spark.implicits._
+    val docs = (0L to 24L).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+
+    val gradF = Video.featureTable(spark, "spec-grad",
+      Video.withPayload(spark, docs), stride = 4)
+    assert(rows(Video.frameFeaturesFrom(gradF)) ===
+           rows(Video.frameFeatures(spark, Video.withPayload(spark, docs),
+                                    stride = 4)))
+
+    val dupF = Video.featureTable(spark, "spec-dup",
+      Video.withDupPayload(spark, docs), stride = 4)
+    assert(rows(Video.videoNearDupPairsFrom(dupF, vadE6Max = 8000000L)) ===
+           rows(Video.videoNearDupPairs(
+             spark, Video.withDupPayload(spark, docs),
+             stride = 4, vadE6Max = 8000000L)))
+
+    val sceneF = Video.featureTable(spark, "spec-scene",
+      Video.withScenePayload(spark, docs), stride = 2)
+    assert(rows(Video.sceneChangesFrom(sceneF, hammingMin = 16)) ===
+           rows(Video.sceneChanges(
+             spark, Video.withScenePayload(spark, docs),
+             stride = 2, hammingMin = 16)))
+  }
+
+  test("feature table builds ONCE per key per process (extract-once)") {
+    import spark.implicits._
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def media = {
+      builds.incrementAndGet()
+      Video.withPayload(spark, (0L to 3L).toDF("doc_id"))
+    }
+    val n1 = Video.featureTable(spark, "spec-once", media, 4).count()
+    val n2 = Video.featureTable(spark, "spec-once", media, 4).count()
+    assert(n1 === n2 && n1 === 4L)
+    assert(builds.get() === 1, "second call must read the store, not decode")
+  }
 }

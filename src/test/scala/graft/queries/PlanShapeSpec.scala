@@ -879,6 +879,17 @@ class PlanShapeSpec extends SparkSpec {
       "pure hash-agg pipeline")
   }
 
+  test("q193: blocked edit-distance joins on (noun, length band) — " +
+       "the hot-block split rides the join key") {
+    val plan = finalPlan(AdvancedQueries.q193EditdistBlocked(spark, sf))
+    assert(plan.contains("__band"),
+      s"the length band must ride the shuffle key — a bare-noun join " +
+        s"is the unmitigated Σ|block|² pocket:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "no cartesian product")
+    assert(plan.contains("Union"),
+      "same-band and adjacent-band branches union (exactness contract)")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
