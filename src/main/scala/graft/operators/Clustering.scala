@@ -65,6 +65,9 @@ object Clustering {
   /** Run `iters` Lloyd iterations from centroids = the `k` lowest-id
     * vectors; returns (vec_id, cid, dist2) — each vector's final cluster
     * and its integer squared distance to that centroid.
+    *
+    * RELEASE CONTRACT: result == handle (the
+    * [[graft.operators.Dedup.containmentPairs]] convention).
     */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    k: Int, dims: Int, iters: Int): DataFrame = {

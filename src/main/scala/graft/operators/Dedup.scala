@@ -454,6 +454,10 @@ object Dedup {
     * with true Jaccard on the shingle-string sets (not the hashed sets, so
     * h32 collisions cannot distort the decision) and filtered to
     * J ≥ num/den in integer arithmetic.
+    *
+    * RELEASE CONTRACT: result == handle, the [[containmentPairs]]
+    * convention (same for [[jaccardPairs]]' capped path and
+    * [[ppjoinPairs]]).
     */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, num: Int, den: Int,
@@ -484,6 +488,8 @@ object Dedup {
     * shingle arrays) — is DELETED once the verified pairs are
     * materialized; pass `keepSets = true` to retain it for resuming a
     * multi-stage run (the caller then owns cleanup).
+    *
+    * RELEASE CONTRACT: result == handle ([[containmentPairs]]).
     */
   def minhashDedupPairsCheckpointed(
       docs: DataFrame, idCol: String, textCol: String,
@@ -536,6 +542,9 @@ object Dedup {
     * oracle. Emits (batch_id, corpus_id, inter_cnt, union_cnt). Callers
     * must keep batch and corpus id spaces disjoint (shared ids would
     * denote distinct rows but produce indistinguishable output pairs).
+    *
+    * RELEASE CONTRACT: result == handle ([[containmentPairs]]) — the
+    * per-increment discipline a long-lived ingest loop needs.
     */
   def incrementalMinhashPairs(corpus: DataFrame, batch: DataFrame,
                               idCol: String, textCol: String,
@@ -962,6 +971,8 @@ object Dedup {
     * keeps collision lists short into the 10⁷-doc range; beyond that,
     * raise bands (wider candidate net, smaller keys) only as maxHamming
     * demands and rely on AQE skew handling for hot buckets.
+    *
+    * RELEASE CONTRACT: result == handle ([[containmentPairs]]).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {

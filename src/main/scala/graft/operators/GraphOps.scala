@@ -34,6 +34,13 @@ object GraphOps {
     *
     * Output: (vertex, component) — component = min vertex id reachable.
     * Only vertices appearing in `edges` are labeled.
+    *
+    * RELEASE CONTRACT: the returned frame is the final round's
+    * localCheckpoint and doubles as the release handle (every
+    * per-round intermediate is already released) — long-lived callers
+    * `GraftColumns.unpersistCheckpoint(result)` once done; one-shot
+    * batch queries can let session cleanup collect it. Same contract
+    * for [[connectedComponentsWithStats]].
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 50): DataFrame =
@@ -152,6 +159,10 @@ object GraphOps {
     * nondeterminism this formulation removes).
     *
     * Output: (node, rank_units) for every node appearing in `edges`.
+    *
+    * RELEASE CONTRACT: result == handle (the [[connectedComponents]]
+    * convention) — the final ranks checkpoint is the only block the
+    * result pins; intermediates are released before return.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, totalUnits: Long = 1000000000000L,
@@ -382,6 +393,10 @@ object GraphOps {
     * Output: (node, hub_e6, auth_e6). Nodes with no out-edges have
     * hub 0 (resp. auth 0 for no in-edges) — not an error, the
     * definition.
+    *
+    * RELEASE CONTRACT: result == handle (the [[connectedComponents]]
+    * convention; the result joins the final hub/auth checkpoints,
+    * both released by `unpersistCheckpoint`'s deep traversal).
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int, scale: Long = 1000000L): DataFrame = {
@@ -570,6 +585,10 @@ object GraphOps {
     *
     * Output: (node, community) for every vertex with at least one
     * edge; community = the adopted label after `iterations` rounds.
+    *
+    * RELEASE CONTRACT: result == handle (the [[connectedComponents]]
+    * convention; the result projects over the final labels checkpoint,
+    * which `unpersistCheckpoint`'s deep traversal still releases).
     */
   def labelPropagation(edges: DataFrame, uCol: String, vCol: String,
                        iterations: Int): DataFrame = {
@@ -631,6 +650,11 @@ object GraphOps {
     * the k-core (≥ k by construction). Multi-edges count once (the
     * input is distinct-ed); self-loops are dropped.
     * Returns (result, rounds) — rounds is the ScaleProbe diagnostic.
+    *
+    * RELEASE CONTRACT: result == handle (the [[connectedComponents]]
+    * convention; the result aggregates over the surviving-edge
+    * checkpoint, released by `unpersistCheckpoint`'s deep traversal).
+    * Same contract for [[kCore]].
     */
   def kCoreWithStats(edges: DataFrame, uCol: String, vCol: String,
                      k: Int, maxRounds: Int = 50): (DataFrame, Int) = {
@@ -703,6 +727,16 @@ object GraphOps {
     * Input contract: `labels` columns (id, comp) with comp = the
     * component's min node id (this function's own output shape);
     * ids in `newEdges` may be new nodes.
+    *
+    * RELEASE CONTRACT: the returned frame is its own localCheckpoint
+    * and doubles as the release handle (the [[graft.operators.Dedup]]
+    * `containmentPairs` convention) — the internal CC's blocks are
+    * already released before return, and the result's plan contains
+    * NO caller-owned frame, so a maintenance loop can
+    * `GraftColumns.unpersistCheckpoint(result)` each increment
+    * without touching its own inputs. This operator exists for
+    * long-lived incremental loops, where an unreleased per-increment
+    * result is exactly the storage leak that kills week-long runs.
     */
   def mergeComponents(labels: DataFrame, newEdges: DataFrame,
                       srcCol: String, dstCol: String): DataFrame = {
@@ -719,7 +753,9 @@ object GraphOps {
     val newOnly = merged
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("__mc").as("comp"))
-    kept.unionByName(newOnly)
+    val out = kept.unionByName(newOnly).localCheckpoint()
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(merged)
+    out
   }
 
   /** Multi-source BFS: minimum hop distance from any seed vertex,

@@ -266,6 +266,12 @@ object Multimodal {
     * LSH-family index here, the gate covers "the pairs this index
     * surfaces" — recall is the knob (hash bits / grid), measured per
     * deployment, not silently assumed.
+    *
+    * RELEASE CONTRACT: the returned plan reads the internal signature
+    * checkpoint, which `GraftColumns.unpersistCheckpoint(result)`'s
+    * deep traversal releases once the caller is done — or prefer the
+    * extract-once [[imageNearDupPairsFrom]] + [[featureTable]] path,
+    * which pins no blocks at all.
     */
   def imageNearDupPairs(spark: SparkSession, media: Dataset[MediaRow],
                         madE6Max: Long, hashBits: Int = 64): DataFrame = {

@@ -274,6 +274,9 @@ object Similarity {
     * a fixed k on a growing corpus is the degenerate regime where
     * Σ|cluster|² reverts toward n² (the §9 fixed-k curve). Explicit
     * k > 0 is honored unchanged (the q73 gate pins k = 8).
+    *
+    * RELEASE CONTRACT: result == handle (the
+    * [[graft.operators.Dedup.containmentPairs]] convention).
     */
   def semDedup(emb: DataFrame, minSimE6: Long, k: Int = 8,
                dims: Int = 64, iters: Int = 3,
@@ -389,6 +392,9 @@ object Similarity {
     * quantized cache, which carries only id + subvector columns).
     * Output: (qid, vec_id, adc2, rnk) — integer ADC dist², rank ascending
     * (nearest first), ties → lower vec_id, self excluded.
+    *
+    * RELEASE CONTRACT: result == handle (the
+    * [[graft.operators.Dedup.containmentPairs]] convention).
     */
   def pqTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
              m: Int = 4, subDims: Int = 16, codeK: Int = 16,
@@ -420,6 +426,9 @@ object Similarity {
     *
     * `queryPred` must be a predicate over `vec_id` (see [[pqTopK]]).
     * Output: (qid, vec_id, adc2, rnk).
+    *
+    * RELEASE CONTRACT: result == handle (the
+    * [[graft.operators.Dedup.containmentPairs]] convention).
     */
   def ivfPqTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
                 k: Int, nCentroids: Int = 8, nProbe: Int = 2,

@@ -373,6 +373,12 @@ object Video {
     * frames, floor-scaled e6 per compared pixel. Decode-once
     * (localCheckpoint signature store), bucket → verify, never
     * all-pairs.
+    *
+    * RELEASE CONTRACT: the returned plan reads the internal signature
+    * checkpoint, which `GraftColumns.unpersistCheckpoint(result)`'s
+    * deep traversal releases once the caller is done — or prefer the
+    * extract-once [[videoNearDupPairsFrom]] + [[featureTable]] path,
+    * which pins no blocks at all.
     */
   def videoNearDupPairs(spark: SparkSession, media: Dataset[VideoRow],
                         stride: Int, vadE6Max: Long): DataFrame = {

@@ -834,6 +834,40 @@ object AdvancedQueries {
       .orderBy("band")
   }
 
+  /** q214 — EVENT-TIME INTERVAL JOIN, batch form: every (error,
+    * purchase) pair of the SAME user where the purchase lands in
+    * [error_ts, error_ts + 1h] — the does-the-error-precede-a-sale
+    * attribution shape, and the exact batch semantics of
+    * [[graft.streaming.StreamingJoins.intervalJoin]] (key equality +
+    * right ts in [left ts, left ts + within]). This row is the
+    * streaming operator's INDEPENDENT gate: [[StreamingJoinsSpec]]
+    * replays the same events table through MemoryStream micro-batches
+    * and asserts its emitted set equals this query's output, while the
+    * DuckDB oracle gates this query — so the streamed form is checked
+    * against SQL end to end, not merely against another Spark plan.
+    *
+    * Plan: ONE shuffle per side on user_id, the interval bounds as a
+    * join-stage filter — exactly the state-store hash-join shape the
+    * streaming form uses, with state ≈ key-rate × interval. The gap is
+    * exact integer microseconds in both engines.
+    */
+  def q214IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val ev = Tables.events(s, dir)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+              unix_micros(col("ts")).as("err_us"))
+    val purs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pur_id"),
+              unix_micros(col("ts")).as("pur_us"))
+    errs.join(purs, Seq("user_id"))
+      .filter(col("pur_us") >= col("err_us") &&
+              col("pur_us") <= col("err_us") + HourUs)
+      .select(col("user_id"), col("err_id"), col("pur_id"),
+              (col("pur_us") - col("err_us")).as("gap_us"))
+      .orderBy("err_id", "pur_id")
+  }
+
   /** The dedup APPLY step end-to-end: Jaccard pairs → connected
     * components → per-document kept/dropped flag (one keeper, the min
     * id, per near-dup group; unpaired docs trivially kept). This is the
@@ -2774,6 +2808,7 @@ object AdvancedQueries {
     "q209_incremental_cc" -> (q209IncrementalCc _),
     "q210_watermark_audit" -> (q210WatermarkAudit _),
     "q213_degree_profile" -> (q213DegreeProfile _),
+    "q214_interval_join" -> (q214IntervalJoin _),
     "q38_asof_join"    -> (q38AsofJoin _),
     "q39_salted_join"  -> (q39SaltedJoin _),
     "q40_sketches"     -> (q40Sketches _),
@@ -3368,6 +3403,22 @@ object AdvancedQueries {
          |  CAST(MAX(deg) AS BIGINT) AS deg_max,
          |  CAST(SUM(deg) AS BIGINT) AS endpoint_mass
          |FROM b GROUP BY band ORDER BY band""".stripMargin,
+    // q214: the plain SQL interval join — key equality + right ts in
+    // [left ts, left ts + 1h]; the gap is integer microseconds.
+    "q214_interval_join" ->
+      """WITH er AS (
+        |  SELECT user_id, event_id AS err_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS err_us
+        |  FROM events WHERE event_type = 'error'),
+        |pu AS (
+        |  SELECT user_id, event_id AS pur_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS pur_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT er.user_id, err_id, pur_id,
+        |  CAST(pur_us - err_us AS BIGINT) AS gap_us
+        |FROM er JOIN pu ON er.user_id = pu.user_id
+        |  AND pur_us >= err_us AND pur_us <= err_us + 3600000000
+        |ORDER BY err_id, pur_id""".stripMargin,
     // q209: THE BATCH RECOMPUTE — q37's oracle verbatim. The split and
     // the merge are Spark-side implementation detail; the theorem under
     // test is that they are invisible in the result.

@@ -24,11 +24,20 @@ object GraftColumns {
     * reference (ContextCleaner). Explicit release bounds an iterative
     * operator's storage footprint to O(1) rounds instead of O(rounds) —
     * on a long-lived 100 TB session that difference is executor storage
-    * eviction pressure. No-op for non-checkpointed plans; the caller must
-    * be done reading the Dataset (the blocks are NOT recomputable).
+    * eviction pressure.
+    *
+    * Releases EVERY local checkpoint the plan transitively reads (the
+    * whole analyzed tree, not just a root `LogicalRDD`), so an
+    * operator result that is a narrow projection/join OVER its final
+    * checkpoints still works as its own release handle — the
+    * "result == handle" contract the graft operators document. The
+    * caller must therefore OWN the full plan: only release a frame
+    * whose checkpointed inputs were all created by the operator that
+    * returned it, and only once done reading it (blocks are NOT
+    * recomputable). No-op for plans with no checkpoint.
     */
   def unpersistCheckpoint(df: Dataset[_]): Unit =
-    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
       case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false); ()
       case _ => ()
     }

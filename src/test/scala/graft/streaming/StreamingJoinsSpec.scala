@@ -116,4 +116,65 @@ class StreamingJoinsSpec extends SparkSpec {
           s"only-batch=${batch -- streamed}")
     } finally q.stop()
   }
+
+  case class Err(user_id: Long, err_id: Long, lts: Timestamp)
+  case class Pur(p_user: Long, pur_id: Long, rts: Timestamp)
+
+  test("streamed interval join equals the oracle-gated batch form " +
+       "(q214) on the real events table") {
+    // q214's DuckDB oracle gates the batch form; this assertion closes
+    // the chain for the streamed form: replaying the SAME events table
+    // through MemoryStream micro-batches must emit exactly the batch
+    // pairs. Chronological replay + a lenient watermark, so state
+    // expiry (tested above) never drops a legitimate match here.
+    implicit val sqlCtx = spark.sqlContext
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("event_type"))
+      .orderBy("ts").collect()
+    // ts may surface as LocalDateTime (TIMESTAMP_NTZ) or Instant
+    // depending on the reader config; convert WITHOUT losing the
+    // microsecond precision the join boundaries depend on
+    def asTs(v: Any): Timestamp = v match {
+      case t: Timestamp                => t
+      case l: java.time.LocalDateTime  => Timestamp.valueOf(l)
+      case i: java.time.Instant        => Timestamp.from(i)
+    }
+    val errs = ev.filter(_.getString(3) == "error")
+      .map(r => Err(r.getLong(1), r.getLong(0), asTs(r.get(2))))
+    val purs = ev.filter(_.getString(3) == "purchase")
+      .map(r => Pur(r.getLong(1), r.getLong(0), asTs(r.get(2))))
+    assert(errs.nonEmpty && purs.nonEmpty)
+
+    val em = MemoryStream[Err]
+    val pm = MemoryStream[Pur]
+    val out = StreamingJoins.intervalJoin(
+        em.toDF(), "lts", "user_id",
+        pm.toDF(), "rts", "p_user",
+        delay = "40 days", within = "1 hour")
+    val q = out.select(col("err_id"), col("pur_id"),
+                       (unix_micros(col("rts")) -
+                         unix_micros(col("lts"))).as("gap_us"))
+      .writeStream.format("memory").queryName("ij_q214")
+      .outputMode("append").start()
+    try {
+      val eSlice = (errs.length + 2) / 3
+      val pSlice = (purs.length + 2) / 3
+      for (part <- 0 until 3) {
+        em.addData(errs.slice(part * eSlice, (part + 1) * eSlice): _*)
+        pm.addData(purs.slice(part * pSlice, (part + 1) * pSlice): _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ij_q214").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.queries.AdvancedQueries
+        .queries("q214_interval_join")(spark, sf)
+        .select("err_id", "pur_id", "gap_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch.nonEmpty, "the real events must produce matches")
+      assert(streamed === batch,
+        s"stream/batch diverge: only-stream=${streamed -- batch} " +
+          s"only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
 }
