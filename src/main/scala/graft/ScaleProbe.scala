@@ -15,14 +15,16 @@ import graft.operators.{Clustering, Dedup, GraphOps, Membership, Packing, Simila
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
-    val only = args.lift(1) // optional substring filter on probe names
+    // optional comma-separated substring filter on probe names
+    val only = args.lift(1).map(_.split(',').toSeq)
     val spark = GraftSession.local("scale-probe")
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
     // expensive setups below are `lazy val`s so a filtered run only pays
     // for the inputs its probes actually consume; time() returns whether
     // the probe ran so conditional teardown (unpersist) can follow suit
-    def wanted(name: String): Boolean = only.forall(name.contains)
+    def wanted(name: String): Boolean =
+      only.forall(_.exists(name.contains))
     def time(name: String)(f: => Unit): Boolean =
       if (!wanted(name)) { println(s"SCALE $name skipped"); false }
       else {

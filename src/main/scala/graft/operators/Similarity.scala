@@ -119,6 +119,53 @@ object Similarity {
               e6(col("cos")).as("sim_e6"))
   }
 
+  /** MUTUAL top-k near-neighbor pairs (reciprocal-kNN) over the LSH
+    * candidate graph: (a, b) survives iff b is in a's top-k AND a is in
+    * b's top-k among each side's bucket-collision candidates. One-sided
+    * kNN keeps hub vectors (a centroid-ish vector lands in everyone's
+    * top-k without anyone landing in its own); MUTUAL kNN is the
+    * standard symmetric near-dup/match criterion (RNN matching) that
+    * kills hubs without a similarity threshold to tune.
+    *
+    * Plan: one bucket self-join for candidates (O(n·tables) rows,
+    * never n² — the [[lshNearDupPairs]] candidate economics), exact
+    * cosine on candidates, ONE window shuffle on qid for both
+    * directions' ranks (each direction is a filter over the same
+    * ranked frame), then one keyed join on the normalized pair. Recall
+    * is the LSH-config knob, measured by the q93-style audit — the
+    * gate covers the pairs this index surfaces.
+    *
+    * Output: (vec_a, vec_b, rnk_ab, rnk_ba, sim_e6), vec_a < vec_b.
+    */
+  def mutualTopK(emb: DataFrame, k: Int, tables: Int = 16,
+                 planesPerTable: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val buckets = lshBuckets(emb, tables, planesPerTable)
+    val qb = buckets.select(col("vec_id").as("qid"), col("t"),
+                            col("bucket"))
+    val cand = qb.join(buckets, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val qv = emb.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val cv = emb.select(col("vec_id"), col("embedding").as("cv"))
+    val scored = cand.join(qv, "qid").join(cv, "vec_id")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val topk = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("rnk"),
+              e6(col("cos")).as("sim_e6"))
+    val ab = topk.filter(col("qid") < col("vec_id"))
+      .select(col("qid").as("vec_a"), col("vec_id").as("vec_b"),
+              col("rnk").as("rnk_ab"), col("sim_e6"))
+    val ba = topk.filter(col("qid") > col("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("qid").as("vec_b"),
+              col("rnk").as("rnk_ba"))
+    ab.join(ba, Seq("vec_a", "vec_b"))
+      .select("vec_a", "vec_b", "rnk_ab", "rnk_ba", "sim_e6")
+  }
+
   /** IVF (inverted-file) ANN top-k: the other classic scale path next to
     * LSH. A small set of coarse centroids partitions the corpus
     * (assignment = nearest centroid by cosine); a query probes only its

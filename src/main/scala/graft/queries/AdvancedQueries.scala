@@ -868,6 +868,42 @@ object AdvancedQueries {
       .orderBy("err_id", "pur_id")
   }
 
+  /** q217 — LEFT-OUTER interval join, batch form: q214's semantics
+    * with UNMATCHED errors surfacing as null-purchase rows — the "did
+    * this error convert, or not" attribution table, and the batch
+    * form of [[graft.streaming.StreamingJoins.intervalJoinLeftOuter]]
+    * (outer emission is the part of a streaming join people get
+    * wrong: a null row may only emit once the watermark proves no
+    * match can still arrive, which [[StreamingJoinsSpec]] checks by
+    * replaying THESE events and comparing to THIS query). Null
+    * handling across engines: both sides surface genuine SQL NULLs
+    * and the driver compare treats them positionally after its own
+    * sort, so no sentinel encoding is needed.
+    *
+    * Plan: same keyed shuffle as q214 with left-outer semantics; the
+    * interval bounds ride the join condition (not a post-filter,
+    * which would turn matched-but-out-of-window rows into spurious
+    * null rows).
+    */
+  def q217IntervalJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val HourUs = 3600000000L
+    val ev = Tables.events(s, dir)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+              unix_micros(col("ts")).as("err_us"))
+    val purs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("pur_id"),
+              unix_micros(col("ts")).as("pur_us"))
+    errs.join(purs,
+        col("user_id") === col("p_user") &&
+          col("pur_us") >= col("err_us") &&
+          col("pur_us") <= col("err_us") + HourUs,
+        "left")
+      .select(col("user_id"), col("err_id"), col("pur_id"),
+              (col("pur_us") - col("err_us")).as("gap_us"))
+      .orderBy("err_id", "pur_id")
+  }
+
   /** The dedup APPLY step end-to-end: Jaccard pairs → connected
     * components → per-document kept/dropped flag (one keeper, the min
     * id, per near-dup group; unpaired docs trivially kept). This is the
@@ -2809,6 +2845,7 @@ object AdvancedQueries {
     "q210_watermark_audit" -> (q210WatermarkAudit _),
     "q213_degree_profile" -> (q213DegreeProfile _),
     "q214_interval_join" -> (q214IntervalJoin _),
+    "q217_interval_outer" -> (q217IntervalJoinOuter _),
     "q38_asof_join"    -> (q38AsofJoin _),
     "q39_salted_join"  -> (q39SaltedJoin _),
     "q40_sketches"     -> (q40Sketches _),
@@ -3417,6 +3454,22 @@ object AdvancedQueries {
         |SELECT er.user_id, err_id, pur_id,
         |  CAST(pur_us - err_us AS BIGINT) AS gap_us
         |FROM er JOIN pu ON er.user_id = pu.user_id
+        |  AND pur_us >= err_us AND pur_us <= err_us + 3600000000
+        |ORDER BY err_id, pur_id""".stripMargin,
+    // q217: q214 LEFT OUTER — unmatched errors keep NULL purchase
+    // columns in both engines.
+    "q217_interval_outer" ->
+      """WITH er AS (
+        |  SELECT user_id, event_id AS err_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS err_us
+        |  FROM events WHERE event_type = 'error'),
+        |pu AS (
+        |  SELECT user_id AS p_user, event_id AS pur_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS pur_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT er.user_id, err_id, pur_id,
+        |  CAST(pur_us - err_us AS BIGINT) AS gap_us
+        |FROM er LEFT JOIN pu ON er.user_id = pu.p_user
         |  AND pur_us >= err_us AND pur_us <= err_us + 3600000000
         |ORDER BY err_id, pur_id""".stripMargin,
     // q209: THE BATCH RECOMPUTE — q37's oracle verbatim. The split and

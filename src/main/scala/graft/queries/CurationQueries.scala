@@ -1126,6 +1126,38 @@ object CurationQueries {
                 .as("q_e6"))
   }
 
+  /** q216 — RECENCY-DECAY WEIGHTS: per-user activity mass with an
+    * exponential half-life over event age — the freshness-weighting
+    * primitive a data-mixing stage runs when newer crawl snapshots
+    * should outweigh older ones (the q78 epoch-mix knob's
+    * time-continuous sibling). Decay is EXACT integer arithmetic:
+    * weight_e6 = 1e6 div 2^(age_days div 7) — a power-of-two
+    * half-life realized as one shift, so both engines agree bit for
+    * bit where a float exp() would drift in the last ulp and break
+    * the hash gate. The anchor ("now") is the corpus max event date,
+    * broadcast as a 1-row frame (never a driver collect); the shift
+    * is capped at 62 so ancient events floor to 0 instead of
+    * overflowing the shift width.
+    *
+    * Plan: one 1-row agg broadcast onto the scan, per-row integer
+    * arithmetic, ONE map-combined groupBy(user). Nothing here grows
+    * faster than the event scan.
+    */
+  def q216DecayWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val anchor = ev.agg(max(col("d")).as("anchor"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("age_days", datediff(col("anchor"), col("d")).cast("long"))
+      .withColumn("w_e6", expr(
+        "1000000 div shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(least(age_days div 7, 62) AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w_e6")).as("freshness_e6"))
+      .orderBy("user_id")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1163,6 +1195,7 @@ object CurationQueries {
     "q207_auc_en_score"    -> (q207AucEnScore _),
     "q208_score_reliability" -> (q208ScoreReliability _),
     "q212_modularity"      -> (q212Modularity _),
+    "q216_decay_weights"   -> (q216DecayWeights _),
     "q139_pair_lift"       -> (q139PairLift _),
     "q166_frequent_triples" -> (q166FrequentTriples _),
     "q143_clustering_coeff" -> (q143ClusteringCoeff _),
@@ -1909,6 +1942,19 @@ object CurationQueries {
         |SELECT node, CAST(label AS BIGINT) AS community
         |FROM l3 ORDER BY node""".stripMargin,
     // q212: the q152 chunk-graph + unrolled-LPA CTEs extended with
+    // q216: the power-of-two decay as an integer shift — both engines
+    // agree bit for bit; anchor = max event date.
+    "q216_decay_weights" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |a AS (SELECT MAX(d) AS anchor FROM ev),
+        |w AS (SELECT user_id,
+        |        1000000 // (1::BIGINT <<
+        |          CAST(least(date_diff('day', d, anchor) // 7, 62)
+        |               AS INT)) AS w_e6
+        |      FROM ev CROSS JOIN a)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(w_e6) AS BIGINT) AS freshness_e6
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
     // degree/within-edge/margin aggregates and the HUGEINT rational;
     // signed numerator divides as |num| with the sign multiplied back.
     "q212_modularity" ->

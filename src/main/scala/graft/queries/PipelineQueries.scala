@@ -405,6 +405,25 @@ object PipelineQueries {
       .withColumn("rnk", col("rnk").cast("long"))
       .orderBy("qid", "rnk")
 
+  /** q215 — MUTUAL top-k pairs (reciprocal-kNN,
+    * [[Similarity.mutualTopK]]): (a, b) kept iff each is in the
+    * other's top-3 among its LSH bucket-collision candidates — the
+    * symmetric matching criterion that drops hub vectors one-sided kNN
+    * keeps (a near-centroid vector lands in everyone's top-k without
+    * reciprocating), with no similarity threshold to tune. Candidates
+    * are bucket-bound (the q25/q65 economics), ranks ride ONE window
+    * shuffle, the mutual test is one keyed join on the normalized
+    * pair. The oracle replays hyperplanes → buckets → candidates →
+    * cosine ranks → the reciprocity join, so a single flipped rank
+    * order or a missed candidate breaks the hash.
+    */
+  def q215MutualKnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.mutualTopK(Tables.embeddings(s, dir), k = 3,
+                          tables = AnnTables, planesPerTable = AnnPlanes)
+      .withColumn("rnk_ab", col("rnk_ab").cast("long"))
+      .withColumn("rnk_ba", col("rnk_ba").cast("long"))
+      .orderBy("vec_a", "vec_b")
+
   /** n-gram language-ID heuristic: per-language stopword-hit scores,
     * argmax with alphabetical tie-break.
     */
@@ -1060,6 +1079,7 @@ object PipelineQueries {
     "q150_video_frames"    -> (q150VideoFrames _),
     "q151_video_neardup"   -> (q151VideoNeardup _),
     "q200_scene_cuts"      -> (q200SceneCuts _),
+    "q215_mutual_knn"      -> (q215MutualKnn _),
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
     "q146_bm25"            -> (q146Bm25 _),
     "q201_sparse_topk"     -> (q201SparseTopk _),
@@ -1950,6 +1970,36 @@ object PipelineQueries {
          |SELECT qid, vec_id AS neighbor_id, rnk,
          |  CAST(floor(cos * 1000000) AS BIGINT) AS sim_e6
          |FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // q215: the q25 chain with ALL vectors as queries, then the
+    // reciprocity self-join on the normalized pair.
+    "q215_mutual_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |${lshSigBuckCte(AnnTables, AnnPlanes)},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
+         |  FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+         |  WHERE c.vec_id <> q.vec_id),
+         |s AS (SELECT cand.qid, cand.vec_id, ${cosSql("qv", "cv")} AS cos
+         |      FROM cand
+         |      JOIN (SELECT vec_id AS qid, v AS qv FROM e) qe
+         |        ON qe.qid = cand.qid
+         |      JOIN (SELECT vec_id, v AS cv FROM e) ce
+         |        ON ce.vec_id = cand.vec_id),
+         |r AS (SELECT qid, vec_id, cos,
+         |        row_number() OVER (PARTITION BY qid
+         |                           ORDER BY cos DESC, vec_id) AS rnk
+         |      FROM s),
+         |tk AS (SELECT * FROM r WHERE rnk <= 3),
+         |ab AS (SELECT qid AS vec_a, vec_id AS vec_b,
+         |         CAST(rnk AS BIGINT) AS rnk_ab,
+         |         CAST(floor(cos * 1000000) AS BIGINT) AS sim_e6
+         |       FROM tk WHERE qid < vec_id),
+         |ba AS (SELECT vec_id AS vec_a, qid AS vec_b,
+         |         CAST(rnk AS BIGINT) AS rnk_ba
+         |       FROM tk WHERE qid > vec_id)
+         |SELECT vec_a, vec_b, rnk_ab, rnk_ba, sim_e6
+         |FROM ab JOIN ba USING (vec_a, vec_b)
+         |ORDER BY vec_a, vec_b""".stripMargin,
     // q48: Hamming distance summed over the two unsigned halves — no
     // signed reassembly needed for bit_count(xor).
     "q48_simhash_pairs" ->

@@ -31,4 +31,28 @@ object StreamingJoins {
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
   }
+
+  /** LEFT-OUTER interval join: [[intervalJoin]]'s matches plus a
+    * null-right row for every left event whose interval expires
+    * unmatched. The null row may only emit once the watermark PROVES
+    * no match can still arrive (left ts + within + delay behind the
+    * right watermark) — so outer results trail the stream by the
+    * interval plus the late tolerance, which is the correctness/
+    * latency trade outer stream joins inherently make. State bounds
+    * are identical to the inner form. Batch-equivalent semantics =
+    * the plain SQL LEFT JOIN with the interval in the join condition
+    * (q217 gates it).
+    */
+  def intervalJoinLeftOuter(left: DataFrame, leftTs: String,
+                            leftKey: String, right: DataFrame,
+                            rightTs: String, rightKey: String,
+                            delay: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+      "leftOuter")
+  }
 }

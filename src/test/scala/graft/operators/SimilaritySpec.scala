@@ -40,4 +40,26 @@ class SimilaritySpec extends SparkSpec {
               col("label").as("qlabel"))
     assert(Similarity.hardNegatives(emb, queries, k = 3).count() === 0)
   }
+
+  test("mutualTopK emits exactly the reciprocal subset of the " +
+       "one-sided top-k lists") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // one-sided lists via the gated annTopK path, every vector a query
+    val oneSided = Similarity.annTopK(emb, queryPred = lit(true), k = 3)
+      .select("qid", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val top = oneSided.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val expected = oneSided.collect {
+      case (a, b) if a < b && top.getOrElse(b, Set.empty).contains(a) =>
+        (a, b)
+    }.toSet
+    val got = Similarity.mutualTopK(emb, k = 3)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (a, b) => a < b })
+    assert(got === expected,
+      s"only-got=${got -- expected} only-expected=${expected -- got}")
+    assert(expected.nonEmpty, "fixture must produce mutual pairs")
+  }
 }

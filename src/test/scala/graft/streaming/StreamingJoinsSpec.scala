@@ -177,4 +177,70 @@ class StreamingJoinsSpec extends SparkSpec {
           s"only-batch=${batch -- streamed}")
     } finally q.stop()
   }
+
+  test("streamed LEFT-OUTER interval join equals the oracle-gated " +
+       "batch form (q217) once the watermark flushes unmatched state") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("event_type"))
+      .orderBy("ts").collect()
+    def asTs(v: Any): Timestamp = v match {
+      case t: Timestamp                => t
+      case l: java.time.LocalDateTime  => Timestamp.valueOf(l)
+      case i: java.time.Instant        => Timestamp.from(i)
+    }
+    val errs = ev.filter(_.getString(3) == "error")
+      .map(r => Err(r.getLong(1), r.getLong(0), asTs(r.get(2))))
+    val purs = ev.filter(_.getString(3) == "purchase")
+      .map(r => Pur(r.getLong(1), r.getLong(0), asTs(r.get(2))))
+    val maxMs = ev.map(r => asTs(r.get(2)).getTime).max
+    // sentinel events far past every interval+delay: advancing the
+    // watermark is what licenses the outer null emissions
+    def sentinel(plusDays: Int) =
+      new Timestamp(maxMs + plusDays * 86400000L)
+
+    val em = MemoryStream[Err]
+    val pm = MemoryStream[Pur]
+    val out = StreamingJoins.intervalJoinLeftOuter(
+        em.toDF(), "lts", "user_id",
+        pm.toDF(), "rts", "p_user",
+        delay = "1 hour", within = "1 hour")
+    val q = out.select(col("user_id"), col("err_id"), col("pur_id"),
+                       (unix_micros(col("rts")) -
+                         unix_micros(col("lts"))).as("gap_us"))
+      .writeStream.format("memory").queryName("ij_q217")
+      .outputMode("append").start()
+    try {
+      val eSlice = (errs.length + 2) / 3
+      val pSlice = (purs.length + 2) / 3
+      for (part <- 0 until 3) {
+        em.addData(errs.slice(part * eSlice, (part + 1) * eSlice): _*)
+        pm.addData(purs.slice(part * pSlice, (part + 1) * pSlice): _*)
+        q.processAllAvailable()
+      }
+      // two sentinel rounds: the watermark computed at batch N applies
+      // at batch N+1, so eviction (and the outer null flush) needs one
+      // more batch after the time advance
+      for (d <- Seq(100, 101)) {
+        em.addData(Err(-1L, -1L, sentinel(d)))
+        pm.addData(Pur(-1L, -1L, sentinel(d)))
+        q.processAllAvailable()
+      }
+      def nl(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      val streamed = spark.table("ij_q217").collect()
+        .filter(_.getLong(0) >= 0) // drop sentinel rows
+        .map(r => (r.getLong(1), nl(r, 2), nl(r, 3))).toSet
+      val batch = graft.queries.AdvancedQueries
+        .queries("q217_interval_outer")(spark, sf)
+        .select("err_id", "pur_id", "gap_us").collect()
+        .map(r => (r.getLong(0), nl(r, 1), nl(r, 2))).toSet
+      assert(batch.exists(_._2.isEmpty),
+        "the real events must include unmatched errors")
+      assert(streamed === batch,
+        s"stream/batch diverge: only-stream=${streamed -- batch} " +
+          s"only-batch=${batch -- streamed}")
+    } finally q.stop()
+  }
 }
