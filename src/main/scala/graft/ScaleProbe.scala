@@ -379,6 +379,15 @@ object ScaleProbe {
     time(s"ann_lsh_${mult}x") {
       Similarity.annTopK(emb, col("vec_id") < 20, k = 3).count()
     }
+    // --- mutual top-k pairs (q215 shape): EVERY vector is a query, so
+    // the cost is the full bucket self-join (the q65 candidate shape)
+    // plus one corpus-wide ranking window. Exact copies share buckets,
+    // so candidates grow with true near-dup mass — time must track
+    // candidates, never n²; mutual pairs grow ~quadratically per copy
+    // family (every copy reciprocates its siblings inside the top-k cap).
+    time(s"mutual_knn_${mult}x") {
+      println("  mutual pairs: " + Similarity.mutualTopK(emb, k = 3).count())
+    }
     // --- LSH ANN recall/cost frontier (q25/q93 shape): sweep tables ×
     // planes at k=3 over the 20-query panel — recall vs candidate count
     // is the knob's tradeoff; the shipped default must sit at a

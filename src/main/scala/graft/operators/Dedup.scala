@@ -651,6 +651,29 @@ object Dedup {
     * engine-native hash is fine here (contrast with the oracle-visible
     * PortableHash values). Pure per-row expressions: zero shuffle.
     */
+  /** RAW band-collision candidate pairs — the LSH index's emission
+    * BEFORE exact verification, exposed for index-quality audits (what
+    * precision does the sketch alone buy? q218) and for callers with a
+    * custom verify rule. Same banding as [[minhashDedupPairs]]; output
+    * (doc_a, doc_b), doc_a < doc_b, distinct.
+    */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String,
+                            textCol: String, n: Int,
+                            numPerm: Int = 128, bands: Int = 32)
+      : DataFrame = {
+    val sets = Partitioning.spread(docs).select(
+        col(idCol).as("doc_id"),
+        TextFunctions.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val b = bandKeys(sets, numPerm, bands)
+    b.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      .join(b.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+            Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
   private def bandKeys(sets: DataFrame, numPerm: Int, bands: Int): DataFrame = {
     val rows = numPerm / bands
     sets

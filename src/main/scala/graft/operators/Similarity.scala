@@ -130,8 +130,9 @@ object Similarity {
     * Plan: one bucket self-join for candidates (O(n·tables) rows,
     * never n² — the [[lshNearDupPairs]] candidate economics), exact
     * cosine on candidates, ONE window shuffle on qid for both
-    * directions' ranks (each direction is a filter over the same
-    * ranked frame), then one keyed join on the normalized pair. Recall
+    * directions' ranks, then ONE map-combined agg on the normalized
+    * pair (never a two-branch self-join, which would recompute the
+    * ranking window per branch). Recall
     * is the LSH-config knob, measured by the q93-style audit — the
     * gate covers the pairs this index surfaces.
     *
@@ -156,13 +157,20 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("rnk"),
               e6(col("cos")).as("sim_e6"))
-    val ab = topk.filter(col("qid") < col("vec_id"))
-      .select(col("qid").as("vec_a"), col("vec_id").as("vec_b"),
-              col("rnk").as("rnk_ab"), col("sim_e6"))
-    val ba = topk.filter(col("qid") > col("vec_id"))
-      .select(col("vec_id").as("vec_a"), col("qid").as("vec_b"),
-              col("rnk").as("rnk_ba"))
-    ab.join(ba, Seq("vec_a", "vec_b"))
+    // reciprocity as ONE hash agg over the normalized pair — the ranked
+    // frame is consumed once (a two-branch self-join would recompute
+    // the ranking window per branch); a pair is mutual iff both
+    // directions contributed a row
+    topk
+      .select(least(col("qid"), col("vec_id")).as("vec_a"),
+              greatest(col("qid"), col("vec_id")).as("vec_b"),
+              (col("qid") < col("vec_id")).as("fwd"),
+              col("rnk"), col("sim_e6"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(when(col("fwd"), col("rnk"))).as("rnk_ab"),
+           max(when(!col("fwd"), col("rnk"))).as("rnk_ba"),
+           max(col("sim_e6")).as("sim_e6"))
+      .filter(col("rnk_ab").isNotNull && col("rnk_ba").isNotNull)
       .select("vec_a", "vec_b", "rnk_ab", "rnk_ba", "sim_e6")
   }
 

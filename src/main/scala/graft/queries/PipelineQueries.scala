@@ -424,6 +424,55 @@ object PipelineQueries {
       .withColumn("rnk_ba", col("rnk_ba").cast("long"))
       .orderBy("vec_a", "vec_b")
 
+  /** q218 — INDEX AGREEMENT AUDIT: precision/recall of each near-dup
+    * index against the EXACT Jaccard truth at the same threshold
+    * (4/5) — the q93/q204 measure-before-trusting discipline applied
+    * to the dedup sketches themselves. Three rows: the raw MinHash
+    * band-collision candidates ([[Dedup.minhashCandidatePairs]] —
+    * what the sketch alone buys, precision < 1), the exact-verified
+    * MinHash pairs (precision ≡ 1e6 BY CONSTRUCTION — the gate checks
+    * the arithmetic actually delivers that), and SimHash at hamming
+    * ≤ 3 (a different similarity notion — both metrics report how it
+    * relates to Jaccard truth on THIS corpus). This is the table a
+    * deployment reads before choosing its index config; recall gaps
+    * here are exactly the "index recall is a knob, measured per
+    * deployment" contract made visible.
+    *
+    * Plan: the three gated index shapes + the gated truth shape, one
+    * checkpointed truth frame probed by three left joins, three 1-row
+    * aggs unioned, a broadcast 1-row truth count. No new shuffle
+    * shapes.
+    */
+  def q218IndexAgreement(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val docs = Tables.documents(s, dir)
+    val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
+                                   n = 3, num = 4, den = 5)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val t = truth.withColumn("__t", lit(1L))
+    def row(name: String, idx: DataFrame): DataFrame =
+      idx.select("doc_a", "doc_b")
+        .join(t, Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+             coalesce(sum(col("__t")), lit(0L)).as("n_true"))
+        .withColumn("index_name", lit(name))
+    val rows = row("minhash_cand",
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text", n = 3))
+      .unionByName(row("minhash_verified",
+        Dedup.minhashDedupPairs(docs, "doc_id", "text",
+                                n = 3, num = 4, den = 5)))
+      .unionByName(row("simhash_h3",
+        Dedup.simhashPairs(docs, "doc_id", "text")))
+    rows.crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("index_name"), col("n_pairs"), col("n_true"),
+              when(col("n_pairs") === 0, 0L)
+                .otherwise(expr("(1000000 * n_true) div n_pairs"))
+                .as("precision_e6"),
+              expr("(1000000 * n_true) div n_truth").as("recall_e6"))
+      .orderBy("index_name")
+  }
+
   /** n-gram language-ID heuristic: per-language stopword-hit scores,
     * argmax with alphabetical tie-break.
     */
@@ -1080,6 +1129,7 @@ object PipelineQueries {
     "q151_video_neardup"   -> (q151VideoNeardup _),
     "q200_scene_cuts"      -> (q200SceneCuts _),
     "q215_mutual_knn"      -> (q215MutualKnn _),
+    "q218_index_agreement" -> (q218IndexAgreement _),
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
     "q146_bm25"            -> (q146Bm25 _),
     "q201_sparse_topk"     -> (q201SparseTopk _),
@@ -2000,6 +2050,62 @@ object PipelineQueries {
          |SELECT vec_a, vec_b, rnk_ab, rnk_ba, sim_e6
          |FROM ab JOIN ba USING (vec_a, vec_b)
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // q218: exact truth (4/5 Jaccard), the q204 minhash chain for raw
+    // candidates, INTERSECT for verified pairs, the q48 simhash chain —
+    // all composed into one precision/recall table.
+    "q218_index_agreement" ->
+      s"""WITH $shingleSetsCte,
+         |truth AS (
+         |  SELECT p.doc_a, p.doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      COUNT(*) AS inter_cnt
+         |    FROM sh a JOIN sh b USING (shingle)
+         |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
+         |  JOIN sz sa ON sa.doc_id = p.doc_a
+         |  JOIN sz sb ON sb.doc_id = p.doc_b
+         |  WHERE inter_cnt * 5 >= (sa.sz + sb.sz - inter_cnt) * 4),
+         |hs AS (SELECT doc_id, shingle,
+         |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+         |       FROM sh),
+         |sigrows AS (
+         |  SELECT doc_id, p.p AS perm,
+         |    MIN(((((p.p * 2654435761) % 536870912) * 2 + 1) * h
+         |         + (p.p * 1013904223) % 2147483647) % 4294967311) AS m
+         |  FROM hs CROSS JOIN range(128) p(p)
+         |  GROUP BY doc_id, p.p),
+         |bsig AS (SELECT doc_id, perm // 4 AS band,
+         |           list(m ORDER BY perm) AS key
+         |         FROM sigrows GROUP BY doc_id, perm // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bsig a JOIN bsig b
+         |           ON a.band = b.band AND a.key = b.key
+         |              AND a.doc_id < b.doc_id),
+         |mhv AS (SELECT doc_a, doc_b FROM cand
+         |        INTERSECT SELECT doc_a, doc_b FROM truth),
+         |$simhash64Cte,
+         |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+         |           + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3),
+         |stats AS (
+         |  SELECT 'minhash_cand' AS index_name,
+         |    (SELECT COUNT(*) FROM cand) AS n_pairs,
+         |    (SELECT COUNT(*) FROM (SELECT doc_a, doc_b FROM cand
+         |       INTERSECT SELECT doc_a, doc_b FROM truth) x) AS n_true
+         |  UNION ALL SELECT 'minhash_verified',
+         |    (SELECT COUNT(*) FROM mhv), (SELECT COUNT(*) FROM mhv)
+         |  UNION ALL SELECT 'simhash_h3',
+         |    (SELECT COUNT(*) FROM sp),
+         |    (SELECT COUNT(*) FROM (SELECT doc_a, doc_b FROM sp
+         |       INTERSECT SELECT doc_a, doc_b FROM truth) y)),
+         |tn AS (SELECT COUNT(*) AS n_truth FROM truth)
+         |SELECT index_name, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(CASE WHEN n_pairs = 0 THEN 0
+         |       ELSE (1000000 * n_true) // n_pairs END AS BIGINT)
+         |    AS precision_e6,
+         |  CAST((1000000 * n_true) // n_truth AS BIGINT) AS recall_e6
+         |FROM stats CROSS JOIN tn ORDER BY index_name""".stripMargin,
     // q48: Hamming distance summed over the two unsigned halves — no
     // signed reassembly needed for bit_count(xor).
     "q48_simhash_pairs" ->

@@ -890,6 +890,40 @@ class PlanShapeSpec extends SparkSpec {
       "same-band and adjacent-band branches union (exactness contract)")
   }
 
+  test("q215: mutual kNN is bucket-join + ONE ranking window, no cartesian") {
+    val plan = finalPlan(PipelineQueries.q215MutualKnn(spark, sf))
+    assert(!plan.contains("CartesianProduct"),
+      "candidates must come from bucket collisions, never all-pairs")
+    val windows = plan.linesIterator.count(_.contains(" Window ["))
+    assert(windows == 1,
+      s"both directions' ranks must ride ONE window, found $windows:\n$plan")
+  }
+
+  test("q216: decay weights broadcast the 1-row anchor and map-combine " +
+       "the user agg") {
+    val plan = finalPlan(CurationQueries.queries("q216_decay_weights")(
+      spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      "the max-date anchor must broadcast, never shuffle the events")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "per-user agg must keep map-side partials")
+    assert(!plan.contains("Window"), "no window — pure hash aggs")
+  }
+
+  test("q217: outer interval join keeps the range in the join condition") {
+    val plan = finalPlan(AdvancedQueries.queries("q217_interval_outer")(
+      spark, sf))
+    assert(plan.contains("LeftOuter"), "left-outer semantics in the join")
+    assert(!plan.contains("CartesianProduct"))
+    // the range must be a join condition: a post-join Filter on pur_us
+    // would fabricate null rows for matched-but-out-of-window errors
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("LeftOuter"))
+    assert(joinLine.exists(l => l.contains("pur_us")),
+      s"interval bounds must ride the join condition:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
