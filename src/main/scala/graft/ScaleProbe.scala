@@ -702,6 +702,16 @@ object ScaleProbe {
       println("  scored docs: " + graft.operators.LanguageModel
         .scoreDocuments(docs, "doc_id", "text").count())
     }
+    // --- DSIR importance weights (q219 shape): the feature table is
+    // docs × B bounded, the ratio model a fixed B = 64 rows
+    // re-aggregated from it and broadcast back — time must track corpus
+    // tokens linearly (the q133 law), with no term that grows in
+    // vocabulary or in target size.
+    time(s"dsir_weights_${mult}x") {
+      println("  weighted docs: " + graft.operators.Dsir
+        .weights(docs, "doc_id", "text",
+                 pmod(col("doc_id"), lit(3L)) === 0L).count())
+    }
     // --- entity resolution (q197 shape): part records inflated as
     // namespaced copies — the NOUN carries the copy suffix, so blocks
     // stay their original size and family structure is invariant while

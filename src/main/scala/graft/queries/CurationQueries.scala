@@ -924,10 +924,14 @@ object CurationQueries {
        |ORDER BY round""".stripMargin
   }
 
-  /** q98 oracle: the q85 training rounds, then the corpus re-encoded
-    * document-by-document with the same replace chain in merge order.
+  /** The q98 encode chain as a shared CTE block ending at
+    * `d{bpeRoundsN}(doc_id, e)` — the corpus re-encoded
+    * document-by-document with the trained replace chain in merge
+    * order. q98 reads the digest off it; q221 aggregates its token
+    * counts per language (one chain, so the tokenizer under audit
+    * cannot drift from the one the gate verifies).
     */
-  private val bpeEncodeOracleSql: String = {
+  private val bpeEncodeCtes: String = {
     def encCte(i: Int): String = {
       val prev = if (i == 1) "d0" else s"d${i - 1}"
       s"""d$i AS (SELECT doc_id, replace(e,
@@ -935,7 +939,7 @@ object CurationQueries {
          |  '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || '|') AS e
          |  FROM $prev)""".stripMargin
     }
-    s"""WITH $bpeCtePrefix,
+    s"""$bpeCtePrefix,
        |d0 AS (
        |  SELECT doc_id,
        |    array_to_string(list_transform(
@@ -944,13 +948,19 @@ object CurationQueries {
        |      w -> '|' || array_to_string(string_split(w, ''), '||') || '|'),
        |      ' ') AS e
        |  FROM documents),
-       |${(1 to bpeRoundsN).map(encCte).mkString(",\n")}
+       |${(1 to bpeRoundsN).map(encCte).mkString(",\n")}""".stripMargin
+  }
+
+  /** q98 oracle: the q85 training rounds, then the corpus re-encoded
+    * document-by-document with the same replace chain in merge order.
+    */
+  private val bpeEncodeOracleSql: String =
+    s"""WITH $bpeEncodeCtes
        |SELECT doc_id,
        |  CAST((length(e) - length(replace(e, '|', '')))//2 AS BIGINT)
        |    AS n_tokens,
        |  md5(e) AS enc_md5
        |FROM d$bpeRoundsN ORDER BY doc_id""".stripMargin
-  }
 
   /** q133 — bigram language-model quality scoring
     * ([[graft.operators.LanguageModel]]): train bigram conditional
@@ -1158,6 +1168,146 @@ object CurationQueries {
       .orderBy("user_id")
   }
 
+  /** q219 — DSIR-style hashed n-gram importance SELECTION
+    * ([[graft.operators.Dsir.weights]] — see that Scaladoc for the
+    * exact-integer likelihood-ratio surrogate and the one-pass scale
+    * shape): weight every document by its affinity to the TARGET
+    * domain (here lang = 'en'), then keep the top global quartile.
+    * The domain-targeted data-selection primitive: q133 scores fluency
+    * against the corpus's own transitions; this scores DOMAIN AFFINITY
+    * against a declared target subset. The quartile rank rides
+    * [[graft.operators.PrefixSum.runningTotal]] (range exchange +
+    * offsets — never a single-partition window, the q187 discipline).
+    * At sf0.1 the kept quartile measures en-enriched (46.4% en vs
+    * 39.4% corpus-wide) — the signal is live, coarse by design at
+    * B = 64.
+    */
+  def q219DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val docs = Tables.documents(s, dir)
+    val weights = graft.operators.Dsir.weights(
+        docs, "doc_id", "text", col("lang") === "en", buckets = 64)
+      .withColumn("__one", lit(1L))
+    val n = weights.agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.PrefixSum.runningTotal(
+      weights, "__one", Seq("weight_e6", "doc_id"), cumCol = "rank")
+    ranked.crossJoin(broadcast(n))
+      .withColumn("band", expr("((rank - 1) * 4) div n"))
+      .select(col("doc_id"), col("n_tokens"), col("weight_e6"),
+              col("band"), (col("band") === 3L).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** q220 — DOMAIN MIXTURE REWEIGHTING from excess score (the DoReMi
+    * shape — Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds
+    * Up Language Model Pretraining" — with the proxy-model excess LOSS
+    * replaced by the corpus's own q133 score deficit): domains whose
+    * mean LM score falls BELOW the corpus baseline are the ones the
+    * model finds hard/undertrained, so they get mixture weight in
+    * proportion to that deficit; domains at or above baseline share
+    * the floor weight. `excess_e6 = max(0, baseline − mean) + 1` (the
+    * +1 keeps every domain sampleable — DoReMi's uniform smoothing
+    * term), normalized to EXACTLY Σ = 1e6 by largest-remainder
+    * (Hamilton) apportionment — the q172 discipline, driven by a
+    * trained signal instead of raw size. Where q172 answers "how much
+    * of each source fits the budget", this answers "which sources
+    * should the next epoch over-sample".
+    *
+    * All arithmetic exact-integer: means/baseline as floor divisions,
+    * apportionment over decimal(38,0) products. Docs the scorer
+    * doesn't cover (< 2 tokens, q133's contract) carry no evidence
+    * and are absent from the means — stated, not hidden.
+    *
+    * Scale: the corpus-sized work is the q133 scoring chain itself;
+    * everything after the per-source agg is |sources| rows —
+    * control-plane-sized, so the Hamilton window is bounded by domain
+    * cardinality, never corpus size (the q172 note).
+    */
+  def q220DomainReweight(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val d38 = "decimal(38,0)"
+    val docs = Tables.documents(s, dir)
+    val dom = LanguageModel.scoreDocuments(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("score_e6")).as("__ssum"))
+    val base = dom.agg(
+      expr("sum(__ssum) div sum(n_docs)").as("baseline_e6"))
+    val e = dom.crossJoin(broadcast(base))
+      .select(col("source"), col("n_docs"),
+              expr("__ssum div n_docs").as("mean_score_e6"),
+              (greatest(lit(0L),
+                 col("baseline_e6") - expr("__ssum div n_docs")) + 1L)
+                .as("excess_e6"))
+    val tot = e.agg(sum(col("excess_e6")).cast(d38).as("__tot"))
+    val q = e.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("mean_score_e6"),
+              col("excess_e6"),
+              expr(s"(CAST(1000000 AS $d38) * excess_e6) div __tot")
+                .as("__quota"),
+              expr(s"(CAST(1000000 AS $d38) * excess_e6) % __tot")
+                .as("__rem"))
+    val leftover = q.agg((lit(1000000L) - sum(col("__quota"))).as("__left"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("source"))
+    q.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(w))
+      .select(col("source"), col("n_docs"), col("mean_score_e6"),
+              col("excess_e6"),
+              (col("__quota") +
+                when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+                .cast("long").as("weight_e6"))
+      .orderBy("source")
+  }
+
+  /** q221 — TOKENIZER FERTILITY by language: tokens-per-word of the
+    * corpus-trained q98 BPE tokenizer, per `lang` — the tokenizer-
+    * parity audit (a language whose fertility runs far above the
+    * corpus mean pays more sequence length per word, trains on less
+    * effective context, and costs more per token at inference; the
+    * documented multilingual-equity concern). Fertility here is the
+    * exact corpus ratio `(1e6·Σ tokens) div Σ words` per language —
+    * floor-scaled integers, not a float mean of per-doc ratios (which
+    * would weight short docs equally with long ones AND drift the
+    * gate).
+    *
+    * The tokenizer under audit IS the gated q98 chain (same trained
+    * merges, same apply), so this table can never describe a different
+    * tokenizer than the one the encode gate verifies. Words counted
+    * under q98's own eligibility rule (non-empty, no '|' sentinel) —
+    * the denominator is the tokenizer's actual input, not a separate
+    * notion of "word".
+    *
+    * Scale: encode is the q98 shape (merges broadcast as k rows of
+    * control plane, zero shuffle); the audit adds one broadcast-sized
+    * map-combined agg by language. Output is |langs| rows.
+    */
+  def q221TokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.Bpe.trainMerges(docs, "text", rounds = 4)
+      .filter(col("round") <= 4)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = graft.operators.Bpe.encode(docs, "text", Seq("doc_id"), merges)
+      .select(col("doc_id"),
+        shiftright(length(col("encoded")) -
+          length(replace(col("encoded"), lit("|"), lit(""))), 1)
+          .cast("long").as("n_tok"))
+    val words = docs.select(col("doc_id"), col("lang"),
+      size(filter(TextFunctions.words(col("text")),
+          w => (length(w) > 0) && !w.contains("|")))
+        .cast("long").as("n_w"))
+    enc.join(words, Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_w")).as("n_words"),
+           sum(col("n_tok")).as("n_tokens"))
+      .withColumn("fertility_e6",
+        when(col("n_words") === 0L, 0L)
+          .otherwise(expr("(1000000 * n_tokens) div n_words")))
+      .orderBy("lang")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1196,6 +1346,9 @@ object CurationQueries {
     "q208_score_reliability" -> (q208ScoreReliability _),
     "q212_modularity"      -> (q212Modularity _),
     "q216_decay_weights"   -> (q216DecayWeights _),
+    "q219_dsir_select"     -> (q219DsirSelect _),
+    "q220_domain_reweight" -> (q220DomainReweight _),
+    "q221_tokenizer_fertility" -> (q221TokenizerFertility _),
     "q139_pair_lift"       -> (q139PairLift _),
     "q166_frequent_triples" -> (q166FrequentTriples _),
     "q143_clustering_coeff" -> (q143ClusteringCoeff _),
@@ -1955,6 +2108,86 @@ object CurationQueries {
         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(w_e6) AS BIGINT) AS freshness_e6
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // q219: same hashed-feature chain — md5-first-8-hex bucket (the
+    // PortableHash.h32 mirror), Laplace-smoothed scaled ratios on
+    // HUGEINT, per-token mean, exact global quartile by row_number.
+    "q219_dsir_select" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS f,
+        |    COUNT(*) AS c
+        |  FROM tok WHERE length(w) > 0 GROUP BY 1, 2, 3),
+        |m0 AS (
+        |  SELECT f, SUM(c) AS rc,
+        |    SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS tc
+        |  FROM tf GROUP BY 1),
+        |tot AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM m0),
+        |model AS (
+        |  SELECT f, (1000000::HUGEINT * (tc + 1) * (rtot + 64))
+        |           // ((rc + 1)::HUGEINT * (ttot + 64)) AS ratio_e6
+        |  FROM m0 CROSS JOIN tot),
+        |w AS (
+        |  SELECT doc_id, SUM(c) AS n_tokens,
+        |    SUM(c::HUGEINT * ratio_e6) // SUM(c) AS weight_e6
+        |  FROM tf JOIN model USING (f) GROUP BY doc_id),
+        |n AS (SELECT COUNT(*) AS n FROM w),
+        |r AS (SELECT doc_id, n_tokens, weight_e6,
+        |        ROW_NUMBER() OVER (ORDER BY weight_e6, doc_id) AS rnk
+        |      FROM w)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(weight_e6 AS BIGINT) AS weight_e6,
+        |  CAST(((rnk - 1) * 4) // n AS BIGINT) AS band,
+        |  ((rnk - 1) * 4) // n = 3 AS kept
+        |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin,
+    // q220: the shared q133 scoring CTEs (sc), per-source means, the
+    // baseline deficit, and Hamilton apportionment to exactly 1e6.
+    "q220_domain_reweight" ->
+      s"""WITH $lmScoreCte,
+         |dom AS (
+         |  SELECT d.source, COUNT(*) AS n_docs, SUM(score_e6) AS ssum
+         |  FROM sc JOIN documents d USING (doc_id) GROUP BY 1),
+         |b AS (SELECT SUM(ssum) // SUM(n_docs) AS baseline_e6 FROM dom),
+         |e AS (SELECT source, n_docs, ssum // n_docs AS mean_score_e6,
+         |        greatest(0, baseline_e6 - ssum // n_docs) + 1
+         |          AS excess_e6
+         |      FROM dom CROSS JOIN b),
+         |te AS (SELECT SUM(excess_e6) AS tot FROM e),
+         |q AS (SELECT source, n_docs, mean_score_e6, excess_e6,
+         |        (1000000::HUGEINT * excess_e6) // tot AS quota,
+         |        (1000000::HUGEINT * excess_e6) % tot AS rem
+         |      FROM e CROSS JOIN te),
+         |l AS (SELECT 1000000 - SUM(quota) AS leftover FROM q),
+         |r AS (SELECT *, ROW_NUMBER()
+         |        OVER (ORDER BY rem DESC, source ASC) AS rk FROM q)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(mean_score_e6 AS BIGINT) AS mean_score_e6,
+         |  CAST(excess_e6 AS BIGINT) AS excess_e6,
+         |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+         |       AS BIGINT) AS weight_e6
+         |FROM r CROSS JOIN l ORDER BY source""".stripMargin,
+    // q221: the shared q98 encode CTEs, token counts off the final
+    // encoded string, word counts under the same eligibility rule,
+    // one per-language ratio.
+    "q221_tokenizer_fertility" ->
+      s"""WITH $bpeEncodeCtes,
+         |tk AS (SELECT doc_id,
+         |         (length(e) - length(replace(e, '|', ''))) // 2 AS n_tok
+         |       FROM d$bpeRoundsN),
+         |wc AS (SELECT doc_id, lang,
+         |         len(list_filter(string_split(text, ' '),
+         |           w -> length(w) > 0 AND NOT contains(w, '|'))) AS n_w
+         |       FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_w) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN SUM(n_w) = 0 THEN 0
+         |       ELSE (1000000 * SUM(n_tok)) // SUM(n_w) END AS BIGINT)
+         |    AS fertility_e6
+         |FROM tk JOIN wc USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // degree/within-edge/margin aggregates and the HUGEINT rational;
     // signed numerator divides as |num| with the sign multiplied back.
     "q212_modularity" ->

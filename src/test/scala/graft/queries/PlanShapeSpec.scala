@@ -924,6 +924,35 @@ class PlanShapeSpec extends SparkSpec {
       s"interval bounds must ride the join condition:\n$plan")
   }
 
+  test("q219: DSIR model broadcasts onto the feature table; the global " +
+       "quartile rides PrefixSum, never a window") {
+    val plan = finalPlan(CurationQueries.queries("q219_dsir_select")(
+      spark, sf))
+    assert(!plan.contains("Window"),
+      s"the corpus-global rank must ride PrefixSum, not a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 64-row ratio model must broadcast onto doc features:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"only the broadcast model join and 1-row total broadcasts:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"feature counts must map-combine:\n$plan")
+  }
+
+  test("q220: Hamilton apportionment windows only the per-source frame " +
+       "— the corpus-sized work is the scoring chain") {
+    val plan = finalPlan(CurationQueries.queries("q220_domain_reweight")(
+      spark, sf))
+    val windows = plan.linesIterator.count(_.contains(" Window ["))
+    assert(windows == 1,
+      s"exactly ONE window (remainder rank over |sources| rows), " +
+        s"found $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"all cross joins must be broadcast 1-row frames:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"the per-source score agg must map-combine:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
