@@ -380,13 +380,17 @@ object ScaleProbe {
       Similarity.annTopK(emb, col("vec_id") < 20, k = 3).count()
     }
     // --- mutual top-k pairs (q215 shape): EVERY vector is a query, so
-    // the cost is the full bucket self-join (the q65 candidate shape)
-    // plus one corpus-wide ranking window. Exact copies share buckets,
-    // so candidates grow with true near-dup mass — time must track
-    // candidates, never n²; mutual pairs grow ~quadratically per copy
-    // family (every copy reciprocates its siblings inside the top-k cap).
+    // candidate volume is Σ bucket² — under a FIXED plane count that is
+    // n²/2^planes (the 30× run of the fixed-16×4 form OOMed an 8 GiB
+    // heap at 60k vectors: 16 buckets/table × 3.7k occupancy → ~3.6e9
+    // candidate rows). The probe therefore runs the SCALE CONFIG
+    // (targetBucketDocs — autoPlanes bounds expected occupancy), whose
+    // candidates grow ≈ n·target·tables: time must now track n, and
+    // copy families still land intact in shared buckets (sign bits
+    // agree on identical vectors), so family pairs remain exact.
     time(s"mutual_knn_${mult}x") {
-      println("  mutual pairs: " + Similarity.mutualTopK(emb, k = 3).count())
+      println("  mutual pairs: " + Similarity
+        .mutualTopK(emb, k = 3, targetBucketDocs = 64L).count())
     }
     // --- LSH ANN recall/cost frontier (q25/q93 shape): sweep tables ×
     // planes at k=3 over the 20-query panel — recall vs candidate count

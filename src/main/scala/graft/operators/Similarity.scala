@@ -119,6 +119,31 @@ object Similarity {
               e6(col("cos")).as("sim_e6"))
   }
 
+  /** Raise `planesPerTable` until the EXPECTED bucket occupancy
+    * `n / 2^planes` is at most `targetBucketDocs` (one control-plane
+    * `count()` — the q185 auto-k precedent). A fixed plane count makes
+    * bucket COUNT n-independent, so the all-queries candidate
+    * self-join grows as n²/2^planes — exactly the quadratic the §9
+    * probe caught OOMing at 60k vectors under 16 buckets. Bounding
+    * expected occupancy restores candidates ≈ n·target·tables
+    * (linear); duplicate FAMILIES still share buckets under any plane
+    * count (identical vectors agree on every sign bit), so true
+    * near-dup candidates are never split away — only random
+    * collisions are. Recall for moderate-similarity pairs falls as
+    * planes rise: that stays the measured knob (the q93 audit), which
+    * is why the gated configs pin planes explicitly and this lever
+    * defaults OFF (the `maxShingleDf` convention).
+    */
+  private def autoPlanes(emb: DataFrame, planesPerTable: Int,
+                         targetBucketDocs: Long): Int =
+    if (targetBucketDocs <= 0) planesPerTable
+    else {
+      val n = emb.count()
+      var p = planesPerTable
+      while (p < 30 && (n >> p) > targetBucketDocs) p += 1
+      p
+    }
+
   /** MUTUAL top-k near-neighbor pairs (reciprocal-kNN) over the LSH
     * candidate graph: (a, b) survives iff b is in a's top-k AND a is in
     * b's top-k among each side's bucket-collision candidates. One-sided
@@ -127,21 +152,28 @@ object Similarity {
     * standard symmetric near-dup/match criterion (RNN matching) that
     * kills hubs without a similarity threshold to tune.
     *
-    * Plan: one bucket self-join for candidates (O(n·tables) rows,
-    * never n² — the [[lshNearDupPairs]] candidate economics), exact
-    * cosine on candidates, ONE window shuffle on qid for both
-    * directions' ranks, then ONE map-combined agg on the normalized
-    * pair (never a two-branch self-join, which would recompute the
-    * ranking window per branch). Recall
-    * is the LSH-config knob, measured by the q93-style audit — the
-    * gate covers the pairs this index surfaces.
+    * Plan: one bucket self-join for candidates, exact cosine on
+    * candidates, ONE window shuffle on qid for both directions' ranks,
+    * then ONE map-combined agg on the normalized pair (never a
+    * two-branch self-join, which would recompute the ranking window
+    * per branch). EVERY vector is a query here, so candidate volume is
+    * Σ bucket² over all buckets — with a fixed plane count that is
+    * n²/2^planes (the §9 probe measured the blowup at 12× the gated
+    * corpus). At scale, callers MUST set `targetBucketDocs` (> 0):
+    * [[autoPlanes]] then bounds expected bucket occupancy so
+    * candidates grow ≈ n·target·tables, and recall becomes the
+    * measured knob (the q93-style audit) instead of an accident of n.
+    * The gated default keeps the pinned 16×4 config (the measured
+    * ≥0.95-recall point at panel scale).
     *
     * Output: (vec_a, vec_b, rnk_ab, rnk_ba, sim_e6), vec_a < vec_b.
     */
   def mutualTopK(emb: DataFrame, k: Int, tables: Int = 16,
-                 planesPerTable: Int = 4): DataFrame = {
+                 planesPerTable: Int = 4,
+                 targetBucketDocs: Long = 0L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val buckets = lshBuckets(emb, tables, planesPerTable)
+    val buckets = lshBuckets(
+      emb, tables, autoPlanes(emb, planesPerTable, targetBucketDocs))
     val qb = buckets.select(col("vec_id").as("qid"), col("t"),
                             col("bucket"))
     val cand = qb.join(buckets, Seq("t", "bucket"))

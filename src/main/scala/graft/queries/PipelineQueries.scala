@@ -870,6 +870,57 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q222 — VOCABULARY NOVELTY CURVE (the Heaps-law audit): over a
+    * deterministic 10-shard ingest order (shard = portable hash of
+    * doc_id, the q33 split discipline), how many distinct 3-word
+    * shingles each shard contributes for the FIRST time, the running
+    * total, and the shard's novelty rate. The diminishing-returns
+    * curve of adding more data: a flattening `novel_ngrams` column is
+    * the quantitative "more of the same" verdict that motivates
+    * dedup/selection spend over raw volume (Heaps' law makes it
+    * sub-linear even for clean corpora; BELOW-Heaps flattening is the
+    * duplication signal). q155 scores each DOC's novelty against the
+    * corpus; this scores each increment of CORPUS against what came
+    * before.
+    *
+    * Shape: one shingle explode; first-appearance = one map-combined
+    * min-agg BY SHINGLE (the corpus-sized key — never a self-join
+    * against "earlier" shards, which would be quadratic in shards ×
+    * corpus); per-shard distincts one two-key agg; the cumulative sum
+    * rides a window over the 10-ROW shard frame (control-plane-sized,
+    * the q220 Hamilton note). Exact integers throughout.
+    */
+  def q222NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val shardOf = pmod(
+      graft.functions.PortableHash.h32(col("doc_id").cast("string")),
+      lit(10L))
+    val sh = docs.select(shardOf.as("shard"),
+        explode(TextFunctions.shingles(col("text"), 3)).as("shingle"))
+    val nDocs = docs.groupBy(shardOf.as("shard"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perShard = sh.groupBy(col("shard"))
+      .agg(count_distinct(col("shingle")).as("distinct_ngrams"))
+    val novel = sh.groupBy(col("shingle"))
+      .agg(min(col("shard")).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("novel_ngrams"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shard"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.currentRow)
+    nDocs.join(perShard, Seq("shard"), "left")
+      .join(novel, Seq("shard"), "left")
+      .select(col("shard"), col("n_docs"),
+              coalesce(col("distinct_ngrams"), lit(0L))
+                .as("distinct_ngrams"),
+              coalesce(col("novel_ngrams"), lit(0L)).as("novel_ngrams"))
+      .withColumn("cum_novel", sum(col("novel_ngrams")).over(w))
+      .withColumn("novelty_rate_e6",
+        when(col("distinct_ngrams") === 0L, 0L)
+          .otherwise(expr("(1000000 * novel_ngrams) div distinct_ngrams")))
+      .orderBy("shard")
+  }
+
   /** Embedding-cosine near-dup pairs (sim ≥ 0.4), exact baseline. */
   def q31EmbedNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
@@ -1131,6 +1182,7 @@ object PipelineQueries {
     "q215_mutual_knn"      -> (q215MutualKnn _),
     "q218_index_agreement" -> (q218IndexAgreement _),
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
+    "q222_novelty_curve"   -> (q222NoveltyCurve _),
     "q146_bm25"            -> (q146Bm25 _),
     "q201_sparse_topk"     -> (q201SparseTopk _),
     "q204_minhash_calibration" -> (q204MinhashCalibration _),
@@ -2469,6 +2521,32 @@ object PipelineQueries {
         |    / COUNT(*)) AS BIGINT) AS novelty_e6
         |FROM sh JOIN df USING (shingle)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    // q222: the shared shingle CTE + the md5 shard hash; novelty =
+    // first-appearance shard per shingle (one min-agg, never an
+    // earlier-shard self-join), cumulative over the 10-row frame.
+    "q222_novelty_curve" ->
+      s"""WITH $shingleSetsCte,
+         |shd AS (SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 10 AS shard
+         |  FROM documents),
+         |s2 AS (SELECT shard, shingle FROM sh JOIN shd USING (doc_id)),
+         |nd AS (SELECT shard, COUNT(*) AS n_docs FROM shd GROUP BY 1),
+         |ps AS (SELECT shard, COUNT(DISTINCT shingle) AS distinct_ngrams
+         |       FROM s2 GROUP BY 1),
+         |nv AS (SELECT shard, COUNT(*) AS novel_ngrams FROM (
+         |         SELECT shingle, MIN(shard) AS shard FROM s2 GROUP BY 1)
+         |       GROUP BY 1)
+         |SELECT nd.shard, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(COALESCE(distinct_ngrams, 0) AS BIGINT) AS distinct_ngrams,
+         |  CAST(COALESCE(novel_ngrams, 0) AS BIGINT) AS novel_ngrams,
+         |  CAST(SUM(COALESCE(novel_ngrams, 0)) OVER (ORDER BY nd.shard)
+         |       AS BIGINT) AS cum_novel,
+         |  CAST(CASE WHEN COALESCE(distinct_ngrams, 0) = 0 THEN 0
+         |       ELSE (1000000 * novel_ngrams) // distinct_ngrams END
+         |       AS BIGINT) AS novelty_rate_e6
+         |FROM nd LEFT JOIN ps USING (shard) LEFT JOIN nv USING (shard)
+         |ORDER BY shard""".stripMargin,
     // q150: the oracle re-derives the gradient-card arithmetic for
     // exactly the stride-4 sampled frame indices — the Spark side must
     // produce the same sums from ACTUAL container walking + ImageIO

@@ -62,4 +62,34 @@ class SimilaritySpec extends SparkSpec {
       s"only-got=${got -- expected} only-expected=${expected -- got}")
     assert(expected.nonEmpty, "fixture must produce mutual pairs")
   }
+
+  test("mutualTopK targetBucketDocs ≡ the explicitly-derived plane " +
+       "count, and identical copies stay mutual under it") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    // replicate autoPlanes: raise p from the default 4 until expected
+    // occupancy n/2^p is at most the target
+    var p = 4
+    while (p < 30 && (n >> p) > 8L) p += 1
+    assert(p > 4, "fixture must actually trigger the auto-raise")
+    val auto = Similarity.mutualTopK(emb, k = 3, targetBucketDocs = 8L)
+      .collect().map(_.toSeq).toSet
+    val explicit = Similarity.mutualTopK(emb, k = 3, planesPerTable = p)
+      .collect().map(_.toSeq).toSet
+    assert(auto === explicit,
+      "auto mode must be exactly the derived explicit config")
+    // exact copies agree on every sign bit, so a duplicated vector and
+    // its twin must survive any plane count as a mutual pair
+    val twin = emb.limit(1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+              col("label"))
+    val baseId = emb.limit(1).select("vec_id").collect()(0).getLong(0)
+    val withTwin = emb.unionByName(twin)
+    val pairs = Similarity
+      .mutualTopK(withTwin, k = 3, targetBucketDocs = 8L)
+      .filter(col("vec_a") === baseId &&
+              col("vec_b") === baseId + 1000000L)
+    assert(pairs.count() == 1L,
+      "an identical copy must remain a mutual pair under auto planes")
+  }
 }
