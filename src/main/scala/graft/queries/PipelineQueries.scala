@@ -469,7 +469,12 @@ object PipelineQueries {
               when(col("n_pairs") === 0, 0L)
                 .otherwise(expr("(1000000 * n_true) div n_pairs"))
                 .as("precision_e6"),
-              expr("(1000000 * n_true) div n_truth").as("recall_e6"))
+              // zero-truth guard on BOTH engines: Spark's div would
+              // null, DuckDB's // would error — the guard keeps the
+              // degenerate corpus (no true pairs) a 0-recall row
+              when(col("n_truth") === 0, 0L)
+                .otherwise(expr("(1000000 * n_true) div n_truth"))
+                .as("recall_e6"))
       .orderBy("index_name")
   }
 
@@ -921,6 +926,24 @@ object PipelineQueries {
       .orderBy("shard")
   }
 
+  /** q223 — WINNOWING fingerprint pairs ([[graft.operators.Winnowing]]
+    * — the MOSS algorithm, Schleimer et al. 2003): documents sharing
+    * ≥ 2 winnowed fingerprint hashes (k = 3 words, window = 4, so any
+    * shared run of ≥ 6 words is GUARANTEED at least one shared
+    * fingerprint — a detection threshold, where MinHash q22 gives a
+    * similarity estimate and CDC q100 a boundary structure).
+    * Fingerprint selection is per-row array arithmetic with the
+    * min-hash-rightmost-pos tie-break PACKED into one integer key, so
+    * both engines share a formula instead of argmin semantics; the
+    * only shuffles are the fingerprint-hash self-join and the pair
+    * count.
+    */
+  def q223WinnowingPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Winnowing.sharedFingerprintPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        window = 4, minShared = 2L)
+      .orderBy("doc_a", "doc_b")
+
   /** Embedding-cosine near-dup pairs (sim ≥ 0.4), exact baseline. */
   def q31EmbedNeardup(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(Tables.embeddings(s, dir), minSimE6 = 400000L)
@@ -1183,6 +1206,7 @@ object PipelineQueries {
     "q218_index_agreement" -> (q218IndexAgreement _),
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
     "q222_novelty_curve"   -> (q222NoveltyCurve _),
+    "q223_winnowing"       -> (q223WinnowingPairs _),
     "q146_bm25"            -> (q146Bm25 _),
     "q201_sparse_topk"     -> (q201SparseTopk _),
     "q204_minhash_calibration" -> (q204MinhashCalibration _),
@@ -2156,7 +2180,9 @@ object PipelineQueries {
          |  CAST(CASE WHEN n_pairs = 0 THEN 0
          |       ELSE (1000000 * n_true) // n_pairs END AS BIGINT)
          |    AS precision_e6,
-         |  CAST((1000000 * n_true) // n_truth AS BIGINT) AS recall_e6
+         |  CAST(CASE WHEN n_truth = 0 THEN 0
+         |       ELSE (1000000 * n_true) // n_truth END AS BIGINT)
+         |    AS recall_e6
          |FROM stats CROSS JOIN tn ORDER BY index_name""".stripMargin,
     // q48: Hamming distance summed over the two unsigned halves — no
     // signed reassembly needed for bit_count(xor).
@@ -2547,6 +2573,38 @@ object PipelineQueries {
          |       AS BIGINT) AS novelty_rate_e6
          |FROM nd LEFT JOIN ps USING (shard) LEFT JOIN nv USING (shard)
          |ORDER BY shard""".stripMargin,
+    // q223: k-gram hashes with positions, the packed
+    // min-hash-rightmost-pos key (same 2^21 arithmetic as the Spark
+    // side), window minima via an explicit bounded range join, shared
+    // distinct hashes >= 2.
+    "q223_winnowing" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |kg AS (
+        |  SELECT doc_id, t.i AS pos,
+        |    ('0x' || substr(md5(w[t.i+1] || ' ' || w[t.i+2] || ' ' ||
+        |                        w[t.i+3]), 1, 8))::BIGINT AS h
+        |  FROM words, unnest(generate_series(0, len(w) - 3)) AS t(i)
+        |  WHERE len(w) >= 3),
+        |nkc AS (SELECT doc_id, COUNT(*) AS nk FROM kg GROUP BY 1),
+        |keyed AS (SELECT doc_id, pos,
+        |            h * 2097152 + (2097151 - pos) AS key FROM kg),
+        |wins AS (
+        |  SELECT a.doc_id, a.pos AS j, MIN(b.key) AS sel
+        |  FROM keyed a
+        |  JOIN keyed b ON a.doc_id = b.doc_id
+        |    AND b.pos BETWEEN a.pos AND a.pos + 3
+        |  JOIN nkc n ON n.doc_id = a.doc_id
+        |  WHERE a.pos <= n.nk - 4
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT doc_id, sel // 2097152 AS h FROM wins),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS shared_fps
+        |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT doc_a, doc_b, CAST(shared_fps AS BIGINT) AS shared_fps
+        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
     // q150: the oracle re-derives the gradient-card arithmetic for
     // exactly the stride-4 sampled frame indices — the Spark side must
     // produce the same sums from ACTUAL container walking + ImageIO

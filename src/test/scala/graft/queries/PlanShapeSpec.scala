@@ -953,6 +953,33 @@ class PlanShapeSpec extends SparkSpec {
       s"the per-source score agg must map-combine:\n$plan")
   }
 
+  test("q222: first-appearance is one min-agg by shingle; the only " +
+       "window rides the 10-row shard frame") {
+    val plan = finalPlan(PipelineQueries.queries("q222_novelty_curve")(
+      spark, sf))
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      s"the by-shingle min-agg must map-combine:\n$plan")
+    val windows = plan.linesIterator.count(_.contains(" Window ["))
+    assert(windows == 1,
+      s"exactly ONE window (cumulative over 10 shard rows), " +
+        s"found $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("SortMergeJoin"),
+      s"shard-frame joins are 10-row broadcasts:\n$plan")
+  }
+
+  test("q223: winnowing selection is per-row — no window, no product; " +
+       "the pair count map-combines") {
+    val plan = finalPlan(PipelineQueries.queries("q223_winnowing")(
+      spark, sf))
+    assert(!plan.contains("Window"),
+      s"fingerprint selection must be array arithmetic, not a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pairs must come from the keyed fingerprint join:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the shared-fingerprint count must map-combine:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
