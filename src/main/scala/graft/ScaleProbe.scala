@@ -716,6 +716,33 @@ object ScaleProbe {
         .weights(docs, "doc_id", "text",
                  pmod(col("doc_id"), lit(3L)) === 0L).count())
     }
+    // --- winnowing fingerprints (q223 shape): selection is per-row
+    // array arithmetic (linear in tokens, ~2/(w+1) density); the pair
+    // stage is Σ df² over fingerprint hashes. The perturbed copies keep
+    // their original text PLUS a copy-suffix word, so each original's
+    // fingerprint runs survive in every copy — TRUE shared-run pairs
+    // grow ~mult² per family while selection stays linear; time must
+    // track pairs (the q21/q37 family-quadratic story), never corpus².
+    time(s"winnowing_${mult}x") {
+      println("  shared-fp pairs: " + graft.operators.Winnowing
+        .sharedFingerprintPairs(docs, "doc_id", "text").count())
+    }
+    // --- vocabulary novelty curve (q222 shape): one explode + two
+    // map-combined aggs; the by-shingle min-agg key set is the corpus
+    // vocabulary, which the perturbed copies grow only at the margin
+    // (one new suffix word each) — time must track tokens, the
+    // 10-row shard frame is free.
+    time(s"novelty_curve_${mult}x") {
+      val shardOf = pmod(graft.functions.PortableHash
+        .h32(col("doc_id").cast("string")), lit(10L))
+      val sh = docs.select(shardOf.as("shard"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 3))
+          .as("shingle"))
+      println("  novel total: " + sh.groupBy(col("shingle"))
+        .agg(min(col("shard")).as("shard"))
+        .groupBy(col("shard")).count().agg(sum(col("count")))
+        .collect()(0).getLong(0))
+    }
     // --- entity resolution (q197 shape): part records inflated as
     // namespaced copies — the NOUN carries the copy suffix, so blocks
     // stay their original size and family structure is invariant while

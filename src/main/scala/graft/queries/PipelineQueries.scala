@@ -1097,6 +1097,45 @@ object PipelineQueries {
                         k = 8, dims = 64, iters = 3)
       .orderBy("vec_id")
 
+  /** q224 — CLUSTER-BALANCED DIVERSIFICATION (the "diversify" step of
+    * the published D4 recipe — Tirumala et al. 2023, "D4: Improving
+    * LLM Pretraining via Document De-Duplication and Diversification"):
+    * a fixed sample budget split EQUALLY across the q68 k-means
+    * clusters (quota = ⌊B/k⌋ + 1 for the first B mod k cluster ids —
+    * exact, Σ quota ≡ B), each cluster keeping its quota in
+    * deterministic md5-of-id order (the q62 hash-order discipline:
+    * reproducible at any partitioning, where a LIMIT-per-group is
+    * not). Composed with q73's SemDeDup upstream this is the full D4
+    * pipeline — dedup semantically, then rebalance what remains so no
+    * dense cluster dominates the epoch. Same trained quantized Lloyd
+    * chain as q68/q73 (ONE oracle definition, so the clustering under
+    * the sampler cannot drift from the gated one).
+    *
+    * Scale: the clustering is the gated q68 path; the sampler adds one
+    * rank window PARTITIONED BY CLUSTER (the q62 skew note applies: a
+    * pathologically hot cluster sorts on one reducer — sub-bucket the
+    * hash prefix for that regime) and per-row quota arithmetic.
+    */
+  def q224ClusterBalanced(s: SparkSession, dir: String): DataFrame = {
+    val asg = graft.operators.Clustering.kmeansAssign(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 8, dims = 64, iters = 3)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    asg.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+              col("rnk"),
+              (col("rnk") <= lit(DivBudget / 8) +
+                when(col("cid") < lit(DivBudget % 8), 1L).otherwise(0L))
+                .as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** q224 sample budget — shared between the Spark side and the oracle
+    * so the quota arithmetic has one source.
+    */
+  private val DivBudget = 100L
+
   /** q185 — SemDeDup AUTO-K end-to-end ([[Similarity.semDedup]]
     * `k = 0`): the cluster count derives from the corpus
     * (⌈n/targetClusterSize⌉); with a target above the corpus size the
@@ -1207,6 +1246,7 @@ object PipelineQueries {
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
     "q222_novelty_curve"   -> (q222NoveltyCurve _),
     "q223_winnowing"       -> (q223WinnowingPairs _),
+    "q224_cluster_balanced" -> (q224ClusterBalanced _),
     "q146_bm25"            -> (q146Bm25 _),
     "q201_sparse_topk"     -> (q201SparseTopk _),
     "q204_minhash_calibration" -> (q204MinhashCalibration _),
@@ -1439,6 +1479,22 @@ object PipelineQueries {
          |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
          |  CAST(d2 AS BIGINT) AS dist2
          |FROM a3 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // q224: the shared Lloyd chain's assignment + the md5 hash-order
+    // rank per cluster + the exact equal-split quota (one Scala
+    // constant feeds both engines).
+    "q224_cluster_balanced" ->
+      s"""WITH $kmChainCtes,
+         |asg AS (SELECT vec_id, cid FROM a3 WHERE rn = 1),
+         |r AS (SELECT vec_id, cid,
+         |        row_number() OVER (PARTITION BY cid
+         |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+         |      FROM asg)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cid,
+         |  CAST(rnk AS BIGINT) AS rnk,
+         |  rnk <= (${DivBudget / 8} +
+         |          CASE WHEN cid < ${DivBudget % 8} THEN 1 ELSE 0 END)
+         |    AS kept
+         |FROM r ORDER BY vec_id""".stripMargin,
     // q73: the q68 k-means chain partitions the corpus; pairwise cosine
     // runs WITHIN clusters only; a vector is dropped iff a lower-id
     // same-cluster neighbor reaches the threshold (greedy keeper).

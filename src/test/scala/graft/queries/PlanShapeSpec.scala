@@ -980,6 +980,21 @@ class PlanShapeSpec extends SparkSpec {
       s"the shared-fingerprint count must map-combine:\n$plan")
   }
 
+  test("q224: the sampler is one cluster-partitioned rank window over " +
+       "the materialized assignment — no product, no second exchange") {
+    val plan = finalPlan(PipelineQueries.queries("q224_cluster_balanced")(
+      spark, sf))
+    val windows = plan.linesIterator.count(_.contains(" Window ["))
+    assert(windows == 1,
+      s"exactly ONE rank window (partitioned by cid), found $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("SortMergeJoin"),
+      s"centroids ride the closed form, never a join:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      "the assignment must come from kmeansAssign's materialized " +
+        "checkpoint, not re-run Lloyd per consumer")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
