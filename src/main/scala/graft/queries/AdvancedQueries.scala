@@ -2033,6 +2033,63 @@ object AdvancedQueries {
                 .as("closure_e6"))
   }
 
+  /** q225 — DEDUP THRESHOLD SENSITIVITY: the same corpus deduped at
+    * the strict (Jaccard ≥ 9/10) and loose (≥ 4/5) cuts, verdicts
+    * compared per document — the operational "how much does the knob
+    * move my corpus" audit a deployment runs before committing to a
+    * threshold (next to q177, which asks whether CC is the right
+    * CLUSTERING at one cut, and q204, which calibrates the SKETCH
+    * against one cut). One confusion row: doc/pair counts per cut,
+    * docs whose verdict flips, and `n_loose_only` — PROVABLY zero
+    * under min-id keeper election (the loose pair set is a superset,
+    * so loose components contain strict ones and a loose keeper is the
+    * min of its strict sub-component too), computed anyway because
+    * quality-aware election (q165) and capped pair stages break the
+    * proof in real pipelines (the q196 convention).
+    *
+    * Plan: the shingle/intersection stage is shared (threshold-free)
+    * and feeds BOTH cuts — only the cheap threshold filter and the CC
+    * rounds run twice; two broadcast 1-row pair counts; one
+    * map-combined confusion agg.
+    */
+  def q225ThresholdSensitivity(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val d = Tables.documents(s, dir)
+    val ids = d.select(col("doc_id"))
+    // ONE pair stage at the loose cut, with the Jaccard evidence
+    // (inter/union) in the output — the strict set is a FILTER over it,
+    // never a second shingle self-join
+    val loosePairs = graft.operators.Dedup
+      .jaccardPairs(d, "doc_id", "text", n = 3, num = 4, den = 5)
+      .localCheckpoint()
+    val strictPairs = loosePairs
+      .filter(col("inter_cnt") * 10 >= col("union_cnt") * 9)
+    def keptAs(pairs: DataFrame, name: String): DataFrame =
+      graft.operators.Dedup
+        .applyDedup(ids, "doc_id", pairs.select("doc_a", "doc_b"))
+        .select(col("doc_id"), col("kept").as(name))
+    val strict = keptAs(strictPairs, "kept_strict")
+    val loose = keptAs(loosePairs, "kept_loose")
+    val nps = strictPairs.agg(count(lit(1)).as("n_pairs_strict"))
+    val npl = loosePairs.agg(count(lit(1)).as("n_pairs_loose"))
+    strict.join(loose, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("kept_strict"), 1L).otherwise(0L))
+             .as("n_kept_strict"),
+           sum(when(col("kept_loose"), 1L).otherwise(0L))
+             .as("n_kept_loose"),
+           sum(when(col("kept_strict") && !col("kept_loose"), 1L)
+             .otherwise(0L)).as("n_flipped"),
+           sum(when(col("kept_loose") && !col("kept_strict"), 1L)
+             .otherwise(0L)).as("n_loose_only"))
+      .crossJoin(broadcast(nps))
+      .crossJoin(broadcast(npl))
+      .select(col("n_docs"), col("n_pairs_strict"), col("n_pairs_loose"),
+              col("n_kept_strict"), col("n_kept_loose"),
+              col("n_flipped"), col("n_loose_only"))
+  }
+
   /** q178 — corpus-half TOKEN DRIFT (total variation distance, exact
     * rational): the token distributions of the doc_id-even and -odd
     * halves compared as TVD = Σ|c_a·N_b − c_b·N_a| / (2·N_a·N_b),
@@ -2900,6 +2957,7 @@ object AdvancedQueries {
     "q175_ri_audit" -> (q175RiAudit _),
     "q176_equidepth_bins" -> (q176EquiDepthBins _),
     "q177_transitivity" -> (q177TransitivityAudit _),
+    "q225_threshold_sensitivity" -> (q225ThresholdSensitivity _),
     "q178_token_drift" -> (q178TokenDrift _),
     "q179_null_semantics" -> (q179NullSemantics _),
     "q180_chao1" -> (q180Chao1 _),
@@ -4166,6 +4224,68 @@ object AdvancedQueries {
         |  CASE WHEN n_wedges = 0 THEN 0
         |       ELSE (n_closed * 1000000) // n_wedges END AS closure_e6
         |FROM agg""".stripMargin,
+    // q225: ONE shingle/intersection stage, two threshold filters, two
+    // recursive-CC skeletons (the q37 chain parameterized by cut), the
+    // min-id keeper rule per cut, one confusion row.
+    "q225_threshold_sensitivity" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w
+        |          FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jpl AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 5 >= (sa.sz + sb.sz - inter_cnt) * 4),
+        |jps AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 10 >= (sa.sz + sb.sz - inter_cnt) * 9),
+        |el AS (SELECT doc_a AS a, doc_b AS b FROM jpl
+        |       UNION ALL SELECT doc_b, doc_a FROM jpl),
+        |es AS (SELECT doc_a AS a, doc_b AS b FROM jps
+        |       UNION ALL SELECT doc_b, doc_a FROM jps),
+        |reachl(a, b) AS (
+        |  SELECT a, a FROM el GROUP BY a
+        |  UNION
+        |  SELECT el.a, r.b FROM el JOIN reachl r ON el.b = r.a),
+        |reachs(a, b) AS (
+        |  SELECT a, a FROM es GROUP BY a
+        |  UNION
+        |  SELECT es.a, r.b FROM es JOIN reachs r ON es.b = r.a),
+        |compl AS (SELECT a AS doc_id, MIN(b) AS component
+        |          FROM reachl GROUP BY a),
+        |comps AS (SELECT a AS doc_id, MIN(b) AS component
+        |          FROM reachs GROUP BY a),
+        |verdicts AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(cs.component = d.doc_id, TRUE) AS kept_strict,
+        |    COALESCE(cl.component = d.doc_id, TRUE) AS kept_loose
+        |  FROM documents d
+        |  LEFT JOIN comps cs USING (doc_id)
+        |  LEFT JOIN compl cl USING (doc_id))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM jps) AS n_pairs_strict,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM jpl) AS n_pairs_loose,
+        |  CAST(SUM(CASE WHEN kept_strict THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept_strict,
+        |  CAST(SUM(CASE WHEN kept_loose THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept_loose,
+        |  CAST(SUM(CASE WHEN kept_strict AND NOT kept_loose
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+        |  CAST(SUM(CASE WHEN kept_loose AND NOT kept_strict
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_loose_only
+        |FROM verdicts""".stripMargin,
     "q178_token_drift" ->
       """WITH toks AS (
         |  SELECT doc_id, t AS term FROM (

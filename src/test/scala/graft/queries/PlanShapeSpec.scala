@@ -995,6 +995,18 @@ class PlanShapeSpec extends SparkSpec {
         "checkpoint, not re-run Lloyd per consumer")
   }
 
+  test("q225: both cuts read the ONE checkpointed pair stage; no " +
+       "second shingle self-join, no window") {
+    val plan = finalPlan(AdvancedQueries.queries(
+      "q225_threshold_sensitivity")(spark, sf))
+    assert(plan.contains("ExistingRDD"),
+      "the strict cut must filter the materialized loose pairs, " +
+        "never re-run the shingle join")
+    assert(!plan.contains("Window"), "confusion row is pure hash aggs")
+    assert(!plan.contains("CartesianProduct"),
+      s"only broadcast 1-row joins allowed:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
