@@ -891,6 +891,94 @@ object ScaleProbe {
         f"cap64 pairs=$capped")
       cells.unpersist(); p.unpersist()
     }
+    // --- PassJoin segment signatures on the SAME hot-block fixture:
+    // candidate volume is bounded by pairs agreeing on one aligned
+    // ~len/3-char substring, not by cell occupancy — the economics
+    // that survive a viral blocking key banding cannot split
+    // (all-same-length hot cells). Reported: distinct candidate
+    // pairs, true pairs, and wall time vs the banded join on the
+    // identical fixture.
+    time(s"passjoin_hot_${mult}x") {
+      val part = Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_name"),
+                coalesce(element_at(split(col("p_name"), " "), 2),
+                         lit("")).as("noun"))
+      val hotNoun = part.groupBy("noun").count()
+        .orderBy(col("count").desc, col("noun")).limit(1)
+        .collect()(0).getString(0)
+      val p = part.filter(col("noun") === hotNoun).crossJoin(copies)
+        .select((col("p_partkey") * mult + col("copy")).as("pk"),
+                concat(col("p_name"), lit(" c"), col("copy"),
+                       expr("repeat('x', CAST(copy % 32 AS INT))"))
+                  .as("nm"),
+                col("noun"))
+        .repartition(64)
+        .persist()
+      val n = p.count()
+      val t0 = System.nanoTime()
+      val cand = Dedup.passJoinCandidates(p, "pk", "nm", Seq("noun"), 2)
+        .count()
+      val t1 = System.nanoTime()
+      val pass = Dedup.passJoinPairs(p, "pk", "nm", Seq("noun"), 2).count()
+      val t2 = System.nanoTime()
+      val banded = Dedup.blockedSelfJoin(p, "pk", "nm", Seq("noun"),
+                                         maxDist = 2, bandWidth = 3).count()
+      val t3 = System.nanoTime()
+      println(f"  n=$n passjoin_cand=$cand (${(t1 - t0) / 1e9}%.2f s) " +
+        f"passjoin ${(t2 - t1) / 1e9}%.2f s ($pass pairs) " +
+        f"banded ${(t3 - t2) / 1e9}%.2f s ($banded pairs)")
+      p.unpersist()
+    }
+    // --- PassJoin's WINNING regime: long uniform-length fields (the
+    // all-same-length template family blockedSelfJoin's Scaladoc names
+    // as banding's residual risk — every row lands in ONE (lang, band)
+    // cell, so the banded join's candidates grow with the SQUARE of
+    // the corpus and each one pays a ~256-char threshold kernel, while
+    // the signature join's candidates stay bounded by pairs actually
+    // sharing an aligned ~85-char substring). Fixture: 256-char doc
+    // prefixes, copies in GROUPS of 3 — a 6-char group block overlaid
+    // into EACH of the three segment thirds (so different groups share
+    // no segment and contribute no signature candidates) plus one
+    // group-internal char (within-group distance 1) — TRUE pairs grow
+    // LINEARLY with mult (3 per group) while the single hot cell grows
+    // quadratically; blocked on lang.
+    time(s"passjoin_longfield_${mult}x") {
+      val f = Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 256 && col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"),
+                expr("substring(text, 1, 256)").as("field"))
+        .crossJoin(copies)
+        .select((col("doc_id") * mult + col("copy")).as("id"),
+                col("lang"),
+                expr("""overlay(overlay(overlay(overlay(field,
+                       |  concat('g', lpad(CAST(copy div 3 AS STRING),
+                       |                   5, '0')), 40),
+                       |  concat('g', lpad(CAST(copy div 3 AS STRING),
+                       |                   5, '0')), 128),
+                       |  concat('g', lpad(CAST(copy div 3 AS STRING),
+                       |                   5, '0')), 215),
+                       |  chr(65 + CAST(copy % 3 AS INT)), 80)"""
+                  .stripMargin.replace("\n", " ")).as("field"))
+        .repartition(64).persist()
+      val n = f.count()
+      val cells = f
+        .withColumn("band", expr("CAST(length(field) AS BIGINT) div 3"))
+        .groupBy("lang", "band").agg(count(lit(1)).as("c"))
+      val sameC = cells.agg(sum(expr("c * (c - 1) div 2"))).collect()(0)
+        .getLong(0)
+      val t0 = System.nanoTime()
+      val pj = Dedup.passJoinPairs(f, "id", "field", Seq("lang"), 2)
+        .count()
+      val t1 = System.nanoTime()
+      val bandedLine = if (mult <= 30) {
+        val bd = Dedup.blockedSelfJoin(f, "id", "field", Seq("lang"),
+                                       maxDist = 2, bandWidth = 3).count()
+        f"banded ${(System.nanoTime() - t1) / 1e9}%.2f s ($bd pairs)"
+      } else "banded skipped (volume above is the curve)"
+      println(f"  n=$n banded_cand=$sameC " +
+        f"passjoin ${(t1 - t0) / 1e9}%.2f s ($pj pairs) " + bandedLine)
+      f.unpersist()
+    }
     // --- dedup provenance (q205 shape): the gated q37 pair+CC shapes
     // plus two LEFT joins (docs→labels, member→direct-pair evidence).
     // Pairs grow with true near-dup output (families ~mult² per family

@@ -793,6 +793,167 @@ object Dedup {
       .agg(min(col("dist")).as("dist"))
   }
 
+  /** Segment-signature edit-distance self-join (the PassJoin family,
+    * Li/Deng/Feng ICDE 2011) — EXACT recall for `levenshtein ≤ maxDist`
+    * via the pigeonhole principle, replacing the block-quadratic
+    * candidate stage of [[blockedSelfJoin]] with a signature EQUI-join:
+    * each indexed string partitions into `maxDist + 1` contiguous
+    * segments; in any alignment with ≤ maxDist edits at least one
+    * segment contains NO edit, so it survives verbatim as a substring
+    * of the other string, displaced by at most the net
+    * insertion−deletion count beside it. Candidates are therefore pairs
+    * agreeing on (blockCols, indexed length, segment index, segment
+    * text) — strings that share a ~len/(maxDist+1)-char aligned
+    * substring — instead of every pair in a (blockCols, band) cell.
+    *
+    * Segment scheme for length L (k = maxDist + 1 segments, 0-based):
+    * the first k − (L mod k) segments have ⌊L/k⌋ chars, the rest one
+    * more — deterministic, shared verbatim by the index and probe
+    * sides. The probe side emits, for every plausible indexed length
+    * lb ∈ [la − maxDist, la + maxDist] and segment i of THAT length's
+    * scheme, the substrings of its own text at start shifts s
+    * satisfying |s| + |Δl − s| ≤ maxDist (Δl = la − lb): the net
+    * shift before the preserved segment and the net shift after it
+    * are each bounded by the edits in their region, and the two
+    * regions share the maxDist edit budget — the multi-match window
+    * that cuts the naive ±maxDist window roughly in half. Strings
+    * shorter than k get empty segments that match only same-length
+    * strings in the same block — recall is unaffected.
+    *
+    * Both generation sides carry (key, id, text) — an
+    * O(k·(2·maxDist+1)) row fan-out, linear in input — and the
+    * `levenshtein` threshold kernel runs INLINE in the join, so
+    * candidate instances stream through codegen without ever being
+    * shuffled; only matched instances reach the post-verify distinct
+    * (see the in-body comment for the measured cost of the opposite
+    * order). The probe→index direction is fixed to id_a < id_b — the
+    * pigeonhole argument holds per-direction (some segment of the
+    * INDEXED string survives in the probe string), so the
+    * one-directional join still finds every pair and halves candidate
+    * volume.
+    *
+    * Output: (<idCol>_a, <textCol>_a, <idCol>_b, <textCol>_b, dist)
+    * with id_a < id_b and dist ≤ maxDist — EXACTLY
+    * [[blockedSelfJoin]]'s rows for any bandWidth (`PassJoinSpec`
+    * pins the equivalence), which is what makes the two
+    * interchangeable under one oracle. Scale: cost is
+    * O(n·k·(2·maxDist+1)) emitted signatures plus output-bound
+    * verification, linear where the banded join is cell-quadratic; the
+    * skew unit shrinks from "every same-noun same-length-band pair" to
+    * "every pair sharing one aligned ~len/k-char substring", so hot
+    * blocking keys split by signature content for free.
+    */
+  def passJoinPairs(records: DataFrame, idCol: String, textCol: String,
+                    blockCols: Seq[String], maxDist: Int): DataFrame = {
+    val idA = s"${idCol}_a"; val idB = s"${idCol}_b"
+    val txtA = s"${textCol}_a"; val txtB = s"${textCol}_b"
+    val (probe, index, keys) =
+      passJoinSides(records, idCol, textCol, blockCols, maxDist)
+    // Verify INLINE in the join and deduplicate AFTER: candidate
+    // instances stream through the codegen'd threshold kernel without
+    // ever hitting a shuffle — only MATCHED instances (true pairs ×
+    // a ≤ (maxDist+1)·(2·maxDist+1) multiplicity bound) reach the
+    // distinct. The opposite order (distinct first, verify after)
+    // shuffles the whole candidate superset and measured 4× slower on
+    // the hot-block probe fixture despite running fewer kernels —
+    // candidate-volume reduction only pays when it reduces SHUFFLE.
+    val ids = probe.join(index, keys)
+      .filter(col("__prb_id") < col("__idx_id"))
+      .withColumn("dist",
+        levenshtein(col("__prb_txt"), col("__idx_txt"), maxDist)
+          .cast("long"))
+      .filter(col("dist") >= 0L)
+      .select(col("__prb_id").as(idA), col("__idx_id").as(idB),
+              col("dist"))
+      .distinct()
+    // texts rejoin on the unique id AFTER the distinct so the dedup
+    // shuffle carries three integers per instance, never document text
+    val txts = records.select(col(idCol).as("__id"),
+                              col(textCol).as("__txt"))
+    ids
+      .join(txts.select(col("__id").as(idA), col("__txt").as(txtA)), idA)
+      .join(txts.select(col("__id").as(idB), col("__txt").as(txtB)), idB)
+      .select(col(idA), col(txtA), col(idB), col(txtB), col("dist"))
+  }
+
+  /** The candidate stage of [[passJoinPairs]], public for callers that
+    * audit or re-verify candidates themselves (the
+    * [[minhashCandidatePairs]] convention): one row per DISTINCT
+    * id-ordered pair agreeing on (blockCols, indexed length, segment
+    * index, segment text) — a SUPERSET of the true ≤ maxDist pair set
+    * by the pigeonhole argument, before any `levenshtein` runs.
+    */
+  def passJoinCandidates(records: DataFrame, idCol: String,
+                         textCol: String, blockCols: Seq[String],
+                         maxDist: Int): DataFrame = {
+    val idA = s"${idCol}_a"; val idB = s"${idCol}_b"
+    val (probe, index, keys) =
+      passJoinSides(records, idCol, textCol, blockCols, maxDist)
+    probe.drop("__prb_txt").join(index.drop("__idx_txt"), keys)
+      .filter(col("__prb_id") < col("__idx_id"))
+      .select(col("__prb_id").as(idA), col("__idx_id").as(idB))
+      .distinct()
+  }
+
+  /** The two generation sides of the PassJoin signature join: (probe,
+    * index, join keys). Probe rows carry (keys…, __prb_id, __prb_txt),
+    * index rows (keys…, __idx_id, __idx_txt).
+    */
+  private def passJoinSides(records: DataFrame, idCol: String,
+                            textCol: String, blockCols: Seq[String],
+                            maxDist: Int)
+      : (DataFrame, DataFrame, Seq[String]) = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val reserved = Seq("__id", "__txt", "__len", "__lb", "__i", "__seg",
+                       "__dl", "__base", "__rem", "__sl", "__sp", "__lo",
+                       "__hi", "__p", "__slack")
+    require(!blockCols.exists(reserved.contains),
+      s"blockCols must not use reserved names ${reserved.mkString(", ")}")
+    val k = maxDist + 1
+    val base = Partitioning.spread(records)
+      .select((Seq(col(idCol).as("__id"), col(textCol).as("__txt")) ++
+        blockCols.map(col)): _*)
+      .withColumn("__len", length(col("__txt")).cast("int"))
+    // shared scheme arithmetic: segment length and 0-based start of
+    // segment __i in the partition of length __lb
+    def withScheme(df: DataFrame): DataFrame = df
+      .withColumn("__base", expr(s"CAST(__lb div $k AS INT)"))
+      .withColumn("__rem", expr(s"CAST(__lb % $k AS INT)"))
+      .withColumn("__sl", expr(s"__base + IF(__i >= $k - __rem, 1, 0)"))
+      .withColumn("__sp",
+        expr(s"__i * __base + greatest(0, __i - ($k - __rem))"))
+    val keys = blockCols ++ Seq("__lb", "__i", "__seg")
+    val index = withScheme(
+        base.withColumn("__lb", col("__len"))
+          .withColumn("__i", explode(sequence(lit(0), lit(maxDist)))))
+      .withColumn("__seg", expr("substring(__txt, __sp + 1, __sl)"))
+      .select((blockCols.map(col) ++
+        Seq(col("__lb"), col("__i"), col("__seg"),
+            col("__id").as("__idx_id"), col("__txt").as("__idx_txt"))): _*)
+    val probe = withScheme(
+        base
+          // __dl = la − lb, the net length change of the whole edit
+          .withColumn("__dl",
+            explode(sequence(lit(-maxDist), lit(maxDist))))
+          .withColumn("__lb", col("__len") - col("__dl"))
+          .filter(col("__lb") >= 0)
+          .withColumn("__i", explode(sequence(lit(0), lit(maxDist)))))
+      .withColumn("__slack", expr(s"CAST(($maxDist - abs(__dl)) div 2 AS INT)"))
+      .withColumn("__lo",
+        greatest(lit(0), expr("__sp + least(0, __dl) - __slack")))
+      .withColumn("__hi",
+        least(col("__len") - col("__sl"),
+              expr("__sp + greatest(0, __dl) + __slack")))
+      .filter(col("__lo") <= col("__hi"))
+      .withColumn("__p",
+        explode(sequence(col("__lo").cast("int"), col("__hi").cast("int"))))
+      .withColumn("__seg", expr("substring(__txt, __p + 1, __sl)"))
+      .select((blockCols.map(col) ++
+        Seq(col("__lb"), col("__i"), col("__seg"),
+            col("__id").as("__prb_id"), col("__txt").as("__prb_txt"))): _*)
+    (probe, index, keys)
+  }
+
   /** Keeper selection — the APPLY step of a dedup pipeline: given the
     * near-dup pair set, label every document kept (true) or dropped
     * (false), keeping exactly one representative (the min id) per

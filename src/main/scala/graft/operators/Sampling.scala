@@ -194,7 +194,8 @@ object Sampling {
     * One tiny aggregate (|sources| rows) + a window over it —
     * control-plane-sized regardless of corpus size; the expensive
     * part (actually drawing each source's quota) composes with
-    * [[stratified]]/[[weightedSample]] downstream.
+    * [[stratified]]/[[weightedSample]] downstream. The smoothing
+    * (< 1-weight) direction of the same dial is [[smoothedQuotas]].
     */
   def temperatureQuotas(df: DataFrame, sourceCol: String, budget: Long,
                         sharpen: Boolean): DataFrame = {
@@ -211,6 +212,56 @@ object Sampling {
     val weighted = sizes.withColumn("wd",
       if (sharpen) col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)")
       else col("n").cast("decimal(38,0)"))
+    apportion(weighted, budget)
+  }
+
+  /** Temperature-SMOOTHED mixing quotas — the FLATTENING end of the
+    * dial [[temperatureQuotas]] sharpens: weights ∝ √n (α = 1/2, the
+    * multilingual upsampling recipe of mT5/XLM-R-style corpora), so
+    * low-resource sources get a larger share than their raw
+    * proportion and high-resource sources a smaller one, with the
+    * same exact largest-remainder apportionment (Σ quota == budget
+    * ALWAYS). α = 1/2 is the exact-arithmetic point on the smoothing
+    * dial because √ has an integer surrogate: w = isqrt(n·10⁶)
+    * (the ·10⁶ keeps granularity — isqrt(n) alone would quantize
+    * small sources onto each other), see [[isqrtExpr]] for why the
+    * value is bit-reproducible across engines.
+    */
+  def smoothedQuotas(df: DataFrame, sourceCol: String,
+                     budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val sizes = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n"))
+    val weighted = sizes.withColumn("wd",
+      isqrtExpr(col("n") * lit(1000000L)).cast("decimal(38,0)"))
+    apportion(weighted, budget)
+  }
+
+  /** EXACT integer square root ⌊√m⌋ for 0 ≤ m < 2⁵³, engine-portably:
+    * floor the IEEE-754 double sqrt, then repair with two integer
+    * comparisons. The double path alone is NOT exact — for m ≳ 2⁵¹,
+    * at m = k² − 1 the true root sits closer to the integer k than
+    * half a double ulp, so a correctly-rounded sqrt lands ON k and
+    * floors to the wrong side — but it is always within ±1 of ⌊√m⌋
+    * below 2⁵³, and the fixup (`+1 while (r+1)² ≤ m; −1 while
+    * r² > m`, each needed at most once) is pure int64 arithmetic that
+    * any engine evaluates identically. (r+1)² stays in int64 for
+    * m < 2⁵³. The DuckDB oracles replicate the same three steps.
+    */
+  def isqrtExpr(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val r0 = floor(sqrt(m.cast("double"))).cast("long")
+    val r1 = when((r0 + 1L) * (r0 + 1L) <= m, r0 + 1L).otherwise(r0)
+    when(r1 * r1 > m, r1 - 1L).otherwise(r1)
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of `budget` over a
+    * (source, n, wd) weight frame — floor every quota, hand leftover
+    * seats to the largest remainders (ties to the smaller source
+    * name), so Σ quota == budget EXACTLY. Shared by the sharpened /
+    * proportional / smoothed temperature points; control-plane-sized
+    * (|sources| rows) by construction.
+    */
+  private def apportion(weighted: DataFrame, budget: Long): DataFrame = {
     val tot = weighted.agg(sum(col("wd")).as("w_tot"))
     val base = weighted.crossJoin(broadcast(tot))
       .select(col("source"), col("n"), col("wd"),

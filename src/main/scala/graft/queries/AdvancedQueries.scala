@@ -383,6 +383,48 @@ object AdvancedQueries {
       .orderBy("dist")
   }
 
+  /** q226 — the SAME answer as q193 computed by the PassJoin
+    * segment-signature path ([[Dedup.passJoinPairs]]): candidates are
+    * pairs sharing a ~len/3-char ALIGNED substring (pigeonhole over 3
+    * segments at edit distance ≤ 2) instead of every pair in a
+    * (noun, length-band) cell — O(n·15) emitted signatures replacing
+    * the cell-quadratic candidate stage, with exact recall by
+    * construction. Two queries, one oracle: q193 and q226 share the
+    * bare-join SQL verbatim, so the gate itself proves the two
+    * candidate disciplines compute identical pair sets on real data
+    * (and `PassJoinSpec` pins operator-level equivalence including
+    * the degenerate-length edges TPC-H never produces). The bench
+    * carries both so the banded-vs-signature cost gap is measured,
+    * not asserted — and the §9 probes show the choice is a REGIME,
+    * not a winner: on short keys with dense matches banding streams
+    * candidates through a cheap kernel and wins at every scale; on
+    * long uniform-length fields (the all-same-length template cell
+    * banding cannot split) the banded path hit 366 s at 30× where
+    * the signature path held 7 s, because a signature candidate
+    * requires an aligned ~len/3-char match — only true near-dups
+    * produce one.
+    *
+    * The gate runs on the deterministic p_partkey % 4 quarter: TPC-H's
+    * 92-word name vocabulary makes the FULL table's true-pair set
+    * itself ~5.5M at sf0.1 (3.1M of them distance-0 name collisions),
+    * and a correctness gate doesn't need to pay the full output-bound
+    * cost every round — the §9 probes carry the full-scale
+    * measurements for both candidate disciplines, including the
+    * regime (long fields, sparse matches) where the signature path
+    * wins outright.
+    */
+  def q226PassjoinEditdist(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_partkey") % 4 === 0)
+      .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
+              coalesce(element_at(split(col("p_name"), " "), 2), lit(""))
+                .as("noun"))
+    Dedup.passJoinPairs(p, "pk", "nm", Seq("noun"), maxDist = 2)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("dist")
+  }
+
   /** q194 — INDEPENDENCE RESIDUALS for the (lang × source) contingency
     * table: per cell the observed count and the exact fixed-point
     * relative deviation from independence,
@@ -2889,6 +2931,7 @@ object AdvancedQueries {
     "q191_benford" -> (q191Benford _),
     "q192_split_leakage" -> (q192SplitLeakage _),
     "q193_editdist_blocked" -> (q193EditdistBlocked _),
+    "q226_passjoin_editdist" -> (q226PassjoinEditdist _),
     "q194_indep_residuals" -> (q194IndepResiduals _),
     "q195_ecc_bounded" -> (q195EccBounded _),
     "q196_dedup_fixedpoint" -> (q196DedupFixedpoint _),
@@ -3234,6 +3277,21 @@ object AdvancedQueries {
         |  SELECT p_partkey AS pk, p_name AS nm,
         |    split_part(p_name, ' ', 2) AS noun
         |  FROM part)
+        |SELECT CAST(dist AS BIGINT) AS dist,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM (
+        |  SELECT levenshtein(a.nm, b.nm) AS dist
+        |  FROM p a JOIN p b ON a.noun = b.noun AND a.pk < b.pk)
+        |WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin,
+    // q226: the PassJoin signature path answers to the SAME bare-join
+    // oracle shape as q193 (on the deterministic quarter) — the shared
+    // gate proves the banded and segment-signature candidate
+    // disciplines agree on real data.
+    "q226_passjoin_editdist" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS pk, p_name AS nm,
+        |    split_part(p_name, ' ', 2) AS noun
+        |  FROM part WHERE p_partkey % 4 = 0)
         |SELECT CAST(dist AS BIGINT) AS dist,
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
         |FROM (

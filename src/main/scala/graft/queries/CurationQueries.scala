@@ -1308,9 +1308,140 @@ object CurationQueries {
       .orderBy("lang")
   }
 
+  /** q227 — SCORE–LENGTH BIAS AUDIT, the documented failure mode of
+    * perplexity-style quality filters (CCNet's filter is known to
+    * correlate with document length, so a length-blind threshold
+    * silently reshapes the length distribution): the exact OLS
+    * regression of the q133 score on the doc's bigram count, as
+    * integer closed forms — slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    * and intercept = (Σy·Σx² − Σx·Σxy)/(same denominator), each
+    * floor-scaled e6 with the q194 SIGNED-numerator discipline
+    * (divide the absolute value, multiply the sign back — truncating
+    * vs flooring engines disagree on negative quotients). All five
+    * sums ride decimal(38,0): n·Σxy·10⁶ stays under 10³⁸ out to
+    * ~10¹¹ docs (the 100 TB regime), where int64 wraps silently.
+    *
+    * A slope_e6 far from 0 tells the curation layer the q187 band
+    * thresholds are partly length thresholds; the fix (banding
+    * per length stratum) composes from q187 + q193's banding.
+    *
+    * Scale: the corpus-sized work is the q133 scoring chain; the
+    * audit itself is ONE map-combined aggregate to a single row.
+    */
+  def q227ScoreLengthBias(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    LanguageModel.scoreDocuments(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(col("n_bigrams").cast(d38).as("x"),
+              col("score_e6").cast(d38).as("y"))
+      .agg(count(lit(1)).cast(d38).as("n"),
+           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+           sum(col("x") * col("y")).as("sxy"),
+           sum(col("x") * col("x")).as("sxx"))
+      .select(
+        expr("CAST(n AS BIGINT)").as("n_docs"),
+        expr("CAST(sx div n AS BIGINT)").as("mean_x"),
+        expr("CAST(sy div n AS BIGINT)").as("mean_score_e6"),
+        expr("""CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE
+               |(CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+               |((abs(n * sxy - sx * sy) * 1000000)
+               |  div (n * sxx - sx * sx)) END AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("slope_e6"),
+        expr("""CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE
+               |(CASE WHEN sy * sxx - sx * sxy < 0 THEN -1 ELSE 1 END) *
+               |((abs(sy * sxx - sx * sxy) * 1000000)
+               |  div (n * sxx - sx * sx)) END AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("icept_e6"))
+  }
+
+  /** q228 — TEMPERATURE-SMOOTHED LANGUAGE SHARES
+    * ([[graft.operators.Sampling.smoothedQuotas]]): the multilingual
+    * upsampling allocation (weights ∝ √n, α = 1/2 — the mT5/XLM-R
+    * smoothing recipe at its exact-integer point), apportioned to
+    * EXACTLY Σ = 10⁶ by the largest-remainder method. The flattening
+    * complement to q172's sharpened quotas and q220's trained-signal
+    * reweighting: low-resource languages take a larger share than
+    * their raw proportion so the next epoch doesn't starve them. The
+    * weight is isqrt(n·10⁶) — double sqrt + two-step int64 fixup,
+    * bit-reproducible in both engines (see
+    * [[graft.operators.Sampling.isqrtExpr]]); the oracle replays the
+    * same three steps.
+    */
+  def q228SmoothedShares(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.smoothedQuotas(
+        Tables.documents(s, dir), "lang", budget = 1000000L)
+      .select(col("source").as("lang"), col("n").as("n_docs"),
+              col("w").as("w_sqrt"),
+              col("quota").cast("long").as("share_e6"))
+      .orderBy("lang")
+
+  /** q229 epoch-allocation constants — part of the query semantics,
+    * shared verbatim with the oracle SQL. Budget = `EpochBudgetMult` ×
+    * the corpus's scored-token total; no source repeats more than
+    * `EpochMaxRepeats` epochs (the published data-constrained-scaling
+    * guidance that value decays past ~4 repeats).
+    */
+  private val EpochBudgetMult = 2L
+  private val EpochMaxRepeats = 4L
+
+  /** q229 — DATA-CONSTRAINED EPOCH ALLOCATION: when the token budget
+    * exceeds the unique corpus (the data-constrained regime), decide
+    * which sources to REPEAT and how often — repeats are allocated
+    * greedily by source quality (the q133 mean score), each source
+    * capped at [[EpochMaxRepeats]] epochs, until the budget is spent:
+    * epochs_s = min(R, max(0, (B − Σ_{better} R·t) div t_s)) over the
+    * (mean_score desc, source) order. Integer end to end: token
+    * counts are exact whitespace-token sums over the SCORED docs
+    * (inner join with the q133 chain — unscorable < 2-token docs
+    * carry no quality evidence and no budget), the mean is the exact
+    * floored ratio, and the truncate-vs-floor divergence of the
+    * marginal quotient is clamped away by greatest(0, ·) on both
+    * engines (negative and sub-1 quotients both land on 0).
+    *
+    * Scale: the corpus-sized work is the q133 chain + one
+    * map-combined per-source agg; the greedy itself is a window over
+    * the |sources|-row frame — control-plane-sized, the q220
+    * discipline.
+    */
+  def q229EpochAllocation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val docs = Tables.documents(s, dir)
+    val scored = LanguageModel.scoreDocuments(docs, "doc_id", "text")
+      .select(col("doc_id"), col("score_e6"))
+    val per = docs
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("tk"))
+      .join(scored, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("tk")).as("tokens"),
+           expr("sum(score_e6) div count(1)").as("mean_score_e6"))
+    val tot = per.agg(
+      (sum(col("tokens")) * lit(EpochBudgetMult)).as("budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_score_e6").desc, col("source"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_before",
+        coalesce(sum(col("tokens") * lit(EpochMaxRepeats)).over(w),
+                 lit(0L)))
+      .withColumn("epochs",
+        when(col("tokens") === 0L, 0L)
+          .otherwise(least(lit(EpochMaxRepeats),
+            greatest(lit(0L),
+              expr("(budget - cum_before) div tokens")))))
+      .select(col("source"), col("tokens"), col("mean_score_e6"),
+              col("epochs"),
+              (col("epochs") * col("tokens")).as("tokens_served"))
+      .orderBy("source")
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_epoch_allocation" -> (q229EpochAllocation _),
+    "q227_score_length_bias" -> (q227ScoreLengthBias _),
+    "q228_smoothed_shares" -> (q228SmoothedShares _),
     "q59_pii_redact"    -> (q59PiiRedact _),
     "q60_repetition"    -> (q60Repetition _),
     "q61_quality_rules" -> (q61QualityRules _),
@@ -1386,6 +1517,85 @@ object CurationQueries {
       |       FROM bg JOIN m USING (w1, w2) GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q229: the shared q133 CTE + per-source token/score agg + the
+    // greedy window over the |sources| frame; the marginal quotient's
+    // truncate-vs-floor divergence is clamped by greatest(0, ·).
+    "q229_epoch_allocation" ->
+      s"""WITH $lmScoreCte,
+        |per AS (
+        |  SELECT d.source, SUM(len(string_split(d.text, ' '))) AS tokens,
+        |    SUM(sc.score_e6) // COUNT(*) AS mean_score_e6
+        |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+        |  GROUP BY 1),
+        |tot AS (SELECT $EpochBudgetMult * SUM(tokens) AS budget FROM per),
+        |r AS (SELECT *, COALESCE(SUM($EpochMaxRepeats * tokens) OVER (
+        |        ORDER BY mean_score_e6 DESC, source
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS cum_before FROM per),
+        |sel AS (SELECT source, tokens, mean_score_e6,
+        |    CASE WHEN tokens = 0 THEN 0
+        |         ELSE least($EpochMaxRepeats, greatest(0,
+        |           (budget - cum_before) // tokens)) END AS epochs
+        |  FROM r, tot)
+        |SELECT source, CAST(tokens AS BIGINT) AS tokens,
+        |  CAST(mean_score_e6 AS BIGINT) AS mean_score_e6,
+        |  CAST(epochs AS BIGINT) AS epochs,
+        |  CAST(epochs * tokens AS BIGINT) AS tokens_served
+        |FROM sel ORDER BY source""".stripMargin,
+    // q227: the shared q133 CTE + the five HUGEINT sums + the signed
+    // closed-form OLS quotients (abs-divide, sign multiplied back).
+    "q227_score_length_bias" ->
+      s"""WITH $lmScoreCte,
+        |s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |        CAST(SUM(n_bigrams) AS HUGEINT) AS sx,
+        |        CAST(SUM(score_e6) AS HUGEINT) AS sy,
+        |        CAST(SUM(CAST(n_bigrams AS HUGEINT) * score_e6)
+        |             AS HUGEINT) AS sxy,
+        |        CAST(SUM(CAST(n_bigrams AS HUGEINT) * n_bigrams)
+        |             AS HUGEINT) AS sxx
+        |      FROM sc)
+        |SELECT CAST(n AS BIGINT) AS n_docs,
+        |  CAST(sx // n AS BIGINT) AS mean_x,
+        |  CAST(sy // n AS BIGINT) AS mean_score_e6,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE
+        |    (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(n * sxy - sx * sy) * 1000000)
+        |      // (n * sxx - sx * sx)) END AS BIGINT) AS slope_e6,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0 ELSE
+        |    (CASE WHEN sy * sxx - sx * sxy < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(sy * sxx - sx * sxy) * 1000000)
+        |      // (n * sxx - sx * sx)) END AS BIGINT) AS icept_e6
+        |FROM s""".stripMargin,
+    // q228: the isqrt(n·1e6) weight replayed as the same three steps
+    // (double sqrt floor + two int64 fixup comparisons), then the
+    // q172 largest-remainder skeleton at budget 1e6.
+    "q228_smoothed_shares" ->
+      """WITH sizes AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |iq AS (SELECT lang, n, n * 1000000 AS m,
+        |         CAST(floor(sqrt(CAST(n * 1000000 AS DOUBLE)))
+        |              AS BIGINT) AS r0
+        |       FROM sizes),
+        |f1 AS (SELECT lang, n, m,
+        |         CASE WHEN (r0 + 1) * (r0 + 1) <= m THEN r0 + 1
+        |              ELSE r0 END AS r1 FROM iq),
+        |wt AS (SELECT lang, n,
+        |         CASE WHEN r1 * r1 > m THEN r1 - 1 ELSE r1 END AS w
+        |       FROM f1),
+        |tot AS (SELECT SUM(w) AS w_tot FROM wt),
+        |base AS (
+        |  SELECT lang, n, w,
+        |    (1000000 * w) // w_tot AS floor_q,
+        |    (1000000 * w) % w_tot AS rem
+        |  FROM wt, tot),
+        |lo AS (SELECT 1000000 - SUM(floor_q) AS leftover FROM base),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang)
+        |        AS rk FROM base)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(w AS BIGINT) AS w_sqrt,
+        |  CAST(floor_q + CASE WHEN rk <= (SELECT leftover FROM lo)
+        |                      THEN 1 ELSE 0 END AS BIGINT) AS share_e6
+        |FROM r ORDER BY lang""".stripMargin,
     // q207: the q133 chain + per-score tie groups, HUGEINT midrank
     // arithmetic (2·midrank = 2·cum − cnt + 1), the U statistic as a
     // DECIMAL(38,0) rational string + floored e6.

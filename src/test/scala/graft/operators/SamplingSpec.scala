@@ -166,4 +166,64 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratified(rows, "k", "id", Map("a" -> -1))
     }
   }
+
+  test("isqrtExpr: exact on perfect squares, off-by-one traps, and the " +
+       "2^51+ zone where the bare double floor goes wrong") {
+    // k² − 1 cases with k² ≳ 2^51 are exactly where floor(sqrt(m))
+    // alone returns k (the true root is within half an ulp of k);
+    // the fixup must pull it back to k − 1.
+    // 94906265² ≈ 9.0072e15 is the largest square under 2^53
+    val ks = Seq(1L, 2L, 3L, 1000001L, 94906265L)
+    val ms = ks.flatMap(k => Seq(k * k - 1, k * k, k * k + 1))
+      .filter(_ >= 0) ++ Seq(0L, 1L, 2L, 3L, 5L, 99L)
+    val df = ms.toDF("m")
+      .withColumn("r", Sampling.isqrtExpr(col("m")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference via BigInt bisection to be unimpeachable
+    def isqrtBig(m: Long): Long = {
+      var lo = 0L; var hi = math.min(m, 3037000499L)
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (BigInt(mid) * BigInt(mid) <= BigInt(m)) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    ms.foreach { m =>
+      assert(df(m) === isqrtBig(m), s"isqrt($m)")
+    }
+  }
+
+  test("smoothedQuotas: sums to budget exactly and upsamples the " +
+       "low-resource source relative to raw proportion") {
+    val df = ((1L to 9000L).map(i => (i, "big")) ++
+              (9001L to 9100L).map(i => (i, "small")))
+      .toDF("id", "src")
+    val out = Sampling.smoothedQuotas(df, "src", budget = 1000000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.get(r.fieldIndex("quota")).toString.toLong).toMap
+    assert(out.values.sum === 1000000L)
+    // raw shares: big 9000/9100 ≈ 98.9%; √-smoothed small share =
+    // isqrt(1e8)/(isqrt(9e9)+isqrt(1e8)) = 10000/104868 ≈ 9.5% —
+    // far above its 1.1% raw share
+    val smallShare = out("small")
+    assert(smallShare > 80000L && smallShare < 120000L,
+      s"√-smoothing should give small ≈ 9.5%, got $smallShare")
+  }
+
+  test("smoothedQuotas: quota ratio matches the isqrt weights exactly " +
+       "(largest-remainder on w = isqrt(n·1e6))") {
+    val df = ((1L to 400L).map(i => (i, "a")) ++
+              (401L to 500L).map(i => (i, "b")) ++
+              (501L to 525L).map(i => (i, "c")))
+      .toDF("id", "src")
+    val out = Sampling.smoothedQuotas(df, "src", budget = 1000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.get(r.fieldIndex("quota")).toString.toLong).toMap
+    // weights: isqrt(400e6)=20000, isqrt(100e6)=10000, isqrt(25e6)=5000
+    // → shares 1000·(4/7, 2/7, 1/7) = 571.43, 285.71, 142.86
+    // floors 571, 285, 142 (sum 998), remainders .43, .71, .86 →
+    // the two leftover seats go to c then b
+    assert(out === Map("a" -> 571L, "b" -> 286L, "c" -> 143L))
+    assert(out.values.sum === 1000L)
+  }
 }

@@ -1007,6 +1007,60 @@ class PlanShapeSpec extends SparkSpec {
       s"only broadcast 1-row joins allowed:\n$plan")
   }
 
+  test("q226: passjoin verifies inside the signature join — keyed " +
+       "equi-join, threshold kernel in the plan, no product, no window") {
+    val plan = finalPlan(AdvancedQueries.queries("q226_passjoin_editdist")(
+      spark, sf))
+    assert(plan.contains("levenshtein"),
+      s"the threshold kernel must verify candidates in-plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidates come from the signature equi-join, never a product:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window anywhere in the passjoin chain:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the histogram agg must map-combine:\n$plan")
+  }
+
+  test("q227: the OLS audit is ONE map-combined aggregate over the " +
+       "scoring chain — no window, no product") {
+    val plan = finalPlan(CurationQueries.queries("q227_score_length_bias")(
+      spark, sf))
+    assert(!plan.contains("Window"),
+      s"closed-form sums need no window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no product anywhere:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"the five sums must map-combine:\n$plan")
+  }
+
+  test("q228: smoothed shares window only the per-language frame; " +
+       "totals broadcast; sizes map-combine") {
+    val plan = finalPlan(CurationQueries.queries("q228_smoothed_shares")(
+      spark, sf))
+    val windows = plan.linesIterator.count(_.contains(" Window ["))
+    assert(windows == 1,
+      s"exactly ONE window (remainder rank over |langs| rows), " +
+        s"found $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the totals are broadcast 1-row frames:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"per-language sizes must map-combine:\n$plan")
+  }
+
+  test("q229: the greedy epoch allocation windows only the per-source " +
+       "frame; the budget broadcasts; per-source sums map-combine") {
+    val plan = finalPlan(CurationQueries.queries("q229_epoch_allocation")(
+      spark, sf))
+    val windows = plan.linesIterator.count(_.contains(" Window ["))
+    assert(windows == 1,
+      s"exactly ONE window (greedy prefix over |sources| rows), " +
+        s"found $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the budget total is a broadcast 1-row frame:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"per-source token/score sums must map-combine:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
