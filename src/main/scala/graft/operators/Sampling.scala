@@ -228,10 +228,20 @@ object Sampling {
     * value is bit-reproducible across engines.
     */
   def smoothedQuotas(df: DataFrame, sourceCol: String,
-                     budget: Long): DataFrame = {
+                     budget: Long): DataFrame =
+    smoothedQuotasFromSizes(
+      df.groupBy(col(sourceCol).as("source"))
+        .agg(count(lit(1)).as("n")), budget)
+
+  /** [[smoothedQuotas]] from a pre-aggregated (source, n) size table —
+    * the entry point for callers that already maintain the counts
+    * (e.g. [[graft.streaming.StreamingMix]]'s per-batch state), so the
+    * streamed allocation runs through the IDENTICAL weight and
+    * apportionment arithmetic the batch query gates.
+    */
+  def smoothedQuotasFromSizes(sizes: DataFrame, budget: Long)
+      : DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
-    val sizes = df.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("n"))
     val weighted = sizes.withColumn("wd",
       isqrtExpr(col("n") * lit(1000000L)).cast("decimal(38,0)"))
     apportion(weighted, budget)
