@@ -1075,6 +1075,18 @@ class PlanShapeSpec extends SparkSpec {
       s"the verdict aggregates must map-combine:\n$plan")
   }
 
+  test("q231: both SNM passes ride PrefixSum — no corpus window; " +
+       "no product") {
+    val plan = finalPlan(AdvancedQueries.queries("q231_snm_multipass")(
+      spark, sf))
+    assert(!plan.contains(" Window ["),
+      s"both global ranks must ride PrefixSum, never a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"1-row frames broadcast; candidates come from equi-joins:\n$plan")
+    assert(plan.contains("levenshtein"),
+      s"the match rule verifies in-plan:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
