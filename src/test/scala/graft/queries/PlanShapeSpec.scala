@@ -1087,6 +1087,22 @@ class PlanShapeSpec extends SparkSpec {
       s"the match rule verifies in-plan:\n$plan")
   }
 
+  test("q232: both KS cumulatives ride ONE PrefixSum — no window " +
+       "over the pooled score axis; verdict frames broadcast") {
+    val plan = finalPlan(CurationQueries.queries("q232_ks_test")(
+      spark, sf))
+    assert(!plan.contains(" Window ["),
+      s"the cumulative counts must ride PrefixSum, never a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the total/best/at frames are broadcast 1-row joins:\n$plan")
+    // the per-score agg runs upstream of PrefixSum's materialization
+    // (ExistingRDD), so the visible partials here are the totals' max
+    assert(plan.contains("partial_max"),
+      s"the totals must map-combine over the prefix frame:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"the cumulatives must come from the PrefixSum pass:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
