@@ -525,6 +525,58 @@ object AdvancedQueries {
                 .as("union_recall_e6"))
   }
 
+  /** q233 — EXACT MANN–KENDALL TREND TEST over the daily mean event
+    * value: is the metric drifting monotonically across the 30-day
+    * window? The nonparametric trend complement to q178's drift
+    * distances and q232's two-sample KS: S = Σ_{i<j} sign(m_j − m_i)
+    * over day pairs, tie-corrected variance
+    * Var·18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the α = 0.05
+    * normal-approximation verdict as the pure integer comparison
+    * 180000·S² > 38416·(Var·18) — 1.96² = 38416/10⁴ exact, so the
+    * TEST carries no float (the q232 discipline; the standard
+    * continuity correction is omitted and the omission documented —
+    * it subtracts sign(S) from S, a half-step that matters only at
+    * \|S\| ≈ the boundary, and exactness of the stated rule beats an
+    * approximation of a different rule).
+    *
+    * Daily means are exact floored cent ratios — integer means
+    * inflate ties vs float means, identically in both engines, and
+    * the tie term corrects for exactly that. Scale: ONE map-combined
+    * daily agg over the stream; everything after is |days| rows —
+    * the pairwise S join is control-plane-sized by construction
+    * (435 pairs for 30 days), never a corpus-sized self-join.
+    */
+  def q233MannKendall(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(expr("sum(CAST(floor(value * 100) AS BIGINT)) div count(1)")
+        .as("m"))
+    val a = daily.select(col("d").as("d_a"), col("m").as("m_a"))
+    val b = daily.select(col("d").as("d_b"), col("m").as("m_b"))
+    val sStat = a.join(broadcast(b), col("d_a") < col("d_b"))
+      .agg(sum(when(col("m_b") > col("m_a"), 1L)
+                 .when(col("m_b") < col("m_a"), -1L)
+                 .otherwise(0L)).as("s_stat"))
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("m")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie_term"))
+    n.crossJoin(broadcast(sStat)).crossJoin(broadcast(ties))
+      .select(col("n_days"), col("s_stat"),
+              expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term")
+                .as("var18"))
+      .select(col("n_days"), col("s_stat"), col("var18"),
+              expr("CAST(CASE WHEN 180000 * s_stat * s_stat" +
+                   " > 38416 * var18 THEN 1 ELSE 0 END AS BIGINT)")
+                .as("reject_05"),
+              expr("CAST(CASE WHEN 180000 * s_stat * s_stat" +
+                   " > 38416 * var18 THEN" +
+                   " CASE WHEN s_stat > 0 THEN 1" +
+                   " WHEN s_stat < 0 THEN -1 ELSE 0 END" +
+                   " ELSE 0 END AS BIGINT)").as("trend"))
+  }
+
   def q226PassjoinEditdist(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
       .filter(col("p_partkey") % 4 === 0)
@@ -3046,6 +3098,7 @@ object AdvancedQueries {
     "q226_passjoin_editdist" -> (q226PassjoinEditdist _),
     "q230_snm_recall" -> (q230SnmRecall _),
     "q231_snm_multipass" -> (q231SnmMultipass _),
+    "q233_mann_kendall" -> (q233MannKendall _),
     "q194_indep_residuals" -> (q194IndepResiduals _),
     "q195_ecc_bounded" -> (q195EccBounded _),
     "q196_dedup_fixedpoint" -> (q196DedupFixedpoint _),
@@ -3484,6 +3537,34 @@ object AdvancedQueries {
         |  CAST((1000000 * matched_union) // n_truth_pairs AS BIGINT)
         |    AS union_recall_e6
         |FROM t, c1, c2, u""".stripMargin,
+    // q233: daily floored-cent means, the pairwise sign sum, the
+    // tie-corrected Var·18, and the 1.96²-as-38416/10⁴ verdict.
+    "q233_mann_kendall" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d,
+        |    SUM(CAST(floor(value * 100) AS BIGINT)) // COUNT(*) AS m
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT SUM(CASE WHEN b.m > a.m THEN 1
+        |                      WHEN b.m < a.m THEN -1 ELSE 0 END) AS s_stat
+        |      FROM daily a JOIN daily b ON a.d < b.d),
+        |n AS (SELECT COUNT(*) AS n_days FROM daily),
+        |ties AS (SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)
+        |           AS tie_term
+        |         FROM (SELECT COUNT(*) AS t FROM daily GROUP BY m)),
+        |v AS (SELECT n_days, s_stat,
+        |        n_days * (n_days - 1) * (2 * n_days + 5) - tie_term
+        |          AS var18
+        |      FROM n, s, ties)
+        |SELECT CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(s_stat AS BIGINT) AS s_stat,
+        |  CAST(var18 AS BIGINT) AS var18,
+        |  CAST(CASE WHEN 180000 * s_stat * s_stat > 38416 * var18
+        |            THEN 1 ELSE 0 END AS BIGINT) AS reject_05,
+        |  CAST(CASE WHEN 180000 * s_stat * s_stat > 38416 * var18
+        |            THEN CASE WHEN s_stat > 0 THEN 1
+        |                      WHEN s_stat < 0 THEN -1 ELSE 0 END
+        |            ELSE 0 END AS BIGINT) AS trend
+        |FROM v""".stripMargin,
     // q194: margins joined back to cells; the signed numerator divides
     // as |num| // den with the sign multiplied back (truncation-vs-
     // floor engine divergence avoided).

@@ -1103,6 +1103,18 @@ class PlanShapeSpec extends SparkSpec {
       s"the cumulatives must come from the PrefixSum pass:\n$plan")
   }
 
+  test("q233: the daily agg map-combines; the pairwise S join rides " +
+       "the broadcast |days| frame; no window, no product") {
+    val plan = finalPlan(AdvancedQueries.queries("q233_mann_kendall")(
+      spark, sf))
+    assert(plan.contains("partial_sum"),
+      s"the daily mean agg must map-combine over the stream:\n$plan")
+    assert(!plan.contains(" Window ["),
+      s"no window anywhere — everything past the agg is |days| rows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the day-pair join broadcasts the |days| frame:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
