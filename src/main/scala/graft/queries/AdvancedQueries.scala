@@ -245,6 +245,70 @@ object AdvancedQueries {
               expr("(1000000 * rows_at_risk) div n_rows").as("risk_e6"))
   }
 
+  /** q234 — T-CLOSENESS AUDIT (Li/Li/Venkatasubramanian 2007),
+    * completing the privacy trio with q190's k-anonymity and q199's
+    * l-diversity: per quasi-identifier group (nation, segment), the
+    * Earth-Mover's Distance between its SENSITIVE-attribute
+    * distribution (order priority — ordinal, '1-URGENT'..'5-LOW'
+    * sorts correctly by its digit prefix) and the global one. For an
+    * ordered attribute EMD is the mean absolute cumulative gap,
+    * exact as integers: D_g = Σ_v |cum_g(v)·N − cum_all(v)·n_g|,
+    * t_e6 = ⌊10⁶·D_g / (n_g·N·(B−1))⌋ — k-anonymity hides WHO is in
+    * a group, l-diversity demands the group's secrets vary, and
+    * t-closeness bounds what group MEMBERSHIP alone reveals about
+    * the secret; breach = t_e6 > 200000 (the paper's illustrative
+    * t = 0.2). Products ride decimal(38,0) (cum·N wraps int64 past
+    * ~3·10⁹ rows/side).
+    *
+    * Scale: ONE map-combined (group × priority) agg over the
+    * orders⋈customer join; everything after — dense grid (groups ×
+    * broadcast B priorities), per-group cumulative window over ≤ B
+    * rows, the EMD sum — is |groups|·B rows of control plane.
+    */
+  def q234TCloseness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val d38 = "decimal(38,0)"
+    val joined = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("v"))
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val cell = joined
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val glob = joined.groupBy(col("v")).agg(count(lit(1)).as("gc"))
+    val gw = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val gcum = glob.select(col("v"), sum(col("gc")).over(gw).as("gcum"))
+    val tot = glob.agg(sum(col("gc")).as("big_n"),
+                       count(lit(1)).as("b"))
+    val groups = cell.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("c")).as("n"))
+    val grid = groups.crossJoin(broadcast(gcum))
+      .join(cell, Seq("c_nationkey", "c_mktsegment", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    grid
+      .withColumn("cum_c", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n"),
+               col("big_n"), col("b"))
+      .agg(sum(expr(s"abs(CAST(cum_c AS $d38) * big_n" +
+                    s" - CAST(gcum AS $d38) * n)")).as("d"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+              expr(s"CAST((CAST(1000000 AS $d38) * d) div" +
+                   s" (CAST(n AS $d38) * big_n * (b - 1)) AS BIGINT)")
+                .as("t_e6"))
+      .withColumn("breach",
+        expr("CAST(CASE WHEN t_e6 > 200000 THEN 1 ELSE 0 END AS BIGINT)"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
   /** Benford's-law first-digit probabilities, e9 fixed-point
     * (⌊10⁹·log₁₀(1+1/d)⌉ for d = 1..9 — literal constants shared with
     * the oracle, so no runtime transcendental enters either engine;
@@ -3099,6 +3163,7 @@ object AdvancedQueries {
     "q230_snm_recall" -> (q230SnmRecall _),
     "q231_snm_multipass" -> (q231SnmMultipass _),
     "q233_mann_kendall" -> (q233MannKendall _),
+    "q234_t_closeness" -> (q234TCloseness _),
     "q194_indep_residuals" -> (q194IndepResiduals _),
     "q195_ecc_bounded" -> (q195EccBounded _),
     "q196_dedup_fixedpoint" -> (q196DedupFixedpoint _),
@@ -3565,6 +3630,40 @@ object AdvancedQueries {
         |                      WHEN s_stat < 0 THEN -1 ELSE 0 END
         |            ELSE 0 END AS BIGINT) AS trend
         |FROM v""".stripMargin,
+    // q234: dense (group × priority) grid, two cumulative windows,
+    // the integer ordered-EMD, HUGEINT products.
+    "q234_t_closeness" ->
+      """WITH j AS (
+        |  SELECT c_nationkey, c_mktsegment, o_orderpriority AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cell AS (SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS c
+        |         FROM j GROUP BY 1, 2, 3),
+        |gdist AS (SELECT v, COUNT(*) AS gc FROM j GROUP BY 1),
+        |gcum AS (SELECT v, SUM(gc) OVER (ORDER BY v) AS gcum FROM gdist),
+        |tot AS (SELECT SUM(gc) AS big_n, COUNT(*) AS b FROM gdist),
+        |grp AS (SELECT c_nationkey, c_mktsegment, SUM(c) AS n
+        |        FROM cell GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.n, gc.v, gc.gcum,
+        |    COALESCE(cell.c, 0) AS c
+        |  FROM grp g CROSS JOIN gcum gc
+        |  LEFT JOIN cell ON cell.c_nationkey = g.c_nationkey
+        |    AND cell.c_mktsegment = g.c_mktsegment AND cell.v = gc.v),
+        |cum AS (SELECT *, SUM(c) OVER (
+        |          PARTITION BY c_nationkey, c_mktsegment ORDER BY v)
+        |          AS cum_c FROM grid),
+        |d AS (SELECT c_nationkey, c_mktsegment, n,
+        |        SUM(abs(CAST(cum_c AS HUGEINT) * big_n
+        |                - CAST(gcum AS HUGEINT) * n)) AS dd
+        |      FROM cum, tot GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+        |  CAST((1000000 * dd)
+        |       // (CAST(n AS HUGEINT) * big_n * (b - 1)) AS BIGINT)
+        |    AS t_e6,
+        |  CAST(CASE WHEN (1000000 * dd)
+        |              // (CAST(n AS HUGEINT) * big_n * (b - 1)) > 200000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS breach
+        |FROM d, tot ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // q194: margins joined back to cells; the signed numerator divides
     // as |num| // den with the sign multiplied back (truncation-vs-
     // floor engine divergence avoided).

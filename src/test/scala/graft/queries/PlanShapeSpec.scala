@@ -1115,6 +1115,20 @@ class PlanShapeSpec extends SparkSpec {
       s"the day-pair join broadcasts the |days| frame:\n$plan")
   }
 
+  test("q234: exactly two bounded windows (B-row global cum + " +
+       "group-partitioned grid cum); cells map-combine; no product") {
+    val plan = finalPlan(AdvancedQueries.queries("q234_t_closeness")(
+      spark, sf))
+    val windows = plan.linesIterator.count(_.contains(" Window ["))
+    assert(windows == 2,
+      s"two control-plane windows (|priorities| and |groups|×B rows), " +
+        s"found $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the B-row frames broadcast:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the (group × priority) cells must map-combine:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
