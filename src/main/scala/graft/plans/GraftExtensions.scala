@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in theta→equi range-join rewrite (fires only when
     // spark.graft.rangeJoin.bucketWidth is set — see RangeJoinRewrite)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // always-on levenshtein-threshold rewrite (pure expression
+    // equivalence — see LevenshteinThresholdRewrite)
+    ext.injectOptimizerRule(_ => LevenshteinThresholdRewrite)
   }
 }
 

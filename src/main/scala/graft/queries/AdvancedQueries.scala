@@ -641,6 +641,44 @@ object AdvancedQueries {
                    " ELSE 0 END AS BIGINT)").as("trend"))
   }
 
+  /** q235 — the NAIVE fuzzy join, auto-repaired by the optimizer:
+    * the same quarter histogram as q226, but written the way a user
+    * naturally writes it — a bare noun-blocked join with
+    * `levenshtein(a, b) <= 2` as a plain comparison — with
+    * [[graft.plans.LevenshteinThresholdRewrite]] enabled, which
+    * rewrites the predicate to the banded threshold kernel
+    * (`lev(a, b, 2) >= 0`, O(k·len) with early exit instead of the
+    * full O(len²) DP) in the optimizer, not in the query text. Three
+    * queries, one oracle: q193 (hand-banded), q226 (segment
+    * signatures), and q235 (naive text + rule) must all hash to the
+    * same answer — the rule's exactness is oracle-gated on real
+    * data, and `LevenshteinThresholdRewriteSpec` pins the rewrite
+    * itself (incl. nulls, mirrors, idempotence). The rule stays
+    * enabled for the session afterwards — it is a pure expression
+    * equivalence with no knob, the [[graft.plans.GraftExtensions]]
+    * default.
+    */
+  def q235LevRewrite(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.LevenshteinThresholdRewrite.enable(s)
+    val p = Tables.part(s, dir)
+      .filter(col("p_partkey") % 4 === 0)
+      .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
+              coalesce(element_at(split(col("p_name"), " "), 2), lit(""))
+                .as("noun"))
+    val a = p.select(col("pk").as("pk_a"), col("nm").as("nm_a"),
+                     col("noun"))
+    val b = p.select(col("pk").as("pk_b"), col("nm").as("nm_b"),
+                     col("noun"))
+    a.join(b, Seq("noun"))
+      .filter(col("pk_a") < col("pk_b") &&
+              levenshtein(col("nm_a"), col("nm_b")) <= 2)
+      .select(levenshtein(col("nm_a"), col("nm_b")).cast("long")
+        .as("dist"))
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("dist")
+  }
+
   def q226PassjoinEditdist(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
       .filter(col("p_partkey") % 4 === 0)
@@ -3164,6 +3202,7 @@ object AdvancedQueries {
     "q231_snm_multipass" -> (q231SnmMultipass _),
     "q233_mann_kendall" -> (q233MannKendall _),
     "q234_t_closeness" -> (q234TCloseness _),
+    "q235_lev_rewrite" -> (q235LevRewrite _),
     "q194_indep_residuals" -> (q194IndepResiduals _),
     "q195_ecc_bounded" -> (q195EccBounded _),
     "q196_dedup_fixedpoint" -> (q196DedupFixedpoint _),
@@ -3664,6 +3703,19 @@ object AdvancedQueries {
         |              // (CAST(n AS HUGEINT) * big_n * (b - 1)) > 200000
         |            THEN 1 ELSE 0 END AS BIGINT) AS breach
         |FROM d, tot ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // q235: the q226 quarter oracle verbatim — naive Spark text +
+    // optimizer rule must hash to the same answer.
+    "q235_lev_rewrite" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS pk, p_name AS nm,
+        |    split_part(p_name, ' ', 2) AS noun
+        |  FROM part WHERE p_partkey % 4 = 0)
+        |SELECT CAST(dist AS BIGINT) AS dist,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM (
+        |  SELECT levenshtein(a.nm, b.nm) AS dist
+        |  FROM p a JOIN p b ON a.noun = b.noun AND a.pk < b.pk)
+        |WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin,
     // q194: margins joined back to cells; the signed numerator divides
     // as |num| // den with the sign multiplied back (truncation-vs-
     // floor engine divergence avoided).

@@ -1129,6 +1129,17 @@ class PlanShapeSpec extends SparkSpec {
       s"the (group × priority) cells must map-combine:\n$plan")
   }
 
+  test("q235: the naive <= predicate is thresholded by the optimizer " +
+       "rule — the filter kernel carries Some(2)") {
+    val df = AdvancedQueries.queries("q235_lev_rewrite")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.treeString
+    assert(opt.contains("Some(2)"),
+      s"the join filter must carry the threshold kernel:\n$opt")
+    val plan = finalPlan(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"the bare noun join is an equi-join:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
