@@ -906,7 +906,8 @@ object Dedup {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val reserved = Seq("__id", "__txt", "__len", "__lb", "__i", "__seg",
                        "__dl", "__base", "__rem", "__sl", "__sp", "__lo",
-                       "__hi", "__p", "__slack")
+                       "__hi", "__p", "__slack",
+                       "__prb_id", "__prb_txt", "__idx_id", "__idx_txt")
     require(!blockCols.exists(reserved.contains),
       s"blockCols must not use reserved names ${reserved.mkString(", ")}")
     val k = maxDist + 1

@@ -242,10 +242,30 @@ object Sampling {
   def smoothedQuotasFromSizes(sizes: DataFrame, budget: Long)
       : DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
-    val weighted = sizes.withColumn("wd",
+    // [[isqrtExpr]]'s exactness contract is m < 2^53, which n·10⁶
+    // crosses at n > 9 007 199 254 (~9.0e9 rows per source) — and the
+    // long product itself wraps silently negative past ~9.2e12 in
+    // non-ANSI mode, the same failure [[temperatureQuotas]]'s decimal
+    // discipline exists to prevent. A weight must never be silently
+    // wrong (quotas still sum to budget, so nothing downstream would
+    // surface it): fail fast on the |sources|-row frame and tell the
+    // caller to pre-scale.
+    val guarded = sizes.withColumn("n",
+      when(col("n") <= lit(IsqrtMaxN), col("n"))
+        .otherwise(raise_error(concat(
+          lit("smoothedQuotas: source size "), col("n"),
+          lit(s" exceeds the isqrt-exact domain $IsqrtMaxN" +
+              " (n·1e6 must stay below 2^53) — pre-scale the sizes")))
+          .cast("long")))
+    val weighted = guarded.withColumn("wd",
       isqrtExpr(col("n") * lit(1000000L)).cast("decimal(38,0)"))
     apportion(weighted, budget)
   }
+
+  /** Largest per-source size [[smoothedQuotasFromSizes]] accepts:
+    * ⌊(2⁵³ − 1)/10⁶⌋, the boundary of [[isqrtExpr]]'s exact domain
+    * for the n·10⁶ weight input. */
+  val IsqrtMaxN: Long = ((1L << 53) - 1) / 1000000L
 
   /** EXACT integer square root ⌊√m⌋ for 0 ≤ m < 2⁵³, engine-portably:
     * floor the IEEE-754 double sqrt, then repair with two integer

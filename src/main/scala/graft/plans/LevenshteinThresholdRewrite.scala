@@ -14,7 +14,10 @@ import org.apache.spark.sql.types.IntegerType
   *   lev(a,b) <= k   ⟶   lev(a,b,k)   >= 0
   *   lev(a,b) <  k   ⟶   lev(a,b,k−1) >= 0
   *   lev(a,b) =  k   ⟶   lev(a,b,k)   =  k
-  *   (and the literal-first mirror of each)
+  *   lev(a,b) >  k   ⟶   lev(a,b,k)   <  0
+  *   lev(a,b) >= k   ⟶   lev(a,b,k−1) <  0
+  *   (and the literal-first mirror of each — the lower-bound forms
+  *   are the natural "keep only NON-duplicates" predicates)
   *
   * The full DP is O(\|a\|·\|b\|) per pair; the threshold form computes
   * only the 2k+1 diagonal band and early-exits, O(k·len) — on a
@@ -29,10 +32,12 @@ import org.apache.spark.sql.types.IntegerType
   * Always ON once injected (pure expression equivalence — there is no
   * knob to guess, unlike [[RangeJoinRewrite]]'s bucket width) and
   * idempotent: the rewritten node carries a threshold, which the
-  * pattern excludes. `k < 0` (and `< 0`/`= −1` degenerate forms) are
-  * left untouched — constant folding handles the always-false cases,
-  * and a negative threshold would change the expression's error
-  * behavior rather than its value.
+  * pattern excludes. Degenerate literals (`<= −1`, `> −1`, `>= 0`,
+  * `= −1`, …) are left untouched: their constant-valued equivalents
+  * are NOT plain `true`/`false` — a null input must still yield null
+  * — and a negative threshold would change the expression's error
+  * behavior rather than its value, so the rule only fires where the
+  * threshold form is a strict drop-in.
   */
 object LevenshteinThresholdRewrite extends Rule[LogicalPlan] {
 
@@ -67,5 +72,17 @@ object LevenshteinThresholdRewrite extends Rule[LogicalPlan] {
         EqualTo(Levenshtein(a, b, Some(Literal(k))), Literal(k))
       case EqualTo(IntLit(k), Levenshtein(a, b, None)) if k >= 0 =>
         EqualTo(Levenshtein(a, b, Some(Literal(k))), Literal(k))
+      // lower bounds: the threshold form returns −1 exactly when the
+      // distance exceeds k, so "dist > k" is "lev(a,b,k) < 0"
+      case GreaterThan(Levenshtein(a, b, None), IntLit(k)) if k >= 0 =>
+        LessThan(Levenshtein(a, b, Some(Literal(k))), Literal(0))
+      case LessThan(IntLit(k), Levenshtein(a, b, None)) if k >= 0 =>
+        LessThan(Levenshtein(a, b, Some(Literal(k))), Literal(0))
+      case GreaterThanOrEqual(Levenshtein(a, b, None), IntLit(k))
+          if k >= 1 =>
+        LessThan(Levenshtein(a, b, Some(Literal(k - 1))), Literal(0))
+      case LessThanOrEqual(IntLit(k), Levenshtein(a, b, None))
+          if k >= 1 =>
+        LessThan(Levenshtein(a, b, Some(Literal(k - 1))), Literal(0))
     }
 }

@@ -276,7 +276,9 @@ object AdvancedQueries {
     val cell = joined
       .groupBy(col("c_nationkey"), col("c_mktsegment"), col("v"))
       .agg(count(lit(1)).as("c"))
-    val glob = joined.groupBy(col("v")).agg(count(lit(1)).as("gc"))
+    // the global distribution re-aggregates the |groups|·B cell frame
+    // — never a second pass over the corpus-sized join
+    val glob = cell.groupBy(col("v")).agg(sum(col("c")).as("gc"))
     val gw = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window
         .unboundedPreceding, 0)
@@ -527,7 +529,8 @@ object AdvancedQueries {
     n.crossJoin(broadcast(w)).crossJoin(broadcast(t))
       .select(col("n_records"), col("n_window_pairs"), col("n_matched"),
               col("n_truth_pairs"),
-              expr("(1000000 * n_matched) div n_truth_pairs")
+              expr("CASE WHEN n_truth_pairs = 0 THEN 0 ELSE" +
+                   " (1000000 * n_matched) div n_truth_pairs END")
                 .as("recall_e6"))
   }
 
@@ -581,11 +584,14 @@ object AdvancedQueries {
       .crossJoin(broadcast(cu))
       .select(col("n_truth_pairs"), col("matched_1"), col("matched_2"),
               col("matched_union"),
-              expr("(1000000 * matched_1) div n_truth_pairs")
+              expr("CASE WHEN n_truth_pairs = 0 THEN 0 ELSE" +
+                   " (1000000 * matched_1) div n_truth_pairs END")
                 .as("recall1_e6"),
-              expr("(1000000 * matched_2) div n_truth_pairs")
+              expr("CASE WHEN n_truth_pairs = 0 THEN 0 ELSE" +
+                   " (1000000 * matched_2) div n_truth_pairs END")
                 .as("recall2_e6"),
-              expr("(1000000 * matched_union) div n_truth_pairs")
+              expr("CASE WHEN n_truth_pairs = 0 THEN 0 ELSE" +
+                   " (1000000 * matched_union) div n_truth_pairs END")
                 .as("union_recall_e6"))
   }
 
@@ -3596,7 +3602,8 @@ object AdvancedQueries {
         |  CAST(n_window_pairs AS BIGINT) AS n_window_pairs,
         |  CAST(n_matched AS BIGINT) AS n_matched,
         |  CAST(n_truth_pairs AS BIGINT) AS n_truth_pairs,
-        |  CAST((1000000 * n_matched) // n_truth_pairs AS BIGINT)
+        |  CAST(CASE WHEN n_truth_pairs = 0 THEN 0 ELSE
+        |    (1000000 * n_matched) // n_truth_pairs END AS BIGINT)
         |    AS recall_e6
         |FROM n, w, t""".stripMargin,
     // q231: two row_number orders (prefix and reversed-suffix), the
@@ -3634,11 +3641,14 @@ object AdvancedQueries {
         |  CAST(matched_1 AS BIGINT) AS matched_1,
         |  CAST(matched_2 AS BIGINT) AS matched_2,
         |  CAST(matched_union AS BIGINT) AS matched_union,
-        |  CAST((1000000 * matched_1) // n_truth_pairs AS BIGINT)
+        |  CAST(CASE WHEN n_truth_pairs = 0 THEN 0 ELSE
+        |    (1000000 * matched_1) // n_truth_pairs END AS BIGINT)
         |    AS recall1_e6,
-        |  CAST((1000000 * matched_2) // n_truth_pairs AS BIGINT)
+        |  CAST(CASE WHEN n_truth_pairs = 0 THEN 0 ELSE
+        |    (1000000 * matched_2) // n_truth_pairs END AS BIGINT)
         |    AS recall2_e6,
-        |  CAST((1000000 * matched_union) // n_truth_pairs AS BIGINT)
+        |  CAST(CASE WHEN n_truth_pairs = 0 THEN 0 ELSE
+        |    (1000000 * matched_union) // n_truth_pairs END AS BIGINT)
         |    AS union_recall_e6
         |FROM t, c1, c2, u""".stripMargin,
     // q233: daily floored-cent means, the pairwise sign sum, the
@@ -3677,7 +3687,7 @@ object AdvancedQueries {
         |  FROM orders JOIN customer ON o_custkey = c_custkey),
         |cell AS (SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS c
         |         FROM j GROUP BY 1, 2, 3),
-        |gdist AS (SELECT v, COUNT(*) AS gc FROM j GROUP BY 1),
+        |gdist AS (SELECT v, SUM(c) AS gc FROM cell GROUP BY 1),
         |gcum AS (SELECT v, SUM(gc) OVER (ORDER BY v) AS gcum FROM gdist),
         |tot AS (SELECT SUM(gc) AS big_n, COUNT(*) AS b FROM gdist),
         |grp AS (SELECT c_nationkey, c_mktsegment, SUM(c) AS n

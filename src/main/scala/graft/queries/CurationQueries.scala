@@ -1389,22 +1389,25 @@ object CurationQueries {
     * which sources to REPEAT and how often — repeats are allocated
     * greedily by source quality (the q133 mean score), each source
     * capped at [[EpochMaxRepeats]] epochs, until the budget is spent:
-    * epochs_s = min(R, max(0, (B − Σ_{better} R·t) div t_s)) over the
-    * (mean_score desc, source) order. Integer end to end: token
-    * counts are exact whitespace-token sums over the SCORED docs
-    * (inner join with the q133 chain — unscorable < 2-token docs
-    * carry no quality evidence and no budget), the mean is the exact
-    * floored ratio, and the truncate-vs-floor divergence of the
-    * marginal quotient is clamped away by greatest(0, ·) on both
-    * engines (negative and sub-1 quotients both land on 0).
-    *
-    * Scale: the corpus-sized work is the q133 chain + one
-    * map-combined per-source agg; the greedy itself is a window over
-    * the |sources|-row frame — control-plane-sized, the q220
-    * discipline.
+    * each source takes epochs_s = min(R, ⌊remaining/t_s⌋) in the
+    * (mean_score desc, source) order and the REMAINING budget carries
+    * down — including the flooring leftovers of truncated sources, so
+    * lower-priority sources absorb what the marginal source could not
+    * (a capacity-prefix formula `(B − Σ_better R·t) div t` strands
+    * exactly those leftovers and under-spends the budget). The spill
+    * is a genuinely sequential recurrence (remᵢ₊₁ = remᵢ −
+    * tᵢ·min(R, ⌊remᵢ/tᵢ⌋) — not a prefix sum), and the frame it runs
+    * over is |sources| rows, so it folds ON THE DRIVER after the
+    * per-source aggregate collects — the same control-plane-collect
+    * discipline as [[graft.operators.PrefixSum.runningTotal]]'s
+    * per-partition offsets; the corpus never leaves the cluster.
+    * Integer end to end: token counts are exact whitespace-token sums
+    * over the SCORED docs (inner join with the q133 chain —
+    * unscorable < 2-token docs carry no quality evidence and no
+    * budget), the mean is the exact floored ratio. Oracle = a
+    * recursive CTE threading the identical remainder.
     */
   def q229EpochAllocation(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.broadcast
     val docs = Tables.documents(s, dir)
     val scored = LanguageModel.scoreDocuments(docs, "doc_id", "text")
       .select(col("doc_id"), col("score_e6"))
@@ -1415,24 +1418,22 @@ object CurationQueries {
       .groupBy(col("source"))
       .agg(sum(col("tk")).as("tokens"),
            expr("sum(score_e6) div count(1)").as("mean_score_e6"))
-    val tot = per.agg(
-      (sum(col("tokens")) * lit(EpochBudgetMult)).as("budget"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("mean_score_e6").desc, col("source"))
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    per.crossJoin(broadcast(tot))
-      .withColumn("cum_before",
-        coalesce(sum(col("tokens") * lit(EpochMaxRepeats)).over(w),
-                 lit(0L)))
-      .withColumn("epochs",
-        when(col("tokens") === 0L, 0L)
-          .otherwise(least(lit(EpochMaxRepeats),
-            greatest(lit(0L),
-              expr("(budget - cum_before) div tokens")))))
-      .select(col("source"), col("tokens"), col("mean_score_e6"),
-              col("epochs"),
-              (col("epochs") * col("tokens")).as("tokens_served"))
+    // |sources| rows — the control-plane collect; order = priority
+    val rows = per.collect().map { r =>
+      (r.getAs[String]("source"), r.getAs[Long]("tokens"),
+       r.getAs[Long]("mean_score_e6"))
+    }.sortBy { case (src, _, m) => (-m, src) }
+    val budget = rows.map(_._2).sum * EpochBudgetMult
+    var rem = budget
+    val alloc = rows.map { case (src, t, m) =>
+      val e = if (t == 0L) 0L
+              else math.min(EpochMaxRepeats, rem / t)
+      rem -= e * t
+      (src, t, m, e, e * t)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(alloc.toIndexedSeq, 1))
+      .toDF("source", "tokens", "mean_score_e6", "epochs",
+            "tokens_served")
       .orderBy("source")
   }
 
@@ -1490,8 +1491,9 @@ object CurationQueries {
       .agg(min(col("score_e6")).as("at_score_e6"))
     tot.crossJoin(broadcast(best)).crossJoin(broadcast(at))
       .select(col("n1"), col("n2"), col("at_score_e6"),
-              expr(s"CAST((CAST(1000000 AS $d38) * m_max)" +
-                   s" div (CAST(n1 AS $d38) * n2) AS BIGINT)")
+              expr(s"CAST(CASE WHEN n1 * n2 = 0 THEN 0 ELSE" +
+                   s" (CAST(1000000 AS $d38) * m_max)" +
+                   s" div (CAST(n1 AS $d38) * n2) END AS BIGINT)")
                 .as("d_e6"),
               expr(s"CAST(CASE WHEN CAST(1000000 AS $d38) * m_max * m_max" +
                    s" > CAST(1844164 AS $d38) * (n1 + n2) * n1 * n2" +
@@ -1604,37 +1606,50 @@ object CurationQueries {
         |       FROM diff, best WHERE m = m_max)
         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |  CAST(at_score_e6 AS BIGINT) AS at_score_e6,
-        |  CAST((1000000 * m_max) // (CAST(n1 AS HUGEINT) * n2)
+        |  CAST(CASE WHEN n1 * n2 = 0 THEN 0 ELSE
+        |    (1000000 * m_max) // (CAST(n1 AS HUGEINT) * n2) END
         |       AS BIGINT) AS d_e6,
         |  CAST(CASE WHEN 1000000 * m_max * m_max
         |              > CAST(1844164 AS HUGEINT) * (n1 + n2) * n1 * n2
         |            THEN 1 ELSE 0 END AS BIGINT) AS reject_05
         |FROM tot, best, at""".stripMargin,
     // q229: the shared q133 CTE + per-source token/score agg + the
-    // greedy window over the |sources| frame; the marginal quotient's
-    // truncate-vs-floor divergence is clamped by greatest(0, ·).
+    // sequential greedy as a recursive CTE threading the remaining
+    // budget (flooring leftovers spill to lower-priority sources).
     "q229_epoch_allocation" ->
-      s"""WITH $lmScoreCte,
+      s"""WITH RECURSIVE $lmScoreCte,
         |per AS (
         |  SELECT d.source, SUM(len(string_split(d.text, ' '))) AS tokens,
         |    SUM(sc.score_e6) // COUNT(*) AS mean_score_e6
         |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id
         |  GROUP BY 1),
-        |tot AS (SELECT $EpochBudgetMult * SUM(tokens) AS budget FROM per),
-        |r AS (SELECT *, COALESCE(SUM($EpochMaxRepeats * tokens) OVER (
-        |        ORDER BY mean_score_e6 DESC, source
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |        AS cum_before FROM per),
-        |sel AS (SELECT source, tokens, mean_score_e6,
-        |    CASE WHEN tokens = 0 THEN 0
-        |         ELSE least($EpochMaxRepeats, greatest(0,
-        |           (budget - cum_before) // tokens)) END AS epochs
-        |  FROM r, tot)
+        |ord AS (SELECT source, tokens, mean_score_e6,
+        |          row_number() OVER (ORDER BY mean_score_e6 DESC,
+        |                             source) AS rk
+        |        FROM per),
+        |tot AS (SELECT $EpochBudgetMult * SUM(tokens) AS budget
+        |        FROM per),
+        |alloc AS (
+        |  SELECT CAST(0 AS BIGINT) AS rk, CAST(NULL AS VARCHAR) AS source,
+        |    CAST(0 AS HUGEINT) AS tokens, CAST(0 AS HUGEINT) AS
+        |    mean_score_e6, CAST(0 AS HUGEINT) AS epochs,
+        |    CAST(budget AS HUGEINT) AS rem
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT o.rk, o.source, o.tokens, o.mean_score_e6,
+        |    CASE WHEN o.tokens = 0 THEN 0
+        |         ELSE least($EpochMaxRepeats, a.rem // o.tokens)
+        |    END AS epochs,
+        |    a.rem - CASE WHEN o.tokens = 0 THEN 0
+        |                 ELSE least($EpochMaxRepeats,
+        |                            a.rem // o.tokens) END * o.tokens
+        |      AS rem
+        |  FROM alloc a JOIN ord o ON o.rk = a.rk + 1)
         |SELECT source, CAST(tokens AS BIGINT) AS tokens,
         |  CAST(mean_score_e6 AS BIGINT) AS mean_score_e6,
         |  CAST(epochs AS BIGINT) AS epochs,
         |  CAST(epochs * tokens AS BIGINT) AS tokens_served
-        |FROM sel ORDER BY source""".stripMargin,
+        |FROM alloc WHERE rk > 0 ORDER BY source""".stripMargin,
     // q227: the shared q133 CTE + the five HUGEINT sums + the signed
     // closed-form OLS quotients (abs-divide, sign multiplied back).
     "q227_score_length_bias" ->

@@ -63,7 +63,12 @@ class LevenshteinThresholdRewriteSpec extends SparkSpec {
       ("levenshtein(x, y) = 2"  -> Set(3L)),
       ("1 >= levenshtein(x, y)" -> Set(1L, 2L)),
       ("2 > levenshtein(x, y)"  -> Set(1L, 2L)),
-      ("2 = levenshtein(x, y)"  -> Set(3L)))
+      ("2 = levenshtein(x, y)"  -> Set(3L)),
+      // lower bounds — the "keep only non-duplicates" direction
+      ("levenshtein(x, y) > 1"  -> Set(3L, 4L)),
+      ("levenshtein(x, y) >= 2" -> Set(3L, 4L)),
+      ("1 < levenshtein(x, y)"  -> Set(3L, 4L)),
+      ("2 <= levenshtein(x, y)" -> Set(3L, 4L)))
     for ((pred, expected) <- cases) withRule {
       val df = fixture.filter(expr(pred)).select("id")
       assert(thresholded(df).nonEmpty, s"$pred must rewrite")

@@ -1047,18 +1047,17 @@ class PlanShapeSpec extends SparkSpec {
       s"per-language sizes must map-combine:\n$plan")
   }
 
-  test("q229: the greedy epoch allocation windows only the per-source " +
-       "frame; the budget broadcasts; per-source sums map-combine") {
+  test("q229: the sequential greedy folds on the driver over the " +
+       "collected |sources| frame — the returned plan is control-plane") {
     val plan = finalPlan(CurationQueries.queries("q229_epoch_allocation")(
       spark, sf))
-    val windows = plan.linesIterator.count(_.contains(" Window ["))
-    assert(windows == 1,
-      s"exactly ONE window (greedy prefix over |sources| rows), " +
-        s"found $windows:\n$plan")
-    assert(!plan.contains("CartesianProduct"),
-      s"the budget total is a broadcast 1-row frame:\n$plan")
-    assert(plan.contains("partial_sum"),
-      s"per-source token/score sums must map-combine:\n$plan")
+    // the corpus-sized work (q133 chain + per-source agg) runs in the
+    // collect; the result frame is the parallelized allocation
+    assert(plan.contains("SerializeFromObject") ||
+           plan.contains("ExistingRDD"),
+      s"the allocation must come from the driver fold:\n$plan")
+    assert(!plan.contains(" Window [") && !plan.contains("Join"),
+      s"nothing corpus-sized may remain in the result plan:\n$plan")
   }
 
   test("q230: the SNM rank rides PrefixSum (no corpus window); pairs " +
