@@ -478,6 +478,64 @@ object PipelineQueries {
       .orderBy("index_name")
   }
 
+  /** q236 — COHEN'S KAPPA between the two near-dup sketches' DOC-level
+    * verdicts: a document is "flagged" by an index iff it appears in
+    * any of that index's pairs (MinHash exact-verified at J ≥ 4/5;
+    * SimHash at hamming ≤ 3 — the q218 legs), and kappa is the
+    * chance-corrected agreement of the two flags over ALL docs —
+    * q218 scores each index against the TRUTH; this scores the
+    * indexes against EACH OTHER, the inter-rater question ("would
+    * swapping sketches change which docs my pipeline drops?") that
+    * raw agreement overstates when most docs are unflagged. Exact
+    * integers end to end: the 2×2 confusion (a,b,c,d), agree_e6 =
+    * ⌊10⁶(a+d)/n⌋, and kappa_e6 with the q194 signed-numerator
+    * discipline over num = n(a+d) − pe, den = n² − pe,
+    * pe = (a+b)(a+c) + (c+d)(b+d) — den = 0 (a constant rater) guards
+    * to 0. Products ride decimal(38,0) (n² wraps int64 past ~3e9
+    * docs).
+    *
+    * Scale: the pair stages are the gated q22/q48 shapes; everything
+    * after is two distinct-projections, two LEFT joins on doc_id, and
+    * ONE map-combined confusion agg to a single row.
+    */
+  def q236SketchKappa(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val docs = Tables.documents(s, dir)
+    def flagged(p: DataFrame, mark: String): DataFrame =
+      p.select(col("doc_a").as("doc_id"))
+        .unionByName(p.select(col("doc_b").as("doc_id")))
+        .distinct()
+        .withColumn(mark, lit(1L))
+    val mh = flagged(Dedup.minhashDedupPairs(docs, "doc_id", "text",
+                                             n = 3, num = 4, den = 5),
+                     "__mh")
+    val sh = flagged(Dedup.simhashPairs(docs, "doc_id", "text"), "__sh")
+    docs.select(col("doc_id"))
+      .join(mh, Seq("doc_id"), "left")
+      .join(sh, Seq("doc_id"), "left")
+      .select(coalesce(col("__mh"), lit(0L)).as("m"),
+              coalesce(col("__sh"), lit(0L)).as("h"))
+      .agg(sum(expr("m * h")).as("a"),
+           sum(expr("m * (1 - h)")).as("b"),
+           sum(expr("(1 - m) * h")).as("c"),
+           sum(expr("(1 - m) * (1 - h)")).as("d"))
+      .withColumn("n", expr("a + b + c + d"))
+      .withColumn("pe_num",
+        expr(s"CAST(a + b AS $d38) * (a + c) +" +
+             s" CAST(c + d AS $d38) * (b + d)"))
+      .select(col("a").as("n_both"), col("b").as("n_minhash_only"),
+              col("c").as("n_simhash_only"), col("d").as("n_neither"),
+              expr("(1000000 * (a + d)) div n").as("agree_e6"),
+              expr(s"CAST(CASE WHEN CAST(n AS $d38) * n - pe_num = 0" +
+                   " THEN 0 ELSE" +
+                   s" (CASE WHEN CAST(n AS $d38) * (a + d) - pe_num < 0" +
+                   " THEN -1 ELSE 1 END) *" +
+                   s" ((abs(CAST(n AS $d38) * (a + d) - pe_num)" +
+                   " * 1000000) div" +
+                   s" (CAST(n AS $d38) * n - pe_num)) END AS BIGINT)")
+                .as("kappa_e6"))
+  }
+
   /** n-gram language-ID heuristic: per-language stopword-hit scores,
     * argmax with alphabetical tie-break.
     */
@@ -1243,6 +1301,7 @@ object PipelineQueries {
     "q200_scene_cuts"      -> (q200SceneCuts _),
     "q215_mutual_knn"      -> (q215MutualKnn _),
     "q218_index_agreement" -> (q218IndexAgreement _),
+    "q236_sketch_kappa"    -> (q236SketchKappa _),
     "q155_ngram_novelty"   -> (q155NgramNovelty _),
     "q222_novelty_curve"   -> (q222NoveltyCurve _),
     "q223_winnowing"       -> (q223WinnowingPairs _),
@@ -2240,6 +2299,73 @@ object PipelineQueries {
          |       ELSE (1000000 * n_true) // n_truth END AS BIGINT)
          |    AS recall_e6
          |FROM stats CROSS JOIN tn ORDER BY index_name""".stripMargin,
+    // q236: the q218 mhv/sp CTE families → doc-level flags → the 2×2
+    // confusion → exact kappa with the signed-numerator discipline.
+    "q236_sketch_kappa" ->
+      s"""WITH $shingleSetsCte,
+         |truth AS (
+         |  SELECT p.doc_a, p.doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |      COUNT(*) AS inter_cnt
+         |    FROM sh a JOIN sh b USING (shingle)
+         |    WHERE a.doc_id < b.doc_id GROUP BY 1, 2) p
+         |  JOIN sz sa ON sa.doc_id = p.doc_a
+         |  JOIN sz sb ON sb.doc_id = p.doc_b
+         |  WHERE inter_cnt * 5 >= (sa.sz + sb.sz - inter_cnt) * 4),
+         |hs AS (SELECT doc_id, shingle,
+         |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+         |       FROM sh),
+         |sigrows AS (
+         |  SELECT doc_id, p.p AS perm,
+         |    MIN(((((p.p * 2654435761) % 536870912) * 2 + 1) * h
+         |         + (p.p * 1013904223) % 2147483647) % 4294967311) AS m
+         |  FROM hs CROSS JOIN range(128) p(p)
+         |  GROUP BY doc_id, p.p),
+         |bsig AS (SELECT doc_id, perm // 4 AS band,
+         |           list(m ORDER BY perm) AS key
+         |         FROM sigrows GROUP BY doc_id, perm // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bsig a JOIN bsig b
+         |           ON a.band = b.band AND a.key = b.key
+         |              AND a.doc_id < b.doc_id),
+         |mhv AS (SELECT doc_a, doc_b FROM cand
+         |        INTERSECT SELECT doc_a, doc_b FROM truth),
+         |$simhash64Cte,
+         |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM halves a JOIN halves b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.sig_hi, b.sig_hi))
+         |           + bit_count(xor(a.sig_lo, b.sig_lo)) <= 3),
+         |mhd AS (SELECT DISTINCT doc_id FROM (
+         |          SELECT doc_a AS doc_id FROM mhv
+         |          UNION ALL SELECT doc_b FROM mhv)),
+         |shd AS (SELECT DISTINCT doc_id FROM (
+         |          SELECT doc_a AS doc_id FROM sp
+         |          UNION ALL SELECT doc_b FROM sp)),
+         |lab AS (SELECT
+         |    CASE WHEN mm.doc_id IS NULL THEN 0 ELSE 1 END AS m,
+         |    CASE WHEN hh.doc_id IS NULL THEN 0 ELSE 1 END AS h
+         |  FROM documents d
+         |  LEFT JOIN mhd mm ON mm.doc_id = d.doc_id
+         |  LEFT JOIN shd hh ON hh.doc_id = d.doc_id),
+         |conf AS (SELECT SUM(m * h) AS a, SUM(m * (1 - h)) AS b,
+         |           SUM((1 - m) * h) AS c, SUM((1 - m) * (1 - h)) AS d
+         |         FROM lab),
+         |k AS (SELECT a, b, c, d, a + b + c + d AS n,
+         |        CAST(a + b AS HUGEINT) * (a + c)
+         |          + CAST(c + d AS HUGEINT) * (b + d) AS pe_num
+         |      FROM conf)
+         |SELECT CAST(a AS BIGINT) AS n_both,
+         |  CAST(b AS BIGINT) AS n_minhash_only,
+         |  CAST(c AS BIGINT) AS n_simhash_only,
+         |  CAST(d AS BIGINT) AS n_neither,
+         |  CAST((1000000 * (a + d)) // n AS BIGINT) AS agree_e6,
+         |  CAST(CASE WHEN CAST(n AS HUGEINT) * n - pe_num = 0 THEN 0
+         |    ELSE (CASE WHEN CAST(n AS HUGEINT) * (a + d) - pe_num < 0
+         |          THEN -1 ELSE 1 END) *
+         |      ((abs(CAST(n AS HUGEINT) * (a + d) - pe_num) * 1000000)
+         |        // (CAST(n AS HUGEINT) * n - pe_num)) END AS BIGINT)
+         |    AS kappa_e6
+         |FROM k""".stripMargin,
     // q48: Hamming distance summed over the two unsigned halves — no
     // signed reassembly needed for bit_count(xor).
     "q48_simhash_pairs" ->

@@ -1139,6 +1139,16 @@ class PlanShapeSpec extends SparkSpec {
       s"the bare noun join is an equi-join:\n$plan")
   }
 
+  test("q236: the confusion agg map-combines to one row; flags are " +
+       "keyed joins, never a product") {
+    val plan = finalPlan(PipelineQueries.queries("q236_sketch_kappa")(
+      spark, sf))
+    assert(plan.contains("partial_sum"),
+      s"the 2x2 confusion must map-combine:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"doc flags join on doc_id:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
