@@ -1500,9 +1500,63 @@ object CurationQueries {
                    " THEN 1 ELSE 0 END AS BIGINT)").as("reject_05"))
   }
 
+  /** q237 — DELETE-A-GROUP JACKKNIFE standard error of the corpus
+    * mean quality score: every corpus metric this suite reports is a
+    * point estimate, and the jackknife is the survey-statistics
+    * standard for pricing its sampling uncertainty without
+    * distributional assumptions — split docs into G = 32 portable
+    * hash groups, recompute the mean leaving each group out, and the
+    * spread of those leave-one-out means estimates the variance of
+    * the mean: var = (G−1)/G · Σ(m_g − m̄)², computed on the
+    * EXACT e6-floored leave-one-out means (the quantization is
+    * ±1e-6 in score units — far below any SE this detects — and it
+    * is what makes the statistic bit-reproducible across engines).
+    * se_e6 = isqrt(var_e12) rides
+    * [[graft.operators.Sampling.isqrtExpr]] — the engine-portable
+    * exact integer sqrt, so even the square root carries no float.
+    *
+    * Scale: the corpus-sized work is the q133 chain + ONE
+    * map-combined (group × (count, sum)) agg; everything after is
+    * G rows of control plane. The variance identity
+    * G·Σm² − (Σm)² ≥ 0 (Cauchy–Schwarz) keeps the numerator
+    * nonnegative, so no sign discipline is needed.
+    */
+  def q237JackknifeSe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val d38 = "decimal(38,0)"
+    val G = 32L
+    val scored = LanguageModel.scoreDocuments(
+        Tables.documents(s, dir), "doc_id", "text")
+      .select(pmod(graft.functions.PortableHash.h32(
+                col("doc_id").cast("string")), lit(G)).as("g"),
+              col("score_e6"))
+    val per = scored.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("score_e6")).as("sg"))
+    val tot = per.agg(sum(col("ng")).as("n"), sum(col("sg")).as("stot"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select(expr("CASE WHEN n - ng = 0 THEN 0 ELSE" +
+                   " (stot - sg) div (n - ng) END").as("m"))
+    val agg = loo.agg(
+      count(lit(1)).as("gg"),
+      sum(col("m").cast(d38)).as("sm"),
+      sum(col("m").cast(d38) * col("m").cast(d38)).as("sm2"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn("var_e12",
+        expr(s"((gg - 1) * (gg * sm2 - sm * sm)) div" +
+             s" (CAST(gg AS $d38) * gg)"))
+      .select(col("gg").as("g_groups"),
+              expr("CAST(n AS BIGINT)").as("n_docs"),
+              expr("CAST(stot div n AS BIGINT)").as("mean_score_e6"),
+              expr("CAST(var_e12 AS BIGINT)").as("jk_var_e12"),
+              graft.operators.Sampling
+                .isqrtExpr(expr("CAST(var_e12 AS BIGINT)"))
+                .as("jk_se_e6"))
+  }
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_jackknife_se" -> (q237JackknifeSe _),
     "q232_ks_test" -> (q232KsTest _),
     "q229_epoch_allocation" -> (q229EpochAllocation _),
     "q227_score_length_bias" -> (q227ScoreLengthBias _),
@@ -1582,6 +1636,40 @@ object CurationQueries {
       |       FROM bg JOIN m USING (w1, w2) GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q237: md5 hash groups, leave-one-out floored means, the exact
+    // jackknife variance identity, and the 3-step isqrt replay.
+    "q237_jackknife_se" ->
+      s"""WITH $lmScoreCte,
+        |gasg AS (SELECT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 32 AS g,
+        |    score_e6 FROM sc),
+        |per AS (SELECT g, COUNT(*) AS ng, SUM(score_e6) AS sg
+        |        FROM gasg GROUP BY 1),
+        |tot AS (SELECT SUM(ng) AS n, SUM(sg) AS stot FROM per),
+        |loo AS (SELECT CASE WHEN n - ng = 0 THEN 0
+        |               ELSE (stot - sg) // (n - ng) END AS m
+        |        FROM per, tot),
+        |agg AS (SELECT COUNT(*) AS gg, SUM(CAST(m AS HUGEINT)) AS sm,
+        |          SUM(CAST(m AS HUGEINT) * m) AS sm2
+        |        FROM loo),
+        |v AS (SELECT gg,
+        |        ((gg - 1) * (gg * sm2 - sm * sm))
+        |          // (CAST(gg AS HUGEINT) * gg) AS var_e12
+        |      FROM agg),
+        |r0t AS (SELECT gg, var_e12,
+        |          CAST(floor(sqrt(CAST(var_e12 AS DOUBLE))) AS BIGINT)
+        |            AS r0 FROM v),
+        |r1t AS (SELECT gg, var_e12,
+        |          CASE WHEN (r0 + 1) * (r0 + 1) <= var_e12 THEN r0 + 1
+        |               ELSE r0 END AS r1 FROM r0t)
+        |SELECT CAST(gg AS BIGINT) AS g_groups,
+        |  CAST(n AS BIGINT) AS n_docs,
+        |  CAST(stot // n AS BIGINT) AS mean_score_e6,
+        |  CAST(var_e12 AS BIGINT) AS jk_var_e12,
+        |  CAST(CASE WHEN r1 * r1 > var_e12 THEN r1 - 1 ELSE r1 END
+        |       AS BIGINT) AS jk_se_e6
+        |FROM r1t, tot""".stripMargin,
     // q232: the shared q133 CTE + per-score class counts + window
     // cumulatives + the integer KS statistic and 1358² verdict.
     "q232_ks_test" ->

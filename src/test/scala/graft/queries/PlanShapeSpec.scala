@@ -1149,6 +1149,18 @@ class PlanShapeSpec extends SparkSpec {
       s"doc flags join on doc_id:\n$plan")
   }
 
+  test("q237: the jackknife is one map-combined group agg + G rows " +
+       "of control plane — no window, no product") {
+    val plan = finalPlan(CurationQueries.queries("q237_jackknife_se")(
+      spark, sf))
+    assert(plan.contains("partial_sum"),
+      s"the (group x (count,sum)) agg must map-combine:\n$plan")
+    assert(!plan.contains(" Window ["),
+      s"everything past the agg is G rows — no window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the totals broadcast as 1-row frames:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
