@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -132,6 +132,50 @@ object CurationQueries {
         rSym.cast("long") * 2 + rStop.cast("long")).as("rule_mask"),
       (rWords && rWlen && rSym && rStop).as("keep"))
       .orderBy("doc_id")
+  }
+
+  /** q238 — QUALITY-RULE ABLATION: which of q61's four gate rules
+    * actually drives the drops? Per rule, the failure count and the
+    * SOLE-BLOCKER count (docs failing this rule and no other — the
+    * docs that would be saved if the rule were removed, the rule's
+    * marginal cost), with saved_e6 = ⌊10⁶·sole/n⌋. A rule with many
+    * failures but few sole-blockers is redundant with its peers and
+    * can be tuned freely; a rule that is the sole blocker for a large
+    * slice is where the corpus-size/quality trade actually sits —
+    * the attribution question every C4-style ruleset tuning starts
+    * with. Computed FROM [[q61QualityRules]]'s own output (the gated
+    * flags aggregate directly, so the rule definitions cannot drift
+    * from the gate), and the oracle reuses the shared q61 rule CTE
+    * for the same reason. ONE map-combined aggregate to a single row,
+    * unpivoted to 4 control-plane rows.
+    */
+  def q238RuleAblation(s: SparkSession, dir: String): DataFrame = {
+    val flags = q61QualityRules(s, dir)
+    def fails(r: String): Column = when(!col(r), 1L).otherwise(0L)
+    def sole(r: String): Column = {
+      val others = Seq("r_words", "r_wlen", "r_sym", "r_stop")
+        .filterNot(_ == r).map(col).reduce(_ && _)
+      when(!col(r) && others, 1L).otherwise(0L)
+    }
+    flags.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(fails("r_words")).as("f_words"), sum(sole("r_words")).as("s_words"),
+        sum(fails("r_wlen")).as("f_wlen"), sum(sole("r_wlen")).as("s_wlen"),
+        sum(fails("r_sym")).as("f_sym"), sum(sole("r_sym")).as("s_sym"),
+        sum(fails("r_stop")).as("f_stop"), sum(sole("r_stop")).as("s_stop"))
+      .select(
+        expr("stack(4," +
+             " 'r_stop', f_stop, s_stop," +
+             " 'r_sym', f_sym, s_sym," +
+             " 'r_wlen', f_wlen, s_wlen," +
+             " 'r_words', f_words, s_words)" +
+             " AS (rule, n_fail, n_sole_blocker)"),
+        col("n_docs"), col("n_keep"))
+      .withColumn("saved_e6",
+        expr("CASE WHEN n_docs = 0 THEN 0 ELSE" +
+             " (1000000 * n_sole_blocker) div n_docs END"))
+      .orderBy("rule")
   }
 
   /** q154 — the curation DECISION LAYER: q26's language-ID, q27's
@@ -1557,6 +1601,7 @@ object CurationQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_jackknife_se" -> (q237JackknifeSe _),
+    "q238_rule_ablation" -> (q238RuleAblation _),
     "q232_ks_test" -> (q232KsTest _),
     "q229_epoch_allocation" -> (q229EpochAllocation _),
     "q227_score_length_bias" -> (q227ScoreLengthBias _),
@@ -1636,6 +1681,39 @@ object CurationQueries {
       |       FROM bg JOIN m USING (w1, w2) GROUP BY doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q238: the shared q61 rule CTE aggregated to the per-rule
+    // failure / sole-blocker counts, unpivoted to 4 rows.
+    "q238_rule_ablation" ->
+      s"""WITH $q61RulesCte,
+        |agg AS (SELECT COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN r_words AND r_wlen AND r_sym AND r_stop
+        |           THEN 1 ELSE 0 END) AS n_keep,
+        |  SUM(CASE WHEN NOT r_words THEN 1 ELSE 0 END) AS f_words,
+        |  SUM(CASE WHEN NOT r_words AND r_wlen AND r_sym AND r_stop
+        |           THEN 1 ELSE 0 END) AS s_words,
+        |  SUM(CASE WHEN NOT r_wlen THEN 1 ELSE 0 END) AS f_wlen,
+        |  SUM(CASE WHEN NOT r_wlen AND r_words AND r_sym AND r_stop
+        |           THEN 1 ELSE 0 END) AS s_wlen,
+        |  SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS f_sym,
+        |  SUM(CASE WHEN NOT r_sym AND r_words AND r_wlen AND r_stop
+        |           THEN 1 ELSE 0 END) AS s_sym,
+        |  SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS f_stop,
+        |  SUM(CASE WHEN NOT r_stop AND r_words AND r_wlen AND r_sym
+        |           THEN 1 ELSE 0 END) AS s_stop
+        |  FROM r),
+        |u AS (
+        |  SELECT 'r_words' AS rule, f_words AS n_fail,
+        |    s_words AS n_sole FROM agg
+        |  UNION ALL SELECT 'r_wlen', f_wlen, s_wlen FROM agg
+        |  UNION ALL SELECT 'r_sym', f_sym, s_sym FROM agg
+        |  UNION ALL SELECT 'r_stop', f_stop, s_stop FROM agg)
+        |SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+        |  CAST(n_sole AS BIGINT) AS n_sole_blocker,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_keep AS BIGINT) AS n_keep,
+        |  CAST(CASE WHEN n_docs = 0 THEN 0 ELSE
+        |    (1000000 * n_sole) // n_docs END AS BIGINT) AS saved_e6
+        |FROM u, agg ORDER BY rule""".stripMargin,
     // q237: md5 hash groups, leave-one-out floored means, the exact
     // jackknife variance identity, and the 3-step isqrt replay.
     "q237_jackknife_se" ->

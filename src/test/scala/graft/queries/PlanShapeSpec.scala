@@ -1161,6 +1161,16 @@ class PlanShapeSpec extends SparkSpec {
       s"the totals broadcast as 1-row frames:\n$plan")
   }
 
+  test("q238: the ablation is ONE map-combined aggregate unpivoted " +
+       "to 4 rows — no window, no join, no product") {
+    val plan = finalPlan(CurationQueries.queries("q238_rule_ablation")(
+      spark, sf))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"the flag sums must map-combine:\n$plan")
+    assert(!plan.contains(" Window [") && !plan.contains("Join"),
+      s"pure per-row flags + one agg + stack:\n$plan")
+  }
+
   test("q155: df side prunes to text-only scan; both aggs keep " +
        "map-side partials; no window") {
     val plan = finalPlan(PipelineQueries.q155NgramNovelty(spark, sf))
