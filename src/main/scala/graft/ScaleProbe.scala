@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Clustering, Dedup, GraphOps, Membership, Packing, Similarity, TemporalOps, Video}
+import graft.GraftOps._
 
 /** Dev tool: scale-up probe for the heavy operators.
   *
@@ -624,7 +625,7 @@ object ScaleProbe {
           graft.operators.Multimodal.encodeCard(32, 32, (x, y) =>
             (((id % 251) + (1 + id % 15) * x + (1 + id % 13) * y)
               % 251).toInt))
-      }.localCheckpoint()
+      }.graftCheckpoint()
       val c4 = graft.operators.Multimodal
         .imageNearDupPairs(spark, cards, madE6Max = 1000000000L,
                            hashBits = 4).count()
@@ -660,7 +661,7 @@ object ScaleProbe {
         }
         graft.operators.Audio.AudioRow(
           id, graft.operators.Audio.encodeWav(s))
-      }.localCheckpoint()
+      }.graftCheckpoint()
       val c1 = graft.operators.Audio.audioNearDupPairs(
         spark, clips, eadE6Max = Long.MaxValue, bands = 1).count()
       val c4 = graft.operators.Audio.audioNearDupPairs(
@@ -1010,7 +1011,7 @@ object ScaleProbe {
     time(s"incremental_cc_${mult}x") {
       val allPairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 1, 2)
         .select(col("doc_a"), col("doc_b"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val nPairs = allPairs.count()
       val t0 = System.nanoTime()
       val oldLabels = GraphOps.connectedComponents(
@@ -1038,12 +1039,12 @@ object ScaleProbe {
       val ch = graft.operators.Chunking.contentDefinedChunks(
           docs, "doc_id", "text", modulus = 16)
         .select(col("chunk_md5").as("h"), col("doc_id"))
-        .localCheckpoint()
+        .graftCheckpoint()
       val edges = ch.select(col("h"), col("doc_id").as("u"))
         .join(ch.select(col("h"), col("doc_id").as("v")), Seq("h"))
         .filter(col("u") < col("v"))
         .select(col("u"), col("v")).distinct()
-        .localCheckpoint()
+        .graftCheckpoint()
       val nEdges = edges.count()
       val labels = GraphOps.labelPropagation(edges, "u", "v",
                                              iterations = 3)

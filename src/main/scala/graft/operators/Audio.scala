@@ -6,6 +6,7 @@ import javax.sound.sampled.{AudioFormat, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftOps._
 
 /** Audio-modality plumbing: PCM payloads travel as opaque `binary`
   * columns (RIFF/WAV container, 16-bit signed little-endian mono)
@@ -288,7 +289,7 @@ object Audio {
       val (_, s) = decodeWav(r.payload)
       val (hv, fe) = energyHashBands(s, bands)
       HashedAudio(r.doc_id, s.length.toLong, hv, fe)
-    }).toDF().localCheckpoint()
+    }).toDF().graftCheckpoint()
     val a = hashed.select(col("doc_id").as("doc_a"), col("n_samples"),
                           col("hash"), col("fe").as("fea"))
     val b = hashed.select(col("doc_id").as("doc_b"), col("n_samples"),

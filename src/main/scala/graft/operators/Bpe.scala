@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions
+import graft.GraftOps._
 
 /** Distributed byte-pair-encoding (BPE) merge training — the tokenizer-
   * construction step of a training-data pipeline: repeatedly count
@@ -125,11 +126,27 @@ object Bpe {
         concat(lit("|"), array_join(split(col("word"), ""), "||"), lit("|"))
           .as("s"),
         col("freq"))
-      .localCheckpoint()
+      .graftCheckpoint()
 
     val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // Each round stacks one `replace` projection on the vocab plan, so
+    // the LOGICAL PLAN grows linearly with rounds: fine for a handful,
+    // but a real 30k–50k-merge training run would blow analysis /
+    // codegen long before data size matters (the encode side already
+    // has its big-merge-list mapPartitions path, `encode` above). The
+    // vocab is therefore re-materialized every CheckpointEvery rounds —
+    // lineage and storage stay O(1) in rounds (previous materialization
+    // released as soon as the next exists).
+    val CheckpointEvery = 16
     var vocab = vocab0
+    var lastCkpt = vocab0
     for (r <- 1 to rounds) {
+      if (r % CheckpointEvery == 0) {
+        val next = vocab.graftCheckpoint()
+        org.apache.spark.sql.GraftColumns.unpersistCheckpoint(lastCkpt)
+        lastCkpt = next
+        vocab = next
+      }
       val syms = split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|")
       val top = vocab
         .select(col("freq"), syms.as("syms"))
@@ -159,7 +176,7 @@ object Bpe {
         size(split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|")))
         .as("t"))
       .collect()(0).getLong(0)
-    vocab0.unpersist()
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(lastCkpt)
 
     val rows = merges.result().map { case (r, l, rr, w) =>
       Row(r.toLong, l, rr, w)

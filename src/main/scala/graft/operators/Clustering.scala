@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.GraftOps._
 
 /** Distributed k-means clustering (Lloyd's algorithm), QUANTIZED so every
   * step is exact integer arithmetic and therefore deterministic and
@@ -76,7 +77,7 @@ object Clustering {
     val out = scaled
       .select(col("vec_id"), scoredMin(centroids).as("a"))
       .select(col("vec_id"), col("a.c").as("cid"), col("a.d").as("dist2"))
-      .localCheckpoint()
+      .graftCheckpoint()
     scaled.unpersist()
     out
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.GraftOps._
 
 /** Document deduplication operators for training-data pipelines: exact,
   * n-gram Jaccard, MinHash+LSH, and SimHash.
@@ -148,7 +149,7 @@ object Dedup {
           size(col("sh_a")) + size(col("sh_b")) - col("inter_cnt"))
         .filter(col("inter_cnt") * den >= col("union_cnt") * num)
         .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
-        .localCheckpoint()
+        .graftCheckpoint()
       verified
     } finally sets.unpersist()
   }
@@ -287,7 +288,7 @@ object Dedup {
         .filter(col("inter_cnt") * den >= col("union_cnt") * num)
         .select(col("doc_a"), col("doc_b"),
                 col("inter_cnt"), col("union_cnt"))
-        .localCheckpoint() // materialize before releasing the sets cache
+        .graftCheckpoint() // materialize before releasing the sets cache
       out
     } finally sets.unpersist()
   }
@@ -423,7 +424,7 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("inter_cnt"),
                 col("sz_a").cast("long").as("sz_a"),
                 col("sz_b").cast("long").as("sz_b"))
-        .localCheckpoint() // materialize before releasing the sets cache
+        .graftCheckpoint() // materialize before releasing the sets cache
       out
     } finally sets.unpersist()
   }
@@ -585,7 +586,7 @@ object Dedup {
         .select(col("b.doc_id").as("batch_id"),
                 col("c.doc_id").as("corpus_id"))
         .distinct()
-        .localCheckpoint()
+        .graftCheckpoint()
 
       // Verify pass: candidates (counted-gated broadcast) probe the corpus
       // scan; the surviving rows — at most |cand| — then join the batch
@@ -610,7 +611,7 @@ object Dedup {
             size(col("sh_b")) + size(col("sh_c")) - col("inter_cnt"))
           .filter(col("inter_cnt") * den >= col("union_cnt") * num)
           .select("batch_id", "corpus_id", "inter_cnt", "union_cnt")
-        verified.localCheckpoint()
+        verified.graftCheckpoint()
       } finally
         // release on failure paths too — a throw in the verify joins must
         // not leak the candidate blocks until driver GC
@@ -710,7 +711,7 @@ object Dedup {
               col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
 
     // Verify candidates with exact Jaccard over shingle strings. The
     // candidate set is usually orders of magnitude smaller than the
@@ -736,7 +737,7 @@ object Dedup {
       // caller unpersists right after this returns (otherwise every call
       // would leak a MEMORY_AND_DISK cache for the session's lifetime), and
       // localCheckpoint keeps the result addressable without the cache.
-      verified.localCheckpoint()
+      verified.graftCheckpoint()
     } finally
       // The candidate checkpoint has no consumers past this point — release
       // its blocks instead of waiting for driver GC, on failure paths too.
@@ -1244,7 +1245,7 @@ object Dedup {
               hamming(col("x.sig"), col("y.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    val out = verified.localCheckpoint()
+    val out = verified.graftCheckpoint()
     sigs.unpersist()
     out
   }

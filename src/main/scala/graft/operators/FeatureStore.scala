@@ -59,11 +59,18 @@ object FeatureStore {
     * parquet-backed reader. The key names the feature family and its
     * parameters INCLUDING the input's identity (e.g.
     * "video-dup-s4-/root/testdata/sf0.1") — it is sanitized to a safe
-    * directory name here, so callers can embed raw paths.
+    * directory name here, so callers can embed raw paths. A digest of
+    * the RAW key rides along in the directory name: sanitization alone
+    * would let two distinct keys that differ only in non-safe
+    * characters ("a/b" vs "a_b") share one feature table — exactly the
+    * correctness cache collision this store exists to rule out.
     */
   def tableFor(spark: SparkSession, key: String)
               (build: => DataFrame): DataFrame = {
-    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    val safe = key.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + digest
     val path = built.computeIfAbsent(safe, _ => {
       val p = root.resolve(safe).toString
       build.write.mode("overwrite").parquet(p)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.GraftOps._
 
 /** Distributed iterative graph operators.
   *
@@ -56,13 +57,13 @@ object GraphOps {
     // symmetrizing — a union of two branches over the raw plan would
     // evaluate it twice
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
 
     var labels = sym.select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .graftCheckpoint()
 
     if (labels.isEmpty) {
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
@@ -98,7 +99,7 @@ object GraphOps {
         .select(col("id"),
                 least(coalesce(col("ncomp"), col("comp")), col("comp"))
                   .as("comp"))
-        .localCheckpoint()
+        .graftCheckpoint()
       // step 2 — pointer jump: comp(v) := comp(comp(v)). Labels are
       // always vertex ids present in `prop` (inductively: initialized to
       // the vertex itself; every later value is a min over such labels),
@@ -109,7 +110,7 @@ object GraphOps {
         .join(jump, col("comp") === col("jid"), "left")
         .select(col("id"),
                 coalesce(col("jcomp"), col("comp")).as("comp"))
-        .localCheckpoint()
+        .graftCheckpoint()
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(prop)
       val s = labelSum(jumped)
       // the new round is materialized — release the previous round's
@@ -187,11 +188,11 @@ object GraphOps {
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          w.as("__w"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     val n = nodes.count() // control-plane scalar: one number, not data
     if (n == 0) {
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
@@ -234,11 +235,11 @@ object GraphOps {
     }
     val ew = e
       .join(outw, Seq("src"))
-      .localCheckpoint()
+      .graftCheckpoint()
 
     val ranks = rankLoop(
       ew, nodes.withColumn("__base", lit(base)),
-      nodes.withColumn("rank_units", lit(totalUnits / n)).localCheckpoint(),
+      nodes.withColumn("rank_units", lit(totalUnits / n)).graftCheckpoint(),
       iterations, dampNum, dampDen)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ew)
@@ -275,7 +276,7 @@ object GraphOps {
         .select(col("node"),
                 (col("__base") + coalesce(col("__in"), lit(0L)))
                   .as("rank_units"))
-        .localCheckpoint()
+        .graftCheckpoint()
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ranks)
       ranks = next
       i += 1
@@ -315,13 +316,13 @@ object GraphOps {
             s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
                          lit(1L).as("__w"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     val sd = seeds.select(col(seedCol).as("node")).distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     val nSeedsTotal = sd.count() // control-plane scalars, one number each
     require(nSeedsTotal > 0,
       "personalizedPageRank needs a non-empty seed set")
@@ -343,16 +344,16 @@ object GraphOps {
       .select(col("node"),
               when(col("__s").isNotNull, lit(base)).otherwise(lit(0L))
                 .as("__base"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val ew = e
       .join(e.groupBy(col("src")).agg(sum(col("__w")).as("__outw")),
             Seq("src"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val ranks0 = nodesBase
       .select(col("node"),
               when(col("__base") > 0, lit(rInit)).otherwise(lit(0L))
                 .as("rank_units"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val ranks = rankLoop(ew, nodesBase, ranks0, iterations,
                          dampNum, dampDen)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
@@ -403,11 +404,11 @@ object GraphOps {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(scale >= 1, s"scale must be >= 1: $scale")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     if (nodes.isEmpty) {
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
       return nodes.withColumn("hub_e6", lit(0L))
@@ -438,8 +439,8 @@ object GraphOps {
                 expr(s"($c * $scale) div __mx").as(c))
     }
 
-    var hub = nodes.withColumn("hub_e6", lit(scale)).localCheckpoint()
-    var auth = nodes.withColumn("auth_e6", lit(scale)).localCheckpoint()
+    var hub = nodes.withColumn("hub_e6", lit(scale)).graftCheckpoint()
+    var auth = nodes.withColumn("auth_e6", lit(scale)).graftCheckpoint()
     var i = 0
     while (i < iterations) {
       val authRaw = nodes
@@ -449,7 +450,7 @@ object GraphOps {
                 .agg(sum(col("__h")).as("__a")),
               Seq("node"), "left")
         .select(col("node"), coalesce(col("__a"), lit(0L)).as("auth_e6"))
-      val nextAuth = normalized(authRaw, "auth_e6").localCheckpoint()
+      val nextAuth = normalized(authRaw, "auth_e6").graftCheckpoint()
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(auth)
       auth = nextAuth
       val hubRaw = nodes
@@ -459,7 +460,7 @@ object GraphOps {
                 .agg(sum(col("__a")).as("__h")),
               Seq("node"), "left")
         .select(col("node"), coalesce(col("__h"), lit(0L)).as("hub_e6"))
-      val nextHub = normalized(hubRaw, "hub_e6").localCheckpoint()
+      val nextHub = normalized(hubRaw, "hub_e6").graftCheckpoint()
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(hub)
       hub = nextHub
       i += 1
@@ -598,7 +599,7 @@ object GraphOps {
       .filter(col("u") =!= col("v"))
     val sym = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     val nBadIds = sym.filter(col("u") < 0 || col("u").isNull)
       .limit(1).count()
     require(nBadIds == 0,
@@ -606,7 +607,7 @@ object GraphOps {
         "(the deterministic tie-break negates labels)")
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var i = 0
     while (i < iterations) {
       // each vertex u counts its neighbors' labels: join on the
@@ -620,7 +621,7 @@ object GraphOps {
         .groupBy(col("u"))
         .agg(max(struct(col("c"), (-col("nl")).as("neg"))).as("best"))
         .select(col("u").as("node"), (-col("best.neg")).as("label"))
-        .localCheckpoint()
+        .graftCheckpoint()
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(labels)
       labels = next
       i += 1
@@ -664,7 +665,7 @@ object GraphOps {
       .filter(col("u") =!= col("v"))
     var sym = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
 
     def survivorCount(e: DataFrame): Long =
       e.select(col("u")).distinct().count()
@@ -680,7 +681,7 @@ object GraphOps {
         .join(keep, sym("u") === col("__keep"), "left_semi")
         .join(keep.select(col("__keep").as("__keepv")),
               sym("v") === col("__keepv"), "left_semi")
-        .localCheckpoint()
+        .graftCheckpoint()
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(sym)
       sym = next
       val n = survivorCount(sym)
@@ -753,7 +754,7 @@ object GraphOps {
     val newOnly = merged
       .join(labels.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("__mc").as("comp"))
-    val out = kept.unionByName(newOnly).localCheckpoint()
+    val out = kept.unionByName(newOnly).graftCheckpoint()
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(merged)
     out
   }
@@ -829,10 +830,10 @@ object GraphOps {
   private def relaxDistances(edges: DataFrame, seeds: DataFrame,
                              seedCol: String, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges.localCheckpoint()
+    val e = edges.graftCheckpoint()
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint()
+      .graftCheckpoint()
     var i = 0
     while (i < rounds) {
       val relaxed = e
@@ -842,7 +843,7 @@ object GraphOps {
       val next = dist.union(relaxed)
         .groupBy(col("node"))
         .agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+        .graftCheckpoint()
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(dist)
       dist = next
       i += 1
@@ -904,11 +905,11 @@ object GraphOps {
     val d38 = "decimal(38,0)"
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     var settled = e.sparkSession.range(1)
       .select(lit(seed).as("node"), lit(0L).as("dist"),
               lit(1L).cast(d38).as("sigma"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var frontier = settled
     var i = 0
     while (i < maxHops) {
@@ -921,7 +922,7 @@ object GraphOps {
       val nxt = ext
         .join(settled.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit((i + 1).toLong).as("dist"), col("sigma"))
-        .localCheckpoint()
+        .graftCheckpoint()
       // In non-ANSI mode a decimal(38,0) sum that exceeds 1e38 returns
       // NULL instead of throwing, which would silently degrade those
       // nodes' path counts; fail fast so overflow surfaces. The scan is
@@ -930,7 +931,7 @@ object GraphOps {
       require(nullSigma == 0L,
         s"pathCounts: sigma overflowed decimal(38,0) at hop ${i + 1} " +
           s"for $nullSigma node(s); the exact count is not representable")
-      val merged = settled.union(nxt).localCheckpoint()
+      val merged = settled.union(nxt).graftCheckpoint()
       if (i > 0)
         org.apache.spark.sql.GraftColumns.unpersistCheckpoint(frontier)
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(settled)
@@ -950,11 +951,11 @@ object GraphOps {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     var dist = seeds.select(col(seedCol).as("seed")).distinct()
       .select(col("seed"), col("seed").as("node"),
               lit(0L).as("hops"))
-      .localCheckpoint()
+      .graftCheckpoint()
     var i = 0
     while (i < maxHops) {
       val relaxed = e
@@ -966,7 +967,7 @@ object GraphOps {
       val next = dist.union(relaxed)
         .groupBy(col("seed"), col("node"))
         .agg(min(col("hops")).as("hops"))
-        .localCheckpoint()
+        .graftCheckpoint()
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(dist)
       dist = next
       i += 1

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import graft.GraftOps._
 
 /** Hilbert-curve data layout — the locality-stronger sibling of
   * [[ZOrder]]. Both interleave two dimensions into one sort key so file
@@ -111,7 +112,7 @@ object Hilbert {
     val withH = withHilbert(df, dimA, dimB, out = "h")
       .withColumn("__tie", tieBreak)
       .withColumn("__one", lit(1L))
-      .localCheckpoint()
+      .graftCheckpoint()
     val laid = PrefixSum
       .runningTotal(withH, "__one", Seq("h", "__tie"), cumCol = "__rn")
       .withColumn("file_id",

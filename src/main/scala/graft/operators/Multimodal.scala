@@ -7,6 +7,7 @@ import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftOps._
 
 /** Multimodal-column plumbing: media payloads travel as opaque `binary`
   * columns beside typed metadata; decode/feature-extract runs as a typed
@@ -288,7 +289,7 @@ object Multimodal {
       val (w, h, px) = decodePixels(r.payload)
       val hv = if (hashBits == 64) aHash64(w, h, px) else aHash4(w, h, px)
       HashedImage(r.doc_id, w.toLong, h.toLong, hv, px)
-    }).toDF().localCheckpoint()
+    }).toDF().graftCheckpoint()
     val a = hashed.select(col("doc_id").as("doc_a"), col("width"),
                           col("height"), col("hash"), col("px").as("pxa"))
     val b = hashed.select(col("doc_id").as("doc_b"), col("width"),

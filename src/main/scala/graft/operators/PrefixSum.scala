@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import graft.GraftOps._
 
 /** Distributed global prefix sum — a running total over a GLOBAL order
   * without ever putting the data through a single-partition window (the
@@ -104,7 +105,7 @@ object PrefixSum {
           Row.fromSeq(keepIdx.map(r.get).toIndexedSeq :+ (acc + off))
         }
       }(Encoders.row(outSchema))
-        .localCheckpoint() // materialize before releasing the cache
+        .graftCheckpoint() // materialize before releasing the cache
     } finally ranged.unpersist()
   }
 
@@ -178,7 +179,7 @@ object PrefixSum {
           Row.fromSeq(keepIdx.map(r.get).toIndexedSeq :+ run :+ isNew)
         }
       }(Encoders.row(outSchema))
-        .localCheckpoint()
+        .graftCheckpoint()
     } finally ranged.unpersist()
   }
 }

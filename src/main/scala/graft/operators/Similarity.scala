@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.GraftOps._
 
 /** Similarity search over `array<float>` embedding columns: brute-force
   * cosine top-k (the exactness baseline) and random-hyperplane LSH
@@ -402,7 +403,7 @@ object Similarity {
           e6(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
         .filter(col("sim_e6") >= minSimE6)
         .select("vec_a", "vec_b")
-        .localCheckpoint()
+        .graftCheckpoint()
       try {
         val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
           .withColumn("is_dropped", lit(true))
@@ -415,7 +416,7 @@ object Similarity {
           .select(col("vec_id"), col("cid"),
                   coalesce(col("n_close"), lit(0L)).as("n_close"),
                   (!coalesce(col("is_dropped"), lit(false))).as("kept"))
-          .localCheckpoint()
+          .graftCheckpoint()
       } finally unpersistCheckpoint(pairs)
     } finally unpersistCheckpoint(assign)
   }
@@ -496,7 +497,7 @@ object Similarity {
     val out = adcRank(
       exploded.join(broadcast(adc), Seq("sub", "code"))
         .filter(col("vec_id") =!= col("qid")),
-      k).localCheckpoint()
+      k).graftCheckpoint()
     scaled.unpersist()
     out
   }
@@ -540,7 +541,7 @@ object Similarity {
         .as(Seq("sub", "code")))
     val out = adcRank(
       exploded.join(broadcast(adc), Seq("qid", "sub", "code")),
-      k).localCheckpoint()
+      k).graftCheckpoint()
     scaled.unpersist()
     out
   }

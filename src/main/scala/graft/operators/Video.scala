@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftOps._
 
 /** Video-modality plumbing: frame-sampled decode and fingerprint
   * near-dup over opaque `binary` payloads, composing the REAL image
@@ -390,7 +391,7 @@ object Video {
       }.toArray
       FingerprintedVideo(r.doc_id, nFrames.toLong, hashes,
                          frames.flatMap(_._4).toArray)
-    }).toDF().localCheckpoint()
+    }).toDF().graftCheckpoint()
     val a = fp.select(col("doc_id").as("doc_a"), col("n_frames"),
                       col("fp"), col("px").as("pxa"))
     val b = fp.select(col("doc_id").as("doc_b"), col("n_frames"),

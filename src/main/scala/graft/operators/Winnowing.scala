@@ -49,12 +49,16 @@ object Winnowing {
     require(window >= 1, s"window must be >= 1: $window")
     val d = docs.select(col(idCol).as("doc_id"),
                         TextFunctions.words(col(textCol)).as("__w"))
-    val long = d.filter(size(col("__w")) - 2 >= lit(MaxKgrams)).limit(1)
-      .select(col("doc_id")).collect()
-    require(long.isEmpty,
-      s"winnowing packs positions into 21 bits; doc ${long.mkString} " +
-        s"has >= $MaxKgrams k-grams — split it upstream")
-    val kg = when(size(col("__w")) >= 3,
+    // The 21-bit position bound is enforced INSIDE the same projection
+    // that packs the keys (a raise_error branch ahead of the packing),
+    // so the guard rides the single existing pass lazily — an eager
+    // driver-side pre-scan would double the tokenize cost of every
+    // caller for a bound violation that never occurs on sane corpora.
+    val kg = when(size(col("__w")) - 2 >= lit(MaxKgrams),
+        expr("raise_error(concat('winnowing packs positions into 21 " +
+          s"bits; doc ', CAST(doc_id AS STRING), ' has >= $MaxKgrams " +
+          "k-grams — split it upstream'))").cast("array<long>"))
+      .when(size(col("__w")) >= 3,
         transform(sequence(lit(0), size(col("__w")) - 3),
           i => PortableHash.h32(concat_ws(" ",
             get(col("__w"), i), get(col("__w"), i + 1),

@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.{PortableHash, TextFunctions}
 import graft.operators.{Dedup, GraphOps, IncrementalAgg, Partitioning, SkewOps, TemporalOps}
+import graft.GraftOps._
 
 /** Advanced operator pack: sessionization, deterministic sampling splits,
   * vocabulary building, TF-IDF, grouping-set rollup, dedup-group
@@ -2326,14 +2327,14 @@ object AdvancedQueries {
     val p = Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id",
                                "text", n = 3, num = 1, den = 2)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val wedges = p.select(col("doc_a").as("x"), col("doc_b").as("mid"))
       .union(p.select(col("doc_b").as("x"), col("doc_a").as("mid")))
     val wedgePairs = wedges
       .join(wedges.select(col("mid"), col("x").as("y")), Seq("mid"))
       .filter(col("x") < col("y"))
       .select(col("x"), col("y"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val nP = p.agg(count(lit(1)).as("n_pairs"))
     val nW = wedgePairs.agg(count(lit(1)).as("n_wedges"))
     val nC = wedgePairs
@@ -2376,7 +2377,7 @@ object AdvancedQueries {
     // never a second shingle self-join
     val loosePairs = graft.operators.Dedup
       .jaccardPairs(d, "doc_id", "text", n = 3, num = 4, den = 5)
-      .localCheckpoint()
+      .graftCheckpoint()
     val strictPairs = loosePairs
       .filter(col("inter_cnt") * 10 >= col("union_cnt") * 9)
     def keptAs(pairs: DataFrame, name: String): DataFrame =
@@ -2424,7 +2425,7 @@ object AdvancedQueries {
     val joined = ca.join(cb, Seq("term"), "full_outer")
       .select(coalesce(col("c_a"), lit(0L)).as("c_a"),
               coalesce(col("c_b"), lit(0L)).as("c_b"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val tot = joined.agg(sum(col("c_a")).as("n_a"),
                          sum(col("c_b")).as("n_b"))
     joined.crossJoin(broadcast(tot))

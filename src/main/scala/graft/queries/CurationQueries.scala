@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.{LanguageModel, Sampling}
+import graft.GraftOps._
 
 /** Data-curation operators a large-scale training pipeline runs between
   * raw ingest and shard writing: PII scrubbing, repetition metrics,
@@ -633,12 +634,12 @@ object CurationQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", modulus = 16)
       .select(col("chunk_md5").as("h"), col("doc_id"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val edges = ch.select(col("h"), col("doc_id").as("u"))
       .join(ch.select(col("h"), col("doc_id").as("v")), Seq("h"))
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     val nNodes = edges.select(col("u")).union(edges.select(col("v")))
       .distinct().count()
     val nEdges = edges.count()
@@ -658,7 +659,7 @@ object CurationQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", modulus = 16)
       .select(col("chunk_md5").as("h"), col("doc_id"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val edges = ch.select(col("h"), col("doc_id").as("u"))
       .join(ch.select(col("h"), col("doc_id").as("v")), Seq("h"))
       .filter(col("u") < col("v"))
@@ -681,7 +682,7 @@ object CurationQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", modulus = 16)
       .select(col("chunk_md5").as("h"), col("doc_id"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val edges = ch.select(col("h"), col("doc_id").as("u"))
       .join(ch.select(col("h"), col("doc_id").as("v")), Seq("h"))
       .filter(col("u") < col("v"))
@@ -1142,12 +1143,12 @@ object CurationQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("text")),
         "doc_id", "text", modulus = 16)
       .select(col("chunk_md5").as("h"), col("doc_id"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val edges = ch.select(col("h"), col("doc_id").as("u"))
       .join(ch.select(col("h"), col("doc_id").as("v")), Seq("h"))
       .filter(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     val labels = graft.operators.GraphOps.labelPropagation(
       edges, "u", "v", iterations = 3)
     val deg = edges.select(col("u").as("node"))
@@ -1517,9 +1518,22 @@ object CurationQueries {
     val g = scored.groupBy(col("score_e6"))
       .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
            sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c2"))
+    // Packing both cumulative counts as c1·K + c2 into one long caps
+    // either group total at K−1 (and the packed sum itself at ~9.2e18);
+    // past that the decomposition silently corrupts D. Enforce the
+    // bound LOUDLY (the smoothedQuotas / pathCounts fail-fast
+    // convention) on a 1-row totals agg broadcast into the same pass —
+    // a 100 TB run hits this guard, not a wrong verdict.
+    val tots = g.agg(sum(col("c1")).as("__t1"), sum(col("c2")).as("__t2"))
+    val guarded = g.crossJoin(broadcast(tots))
+      .withColumn("__comb",
+        expr(s"CASE WHEN __t1 >= $K OR __t2 >= $K THEN " +
+          "raise_error('q232: a group total reached 1e9 — the packed " +
+          "KS accumulator would overflow; run two prefix-sum passes') " +
+          s"ELSE c1 * $K + c2 END"))
+      .drop("__t1", "__t2")
     val cum = graft.operators.PrefixSum.runningTotal(
-        g.withColumn("__comb", col("c1") * K + col("c2")),
-        "__comb", Seq("score_e6"), cumCol = "cum")
+        guarded, "__comb", Seq("score_e6"), cumCol = "cum")
       .select(col("score_e6"),
               expr(s"cum div $K").as("cum1"),
               expr(s"cum % $K").as("cum2"))

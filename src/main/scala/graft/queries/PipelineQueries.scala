@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.{Audio, Classification, Dedup, Membership, Multimodal, Similarity, Video}
+import graft.GraftOps._
 
 /** Training-data pipeline pack over `documents` / `embeddings`:
   * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash,
@@ -449,7 +450,7 @@ object PipelineQueries {
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text",
                                    n = 3, num = 4, den = 5)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val t = truth.withColumn("__t", lit(1L))
     def row(name: String, idx: DataFrame): DataFrame =
       idx.select("doc_a", "doc_b")
@@ -830,7 +831,7 @@ object PipelineQueries {
       .filter(size(col("sh")) > 0)
     val sig = sets
       .withColumn("sig", Dedup.minhashSignature(col("sh"), 128))
-      .localCheckpoint()
+      .graftCheckpoint()
     val banded = sig.select(
         col("doc_id"),
         explode(array((0 until 32).map { b =>

@@ -7,6 +7,7 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 import graft.operators.{Partitioning, Similarity}
 import graft.functions.VectorFunctions._
+import graft.GraftOps._
 
 /** STREAMING ANN INDEX MAINTENANCE — the last loop of the pipeline: new
   * embeddings arrive per micro-batch, the LSH bucket table grows
@@ -53,7 +54,7 @@ object StreamingAnn {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("embedding"))).as("__e"))
       .select(col("vec_id"), col("__e.embedding").as("embedding"))
-      .localCheckpoint()
+      .graftCheckpoint()
     try {
       val n = fresh.count()
       if (n > 0) {

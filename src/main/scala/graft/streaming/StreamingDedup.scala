@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 
 import graft.operators.{Dedup, Membership}
+import graft.GraftOps._
 
 /** Streaming corpus deduplication — the operational composition of the
   * dedup pack (SURVEY §8.5) with Structured Streaming: documents arrive
@@ -79,7 +80,7 @@ object StreamingDedup {
       b1Flagged
         .filter(col("kept")).drop("component", "kept")
         .withColumn("content_md5", md5(col("text")))
-        .localCheckpoint()
+        .graftCheckpoint()
     } finally {
       unpersistCheckpoint(intraPairs)
       unpersistCheckpoint(intraLabels)
@@ -110,7 +111,7 @@ object StreamingDedup {
     // observe its own output files. Every checkpoint this batch created
     // is released once the append lands — a long-lived stream must not
     // pin one RDD per micro-batch until driver GC.
-    val out = kept.localCheckpoint()
+    val out = kept.graftCheckpoint()
     try {
       out.write.mode("append").parquet(corpusPath)
       out.count()

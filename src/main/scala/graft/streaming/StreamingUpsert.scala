@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.IncrementalAgg
+import graft.GraftOps._
 
 /** Streaming keyed UPSERT — a changelog stream continuously maintains a
   * snapshot table (the streaming face of
@@ -133,7 +134,7 @@ object StreamingUpsert {
             cols.map(batch.schema(_))))
         val next = mergeBatch(state, batch, keyCol, ordCols, opCol,
                               payloadCols)
-          .localCheckpoint() // materialize before any file mutation
+          .graftCheckpoint() // materialize before any file mutation
         try commitState(next, stateDir, batchId)
         finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(next)
         ()

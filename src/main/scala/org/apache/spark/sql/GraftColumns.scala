@@ -16,9 +16,33 @@ object GraftColumns {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
-  /** Release the block-manager storage behind a `localCheckpoint()`ed
-    * Dataset. `Dataset.unpersist` only covers cache-manager entries, not
-    * the RDD blocks a local checkpoint pins, so iterative operators (e.g.
+  /** RDD name marking a localCheckpoint CREATED BY a graft operator
+    * (via [[checkpoint]]). [[unpersistCheckpoint]] releases only RDDs
+    * carrying this tag, so a caller-owned checkpoint embedded in a
+    * released plan can never be destroyed by the library.
+    */
+  val CheckpointTag = "graft-ckpt"
+
+  /** `localCheckpoint()` + tag: the graft-library way to materialize an
+    * intermediate. Identical semantics to `Dataset.localCheckpoint`
+    * (eager, lineage-truncating, blocks NOT recomputable), plus the
+    * resulting `LogicalRDD`'s RDD is named [[CheckpointTag]] so
+    * [[unpersistCheckpoint]] can later release it while provably
+    * leaving foreign (caller-created, untagged) checkpoints alone.
+    */
+  def checkpoint[T](ds: Dataset[T]): Dataset[T] = {
+    val c = ds.localCheckpoint()
+    c.asInstanceOf[classic.Dataset[T]].queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.setName(CheckpointTag); ()
+      case _ => ()
+    }
+    c
+  }
+
+  /** Release the block-manager storage behind graft-created
+    * `localCheckpoint`s ([[checkpoint]]) in a Dataset's plan.
+    * `Dataset.unpersist` only covers cache-manager entries, not the RDD
+    * blocks a local checkpoint pins, so iterative operators (e.g.
     * connected components, one checkpoint per round) would otherwise hold
     * every round's blocks until the driver GC happens to collect the RDD
     * reference (ContextCleaner). Explicit release bounds an iterative
@@ -26,19 +50,20 @@ object GraftColumns {
     * on a long-lived 100 TB session that difference is executor storage
     * eviction pressure.
     *
-    * Releases EVERY local checkpoint the plan transitively reads (the
-    * whole analyzed tree, not just a root `LogicalRDD`), so an
-    * operator result that is a narrow projection/join OVER its final
-    * checkpoints still works as its own release handle — the
-    * "result == handle" contract the graft operators document. The
-    * caller must therefore OWN the full plan: only release a frame
-    * whose checkpointed inputs were all created by the operator that
-    * returned it, and only once done reading it (blocks are NOT
-    * recomputable). No-op for plans with no checkpoint.
+    * Traverses EVERY `LogicalRDD` the plan transitively reads (the
+    * whole analyzed tree, not just a root), so an operator result that
+    * is a narrow projection/join OVER its final checkpoints still works
+    * as its own release handle — the "result == handle" contract the
+    * graft operators document. Only RDDs tagged [[CheckpointTag]] are
+    * unpersisted: a caller-owned localCheckpoint (or RDD-backed cached
+    * frame) embedded in a released plan keeps its blocks — the
+    * "caller owns the full plan" precondition is enforced by the tag,
+    * not by Scaladoc. No-op for plans with no graft checkpoint.
     */
   def unpersistCheckpoint(df: Dataset[_]): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
-      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false); ()
+      case l: execution.LogicalRDD if l.rdd.name == CheckpointTag =>
+        l.rdd.unpersist(blocking = false); ()
       case _ => ()
     }
 

@@ -132,6 +132,31 @@ class ReleaseContractSpec extends SparkSpec {
     }
   }
 
+  test("unpersistCheckpoint spares foreign (untagged) checkpoints " +
+       "embedded in a released plan") {
+    // A caller materializes their own frame with a PLAIN localCheckpoint
+    // (untagged), then builds a graft-checkpointed result over it. The
+    // release handle must drop ONLY the graft-created blocks: the
+    // caller's checkpoint is not recomputable, so destroying it through
+    // a plan they released would be silent data loss.
+    import graft.GraftOps._
+    val before = persistedIds
+    val foreign = Seq((1L, "a"), (2L, "b")).toDF("id", "v").localCheckpoint()
+    val mine = foreign.select(col("id"), upper(col("v")).as("v"))
+      .graftCheckpoint()
+    val combined = mine.join(foreign.select(col("id")), Seq("id"))
+    combined.count()
+    GraftColumns.unpersistCheckpoint(combined)
+    // the graft checkpoint is gone, the foreign one survives and reads
+    val kept = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+    assert(!kept.values.exists(_.name == GraftColumns.CheckpointTag),
+      "tagged graft checkpoint not released")
+    assert(foreign.count() === 2L,
+      "caller-owned checkpoint was destroyed by the library release")
+    foreign.unpersist()
+  }
+
   test("media near-dup operators release their signature stores " +
        "through the result plan (deep traversal)") {
     val ids = (0L to 19L).toDF("doc_id")
