@@ -112,8 +112,15 @@ object CurationQueries {
     * rule surfaced as its own flag plus a bitmask and the final keep.
     * Entirely per-row integer arithmetic inside codegen.
     */
-  def q61QualityRules(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir).select(col("doc_id"), piiText.as("t"))
+  def q61QualityRules(s: SparkSession, dir: String): DataFrame =
+    ruleFlags(
+      Tables.documents(s, dir).select(col("doc_id"), piiText.as("t")))
+
+  /** q61's four rule flags over any `(doc_id, t)` frame — shared by the
+    * corpus gate (q61), the ablation (q238), and the ruleset self-test
+    * (q244), so the rule definitions exist exactly once.
+    */
+  private def ruleFlags(base: DataFrame): DataFrame = {
     val nWords = size(TextFunctions.words(col("t"))).cast("long")
     val nChars = length(col("t")).cast("long")
     val mwlE3 = floor(lit(1000L) * (nChars - nWords + 1) / nWords)
@@ -149,9 +156,20 @@ object CurationQueries {
     * from the gate), and the oracle reuses the shared q61 rule CTE
     * for the same reason. ONE map-combined aggregate to a single row,
     * unpivoted to 4 control-plane rows.
+    *
+    * LIVE FINDING (corpus-specific, kept visible): `r_wlen` never
+    * fires on this corpus — the synthetic documents' mean word length
+    * always sits inside the 3.0–12.0 band, so its failure and
+    * sole-blocker counts are 0 here. That is a property of THIS
+    * corpus, not a vacuous rule: [[q244RuleSelftest]] proves each of
+    * the four rules (r_wlen included) fires as a sole blocker on a
+    * crafted sentinel, so a ruleset regression cannot hide behind the
+    * corpus never exercising a branch.
     */
-  def q238RuleAblation(s: SparkSession, dir: String): DataFrame = {
-    val flags = q61QualityRules(s, dir)
+  def q238RuleAblation(s: SparkSession, dir: String): DataFrame =
+    ablation(q61QualityRules(s, dir))
+
+  private def ablation(flags: DataFrame): DataFrame = {
     def fails(r: String): Column = when(!col(r), 1L).otherwise(0L)
     def sole(r: String): Column = {
       val others = Seq("r_words", "r_wlen", "r_sym", "r_stop")
@@ -177,6 +195,42 @@ object CurationQueries {
         expr("CASE WHEN n_docs = 0 THEN 0 ELSE" +
              " (1000000 * n_sole_blocker) div n_docs END"))
       .orderBy("rule")
+  }
+
+  /** q244 — RULESET SELF-TEST: q238's ablation found `r_wlen` dead on
+    * this corpus (never fails, never sole-blocks). A dead rule is
+    * indistinguishable from a broken one unless something exercises
+    * it, so this query re-runs the SAME shared [[ruleFlags]] over the
+    * corpus plus four crafted sentinel docs (negative doc_ids, one per
+    * rule, each designed to fail exactly its target rule and pass the
+    * other three) and reports per-rule fail / sole-blocker counts with
+    * a `live` verdict. All four rules must sole-block at least once —
+    * the CI canary that a rule-definition regression (e.g. a band
+    * typo flipping r_wlen to always-true) cannot hide behind a corpus
+    * that never reaches the branch. The oracle builds the identical
+    * sentinels with SQL `repeat` and rides the shared rule CTE, so
+    * Spark and DuckDB evaluate the same crafted texts through
+    * independently-written rule stacks.
+    *
+    * Scale: the sentinel union is 4 rows against the corpus scan; the
+    * aggregate is the same single map-combined pass as q238.
+    */
+  def q244RuleSelftest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), piiText.as("t"))
+    // one sentinel per rule; each passes the other three rules:
+    //  -8 r_words: 3 words (< 20), mean word length 3.0 (band edge)
+    //  -4 r_wlen : 25 words of mean length 19.32 (> 12.0)
+    //  -2 r_sym  : 24 '!' in 123 chars (19.5% > 3%)
+    //  -1 r_stop : 25 words, zero stopwords
+    val sentinels = Seq(
+      (-8L, "the aaa bbb"),
+      (-4L, ("a" * 20 + " ") * 24 + "the"),
+      (-2L, "aaa! " * 24 + "the"),
+      (-1L, "aaaa " * 24 + "aaaa")).toDF("doc_id", "t")
+    ablation(ruleFlags(docs.unionByName(sentinels)))
+      .withColumn("live", (col("n_sole_blocker") >= 1L).cast("long"))
   }
 
   /** q154 — the curation DECISION LAYER: q26's language-ID, q27's
@@ -894,9 +948,8 @@ object CurationQueries {
     * flags, ending at CTE `r` (one definition so the two oracles cannot
     * drift).
     */
-  private val q61RulesCte: String =
-    s"""$piiSql,
-       |m AS (
+  private def q61RulesCteFrom(src: String): String =
+    s"""m AS (
        |  SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        |    CAST(length(text) AS BIGINT) AS n_chars,
@@ -905,7 +958,7 @@ object CurationQueries {
        |    CAST(len(list_filter(string_split(text, ' '),
        |      x -> x IN ('the','a','and','of','to','in','is','it')))
        |      AS BIGINT) AS n_stop
-       |  FROM pii),
+       |  FROM $src),
        |r AS (
        |  SELECT doc_id,
        |    n_words BETWEEN 20 AND 500 AS r_words,
@@ -914,6 +967,10 @@ object CurationQueries {
        |    floor(1000000.0 * n_sym / n_chars) <= 30000 AS r_sym,
        |    n_stop >= 1 AS r_stop
        |  FROM m)""".stripMargin
+
+  private val q61RulesCte: String =
+    s"""$piiSql,
+       |${q61RulesCteFrom("pii")}""".stripMargin
 
   /** q85 oracle: rounds chained as CTEs — pair counts from the previous
     * round's segmentation, 1-row argmax (weight desc, pair lexicographic),
@@ -1616,6 +1673,7 @@ object CurationQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_jackknife_se" -> (q237JackknifeSe _),
     "q238_rule_ablation" -> (q238RuleAblation _),
+    "q244_rule_selftest" -> (q244RuleSelftest _),
     "q232_ks_test" -> (q232KsTest _),
     "q229_epoch_allocation" -> (q229EpochAllocation _),
     "q227_score_length_bias" -> (q227ScoreLengthBias _),
@@ -1694,39 +1752,62 @@ object CurationQueries {
       |         SUM(p_e6) // COUNT(*) AS score_e6
       |       FROM bg JOIN m USING (w1, w2) GROUP BY doc_id)""".stripMargin
 
+  /** Shared q238/q244 oracle suffix: per-rule failure / sole-blocker
+    * aggregate over the rules CTE `r`, unpivoted to 4 rows. Ends
+    * mid-SELECT (callers append extra output columns, then the final
+    * `FROM u, agg ORDER BY rule`).
+    */
+  private val ablationSqlTail: String =
+    """agg AS (SELECT COUNT(*) AS n_docs,
+      |  SUM(CASE WHEN r_words AND r_wlen AND r_sym AND r_stop
+      |           THEN 1 ELSE 0 END) AS n_keep,
+      |  SUM(CASE WHEN NOT r_words THEN 1 ELSE 0 END) AS f_words,
+      |  SUM(CASE WHEN NOT r_words AND r_wlen AND r_sym AND r_stop
+      |           THEN 1 ELSE 0 END) AS s_words,
+      |  SUM(CASE WHEN NOT r_wlen THEN 1 ELSE 0 END) AS f_wlen,
+      |  SUM(CASE WHEN NOT r_wlen AND r_words AND r_sym AND r_stop
+      |           THEN 1 ELSE 0 END) AS s_wlen,
+      |  SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS f_sym,
+      |  SUM(CASE WHEN NOT r_sym AND r_words AND r_wlen AND r_stop
+      |           THEN 1 ELSE 0 END) AS s_sym,
+      |  SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS f_stop,
+      |  SUM(CASE WHEN NOT r_stop AND r_words AND r_wlen AND r_sym
+      |           THEN 1 ELSE 0 END) AS s_stop
+      |  FROM r),
+      |u AS (
+      |  SELECT 'r_words' AS rule, f_words AS n_fail,
+      |    s_words AS n_sole FROM agg
+      |  UNION ALL SELECT 'r_wlen', f_wlen, s_wlen FROM agg
+      |  UNION ALL SELECT 'r_sym', f_sym, s_sym FROM agg
+      |  UNION ALL SELECT 'r_stop', f_stop, s_stop FROM agg)
+      |SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+      |  CAST(n_sole AS BIGINT) AS n_sole_blocker,
+      |  CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(n_keep AS BIGINT) AS n_keep,
+      |  CAST(CASE WHEN n_docs = 0 THEN 0 ELSE
+      |    (1000000 * n_sole) // n_docs END AS BIGINT) AS saved_e6""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // q238: the shared q61 rule CTE aggregated to the per-rule
     // failure / sole-blocker counts, unpivoted to 4 rows.
     "q238_rule_ablation" ->
       s"""WITH $q61RulesCte,
-        |agg AS (SELECT COUNT(*) AS n_docs,
-        |  SUM(CASE WHEN r_words AND r_wlen AND r_sym AND r_stop
-        |           THEN 1 ELSE 0 END) AS n_keep,
-        |  SUM(CASE WHEN NOT r_words THEN 1 ELSE 0 END) AS f_words,
-        |  SUM(CASE WHEN NOT r_words AND r_wlen AND r_sym AND r_stop
-        |           THEN 1 ELSE 0 END) AS s_words,
-        |  SUM(CASE WHEN NOT r_wlen THEN 1 ELSE 0 END) AS f_wlen,
-        |  SUM(CASE WHEN NOT r_wlen AND r_words AND r_sym AND r_stop
-        |           THEN 1 ELSE 0 END) AS s_wlen,
-        |  SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS f_sym,
-        |  SUM(CASE WHEN NOT r_sym AND r_words AND r_wlen AND r_stop
-        |           THEN 1 ELSE 0 END) AS s_sym,
-        |  SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS f_stop,
-        |  SUM(CASE WHEN NOT r_stop AND r_words AND r_wlen AND r_sym
-        |           THEN 1 ELSE 0 END) AS s_stop
-        |  FROM r),
-        |u AS (
-        |  SELECT 'r_words' AS rule, f_words AS n_fail,
-        |    s_words AS n_sole FROM agg
-        |  UNION ALL SELECT 'r_wlen', f_wlen, s_wlen FROM agg
-        |  UNION ALL SELECT 'r_sym', f_sym, s_sym FROM agg
-        |  UNION ALL SELECT 'r_stop', f_stop, s_stop FROM agg)
-        |SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
-        |  CAST(n_sole AS BIGINT) AS n_sole_blocker,
-        |  CAST(n_docs AS BIGINT) AS n_docs,
-        |  CAST(n_keep AS BIGINT) AS n_keep,
-        |  CAST(CASE WHEN n_docs = 0 THEN 0 ELSE
-        |    (1000000 * n_sole) // n_docs END AS BIGINT) AS saved_e6
+        |$ablationSqlTail
+        |FROM u, agg ORDER BY rule""".stripMargin,
+    // q244: corpus ∪ four crafted sentinels (one per rule, each that
+    // rule's sole blocker) through the same rule CTE; `live` is the
+    // self-test verdict.
+    "q244_rule_selftest" ->
+      s"""WITH $piiSql,
+        |pii2 AS (SELECT doc_id, text FROM pii
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (-8, 'the aaa bbb'),
+        |    (-4, repeat('aaaaaaaaaaaaaaaaaaaa ', 24) || 'the'),
+        |    (-2, repeat('aaa! ', 24) || 'the'),
+        |    (-1, repeat('aaaa ', 24) || 'aaaa')) v(doc_id, text)),
+        |${q61RulesCteFrom("pii2")},
+        |$ablationSqlTail,
+        |  CAST(CASE WHEN n_sole >= 1 THEN 1 ELSE 0 END AS BIGINT) AS live
         |FROM u, agg ORDER BY rule""".stripMargin,
     // q237: md5 hash groups, leave-one-out floored means, the exact
     // jackknife variance identity, and the 3-step isqrt replay.
