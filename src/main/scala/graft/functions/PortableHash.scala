@@ -29,6 +29,14 @@ object PortableHash {
   def h24(c: Column): Column =
     conv(substring(md5(c), 1, 6), 16, 10).cast("long")
 
+  /** Second 32-bit half (md5 hex digits 9–16). The pair
+    * ([[h32]], h32b) is an effectively 64-bit portable key — collision
+    * odds ~n²/2⁶⁵ — for group keys where a single 32-bit half would
+    * collide at corpus scale (birthday bound ~2¹⁶ keys).
+    */
+  def h32b(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
   /** Prime > 2^32 for universal-hash families over [[h32]] values. */
   val MinHashPrime: Long = 4294967311L
 

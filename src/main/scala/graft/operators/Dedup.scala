@@ -1109,6 +1109,96 @@ object Dedup {
               md5(coalesce(col("__trimmed"), lit(""))).as("trimmed_md5"))
   }
 
+  /** ANY-LENGTH duplicated-substring regions — the character-level
+    * exact-substring dedup of Lee et al. 2021 ("Deduplicating Training
+    * Data Makes Language Models Better", the ExactSubstr discipline),
+    * re-expressed relationally. Their single-machine implementation
+    * builds one suffix array over the concatenated corpus and reports
+    * every substring of length ≥ L occurring twice; the standard
+    * reduction makes the same region set Spark-shaped: a substring of
+    * length ≥ L is duplicated iff every one of its L-grams is
+    * duplicated, and conversely every duplicated L-gram window lies
+    * inside a duplicated substring of length ≥ L — so the UNION of
+    * duplicated regions equals the union of windows [p, p+L−1] over
+    * covered positions p (positions whose L-gram occurs ≥ 2 times in
+    * the corpus, multiplicity counted, same-doc overlaps included).
+    * Output: one row per MAXIMAL contiguous region of that union —
+    * (doc_id, span_start 1-based, span_len ≥ L), regions disjoint with
+    * at least one non-duplicated char between them.
+    *
+    * Scale shape (what the suffix array buys, bought differently):
+    * positions are one explode (O(total chars) rows); the group key is
+    * the PORTABLE 64-bit hash pair of the L-gram — 16 bytes into the
+    * exchange instead of L chars, the shuffle-volume lever that makes
+    * 100 TB feasible; duplicated-key detection is one map-combined
+    * hash agg; coverage is a semi-join back on the same key (same
+    * partitioning, AQE-coalesced); region assembly is a per-doc window
+    * (bounded by document length — never corpus-wide). Hash-collision
+    * false positives are ~n²/2⁶⁵ and the oracle applies the identical
+    * md5-derived pair, so the gate is exact.
+    */
+  def duplicatedSubstringSpans(docs: DataFrame, idCol: String,
+                               textCol: String,
+                               minLen: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PortableHash
+    require(minLen >= 2, s"need minLen >= 2, got $minLen")
+    val L = minLen
+    val grams = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(__t) - ${L - 1})," +
+          s" p -> substring(__t, p, $L))")).as(Seq("__i", "__g")))
+      .select(col("doc_id"), (col("__i") + 1).cast("long").as("pos"),
+              PortableHash.h32(col("__g")).as("__h1"),
+              PortableHash.h32b(col("__g")).as("__h2"))
+    val dup = grams.groupBy("__h1", "__h2")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select("__h1", "__h2")
+    val covered = grams.join(dup, Seq("__h1", "__h2"), "left_semi")
+      .select("doc_id", "pos")
+    // windows [p, p+L-1] over covered p merge iff the gap to the
+    // previous covered position is <= L (contiguous union); a larger
+    // gap leaves >= 1 uncovered char between regions.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    covered
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > L, 1L).otherwise(0L))
+      .withColumn("__reg", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__reg"))
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) - min(col("pos")) + L).as("span_len"))
+      .select(col("doc_id"), col("span_start"),
+              col("span_len").cast("long").as("span_len"))
+  }
+
+  /** Per-document rollup of [[duplicatedSubstringSpans]] — the
+    * dedup-decision view: span count, duplicated-char total (regions
+    * are disjoint by construction, so a plain sum IS the union size),
+    * and the duplicated fraction ⌊10⁶·dup/chars⌋. Docs with no
+    * duplicated region appear with zeros (the left join is the
+    * contract — a missing doc and a clean doc must be distinguishable).
+    */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        minLen: Int = 25): DataFrame = {
+    val spans = duplicatedSubstringSpans(docs, idCol, textCol, minLen)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_chars"))
+    Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"),
+              length(col(textCol)).cast("long").as("n_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+              coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+              coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+      .withColumn("dup_e6",
+        expr("CASE WHEN n_chars = 0 THEN 0" +
+             " ELSE (1000000 * dup_chars) div n_chars END"))
+  }
+
   def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
     applyDedupReleasable(docs, idCol, pairs, aCol, bCol)._1

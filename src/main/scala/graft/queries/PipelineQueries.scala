@@ -1271,6 +1271,31 @@ object PipelineQueries {
                               n = 5, minDocs = 2)
       .orderBy("doc_id")
 
+  /** q245 — ANY-LENGTH (≥ 25 chars) exact-substring duplicated
+    * regions, the Lee et al. 2021 ExactSubstr discipline
+    * ([[Dedup.duplicatedSubstringSpans]]): maximal disjoint per-doc
+    * regions of corpus-duplicated characters. q72/q138 are fixed
+    * word-n-gram spans; this is the CHARACTER-level any-length form a
+    * suffix array computes, via the duplicated-L-gram-cover reduction.
+    * The oracle replays positions → portable 64-bit gram keys →
+    * duplicated keys → covered positions → gap-L region merge, so a
+    * boundary off-by-one in any region breaks the hash.
+    */
+  def q245SubstringSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSubstringSpans(Tables.documents(s, dir), "doc_id",
+                                   "text", minLen = 25)
+      .orderBy("doc_id", "span_start")
+
+  /** q246 — per-document duplicated-char rollup of q245's regions
+    * ([[Dedup.substringDupStats]]): the decision view of
+    * exact-substring dedup (how much of each doc is corpus-duplicated
+    * text), zeros for clean docs via the left join.
+    */
+  def q246SubstringStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupStats(Tables.documents(s, dir), "doc_id", "text",
+                            minLen = 25)
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1315,6 +1340,8 @@ object PipelineQueries {
     "q167_hybrid_rrf"      -> (q167HybridRrf _),
     "q171_cluster_terms"   -> (q171ClusterTerms _),
     "q138_span_trim"       -> (q138SpanTrim _),
+    "q245_substring_spans" -> (q245SubstringSpans _),
+    "q246_substring_stats" -> (q246SubstringStats _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
     "q48_simhash_pairs"    -> (q48SimhashPairs _),
@@ -1507,6 +1534,38 @@ object PipelineQueries {
        |${kmAssign("a2", "c2")},
        |${kmUpdate("c3", "a2", "c2")},
        |${kmAssign("a3", "c3")}""".stripMargin
+
+  /** Shared q245/q246 CTE chain: 1-based positions over each doc's
+    * length-25 char grams, the portable (md5-hi, md5-lo) 64-bit key,
+    * corpus-duplicated keys, covered positions, and the gap-25 region
+    * merge ending at `sp(doc_id, span_start, span_len)`.
+    */
+  private val substringSpanCte: String = {
+    val L = 25
+    s"""p0 AS (
+       |  SELECT doc_id,
+       |    unnest(range(CAST(greatest(length(text) - ${L - 1}, 0)
+       |      AS BIGINT))) + 1 AS pos,
+       |    text
+       |  FROM documents),
+       |g AS (SELECT doc_id, pos,
+       |    ('0x' || substr(md5(substr(text, CAST(pos AS INT), $L)), 1, 8))
+       |      ::BIGINT AS h1,
+       |    ('0x' || substr(md5(substr(text, CAST(pos AS INT), $L)), 9, 8))
+       |      ::BIGINT AS h2
+       |  FROM p0),
+       |dk AS (SELECT h1, h2 FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |cv AS (SELECT doc_id, pos FROM g JOIN dk USING (h1, h2)),
+       |sg AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |      ORDER BY pos) > $L THEN 1 ELSE 0 END AS brk FROM cv),
+       |sg2 AS (SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS reg FROM sg),
+       |sp AS (SELECT doc_id, MIN(pos) AS span_start,
+       |    MAX(pos) - MIN(pos) + $L AS span_len
+       |  FROM sg2 GROUP BY doc_id, reg)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q171_cluster_terms" ->
@@ -1782,6 +1841,27 @@ object PipelineQueries {
          |SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  MIN(doc_id) AS keep_doc
          |FROM sh GROUP BY span HAVING COUNT(*) >= 2 ORDER BY span""".stripMargin,
+    // q245: the char-level any-length duplicated-region derivation —
+    // positions, portable 64-bit gram keys, duplicated keys, covered
+    // positions, gap-25 region merge (shared CTE with q246).
+    "q245_substring_spans" ->
+      s"""WITH $substringSpanCte
+         |SELECT doc_id, span_start, span_len FROM sp
+         |ORDER BY doc_id, span_start""".stripMargin,
+    // q246: q245's regions rolled up per doc, zeros kept via left join.
+    "q246_substring_stats" ->
+      s"""WITH $substringSpanCte,
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |          CAST(SUM(span_len) AS BIGINT) AS dup_chars
+         |        FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |  COALESCE(n_spans, 0) AS n_spans,
+         |  COALESCE(dup_chars, 0) AS dup_chars,
+         |  CAST(CASE WHEN length(d.text) = 0 THEN 0
+         |       ELSE (1000000 * COALESCE(dup_chars, 0)) // length(d.text)
+         |       END AS BIGINT) AS dup_e6
+         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // q138: detection (q72's span family), positional coverage, AND the
     // per-doc rebuild are all re-derived — the md5 gate covers the whole
     // trimmed string of every document.

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Contracts of [[Dedup.duplicatedSubstringSpans]] /
+  * [[Dedup.substringDupStats]] — the char-level any-length
+  * exact-substring dedup: cross-doc duplicated regions with exact
+  * boundaries, gap-L region merging, within-doc self-repeats, the
+  * shorter-than-L edge, and zero-filled stats.
+  */
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def spans(rows: Seq[(Long, String)], l: Int) =
+    Dedup.duplicatedSubstringSpans(rows.toDF("doc_id", "text"),
+                                   "doc_id", "text", minLen = l)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+
+  test("a shared >= L substring yields one exact region in each doc") {
+    // shared block of 12 chars, L = 8; distinct prefixes/suffixes
+    val shared = "ABCDEFGHIJKL"
+    val got = spans(Seq(
+      1L -> s"xxx${shared}yyy",
+      2L -> s"qqqqq${shared}ppp"), l = 8)
+    // doc 1: region starts at pos 4 (1-based), spans the 12 shared chars
+    assert(got.toSeq == Seq((1L, 4L, 12L), (2L, 6L, 12L)))
+  }
+
+  test("separate duplicated blocks stay separate regions; OVERLAPPING " +
+       "duplicated substrings merge into one maximal region") {
+    val a = "AAAAAAAAAA" // 10 chars, L = 6; separators share no 6-gram
+    val far = spans(Seq(
+      1L -> s"$a-qwertyuiopasdfg-$a",
+      2L -> s"$a=zxcvbnmlkjhgfds=$a"), l = 6)
+    // each doc: two regions of exactly the 10 duplicated chars (the
+    // single uncovered separator char after pos 10 splits regions —
+    // windows from p = 5 reach pos 10, the next covered p is past it)
+    assert(far.toSeq == Seq((1L, 1L, 10L), (1L, 28L, 10L),
+                            (2L, 1L, 10L), (2L, 28L, 10L)))
+    // "ABCDEFGH" (dup with doc 2) and "EFGHIJKL" (dup with doc 3)
+    // overlap inside doc 1: covered positions {1, 5} with a gap of
+    // uncovered-but-window-covered positions between -> ONE maximal
+    // region spanning the union, exactly the suffix-array behavior.
+    val merged = spans(Seq(
+      1L -> "ABCDEFGHIJKL",
+      2L -> "qqABCDEFGHzz",
+      3L -> "ppEFGHIJKLww"), l = 8)
+    assert(merged.toSeq == Seq((1L, 1L, 12L), (2L, 3L, 8L),
+                               (3L, 3L, 8L)))
+  }
+
+  test("within-doc self-repeat counts as duplication (run of one char)") {
+    val got = spans(Seq(1L -> ("z" * 40 + "qwerty")), l = 25)
+    // every 25-gram inside the run is identical -> covered 1..16,
+    // one region [1, 40]
+    assert(got.toSeq == Seq((1L, 1L, 40L)))
+  }
+
+  test("docs shorter than L never contribute; stats zero-fill them") {
+    val rows = Seq(1L -> "short", 2L -> ("B" * 30), 3L -> ("B" * 30))
+    assert(spans(rows, l = 25).forall(_._1 != 1L))
+    val st = Dedup.substringDupStats(rows.toDF("doc_id", "text"),
+                                     "doc_id", "text", minLen = 25)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+      .sortBy(_._1)
+    assert(st(0) == (1L, 5L, 0L, 0L, 0L))
+    assert(st(1) == (2L, 30L, 1L, 30L, 1000000L))
+    assert(st(2) == (3L, 30L, 1L, 30L, 1000000L))
+  }
+}
