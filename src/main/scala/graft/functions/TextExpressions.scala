@@ -172,3 +172,47 @@ case class SimHashSignature(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
     copy(child = newChild)
 }
+
+/** Unicode normalization (NFC / NFD / NFKC / NFKD) via the JDK's
+  * `java.text.Normalizer` — the top-of-funnel step tokenizer-grade
+  * pipelines run before any hashing, shingling, or BPE segmentation, so
+  * that canonically-equivalent strings ("é" vs "e" + U+0301) share
+  * bytes and therefore share fingerprints, dedup keys, and merge
+  * tables. Spark ships no normalization function; this expression stays
+  * inside whole-stage codegen as one static JDK call per row (the
+  * normalizer's quick-check fast-paths already-normalized text, so the
+  * common ASCII path is a scan, not a rewrite). NFC is gateable against
+  * DuckDB `nfc_normalize`; the compatibility forms (NFKC/NFKD — ﬁ→fi,
+  * ²→2, full-width→ASCII) are spec-verified against published vectors.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unknown normalization form: $form")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "unicode_normalize"
+
+  override protected def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        java.text.Normalizer.Form.valueOf(form)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        s"java.text.Normalizer.Form.$form))")
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}

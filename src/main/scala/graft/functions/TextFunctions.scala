@@ -20,6 +20,15 @@ object TextFunctions {
     */
   def words(text: Column): Column = split(text, " ")
 
+  /** Unicode-normalize a string column (see [[UnicodeNormalize]]).
+    * `form` ∈ NFC | NFD | NFKC | NFKD.
+    */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.GraftColumns
+    GraftColumns.column(
+      UnicodeNormalize(GraftColumns.expression(text), form))
+  }
+
   /** BPE-ish regex tokens: letter runs, digit runs, then any single
     * non-space symbol. The pattern is dialect-portable (Java regex ≡ RE2).
     */

@@ -785,6 +785,39 @@ object CurationQueries {
     * are hash-gated. Pure per-row expressions, zero shuffle; the
     * normalized text must md5-match the ORIGINAL for every doc.
     */
+  /** q247 — UNICODE NFC NORMALIZATION
+    * ([[TextFunctions.unicodeNormalize]], a codegen'd JDK-Normalizer
+    * expression): q92 normalizes case and whitespace only, but
+    * tokenizer-grade pipelines normalize UNICODE first — canonically
+    * equivalent strings ("é" vs "e"+U+0301) must share bytes before
+    * any hashing/shingling/BPE sees them, or visually identical
+    * documents land in different dedup buckets. The corpus fixtures
+    * are ASCII, so each doc gets a deterministic decomposed suffix
+    * (combining acute/diaeresis/ring — " café naïve
+    * Ångström") and the gate hashes the NFC result
+    * against DuckDB's independent `nfc_normalize` — two engines'
+    * Unicode tables composing the same combining sequences. `changed`
+    * proves the normalizer actually rewrote every row (the suffix is
+    * never NFC-normal), not vacuously passed ASCII through.
+    *
+    * Scale: one per-row static JDK call inside whole-stage codegen —
+    * no shuffle, linear scan; the quick-check fast-path makes the
+    * mostly-ASCII common case a no-copy scan.
+    */
+  def q247NfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    val deco = concat(col("text"),
+                      // " café naïve Ångström", decomposed:
+                      lit(" cafe\u0301 nai\u0308ve A\u030Angstro\u0308m"))
+    val nfc = TextFunctions.unicodeNormalize(deco, "NFC")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), deco.as("t"), nfc.as("n"))
+      .select(col("doc_id"),
+              md5(col("n")).as("nfc_md5"),
+              md5(col("t")).as("raw_md5"),
+              when(col("n") =!= col("t"), 1L).otherwise(0L).as("changed"))
+      .orderBy("doc_id")
+  }
+
   def q92Normalize(s: SparkSession, dir: String): DataFrame = {
     val messy =
       concat(
@@ -1674,6 +1707,7 @@ object CurationQueries {
     "q237_jackknife_se" -> (q237JackknifeSe _),
     "q238_rule_ablation" -> (q238RuleAblation _),
     "q244_rule_selftest" -> (q244RuleSelftest _),
+    "q247_nfc_normalize" -> (q247NfcNormalize _),
     "q232_ks_test" -> (q232KsTest _),
     "q229_epoch_allocation" -> (q229EpochAllocation _),
     "q227_score_length_bias" -> (q227ScoreLengthBias _),
@@ -1809,6 +1843,17 @@ object CurationQueries {
         |$ablationSqlTail,
         |  CAST(CASE WHEN n_sole >= 1 THEN 1 ELSE 0 END AS BIGINT) AS live
         |FROM u, agg ORDER BY rule""".stripMargin,
+    // q247: DuckDB's independent Unicode tables compose the same
+    // decomposed suffix; chr() codepoints mirror the Scala escapes.
+    "q247_nfc_normalize" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) || ' nai' || chr(776) || 've A' ||
+        |    chr(778) || 'ngstro' || chr(776) || 'm' AS t
+        |  FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(t)) AS nfc_md5, md5(t) AS raw_md5,
+        |  CAST(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END
+        |    AS BIGINT) AS changed
+        |FROM d ORDER BY doc_id""".stripMargin,
     // q237: md5 hash groups, leave-one-out floored means, the exact
     // jackknife variance identity, and the 3-step isqrt replay.
     "q237_jackknife_se" ->
