@@ -818,6 +818,49 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q248 — HTML → TEXT extraction ([[graft.operators.Html]]), the
+    * top-of-funnel step every CommonCrawl-style pipeline runs before
+    * any of this suite's dedup/curation sees a byte. The corpus
+    * fixtures are clean text, so each doc is deterministically wrapped
+    * in a realistic page (head/title, style + script bodies, a
+    * link-only nav bar, h1, the text as the content paragraph, an
+    * entity-laden footer) IN BOTH ENGINES, then stripped:
+    * script/style/comment elision → block tags to line breaks → inline
+    * tag removal → entity decode → per-line whitespace normalization.
+    * The md5 gate covers the full extracted string of every document
+    * (`body_kept` additionally proves the content paragraph survived
+    * verbatim), and `main_md5` gates the LINK-DENSITY boilerplate
+    * layer ([[graft.operators.Html.mainText]] — the nav line is
+    * majority anchor text and must drop, the footer must stay). Every
+    * pattern is RE2-safe so the oracle runs the chain verbatim.
+    */
+  def q248HtmlStrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Html
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>body{color:red}</style>" +
+          "<script>var x = 1 < 2;</script></head>" +
+          "<body><nav><a href=\"/\">Home &amp; more</a> | " +
+          "<a href=\"/about\">About</a></nav><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><!-- chrome --><p>"), col("text"),
+      lit("</p><div class=\"footer\">&copy; 2026 Example " +
+          "&lt;Corp&gt;</div></body></html>"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), html.as("h"))
+      .select(col("doc_id"), col("text"),
+              Html.stripTags(col("h")).as("t"),
+              Html.mainText(col("h")).as("m"))
+      .select(col("doc_id"),
+              md5(col("t")).as("strip_md5"),
+              size(split(col("t"), "\n")).cast("long").as("n_lines"),
+              when(col("t").contains(col("text")), 1L).otherwise(0L)
+                .as("body_kept"),
+              md5(col("m")).as("main_md5"),
+              size(split(col("m"), "\n")).cast("long").as("n_main_lines"))
+      .orderBy("doc_id")
+  }
+
   def q92Normalize(s: SparkSession, dir: String): DataFrame = {
     val messy =
       concat(
@@ -1708,6 +1751,7 @@ object CurationQueries {
     "q238_rule_ablation" -> (q238RuleAblation _),
     "q244_rule_selftest" -> (q244RuleSelftest _),
     "q247_nfc_normalize" -> (q247NfcNormalize _),
+    "q248_html_strip"    -> (q248HtmlStrip _),
     "q232_ks_test" -> (q232KsTest _),
     "q229_epoch_allocation" -> (q229EpochAllocation _),
     "q227_score_length_bias" -> (q227ScoreLengthBias _),
@@ -1821,6 +1865,66 @@ object CurationQueries {
       |  CAST(CASE WHEN n_docs = 0 THEN 0 ELSE
       |    (1000000 * n_sole) // n_docs END AS BIGINT) AS saved_e6""".stripMargin
 
+  /** q248 oracle: built from shared fragments — `htmlVisSql(x)` is the
+    * per-line visible-text lambda body (inline tag removal → entity
+    * decode → whitespace collapse → trim) used three times in the
+    * main-text CTE, defined once so the copies cannot drift.
+    */
+  private val q248Sql: String = {
+    def vis(x: String): String =
+      s"""trim(regexp_replace(
+         |  replace(replace(replace(replace(replace(replace(replace(
+         |    regexp_replace($x, '<[^>]*>', ' ', 'g'),
+         |    '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',chr(39)),
+         |    '&nbsp;',' '), '&copy;',chr(169)), '&amp;','&'),
+         |  '[ ' || chr(9) || chr(160) || ']+', ' ', 'g'))""".stripMargin
+    val blockPat = "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|nav|header" +
+      "|footer|section|article|blockquote|pre|td|th)[^>]*>"
+    s"""WITH h0 AS (SELECT doc_id, text,
+       |  '<html><head><title>Doc ' || doc_id::VARCHAR ||
+       |  '</title><style>body{color:red}</style>' ||
+       |  '<script>var x = 1 < 2;</script></head>' ||
+       |  '<body><nav><a href="/">Home &amp; more</a> | ' ||
+       |  '<a href="/about">About</a></nav><h1>Doc ' || doc_id::VARCHAR ||
+       |  '</h1><!-- chrome --><p>' || text ||
+       |  '</p><div class="footer">&copy; 2026 Example ' ||
+       |  '&lt;Corp&gt;</div></body></html>' AS h
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, text, regexp_replace(h,
+       |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM h0),
+       |s2 AS (SELECT doc_id, text, regexp_replace(h,
+       |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM s1),
+       |s3 AS (SELECT doc_id, text, regexp_replace(h,
+       |  '(?s)<!--.*?-->', ' ', 'g') AS h FROM s2),
+       |s4 AS (SELECT doc_id, text, regexp_replace(h,
+       |  '$blockPat', chr(10), 'g') AS hb FROM s3),
+       |st AS (SELECT doc_id, text, hb,
+       |  array_to_string(list_filter(list_transform(
+       |    string_split(hb, chr(10)), x -> ${vis("x")}),
+       |    x -> x <> ''), chr(10)) AS t
+       |  FROM s4),
+       |mt AS (SELECT doc_id,
+       |  array_to_string(
+       |    list_transform(
+       |      list_filter(string_split(hb, chr(10)),
+       |        x -> length(${vis("x")}) > 0
+       |          AND coalesce(list_sum(list_transform(
+       |                regexp_extract_all(x, '(?is)<a[^>]*>([^<]*)</a>', 1),
+       |                y -> length(y))), 0) * 1000000
+       |              <= 500000 * length(${vis("x")})),
+       |      x -> ${vis("x")}),
+       |    chr(10)) AS m
+       |  FROM st)
+       |SELECT st.doc_id, md5(t) AS strip_md5,
+       |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+       |  CAST(CASE WHEN contains(t, text) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS body_kept,
+       |  md5(m) AS main_md5,
+       |  CAST(len(string_split(m, chr(10))) AS BIGINT) AS n_main_lines
+       |FROM st JOIN mt ON st.doc_id = mt.doc_id
+       |ORDER BY st.doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // q238: the shared q61 rule CTE aggregated to the per-rule
     // failure / sole-blocker counts, unpivoted to 4 rows.
@@ -1843,6 +1947,9 @@ object CurationQueries {
         |$ablationSqlTail,
         |  CAST(CASE WHEN n_sole >= 1 THEN 1 ELSE 0 END AS BIGINT) AS live
         |FROM u, agg ORDER BY rule""".stripMargin,
+    // q248: the full strip chain replayed verbatim (RE2-safe patterns),
+    // plus the link-density boilerplate layer over the block lines.
+    "q248_html_strip" -> q248Sql,
     // q247: DuckDB's independent Unicode tables compose the same
     // decomposed suffix; chr() codepoints mirror the Scala escapes.
     "q247_nfc_normalize" ->
