@@ -79,4 +79,86 @@ object Classification {
       .filter(col("__rn") === 1)
       .select(col("id"), col("label").as("pred_label"), col("score_e6"))
   }
+
+  /** TRAINED discriminative quality classifier — BATCH-PERCEPTRON
+    * training in exact integer arithmetic. The published quality-filter
+    * shape (GPT-3/CCNet-style: a linear model over cheap text features
+    * separating "reference-like" from "raw" documents) needs actual
+    * TRAINING, not just the nearest-centroid label transfer above; the
+    * batch perceptron is the discipline that stays engine-portable:
+    * each epoch's update is w ← w + Σ_misclassified y·x — a SUM over
+    * the corpus, so it is order-independent (unlike SGD, whose result
+    * depends on row order and is unreproducible under distributed
+    * partitioning) and integer-exact (unlike logistic loss, whose
+    * sigmoid cannot be floored portably).
+    *
+    * A row is misclassified iff y·(w·x) ≤ 0 (zero margin counts as
+    * wrong for either class — every doc is misclassified by the
+    * all-zero epoch-1 weights, giving the standard g¹ = Σ y·x start).
+    *
+    * Output: one row per epoch — (epoch, n_mis, w0..w{k−1}) with the
+    * weights AFTER that epoch's update, so the trajectory itself is
+    * gateable, not just the final vector.
+    *
+    * Scale shape: features are per-row projections; each epoch is ONE
+    * map-combined aggregate to a single row collected driver-side
+    * (the k-means/BPE control-plane discipline) — epochs · one pass,
+    * no shuffle beyond the agg. Overflow: |w_i| grows ≤ epochs · Σ|x_i|;
+    * the loud guard keeps the dot product far from int64's edge
+    * (Σ|x| ≲ 1e15/k with features ≲ 1e4 admits ~10¹⁰ docs).
+    */
+  def batchPerceptron(examples: DataFrame, labelCol: String,
+                      featureCols: Seq[String], epochs: Int): DataFrame = {
+    import org.apache.spark.sql.{Row, SparkSession}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(epochs >= 1, s"need epochs >= 1, got $epochs")
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val spark = examples.sparkSession
+    val y = col(labelCol)
+    val k = featureCols.size
+    var w = Array.fill(k)(0L)
+    val rows = Seq.newBuilder[Row]
+    for (e <- 1 to epochs) {
+      val margin = featureCols.zip(w)
+        .map { case (c, wi) => col(c) * lit(wi) }
+        .reduceLeft(_ + _)
+      val mis = y * margin <= 0
+      val aggs = sum(when(mis, 1L).otherwise(0L)).as("__n_mis") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          coalesce(sum(when(mis, y * col(c))), lit(0L)).as(s"__g$i")
+        }
+      val r = examples.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val nMis = if (r.isNullAt(0)) 0L else r.getLong(0)
+      w = Array.tabulate(k)(i => w(i) + r.getLong(i + 1))
+      require(w.forall(x => math.abs(x) < 1000000000000000L),
+        s"perceptron weights exceeded 1e15 after epoch $e — rescale " +
+          "features before the dot product nears int64")
+      rows += Row(e.toLong +: nMis +: w.toSeq: _*)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.result(), 1),
+      StructType(
+        StructField("epoch", LongType, nullable = false) +:
+        StructField("n_mis", LongType, nullable = false) +:
+        (0 until k).map(i => StructField(s"w$i", LongType, nullable = false))))
+  }
+
+  /** Score `examples` with the FINAL weights of a
+    * [[batchPerceptron]] run (retrained here — training is
+    * deterministic, so the weights are a pure function of the input):
+    * margin = w·x, pred = +1 iff margin > 0 else −1 (consistent with
+    * the ≤-0-is-misclassified training rule). One extra scan.
+    */
+  def perceptronScored(examples: DataFrame, labelCol: String,
+                       featureCols: Seq[String], epochs: Int): DataFrame = {
+    val trained = batchPerceptron(examples, labelCol, featureCols, epochs)
+      .orderBy(col("epoch").desc).limit(1).collect()(0)
+    val w = featureCols.indices.map(i => trained.getLong(i + 2))
+    val margin = featureCols.zip(w)
+      .map { case (c, wi) => col(c) * lit(wi) }
+      .reduceLeft(_ + _)
+    examples
+      .withColumn("margin", margin.cast("long"))
+      .withColumn("pred", when(col("margin") > 0, 1L).otherwise(-1L))
+  }
 }

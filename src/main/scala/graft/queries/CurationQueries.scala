@@ -861,6 +861,62 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** Shared q249/q250 feature frame: per-doc integer quality signals
+    * (bias, word count, scaled mean word length, symbol count, English
+    * stopword count) plus the ±1 label y = [lang = 'en']. Pure per-row
+    * projection; the SQL twin is [[perceptronFeatureSql]].
+    */
+  private def perceptronFeatures(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+              size(TextFunctions.words(col("text"))).cast("long")
+                .as("__nw"),
+              length(col("text")).cast("long").as("__nc"))
+    base.select(
+      col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+      lit(1L).as("x0"),
+      col("__nw").as("x1"),
+      expr("(1000 * (__nc - __nw + 1)) div __nw").as("x2"),
+      size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 ]"), lit(0)))
+        .cast("long").as("x3"),
+      TextFunctions.langScore(TextFunctions.words(col("text")), "en")
+        .cast("long").as("x4"))
+  }
+
+  /** q249 — TRAINED QUALITY CLASSIFIER
+    * ([[graft.operators.Classification.batchPerceptron]]): the
+    * published quality-filter shape — a linear model over cheap text
+    * features separating "reference-like" docs — with ACTUAL training,
+    * in exact-integer batch-perceptron epochs (order-independent
+    * sums, so bit-reproducible under any partitioning; SGD is not).
+    * Gates the full 3-epoch trajectory (per-epoch misclassified count
+    * + post-update weights) against a DuckDB oracle that unrolls the
+    * same epochs as chained CTEs — a drift in any epoch's gradient
+    * breaks every later row.
+    */
+  def q249PerceptronTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classification.batchPerceptron(
+      perceptronFeatures(s, dir), "y", PerceptronX, epochs = 3)
+      .orderBy("epoch")
+
+  /** q250 — the INFERENCE pass of q249's trained model
+    * ([[graft.operators.Classification.perceptronScored]]): per-doc
+    * margin, ±1 prediction, and correctness under the final epoch-3
+    * weights. The oracle chains training + scoring, so the gate covers
+    * the deployed artifact (weights) THROUGH its use, not just the
+    * training log.
+    */
+  def q250PerceptronScore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classification.perceptronScored(
+      perceptronFeatures(s, dir), "y", PerceptronX, epochs = 3)
+      .select(col("doc_id"), col("y"), col("margin"), col("pred"),
+              when(col("pred") === col("y"), 1L).otherwise(0L)
+                .as("correct"))
+      .orderBy("doc_id")
+
+  private val PerceptronX = Seq("x0", "x1", "x2", "x3", "x4")
+
   def q92Normalize(s: SparkSession, dir: String): DataFrame = {
     val messy =
       concat(
@@ -1752,6 +1808,8 @@ object CurationQueries {
     "q244_rule_selftest" -> (q244RuleSelftest _),
     "q247_nfc_normalize" -> (q247NfcNormalize _),
     "q248_html_strip"    -> (q248HtmlStrip _),
+    "q249_perceptron_train" -> (q249PerceptronTrain _),
+    "q250_perceptron_score" -> (q250PerceptronScore _),
     "q232_ks_test" -> (q232KsTest _),
     "q229_epoch_allocation" -> (q229EpochAllocation _),
     "q227_score_length_bias" -> (q227ScoreLengthBias _),
@@ -1925,7 +1983,82 @@ object CurationQueries {
        |ORDER BY st.doc_id""".stripMargin
   }
 
+  /** SQL twin of [[perceptronFeatures]] (CTE `f`): same integer
+    * signals, same ±1 label, same stopword list as the q61 CTE.
+    */
+  private val perceptronFeatureSql: String =
+    """f AS (SELECT doc_id,
+      |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+      |  CAST(1 AS BIGINT) AS x0,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+      |  (1000 * (CAST(length(text) AS BIGINT)
+      |     - len(string_split(text, ' ')) + 1))
+      |    // len(string_split(text, ' ')) AS x2,
+      |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+      |    AS x3,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    x -> x IN ('the','a','and','of','to','in','is','it')))
+      |    AS BIGINT) AS x4
+      |FROM documents)""".stripMargin
+
+  /** Batch-perceptron epochs as chained CTEs `e0 … eN` (weights) and
+    * `g1 … gN` (per-epoch misclassified count + gradient), generated
+    * per epoch so the unrolled blocks cannot drift from each other —
+    * the BPE-rounds oracle discipline.
+    */
+  private def perceptronChainSql(epochs: Int): String = {
+    val k = PerceptronX.size
+    def dot(w: String) =
+      (0 until k).map(i => s"$w.w$i * x$i").mkString(" + ")
+    val parts = Seq.newBuilder[String]
+    parts += "e0 AS (SELECT " +
+      (0 until k).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ") + ")"
+    for (e <- 1 to epochs) {
+      val p = s"e${e - 1}"
+      parts += s"g$e AS (SELECT " +
+        s"CAST(COUNT(CASE WHEN y * (${dot(p)}) <= 0 THEN 1 END)" +
+        " AS BIGINT) AS n_mis, " +
+        (0 until k).map(i =>
+          s"CAST(COALESCE(SUM(CASE WHEN y * (${dot(p)}) <= 0" +
+            s" THEN y * x$i END), 0) AS BIGINT) AS g$i").mkString(", ") +
+        s" FROM f, $p)"
+      parts += s"e$e AS (SELECT " +
+        (0 until k).map(i => s"$p.w$i + g$e.g$i AS w$i").mkString(", ") +
+        s" FROM $p, g$e)"
+    }
+    parts.result().mkString(",\n")
+  }
+
+  private val PerceptronEpochs = 3
+
   def oracleSql: Map[String, String] = Map(
+    // q249: the unrolled epoch chain, one output row per epoch.
+    "q249_perceptron_train" -> {
+      val rows = (1 to PerceptronEpochs).map(e =>
+        s"SELECT CAST($e AS BIGINT) AS epoch, g$e.n_mis, " +
+          PerceptronX.indices.map(i => s"e$e.w$i").mkString(", ") +
+          s" FROM g$e, e$e").mkString(" UNION ALL ")
+      s"""WITH $perceptronFeatureSql,
+         |${perceptronChainSql(PerceptronEpochs)}
+         |$rows ORDER BY epoch""".stripMargin
+    },
+    // q250: training chained into the scoring pass — the deployed
+    // weights gate through their use.
+    "q250_perceptron_score" -> {
+      val dot = PerceptronX.indices
+        .map(i => s"e$PerceptronEpochs.w$i * x$i").mkString(" + ")
+      s"""WITH $perceptronFeatureSql,
+         |${perceptronChainSql(PerceptronEpochs)}
+         |SELECT doc_id, y, margin, pred,
+         |  CAST(CASE WHEN pred = y THEN 1 ELSE 0 END AS BIGINT)
+         |    AS correct
+         |FROM (
+         |  SELECT f.doc_id, f.y, CAST($dot AS BIGINT) AS margin,
+         |    CAST(CASE WHEN $dot > 0 THEN 1 ELSE -1 END AS BIGINT)
+         |      AS pred
+         |  FROM f, e$PerceptronEpochs)
+         |ORDER BY doc_id""".stripMargin
+    },
     // q238: the shared q61 rule CTE aggregated to the per-rule
     // failure / sole-blocker counts, unpivoted to 4 rows.
     "q238_rule_ablation" ->
