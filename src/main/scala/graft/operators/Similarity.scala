@@ -100,12 +100,7 @@ object Similarity {
     */
   def annTopK(emb: DataFrame, queryPred: org.apache.spark.sql.Column, k: Int,
               tables: Int = 16, planesPerTable: Int = 4): DataFrame = {
-    val buckets = lshBuckets(emb, tables, planesPerTable)
-    val qb = buckets.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("t"), col("bucket"))
-    val cand = qb.join(buckets, Seq("t", "bucket"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select("qid", "vec_id").distinct()
+    val cand = lshCandidates(emb, queryPred, tables, planesPerTable)
     val qv = emb.filter(queryPred)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val cv = emb.select(col("vec_id"), col("embedding").as("cv"))
@@ -118,6 +113,23 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id").as("neighbor_id"), col("rnk"),
               e6(col("cos")).as("sim_e6"))
+  }
+
+  /** LSH candidate set for `queryPred` queries — same-bucket vectors
+    * across all tables, self excluded, deduplicated. Shared by
+    * [[annTopK]] (which re-ranks these by exact cosine) and the q251
+    * index-frontier audit (which COUNTS them: candidates scanned is
+    * the cost axis every index-selection decision trades against
+    * recall).
+    */
+  def lshCandidates(emb: DataFrame, queryPred: org.apache.spark.sql.Column,
+                    tables: Int, planesPerTable: Int): DataFrame = {
+    val buckets = lshBuckets(emb, tables, planesPerTable)
+    val qb = buckets.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+    qb.join(buckets, Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
   }
 
   /** Raise `planesPerTable` until the EXPECTED bucket occupancy
@@ -264,9 +276,9 @@ object Similarity {
     * mutually consistent (and oracle-mirrorable). Candidates = probed
     * posting lists, self excluded — one shuffle keyed on cid.
     */
-  private def ivfCandidates(emb: DataFrame,
-                            queryPred: org.apache.spark.sql.Column,
-                            centroids: DataFrame, nProbe: Int): DataFrame = {
+  def ivfCandidates(emb: DataFrame,
+                    queryPred: org.apache.spark.sql.Column,
+                    centroids: DataFrame, nProbe: Int): DataFrame = {
     import org.apache.spark.sql.GraftColumns
     // the centroid frame is control-plane sized (coarse quantizer):
     // collect for the kernel, cids sorted so argmax's lowest-INDEX

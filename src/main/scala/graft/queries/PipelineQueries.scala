@@ -1286,6 +1286,83 @@ object PipelineQueries {
                                    "text", minLen = 25)
       .orderBy("doc_id", "span_start")
 
+  /** q251 — INDEX-SELECTION FRONTIER: recall@3 versus candidates
+    * scanned for every ANN index family in the suite — LSH (q25's
+    * 16×4 config), trained IVF (q69's k=8/probe-2 coarse quantizer),
+    * PQ (q70's 4×16-dim/16-code ADC over the FULL corpus), and IVF-PQ
+    * (q71's two-index composition) — all over the SAME query panel
+    * (vec_id < 20, k = 3) against the same exact-cosine truth. q93 and
+    * q218 audit indexes one at a time; this one table is the
+    * deployment decision artifact: candidates-scanned is the cost
+    * axis (PQ scans n−1 per query but at compressed-code cost; IVF
+    * and IVF-PQ scan the same pruned posting lists, so their rows
+    * isolate exactly what ADC compression costs in recall), recall is
+    * what that cost buys. The oracle recomputes all four index stacks
+    * AND the truth independently per branch (self-contained WITH
+    * subqueries — the fragments are the gated q25/q69/q70/q71 CTEs),
+    * so a drift in any index, any trainer, or the truth breaks the
+    * hash.
+    *
+    * Scale: four bucket-bound candidate generators (never all-pairs
+    * except PQ's by-design compressed full scan), one brute-force
+    * truth bounded by the 20-query panel, five 1-row aggregates.
+    */
+  def q251IndexFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.GraftOps._
+    val emb = Tables.embeddings(s, dir)
+    val pred = col("vec_id") < 20
+    val queries = emb.filter(pred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = Similarity.bruteForceTopK(emb, queries, 3)
+      .select("qid", "neighbor_id").graftCheckpoint()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nQ = queries.agg(count(lit(1)).as("n_queries"))
+    def countCand(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_candidates"))
+    def row(name: String, result: DataFrame, cand: DataFrame): DataFrame =
+      nExact
+        .crossJoin(exact.join(result, Seq("qid", "neighbor_id"),
+                              "left_semi")
+          .agg(count(lit(1)).as("n_overlap")))
+        .crossJoin(cand).crossJoin(nQ)
+        .select(lit(name).as("index_name"), col("n_queries"),
+                col("n_candidates"), col("n_exact"), col("n_overlap"))
+    val cdf = graft.operators.Clustering.dequantize(
+        graft.operators.Clustering.kmeansFit(
+          emb, "vec_id", "embedding", k = 8, dims = 64, iters = 3))
+      .toDF("cid", "cv")
+    val ivfCand = Similarity.ivfCandidates(emb, pred, cdf, nProbe = 2)
+      .graftCheckpoint() // two rows read it (IVF and IVF-PQ)
+    val pqCand = emb.agg(count(lit(1)).as("__n"))
+      .crossJoin(queries.agg(count(lit(1)).as("__nq")))
+      .select((col("__nq") * (col("__n") - 1)).cast("long")
+        .as("n_candidates"))
+    val rows = row("lsh_16x4",
+        Similarity.annTopK(emb, pred, k = 3, tables = 16,
+                           planesPerTable = 4)
+          .select(col("qid"), col("neighbor_id")),
+        countCand(Similarity.lshCandidates(emb, pred, 16, 4)))
+      .unionByName(row("ivf_t8_p2",
+        Similarity.ivfTopKWith(emb, pred, k = 3, centroids = cdf,
+                               nProbe = 2)
+          .select(col("qid"), col("neighbor_id")),
+        countCand(ivfCand)))
+      .unionByName(row("pq_4x16",
+        Similarity.pqTopK(emb, pred, k = 3)
+          .select(col("qid"), col("vec_id").as("neighbor_id")),
+        pqCand))
+      .unionByName(row("ivfpq_t8_p2_4x16",
+        Similarity.ivfPqTopK(emb, pred, k = 3)
+          .select(col("qid"), col("vec_id").as("neighbor_id")),
+        countCand(ivfCand)))
+    rows.select(col("index_name"), col("n_queries"), col("n_candidates"),
+                col("n_exact"), col("n_overlap"),
+                expr("(1000000 * n_overlap) div n_exact").as("recall_e6"),
+                expr("n_candidates div n_queries").as("cand_per_query"))
+      .orderBy("index_name")
+  }
+
   /** q246 — per-document duplicated-char rollup of q245's regions
     * ([[Dedup.substringDupStats]]): the decision view of
     * exact-substring dedup (how much of each doc is corpus-duplicated
@@ -1342,6 +1419,7 @@ object PipelineQueries {
     "q138_span_trim"       -> (q138SpanTrim _),
     "q245_substring_spans" -> (q245SubstringSpans _),
     "q246_substring_stats" -> (q246SubstringStats _),
+    "q251_index_frontier"  -> (q251IndexFrontier _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
     "q48_simhash_pairs"    -> (q48SimhashPairs _),
@@ -1567,7 +1645,111 @@ object PipelineQueries {
        |  FROM sg2 GROUP BY doc_id, reg)""".stripMargin
   }
 
+  /** q251 oracle: four SELF-CONTAINED `(WITH … SELECT …)` branches —
+    * one per index family, each recomputing its whole stack plus the
+    * exact truth from the shared gated fragments
+    * ([[lshSigBuckCte]], [[coarseCandCtes]], [[pqChain]]) — unioned
+    * and reduced to the frontier columns. Branch-local WITHs keep the
+    * fragments' internal CTE names (`e`, `cand`, `q`) from colliding.
+    */
+  private val q251Sql: String = {
+    val truthCtes =
+      s"""qe AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+         |es AS (SELECT qid, ce.vec_id, ${cosSql("qv", "cv")} AS cos
+         |      FROM qe CROSS JOIN (SELECT vec_id, v AS cv FROM e) ce
+         |      WHERE ce.vec_id <> qid),
+         |er AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |         ORDER BY cos DESC, vec_id) AS rnk FROM es),
+         |ex3 AS (SELECT qid, vec_id FROM er WHERE rnk <= 3)""".stripMargin
+    def sel(name: String, candExpr: String): String =
+      s"""SELECT '$name' AS index_name,
+         |  (SELECT COUNT(*) FROM qe) AS n_queries,
+         |  CAST($candExpr AS BIGINT) AS n_candidates,
+         |  (SELECT COUNT(*) FROM ex3) AS n_exact,
+         |  (SELECT COUNT(*) FROM ex3 JOIN i3 USING (qid, vec_id))
+         |    AS n_overlap""".stripMargin
+    val rerank =
+      s"""sc AS (SELECT cand.qid, cand.vec_id, ${cosSql("qv", "cv")} AS cos
+         |      FROM cand
+         |      JOIN qe ON qe.qid = cand.qid
+         |      JOIN (SELECT vec_id, v AS cv FROM e) ce
+         |        ON ce.vec_id = cand.vec_id),
+         |sr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |         ORDER BY cos DESC, vec_id) AS rnk FROM sc),
+         |i3 AS (SELECT qid, vec_id FROM sr WHERE rnk <= 3)""".stripMargin
+    val pqChains =
+      (0 until 4).map(j => pqChain(j, j * 16, 16, 16)).mkString(",\n")
+    val lshBranch =
+      s"""(WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |${lshSigBuckCte(16, 4)},
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vec_id
+         |  FROM buck q JOIN buck c ON q.t = c.t AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |$truthCtes,
+         |$rerank
+         |${sel("lsh_16x4", "(SELECT COUNT(*) FROM cand)")}) b1""".stripMargin
+    val ivfBranch =
+      s"""(WITH ${coarseCandCtes(queryBound = 20)},
+         |$truthCtes,
+         |$rerank
+         |${sel("ivf_t8_p2", "(SELECT COUNT(*) FROM cand)")}) b2""".stripMargin
+    val pqBranch =
+      s"""(WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |$pqChains,
+         |pairs AS (
+         |  ${(0 until 4).map(j =>
+              s"""SELECT a.vec_id AS qid, c.vec_id, a.d2
+                 |  FROM (SELECT vec_id, cid, d2 FROM af_$j
+                 |        WHERE vec_id < 20) a
+                 |  JOIN (SELECT vec_id, cid FROM af_$j WHERE rn = 1) c
+                 |    USING (cid)""".stripMargin)
+             .mkString("\n  UNION ALL\n  ")}),
+         |agg AS (
+         |  SELECT qid, vec_id, CAST(SUM(d2) AS BIGINT) AS adc2
+         |  FROM pairs WHERE vec_id <> qid
+         |  GROUP BY qid, vec_id),
+         |pr AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY adc2, vec_id) AS rn FROM agg),
+         |i3 AS (SELECT qid, vec_id FROM pr WHERE rn <= 3),
+         |$truthCtes
+         |${sel("pq_4x16",
+               "(SELECT COUNT(*) FROM qe) * ((SELECT COUNT(*) FROM e) - 1)")}
+         |) b3""".stripMargin
+    val ivfpqBranch =
+      s"""(WITH ${coarseCandCtes(queryBound = 20)},
+         |$pqChains,
+         |pairs AS (
+         |  ${(0 until 4).map(j =>
+              s"""SELECT cd.qid, cd.vec_id, a.d2
+                 |  FROM cand cd
+                 |  JOIN (SELECT vec_id, cid FROM af_$j WHERE rn = 1) code
+                 |    ON code.vec_id = cd.vec_id
+                 |  JOIN (SELECT vec_id AS qid, cid, d2 FROM af_$j
+                 |        WHERE vec_id < 20) a
+                 |    ON a.qid = cd.qid AND a.cid = code.cid""".stripMargin)
+             .mkString("\n  UNION ALL\n  ")}),
+         |agg AS (
+         |  SELECT qid, vec_id, CAST(SUM(d2) AS BIGINT) AS adc2
+         |  FROM pairs GROUP BY qid, vec_id),
+         |pr AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |         ORDER BY adc2, vec_id) AS rn FROM agg),
+         |i3 AS (SELECT qid, vec_id FROM pr WHERE rn <= 3),
+         |$truthCtes
+         |${sel("ivfpq_t8_p2_4x16", "(SELECT COUNT(*) FROM cand)")}) b4"""
+        .stripMargin
+    s"""SELECT index_name, n_queries, n_candidates, n_exact, n_overlap,
+       |  CAST((1000000 * n_overlap) // n_exact AS BIGINT) AS recall_e6,
+       |  CAST(n_candidates // n_queries AS BIGINT) AS cand_per_query
+       |FROM (
+       |  SELECT * FROM $lshBranch
+       |  UNION ALL SELECT * FROM $ivfBranch
+       |  UNION ALL SELECT * FROM $pqBranch
+       |  UNION ALL SELECT * FROM $ivfpqBranch)
+       |ORDER BY index_name""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q251_index_frontier" -> q251Sql,
     "q171_cluster_terms" ->
       s"""WITH $kmChainCtes,
          |asg AS (SELECT vec_id AS doc_id, cid FROM a3 WHERE rn = 1),
