@@ -16,5 +16,11 @@ object GraftOps {
   implicit final class GraftDatasetOps[T](private val ds: Dataset[T])
       extends AnyVal {
     def graftCheckpoint(): Dataset[T] = GraftColumns.checkpoint(ds)
+
+    /** Lazy variant — see [[GraftColumns.lazyCheckpoint]]: lineage is
+      * truncated now, blocks persist on the FIRST action, so a
+      * convergence witness can share the materialization job.
+      */
+    def graftCheckpointLazy(): Dataset[T] = GraftColumns.lazyCheckpoint(ds)
   }
 }

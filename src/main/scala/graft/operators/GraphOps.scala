@@ -94,24 +94,31 @@ object GraphOps {
         .join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid"))
         .agg(min(col("comp")).as("ncomp"))
+      // NOT checkpointed: prop feeds both sides of the pointer-jump
+      // self-join, but its shuffle output is computed once and reused
+      // (ReusedExchange) inside the round's single job — a per-round
+      // materialization here bought nothing but one extra job of
+      // latency (the r9 graph-tail profile's finding).
       val prop = labels
         .join(nbr, col("id") === col("nid"), "left")
         .select(col("id"),
                 least(coalesce(col("ncomp"), col("comp")), col("comp"))
                   .as("comp"))
-        .graftCheckpoint()
       // step 2 — pointer jump: comp(v) := comp(comp(v)). Labels are
       // always vertex ids present in `prop` (inductively: initialized to
       // the vertex itself; every later value is a min over such labels),
       // so the left join's coalesce is a guard, not a code path.
       val jump = prop
         .select(col("id").as("jid"), col("comp").as("jcomp"))
+      // LAZY checkpoint: the labelSum aggregate below is the round's
+      // ONE action — it computes the round, persists the checkpoint
+      // blocks, and returns the convergence witness in the same job
+      // (previously: eager-checkpoint job + witness job per round).
       val jumped = prop
         .join(jump, col("comp") === col("jid"), "left")
         .select(col("id"),
                 coalesce(col("jcomp"), col("comp")).as("comp"))
-        .graftCheckpoint()
-      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(prop)
+        .graftCheckpointLazy()
       val s = labelSum(jumped)
       // the new round is materialized — release the previous round's
       // blocks now, so the loop holds O(1) rounds of storage, not O(iter)
@@ -261,6 +268,16 @@ object GraphOps {
   private def rankLoop(ew: DataFrame, nodesBase: DataFrame,
                        ranks0: DataFrame, iterations: Int,
                        dampNum: Long, dampDen: Long): DataFrame = {
+    // Checkpoints stay PER-ROUND by measurement, not by default:
+    // batching k rounds into one lazy plan before materializing (the
+    // "lazy-checkpoint every k rounds" candidate) was profiled at
+    // sf0.1/local[32] and LOST — min-of-4 wall time rose ~15–30% at
+    // k=4 (deeper stacked plans cost more in codegen/AQE scheduling
+    // than the saved job submissions return), and recurrences whose
+    // round references the previous frame twice (Bellman–Ford's
+    // union+join) double their logical plan per batched round. One
+    // eager checkpoint per round keeps every job the same small,
+    // codegen-cached shape.
     var ranks = ranks0
     var i = 0
     while (i < iterations) {
@@ -608,6 +625,8 @@ object GraphOps {
     var labels = sym.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .graftCheckpoint()
+    // per-round eager checkpoint by measurement — see [[rankLoop]]'s
+    // note on why batched lazy rounds lost the profile
     var i = 0
     while (i < iterations) {
       // each vertex u counts its neighbors' labels: join on the
@@ -667,10 +686,15 @@ object GraphOps {
       .distinct()
       .graftCheckpoint()
 
-    def survivorCount(e: DataFrame): Long =
-      e.select(col("u")).distinct().count()
-
-    var prev = survivorCount(sym)
+    // Convergence witness: the SYMMETRIC EDGE count, not the distinct-
+    // vertex count. A peeled vertex loses all its edges, so the count
+    // strictly decreases every non-final round; an unchanged count
+    // means `keep` retained every edge, i.e. every surviving vertex
+    // already has degree ≥ k — the same fixpoint the vertex count
+    // witnessed, but countable WITHOUT a shuffle: the round's lazy
+    // checkpoint materializes through the count, so each round is ONE
+    // job (previously eager-checkpoint job + distinct-count job).
+    var prev = sym.count()
     var rounds = 0
     var converged = prev == 0L
     while (!converged && rounds < maxRounds) {
@@ -681,10 +705,10 @@ object GraphOps {
         .join(keep, sym("u") === col("__keep"), "left_semi")
         .join(keep.select(col("__keep").as("__keepv")),
               sym("v") === col("__keepv"), "left_semi")
-        .graftCheckpoint()
+        .graftCheckpointLazy()
+      val n = next.count() // materializes the checkpoint + witnesses
       org.apache.spark.sql.GraftColumns.unpersistCheckpoint(sym)
       sym = next
-      val n = survivorCount(sym)
       converged = n == prev || n == 0L
       prev = n
       rounds += 1
@@ -834,6 +858,10 @@ object GraphOps {
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
       .graftCheckpoint()
+    // per-round eager checkpoint by measurement — this recurrence
+    // references `dist` TWICE per round (union + join), so batched
+    // lazy rounds double the logical plan per round on top of losing
+    // the [[rankLoop]] profile; see the note there
     var i = 0
     while (i < rounds) {
       val relaxed = e

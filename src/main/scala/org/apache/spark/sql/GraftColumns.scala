@@ -30,8 +30,24 @@ object GraftColumns {
     * [[unpersistCheckpoint]] can later release it while provably
     * leaving foreign (caller-created, untagged) checkpoints alone.
     */
-  def checkpoint[T](ds: Dataset[T]): Dataset[T] = {
-    val c = ds.localCheckpoint()
+  def checkpoint[T](ds: Dataset[T]): Dataset[T] = tag(ds.localCheckpoint())
+
+  /** LAZY [[checkpoint]]: marks the plan's RDD for local checkpointing
+    * and tags it, but runs NO job — the FIRST action a caller fires on
+    * the result (a count, an aggregate, a downstream round) computes
+    * the partitions and persists the blocks as a side effect. This is
+    * the iterative-loop latency lever: a convergence witness
+    * (row count, label sum) can ride the SAME job that materializes
+    * the round instead of paying one eager-checkpoint job plus one
+    * witness job per round. Callers MUST fire exactly one full action
+    * before relying on the checkpoint semantics (lineage truncation is
+    * already in the returned plan; block persistence happens at first
+    * compute).
+    */
+  def lazyCheckpoint[T](ds: Dataset[T]): Dataset[T] =
+    tag(ds.localCheckpoint(eager = false))
+
+  private def tag[T](c: Dataset[T]): Dataset[T] = {
     c.asInstanceOf[classic.Dataset[T]].queryExecution.analyzed.foreach {
       case l: execution.LogicalRDD => l.rdd.setName(CheckpointTag); ()
       case _ => ()
