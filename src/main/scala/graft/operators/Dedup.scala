@@ -1199,6 +1199,59 @@ object Dedup {
              " ELSE (1000000 * dup_chars) div n_chars END"))
   }
 
+  /** APPLY step of [[duplicatedSubstringSpans]] — Lee et al. 2021's
+    * ExactSubstr removal: cut every maximal duplicated region (≥ minLen
+    * chars, duplicated anywhere in the corpus, multiplicity counted)
+    * out of every document and emit the cleaned text's digest. This is
+    * the conservative published variant (their released tool's default
+    * cuts the span from every occurrence; keeper election per region
+    * would need a global occurrence order the paper doesn't define).
+    *
+    * Output: (doc_id, n_chars, removed_chars, cleaned_md5) — clean docs
+    * keep their original text (removed_chars = 0), all-duplicate docs
+    * come back as md5("").
+    *
+    * Scale shape: span detection is the [[duplicatedSubstringSpans]]
+    * pipeline (hashed L-gram keys, never raw text, into the exchange);
+    * the REBUILD is one groupBy over the per-doc span list (bounded by
+    * doc length / minLen, since maximal regions are disjoint with a gap
+    * char between them) joined back to the text — the document body
+    * crosses the wire exactly once, and the cut itself is a codegen'd
+    * `aggregate` fold over the sorted span array, linear in doc bytes.
+    */
+  def removeDuplicatedSubstrings(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 minLen: Int = 25): DataFrame = {
+    val perDoc = duplicatedSubstringSpans(docs, idCol, textCol, minLen)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(
+             struct(col("span_start").as("s"), col("span_len").as("l"))))
+             .as("__spans"),
+           sum(col("span_len")).as("__rm"))
+    Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        length(col("__t")).cast("long").as("n_chars"),
+        coalesce(col("__rm"), lit(0L)).as("removed_chars"),
+        md5(when(col("__spans").isNull, col("__t")).otherwise(expr(
+          // fold over disjoint sorted spans: emit the gap before each
+          // span, track the last removed position, then the tail. Gap
+          // lengths are >= 0 (first span) / >= 1 (later spans) by the
+          // maximal-region contract, so no negative-length substrings.
+          """aggregate(__spans,
+            |  named_struct('acc', CAST('' AS STRING),
+            |               'e', CAST(0 AS BIGINT)),
+            |  (a, sp) -> named_struct(
+            |    'acc', concat(a.acc, substring(__t, CAST(a.e + 1 AS INT),
+            |                                   CAST(sp.s - a.e - 1 AS INT))),
+            |    'e', CAST(sp.s + sp.l - 1 AS BIGINT)),
+            |  a -> concat(a.acc, substring(__t, CAST(a.e + 1 AS INT),
+            |                               CAST(length(__t) - a.e AS INT))))
+            |""".stripMargin))).as("cleaned_md5"))
+  }
+
   def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
     applyDedupReleasable(docs, idCol, pairs, aCol, bCol)._1

@@ -184,6 +184,58 @@ object AdvancedQueries {
       .orderBy("family_size")
   }
 
+  /** q253 — LEAKAGE-AWARE train/val/test split: the published
+    * eval-contamination discipline (a near-duplicate of a test doc in
+    * the train set leaks the answer) made structural — the split key is
+    * the near-dup COMPONENT, not the document, so an entire duplicate
+    * family lands in one split by construction. Assignment is the
+    * portable 32-bit hash of the component id mod 10 (0–7 train,
+    * 8 val, 9 test — deterministic, engine-replayable, and stable
+    * under corpus growth: a doc's split can only change if its
+    * component label changes). The report is per-split (docs,
+    * components, chars) PLUS the counterfactual that justifies the
+    * design: how many families a naive DOC-level hash split would
+    * tear across split boundaries (`naive_leaky_components` — every
+    * one of those is an eval-leak in the naive scheme, zero in this
+    * one by construction).
+    *
+    * Plan: the gated q37 pair+CC shapes, one left join of docs to
+    * labels, two hash aggs (per-split rollup; naive-straddle count) —
+    * no new shuffle shape beyond q37 itself, and the per-split rollup
+    * carries only (split, counts), never text.
+    */
+  def q253LeakSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup
+      .jaccardPairs(docs, "doc_id", "text", n = 3, num = 1, den = 2)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = GraphOps.connectedComponents(pairs, "doc_a", "doc_b")
+      .toDF("doc_id", "component")
+    def splitOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val h = pmod(PortableHash.h32(key.cast("string")), lit(10L))
+      when(h < 8, "train").when(h === 8, "val").otherwise("test")
+    }
+    val labeled = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val naiveLeaky = labeled
+      .withColumn("nsplit", splitOf(col("doc_id")))
+      .groupBy(col("component"))
+      .agg(countDistinct(col("nsplit")).as("__k"))
+      .filter(col("__k") > 1)
+      .agg(count(lit(1)).as("naive_leaky_components"))
+    labeled
+      .withColumn("split", splitOf(col("component")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("component")).as("n_components"),
+           sum(col("n_chars")).as("n_chars"))
+      .crossJoin(naiveLeaky)
+      .orderBy("split")
+  }
+
   /** q189 — EXACT Spearman rank correlation between document length
     * (bigram count) and LM quality score, as the rational
     * ρ = (n(n²−1) − 6Σd²) / n(n²−1) in DECIMAL(38,0) strings (the
@@ -3199,6 +3251,7 @@ object AdvancedQueries {
     "q36_rollup"       -> (q36Rollup _),
     "q37_dedup_groups" -> (q37DedupGroups _),
     "q188_family_sizes" -> (q188FamilySizes _),
+    "q253_leak_safe_split" -> (q253LeakSafeSplit _),
     "q189_spearman" -> (q189Spearman _),
     "q190_k_anonymity" -> (q190KAnonymity _),
     "q191_benford" -> (q191Benford _),
@@ -3426,6 +3479,59 @@ object AdvancedQueries {
         |  CAST(n_families AS BIGINT) AS n_families
         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
         |WHERE n_families > 0 ORDER BY family_size""".stripMargin,
+    // q253: the q37 recursive-CC skeleton, singleton components via the
+    // left-join coalesce, the portable md5 split hash on component vs
+    // doc_id, and the naive-split straddle counterfactual.
+    "q253_leak_safe_split" ->
+      """WITH RECURSIVE
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_cnt
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |      UNION ALL SELECT doc_b, doc_a FROM jp),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM e GROUP BY a
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN reach r ON e.b = r.a),
+        |cc AS (SELECT a AS doc_id, MIN(b) AS component
+        |       FROM reach GROUP BY a),
+        |lab AS (SELECT d.doc_id, length(d.text) AS n_chars,
+        |          COALESCE(cc.component, d.doc_id) AS component
+        |        FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+        |leaky AS (SELECT COUNT(*) AS naive_leaky_components FROM (
+        |  SELECT component FROM (
+        |    SELECT component,
+        |      CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             ::BIGINT % 10 < 8 THEN 'train'
+        |           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |             ::BIGINT % 10 = 8 THEN 'val'
+        |           ELSE 'test' END AS nsplit
+        |    FROM lab)
+        |  GROUP BY component HAVING COUNT(DISTINCT nsplit) > 1))
+        |SELECT
+        |  CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))
+        |         ::BIGINT % 10 < 8 THEN 'train'
+        |       WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8))
+        |         ::BIGINT % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST((SELECT naive_leaky_components FROM leaky) AS BIGINT)
+        |    AS naive_leaky_components
+        |FROM lab GROUP BY split ORDER BY split""".stripMargin,
     // q189: the q133 model CTEs + two rank windows + the HUGEINT
     // Spearman rational, emitted as DECIMAL(38,0) strings.
     "q189_spearman" ->

@@ -1373,6 +1373,22 @@ object PipelineQueries {
                             minLen = 25)
       .orderBy("doc_id")
 
+  /** q252 — APPLY step of exact-substring dedup
+    * ([[Dedup.removeDuplicatedSubstrings]]): q245 reports the maximal
+    * duplicated regions; this query CUTS them and gates the md5 of
+    * every cleaned document, so a boundary off-by-one in any region —
+    * or a drift in the fold that stitches the kept gaps back together —
+    * breaks the hash. The oracle re-derives covered positions from the
+    * shared q245 CTE chain and rebuilds each doc character-by-character
+    * from the UNCOVERED positions (a deliberately different rebuild
+    * strategy than the Spark side's span-gap fold — two independent
+    * constructions of the same string).
+    */
+  def q252SubstringApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSubstrings(Tables.documents(s, dir), "doc_id",
+                                     "text", minLen = 25)
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1419,6 +1435,7 @@ object PipelineQueries {
     "q138_span_trim"       -> (q138SpanTrim _),
     "q245_substring_spans" -> (q245SubstringSpans _),
     "q246_substring_stats" -> (q246SubstringStats _),
+    "q252_substring_apply" -> (q252SubstringApply _),
     "q251_index_frontier"  -> (q251IndexFrontier _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
@@ -2043,6 +2060,30 @@ object PipelineQueries {
          |       ELSE (1000000 * COALESCE(dup_chars, 0)) // length(d.text)
          |       END AS BIGINT) AS dup_e6
          |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q252: the apply step — covered positions from the shared chain,
+    // then each doc rebuilt from its UNCOVERED characters (the Spark
+    // side folds span gaps instead; the md5 must still agree).
+    "q252_substring_apply" ->
+      s"""WITH $substringSpanCte,
+         |ap AS (SELECT doc_id,
+         |    unnest(range(CAST(length(text) AS BIGINT))) + 1 AS pos, text
+         |  FROM documents),
+         |cw AS (SELECT DISTINCT cv.doc_id, cv.pos + o.off AS pos
+         |  FROM cv CROSS JOIN (SELECT unnest(range(25)) AS off) o),
+         |kp AS (SELECT ap.doc_id, ap.pos,
+         |    substr(ap.text, CAST(ap.pos AS INT), 1) AS ch
+         |  FROM ap LEFT JOIN cw
+         |    ON cw.doc_id = ap.doc_id AND cw.pos = ap.pos
+         |  WHERE cw.pos IS NULL),
+         |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(ch, '' ORDER BY pos) AS ct
+         |  FROM kp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |  CAST(length(d.text) - COALESCE(cl.n_kept, 0) AS BIGINT)
+         |    AS removed_chars,
+         |  md5(COALESCE(cl.ct, '')) AS cleaned_md5
+         |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     // q138: detection (q72's span family), positional coverage, AND the
     // per-doc rebuild are all re-derived — the md5 gate covers the whole

@@ -58,6 +58,44 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L, 40L)))
   }
 
+  test("removeDuplicatedSubstrings cuts exactly the reported regions " +
+       "and md5-matches a brute-force per-char rebuild") {
+    import org.apache.spark.sql.functions.md5
+    val shared = "ABCDEFGHIJKL"
+    val rows = Seq(
+      1L -> s"xxx${shared}yyy",                    // one cut, mid-doc
+      2L -> s"${shared}ppp",                       // cut at doc start
+      3L -> "tiny",                                // untouched (< L)
+      4L -> (shared + shared))                     // everything cut
+    val got = Dedup.removeDuplicatedSubstrings(
+        rows.toDF("doc_id", "text"), "doc_id", "text", minLen = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    // brute-force expectation: remove every position covered by a
+    // window [p, p+L-1] whose L-gram appears >= 2 times corpus-wide
+    val l = 8
+    val gramCounts = rows.flatMap { case (_, t) =>
+      (0 to t.length - l).filter(_ >= 0).map(i => t.substring(i, i + l))
+    }.groupBy(identity).map { case (g, o) => g -> o.size }
+    def cleaned(t: String): String = {
+      val cov = Array.fill(t.length)(false)
+      for (i <- 0 to t.length - l if gramCounts(t.substring(i, i + l)) >= 2;
+           j <- i until i + l) cov(j) = true
+      t.zipWithIndex.collect { case (c, i) if !cov(i) => c }.mkString
+    }
+    val exp = rows.sortBy(_._1).map { case (id, t) =>
+      val c = cleaned(t)
+      (id, t.length.toLong, (t.length - c.length).toLong, c)
+    }
+    val expMd5 = exp.map(_._4).toDF("s").select(md5($"s")).as[String]
+      .collect()
+    assert(got.map(x => (x._1, x._2, x._3)) ==
+      exp.map(x => (x._1, x._2, x._3)))
+    assert(got.map(_._4).toSeq == expMd5.toSeq)
+    assert(exp(3)._4 == "") // doc 4 fully removed, md5("") path exercised
+  }
+
   test("docs shorter than L never contribute; stats zero-fill them") {
     val rows = Seq(1L -> "short", 2L -> ("B" * 30), 3L -> ("B" * 30))
     assert(spans(rows, l = 25).forall(_._1 != 1L))
