@@ -917,6 +917,49 @@ object CurationQueries {
 
   private val PerceptronX = Seq("x0", "x1", "x2", "x3", "x4")
 
+  /** Shared q254/q255 input: q250's margins with the ±1 label folded to
+    * 0/1 — the (score, outcome) pairs isotonic calibration consumes.
+    */
+  private def perceptronMargins(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Classification.perceptronScored(
+      perceptronFeatures(s, dir), "y", PerceptronX, epochs = 3)
+      .select(col("doc_id"), col("margin"),
+              expr("(y + 1) div 2").as("y01"))
+
+  /** q254 — ISOTONIC CALIBRATION of the trained classifier
+    * ([[graft.operators.Isotonic.isotonicBlocks]]): the published
+    * non-parametric method (Zadrozny & Elkan 2002) for turning q250's
+    * raw margins into probabilities, as exact-integer block rows
+    * (start rank, size, positives, floor-scaled fitted probability).
+    * Distributed PAV: one range exchange, partition-local pooling,
+    * driver merge of block summaries. The oracle derives the SAME fit
+    * through the minimax characterization fit(i) = max_{a<=i}
+    * min_{b>=i} mean(y[a..b]) — a completely different construction
+    * (O(n²) running-average table vs pooling stacks), so agreement is
+    * evidence of correctness, not shared bugs. Mean comparisons in the
+    * oracle ride doubles: with n ≤ 5000 at the gated SFs, distinct
+    * block means differ by ≥ 1/n² ≈ 4e-8 ≫ double ulp, so the double
+    * order IS the exact rational order there (the Spark side compares
+    * BigInt cross-products — exact at any scale).
+    */
+  def q254IsotonicBlocks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Isotonic.isotonicBlocks(
+      perceptronMargins(s, dir), "margin", "doc_id", "y01")
+      .orderBy("start_rank")
+
+  /** q255 — the PER-DOCUMENT calibrated view of q254's fit: every doc
+    * joined to its block's fitted probability via broadcast interval
+    * containment on the (margin, doc_id) total order — the corpus
+    * side streams unshuffled against the driver-merged block list.
+    * Chains q249 training → q250 scoring → q254 calibration into one
+    * gated artifact: a drift anywhere in the stack breaks this hash.
+    */
+  def q255IsotonicScores(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Isotonic.calibrated(
+      perceptronMargins(s, dir), "margin", "doc_id", "y01")
+      .select(col("doc_id"), col("margin"), col("y01"), col("p_e6"))
+      .orderBy("doc_id")
+
   def q92Normalize(s: SparkSession, dir: String): DataFrame = {
     val messy =
       concat(
@@ -1810,6 +1853,8 @@ object CurationQueries {
     "q248_html_strip"    -> (q248HtmlStrip _),
     "q249_perceptron_train" -> (q249PerceptronTrain _),
     "q250_perceptron_score" -> (q250PerceptronScore _),
+    "q254_isotonic_blocks" -> (q254IsotonicBlocks _),
+    "q255_isotonic_scores" -> (q255IsotonicScores _),
     "q232_ks_test" -> (q232KsTest _),
     "q229_epoch_allocation" -> (q229EpochAllocation _),
     "q227_score_length_bias" -> (q227ScoreLengthBias _),
@@ -2031,6 +2076,35 @@ object CurationQueries {
 
   private val PerceptronEpochs = 3
 
+  /** Shared q254/q255 fit CTEs (appended after the feature + epoch
+    * chain): margins under the epoch-3 weights, the (margin, doc_id)
+    * rank order, inclusive prefix sums, the O(n²) running-average
+    * table m(a,b) = mean(y[a..b]), per-a suffix minima, the minimax
+    * fit per rank, and `fitted(doc_id, margin, y01, i, fit)`.
+    */
+  private def isotonicFitSql: String = {
+    val dot = PerceptronX.indices
+      .map(i => s"e$PerceptronEpochs.w$i * x$i").mkString(" + ")
+    s"""sc AS (SELECT f.doc_id, CAST($dot AS BIGINT) AS margin,
+       |    (f.y + 1) // 2 AS y01
+       |  FROM f, e$PerceptronEpochs),
+       |rk AS (SELECT doc_id, margin, y01,
+       |    row_number() OVER (ORDER BY margin, doc_id) AS i,
+       |    SUM(y01) OVER (ORDER BY margin, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS s
+       |  FROM sc),
+       |pr AS (SELECT a.i AS a, b.i AS b,
+       |    CAST(b.s - a.s + a.y01 AS DOUBLE) / (b.i - a.i + 1) AS m
+       |  FROM rk a JOIN rk b ON b.i >= a.i),
+       |ms AS (SELECT a, b,
+       |    MIN(m) OVER (PARTITION BY a ORDER BY b DESC
+       |      ROWS UNBOUNDED PRECEDING) AS suf
+       |  FROM pr),
+       |ft AS (SELECT b AS i, MAX(suf) AS fit FROM ms GROUP BY b),
+       |fitted AS (SELECT rk.doc_id, rk.margin, rk.y01, rk.i, ft.fit
+       |  FROM rk JOIN ft USING (i))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     // q249: the unrolled epoch chain, one output row per epoch.
     "q249_perceptron_train" -> {
@@ -2059,6 +2133,35 @@ object CurationQueries {
          |  FROM f, e$PerceptronEpochs)
          |ORDER BY doc_id""".stripMargin
     },
+    // q254: margins from the q250 chain, then the isotonic fit via the
+    // MINIMAX characterization fit(i) = max_{a<=i} min_{b>=i}
+    // mean(y[a..b]) over the (margin, doc_id) total order — an O(n²)
+    // running-average table + per-a suffix-min + per-i max, then blocks
+    // = the fit's level sets (adjacent blocks differ strictly, so
+    // grouping by fitted value recovers exactly the maximal blocks).
+    // Double means are exact here: distinct block means differ by
+    // >= 1/n² >> ulp at the gated corpus sizes.
+    "q254_isotonic_blocks" ->
+      s"""WITH $perceptronFeatureSql,
+         |${perceptronChainSql(PerceptronEpochs)},
+         |$isotonicFitSql
+         |SELECT CAST(MIN(i) AS BIGINT) AS start_rank,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(y01) AS BIGINT) AS n_pos,
+         |  CAST((1000000 * SUM(y01)) // COUNT(*) AS BIGINT) AS p_e6
+         |FROM fitted GROUP BY fit ORDER BY start_rank""".stripMargin,
+    // q255: the same fit joined back per document.
+    "q255_isotonic_scores" ->
+      s"""WITH $perceptronFeatureSql,
+         |${perceptronChainSql(PerceptronEpochs)},
+         |$isotonicFitSql,
+         |blk AS (SELECT fit,
+         |    (1000000 * SUM(y01)) // COUNT(*) AS p_e6
+         |  FROM fitted GROUP BY fit)
+         |SELECT f2.doc_id, f2.margin, CAST(f2.y01 AS BIGINT) AS y01,
+         |  CAST(blk.p_e6 AS BIGINT) AS p_e6
+         |FROM fitted f2 JOIN blk USING (fit)
+         |ORDER BY f2.doc_id""".stripMargin,
     // q238: the shared q61 rule CTE aggregated to the per-rule
     // failure / sole-blocker counts, unpivoted to 4 rows.
     "q238_rule_ablation" ->
