@@ -1221,36 +1221,13 @@ object Dedup {
     */
   def removeDuplicatedSubstrings(docs: DataFrame, idCol: String,
                                  textCol: String,
-                                 minLen: Int = 25): DataFrame = {
-    val perDoc = duplicatedSubstringSpans(docs, idCol, textCol, minLen)
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(
-             struct(col("span_start").as("s"), col("span_len").as("l"))))
-             .as("__spans"),
-           sum(col("span_len")).as("__rm"))
-    Partitioning.spread(docs)
-      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        length(col("__t")).cast("long").as("n_chars"),
-        coalesce(col("__rm"), lit(0L)).as("removed_chars"),
-        md5(when(col("__spans").isNull, col("__t")).otherwise(expr(
-          // fold over disjoint sorted spans: emit the gap before each
-          // span, track the last removed position, then the tail. Gap
-          // lengths are >= 0 (first span) / >= 1 (later spans) by the
-          // maximal-region contract, so no negative-length substrings.
-          """aggregate(__spans,
-            |  named_struct('acc', CAST('' AS STRING),
-            |               'e', CAST(0 AS BIGINT)),
-            |  (a, sp) -> named_struct(
-            |    'acc', concat(a.acc, substring(__t, CAST(a.e + 1 AS INT),
-            |                                   CAST(sp.s - a.e - 1 AS INT))),
-            |    'e', CAST(sp.s + sp.l - 1 AS BIGINT)),
-            |  a -> concat(a.acc, substring(__t, CAST(a.e + 1 AS INT),
-            |                               CAST(length(__t) - a.e AS INT))))
-            |""".stripMargin))).as("cleaned_md5"))
-  }
+                                 minLen: Int = 25): DataFrame =
+    Intervals.cutSpans(
+      Partitioning.spread(docs).withColumnRenamed(idCol, "doc_id"),
+      "doc_id", textCol,
+      duplicatedSubstringSpans(docs, idCol, textCol, minLen),
+      startCol = "span_start", lenCol = "span_len")
+      .withColumnRenamed("cut_md5", "cleaned_md5")
 
   def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =

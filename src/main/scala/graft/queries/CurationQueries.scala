@@ -960,6 +960,50 @@ object CurationQueries {
       .select(col("doc_id"), col("margin"), col("y01"), col("p_e6"))
       .orderBy("doc_id")
 
+  /** Shared q256/q257 dictionary: entries chosen to exercise the
+    * automaton's hard cases on this corpus — nested patterns
+    * ("table" ⊃ "able" ⊃ "le"; "spark" ⊃ "ark"), cross-pattern
+    * overlaps in text ("an" inside "scan" hits), multi-length
+    * fail-link chains, and one guaranteed miss ("zzzz").
+    */
+  private val DictPatterns = Seq("table", "able", "le", "scan", "an",
+                                 "spark", "ark", "row", "order", "zzzz")
+
+  /** q256 — MULTI-PATTERN DICTIONARY SCAN
+    * ([[graft.operators.AhoCorasick]]): per-(doc, pattern) match
+    * counts, overlaps and nested-pattern hits included — the
+    * blocklist/keyword-audit pass, one automaton sweep per document
+    * instead of one regex pass per dictionary entry. The oracle is the
+    * RELATIONAL strategy (positional substring compares per pattern),
+    * so the automaton's goto/fail/emit construction is checked against
+    * an implementation that shares none of it.
+    */
+  def q256DictMatches(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AhoCorasick.matchCounts(
+      Tables.documents(s, dir), "doc_id", "text", DictPatterns)
+      .orderBy("doc_id", "pattern")
+
+  /** q257 — DICTIONARY REDACTION: every dictionary match (any pattern,
+    * overlaps merged via [[graft.operators.Intervals.unionSpans]]) cut
+    * from every doc, gating the md5 of each redacted string — the
+    * scrub step a blocklist pass actually ships. Chains the automaton
+    * (q256's matches), the interval-union primitive, and the span-cut
+    * fold into one artifact; the oracle expands match windows to
+    * covered positions and rebuilds from the uncovered ones (the q252
+    * two-constructions discipline).
+    */
+  def q257DictRedact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merged = graft.operators.Intervals.unionSpans(
+      graft.operators.AhoCorasick.matchSpans(docs, "doc_id", "text",
+                                             DictPatterns)
+        .select(col("doc_id"), col("start"), col("len")),
+      "doc_id", "start", "len")
+    graft.operators.Intervals.cutSpans(docs, "doc_id", "text", merged)
+      .withColumnRenamed("cut_md5", "redacted_md5")
+      .orderBy("doc_id")
+  }
+
   def q92Normalize(s: SparkSession, dir: String): DataFrame = {
     val messy =
       concat(
@@ -1855,6 +1899,8 @@ object CurationQueries {
     "q250_perceptron_score" -> (q250PerceptronScore _),
     "q254_isotonic_blocks" -> (q254IsotonicBlocks _),
     "q255_isotonic_scores" -> (q255IsotonicScores _),
+    "q256_dict_matches" -> (q256DictMatches _),
+    "q257_dict_redact" -> (q257DictRedact _),
     "q232_ks_test" -> (q232KsTest _),
     "q229_epoch_allocation" -> (q229EpochAllocation _),
     "q227_score_length_bias" -> (q227ScoreLengthBias _),
@@ -2076,6 +2122,10 @@ object CurationQueries {
 
   private val PerceptronEpochs = 3
 
+  /** [[DictPatterns]] as a DuckDB list literal. */
+  private def dictPatternsSqlList: String =
+    DictPatterns.map(p => s"'$p'").mkString(", ")
+
   /** Shared q254/q255 fit CTEs (appended after the feature + epoch
     * chain): margins under the epoch-3 weights, the (margin, doc_id)
     * rank order, inclusive prefix sums, the O(n²) running-average
@@ -2162,6 +2212,51 @@ object CurationQueries {
          |  CAST(blk.p_e6 AS BIGINT) AS p_e6
          |FROM fitted f2 JOIN blk USING (fit)
          |ORDER BY f2.doc_id""".stripMargin,
+    // q256: the relational multi-pattern strategy — positional
+    // substring compares per dictionary entry — against the automaton.
+    "q256_dict_matches" ->
+      s"""WITH pats AS (SELECT unnest([$dictPatternsSqlList]) AS pattern)
+         |SELECT d.doc_id, p.pattern,
+         |  CAST(COUNT(*) AS BIGINT) AS n_matches
+         |FROM documents d CROSS JOIN pats p,
+         |  unnest(range(CAST(greatest(
+         |    length(d.text) - length(p.pattern) + 1, 0) AS BIGINT)))
+         |    AS g(i)
+         |WHERE substr(d.text, CAST(g.i + 1 AS INT), length(p.pattern))
+         |        = p.pattern
+         |GROUP BY d.doc_id, p.pattern
+         |ORDER BY d.doc_id, p.pattern""".stripMargin,
+    // q257: match windows expanded to covered positions, docs rebuilt
+    // from the uncovered ones (the q252 two-constructions discipline).
+    "q257_dict_redact" ->
+      s"""WITH pats AS (SELECT unnest([$dictPatternsSqlList]) AS pattern),
+         |mt AS (SELECT d.doc_id, g.i + 1 AS s,
+         |    CAST(length(p.pattern) AS BIGINT) AS l
+         |  FROM documents d CROSS JOIN pats p,
+         |    unnest(range(CAST(greatest(
+         |      length(d.text) - length(p.pattern) + 1, 0) AS BIGINT)))
+         |      AS g(i)
+         |  WHERE substr(d.text, CAST(g.i + 1 AS INT), length(p.pattern))
+         |          = p.pattern),
+         |cwv AS (SELECT DISTINCT mt.doc_id, mt.s + o.off AS pos
+         |  FROM mt, unnest(range(mt.l)) AS o(off)),
+         |ap AS (SELECT doc_id,
+         |    unnest(range(CAST(length(text) AS BIGINT))) + 1 AS pos, text
+         |  FROM documents),
+         |kp AS (SELECT ap.doc_id, ap.pos,
+         |    substr(ap.text, CAST(ap.pos AS INT), 1) AS ch
+         |  FROM ap LEFT JOIN cwv
+         |    ON cwv.doc_id = ap.doc_id AND cwv.pos = ap.pos
+         |  WHERE cwv.pos IS NULL),
+         |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(ch, '' ORDER BY pos) AS ct
+         |  FROM kp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |  CAST(length(d.text) - COALESCE(cl.n_kept, 0) AS BIGINT)
+         |    AS removed_chars,
+         |  md5(COALESCE(cl.ct, '')) AS redacted_md5
+         |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // q238: the shared q61 rule CTE aggregated to the per-rule
     // failure / sole-blocker counts, unpivoted to 4 rows.
     "q238_rule_ablation" ->
