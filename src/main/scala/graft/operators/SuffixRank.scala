@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.GraftOps._
+
+/** Distributed GENERALIZED SUFFIX ARRAY construction by prefix
+  * doubling (Manber & Myers 1990; the distributed form is the
+  * Flick & Aluru 2015 bulk-synchronous shape) — the index structure
+  * under Lee et al. 2021's ExactSubstr dedup. One row per suffix
+  * (doc, pos); after k rounds every suffix holds the rank of its first
+  * 2^k characters; log₂(cap) rounds total.
+  *
+  * Comparisons are CAPPED at `capChars` (default 64): suffixes are
+  * ordered by their first `capChars` characters, remaining ties broken
+  * by (doc_id, pos). For the dedup use the cap is not a compromise —
+  * deciding "duplicated substring ≥ L" needs adjacent-suffix
+  * comparisons only up to L < cap characters — and it BOUNDS the round
+  * count and the rank-key width independently of document length (an
+  * uncapped corpus-long repeat would otherwise force ~log(maxDocLen)
+  * rounds).
+  *
+  * Round shape (everything data-sized, nothing driver-sized):
+  *  - pair ranks: one self-join keyed (doc_id, pos ± h) — both sides
+  *    hash the same key family, so the exchange is reused;
+  *  - re-rank pairs: DISTINCT pairs (hash agg), then a dense rank via
+  *    [[PrefixSum.runningTotal]]'s two-phase scan — the one range
+  *    exchange any total order pays, never a single-partition window;
+  *  - join the new ranks back (hash join on the pair key);
+  *  - the round's result rides a LAZY checkpoint whose materializing
+  *    action IS the convergence witness (max(rank) == row count ⟺ all
+  *    suffixes already distinct ⟹ early exit), the
+  *    [[GraphOps.connectedComponents]] single-job-per-round discipline.
+  *
+  * Determinism: ranks depend only on (text, cap); the final
+  * `sa_rank` is the exact row_number of the (key, doc_id, pos) total
+  * order, so an engine-independent oracle can replay it by sorting
+  * capped suffix strings directly.
+  */
+object SuffixRank {
+
+  /** (doc_id, pos, sa_rank): 1-based position and the suffix's 1-based
+    * global rank under (first-capChars-chars, doc_id, pos).
+    */
+  def ranks(docs: DataFrame, idCol: String, textCol: String,
+            capChars: Int = 64): DataFrame = {
+    require(capChars >= 2 && (capChars & (capChars - 1)) == 0,
+      s"capChars must be a power of two >= 2, got $capChars")
+    val chars = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, length(__t))," +
+          " p -> ascii(substring(__t, p, 1)))")).as(Seq("__i", "__c")))
+    val n = chars.count()
+    // initial rank: the character code + 1 — order-isomorphic to the
+    // 1-char suffix order and strictly positive, so the absent-rank
+    // sentinel 0 sorts below every real rank (a suffix that ends is a
+    // strict prefix of any suffix that continues ⇒ sorts first).
+    var r = chars
+      .select(col("doc_id"), (col("__i") + 1).cast("long").as("pos"),
+              (col("__c") + 1).cast("long").as("rank"))
+      .graftCheckpoint()
+    var h = 1
+    var distinctAll = false
+    while (h < capChars && !distinctAll) {
+      val shifted = r.select(col("doc_id").as("__d2"),
+                             (col("pos") - h).as("__p2"),
+                             col("rank").as("__r2"))
+      val paired = r.join(shifted,
+          col("doc_id") === col("__d2") && col("pos") === col("__p2"),
+          "left")
+        .select(col("doc_id"), col("pos"), col("rank").as("__r1"),
+                coalesce(col("__r2"), lit(0L)).as("__r2"))
+      val rankMap = PrefixSum.runningTotal(
+          paired.select(col("__r1"), col("__r2")).distinct()
+            .withColumn("__one", lit(1L)),
+          "__one", Seq("__r1", "__r2"), cumCol = "__nr")
+        .select(col("__r1").as("__k1"), col("__r2").as("__k2"),
+                col("__nr"))
+      val next = paired
+        .join(rankMap,
+              col("__r1") === col("__k1") && col("__r2") === col("__k2"))
+        .select(col("doc_id"), col("pos"), col("__nr").as("rank"))
+        .graftCheckpointLazy()
+      // ONE action: materializes the round and returns the witness
+      val mx = next.agg(max(col("rank")).as("m")).collect()(0).getLong(0)
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(r)
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(rankMap)
+      r = next
+      distinctAll = mx == n
+      h *= 2
+    }
+    // finalize: ranks are dense over capped-prefix classes; ties (equal
+    // capped prefixes — exact-duplicate regions) break by (doc_id, pos)
+    val out = PrefixSum.runningTotal(
+        r.withColumn("__one", lit(1L)),
+        "__one", Seq("rank", "doc_id", "pos"), cumCol = "sa_rank")
+      .select(col("doc_id"), col("pos"), col("sa_rank"))
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(r)
+    out
+  }
+
+  /** Per-document duplicate profile READ OFF THE SUFFIX ARRAY: for
+    * every suffix, the longest common prefix (capped) with its
+    * SA-adjacent neighbors; per doc the max — `max_lcp` is the length
+    * of the longest substring of the doc that occurs elsewhere in the
+    * corpus (or again in the doc), because any repeated substring is a
+    * common prefix of two suffixes that are adjacent-or-bracketing in
+    * suffix order, and adjacent pairs realize the maximum. `dup_l`
+    * flags docs with a repeat >= minLen — the Lee et al. detection
+    * verdict, this time derived from the index structure itself.
+    * `max_lcp` SATURATES at `capChars` (a repeat longer than the cap
+    * reports the cap); `dup_l` is exact for any minLen <= capChars.
+    */
+  def adjacentDupStats(docs: DataFrame, idCol: String, textCol: String,
+                       capChars: Int = 64, minLen: Int = 25): DataFrame = {
+    require(minLen <= capChars,
+      s"minLen $minLen must be <= capChars $capChars")
+    val sa = ranks(docs, idCol, textCol, capChars)
+    val keyed = sa.join(
+        Partitioning.spread(docs)
+          .select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("pos"), col("sa_rank"),
+              expr(s"substring(__t, CAST(pos AS INT), $capChars)")
+                .as("__key"))
+    val nxt = keyed.select((col("sa_rank") - 1).as("__rprev"),
+                           col("doc_id").as("__dn"),
+                           col("__key").as("__keyn"))
+    // contiguous common-prefix length of two capped keys: scan left to
+    // right, stop at the first mismatch or either end (codegen'd fold)
+    val lcpExpr = expr(
+      s"""aggregate(sequence(1, $capChars),
+         |  named_struct('d', false, 'l', CAST(0 AS BIGINT)),
+         |  (a, i) -> CASE WHEN a.d THEN a
+         |    WHEN i <= length(__key) AND i <= length(__keyn)
+         |         AND substring(__key, i, 1) = substring(__keyn, i, 1)
+         |      THEN named_struct('d', false, 'l', CAST(i AS BIGINT))
+         |    ELSE named_struct('d', true, 'l', a.l) END,
+         |  a -> a.l)""".stripMargin)
+    // a suffix's best match is with an SA neighbor; attribute each
+    // adjacent pair's lcp to BOTH suffixes' documents, then roll up
+    val adj = keyed.join(nxt, col("sa_rank") === col("__rprev"))
+      .select(col("doc_id"), col("__dn"), lcpExpr.as("__lcp"))
+    val both = adj.select(col("doc_id"), col("__lcp"))
+      .unionByName(adj.select(col("__dn").as("doc_id"), col("__lcp")))
+    Partitioning.spread(docs).select(col(idCol).as("doc_id"))
+      .join(both.groupBy("doc_id").agg(max(col("__lcp")).as("max_lcp")),
+            Seq("doc_id"), "left")
+      .select(col("doc_id"),
+              coalesce(col("max_lcp"), lit(0L)).as("max_lcp"),
+              (coalesce(col("max_lcp"), lit(0L)) >= minLen).as("dup_l"))
+  }
+}

@@ -1389,6 +1389,38 @@ object PipelineQueries {
                                      "text", minLen = 25)
       .orderBy("doc_id")
 
+  /** q258 — DISTRIBUTED SUFFIX-ARRAY RANKS by prefix doubling
+    * ([[graft.operators.SuffixRank.ranks]]): the Manber-Myers index
+    * under Lee et al.'s ExactSubstr dedup, built in log₂(64) = 6
+    * bulk-synchronous rounds (pair-rank self-join → distinct-pair
+    * dense rank via the PrefixSum range exchange → join back), with
+    * the convergence witness riding each round's lazy checkpoint.
+    * Output: one row per suffix with its exact global rank under
+    * (first-64-chars, doc_id, pos). The oracle sorts the capped suffix
+    * STRINGS directly — row_number over substr — so every round of the
+    * doubling recursion is checked by an engine that never runs it.
+    */
+  def q258SuffixRanks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixRank.ranks(
+      Tables.documents(s, dir), "doc_id", "text", capChars = 64)
+      .orderBy("doc_id", "pos")
+
+  /** q259 — per-doc duplicate profile READ OFF the suffix array
+    * ([[graft.operators.SuffixRank.adjacentDupStats]]): max
+    * adjacent-suffix LCP per doc (saturating at the 64-char cap) and
+    * the ≥ 25 repeat verdict — the same decision q246 derives from the
+    * L-gram cover, here from SA adjacency (any repeated substring is a
+    * common prefix of two rank-adjacent suffixes). Two routes to one
+    * verdict: `dup_l` here must equal `dup_chars > 0` there, and the
+    * oracle recomputes LCPs positionally (per-char mismatch scan over
+    * the sorted suffix keys), sharing nothing with the doubling loop.
+    */
+  def q259SaDupStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SuffixRank.adjacentDupStats(
+      Tables.documents(s, dir), "doc_id", "text",
+      capChars = 64, minLen = 25)
+      .orderBy("doc_id")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1436,6 +1468,8 @@ object PipelineQueries {
     "q245_substring_spans" -> (q245SubstringSpans _),
     "q246_substring_stats" -> (q246SubstringStats _),
     "q252_substring_apply" -> (q252SubstringApply _),
+    "q258_suffix_ranks"    -> (q258SuffixRanks _),
+    "q259_sa_dup_stats"    -> (q259SaDupStats _),
     "q251_index_frontier"  -> (q251IndexFrontier _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
@@ -2085,6 +2119,46 @@ object PipelineQueries {
          |  md5(COALESCE(cl.ct, '')) AS cleaned_md5
          |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q258: the oracle never runs the doubling recursion — it sorts the
+    // capped suffix strings directly and row_numbers them.
+    "q258_suffix_ranks" ->
+      """WITH sfx AS (SELECT doc_id, g.i + 1 AS pos,
+        |    substr(text, CAST(g.i + 1 AS INT), 64) AS key
+        |  FROM documents,
+        |    unnest(range(CAST(length(text) AS BIGINT))) AS g(i))
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  CAST(row_number() OVER (ORDER BY key, doc_id, pos) AS BIGINT)
+        |    AS sa_rank
+        |FROM sfx ORDER BY doc_id, pos""".stripMargin,
+    // q259: sorted suffix keys, per-char mismatch scan for adjacent
+    // LCPs, both-sides attribution, per-doc max with zero fill.
+    "q259_sa_dup_stats" ->
+      """WITH sfx AS (SELECT doc_id, g.i + 1 AS pos,
+        |    substr(text, CAST(g.i + 1 AS INT), 64) AS key
+        |  FROM documents,
+        |    unnest(range(CAST(length(text) AS BIGINT))) AS g(i)),
+        |rk AS (SELECT doc_id, pos, key,
+        |    row_number() OVER (ORDER BY key, doc_id, pos) AS r FROM sfx),
+        |adj AS (SELECT a.r AS pr, a.doc_id AS da, b.doc_id AS db,
+        |    a.key AS ka, b.key AS kb
+        |  FROM rk a JOIN rk b ON b.r = a.r + 1),
+        |lcp AS (SELECT pr, da, db,
+        |    COALESCE(MIN(CASE WHEN g.i > length(ka) OR g.i > length(kb)
+        |        OR substr(ka, CAST(g.i AS INT), 1)
+        |           <> substr(kb, CAST(g.i AS INT), 1)
+        |      THEN g.i END) - 1,
+        |      least(length(ka), length(kb))) AS l
+        |  FROM adj, unnest(range(1, 65)) AS g(i)
+        |  GROUP BY pr, da, db, ka, kb),
+        |boths AS (SELECT da AS doc_id, l FROM lcp
+        |  UNION ALL SELECT db, l FROM lcp),
+        |agg AS (SELECT doc_id, MAX(l) AS max_lcp FROM boths
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(agg.max_lcp, 0) AS BIGINT) AS max_lcp,
+        |  COALESCE(agg.max_lcp, 0) >= 25 AS dup_l
+        |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // q138: detection (q72's span family), positional coverage, AND the
     // per-doc rebuild are all re-derived — the md5 gate covers the whole
     // trimmed string of every document.
