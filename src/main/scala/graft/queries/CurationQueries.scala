@@ -1004,6 +1004,26 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  /** q260 — STUPID-BACKOFF trigram LM scoring
+    * ([[graft.operators.LanguageModel.stupidBackoffScores]]): Brants
+    * et al. 2007's web-scale smoothing, trained on the even-doc_id
+    * half of the corpus and scored on the odd half — the CCNet
+    * deployment shape (reference corpus scores the crawl), and the
+    * split is what makes every back-off branch LIVE (a self-trained
+    * trigram model never backs off; q61's bigram score has exactly
+    * that blind spot). Gates per scored doc the trigram count, how
+    * many positions backed off to the bigram / unigram branch, the
+    * OOV count, and the floor-exact mean score.
+    */
+  def q260StupidBackoff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    LanguageModel.stupidBackoffScores(
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+      docs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+      "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   def q92Normalize(s: SparkSession, dir: String): DataFrame = {
     val messy =
       concat(
@@ -1901,6 +1921,7 @@ object CurationQueries {
     "q255_isotonic_scores" -> (q255IsotonicScores _),
     "q256_dict_matches" -> (q256DictMatches _),
     "q257_dict_redact" -> (q257DictRedact _),
+    "q260_stupid_backoff" -> (q260StupidBackoff _),
     "q232_ks_test" -> (q232KsTest _),
     "q229_epoch_allocation" -> (q229EpochAllocation _),
     "q227_score_length_bias" -> (q227ScoreLengthBias _),
@@ -2257,6 +2278,62 @@ object CurationQueries {
          |  md5(COALESCE(cl.ct, '')) AS redacted_md5
          |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // q260: train/score split on doc_id parity; every branch of the
+    // back-off CASE replayed with the same floor-scaled arithmetic.
+    "q260_stupid_backoff" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |sc0 AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |tg_t AS (SELECT w[g.i] AS w1, w[g.i+1] AS w2, w[g.i+2] AS w3
+        |  FROM tr, unnest(generate_series(1, len(w) - 2)) AS g(i)
+        |  WHERE len(w) >= 3),
+        |c123 AS (SELECT w1, w2, w3, COUNT(*) AS c FROM tg_t
+        |  GROUP BY 1, 2, 3),
+        |bg_t AS (SELECT w[g.i] AS w1, w[g.i+1] AS w2
+        |  FROM tr, unnest(generate_series(1, len(w) - 1)) AS g(i)
+        |  WHERE len(w) >= 2),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c FROM bg_t GROUP BY 1, 2),
+        |ug AS (SELECT unnest(w) AS w FROM tr),
+        |c1 AS (SELECT w, COUNT(*) AS c FROM ug GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM ug),
+        |tg_s AS (SELECT doc_id, w[g.i] AS w1, w[g.i+1] AS w2,
+        |    w[g.i+2] AS w3
+        |  FROM sc0, unnest(generate_series(1, len(w) - 2)) AS g(i)
+        |  WHERE len(w) >= 3),
+        |j AS (SELECT s.doc_id,
+        |    CASE WHEN t3.c IS NOT NULL THEN (1000000 * t3.c) // b12.c
+        |         WHEN b23.c IS NOT NULL
+        |           THEN (2 * ((1000000 * b23.c) // u2.c)) // 5
+        |         WHEN u3.c IS NOT NULL
+        |           THEN (4 * ((1000000 * u3.c) // nn.n)) // 25
+        |         ELSE 0 END AS sc,
+        |    CASE WHEN t3.c IS NULL AND b23.c IS NOT NULL
+        |      THEN 1 ELSE 0 END AS bo1,
+        |    CASE WHEN t3.c IS NULL AND b23.c IS NULL
+        |      AND u3.c IS NOT NULL THEN 1 ELSE 0 END AS bo2,
+        |    CASE WHEN t3.c IS NULL AND b23.c IS NULL AND u3.c IS NULL
+        |      THEN 1 ELSE 0 END AS oov
+        |  FROM tg_s s
+        |  LEFT JOIN c123 t3 ON t3.w1 = s.w1 AND t3.w2 = s.w2
+        |    AND t3.w3 = s.w3
+        |  LEFT JOIN c12 b12 ON b12.w1 = s.w1 AND b12.w2 = s.w2
+        |  LEFT JOIN c12 b23 ON b23.w1 = s.w2 AND b23.w2 = s.w3
+        |  LEFT JOIN c1 u2 ON u2.w = s.w2
+        |  LEFT JOIN c1 u3 ON u3.w = s.w3, nn),
+        |agg AS (SELECT doc_id, COUNT(*) AS nt, SUM(bo1) AS b1,
+        |    SUM(bo2) AS b2, SUM(oov) AS ov,
+        |    SUM(sc) // COUNT(*) AS se
+        |  FROM j GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(nt, 0) AS BIGINT) AS n_trigrams,
+        |  CAST(COALESCE(b1, 0) AS BIGINT) AS n_bo1,
+        |  CAST(COALESCE(b2, 0) AS BIGINT) AS n_bo2,
+        |  CAST(COALESCE(ov, 0) AS BIGINT) AS n_oov,
+        |  CAST(COALESCE(se, 0) AS BIGINT) AS score_e6
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN agg ON agg.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // q238: the shared q61 rule CTE aggregated to the per-rule
     // failure / sole-blocker counts, unpivoted to 4 rows.
     "q238_rule_ablation" ->
