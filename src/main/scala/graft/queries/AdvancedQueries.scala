@@ -236,6 +236,40 @@ object AdvancedQueries {
       .orderBy("split")
   }
 
+  /** q261 — CONSISTENT-HASH SHARDING + the resharding-delta audit
+    * ([[graft.operators.Sharding]]): order keys on an 8-shard and a
+    * 9-shard ring (16 vnodes each), per new shard the key count and
+    * how many keys ARRIVED in the reshard, plus the global verdict —
+    * `n_moved_ring` versus the mod-sharding counterfactual
+    * `n_moved_mod`. The theorem under the design (a key moves iff its
+    * ring successor is one of the new shard's vnodes, so only ~1/(S+1)
+    * move, all TO the new shard — spec-proven) shows up as live
+    * numbers; mod-sharding reshuffles almost everything. Assignment is
+    * a pure codegen'd expression against the literal sorted ring —
+    * the key stream never shuffles until the 9-group rollup.
+    */
+  def q261ConsistentHashing(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sharding
+    val assigned = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"))
+      .withColumn("s8", Sharding.shardOf(col("k"), 8, 16))
+      .withColumn("s9", Sharding.shardOf(col("k"), 9, 16))
+      .withColumn("__h",
+        graft.functions.PortableHash.h32(col("k").cast("string")))
+    val global = assigned.agg(
+      count(lit(1)).as("n_keys_total"),
+      sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L))
+        .as("n_moved_ring"),
+      sum(when(pmod(col("__h"), lit(8L)) =!= pmod(col("__h"), lit(9L)),
+               1L).otherwise(0L)).as("n_moved_mod"))
+    assigned.groupBy(col("s9").as("shard"))
+      .agg(count(lit(1)).as("n_keys"),
+           sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L))
+             .as("n_moved_in"))
+      .crossJoin(global)
+      .orderBy("shard")
+  }
+
   /** q189 — EXACT Spearman rank correlation between document length
     * (bigram count) and LM quality score, as the rational
     * ρ = (n(n²−1) − 6Σd²) / n(n²−1) in DECIMAL(38,0) strings (the
@@ -3252,6 +3286,7 @@ object AdvancedQueries {
     "q37_dedup_groups" -> (q37DedupGroups _),
     "q188_family_sizes" -> (q188FamilySizes _),
     "q253_leak_safe_split" -> (q253LeakSafeSplit _),
+    "q261_consistent_hash" -> (q261ConsistentHashing _),
     "q189_spearman" -> (q189Spearman _),
     "q190_k_anonymity" -> (q190KAnonymity _),
     "q191_benford" -> (q191Benford _),
@@ -3532,6 +3567,50 @@ object AdvancedQueries {
         |  CAST((SELECT naive_leaky_components FROM leaky) AS BIGINT)
         |    AS naive_leaky_components
         |FROM lab GROUP BY split ORDER BY split""".stripMargin,
+    // q261: both rings rebuilt from the md5 formula, assignment via the
+    // min-successor construction (vs Spark's literal-array lookup).
+    "q261_consistent_hash" ->
+      """WITH r8 AS (SELECT (g.i // 16) AS shard,
+        |    ('0x' || substr(md5((g.i // 16) || ':' || (g.i % 16)), 1, 8))
+        |      ::BIGINT AS pos
+        |  FROM unnest(range(128)) AS g(i)),
+        |r9 AS (SELECT (g.i // 16) AS shard,
+        |    ('0x' || substr(md5((g.i // 16) || ':' || (g.i % 16)), 1, 8))
+        |      ::BIGINT AS pos
+        |  FROM unnest(range(144)) AS g(i)),
+        |kh AS (SELECT o_orderkey AS k,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS h
+        |  FROM orders),
+        |c8 AS (SELECT kh.k, kh.h, MIN(r.pos) AS mp
+        |  FROM kh LEFT JOIN r8 r ON r.pos >= kh.h GROUP BY kh.k, kh.h),
+        |a8 AS (SELECT c8.k, c8.h,
+        |    (SELECT MIN(shard) FROM r8 WHERE pos =
+        |       COALESCE(c8.mp, (SELECT MIN(pos) FROM r8))) AS s8
+        |  FROM c8),
+        |c9 AS (SELECT kh.k, MIN(r.pos) AS mp
+        |  FROM kh LEFT JOIN r9 r ON r.pos >= kh.h GROUP BY kh.k),
+        |a9 AS (SELECT c9.k,
+        |    (SELECT MIN(shard) FROM r9 WHERE pos =
+        |       COALESCE(c9.mp, (SELECT MIN(pos) FROM r9))) AS s9
+        |  FROM c9),
+        |j AS (SELECT a8.k, a8.h, a8.s8, a9.s9
+        |  FROM a8 JOIN a9 ON a9.k = a8.k),
+        |g AS (SELECT COUNT(*) AS n_keys_total,
+        |    SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS n_moved_ring,
+        |    SUM(CASE WHEN h % 8 <> h % 9 THEN 1 ELSE 0 END)
+        |      AS n_moved_mod
+        |  FROM j)
+        |SELECT CAST(s9 AS BIGINT) AS shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved_in,
+        |  CAST(g.n_keys_total AS BIGINT) AS n_keys_total,
+        |  CAST(g.n_moved_ring AS BIGINT) AS n_moved_ring,
+        |  CAST(g.n_moved_mod AS BIGINT) AS n_moved_mod
+        |FROM j, g
+        |GROUP BY s9, g.n_keys_total, g.n_moved_ring, g.n_moved_mod
+        |ORDER BY shard""".stripMargin,
     // q189: the q133 model CTEs + two rank windows + the HUGEINT
     // Spearman rational, emitted as DECIMAL(38,0) strings.
     "q189_spearman" ->
