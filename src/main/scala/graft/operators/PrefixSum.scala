@@ -109,6 +109,127 @@ object PrefixSum {
     } finally ranged.unpersist()
   }
 
+  /** DENSE RANK over the global `orderCols` order in ONE range
+    * exchange — no distinct + rank + join-back round trip, and never a
+    * single-partition window. Same two-phase scan as [[runningTotal]]:
+    *
+    *  1. range-partition + persist (the agreement-is-structural cache);
+    *  2. one sorted per-partition pass emits a single boundary row
+    *     (distinct-key count, first key, last key) per partition —
+    *     control-plane sized; the driver prefix-sums the counts into
+    *     exclusive offsets, subtracting 1 whenever a partition's first
+    *     key EQUALS the last key of the nearest non-empty partition
+    *     before it (a key run crossing the boundary must not be
+    *     double-counted);
+    *  3. one sorted output pass assigns local dense indexes + offset.
+    *
+    * The rank of a key is therefore exactly `dense_rank() OVER (ORDER
+    * BY orderCols)` — 1-based, gap-free — at any partitioning.
+    */
+  def denseRank(df: DataFrame, orderCols: Seq[String],
+                rankCol: String = "rank", numParts: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val reserved = Set("__pid", "__off")
+    val clash = df.columns.toSet.intersect(reserved + rankCol)
+    require(clash.isEmpty,
+      s"input columns collide with reserved/output names: $clash")
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val order = orderCols.map(col)
+    val ranged = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // boundary keys cross the wire as STRING renderings — exact for
+      // the integral/string keys this primitive serves (rank keys,
+      // hashes); reject anything float-ish loudly.
+      df.schema.fields.filter(f => orderCols.contains(f.name)).foreach {
+        f => require(
+          f.dataType == LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType ||
+            f.dataType == org.apache.spark.sql.types.StringType,
+          s"denseRank order column ${f.name} must be integral or " +
+            s"string, got ${f.dataType.sql}")
+      }
+      val keyIdxForBoundary = orderCols.map(ranged.schema.fieldIndex)
+      val pidIdxB = ranged.schema.fieldIndex("__pid")
+      // one boundary row per non-empty partition:
+      // (pid, nDistinct, firstKey, lastKey)
+      val boundaries = ranged
+        .sortWithinPartitions(order: _*)
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val first = it.next()
+            def key(r: Row): Seq[String] =
+              keyIdxForBoundary.map(i => String.valueOf(r.get(i)))
+            val firstKey = key(first)
+            var lastKey = firstKey
+            val pid = first.getInt(pidIdxB)
+            var n = 1L
+            it.foreach { r =>
+              val k = key(r)
+              if (k != lastKey) { n += 1; lastKey = k }
+            }
+            Iterator(Row(pid, n, firstKey, lastKey))
+          }
+        }(Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pid",
+            org.apache.spark.sql.types.IntegerType, false),
+          org.apache.spark.sql.types.StructField("n", LongType, false),
+          org.apache.spark.sql.types.StructField("fk",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType), true),
+          org.apache.spark.sql.types.StructField("lk",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType), true)))))
+        .collect()
+      val sorted = boundaries.sortBy(_.getInt(0))
+      var cum = 0L
+      var prevLast: AnyRef = null
+      val offsets = sorted.map { r =>
+        val pid = r.getInt(0)
+        val fk = r.get(2)
+        val shared = prevLast != null && prevLast == fk
+        val off = cum - (if (shared) 1L else 0L)
+        cum = off + r.getLong(1)
+        prevLast = r.get(3).asInstanceOf[AnyRef]
+        (pid, off)
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      val offsetsDf = offsets.toSeq.toDF("__pid2", "__off")
+      val joined = ranged
+        .join(broadcast(offsetsDf), col("__pid") === col("__pid2"), "left")
+        .drop("__pid2")
+        .sortWithinPartitions(order: _*)
+      val keepIdx = df.columns.map(joined.schema.fieldIndex)
+      val keyIdx = orderCols.map(joined.schema.fieldIndex)
+      val offIdx = joined.schema.fieldIndex("__off")
+      val outSchema = org.apache.spark.sql.types.StructType(
+        df.schema.fields :+
+          org.apache.spark.sql.types.StructField(rankCol, LongType, false))
+      joined.mapPartitions { it =>
+        var local = 0L
+        var off = 0L
+        var lastKey: Seq[Any] = null
+        var first = true
+        it.map { r =>
+          if (first) {
+            off = if (r.isNullAt(offIdx)) 0L else r.getLong(offIdx)
+            first = false
+          }
+          val k = keyIdx.map(r.get)
+          if (lastKey == null || k != lastKey) { local += 1; lastKey = k }
+          Row.fromSeq(keepIdx.map(r.get).toIndexedSeq :+ (local + off))
+        }
+      }(Encoders.row(outSchema))
+        .graftCheckpoint()
+    } finally ranged.unpersist()
+  }
+
   /** Running MAX over a global order — same two-phase scan as
     * [[runningTotal]] (max is associative; the driver folds per-
     * partition maxima into exclusive prefix maxima), plus `flagCol`:

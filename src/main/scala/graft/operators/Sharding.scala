@@ -40,17 +40,18 @@ object Sharding {
   }
 
   /** Column: the consistent-hash shard of `key` on the
-    * (shards × vnodes) ring. Pure expression — usable in any
-    * projection; `key` is hashed via its string form.
+    * (shards × vnodes) ring. Pure codegen'd expression
+    * ([[graft.functions.RingSearch]] — one binary search per row, the
+    * ring shipped as a reference object); `key` is hashed via its
+    * string form.
     */
   def shardOf(key: Column, shards: Int, vnodes: Int): Column = {
     val r = ring(shards, vnodes)
-    val entries = typedLit(r)
     val h = graft.functions.PortableHash.h32(key.cast("string"))
-    coalesce(
-      try_element_at(filter(entries, e => e.getField("_1") >= h), lit(1))
-        .getField("_2"),
-      lit(r.head._2))
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.RingSearch(
+        org.apache.spark.sql.GraftColumns.expression(h),
+        r.map(_._1).toArray, r.map(_._2).toArray))
   }
 
   /** Per-key assignment frame: (keyCol..., shardCol). */

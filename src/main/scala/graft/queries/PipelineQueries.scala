@@ -1407,7 +1407,9 @@ object PipelineQueries {
 
   /** q259 — per-doc duplicate profile READ OFF the suffix array
     * ([[graft.operators.SuffixRank.adjacentDupStats]]): max
-    * adjacent-suffix LCP per doc (saturating at the 64-char cap) and
+    * adjacent-suffix LCP per doc (saturating at the 32-char cap —
+    * the smallest power of two above minLen, one fewer doubling
+    * round and half the key bytes of q258's 64) and
     * the ≥ 25 repeat verdict — the same decision q246 derives from the
     * L-gram cover, here from SA adjacency (any repeated substring is a
     * common prefix of two rank-adjacent suffixes). Two routes to one
@@ -1418,7 +1420,7 @@ object PipelineQueries {
   def q259SaDupStats(s: SparkSession, dir: String): DataFrame =
     graft.operators.SuffixRank.adjacentDupStats(
       Tables.documents(s, dir), "doc_id", "text",
-      capChars = 64, minLen = 25)
+      capChars = 32, minLen = 25)
       .orderBy("doc_id")
 
   // -------------------------------------------------------------- wiring
@@ -2134,7 +2136,7 @@ object PipelineQueries {
     // LCPs, both-sides attribution, per-doc max with zero fill.
     "q259_sa_dup_stats" ->
       """WITH sfx AS (SELECT doc_id, g.i + 1 AS pos,
-        |    substr(text, CAST(g.i + 1 AS INT), 64) AS key
+        |    substr(text, CAST(g.i + 1 AS INT), 32) AS key
         |  FROM documents,
         |    unnest(range(CAST(length(text) AS BIGINT))) AS g(i)),
         |rk AS (SELECT doc_id, pos, key,
@@ -2148,7 +2150,7 @@ object PipelineQueries {
         |           <> substr(kb, CAST(g.i AS INT), 1)
         |      THEN g.i END) - 1,
         |      least(length(ka), length(kb))) AS l
-        |  FROM adj, unnest(range(1, 65)) AS g(i)
+        |  FROM adj, unnest(range(1, 33)) AS g(i)
         |  GROUP BY pr, da, db, ka, kb),
         |boths AS (SELECT da AS doc_id, l FROM lcp
         |  UNION ALL SELECT db, l FROM lcp),

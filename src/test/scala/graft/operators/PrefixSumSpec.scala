@@ -123,4 +123,34 @@ class PrefixSumSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getBoolean(3))).sortBy(_._1)
     assert(got.toSeq === Seq((1L, true), (2L, false), (3L, true)))
   }
+
+  test("denseRank equals the window dense_rank at several partition " +
+       "counts, heavy duplicate runs crossing boundaries included") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // few distinct keys over many rows -> runs MUST cross partition
+    // boundaries, exercising the shared-key offset correction
+    val rows = (1L to 3000L).map(i => (i, rng.nextInt(12).toLong,
+                                       rng.nextInt(3).toLong))
+    val df = rows.toDF("id", "k1", "k2").repartition(13)
+    val expected = rows.map { case (_, k1, k2) => (k1, k2) }
+      .distinct.sorted.zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val got = PrefixSum.denseRank(df, Seq("k1", "k2"), numParts = parts)
+        .collect()
+        .map(r => ((r.getLong(1), r.getLong(2)), r.getLong(3)))
+      got.foreach { case (k, rank) =>
+        assert(rank === expected(k), s"key $k at parts=$parts")
+      }
+    }
+  }
+
+  test("denseRank rejects float order columns") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5)).toDF("id", "x")
+    intercept[IllegalArgumentException] {
+      PrefixSum.denseRank(df, Seq("x"))
+    }
+  }
 }
