@@ -94,31 +94,33 @@ object GraphOps {
         .join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("nid"))
         .agg(min(col("comp")).as("ncomp"))
-      // NOT checkpointed: prop feeds both sides of the pointer-jump
-      // self-join, but its shuffle output is computed once and reused
-      // (ReusedExchange) inside the round's single job — a per-round
-      // materialization here bought nothing but one extra job of
-      // latency (the r9 graph-tail profile's finding).
+      // prop stays EAGERLY checkpointed — A/B-profiled at sf0.1
+      // (min-of-4, one JVM): dropping it in favor of in-plan exchange
+      // reuse made the 17-round q145 chain 11.6 s -> 14.8 s, because
+      // `prop` feeds the pointer-jump self-join through two DIFFERENT
+      // projections and AQE does not reliably reuse the exchange —
+      // the nbr aggregate then computes twice per round. The
+      // lazy-checkpoint-plus-witness fold lost the same profile
+      // (13.5 s): eager materialization plus a separate witness job
+      // is the fastest CC round shape measured on this engine.
       val prop = labels
         .join(nbr, col("id") === col("nid"), "left")
         .select(col("id"),
                 least(coalesce(col("ncomp"), col("comp")), col("comp"))
                   .as("comp"))
+        .graftCheckpoint()
       // step 2 — pointer jump: comp(v) := comp(comp(v)). Labels are
       // always vertex ids present in `prop` (inductively: initialized to
       // the vertex itself; every later value is a min over such labels),
       // so the left join's coalesce is a guard, not a code path.
       val jump = prop
         .select(col("id").as("jid"), col("comp").as("jcomp"))
-      // LAZY checkpoint: the labelSum aggregate below is the round's
-      // ONE action — it computes the round, persists the checkpoint
-      // blocks, and returns the convergence witness in the same job
-      // (previously: eager-checkpoint job + witness job per round).
       val jumped = prop
         .join(jump, col("comp") === col("jid"), "left")
         .select(col("id"),
                 coalesce(col("jcomp"), col("comp")).as("comp"))
-        .graftCheckpointLazy()
+        .graftCheckpoint()
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(prop)
       val s = labelSum(jumped)
       // the new round is materialized — release the previous round's
       // blocks now, so the loop holds O(1) rounds of storage, not O(iter)
