@@ -270,6 +270,55 @@ object AdvancedQueries {
       .orderBy("shard")
   }
 
+  /** q263 — ZONE-MAP PRUNING AUDIT: min/max sketches per storage
+    * bucket under two layouts of the same table — date-clustered
+    * (bucket = ship month) versus hash-scattered (bucket = key hash
+    * mod 32) — evaluated against three range predicates (narrow,
+    * point-month, full-domain). A bucket is skippable iff its zone
+    * [min, max] misses the predicate range; the audit reports
+    * skippable buckets AND the rows behind them. This is the
+    * data-level complement of q2's plan-level pushdown gate and the
+    * q97/q203 ordering work: clustering is what MAKES min/max pruning
+    * work (the clustered layout skips ~all buckets for a one-month
+    * predicate; the hashed layout's zones all span the full domain and
+    * skip zero — and the full-domain predicate skips zero under BOTH,
+    * the honest null case). Two map-combined aggs + control-plane
+    * bucket frames; nothing data-sized after the zone build.
+    */
+  def q263ZoneMaps(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val preds = Seq(("p1_narrow", "1996-01-01", "1996-03-31"),
+                    ("p2_month", "1998-06-01", "1998-06-30"),
+                    ("p3_all", "1995-01-01", "2001-12-31"))
+    def audit(layout: String, bucket: org.apache.spark.sql.Column) = {
+      val zm = li.withColumn("__b", bucket)
+        .groupBy(col("__b"))
+        .agg(min(col("l_shipdate")).as("__mn"),
+             max(col("l_shipdate")).as("__mx"),
+             count(lit(1)).as("__n"))
+      preds.map { case (pid, lo, hi) =>
+        val skip = col("__mx") < to_date(lit(lo)) ||
+          col("__mn") > to_date(lit(hi))
+        zm.agg(count(lit(1)).as("n_buckets"),
+               sum(when(skip, 1L).otherwise(0L)).as("n_skippable"),
+               sum(col("__n")).as("rows_total"),
+               sum(when(skip, col("__n")).otherwise(0L))
+                 .as("rows_skipped"))
+          .select(lit(layout).as("layout"), lit(pid).as("pred"),
+                  col("n_buckets"), col("n_skippable"),
+                  col("rows_total"), col("rows_skipped"))
+      }.reduce(_ unionByName _)
+    }
+    audit("clustered",
+          expr("year(l_shipdate) * 12 + month(l_shipdate)").cast("long"))
+      .unionByName(audit("hashed",
+        pmod(PortableHash.h32(col("l_orderkey").cast("string")),
+             lit(32L))))
+      .orderBy("layout", "pred")
+  }
+
   /** q189 — EXACT Spearman rank correlation between document length
     * (bigram count) and LM quality score, as the rational
     * ρ = (n(n²−1) − 6Σd²) / n(n²−1) in DECIMAL(38,0) strings (the
@@ -3287,6 +3336,7 @@ object AdvancedQueries {
     "q188_family_sizes" -> (q188FamilySizes _),
     "q253_leak_safe_split" -> (q253LeakSafeSplit _),
     "q261_consistent_hash" -> (q261ConsistentHashing _),
+    "q263_zone_maps" -> (q263ZoneMaps _),
     "q189_spearman" -> (q189Spearman _),
     "q190_k_anonymity" -> (q190KAnonymity _),
     "q191_benford" -> (q191Benford _),
@@ -3611,6 +3661,43 @@ object AdvancedQueries {
         |FROM j, g
         |GROUP BY s9, g.n_keys_total, g.n_moved_ring, g.n_moved_mod
         |ORDER BY shard""".stripMargin,
+    // q263: both layouts' zone sketches + the 3-predicate skip matrix.
+    "q263_zone_maps" ->
+      """WITH zc AS (SELECT year(l_shipdate) * 12 + month(l_shipdate)
+        |      AS b,
+        |    MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |zh AS (SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+        |      1, 8))::BIGINT % 32 AS b,
+        |    MIN(l_shipdate) AS mn, MAX(l_shipdate) AS mx,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT * FROM (VALUES
+        |    ('p1_narrow', DATE '1996-01-01', DATE '1996-03-31'),
+        |    ('p2_month',  DATE '1998-06-01', DATE '1998-06-30'),
+        |    ('p3_all',    DATE '1995-01-01', DATE '2001-12-31'))
+        |  t(pid, lo, hi)),
+        |u AS (
+        |  SELECT 'clustered' AS layout, pid AS pred,
+        |    COUNT(*) AS n_buckets,
+        |    SUM(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END)
+        |      AS n_skippable,
+        |    SUM(n) AS rows_total,
+        |    SUM(CASE WHEN mx < lo OR mn > hi THEN n ELSE 0 END)
+        |      AS rows_skipped
+        |  FROM zc CROSS JOIN p GROUP BY pid
+        |  UNION ALL
+        |  SELECT 'hashed', pid, COUNT(*),
+        |    SUM(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END),
+        |    SUM(n),
+        |    SUM(CASE WHEN mx < lo OR mn > hi THEN n ELSE 0 END)
+        |  FROM zh CROSS JOIN p GROUP BY pid)
+        |SELECT layout, pred, CAST(n_buckets AS BIGINT) AS n_buckets,
+        |  CAST(n_skippable AS BIGINT) AS n_skippable,
+        |  CAST(rows_total AS BIGINT) AS rows_total,
+        |  CAST(rows_skipped AS BIGINT) AS rows_skipped
+        |FROM u ORDER BY layout, pred""".stripMargin,
     // q189: the q133 model CTEs + two rank windows + the HUGEINT
     // Spearman rational, emitted as DECIMAL(38,0) strings.
     "q189_spearman" ->

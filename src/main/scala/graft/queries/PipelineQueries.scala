@@ -1423,6 +1423,26 @@ object PipelineQueries {
       capChars = 32, minLen = 25)
       .orderBy("doc_id")
 
+  /** q262 — WARC-style CONTAINER PACK + WALK
+    * ([[graft.sources.RecordArchive]]): documents packed per source
+    * into length-delimited binary archives (`REC <id> <len>\n` +
+    * payload + `\n`), then walked back by honoring the length field —
+    * the only correct reader for a container whose payloads can
+    * contain header-lookalike bytes. The gate pins the BYTE OFFSET of
+    * every record (recomputed by the oracle from record sizes alone)
+    * plus each payload's md5, so a one-byte packing or walking drift
+    * breaks the hash; the walk itself fails loudly on malformed
+    * headers/terminators instead of skipping garbage.
+    */
+  def q262ArchiveWalk(s: SparkSession, dir: String): DataFrame =
+    graft.sources.RecordArchive.walk(
+      graft.sources.RecordArchive.pack(
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("text")),
+        "source", "doc_id", "text"),
+      "source")
+      .orderBy("source", "rec_id")
+
   // -------------------------------------------------------------- wiring
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1472,6 +1492,7 @@ object PipelineQueries {
     "q252_substring_apply" -> (q252SubstringApply _),
     "q258_suffix_ranks"    -> (q258SuffixRanks _),
     "q259_sa_dup_stats"    -> (q259SaDupStats _),
+    "q262_archive_walk"    -> (q262ArchiveWalk _),
     "q251_index_frontier"  -> (q251IndexFrontier _),
     "q31_embed_neardup"    -> (q31EmbedNeardup _),
     "q47_ivf_ann"          -> (q47IvfAnn _),
@@ -2161,6 +2182,23 @@ object PipelineQueries {
         |  COALESCE(agg.max_lcp, 0) >= 25 AS dup_l
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // q262: offsets re-derived from record sizes alone (header chars +
+    // payload + terminator, summed over preceding records per source).
+    "q262_archive_walk" ->
+      """WITH d AS (SELECT source, doc_id, length(text) AS plen,
+        |    length('REC ' || doc_id || ' ' || length(text)) + 1 AS hlen,
+        |    md5(text) AS pmd5
+        |  FROM documents),
+        |o AS (SELECT source, doc_id, plen, pmd5,
+        |    COALESCE(SUM(hlen + plen + 1) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS off
+        |  FROM d)
+        |SELECT source, doc_id AS rec_id, CAST(off AS BIGINT)
+        |    AS byte_offset,
+        |  CAST(plen AS BIGINT) AS payload_len, pmd5 AS payload_md5
+        |FROM o ORDER BY source, rec_id""".stripMargin,
     // q138: detection (q72's span family), positional coverage, AND the
     // per-doc rebuild are all re-derived — the md5 gate covers the whole
     // trimmed string of every document.
