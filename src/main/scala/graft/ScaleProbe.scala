@@ -1083,6 +1083,40 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("mass"))
       println("  bands: " + out.count())
     }
+    // --- prefix-doubling suffix array (q258 shape): corpus ×mult with
+    // perturbed copies (exact-duplicate TEXT BODIES with distinct
+    // suffixes — heavy rank ties deep into the rounds, the adversarial
+    // regime). The claim under test: ROUND COUNT is bounded by the
+    // 64-char cap, never by corpus size, so time grows ~linearly with
+    // total characters (each round = one pair self-join + denseRank's
+    // single range exchange over n position rows).
+    time(s"suffix_ranks_${mult}x") {
+      val sa = graft.operators.SuffixRank.ranks(docs, "doc_id", "text",
+                                                capChars = 64)
+      println("  suffix rows: " + sa.count())
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(sa)
+    }
+    // --- distributed PAV isotonic fit (q254 shape): (margin, label)
+    // pairs ×mult (ids remapped; margins jittered per copy so the
+    // score axis EXTENDS). The claim: only BLOCK SUMMARIES reach the
+    // driver, and binary-label pooling collapses them far below the
+    // row count — the probe prints blocks vs rows so the driver-side
+    // exposure is a measured number, not an assumption.
+    time(s"isotonic_${mult}x") {
+      val base = Tables.documents(spark, dir)
+        .select(col("doc_id"),
+                (col("n_chars") % 1000).as("score0"),
+                (col("doc_id") % 2).as("y"))
+      val pts = base.crossJoin(copies)
+        .select((col("doc_id") * mult + col("copy")).as("id"),
+                (col("score0") * mult + col("copy")).as("score"),
+                col("y"))
+        .repartition(64)
+      val blocks = graft.operators.Isotonic.isotonicBlocks(
+        pts, "score", "id", "y")
+      val n = pts.count()
+      println(s"  rows=$n isotonic blocks: " + blocks.count())
+    }
     time("curve_layout_cost") {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
