@@ -1181,4 +1181,48 @@ class PlanShapeSpec extends SparkSpec {
         l.contains("ReadSchema") && l.contains("struct<text:string>")),
       "the corpus-df branch must prune doc_id from its scan")
   }
+
+  test("q261: ring assignment is pure per-row compute — the key " +
+       "stream never shuffles before the 9-group rollup") {
+    val plan = finalPlan(AdvancedQueries.queries("q261_consistent_hash")(
+      spark, sf))
+    assert(plan.contains("ring_search"),
+      s"assignment must be the codegen'd binary-search kernel:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "no data-sized join anywhere in the plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "the shard rollup must map-combine")
+  }
+
+  test("q255: the calibrated view joins the corpus against BROADCAST " +
+       "block intervals — the doc stream never shuffles for the join") {
+    val plan = finalPlan(CurationQueries.queries("q255_isotonic_scores")(
+      spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+           plan.contains("BroadcastHashJoin"),
+      s"block intervals must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "interval containment must not plan as a cartesian product")
+  }
+
+  test("q257: redaction's only window is the per-doc interval merge " +
+       "(bounded by match lists), and the span cut stays codegen'd") {
+    val plan = finalPlan(CurationQueries.queries("q257_dict_redact")(
+      spark, sf))
+    val windows = plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(windows <= 2,
+      s"expected only the interval-union windows, found $windows:\n$plan")
+    assert(plan.contains("aggregate("),
+      "the span-cut fold must appear as the codegen'd aggregate expr")
+  }
+
+  test("q263: both zone builds map-combine min/max/count; nothing " +
+       "data-sized survives past the two aggs") {
+    val plan = finalPlan(AdvancedQueries.queries("q263_zone_maps")(
+      spark, sf))
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      s"zone sketches must map-combine:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "bucket frames are control-plane — no data-sized join")
+  }
 }
