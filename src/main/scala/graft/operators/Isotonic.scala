@@ -76,12 +76,16 @@ object Isotonic {
                  maxBlocks: Int = 1 << 20): DataFrame = {
     val blocks = mergedBlocks(df, scoreCol, idCol, labelCol, maxBlocks)
     val spark = df.sparkSession
-    // interval bounds: block i owns keys in [firstKey_i, firstKey_i+1)
+    // interval bounds: block i owns keys in [firstKey_i, firstKey_i+1);
+    // the LAST block's upper bound is an explicit is-last flag, not a
+    // MaxValue sentinel — a row keyed exactly (MaxValue, MaxValue) must
+    // land in the last block, not vanish (ADVICE r10)
     val bounds = blocks.zipWithIndex.map { case (b, i) =>
       val next = if (i + 1 < blocks.length) Some(blocks(i + 1)) else None
       Row(b.score, b.id,
-          next.map(_.score).getOrElse(Long.MaxValue),
-          next.map(_.id).getOrElse(Long.MaxValue),
+          next.map(_.score).getOrElse(0L),
+          next.map(_.id).getOrElse(0L),
+          next.isEmpty,
           1000000L * b.pos / b.n)
     }
     val bdf = spark.createDataFrame(
@@ -91,12 +95,17 @@ object Isotonic {
         StructField("__i0", LongType, nullable = false),
         StructField("__s1", LongType, nullable = false),
         StructField("__i1", LongType, nullable = false),
+        StructField("__last", BooleanType, nullable = false),
         StructField("p_e6", LongType, nullable = false))))
-    val s = col(scoreCol); val i = col(idCol)
+    // join on the SAME cast('long') keys mergedBlocks ranked — an
+    // uncast non-long score/id would otherwise coerce differently here
+    // than in the fit (ADVICE r10)
+    val s = col(scoreCol).cast("long"); val i = col(idCol).cast("long")
     df.join(broadcast(bdf),
             (s > col("__s0") || (s === col("__s0") && i >= col("__i0"))) &&
-            (s < col("__s1") || (s === col("__s1") && i < col("__i1"))))
-      .drop("__s0", "__i0", "__s1", "__i1")
+            (col("__last") ||
+             s < col("__s1") || (s === col("__s1") && i < col("__i1"))))
+      .drop("__s0", "__i0", "__s1", "__i1", "__last")
   }
 
   private case class Block(score: Long, id: Long, n: Long, pos: Long)

@@ -163,8 +163,13 @@ object PrefixSum {
           if (!it.hasNext) Iterator.empty
           else {
             val first = it.next()
+            // null encodes DISTINCTLY from the string "null": a prefix
+            // byte ('N' for SQL null, 'V' + rendering for a value)
+            // keeps a nullable string column's null and literal "null"
+            // as two keys at the boundary (ADVICE r10)
             def key(r: Row): Seq[String] =
-              keyIdxForBoundary.map(i => String.valueOf(r.get(i)))
+              keyIdxForBoundary.map(i =>
+                if (r.isNullAt(i)) "N" else "V" + String.valueOf(r.get(i)))
             val firstKey = key(first)
             var lastKey = firstKey
             val pid = first.getInt(pidIdxB)

@@ -2182,11 +2182,15 @@ object PipelineQueries {
         |  COALESCE(agg.max_lcp, 0) >= 25 AS dup_l
         |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
-    // q262: offsets re-derived from record sizes alone (header chars +
+    // q262: offsets re-derived from record sizes alone (header bytes +
     // payload + terminator, summed over preceding records per source).
+    // strlen = DuckDB's BYTE length of the UTF-8 encoding — the header's
+    // length field is byte length (WARC's Content-Length rule), so a
+    // char-length oracle would break the gate on any multi-byte payload
+    // even though the pack/walk code is correct (ADVICE r10).
     "q262_archive_walk" ->
-      """WITH d AS (SELECT source, doc_id, length(text) AS plen,
-        |    length('REC ' || doc_id || ' ' || length(text)) + 1 AS hlen,
+      """WITH d AS (SELECT source, doc_id, strlen(text) AS plen,
+        |    length('REC ' || doc_id || ' ' || strlen(text)) + 1 AS hlen,
         |    md5(text) AS pmd5
         |  FROM documents),
         |o AS (SELECT source, doc_id, plen, pmd5,

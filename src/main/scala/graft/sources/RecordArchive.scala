@@ -56,6 +56,12 @@ object RecordArchive {
     * Fails loudly on any malformed header/terminator — a container
     * walk that skips garbage silently is how corrupt segments poison
     * a corpus.
+    *
+    * Bound: one record's payload is capped at Int.MaxValue bytes (the
+    * length field parses through `toInt`, and a Spark `binary` cell is
+    * a JVM byte array, itself 2 GB-bounded) — the same per-record bound
+    * real WARC tooling assumes; a longer length field fails the parse
+    * loudly rather than walking a corrupt offset.
     */
   def walk(archives: DataFrame, groupCol: String): DataFrame = {
     val spark = archives.sparkSession

@@ -33,8 +33,10 @@ object ProfileGraph {
           jobStarts.put(js.jobId, System.nanoTime())
         override def onJobEnd(
             je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val t0 = jobStarts.remove(je.jobId)
-          if (t0 != 0L && sys.env.contains("PROFILE_JOBS"))
+          // remove into the boxed type: a miss returns null, and
+          // unboxing null into a scala Long NPEs (ADVICE r10)
+          val t0: java.lang.Long = jobStarts.remove(je.jobId)
+          if (t0 != null && sys.env.contains("PROFILE_JOBS"))
             println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
         }
       })

@@ -72,9 +72,14 @@ object GraftColumns {
     * as its own release handle — the "result == handle" contract the
     * graft operators document. Only RDDs tagged [[CheckpointTag]] are
     * unpersisted: a caller-owned localCheckpoint (or RDD-backed cached
-    * frame) embedded in a released plan keeps its blocks — the
-    * "caller owns the full plan" precondition is enforced by the tag,
-    * not by Scaladoc. No-op for plans with no graft checkpoint.
+    * frame) embedded in a released plan keeps its blocks. The tag
+    * distinguishes graft-created checkpoints from FOREIGN ones — it
+    * does not arbitrate ownership BETWEEN graft operators (all graft
+    * checkpoints share one tag, so a graft checkpoint returned by one
+    * operator and embedded in another released plan is released with
+    * it); composing graft results still requires the caller to release
+    * only plans it owns in full. No-op for plans with no graft
+    * checkpoint.
     */
   def unpersistCheckpoint(df: Dataset[_]): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {

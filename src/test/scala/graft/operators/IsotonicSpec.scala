@@ -90,6 +90,27 @@ class IsotonicSpec extends SparkSpec {
                       6L -> 1000000L, 7L -> 1000000L))
   }
 
+  test("calibrated keeps the exact (Long.MaxValue, Long.MaxValue) key " +
+       "and coerces non-long keys like the fit does") {
+    // the last block's old exclusive-MaxValue sentinel silently dropped
+    // a row keyed exactly at the sentinel (ADVICE r10)
+    val rows = Seq((1L, 1L, 0L), (2L, 2L, 1L),
+                   (Long.MaxValue, Long.MaxValue, 1L))
+    val got = Isotonic.calibrated(rows.toDF("score", "id", "y"),
+                                  "score", "id", "y")
+      .select("id", "p_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, Long.MaxValue)) // nothing dropped
+    assert(got == Seq(1L -> 0L, 2L -> 1000000L,
+                      Long.MaxValue -> 1000000L))
+    // int-typed keys: the containment join must coerce with the same
+    // cast('long') the fit ranks on — every row lands in a block
+    val intRows = Seq((1, 1, 0L), (2, 2, 1L), (3, 3, 1L))
+      .toDF("score", "id", "y")
+    val n = Isotonic.calibrated(intRows, "score", "id", "y").count()
+    assert(n == 3L)
+  }
+
   test("non-binary labels fail loudly") {
     val ex = intercept[org.apache.spark.SparkException] {
       blocksOf(Seq((1L, 1L, 2L)))

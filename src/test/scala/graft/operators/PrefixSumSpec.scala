@@ -153,4 +153,25 @@ class PrefixSumSpec extends SparkSpec {
       PrefixSum.denseRank(df, Seq("x"))
     }
   }
+
+  test("denseRank keeps a NULL key and the literal string \"null\" " +
+       "distinct across every boundary layout") {
+    import spark.implicits._
+    // many copies so the (null, "null") run crosses partition
+    // boundaries in at least one layout — the boundary pass used to
+    // render both as "null" and fuse them (ADVICE r10)
+    val rows: Seq[(Long, String)] =
+      (1L to 40L).map(i => (i, if (i % 2 == 0) null else "null")) ++
+        Seq((41L, "a"), (42L, "zz"))
+    val df = rows.toDF("id", "k")
+    for (parts <- Seq(1, 3, 16)) {
+      val got = PrefixSum.denseRank(df, Seq("k"), numParts = parts)
+        .collect().map(r => (Option(r.getString(1)), r.getLong(2)))
+        .toSet
+      // Spark sorts NULL FIRST ascending: null=1, "a"=2, "null"=3, "zz"=4
+      assert(got === Set((None, 1L), (Some("a"), 2L),
+                         (Some("null"), 3L), (Some("zz"), 4L)),
+             s"at parts=$parts")
+    }
+  }
 }
