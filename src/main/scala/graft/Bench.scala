@@ -44,6 +44,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Sampled BEFORE any Spark work: from here on the bench's own tasks
+    // dominate the 1-minute loadavg, so only this pre-session sample can
+    // witness EXTERNAL load. The r10 driver run started at loadavg 9.78
+    // on a 32-cpu box and the old 1.5×cpus threshold waved it through —
+    // wall times came out 1.6× the same-code quiet-box run.
+    val loadPre = systemLoadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -75,48 +81,75 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     clearBlocks()
-    // BEST-OF-TWO timed passes per query: wall-clock on a shared box
-    // swings 1.5× with zero plan change (r8 recorded 556 s and 377 s for
-    // byte-identical shuffle metrics); the min of two back-to-back runs
-    // suppresses transient contention spikes, and the load/cpu fields
-    // below let the reader judge whatever noise remains. Shuffle bytes
-    // are pass-invariant, so they come from the second pass.
+    // MIN-OF-THREE INTERLEAVED timed sweeps: the full suite runs three
+    // times end-to-end and each query's time is the min ACROSS sweeps.
+    // Interleaving (not three back-to-back runs of one query) is what
+    // makes the min contention-robust: an external load spike of a few
+    // minutes hits DIFFERENT queries in different sweeps, so every
+    // query gets at least one quiet sample unless the spike outlasts a
+    // whole sweep — back-to-back repeats would hand all three samples
+    // of the unlucky query to the same spike (r10: q258 14→86 s, q219
+    // 2→24 s, both at byte-identical shuffle metrics). Per-query
+    // loadavg at each sample start is recorded so the reader can see
+    // WHICH samples were loaded. Shuffle bytes are pass-invariant and
+    // come from the last sweep.
+    val sweeps = 3
+    val names = SparkEntry.queries.keys.toSeq
+    val metricsPerQuery =
+      collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long)]
+    var shuffleBase = (0L, 0L, 0L, 0L)
     val loadStart = systemLoadAvg
     val cpuT0 = processCpuNs
     val wallT0 = System.nanoTime()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def onePass(): Double = {
+    val times = Array.fill(sweeps)(
+      collection.mutable.LinkedHashMap.empty[String, (Double, Double)])
+    for (s <- 0 until sweeps) {
+      if (s == sweeps - 1) metrics.reset()
+      for ((name, fn) <- SparkEntry.queries) {
+        val la = systemLoadAvg
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         clearBlocks()
-        dt
+        if (s == sweeps - 1) {
+          val snap = metrics.settled
+          times(s)(name) = (dt, la)
+          metricsPerQuery(name) = (snap._1 - shuffleBase._1,
+            snap._2 - shuffleBase._2, snap._3 - shuffleBase._3,
+            snap._4 - shuffleBase._4)
+          shuffleBase = snap
+        } else times(s)(name) = (dt, la)
       }
-      val d1 = onePass()
-      metrics.reset()
-      val d2 = onePass()
-      val (sw, sr, ms, ds) = metrics.settled
-      name -> ((math.min(d1, d2), sw, sr, ms, ds, d1, d2))
     }
+    val results = names.map { name =>
+      val samples = (0 until sweeps).map(s => times(s)(name))
+      val (sw, sr, ms, ds) = metricsPerQuery(name)
+      name -> ((samples.map(_._1).min, sw, sr, ms, ds,
+                samples.map(_._1), samples.map(_._2)))
+    }.toMap
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     val cpuSec = (processCpuNs - cpuT0) / 1e9
     val loadEnd = systemLoadAvg
-    // Annotate (never refuse — the driver needs AN artifact) when the
-    // 1-min loadavg exceeds what this bench itself can generate: other
-    // work is stealing the cores and wall times are not trustworthy.
-    val contended = math.max(loadStart, loadEnd) > cpus.toDouble * 1.5
+    // Contention gate (never refuse — the driver needs AN artifact):
+    // external load at SESSION START above a quarter of the cores means
+    // wall times are not trustworthy. Only the pre-session sample can
+    // carry this signal — once the sweeps run, loadavg measures the
+    // bench itself.
+    val contended = loadPre > cpus.toDouble * 0.25
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val qm = results.map { case (k, (_, sw, sr, ms, ds, d1, d2)) =>
+    val qm = results.map { case (k, (_, sw, sr, ms, ds, ss, ls)) =>
       s"\"$k\":{\"shuffle_write_bytes\":$sw,\"shuffle_read_bytes\":$sr," +
         s"\"mem_spill_bytes\":$ms,\"disk_spill_bytes\":$ds," +
-        s"\"pass1_sec\":$d1,\"pass2_sec\":$d2}"
+        s"\"sweep_sec\":${ss.mkString("[", ",", "]")}," +
+        "\"loadavg_starts\":" +
+        ss.indices.map(i => f"${ls(i)}%.2f").mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val totP1 = results.values.map(_._6).sum
-    val totP2 = results.values.map(_._7).sum
+    val sweepTotals = (0 until sweeps)
+      .map(s => names.map(n => times(s)(n)._1).sum)
     val loadLine =
-      f""""load":{"loadavg_1m_start":$loadStart%.2f,"loadavg_1m_end":$loadEnd%.2f,"cpu_wall_ratio":${if (wallSec > 0) cpuSec / wallSec else 0.0}%.2f,"contended":$contended,"total_pass1_sec":$totP1%.1f,"total_pass2_sec":$totP2%.1f}"""
+      f""""load":{"loadavg_1m_presession":$loadPre%.2f,"loadavg_1m_start":$loadStart%.2f,"loadavg_1m_end":$loadEnd%.2f,"cpu_wall_ratio":${if (wallSec > 0) cpuSec / wallSec else 0.0}%.2f,"contended":$contended,"sweep_totals_sec":${sweepTotals.map(t => f"$t%.1f").mkString("[", ",", "]")}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"sf":"$sfDir","cpus":$cpus,$loadLine,"delta_vs_prev":${deltaVsPrev(results, sfDir, cpus)}}"""
     println(line)
     // The driver's tail capture truncates stdout at 2000 chars (r06 lost
@@ -181,7 +214,8 @@ object Bench {
     * cpus — an absent field is treated as a mismatch (unknown ≠ equal).
     */
   private def deltaVsPrev(
-      results: Iterable[(String, (Double, Long, Long, Long, Long, Double, Double))],
+      results: Iterable[(String, (Double, Long, Long, Long, Long,
+                                  Seq[Double], Seq[Double]))],
       sfDir: String, cpus: String): String = {
     val prevFile = (1 until currentRound).reverse.iterator
       .map(n => n -> new java.io.File(s"BENCH_LOCAL_r$n.json"))
