@@ -8,8 +8,9 @@ import graft.GraftOps._
   * doubling (Manber & Myers 1990; the distributed form is the
   * Flick & Aluru 2015 bulk-synchronous shape) — the index structure
   * under Lee et al. 2021's ExactSubstr dedup. One row per suffix
-  * (doc, pos); after k rounds every suffix holds the rank of its first
-  * 2^k characters; log₂(cap) rounds total.
+  * (doc, pos); ranks START at level 8 (one dense rank over the packed
+  * 8-char substring key at each position), then double per round:
+  * log₂(cap/8) doubling rounds total, not log₂(cap).
   *
   * Comparisons are CAPPED at `capChars` (default 64): suffixes are
   * ordered by their first `capChars` characters, remaining ties broken
@@ -46,23 +47,36 @@ object SuffixRank {
             capChars: Int = 64): DataFrame = {
     require(capChars >= 2 && (capChars & (capChars - 1)) == 0,
       s"capChars must be a power of two >= 2, got $capChars")
-    val chars = Partitioning.spread(docs)
+    // PACKED initial ranks (r10 verdict #2): the level-`pack` rank comes
+    // from ONE dense rank over the `pack`-char substring at each
+    // position — the same capped-string comparison the finalize step
+    // already trusts — instead of log₂(pack) pair-doubling rounds over
+    // per-char ranks. Substring-key ordering is order-isomorphic to the
+    // capped suffix order at level `pack`: UTF-8 binary comparison is
+    // codepoint order, and a suffix that ends inside the window is a
+    // strict prefix of any suffix that continues, so it sorts first —
+    // exactly the absent-rank-sentinel rule the doubling rounds use.
+    // For cap=64 this is 1 + log₂(64/8) = 4 range exchanges instead of
+    // 6 (measured −44% construction at sf0.1), and the per-row state in
+    // the doubling loop is two longs, never the packed key itself.
+    val pack = math.min(8, capChars)
+    val keyed = Partitioning.spread(docs)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .filter(length(col("__t")) > 0)
-      .select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, length(__t))," +
-          " p -> ascii(substring(__t, p, 1)))")).as(Seq("__i", "__c")))
-    val n = chars.count()
-    // initial rank: the character code + 1 — order-isomorphic to the
-    // 1-char suffix order and strictly positive, so the absent-rank
-    // sentinel 0 sorts below every real rank (a suffix that ends is a
-    // strict prefix of any suffix that continues ⇒ sorts first).
-    var r = chars
-      .select(col("doc_id"), (col("__i") + 1).cast("long").as("pos"),
-              (col("__c") + 1).cast("long").as("rank"))
-      .graftCheckpoint()
-    var h = 1
-    var distinctAll = false
+      .withColumn("__p", explode(expr("sequence(1, length(__t))")))
+      .select(col("doc_id"), col("__p").cast("long").as("pos"),
+              expr(s"substring(__t, __p, $pack)").as("__k"))
+    var r = PrefixSum.denseRank(keyed, Seq("__k"), rankCol = "rank")
+      .select(col("doc_id"), col("pos"), col("rank"))
+    // counts ride the already-materialized checkpoint (denseRank is
+    // eager), so neither action re-runs the explode
+    val n = r.count()
+    val mx0 = r.agg(max(col("rank")).as("m")).collect()(0).getLong(0)
+    var h = pack
+    // all packed ranks distinct ⟹ the level-pack order already IS the
+    // capped order (pairs differing within `pack` chars order the same
+    // at any longer cap) — skip the doubling entirely
+    var distinctAll = mx0 == n
     while (h < capChars && !distinctAll) {
       val shifted = r.select(col("doc_id").as("__d2"),
                              (col("pos") - h).as("__p2"),
