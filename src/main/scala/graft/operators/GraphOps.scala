@@ -16,15 +16,16 @@ object GraphOps {
     *
     * Each round does two label-shrinking steps: (1) edge propagation —
     * every vertex takes the minimum label among itself and its neighbors
-    * (1 hop of progress); (2) pointer jump — every vertex replaces its
-    * label with its label's label (`comp(comp(v))`), which doubles the
-    * distance already covered, Shiloach–Vishkin style. The distance left
-    * to the component's min vertex therefore shrinks geometrically:
-    * convergence in O(log diameter) rounds, not O(diameter) — a 100k-doc
-    * templated chain settles in ~18 rounds where plain propagation needs
+    * (1 hop of progress); (2) k pointer jumps — every vertex replaces
+    * its label with its label's label (`comp(comp(v))`), which doubles
+    * the distance already covered, Shiloach–Vishkin style; k jumps per
+    * round contract it ~2^k-fold. The distance left to the component's
+    * min vertex therefore shrinks geometrically: convergence in
+    * O(log diameter / k) rounds, not O(diameter) — a 100k-doc templated
+    * chain settles in ~7 rounds at k=3 where plain propagation needs
     * 100k. Near-dup components are usually tiny (2–4 rounds either way);
-    * the jump is what makes the worst case survivable at scale.
-    * Per round: two shuffle joins + one aggregate, fully distributed.
+    * the jumps are what make the worst case survivable at scale.
+    * Per round: 1+k shuffle joins + one aggregate, fully distributed.
     * `localCheckpoint` truncates lineage each round so plan size stays
     * constant, and each round releases the previous round's blocks.
     * Termination is exact: labels only decrease, so the global label sum
@@ -49,10 +50,24 @@ object GraphOps {
 
   /** [[connectedComponents]] plus the number of rounds it ran — the
     * convergence diagnostic ScaleProbe graphs (rounds vs diameter).
+    *
+    * `jumpsPerRound` (r10 verdict #3): pointer jumps per round after the
+    * edge propagation. Each jump squares the pointer distance already
+    * covered, so k jumps contract the distance to the component min by
+    * ~2^k per round — round count drops from log₂(diameter) to
+    * log_{2^k}(diameter) at the price of k−1 extra label-frame
+    * self-joins per round. The label frame is |V| rows vs the
+    * propagation join's |E|; for k=3 the extra joins are cheaper than
+    * the rounds they delete on every profiled chain (q145 17→7 rounds,
+    * min-of-4 ProfileGraph). Each jump is eagerly checkpointed — the
+    * self-join reads the frame through two different projections, the
+    * exact shape the r10 A/B showed AQE will not reuse lazily.
     */
   def connectedComponentsWithStats(edges: DataFrame, srcCol: String,
-                                   dstCol: String, maxIter: Int = 50)
+                                   dstCol: String, maxIter: Int = 50,
+                                   jumpsPerRound: Int = 3)
       : (DataFrame, Int) = {
+    require(jumpsPerRound >= 1, s"jumpsPerRound must be >= 1")
     // materialize the (possibly expensive) edge plan ONCE before
     // symmetrizing — a union of two branches over the raw plan would
     // evaluate it twice
@@ -109,18 +124,26 @@ object GraphOps {
                 least(coalesce(col("ncomp"), col("comp")), col("comp"))
                   .as("comp"))
         .graftCheckpoint()
-      // step 2 — pointer jump: comp(v) := comp(comp(v)). Labels are
-      // always vertex ids present in `prop` (inductively: initialized to
-      // the vertex itself; every later value is a min over such labels),
-      // so the left join's coalesce is a guard, not a code path.
-      val jump = prop
-        .select(col("id").as("jid"), col("comp").as("jcomp"))
-      val jumped = prop
-        .join(jump, col("comp") === col("jid"), "left")
-        .select(col("id"),
-                coalesce(col("jcomp"), col("comp")).as("comp"))
-        .graftCheckpoint()
-      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(prop)
+      // step 2 — pointer jumps: comp(v) := comp(comp(v)), k times.
+      // Labels are always vertex ids present in the frame (inductively:
+      // initialized to the vertex itself; every later value is a min
+      // over such labels, and a jump maps a label to that vertex's own
+      // label), so the left join's coalesce is a guard, not a code
+      // path. Every jump preserves the only-decrease invariant the
+      // convergence witness relies on.
+      var cur = prop
+      for (_ <- 1 to jumpsPerRound) {
+        val jump = cur
+          .select(col("id").as("jid"), col("comp").as("jcomp"))
+        val jumped = cur
+          .join(jump, col("comp") === col("jid"), "left")
+          .select(col("id"),
+                  coalesce(col("jcomp"), col("comp")).as("comp"))
+          .graftCheckpoint()
+        org.apache.spark.sql.GraftColumns.unpersistCheckpoint(cur)
+        cur = jumped
+      }
+      val jumped = cur
       val s = labelSum(jumped)
       // the new round is materialized — release the previous round's
       // blocks now, so the loop holds O(1) rounds of storage, not O(iter)
