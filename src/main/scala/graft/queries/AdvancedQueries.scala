@@ -319,6 +319,49 @@ object AdvancedQueries {
       .orderBy("layout", "pred")
   }
 
+  /** q264 — ZONE-MAP-PRUNED SCAN ([[graft.sources.ZoneMapScan]]): the
+    * reader path that CONSUMES the q263 audit. The lineitem projection
+    * is laid out as 24 range-clustered parquet files by ship date (the
+    * q97 cluster-what-you-filter-on discipline), a per-file min/max
+    * zone map is built from one column-pruned pass, and the narrow
+    * Q1-1996 predicate reads ONLY the surviving files — the rest are
+    * never opened. The oracle is the plain predicate scan over the
+    * source table: pruning must be row-invisible by construction
+    * (zone pruning may only drop files the predicate cannot match),
+    * so one wrongly-skipped file breaks the monthly rollup. The
+    * bytes-actually-read < full-scan-bytes gate lives in
+    * `ZoneMapScanSpec` (task input metrics), where layout is
+    * controlled.
+    *
+    * Scale shape: the zone map is one row per FILE (control-plane at
+    * any corpus size — ~10⁵ rows for 100 TB at 1 GB files); pruning is
+    * a filter + collect over that map, the same driver-side order as
+    * Spark's own file-index listing; the data-sized work is only the
+    * surviving files' scan.
+    */
+  def q264ZonemapScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.ZoneMapScan
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_zmscan_" + Integer.toHexString(dir.hashCode)
+    ZoneMapScan.writeClustered(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"),
+                col("l_quantity"), col("l_extendedprice")),
+      path, Seq("l_shipdate"), numFiles = 24)
+    val (rows, nRead, nTotal) = ZoneMapScan.scan(
+      s, path, "l_shipdate",
+      to_date(lit("1996-01-01")), to_date(lit("1996-03-31")))
+    assert(nRead <= nTotal)
+    rows
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+        .cast("long").as("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("l_quantity").cast("long")).as("sum_qty"),
+           min(col("l_orderkey")).as("min_key"),
+           max(col("l_orderkey")).as("max_key"))
+      .orderBy("ship_month")
+  }
+
   /** q189 — EXACT Spearman rank correlation between document length
     * (bigram count) and LM quality score, as the rational
     * ρ = (n(n²−1) − 6Σd²) / n(n²−1) in DECIMAL(38,0) strings (the
@@ -3337,6 +3380,7 @@ object AdvancedQueries {
     "q253_leak_safe_split" -> (q253LeakSafeSplit _),
     "q261_consistent_hash" -> (q261ConsistentHashing _),
     "q263_zone_maps" -> (q263ZoneMaps _),
+    "q264_zonemap_scan" -> (q264ZonemapScan _),
     "q189_spearman" -> (q189Spearman _),
     "q190_k_anonymity" -> (q190KAnonymity _),
     "q191_benford" -> (q191Benford _),
@@ -3698,6 +3742,18 @@ object AdvancedQueries {
         |  CAST(rows_total AS BIGINT) AS rows_total,
         |  CAST(rows_skipped AS BIGINT) AS rows_skipped
         |FROM u ORDER BY layout, pred""".stripMargin,
+    // q264: the oracle never sees the layout or the zone map — it runs
+    // the plain predicate scan, so a wrongly-pruned file on the Spark
+    // side shows up as missing rows in the rollup.
+    "q264_zonemap_scan" ->
+      """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+        |    AS BIGINT) AS ship_month,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin,
     // q189: the q133 model CTEs + two rank windows + the HUGEINT
     // Spearman rational, emitted as DECIMAL(38,0) strings.
     "q189_spearman" ->
