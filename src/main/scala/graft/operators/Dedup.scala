@@ -1159,9 +1159,17 @@ object Dedup {
       .select("__h1", "__h2")
     val covered = grams.join(dup, Seq("__h1", "__h2"), "left_semi")
       .select("doc_id", "pos")
-    // windows [p, p+L-1] over covered p merge iff the gap to the
-    // previous covered position is <= L (contiguous union); a larger
-    // gap leaves >= 1 uncovered char between regions.
+    coveredToSpans(covered, L)
+  }
+
+  /** Merge covered L-gram start positions into maximal disjoint
+    * regions: windows [p, p+L-1] merge iff the gap to the previous
+    * covered position is <= L (contiguous union); a larger gap leaves
+    * >= 1 uncovered char between regions. Per-doc window — bounded by
+    * document length, never corpus-wide.
+    */
+  private def coveredToSpans(covered: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
     covered
       .withColumn("__brk",
@@ -1174,6 +1182,66 @@ object Dedup {
       .select(col("doc_id"), col("span_start"),
               col("span_len").cast("long").as("span_len"))
   }
+
+  /** KEEP-FIRST variant of [[duplicatedSubstringSpans]] — the regions
+    * to cut under CANONICAL-COPY election (r10 verdict #8): for every
+    * duplicated L-gram, its globally FIRST occurrence under the
+    * (doc_id, pos) total order is the keeper and keeps its window;
+    * every other occurrence's window is cut. A repeated substring of
+    * any length ≥ L therefore survives exactly once — in the document
+    * where it first occurs — because each of its L-grams' first
+    * occurrences all lie in that earliest copy. This is the actual
+    * Lee et al. training-set REWRITE (one canonical copy per
+    * duplicated span family), where [[duplicatedSubstringSpans]] is
+    * their conservative cut-everywhere detection default.
+    *
+    * Keeper election is one extra field in the SAME hash agg the
+    * detection pass already runs (min of the (doc_id, pos) struct per
+    * gram key) — no new shuffle over the detection path; the
+    * non-keeper filter rides the coverage join.
+    */
+  def keepFirstDuplicatedSubstringSpans(docs: DataFrame, idCol: String,
+                                        textCol: String,
+                                        minLen: Int = 25): DataFrame = {
+    import graft.functions.PortableHash
+    require(minLen >= 2, s"need minLen >= 2, got $minLen")
+    val L = minLen
+    val grams = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(__t) - ${L - 1})," +
+          s" p -> substring(__t, p, $L))")).as(Seq("__i", "__g")))
+      .select(col("doc_id"), (col("__i") + 1).cast("long").as("pos"),
+              PortableHash.h32(col("__g")).as("__h1"),
+              PortableHash.h32b(col("__g")).as("__h2"))
+    val keeper = grams.groupBy("__h1", "__h2")
+      .agg(count(lit(1)).as("__c"),
+           min(struct(col("doc_id"), col("pos"))).as("__k"))
+      .filter(col("__c") >= 2)
+      .select(col("__h1"), col("__h2"),
+              col("__k.doc_id").as("__kd"), col("__k.pos").as("__kp"))
+    val covered = grams.join(keeper, Seq("__h1", "__h2"))
+      .filter(col("doc_id") =!= col("__kd") || col("pos") =!= col("__kp"))
+      .select("doc_id", "pos")
+    coveredToSpans(covered, L)
+  }
+
+  /** APPLY step of [[keepFirstDuplicatedSubstringSpans]]: cut every
+    * non-canonical duplicated region and emit the cleaned digests —
+    * same output shape as [[removeDuplicatedSubstrings]], but each
+    * duplicated span family survives exactly once corpus-wide instead
+    * of zero times.
+    */
+  def removeDuplicatedSubstringsKeepFirst(docs: DataFrame, idCol: String,
+                                          textCol: String,
+                                          minLen: Int = 25): DataFrame =
+    Intervals.cutSpans(
+      Partitioning.spread(docs).withColumnRenamed(idCol, "doc_id"),
+      "doc_id", textCol,
+      keepFirstDuplicatedSubstringSpans(docs, idCol, textCol, minLen),
+      startCol = "span_start", lenCol = "span_len")
+      .withColumnRenamed("cut_md5", "cleaned_md5")
 
   /** Per-document rollup of [[duplicatedSubstringSpans]] — the
     * dedup-decision view: span count, duplicated-char total (regions

@@ -1389,6 +1389,24 @@ object PipelineQueries {
                                      "text", minLen = 25)
       .orderBy("doc_id")
 
+  /** q265 — exact-substring dedup at FAMILY scale
+    * ([[Dedup.removeDuplicatedSubstringsKeepFirst]]): q252 cuts every
+    * duplicated region from every document (Lee et al.'s conservative
+    * tool default); this is their actual training-set REWRITE — each
+    * duplicated span family keeps ONE canonical copy, the occurrence
+    * first in the (doc_id, pos) total order, elected per duplicated
+    * L-gram inside the detection agg itself. The oracle replays the
+    * election (row_number over (doc_id, pos) per gram key, keeper =
+    * rn 1), the non-keeper coverage, and the char-by-char rebuild, so
+    * a drift in WHO keeps a span — not just where spans are — breaks
+    * 500 md5s. Clean docs and keeper copies hash unchanged;
+    * `removed_chars` here is ≤ q252's for every doc by construction.
+    */
+  def q265SubstringKeepfirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSubstringsKeepFirst(
+        Tables.documents(s, dir), "doc_id", "text", minLen = 25)
+      .orderBy("doc_id")
+
   /** q258 — DISTRIBUTED SUFFIX-ARRAY RANKS by prefix doubling
     * ([[graft.operators.SuffixRank.ranks]]): the Manber-Myers index
     * under Lee et al.'s ExactSubstr dedup, built in log₂(64) = 6
@@ -1490,6 +1508,7 @@ object PipelineQueries {
     "q245_substring_spans" -> (q245SubstringSpans _),
     "q246_substring_stats" -> (q246SubstringStats _),
     "q252_substring_apply" -> (q252SubstringApply _),
+    "q265_substring_keepfirst" -> (q265SubstringKeepfirst _),
     "q258_suffix_ranks"    -> (q258SuffixRanks _),
     "q259_sa_dup_stats"    -> (q259SaDupStats _),
     "q262_archive_walk"    -> (q262ArchiveWalk _),
@@ -2123,6 +2142,47 @@ object PipelineQueries {
     // side folds span gaps instead; the md5 must still agree).
     "q252_substring_apply" ->
       s"""WITH $substringSpanCte,
+         |ap AS (SELECT doc_id,
+         |    unnest(range(CAST(length(text) AS BIGINT))) + 1 AS pos, text
+         |  FROM documents),
+         |cw AS (SELECT DISTINCT cv.doc_id, cv.pos + o.off AS pos
+         |  FROM cv CROSS JOIN (SELECT unnest(range(25)) AS off) o),
+         |kp AS (SELECT ap.doc_id, ap.pos,
+         |    substr(ap.text, CAST(ap.pos AS INT), 1) AS ch
+         |  FROM ap LEFT JOIN cw
+         |    ON cw.doc_id = ap.doc_id AND cw.pos = ap.pos
+         |  WHERE cw.pos IS NULL),
+         |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(ch, '' ORDER BY pos) AS ct
+         |  FROM kp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |  CAST(length(d.text) - COALESCE(cl.n_kept, 0) AS BIGINT)
+         |    AS removed_chars,
+         |  md5(COALESCE(cl.ct, '')) AS cleaned_md5
+         |FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q265: keeper election replayed independently — per duplicated
+    // gram key, rn 1 under (doc_id, pos) keeps its window, everyone
+    // else's window is covered; rebuild from uncovered chars as in
+    // q252. The md5 gate covers WHO kept each span, not just spans.
+    "q265_substring_keepfirst" ->
+      s"""WITH p0 AS (
+         |  SELECT doc_id,
+         |    unnest(range(CAST(greatest(length(text) - 24, 0)
+         |      AS BIGINT))) + 1 AS pos,
+         |    text
+         |  FROM documents),
+         |g AS (SELECT doc_id, pos,
+         |    ('0x' || substr(md5(substr(text, CAST(pos AS INT), 25)), 1, 8))
+         |      ::BIGINT AS h1,
+         |    ('0x' || substr(md5(substr(text, CAST(pos AS INT), 25)), 9, 8))
+         |      ::BIGINT AS h2
+         |  FROM p0),
+         |dk AS (SELECT h1, h2 FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |oc AS (SELECT doc_id, pos, row_number() OVER (
+         |      PARTITION BY h1, h2 ORDER BY doc_id, pos) AS rn
+         |  FROM g JOIN dk USING (h1, h2)),
+         |cv AS (SELECT doc_id, pos FROM oc WHERE rn > 1),
          |ap AS (SELECT doc_id,
          |    unnest(range(CAST(length(text) AS BIGINT))) + 1 AS pos, text
          |  FROM documents),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.md5
 
 /** Contracts of [[Dedup.duplicatedSubstringSpans]] /
   * [[Dedup.substringDupStats]] — the char-level any-length
@@ -108,5 +109,53 @@ class SubstringDedupSpec extends SparkSpec {
     assert(st(0) == (1L, 5L, 0L, 0L, 0L))
     assert(st(1) == (2L, 30L, 1L, 30L, 1000000L))
     assert(st(2) == (3L, 30L, 1L, 30L, 1000000L))
+  }
+
+  private def keepFirstSpans(rows: Seq[(Long, String)], l: Int) =
+    Dedup.keepFirstDuplicatedSubstringSpans(rows.toDF("doc_id", "text"),
+                                            "doc_id", "text", minLen = l)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+  test("keep-first: the earliest occurrence keeps its copy, all later " +
+       "occurrences are cut — cross-doc and within-doc") {
+    val shared = "ABCDEFGHIJKL"
+    // cross-doc: doc 1 holds the first occurrence -> no span in doc 1
+    assert(keepFirstSpans(Seq(
+      1L -> s"xxx${shared}yyy",
+      2L -> s"qqqqq${shared}ppp"), l = 8) == Seq((2L, 6L, 12L)))
+    // within-doc self-repeat: first window keeps, the tail is cut.
+    // covered positions are 2..16 (non-keeper starts of the 25-run
+    // gram) -> one region [2, 40]
+    assert(keepFirstSpans(Seq(1L -> ("z" * 40 + "qwerty")), l = 25) ==
+      Seq((1L, 2L, 39L)))
+    // doc order is the election order, not text order: swap ids and
+    // the keeper flips
+    assert(keepFirstSpans(Seq(
+      2L -> s"xxx${shared}yyy",
+      1L -> s"qqqqq${shared}ppp"), l = 8) == Seq((2L, 4L, 12L)))
+  }
+
+  test("keep-first apply: keeper docs hash UNCHANGED, non-keepers lose " +
+       "exactly the family copy; removal never exceeds q252's") {
+    val shared = "ABCDEFGH" * 4 // 32 chars
+    val rows = Seq(1L -> s"aaa${shared}bbb",
+                   2L -> s"ccc${shared}ddd",
+                   3L -> "totally clean text here")
+    val df = rows.toDF("doc_id", "text")
+    val kf = Dedup.removeDuplicatedSubstringsKeepFirst(
+        df, "doc_id", "text", minLen = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val md5Of = (s: String) => Seq(s).toDF("s")
+      .select(md5($"s")).as[String].collect()(0)
+    assert(kf(0) == (1L, 0L, md5Of(rows(0)._2))) // keeper: unchanged
+    assert(kf(1) == (2L, 32L, md5Of("cccddd")))  // family copy cut
+    assert(kf(2) == (3L, 0L, md5Of(rows(2)._2)))
+    val all = Dedup.removeDuplicatedSubstrings(df, "doc_id", "text",
+                                               minLen = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    kf.foreach { case (id, rem, _) => assert(rem <= all(id)) }
   }
 }
