@@ -1649,6 +1649,83 @@ object CurationQueries {
       .orderBy("lang")
   }
 
+  /** q266 — UNIGRAM-LM TOKENIZER TRAINER
+    * ([[graft.operators.UnigramLm.trainPieces]]): the SentencePiece-
+    * style counterpart to q85's BPE — an over-complete substring seed
+    * vocab (≤4 chars, count ≥4, top-1024 multis + all chars), integer
+    * bit-length costs, one hard-EM round (Viterbi usage recount →
+    * prune unused pieces → refit costs). The oracle replays the WHOLE
+    * trainer — seed counts, top-V admission, the packed-int64 Viterbi
+    * DP per vocab word (a recursive CTE), the usage recount, and the
+    * refit — so a drift in any DP tie-break or a single admitted piece
+    * breaks the piece table.
+    */
+  def q266UnigramTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm.trainPieces(
+        Tables.documents(s, dir), "text",
+        maxPieceLen = 4, minCount = 4, vocabSize = 1024)
+      .orderBy("piece")
+
+  /** q267 — UNIGRAM-LM tokenizer APPLY
+    * ([[graft.operators.UnigramLm.encode]]): every document segmented
+    * under the q266-trained final costs; gates the md5 of each doc's
+    * full segmentation string plus its token count, so one flipped
+    * Viterbi tie anywhere in the corpus breaks a digest. The encode
+    * path segments the DISTINCT-WORD vocab once (the Zipf lever) and
+    * joins docs back by word — the corpus never enters the DP.
+    */
+  def q267UnigramEncode(s: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm.encode(
+        Tables.documents(s, dir), "text", Seq("doc_id"),
+        maxPieceLen = 4, minCount = 4, vocabSize = 1024)
+      .select(col("doc_id"), col("n_tokens"),
+              md5(col("encoded")).as("encoded_md5"))
+      .orderBy("doc_id")
+
+  /** q268 — TOKENIZER COMPARISON: q221's per-language fertility
+    * harness run over BOTH trained tokenizers — the q98 BPE chain and
+    * the q266/q267 unigram chain — as one table keyed (tokenizer,
+    * lang). This is the artifact a pipeline uses to CHOOSE a
+    * tokenizer: same corpus, same word-eligibility rule, same exact
+    * floor-scaled fertility, two vocabularies. Both legs' oracles are
+    * the gated q221/q267 chains, so neither column can describe a
+    * tokenizer the encode gates don't verify.
+    */
+  def q268TokenizerCompare(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"), col("lang"),
+      size(filter(TextFunctions.words(col("text")),
+          w => (length(w) > 0) && !w.contains("|")))
+        .cast("long").as("n_w"))
+    def fert(perDoc: DataFrame, name: String): DataFrame =
+      perDoc.join(words, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_w")).as("n_words"),
+             sum(col("n_tok")).as("n_tokens"))
+        .select(lit(name).as("tokenizer"), col("lang"), col("n_docs"),
+                col("n_words"), col("n_tokens"),
+                when(col("n_words") === 0L, 0L)
+                  .otherwise(expr("(1000000 * n_tokens) div n_words"))
+                  .as("fertility_e6"))
+    val merges = graft.operators.Bpe.trainMerges(docs, "text", rounds = 4)
+      .filter(col("round") <= 4)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val bpe = graft.operators.Bpe
+      .encode(docs, "text", Seq("doc_id"), merges)
+      .select(col("doc_id"),
+        shiftright(length(col("encoded")) -
+          length(replace(col("encoded"), lit("|"), lit(""))), 1)
+          .cast("long").as("n_tok"))
+    val uni = graft.operators.UnigramLm.encode(
+        docs, "text", Seq("doc_id"),
+        maxPieceLen = 4, minCount = 4, vocabSize = 1024)
+      .select(col("doc_id"), col("n_tokens").as("n_tok"))
+    fert(bpe, "bpe").unionByName(fert(uni, "unigram"))
+      .orderBy("tokenizer", "lang")
+  }
+
   /** q227 — SCORE–LENGTH BIAS AUDIT, the documented failure mode of
     * perplexity-style quality filters (CCNet's filter is known to
     * correlate with document length, so a length-blind threshold
@@ -1964,6 +2041,9 @@ object CurationQueries {
     "q219_dsir_select"     -> (q219DsirSelect _),
     "q220_domain_reweight" -> (q220DomainReweight _),
     "q221_tokenizer_fertility" -> (q221TokenizerFertility _),
+    "q266_unigram_train" -> (q266UnigramTrain _),
+    "q267_unigram_encode" -> (q267UnigramEncode _),
+    "q268_tokenizer_compare" -> (q268TokenizerCompare _),
     "q139_pair_lift"       -> (q139PairLift _),
     "q166_frequent_triples" -> (q166FrequentTriples _),
     "q143_clustering_coeff" -> (q143ClusteringCoeff _),
@@ -2176,7 +2256,148 @@ object CurationQueries {
        |  FROM rk JOIN ft USING (i))""".stripMargin
   }
 
+  /** Shared unigram-trainer oracle CTEs (q266/q267/q268): word vocab,
+    * seed substring counts, top-V admission, bit-length costs, and the
+    * PACKED-INT64 Viterbi DP as a recursive CTE — (cost·2³² + n·2¹⁶ +
+    * last-piece-start) minimized per position, the exact integer the
+    * Spark fold minimizes, so the two engines' segmentations can only
+    * agree bit-for-bit or break the gate. The chain runs the DP twice
+    * (seed costs for the E-step recount, refit costs for the final
+    * segmentation), ending at `k1` (final piece table) and `sg1`
+    * (final per-word segmentations). Requires WITH RECURSIVE.
+    */
+  private val unigramCtes: String = {
+    def dpCte(n: Int, costCte: String): String =
+      s"""cd$n AS (SELECT s.word,
+         |    list(struct_pack(i := s.i - 1, j := s.i + s.p - 1,
+         |                     c := k.cost)) AS es
+         |  FROM sub s JOIN $costCte k USING (piece) GROUP BY s.word),
+         |dp$n AS (
+         |  SELECT w.word, w.freq, w.len, c.es, 0 AS j,
+         |         [CAST(0 AS BIGINT)] AS bc, [CAST(0 AS BIGINT)] AS bn,
+         |         [''] AS bs
+         |  FROM wfu w JOIN cd$n c USING (word)
+         |  UNION ALL
+         |  SELECT word, freq, len, es, j + 1,
+         |    list_append(bc, best // 4294967296),
+         |    list_append(bn, (best // 65536) % 65536),
+         |    list_append(bs, CASE WHEN best % 65536 = 0
+         |      THEN substr(word, 1, j + 1)
+         |      ELSE bs[CAST(best % 65536 AS INT) + 1] || '|' ||
+         |        substr(word, CAST(best % 65536 AS INT) + 1,
+         |               j + 1 - CAST(best % 65536 AS INT)) END)
+         |  FROM (SELECT *, list_aggregate(list_transform(
+         |          list_filter(es, e -> e.j = j + 1),
+         |          e -> (bc[CAST(e.i AS INT) + 1] + e.c) * 4294967296 +
+         |               (bn[CAST(e.i AS INT) + 1] + 1) * 65536 + e.i),
+         |        'min') AS best
+         |        FROM dp$n WHERE j < len) t),
+         |sg$n AS (SELECT word, freq, bn[CAST(len AS INT) + 1] AS n_tok,
+         |               bs[CAST(len AS INT) + 1] AS seg
+         |        FROM dp$n WHERE j = len)""".stripMargin
+    s"""wfu AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |         length(word) AS len
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) > 0 AND NOT contains(word, '|')
+       |  GROUP BY 1),
+       |sub AS (SELECT word, freq, i, p,
+       |    substr(word, CAST(i AS INT), CAST(p AS INT)) AS piece
+       |  FROM wfu,
+       |  LATERAL (SELECT unnest(generate_series(1, length(word))) AS i) a,
+       |  LATERAL (SELECT unnest(generate_series(1, 4)) AS p) b
+       |  WHERE i + p - 1 <= length(word)),
+       |c0 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS c0
+       |  FROM sub GROUP BY 1),
+       |v0 AS (
+       |  SELECT piece, c0 AS cnt FROM c0 WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c0 AS cnt FROM (
+       |    SELECT piece, c0, row_number()
+       |        OVER (ORDER BY c0 DESC, piece) AS rk
+       |    FROM c0 WHERE length(piece) > 1 AND c0 >= 4)
+       |  WHERE rk <= 1024),
+       |t0 AS (SELECT SUM(cnt) AS tot FROM v0),
+       |k0 AS (SELECT piece, cnt,
+       |    CAST(length(bin(tot)) - length(bin(cnt)) + 1 AS BIGINT)
+       |      AS cost
+       |  FROM v0, t0),
+       |${dpCte(0, "k0")},
+       |u1 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS c1
+       |  FROM (SELECT freq, unnest(string_split(seg, '|')) AS piece
+       |        FROM sg0)
+       |  GROUP BY 1),
+       |v1 AS (SELECT v0.piece,
+       |    CASE WHEN length(v0.piece) = 1 THEN COALESCE(u1.c1, 0) + 1
+       |         ELSE u1.c1 END AS cnt
+       |  FROM v0 LEFT JOIN u1 USING (piece)
+       |  WHERE length(v0.piece) = 1 OR u1.c1 >= 1),
+       |t1 AS (SELECT SUM(cnt) AS tot FROM v1),
+       |k1 AS (SELECT piece, cnt,
+       |    CAST(length(bin(tot)) - length(bin(cnt)) + 1 AS BIGINT)
+       |      AS cost
+       |  FROM v1, t1),
+       |${dpCte(1, "k1")}""".stripMargin
+  }
+
+  /** Per-doc unigram encode off `sg1`: word order restored from the
+    * FILTERED word list's positions (the same order Spark's filtered
+    * posexplode yields).
+    */
+  private val unigramEncodeCtes: String =
+    s"""$unigramCtes,
+       |dwo AS (SELECT doc_id, i, w[CAST(i AS INT) + 1] AS word
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+       |       x -> length(x) > 0 AND NOT contains(x, '|')) AS w
+       |       FROM documents),
+       |  LATERAL (SELECT unnest(range(len(w))) AS i) g),
+       |en AS (SELECT doc_id, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |              string_agg(seg, ' ' ORDER BY i) AS e
+       |       FROM dwo JOIN sg1 USING (word) GROUP BY doc_id)"""
+      .stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // q266: the trainer replayed end-to-end; WITH RECURSIVE powers the
+    // two Viterbi DPs.
+    "q266_unigram_train" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT piece, CAST(cnt AS BIGINT) AS uses, cost AS cost_bits
+         |FROM k1 ORDER BY piece""".stripMargin,
+    // q267: per-doc segmentation digests off the final DP.
+    "q267_unigram_encode" ->
+      s"""WITH RECURSIVE $unigramEncodeCtes
+         |SELECT d.doc_id, COALESCE(en.n_tokens, 0) AS n_tokens,
+         |  md5(COALESCE(en.e, '')) AS encoded_md5
+         |FROM documents d LEFT JOIN en ON en.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // q268: both tokenizers' fertility from their own gated chains.
+    "q268_tokenizer_compare" ->
+      s"""WITH RECURSIVE $unigramEncodeCtes,
+         |$bpeEncodeCtes,
+         |tkb AS (SELECT doc_id,
+         |         (length(e) - length(replace(e, '|', ''))) // 2 AS n_tok
+         |       FROM d$bpeRoundsN),
+         |wc AS (SELECT doc_id, lang,
+         |         len(list_filter(string_split(text, ' '),
+         |           w -> length(w) > 0 AND NOT contains(w, '|'))) AS n_w
+         |       FROM documents),
+         |fb AS (SELECT 'bpe' AS tokenizer, lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_w) AS BIGINT) AS n_words,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM tkb JOIN wc USING (doc_id) GROUP BY lang),
+         |fu AS (SELECT 'unigram' AS tokenizer, lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_w) AS BIGINT) AS n_words,
+         |    CAST(SUM(COALESCE(en.n_tokens, 0)) AS BIGINT) AS n_tokens
+         |  FROM wc LEFT JOIN en USING (doc_id) GROUP BY lang),
+         |fx AS (SELECT * FROM fb UNION ALL SELECT * FROM fu)
+         |SELECT tokenizer, lang, n_docs, n_words, n_tokens,
+         |  CAST(CASE WHEN n_words = 0 THEN 0
+         |       ELSE (1000000 * n_tokens) // n_words END AS BIGINT)
+         |    AS fertility_e6
+         |FROM fx ORDER BY tokenizer, lang""".stripMargin,
     // q249: the unrolled epoch chain, one output row per epoch.
     "q249_perceptron_train" -> {
       val rows = (1 to PerceptronEpochs).map(e =>
