@@ -1117,6 +1117,30 @@ object ScaleProbe {
       val n = pts.count()
       println(s"  rows=$n isotonic blocks: " + blocks.count())
     }
+    // --- Aho-Corasick dictionary scale (q256/q257 shape): the SAME
+    // corpus scanned under 10³ / 10⁴ / 10⁵-pattern dictionaries
+    // (deterministic synthetic entries, ~13 chars each, plus a seeded
+    // slice of real corpus words so matches occur). The automaton
+    // claim: scan time is O(chars + matches), INDEPENDENT of
+    // dictionary size — the three timings should be flat, with only
+    // the driver-side compile + closure ship growing (linearly, under
+    // the MaxPatternChars loud cap).
+    for (dictSize <- Seq(1000, 10000, 100000)) {
+      time(s"aho_corasick_${dictSize}p") {
+        val real = Tables.documents(spark, dir)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 6)
+          .limit(dictSize / 10).collect().map(_.getString(0)).distinct
+        val synth = (0 until dictSize - real.length)
+          .map(i => f"zqxpattern$i%08d")
+        val t0 = System.nanoTime()
+        val dict = (real ++ synth).distinct
+        val matches = graft.operators.AhoCorasick.matchSpans(
+          Tables.documents(spark, dir), "doc_id", "text", dict)
+        println(f"  dict=${dict.length} matches=${matches.count()} " +
+          f"(compile+scan ${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      }
+    }
     time("curve_layout_cost") {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"),

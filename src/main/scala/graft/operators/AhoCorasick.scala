@@ -53,11 +53,30 @@ object AhoCorasick {
     }
   }
 
-  def compile(patterns: Seq[String]): Automaton = {
+  /** Default bound on total dictionary characters (= worst-case trie
+    * nodes − 1). The automaton is built on the DRIVER and shipped in
+    * the task closure, so its size is a per-executor memory and
+    * broadcast cost: ~nodes × (per-node map + fail + emit) ≈ 100 B/char
+    * upper bound → the default caps the shipped automaton near 400 MB
+    * worst-case and far less on real dictionaries (shared prefixes
+    * collapse nodes). The cap is LOUD, not silent ([[Isotonic]]'s
+    * maxBlocks discipline): a 10⁷-entry dictionary should be sharded
+    * into several passes deliberately, not OOM an executor.
+    */
+  val MaxPatternChars: Long = 1L << 22
+
+  def compile(patterns: Seq[String],
+              maxPatternChars: Long = MaxPatternChars): Automaton = {
     require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
             "patterns must be non-empty strings")
     require(patterns.distinct.size == patterns.size,
             "duplicate patterns in dictionary")
+    val totalChars = patterns.iterator.map(_.length.toLong).sum
+    require(totalChars <= maxPatternChars,
+      s"AhoCorasick: dictionary holds $totalChars pattern chars > cap " +
+        s"$maxPatternChars — the driver-built automaton scales with " +
+        "total pattern chars; raise maxPatternChars deliberately or " +
+        "shard the dictionary into multiple passes")
     val next = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.Map.empty[Char, Int])
     val ends = scala.collection.mutable.Map.empty[Int, List[Int]]
@@ -99,10 +118,11 @@ object AhoCorasick {
     * mapPartitions pass; only match rows (never text) leave it.
     */
   def matchSpans(docs: DataFrame, idCol: String, textCol: String,
-                 patterns: Seq[String]): DataFrame = {
+                 patterns: Seq[String],
+                 maxPatternChars: Long = MaxPatternChars): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val auto = compile(patterns)
+    val auto = compile(patterns, maxPatternChars)
     val pats = patterns.toArray
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
@@ -119,8 +139,9 @@ object AhoCorasick {
     * or patterns with zero matches are absent (no evidence ⇒ no row).
     */
   def matchCounts(docs: DataFrame, idCol: String, textCol: String,
-                  patterns: Seq[String]): DataFrame =
-    matchSpans(docs, idCol, textCol, patterns)
+                  patterns: Seq[String],
+                  maxPatternChars: Long = MaxPatternChars): DataFrame =
+    matchSpans(docs, idCol, textCol, patterns, maxPatternChars)
       .groupBy(col("doc_id"), col("pattern"))
       .agg(count(lit(1)).as("n_matches"))
 }

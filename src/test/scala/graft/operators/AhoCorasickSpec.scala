@@ -80,4 +80,18 @@ class AhoCorasickSpec extends SparkSpec {
       Seq((1L, 8L, 3L), (2L, 4L, 0L), (3L, 4L, 4L)))
     assert(got.map(_._4).toSeq == exp.toSeq)
   }
+
+  test("dictionary size cap is loud: total pattern chars over the cap " +
+       "refuse to compile instead of shipping an unbounded automaton") {
+    val ex = intercept[IllegalArgumentException] {
+      AhoCorasick.compile(Seq("abcdefghij", "klmnopqrst"),
+                          maxPatternChars = 15L)
+    }
+    assert(ex.getMessage.contains("maxPatternChars") ||
+           ex.getMessage.contains("cap"))
+    // at the cap boundary it compiles
+    val a = AhoCorasick.compile(Seq("abcdefghij", "klmnopqrst"),
+                                maxPatternChars = 20L)
+    assert(a.matches("xxabcdefghijzz").toSeq.nonEmpty)
+  }
 }
