@@ -28,9 +28,12 @@ object GraftColumns {
     * (eager, lineage-truncating, blocks NOT recomputable), plus the
     * resulting `LogicalRDD`'s RDD is named [[CheckpointTag]] so
     * [[unpersistCheckpoint]] can later release it while provably
-    * leaving foreign (caller-created, untagged) checkpoints alone.
+    * leaving foreign (caller-created, untagged) checkpoints alone,
+    * plus the carried size estimate is CLAMPED ([[clampStats]]) so
+    * iterative self-joining loops can't compound it without bound.
     */
-  def checkpoint[T](ds: Dataset[T]): Dataset[T] = tag(ds.localCheckpoint())
+  def checkpoint[T](ds: Dataset[T]): Dataset[T] =
+    clampStats(tag(ds.localCheckpoint()))
 
   /** LAZY [[checkpoint]]: marks the plan's RDD for local checkpointing
     * and tags it, but runs NO job — the FIRST action a caller fires on
@@ -45,7 +48,7 @@ object GraftColumns {
     * compute).
     */
   def lazyCheckpoint[T](ds: Dataset[T]): Dataset[T] =
-    tag(ds.localCheckpoint(eager = false))
+    clampStats(tag(ds.localCheckpoint(eager = false)))
 
   private def tag[T](c: Dataset[T]): Dataset[T] = {
     c.asInstanceOf[classic.Dataset[T]].queryExecution.analyzed.foreach {
@@ -53,6 +56,63 @@ object GraftColumns {
       case _ => ()
     }
     c
+  }
+
+  /** Ceiling on the size/row-count estimate a graft checkpoint carries
+    * forward (2^50 bytes ≈ 1 PB — far above every broadcast and
+    * join-strategy threshold, so any estimate the clamp touches was
+    * already "huge" to the planner; estimates of genuinely small
+    * frames pass through exact and keep their broadcast plans).
+    */
+  private val MaxCarriedStat = BigInt(1L << 50)
+
+  private lazy val originConstraintsField = {
+    val f = classOf[execution.LogicalRDD].getDeclaredField("originConstraints")
+    f.setAccessible(true)
+    f
+  }
+
+  /** Clamp the `originStats` a `localCheckpoint` carries forward.
+    *
+    * Spark's checkpoint keeps the checkpointed plan's ESTIMATED
+    * statistics on the `LogicalRDD` so downstream planning still sees
+    * realistic sizes. For an ITERATIVE operator that is a trap:
+    * `SizeInBytesOnlyStatsPlanVisitor` estimates a join as the PRODUCT
+    * of its children's sizes, so a loop that self-joins its own
+    * checkpoint (connected components' pointer jumps, the suffix-array
+    * pair rounds) SQUARES the carried estimate per join — after r
+    * rounds the `sizeInBytes` BigInt holds ~2^r·64 bits and the
+    * planner burns minutes in ToomCook BigInteger multiplication
+    * (observed live: q145's CC at sf0.1 spent >60 s/round inside
+    * `Statistics` math by round 6 at 3 jumps/round). Clamping at every
+    * checkpoint bounds the compounding: carried estimates stay ≤ 2^50,
+    * so any one round's plan multiplies a handful of ≤2^50 values —
+    * microseconds — while small frames keep exact estimates and their
+    * broadcast plans. Row counts clamp too (the CBO path multiplies
+    * them the same way).
+    */
+  private def clampStats[T](c: Dataset[T]): Dataset[T] = {
+    val cd = c.asInstanceOf[classic.Dataset[T]]
+    cd.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        val st = l.stats
+        val needs = st.sizeInBytes > MaxCarriedStat ||
+          st.rowCount.exists(_ > MaxCarriedStat)
+        if (!needs) c
+        else {
+          val ns = st.copy(
+            sizeInBytes = st.sizeInBytes.min(MaxCarriedStat),
+            rowCount = st.rowCount.map(_.min(MaxCarriedStat)))
+          val cons = originConstraintsField.get(l)
+            .asInstanceOf[Option[
+              org.apache.spark.sql.catalyst.expressions.ExpressionSet]]
+          val np = new execution.LogicalRDD(
+            l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+            l.isStreaming, l.stream)(cd.sparkSession, Some(ns), cons)
+          new classic.Dataset[T](cd.sparkSession, np, cd.exprEnc)
+        }
+      case _ => c
+    }
   }
 
   /** Release the block-manager storage behind graft-created
