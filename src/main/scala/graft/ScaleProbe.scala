@@ -152,7 +152,7 @@ object ScaleProbe {
     if (ranFuzzy) cust.unpersist()
 
     // --- connected components on deep chains: rounds must grow like
-    // log(diameter) (pointer jumping), never linearly.
+    // log(n) (alternating star contraction), never linearly.
     Seq(1000L, 10000L, 100000L).foreach { n =>
       time(s"cc_chain_$n") {
         val edges = spark.range(1, n)

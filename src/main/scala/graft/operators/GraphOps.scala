@@ -12,34 +12,57 @@ import graft.GraftOps._
   */
 object GraphOps {
 
-  /** Connected components by min-label propagation with POINTER JUMPING.
+  /** Connected components by ALTERNATING STAR CONTRACTION (the
+    * large-star / small-star algorithm of Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the round
+    * count is O(log n) on EVERY graph shape, including the
+    * plateau-structured near-dup graphs where pointer jumping
+    * degenerates (r11 A/B: min-label propagation + pointer jumps ran
+    * q145's component graph in 17 rounds because labels self-root at
+    * every LOCAL minimum and `comp(comp(v))` is then the identity —
+    * plateaus merged one edge per round; star contraction rewires the
+    * EDGES, so plateaus merge geometrically).
     *
-    * Each round does two label-shrinking steps: (1) edge propagation —
-    * every vertex takes the minimum label among itself and its neighbors
-    * (1 hop of progress); (2) k pointer jumps — every vertex replaces
-    * its label with its label's label (`comp(comp(v))`), which doubles
-    * the distance already covered, Shiloach–Vishkin style; k jumps per
-    * round contract it ~2^k-fold. The distance left to the component's
-    * min vertex therefore shrinks geometrically: convergence in
-    * O(log diameter / k) rounds, not O(diameter) — a 100k-doc templated
-    * chain settles in ~7 rounds at k=3 where plain propagation needs
-    * 100k. Near-dup components are usually tiny (2–4 rounds either way);
-    * the jumps are what make the worst case survivable at scale.
-    * Per round: 1+k shuffle joins + one aggregate, fully distributed.
-    * `localCheckpoint` truncates lineage each round so plan size stays
-    * constant, and each round releases the previous round's blocks.
-    * Termination is exact: labels only decrease, so the global label sum
-    * is a strictly decreasing convergence witness; stop when unchanged.
-    * If it is still moving at `maxIter` this THROWS rather than silently
-    * returning split components (with jumping, hitting 50 rounds means a
-    * component diameter around 2^50 — pathological input, not data).
+    * Edges live canonically as (a, b) with a > b. Per round:
+    *  - LARGE-STAR: every vertex u connects each strictly-larger
+    *    neighbor to m(u) = min(u, N(u)) — one groupBy over the
+    *    symmetric adjacency + one join back;
+    *  - SMALL-STAR: every vertex a connects itself and each smaller
+    *    neighbor to m = min of its smaller neighbors — one groupBy
+    *    over the canonical edges + one join back.
+    * Both phases strictly shrink edge endpoints; connectivity is
+    * preserved round to round, and the fixpoint is one star per
+    * component centered at the component MINIMUM (their Theorem 1) —
+    * exactly the min-label output the dedup layer consumes.
     *
-    * Output: (vertex, component) — component = min vertex id reachable.
-    * Only vertices appearing in `edges` are labeled.
+    * Termination is exact and O(1) per round: each phase maps every
+    * input edge to exactly one output edge whose endpoints are
+    * coordinatewise ≤ the input's, then dedups. So (count,
+    * Σ(a+b) in decimal) is a sound convergence witness: count
+    * unchanged ⟹ the dedup removed nothing (outputs never exceed
+    * inputs) ⟹ the map was a bijection; sum unchanged under
+    * elementwise-≤ terms ⟹ every edge mapped to ITSELF ⟹ fixpoint.
+    * (No sign assumption — the inequality is per-edge, not global.)
+    * If still moving at `maxIter` this THROWS rather than silently
+    * returning split components.
     *
-    * RELEASE CONTRACT: the returned frame is the final round's
-    * localCheckpoint and doubles as the release handle (every
-    * per-round intermediate is already released) — long-lived callers
+    * Output: (vertex, component) — component = min vertex id
+    * reachable. Only vertices appearing in `edges` are labeled
+    * (self-loop-only vertices label themselves). Vertex ids must be
+    * integral (the old min-label engine already required this — its
+    * decimal label-sum witness was the same contract).
+    *
+    * Round cost: 2 aggregates + 2 joins + 2 dedups over the EDGE
+    * frame, two eager checkpoints (one per phase — each phase reads
+    * its input through two projections, the shape the r10 A/B showed
+    * AQE will not reliably reuse lazily), and a 1-row witness agg.
+    * Eager-per-phase checkpoints are the measured-fastest shape
+    * (min-of-4 ProfileGraph, sf0.1): the r10 lazy/batched variants
+    * lost by 16-28%%.
+    *
+    * RELEASE CONTRACT: the returned frame is a final localCheckpoint
+    * and doubles as the release handle (every per-round intermediate
+    * is already released) — long-lived callers
     * `GraftColumns.unpersistCheckpoint(result)` once done; one-shot
     * batch queries can let session cleanup collect it. Same contract
     * for [[connectedComponentsWithStats]].
@@ -48,115 +71,92 @@ object GraphOps {
                           maxIter: Int = 50): DataFrame =
     connectedComponentsWithStats(edges, srcCol, dstCol, maxIter)._1
 
-  /** [[connectedComponents]] plus the number of rounds it ran — the
-    * convergence diagnostic ScaleProbe graphs (rounds vs diameter).
-    *
-    * `jumpsPerRound` (r10 verdict #3): pointer jumps per round after the
-    * edge propagation. Each jump squares the pointer distance already
-    * covered, so k jumps contract the distance to the component min by
-    * ~2^k per round — round count drops from log₂(diameter) to
-    * log_{2^k}(diameter) at the price of k−1 extra label-frame
-    * self-joins per round. The label frame is |V| rows vs the
-    * propagation join's |E|; for k=3 the extra joins are cheaper than
-    * the rounds they delete on every profiled chain (q145 17→7 rounds,
-    * min-of-4 ProfileGraph). Each jump is eagerly checkpointed — the
-    * self-join reads the frame through two different projections, the
-    * exact shape the r10 A/B showed AQE will not reuse lazily.
+  /** [[connectedComponents]] plus the number of large+small star
+    * rounds it ran — the convergence diagnostic ScaleProbe graphs
+    * (rounds vs diameter).
     */
   def connectedComponentsWithStats(edges: DataFrame, srcCol: String,
-                                   dstCol: String, maxIter: Int = 50,
-                                   jumpsPerRound: Int = 3)
+                                   dstCol: String, maxIter: Int = 50)
       : (DataFrame, Int) = {
-    require(jumpsPerRound >= 1, s"jumpsPerRound must be >= 1")
-    // materialize the (possibly expensive) edge plan ONCE before
-    // symmetrizing — a union of two branches over the raw plan would
-    // evaluate it twice
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    import org.apache.spark.sql.GraftColumns
+    // materialize the (possibly expensive) edge plan ONCE - the vertex
+    // set and the canonical edge set both read it
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .graftCheckpoint()
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-
-    var labels = sym.select(col("src").as("id"))
+    val verts = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id")))
       .distinct()
-      .withColumn("comp", col("id"))
       .graftCheckpoint()
+    var cur = e0.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("a"),
+              least(col("u"), col("v")).as("b"))
+      .distinct()
+      .graftCheckpoint()
+    GraftColumns.unpersistCheckpoint(e0)
 
-    if (labels.isEmpty) {
-      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
-      return (labels, 0)
+    // (edge count, decimal endpoint sum) - the sound witness above
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        sum(col("a").cast("decimal(38,0)") +
+            col("b").cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0),
+       if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
 
-    // Labels only ever DECREASE (min of self + neighbors), so the global
-    // label sum is a strictly decreasing convergence witness: unchanged
-    // sum ⟺ no label changed. One cheap aggregate per round instead of a
-    // join-and-compare pass. Summed as decimal(38,0): a 64-bit sum could
-    // wrap at billions-of-vertices scale and a wrapped collision would
-    // end propagation early with wrong components.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0)
-
-    var prevSum = labelSum(labels)
+    var prev = checksum(cur)
     var iter = 0
-    var converged = false
+    var converged = prev._1 == 0L // no edges -> all self-labeled
     while (!converged && iter < maxIter) {
-      // step 1 — edge propagation: per-vertex min over neighbor labels,
-      // then fold in the vertex's own label via a left join + least().
-      // (Formulated WITHOUT a union: unioning a checkpointed outer-join
-      // product trips UnionBase.rewriteConstraints on the LogicalRDD's
-      // origin constraints, which reference the join's non-output
-      // attributes — a Catalyst edge the join+least shape avoids.)
-      val nbr = sym
-        .join(labels, sym("dst") === labels("id"))
-        .groupBy(sym("src").as("nid"))
-        .agg(min(col("comp")).as("ncomp"))
-      // prop stays EAGERLY checkpointed — A/B-profiled at sf0.1
-      // (min-of-4, one JVM): dropping it in favor of in-plan exchange
-      // reuse made the 17-round q145 chain 11.6 s -> 14.8 s, because
-      // `prop` feeds the pointer-jump self-join through two DIFFERENT
-      // projections and AQE does not reliably reuse the exchange —
-      // the nbr aggregate then computes twice per round. The
-      // lazy-checkpoint-plus-witness fold lost the same profile
-      // (13.5 s): eager materialization plus a separate witness job
-      // is the fastest CC round shape measured on this engine.
-      val prop = labels
-        .join(nbr, col("id") === col("nid"), "left")
-        .select(col("id"),
-                least(coalesce(col("ncomp"), col("comp")), col("comp"))
-                  .as("comp"))
+      // LARGE-STAR over the symmetric adjacency: m(u) = min(u, N(u));
+      // each strictly-larger neighbor v of u re-wires to (v, m(u))
+      val sym = cur.select(col("a").as("x"), col("b").as("y"))
+        .union(cur.select(col("b").as("x"), col("a").as("y")))
+      val mins = sym.groupBy(col("x"))
+        .agg(least(min(col("y")), col("x")).as("m"))
+        .select(col("x").as("mx"), col("m"))
+      val large = sym.filter(col("y") > col("x"))
+        .join(mins, col("x") === col("mx"))
+        .select(col("y").as("a"), col("m").as("b"))
+        .distinct()
         .graftCheckpoint()
-      // step 2 — pointer jumps: comp(v) := comp(comp(v)), k times.
-      // Labels are always vertex ids present in the frame (inductively:
-      // initialized to the vertex itself; every later value is a min
-      // over such labels, and a jump maps a label to that vertex's own
-      // label), so the left join's coalesce is a guard, not a code
-      // path. Every jump preserves the only-decrease invariant the
-      // convergence witness relies on.
-      var cur = prop
-      for (_ <- 1 to jumpsPerRound) {
-        val jump = cur
-          .select(col("id").as("jid"), col("comp").as("jcomp"))
-        val jumped = cur
-          .join(jump, col("comp") === col("jid"), "left")
-          .select(col("id"),
-                  coalesce(col("jcomp"), col("comp")).as("comp"))
-          .graftCheckpoint()
-        org.apache.spark.sql.GraftColumns.unpersistCheckpoint(cur)
-        cur = jumped
-      }
-      val jumped = cur
-      val s = labelSum(jumped)
-      // the new round is materialized — release the previous round's
-      // blocks now, so the loop holds O(1) rounds of storage, not O(iter)
-      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(labels)
-      labels = jumped
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      GraftColumns.unpersistCheckpoint(cur)
+      // SMALL-STAR over the canonical edges: a and its smaller
+      // neighbors all re-wire to min(N_smaller(a))
+      val smin = large.groupBy(col("a"))
+        .agg(min(col("b")).as("m"))
+        .select(col("a").as("sa"), col("m"))
+      val small = large
+        .join(smin, col("a") === col("sa"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .unionByName(smin.select(col("sa").as("a"), col("m").as("b")))
+        .distinct()
+        .graftCheckpoint()
+      GraftColumns.unpersistCheckpoint(large)
+      cur = small
+      val s = checksum(cur)
+      // compareTo, not equals: BigDecimal.equals is scale-sensitive
+      converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
+      prev = s
       iter += 1
     }
-    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "component diameter exceeds the cap; rerun with a larger maxIter")
+      s"connectedComponents did not converge in $maxIter rounds - " +
+        "rerun with a larger maxIter")
+    // stars: every non-center appears exactly once on the a side with
+    // its center as b (min agg is belt-and-braces, exact at fixpoint);
+    // centers and self-loop-only vertices label themselves
+    val leaf = cur.groupBy(col("a")).agg(min(col("b")).as("__c"))
+      .select(col("a").as("id"), col("__c"))
+    val labels = verts
+      .join(leaf, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__c"), col("id")).as("comp"))
+      .graftCheckpoint()
+    GraftColumns.unpersistCheckpoint(cur)
+    GraftColumns.unpersistCheckpoint(verts)
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc] star rounds=$iter")
     (labels, iter)
   }
 

@@ -1008,7 +1008,7 @@ object AdvancedQueries {
     * — (noun, brand) composed with the length band, so hot blocks
     * split — and the match-rule conjuncts belong IN the join key
     * (here: noun AND brand) not the post-filter. CC is
-    * the q37 pointer-jumping shape; survivorship is one map-combined
+    * the q37 star-contraction shape; survivorship is one map-combined
     * agg over matched nodes only (unmatched records never reach it).
     */
   private def erRecords(s: SparkSession, dir: String): DataFrame =

@@ -30,9 +30,10 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.values.toSet === Set(1L))
   }
 
-  test("pointer jumping makes deep chains logarithmic, not linear") {
-    // a 4096-hop path: plain min-propagation needs ~4096 rounds; with
-    // the label(label(v)) jump the distance covered doubles per round
+  test("star contraction makes deep chains logarithmic, not linear") {
+    // a 4096-hop path: plain min-propagation needs ~4096 rounds; the
+    // alternating large-star/small-star rewiring contracts the path
+    // geometrically (Kiveris et al. 2014)
     val n = 4096L
     val edges = spark.range(1, n).selectExpr("id AS a", "id + 1 AS b")
     val (out, rounds) =
