@@ -48,25 +48,31 @@ object SuffixRank {
     require(capChars >= 2 && (capChars & (capChars - 1)) == 0,
       s"capChars must be a power of two >= 2, got $capChars")
     // PACKED initial ranks (r10 verdict #2): the level-`pack` rank comes
-    // from ONE dense rank over the `pack`-char substring at each
+    // from ONE dense rank over the first `pack` characters at each
     // position — the same capped-string comparison the finalize step
     // already trusts — instead of log₂(pack) pair-doubling rounds over
-    // per-char ranks. Substring-key ordering is order-isomorphic to the
-    // capped suffix order at level `pack`: UTF-8 binary comparison is
-    // codepoint order, and a suffix that ends inside the window is a
-    // strict prefix of any suffix that continues, so it sorts first —
-    // exactly the absent-rank-sentinel rule the doubling rounds use.
-    // For cap=64 this is 1 + log₂(64/8) = 4 range exchanges instead of
-    // 6 (measured −44% construction at sf0.1), and the per-row state in
-    // the doubling loop is two longs, never the packed key itself.
-    val pack = math.min(8, capChars)
+    // per-char ranks. The key is carried as ⌈pack/8⌉ 8-char substring
+    // segments compared lexicographically, which is order-isomorphic
+    // to the capped suffix order at level `pack`: UTF-8 binary
+    // comparison is codepoint order; a suffix that ends inside a
+    // segment yields a shorter segment that sorts before any
+    // continuation (and forces its later segments empty) — exactly the
+    // absent-rank-sentinel rule the doubling rounds use. For cap=64
+    // this is 1 + log₂(64/16) = 3 range exchanges instead of 6
+    // (measured −40%+ construction at sf0.1); the per-row state in the
+    // doubling loop stays two longs, never the packed key itself.
+    val pack = math.min(16, capChars)
+    val segs = (pack + 7) / 8
+    val keyCols = (0 until segs).map(i => s"__k$i")
     val keyed = Partitioning.spread(docs)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .filter(length(col("__t")) > 0)
       .withColumn("__p", explode(expr("sequence(1, length(__t))")))
-      .select(col("doc_id"), col("__p").cast("long").as("pos"),
-              expr(s"substring(__t, __p, $pack)").as("__k"))
-    var r = PrefixSum.denseRank(keyed, Seq("__k"), rankCol = "rank")
+      .select(Seq(col("doc_id"), col("__p").cast("long").as("pos")) ++
+        (0 until segs).map(i =>
+          expr(s"substring(__t, __p + ${i * 8}, ${math.min(8, pack - i * 8)})")
+            .as(s"__k$i")): _*)
+    var r = PrefixSum.denseRank(keyed, keyCols, rankCol = "rank")
       .select(col("doc_id"), col("pos"), col("rank"))
     // counts ride the already-materialized checkpoint (denseRank is
     // eager), so neither action re-runs the explode
@@ -136,17 +142,25 @@ object SuffixRank {
     val nxt = keyed.select((col("sa_rank") - 1).as("__rprev"),
                            col("doc_id").as("__dn"),
                            col("__key").as("__keyn"))
-    // contiguous common-prefix length of two capped keys: scan left to
-    // right, stop at the first mismatch or either end (codegen'd fold)
+    // contiguous common-prefix length of two capped keys by BINARY
+    // SEARCH: log₂(cap)+1 segment compares instead of a per-char scan
+    // (the r10 fold did cap struct-allocating steps with O(i) substring
+    // access each — O(cap²) char work in an interpreted HOF; this is
+    // the dominant cost of the whole query, measured −60% on the LCP
+    // job at sf0.1). `lo` only extends when the [lo+1, lo+s] segments
+    // are EQUAL AS STRINGS, which includes equal truncated segments
+    // only when both keys are exhausted — the final least() against
+    // both lengths turns that overshoot into the exact LCP.
+    val steps = Iterator.iterate(capChars)(_ / 2).takeWhile(_ >= 1).toSeq
     val lcpExpr = expr(
-      s"""aggregate(sequence(1, $capChars),
-         |  named_struct('d', false, 'l', CAST(0 AS BIGINT)),
-         |  (a, i) -> CASE WHEN a.d THEN a
-         |    WHEN i <= length(__key) AND i <= length(__keyn)
-         |         AND substring(__key, i, 1) = substring(__keyn, i, 1)
-         |      THEN named_struct('d', false, 'l', CAST(i AS BIGINT))
-         |    ELSE named_struct('d', true, 'l', a.l) END,
-         |  a -> a.l)""".stripMargin)
+      s"""least(
+         |  aggregate(array(${steps.mkString(", ")}), CAST(0 AS BIGINT),
+         |    (lo, s) -> lo +
+         |      CASE WHEN substring(__key, CAST(lo + 1 AS INT), s)
+         |              = substring(__keyn, CAST(lo + 1 AS INT), s)
+         |           THEN CAST(s AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+         |  CAST(length(__key) AS BIGINT),
+         |  CAST(length(__keyn) AS BIGINT))""".stripMargin)
     // a suffix's best match is with an SA neighbor; attribute each
     // adjacent pair's lcp to BOTH suffixes' documents, then roll up
     val adj = keyed.join(nxt, col("sa_rank") === col("__rprev"))
