@@ -54,7 +54,21 @@ object Intervals {
     */
   def cutSpans(docs: DataFrame, idCol: String, textCol: String,
                spans: DataFrame, startCol: String = "start",
-               lenCol: String = "len"): DataFrame = {
+               lenCol: String = "len"): DataFrame =
+    cutSpansText(docs, idCol, textCol, spans, startCol, lenCol)
+      .select(col(idCol), col("n_chars"), col("removed_chars"),
+              md5(col("cut_text")).as("cut_md5"))
+
+  /** [[cutSpans]] keeping the CUT TEXT itself (`cut_text`) instead of
+    * its digest — the form downstream pipeline stages consume
+    * (q269's DAG rewrites text stage-to-stage). Same fold, same
+    * disjointness contract; rows stay document-sized, so only callers
+    * that immediately reduce (digest, token counts, further stages)
+    * should keep the column wide.
+    */
+  def cutSpansText(docs: DataFrame, idCol: String, textCol: String,
+                   spans: DataFrame, startCol: String = "start",
+                   lenCol: String = "len"): DataFrame = {
     val perDoc = spans
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(
@@ -67,7 +81,7 @@ object Intervals {
         col(idCol),
         length(col("__t")).cast("long").as("n_chars"),
         coalesce(col("__rm"), lit(0L)).as("removed_chars"),
-        md5(when(col("__spans").isNull, col("__t")).otherwise(expr(
+        when(col("__spans").isNull, col("__t")).otherwise(expr(
           // fold over disjoint sorted spans: emit the gap before each
           // span, track the last removed position, then the tail. Gap
           // lengths are >= 0 by the disjointness contract.
@@ -80,6 +94,6 @@ object Intervals {
             |    'e', CAST(sp.s + sp.l - 1 AS BIGINT)),
             |  a -> concat(a.acc, substring(__t, CAST(a.e + 1 AS INT),
             |                               CAST(length(__t) - a.e AS INT))))
-            |""".stripMargin))).as("cut_md5"))
+            |""".stripMargin)).as("cut_text"))
   }
 }

@@ -866,8 +866,15 @@ object CurationQueries {
     * stopword count) plus the ±1 label y = [lang = 'en']. Pure per-row
     * projection; the SQL twin is [[perceptronFeatureSql]].
     */
-  private def perceptronFeatures(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+  private def perceptronFeatures(s: SparkSession, dir: String): DataFrame =
+    perceptronFeaturesFrom(Tables.documents(s, dir))
+
+  /** The q249/q250 feature frame over ANY (doc_id, lang, text) input —
+    * factored so q269's staged pipeline trains on rewritten text with
+    * the EXACT expressions the standalone gates verify.
+    */
+  private def perceptronFeaturesFrom(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), col("lang"), col("text"),
               size(TextFunctions.words(col("text"))).cast("long")
                 .as("__nw"),
@@ -1726,6 +1733,234 @@ object CurationQueries {
       .orderBy("tokenizer", "lang")
   }
 
+  /** q269 — THE END-TO-END CURATION DAG (r10 verdict #4): the
+    * individually-gated operators of rounds 1–10 composed as ONE
+    * pipeline over staged, REWRITTEN text, with a per-stage yield
+    * ledger (the q182 funnel shape). Stages:
+    *
+    *   0 source → 1 HTML main-content extraction (the q248 chain, page
+    *   synthesized from the corpus, lines joined) → 2 Unicode NFC
+    *   (q247) → 3 the q61 quality-rule gate → 4 MinHash near-dup
+    *   family dedup, component-min keeper (q22 + q37 — BEFORE the
+    *   substring cut: cutting shared spans first strips exactly the
+    *   text near-dup families share, measured to starve doc-level
+    *   dedup entirely) → 5 exact-substring dedup apply ≥25 chars
+    *   (q252's cut, spans detected over the survivors) → 6 calibrated
+    *   LANGUAGE-ID filter — a perceptron trained to reproduce the q26
+    *   n-gram heuristic's agreement with the metadata lang (weak
+    *   supervision; as a hard stage-3 filter the agreement rule left a
+    *   single-label population and calibration had nothing to
+    *   separate), margins isotonic-calibrated, keep p strictly above
+    *   the corpus base rate (q250 + q255) → 7 DSIR top-quartile selection (q219, model FIT
+    *   ON the staged survivors) → 8 greedy per-source epoch
+    *   allocation, budget 2×, cap 4 (q229's rule, scored by stage-7
+    *   DSIR weights) → 9 epoch expansion + 128-token sequence chop
+    *   (q74's rule over the expanded stream) → 10 consistent-hash ring
+    *   sharding of the sequence ids (q261's 8×16 ring).
+    *
+    * Output: one ledger row per stage — (stage_idx, stage, rows_in,
+    * rows_out, tokens_out); tokens are raw whitespace-split counts of
+    * the CURRENT stage text (stage 8+ report tokens SERVED, i.e. with
+    * epoch repetition). The oracle replays every stage in SQL off the
+    * previous stage's CTE — the same fragments the standalone gates
+    * use, re-sourced — so a drift in any stage OR in how stages feed
+    * each other moves a downstream ledger count.
+    *
+    * Scale shape: each stage is the standalone operator's plan (no new
+    * shuffle classes); stage results ride eager checkpoints released
+    * as soon as the next stage materializes (the GraphOps O(1)-storage
+    * discipline), and the ledger numbers are 1-row aggregates off
+    * those checkpoints. Driver-side state: |sources| rows (epoch
+    * greedy) + the perceptron/isotonic/DSIR control-plane collects the
+    * standalone operators already make.
+    */
+  def q269CurationDag(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Classification, Dedup, Dsir, Html,
+      Intervals, Isotonic, Partitioning, PrefixSum, Sharding}
+    import org.apache.spark.sql.GraftColumns
+    val led =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long,
+                                                  Long, Long)]
+    val toksCol = size(split(col("text"), " ")).cast("long")
+    def tokSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(toksCol), lit(0L))).collect()(0).getLong(0)
+
+    val d0 = Partitioning.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .graftCheckpoint()
+    val n0 = d0.count()
+    led += ((0L, "source", n0, n0, tokSum(d0)))
+
+    // 1 — the q248 page around each doc, main-content extraction,
+    // lines joined to one line (words() splits on ' ' only)
+    val page = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>body{color:red}</style>" +
+          "<script>var x = 1 < 2;</script></head>" +
+          "<body><nav><a href=\"/\">Home &amp; more</a> | " +
+          "<a href=\"/about\">About</a></nav><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><!-- chrome --><p>"), col("text"),
+      lit("</p><div class=\"footer\">&copy; 2026 Example " +
+          "&lt;Corp&gt;</div></body></html>"))
+    val d1 = d0.select(col("doc_id"), col("lang"), col("source"),
+        replace(Html.mainText(page), lit("\n"), lit(" ")).as("text"))
+      .graftCheckpoint()
+    val n1 = d1.count()
+    led += ((1L, "html_main_extract", n0, n1, tokSum(d1)))
+    GraftColumns.unpersistCheckpoint(d0)
+
+    // 2 — NFC
+    val d2 = d1.withColumn("text",
+        TextFunctions.unicodeNormalize(col("text"), "NFC"))
+      .graftCheckpoint()
+    val n2 = d2.count()
+    led += ((2L, "nfc_normalize", n1, n2, tokSum(d2)))
+    GraftColumns.unpersistCheckpoint(d1)
+
+    // 3 — the q61 quality-rule gate (language-ID becomes the stage-6
+    // LABEL, not a hard filter — as a filter it left an all-English,
+    // single-label population and the calibrated stage had nothing to
+    // separate)
+    val keep3 = ruleFlags(d2.select(col("doc_id"),
+                                    col("text").as("t")))
+      .filter(col("keep")).select("doc_id")
+    val d3 = d2.join(keep3, Seq("doc_id"), "left_semi")
+      .graftCheckpoint()
+    val n3 = d3.count()
+    led += ((3L, "quality_rules", n2, n3, tokSum(d3)))
+    GraftColumns.unpersistCheckpoint(d2)
+
+    // 4 — MinHash family dedup, component-min keeper. BEFORE the
+    // substring cut: cutting corpus-duplicated spans first strips the
+    // very text near-dup families share and starves doc-level dedup
+    // (measured: zero J≥0.8 pairs left at sf0.01)
+    val pairs4 = Dedup.minhashDedupPairs(d3, "doc_id", "text",
+                                         n = 3, num = 4, den = 5)
+      .select(col("doc_a"), col("doc_b"))
+    val (applied4, cc4) = Dedup.applyDedupReleasable(d3, "doc_id", pairs4)
+    val d4 = applied4.filter(col("kept")).drop("component", "kept")
+      .graftCheckpoint()
+    val n4 = d4.count()
+    led += ((4L, "minhash_family_dedup", n3, n4, tokSum(d4)))
+    GraftColumns.unpersistCheckpoint(cc4)
+    GraftColumns.unpersistCheckpoint(d3)
+
+    // 5 — exact-substring dedup apply over the family survivors
+    val cut5 = Intervals.cutSpansText(
+        d4, "doc_id", "text",
+        Dedup.duplicatedSubstringSpans(d4, "doc_id", "text", minLen = 25),
+        "span_start", "span_len")
+      .select(col("doc_id"), col("cut_text").as("text"))
+    val d5 = d4.drop("text").join(cut5, Seq("doc_id")).graftCheckpoint()
+    val n5 = d5.count()
+    led += ((5L, "substring_dedup", n4, n5, tokSum(d5)))
+    GraftColumns.unpersistCheckpoint(d4)
+
+    // 6 — calibrated LANGUAGE-ID filter: perceptron trained to
+    // reproduce the n-gram heuristic's agreement with the metadata
+    // lang (weak supervision — the label population is mixed by
+    // construction), margins isotonic-calibrated, keep p_e6 >= 5e5.
+    // The synthetic 'en'/'xx' lang column feeds the SHARED q250
+    // feature frame so the label rule lives in exactly one place.
+    val w6 = TextFunctions.words(col("text"))
+    val scores6 = TextFunctions.LangStopwords
+      .map { case (l, _) => l -> TextFunctions.langScore(w6, l)
+        .cast("long") }.toMap
+    val labeled6 = d5.select(
+      col("doc_id"),
+      when(TextFunctions.langPredict(scores6) === col("lang"),
+           lit("en")).otherwise(lit("xx")).as("lang"),
+      col("text"))
+    val margins6 = Classification.perceptronScored(
+        perceptronFeaturesFrom(labeled6), "y", PerceptronX,
+        epochs = PerceptronEpochs)
+      .select(col("doc_id"), col("margin"),
+              expr("(y + 1) div 2").as("y01"))
+    // keep docs calibrated STRICTLY ABOVE the corpus base rate — a
+    // fixed absolute cut is degenerate whenever the base rate sits far
+    // from it (measured: ≥0.5 kept 5 of 438 at a 44% base rate); above
+    // base is "the model says better-than-prior", selective at any mix
+    val base6 = margins6
+      .agg(expr("(1000000 * sum(y01)) div count(1)"))
+      .collect()(0).getLong(0)
+    val keep6 = Isotonic.calibrated(margins6, "margin", "doc_id", "y01")
+      .filter(col("p_e6") > lit(base6)).select("doc_id")
+    val d6 = d5.join(keep6, Seq("doc_id"), "left_semi").graftCheckpoint()
+    val n6 = d6.count()
+    led += ((6L, "calibrated_langid_filter", n5, n6, tokSum(d6)))
+    GraftColumns.unpersistCheckpoint(d5)
+
+    // 7 — DSIR top-quartile selection, model fit on the survivors
+    val wt7 = Dsir.weights(d6, "doc_id", "text",
+                           col("lang") === "en", buckets = 64)
+      .withColumn("__one", lit(1L))
+    val ranked7 = PrefixSum.runningTotal(
+      wt7, "__one", Seq("weight_e6", "doc_id"), cumCol = "rank")
+    val sel7 = ranked7
+      .crossJoin(broadcast(wt7.agg(count(lit(1)).as("n"))))
+      .filter(expr("((rank - 1) * 4) div n") === 3L)
+      .select(col("doc_id"), col("weight_e6"))
+    val d7 = d6.join(sel7, Seq("doc_id")).graftCheckpoint()
+    val n7 = d7.count()
+    led += ((7L, "dsir_select", n6, n7, tokSum(d7)))
+    GraftColumns.unpersistCheckpoint(ranked7)
+    GraftColumns.unpersistCheckpoint(d6)
+
+    // 8 — greedy per-source epoch allocation (q229's rule), scored by
+    // the stage-7 DSIR weights; |sources| rows of driver control plane
+    val srcRows = d7.groupBy(col("source"))
+      .agg(sum(toksCol).as("tokens"),
+           expr("sum(weight_e6) div count(1)").as("mean_w"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (src, _, m) => (-m, src) }
+    var rem = 2L * srcRows.map(_._2).sum
+    val epochRows = srcRows.map { case (src, t, _) =>
+      val e = if (t == 0L) 0L else math.min(4L, rem / t)
+      rem -= e * t
+      (src, e)
+    }.filter(_._2 >= 1L)
+    val sEnc = s
+    import sEnc.implicits._
+    val d8 = d7.join(broadcast(epochRows.toSeq.toDF("source", "epochs")),
+                     Seq("source"))
+      .graftCheckpoint()
+    val n8 = d8.count()
+    val served = d8
+      .agg(coalesce(sum(toksCol * col("epochs")), lit(0L)))
+      .collect()(0).getLong(0)
+    led += ((8L, "epoch_mix", n7, n8, served))
+    GraftColumns.unpersistCheckpoint(d7)
+
+    // 9 — epoch expansion + 128-token chop over the (epoch, doc_id)
+    // stream (q74's rule); sequences touched = the packed artifact
+    val ex9 = d8.select(col("doc_id"), toksCol.as("toks"),
+                        explode(expr("sequence(1, epochs)")).as("ep"))
+    val nEx = ex9.count()
+    val packed9 = PrefixSum.runningTotal(ex9, "toks", Seq("ep", "doc_id"),
+                                         cumCol = "cum")
+    val seqs9 = packed9
+      .select(explode(expr(
+        "sequence((cum - toks) div 128, (cum - 1) div 128)"))
+        .as("seq_id"))
+      .distinct().graftCheckpoint()
+    val nSeqs = seqs9.count()
+    led += ((9L, "pack_128", nEx, nSeqs, served))
+    GraftColumns.unpersistCheckpoint(packed9)
+    GraftColumns.unpersistCheckpoint(d8)
+
+    // 10 — ring-shard the sequence ids (8 shards × 16 vnodes)
+    val nShards = Sharding.ringAssign(seqs9, "seq_id", 8, 16)
+      .select("shard").distinct().count()
+    led += ((10L, "ring_shard", nSeqs, nShards, served))
+    GraftColumns.unpersistCheckpoint(seqs9)
+
+    led.toSeq
+      .toDF("stage_idx", "stage", "rows_in", "rows_out", "tokens_out")
+      .orderBy("stage_idx")
+  }
+
   /** q227 — SCORE–LENGTH BIAS AUDIT, the documented failure mode of
     * perplexity-style quality filters (CCNet's filter is known to
     * correlate with document length, so a length-blind threshold
@@ -2044,6 +2279,7 @@ object CurationQueries {
     "q266_unigram_train" -> (q266UnigramTrain _),
     "q267_unigram_encode" -> (q267UnigramEncode _),
     "q268_tokenizer_compare" -> (q268TokenizerCompare _),
+    "q269_curation_dag" -> (q269CurationDag _),
     "q139_pair_lift"       -> (q139PairLift _),
     "q166_frequent_triples" -> (q166FrequentTriples _),
     "q143_clustering_coeff" -> (q143ClusteringCoeff _),
@@ -2120,16 +2356,65 @@ object CurationQueries {
     * decode → whitespace collapse → trim) used three times in the
     * main-text CTE, defined once so the copies cannot drift.
     */
-  private val q248Sql: String = {
-    def vis(x: String): String =
-      s"""trim(regexp_replace(
-         |  replace(replace(replace(replace(replace(replace(replace(
-         |    regexp_replace($x, '<[^>]*>', ' ', 'g'),
-         |    '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',chr(39)),
-         |    '&nbsp;',' '), '&copy;',chr(169)), '&amp;','&'),
-         |  '[ ' || chr(9) || chr(160) || ']+', ' ', 'g'))""".stripMargin
-    val blockPat = "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|nav|header" +
+  /** Visible-text rendering of one HTML fragment (tag strip, entity
+    * decode, whitespace collapse) — the SQL twin of
+    * [[graft.operators.Html]]'s per-line pass, shared by q248 and the
+    * q269 DAG oracle so the two cannot drift.
+    */
+  private def htmlVisSql(x: String): String =
+    s"""trim(regexp_replace(
+       |  replace(replace(replace(replace(replace(replace(replace(
+       |    regexp_replace($x, '<[^>]*>', ' ', 'g'),
+       |    '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',chr(39)),
+       |    '&nbsp;',' '), '&copy;',chr(169)), '&amp;','&'),
+       |  '[ ' || chr(9) || chr(160) || ']+', ' ', 'g'))""".stripMargin
+
+  private val htmlBlockPat: String =
+    "(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|nav|header" +
       "|footer|section|article|blockquote|pre|td|th)[^>]*>"
+
+  /** The q248 fixture page in SQL, around `textExpr`/`idExpr`. */
+  private def htmlPageSql(idExpr: String, textExpr: String): String =
+    s"""'<html><head><title>Doc ' || $idExpr ||
+       |  '</title><style>body{color:red}</style>' ||
+       |  '<script>var x = 1 < 2;</script></head>' ||
+       |  '<body><nav><a href="/">Home &amp; more</a> | ' ||
+       |  '<a href="/about">About</a></nav><h1>Doc ' || $idExpr ||
+       |  '</h1><!-- chrome --><p>' || $textExpr ||
+       |  '</p><div class="footer">&copy; 2026 Example ' ||
+       |  '&lt;Corp&gt;</div></body></html>'""".stripMargin
+
+  /** script/style/comment strip + block-tag → newline, applied to
+    * column `h` of `src`, keeping `keep` columns: ends at CTE
+    * `${p}4(keep..., hb)`. Shared by q248 and the q269 DAG oracle.
+    */
+  private def htmlChainSql(p: String, src: String, keep: String): String =
+    s"""${p}1 AS (SELECT $keep, regexp_replace(h,
+       |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS h FROM $src),
+       |${p}2 AS (SELECT $keep, regexp_replace(h,
+       |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h FROM ${p}1),
+       |${p}3 AS (SELECT $keep, regexp_replace(h,
+       |  '(?s)<!--.*?-->', ' ', 'g') AS h FROM ${p}2),
+       |${p}4 AS (SELECT $keep, regexp_replace(h,
+       |  '$htmlBlockPat', chr(10), 'g') AS hb FROM ${p}3)""".stripMargin
+
+  /** Main-content extraction over `hb` (the q248 `mt` rule): visible
+    * lines whose anchor-text share is ≤ 50%. */
+  private def htmlMainSql: String =
+    s"""array_to_string(
+       |    list_transform(
+       |      list_filter(string_split(hb, chr(10)),
+       |        x -> length(${htmlVisSql("x")}) > 0
+       |          AND coalesce(list_sum(list_transform(
+       |                regexp_extract_all(x, '(?is)<a[^>]*>([^<]*)</a>', 1),
+       |                y -> length(y))), 0) * 1000000
+       |              <= 500000 * length(${htmlVisSql("x")})),
+       |      x -> ${htmlVisSql("x")}),
+       |    chr(10))""".stripMargin
+
+  private val q248Sql: String = {
+    def vis(x: String): String = htmlVisSql(x)
+    val blockPat = htmlBlockPat
     s"""WITH h0 AS (SELECT doc_id, text,
        |  '<html><head><title>Doc ' || doc_id::VARCHAR ||
        |  '</title><style>body{color:red}</style>' ||
@@ -2177,9 +2462,11 @@ object CurationQueries {
 
   /** SQL twin of [[perceptronFeatures]] (CTE `f`): same integer
     * signals, same ±1 label, same stopword list as the q61 CTE.
+    * Parameterized by source relation so q269's staged pipeline reuses
+    * the exact expressions the q249/q250 gates verify.
     */
-  private val perceptronFeatureSql: String =
-    """f AS (SELECT doc_id,
+  private def perceptronFeatureSqlFrom(src: String): String =
+    s"""f AS (SELECT doc_id,
       |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
       |  CAST(1 AS BIGINT) AS x0,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
@@ -2191,7 +2478,10 @@ object CurationQueries {
       |  CAST(len(list_filter(string_split(text, ' '),
       |    x -> x IN ('the','a','and','of','to','in','is','it')))
       |    AS BIGINT) AS x4
-      |FROM documents)""".stripMargin
+      |FROM $src)""".stripMargin
+
+  private val perceptronFeatureSql: String =
+    perceptronFeatureSqlFrom("documents")
 
   /** Batch-perceptron epochs as chained CTEs `e0 … eN` (weights) and
     * `g1 … gN` (per-epoch misclassified count + gradient), generated
@@ -2357,7 +2647,229 @@ object CurationQueries {
        |       FROM dwo JOIN sg1 USING (word) GROUP BY doc_id)"""
       .stripMargin
 
+  /** q269 oracle: every DAG stage replayed in SQL OFF THE PREVIOUS
+    * STAGE'S CTE — the same fragments the standalone gates run
+    * (q248 html chain, q247 nfc, q26 langid CASE, q61 rules, q252
+    * substring cut, q22 jaccard + q37 reach-CC, q249/q250 perceptron
+    * chain, q254/q255 minimax isotonic, q219 DSIR, q229 greedy
+    * allocation, q74 chop, q261 ring), re-sourced stage to stage.
+    */
+  private val q269Sql: String = {
+    def cnt(cte: String) = s"(SELECT CAST(COUNT(*) AS BIGINT) FROM $cte)"
+    def tok(cte: String) =
+      s"""(SELECT CAST(COALESCE(SUM(len(string_split(t, ' '))), 0)
+         | AS BIGINT) FROM $cte)""".stripMargin.replace("\n", "")
+    val served =
+      """(SELECT CAST(COALESCE(SUM(len(string_split(t, ' ')) * epochs),
+        | 0) AS BIGINT) FROM d8)""".stripMargin.replace("\n", "")
+    // DuckDB inlines a CTE once PER REFERENCE; the ledger's subquery
+    // counts reference every stage several times, so without
+    // materialization the whole pipeline re-evaluates ~30× (observed:
+    // "too many open files" on the re-opened parquet before any work).
+    // MATERIALIZED pins each multi-referenced stage to one evaluation.
+    val materialize = Seq(
+      "d0", "d1", "d2", "d3", "d4", "d5", "d6", "d7", "d8",
+      "g4", "sh5", "sz5", "jp5", "e5", "f",
+      "e0", "g1", "e1", "g2", "e2", "g3", "e3",
+      "sc", "rk", "pr", "ms", "ft", "fitted",
+      "tf7", "dw7", "p8", "x9", "s9")
+    def withMaterialized(sql: String): String =
+      materialize.foldLeft(sql)((s, n) =>
+        s.replaceAll(s"(?m)^($n AS) \\(", "$1 MATERIALIZED ("))
+    withMaterialized(s"""WITH RECURSIVE
+       |d0 AS (SELECT doc_id, lang, source, text AS t FROM documents),
+       |zh0 AS (SELECT doc_id, lang, source,
+       |  ${htmlPageSql("doc_id::VARCHAR", "t")} AS h FROM d0),
+       |${htmlChainSql("zh", "zh0", "doc_id, lang, source")},
+       |d1 AS (SELECT doc_id, lang, source,
+       |  replace($htmlMainSql, chr(10), ' ') AS t FROM zh4),
+       |d2 AS (SELECT doc_id, lang, source, nfc_normalize(t) AS t
+       |  FROM d1),
+       |${q61RulesCteFrom("(SELECT doc_id, t AS text FROM d2)")},
+       |d3 AS (SELECT d2.* FROM d2
+       |  JOIN r ON r.doc_id = d2.doc_id
+       |    AND r.r_words AND r.r_wlen AND r.r_sym AND r.r_stop),
+       |w5 AS (SELECT doc_id, string_split(t, ' ') AS w FROM d3),
+       |sh5 AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(range(len(w) - 2),
+       |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+       |  FROM w5 WHERE len(w) >= 3)),
+       |sz5 AS (SELECT doc_id, COUNT(*) AS sz FROM sh5 GROUP BY doc_id),
+       |pj5 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    COUNT(*) AS inter_cnt
+       |  FROM sh5 a JOIN sh5 b USING (shingle)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jp5 AS (SELECT doc_a, doc_b FROM pj5
+       |  JOIN sz5 sa ON sa.doc_id = doc_a
+       |  JOIN sz5 sb ON sb.doc_id = doc_b
+       |  WHERE inter_cnt * 5 >= (sa.sz + sb.sz - inter_cnt) * 4),
+       |e5 AS (SELECT doc_a AS a, doc_b AS b FROM jp5
+       |  UNION ALL SELECT doc_b, doc_a FROM jp5),
+       |rch5(a, b) AS (
+       |  SELECT a, a FROM e5 GROUP BY a
+       |  UNION
+       |  SELECT e5.a, r5.b FROM e5 JOIN rch5 r5 ON e5.b = r5.a),
+       |cc5 AS (SELECT a AS doc_id, MIN(b) AS component FROM rch5
+       |  GROUP BY a),
+       |d4 AS (SELECT d3.* FROM d3
+       |  LEFT JOIN cc5 ON cc5.doc_id = d3.doc_id
+       |  WHERE cc5.component IS NULL OR cc5.component = d3.doc_id),
+       |p40 AS (SELECT doc_id,
+       |    unnest(range(CAST(greatest(length(t) - 24, 0) AS BIGINT)))
+       |      + 1 AS pos, t
+       |  FROM d4),
+       |g4 AS (SELECT doc_id, pos,
+       |    ('0x' || substr(md5(substr(t, CAST(pos AS INT), 25)), 1, 8))
+       |      ::BIGINT AS h1,
+       |    ('0x' || substr(md5(substr(t, CAST(pos AS INT), 25)), 9, 8))
+       |      ::BIGINT AS h2
+       |  FROM p40),
+       |dk4 AS (SELECT h1, h2 FROM g4 GROUP BY 1, 2
+       |  HAVING COUNT(*) >= 2),
+       |cv4 AS (SELECT doc_id, pos FROM g4 JOIN dk4 USING (h1, h2)),
+       |ap4 AS (SELECT doc_id,
+       |    unnest(range(CAST(length(t) AS BIGINT))) + 1 AS pos, t
+       |  FROM d4),
+       |cw4 AS (SELECT DISTINCT cv4.doc_id, cv4.pos + o.off AS pos
+       |  FROM cv4 CROSS JOIN (SELECT unnest(range(25)) AS off) o),
+       |kp4 AS (SELECT ap4.doc_id, ap4.pos,
+       |    substr(ap4.t, CAST(ap4.pos AS INT), 1) AS ch
+       |  FROM ap4 LEFT JOIN cw4
+       |    ON cw4.doc_id = ap4.doc_id AND cw4.pos = ap4.pos
+       |  WHERE cw4.pos IS NULL),
+       |cl4 AS (SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS ct
+       |  FROM kp4 GROUP BY doc_id),
+       |d5 AS (SELECT d4.doc_id, d4.lang, d4.source,
+       |    COALESCE(cl4.ct, '') AS t
+       |  FROM d4 LEFT JOIN cl4 ON cl4.doc_id = d4.doc_id),
+       |l6 AS (SELECT doc_id, string_split(t, ' ') AS w FROM d5),
+       |s6 AS (SELECT doc_id,
+       |  len(list_filter(w, x -> x IN ('der','die','das','und','ist','von','mit','zu'))) AS s_de,
+       |  len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','it'))) AS s_en,
+       |  len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es'))) AS s_es,
+       |  len(list_filter(w, x -> x IN ('le','les','de','et','un','est','dans','que'))) AS s_fr
+       |  FROM l6),
+       |lp6 AS (SELECT doc_id,
+       |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_fr THEN 'es'
+       |       ELSE 'fr' END AS pred FROM s6),
+       |${perceptronFeatureSqlFrom(
+            "(SELECT d5.doc_id, CASE WHEN lp6.pred = d5.lang THEN 'en' " +
+              "ELSE 'xx' END AS lang, d5.t AS text FROM d5 " +
+              "JOIN lp6 ON lp6.doc_id = d5.doc_id)")},
+       |${perceptronChainSql(PerceptronEpochs)},
+       |$isotonicFitSql,
+       |blk6 AS (SELECT fit, (1000000 * SUM(y01)) // COUNT(*) AS p_e6
+       |  FROM fitted GROUP BY fit),
+       |bs6 AS (SELECT (1000000 * SUM(y01)) // COUNT(*) AS base
+       |  FROM fitted),
+       |k6 AS (SELECT f2.doc_id FROM fitted f2 JOIN blk6 USING (fit)
+       |  CROSS JOIN bs6 WHERE blk6.p_e6 > bs6.base),
+       |d6 AS (SELECT d5.* FROM d5 JOIN k6 ON k6.doc_id = d5.doc_id),
+       |dt7 AS (SELECT doc_id, lang, unnest(string_split(t, ' ')) AS wd
+       |  FROM d6),
+       |tf7 AS (SELECT doc_id, lang,
+       |    ('0x' || substr(md5(wd), 1, 8))::BIGINT % 64 AS fb,
+       |    COUNT(*) AS c
+       |  FROM dt7 WHERE length(wd) > 0 GROUP BY 1, 2, 3),
+       |dm7 AS (SELECT fb, SUM(c) AS rc,
+       |    SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS tc
+       |  FROM tf7 GROUP BY 1),
+       |tt7 AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM dm7),
+       |md7 AS (SELECT fb,
+       |    (1000000::HUGEINT * (tc + 1) * (rtot + 64))
+       |      // ((rc + 1)::HUGEINT * (ttot + 64)) AS ratio_e6
+       |  FROM dm7 CROSS JOIN tt7),
+       |dw7 AS (SELECT doc_id,
+       |    SUM(c::HUGEINT * ratio_e6) // SUM(c) AS weight_e6
+       |  FROM tf7 JOIN md7 USING (fb) GROUP BY doc_id),
+       |dn7 AS (SELECT COUNT(*) AS n FROM dw7),
+       |dr7 AS (SELECT doc_id, weight_e6,
+       |    row_number() OVER (ORDER BY weight_e6, doc_id) AS rnk
+       |  FROM dw7),
+       |k7 AS (SELECT doc_id, CAST(weight_e6 AS BIGINT) AS weight_e6
+       |  FROM dr7 CROSS JOIN dn7 WHERE ((rnk - 1) * 4) // n = 3),
+       |d7 AS (SELECT d6.*, k7.weight_e6 FROM d6
+       |  JOIN k7 ON k7.doc_id = d6.doc_id),
+       |p8 AS (SELECT source,
+       |    CAST(SUM(len(string_split(t, ' '))) AS BIGINT) AS tokens,
+       |    CAST(SUM(weight_e6) // COUNT(*) AS BIGINT) AS mean_w
+       |  FROM d7 GROUP BY source),
+       |o8 AS (SELECT source, tokens, mean_w,
+       |    row_number() OVER (ORDER BY mean_w DESC, source) AS rk
+       |  FROM p8),
+       |t8 AS (SELECT 2 * COALESCE(SUM(tokens), 0) AS budget FROM p8),
+       |al8 AS (
+       |  SELECT CAST(0 AS BIGINT) AS rk, CAST(NULL AS VARCHAR) AS source,
+       |    CAST(0 AS HUGEINT) AS tokens, CAST(0 AS HUGEINT) AS epochs,
+       |    CAST(budget AS HUGEINT) AS rem
+       |  FROM t8
+       |  UNION ALL
+       |  SELECT o.rk, o.source, o.tokens::HUGEINT,
+       |    CASE WHEN o.tokens = 0 THEN 0
+       |         ELSE least(4, a.rem // o.tokens) END,
+       |    a.rem - CASE WHEN o.tokens = 0 THEN 0
+       |                 ELSE least(4, a.rem // o.tokens) END * o.tokens
+       |  FROM al8 a JOIN o8 o ON o.rk = a.rk + 1),
+       |e8 AS (SELECT source, CAST(epochs AS BIGINT) AS epochs FROM al8
+       |  WHERE rk > 0 AND epochs >= 1),
+       |d8 AS (SELECT d7.*, e8.epochs FROM d7 JOIN e8 USING (source)),
+       |x9 AS (SELECT doc_id,
+       |    CAST(len(string_split(t, ' ')) AS BIGINT) AS toks,
+       |    unnest(generate_series(1, epochs)) AS ep FROM d8),
+       |c9 AS (SELECT doc_id, ep, toks,
+       |    SUM(toks) OVER (ORDER BY ep, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum FROM x9),
+       |s9 AS (SELECT DISTINCT
+       |    unnest(generate_series(CAST((cum - toks) // 128 AS BIGINT),
+       |                           CAST((cum - 1) // 128 AS BIGINT)))
+       |      AS seq_id FROM c9),
+       |r10 AS (SELECT (g.i // 16) AS shard,
+       |    ('0x' || substr(md5((g.i // 16) || ':' || (g.i % 16)), 1, 8))
+       |      ::BIGINT AS pos
+       |  FROM unnest(range(128)) AS g(i)),
+       |h10 AS (SELECT seq_id,
+       |    ('0x' || substr(md5(CAST(seq_id AS VARCHAR)), 1, 8))::BIGINT
+       |      AS h FROM s9),
+       |c10 AS (SELECT seq_id, h, MIN(r.pos) AS mp
+       |  FROM h10 LEFT JOIN r10 r ON r.pos >= h10.h GROUP BY 1, 2),
+       |a10 AS (SELECT seq_id, (SELECT MIN(shard) FROM r10 WHERE pos =
+       |    COALESCE(c10.mp, (SELECT MIN(pos) FROM r10))) AS shard
+       |  FROM c10),
+       |led AS (
+       |  SELECT 0 AS i, 'source' AS stage, ${cnt("d0")} AS rows_in,
+       |    ${cnt("d0")} AS rows_out, ${tok("d0")} AS tokens_out
+       |  UNION ALL SELECT 1, 'html_main_extract', ${cnt("d0")},
+       |    ${cnt("d1")}, ${tok("d1")}
+       |  UNION ALL SELECT 2, 'nfc_normalize', ${cnt("d1")},
+       |    ${cnt("d2")}, ${tok("d2")}
+       |  UNION ALL SELECT 3, 'quality_rules', ${cnt("d2")},
+       |    ${cnt("d3")}, ${tok("d3")}
+       |  UNION ALL SELECT 4, 'minhash_family_dedup', ${cnt("d3")},
+       |    ${cnt("d4")}, ${tok("d4")}
+       |  UNION ALL SELECT 5, 'substring_dedup', ${cnt("d4")},
+       |    ${cnt("d5")}, ${tok("d5")}
+       |  UNION ALL SELECT 6, 'calibrated_langid_filter', ${cnt("d5")},
+       |    ${cnt("d6")}, ${tok("d6")}
+       |  UNION ALL SELECT 7, 'dsir_select', ${cnt("d6")},
+       |    ${cnt("d7")}, ${tok("d7")}
+       |  UNION ALL SELECT 8, 'epoch_mix', ${cnt("d7")},
+       |    ${cnt("d8")}, $served
+       |  UNION ALL SELECT 9, 'pack_128', ${cnt("x9")},
+       |    ${cnt("s9")}, $served
+       |  UNION ALL SELECT 10, 'ring_shard', ${cnt("s9")},
+       |    (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) FROM a10),
+       |    $served)
+       |SELECT CAST(i AS BIGINT) AS stage_idx, stage,
+       |  CAST(rows_in AS BIGINT) AS rows_in,
+       |  CAST(rows_out AS BIGINT) AS rows_out,
+       |  CAST(tokens_out AS BIGINT) AS tokens_out
+       |FROM led ORDER BY stage_idx""".stripMargin)
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q269_curation_dag" -> q269Sql,
     // q266: the trainer replayed end-to-end; WITH RECURSIVE powers the
     // two Viterbi DPs.
     "q266_unigram_train" ->
