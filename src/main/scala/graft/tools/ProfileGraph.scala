@@ -51,7 +51,11 @@ object ProfileGraph {
     // warm the session (parquet footers, codegen of trivial plans)
     graft.queries.AdvancedQueries.q134Pagerank(spark, sfDir).collect()
 
-    for (q <- Seq("q134", "q147", "q156", "q163", "q145", "q37")) {
+    val all = Seq("q134", "q147", "q156", "q163", "q145", "q37",
+                  "q196", "q209", "q253", "q258", "q259", "q252")
+    val qs = sys.env.get("PROFILE_QUERIES")
+      .map(_.split(",").toSeq).getOrElse(all)
+    for (q <- qs) {
       for (i <- 1 to 4) {
         time(s"$q run$i") {
           val df = q match {
@@ -61,6 +65,12 @@ object ProfileGraph {
             case "q163" => graft.queries.AdvancedQueries.q163WeightedPaths(spark, sfDir)
             case "q145" => graft.queries.PipelineQueries.q145CrossModalDedup(spark, sfDir)
             case "q37"  => graft.queries.AdvancedQueries.q37DedupGroups(spark, sfDir)
+            case "q196" => graft.queries.AdvancedQueries.q196DedupFixedpoint(spark, sfDir)
+            case "q209" => graft.queries.AdvancedQueries.q209IncrementalCc(spark, sfDir)
+            case "q253" => graft.queries.AdvancedQueries.q253LeakSafeSplit(spark, sfDir)
+            case "q258" => graft.queries.PipelineQueries.q258SuffixRanks(spark, sfDir)
+            case "q259" => graft.queries.PipelineQueries.q259SaDupStats(spark, sfDir)
+            case "q252" => graft.queries.PipelineQueries.q252SubstringApply(spark, sfDir)
           }
           df.collect()
           org.apache.spark.sql.GraftColumns.unpersistCheckpoint(df)
