@@ -1225,4 +1225,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "bucket frames are control-plane — no data-sized join")
   }
+
+  test("q264: the zone-map-pruned rollup map-combines and pushes the " +
+       "residual predicate into the surviving files' scan") {
+    val plan = finalPlan(AdvancedQueries.queries("q264_zonemap_scan")(
+      spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"rollup must keep map-side partials:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+           plan.contains("l_shipdate"),
+      "the residual range must reach the pruned parquet scan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q266: the unigram trainer's piece costs BROADCAST into the " +
+       "edge join; the Viterbi DP is per-row compute, never a " +
+       "per-position shuffle") {
+    withCapturedPlans {
+      CurationQueries.queries("q266_unigram_train")(spark, sf).collect()
+    } { plans =>
+      assert(plans.exists(_.contains("BroadcastHashJoin")),
+        "piece-cost side must broadcast into the edge join")
+      assert(!plans.exists(_.contains("CartesianProduct")),
+        "no all-pairs stage anywhere in the trainer")
+    }
+  }
+
+  test("q265: keep-first election rides the SAME detection hash agg " +
+       "(min-struct field), no extra shuffle vs the cut-everywhere path") {
+    val plan = finalPlan(PipelineQueries.queries(
+      "q265_substring_keepfirst")(spark, sf))
+    assert(plan.contains("partial_min") || plan.contains("min("),
+      s"keeper election must map-combine inside the gram agg:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // same exchange count class as q252: detection agg + coverage join
+    // + per-doc window — count exchanges as a regression tripwire
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    val base = finalPlan(PipelineQueries.queries(
+      "q252_substring_apply")(spark, sf))
+    val baseExchanges = "Exchange".r.findAllIn(base).size
+    assert(exchanges <= baseExchanges + 1,
+      s"keep-first added shuffles: $exchanges vs q252's $baseExchanges")
+  }
 }
