@@ -1141,6 +1141,34 @@ object ScaleProbe {
           f"(compile+scan ${(System.nanoTime() - t0) / 1e9}%.2f s)")
       }
     }
+    // --- unigram-LM tokenizer (q266/q267 shape): corpus ×mult. The
+    // trainer claim: every stage heavier than a 1-row total rides the
+    // DISTINCT-WORD vocab (the Zipf lever) — inflated copies add one
+    // suffix word each, so vocab grows ~linearly in copies while the
+    // corpus grows ×mult, and trainer time must track VOCAB, not
+    // corpus. Encode adds one hash join of doc words against the
+    // segmented vocab — the only corpus-sized stage.
+    time(s"unigram_train_${mult}x") {
+      val p = graft.operators.UnigramLm.trainPieces(
+        docs, "text", maxPieceLen = 4, minCount = 4, vocabSize = 1024)
+      println("  final pieces: " + p.count())
+    }
+    time(s"unigram_encode_${mult}x") {
+      println("  encoded docs: " + graft.operators.UnigramLm.encode(
+        docs, "text", Seq("doc_id"),
+        maxPieceLen = 4, minCount = 4, vocabSize = 1024).count())
+    }
+    // --- keep-first substring rewrite (q265 shape): corpus ×mult with
+    // exact-duplicate bodies — every copy family shares all ≥25-char
+    // windows, so the keeper election runs at full pressure. The claim:
+    // election is one extra min-struct field in the detection agg —
+    // growth must match the cut-everywhere q252 path, never all-pairs.
+    time(s"substring_keepfirst_${mult}x") {
+      val cut = Dedup.removeDuplicatedSubstringsKeepFirst(
+        docs, "doc_id", "text", minLen = 25)
+      println("  docs losing text: " +
+        cut.filter(col("removed_chars") > 0).count())
+    }
     time("curve_layout_cost") {
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
