@@ -161,10 +161,12 @@ object Bench {
         java.nio.file.Paths.get(s"BENCH_LOCAL_r$currentRound.json"), line)
     } catch { case _: Throwable => () }
     // The per-query line above outgrew the driver's 2000-char tail in 5 of
-    // 7 rounds (`parsed` came back null). The FINAL stdout line is a
-    // compact, complete JSON object that always fits the tail; the full
-    // detail lives in the committed BENCH_LOCAL artifact.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","contended":$contended,"detail":"BENCH_LOCAL_r$currentRound.json"}""")
+    // 7 rounds (`parsed` came back null) — a 264-query map cannot ride a
+    // 2000-char tail, so the FINAL stdout line is a compact, complete
+    // JSON object that always fits; it carries the contention evidence
+    // (pre-session loadavg, per-sweep totals) and points at the
+    // committed BENCH_LOCAL artifact for the per-query map.
+    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"contended":$contended,"loadavg_1m_presession":$loadPre%.2f,"sweep_totals_sec":${sweepTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"detail":"BENCH_LOCAL_r$currentRound.json"}""")
     spark.stop()
   }
 
