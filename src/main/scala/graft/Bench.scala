@@ -6,16 +6,25 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
 
-  /** Accumulates task-level shuffle/spill bytes. Wall-clock noise can
-    * hide a plan regression (an extra exchange costs little at sf0.1 but
-    * is the 100 TB bottleneck); these counters make it a metric diff.
+  /** Accumulates task-level shuffle/spill bytes plus task and
+    * task-failure counts. Wall-clock noise can hide a plan regression
+    * (an extra exchange costs little at sf0.1 but is the 100 TB
+    * bottleneck); these counters make it a metric diff. The task/failure
+    * counts are the re-execution witness the r11 q269 anomaly lacked:
+    * a retried stage shows MORE TASKS (and usually failures) in the
+    * inflated sweep, an AQE plan switch shows the same task count at
+    * different bytes, and an accounting leak shows bytes without tasks.
     */
   private final class MetricsListener extends SparkListener {
     val shuffleWrite = new AtomicLong
     val shuffleRead  = new AtomicLong
     val memSpill     = new AtomicLong
     val diskSpill    = new AtomicLong
+    val tasks        = new AtomicLong
+    val failedTasks  = new AtomicLong
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      if (te.reason != org.apache.spark.Success) failedTasks.incrementAndGet()
       val m = te.taskMetrics
       if (m != null) {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
@@ -24,16 +33,21 @@ object Bench {
         diskSpill.addAndGet(m.diskBytesSpilled)
       }
     }
-    def reset(): Unit = Seq(shuffleWrite, shuffleRead, memSpill, diskSpill)
-      .foreach(_.set(0L))
-    def snapshot: (Long, Long, Long, Long) =
-      (shuffleWrite.get, shuffleRead.get, memSpill.get, diskSpill.get)
-    /** Listener events are delivered async; settle until stable. */
-    def settled: (Long, Long, Long, Long) = {
+    def reset(): Unit = Seq(shuffleWrite, shuffleRead, memSpill, diskSpill,
+                            tasks, failedTasks).foreach(_.set(0L))
+    def snapshot: Snap = Snap(shuffleWrite.get, shuffleRead.get,
+                              memSpill.get, diskSpill.get,
+                              tasks.get, failedTasks.get)
+    /** Listener events are delivered async; settle until stable. Runs
+      * after EVERY query in EVERY sweep now (the r11 verdict's per-sweep
+      * accounting), so the poll is kept short — events in local mode
+      * drain in a few ms once the action returns.
+      */
+    def settled: Snap = {
       var prev = snapshot
       var same = 0
       while (same < 2) {
-        Thread.sleep(50)
+        Thread.sleep(20)
         val cur = snapshot
         if (cur == prev) same += 1 else { same = 0; prev = cur }
       }
@@ -41,9 +55,21 @@ object Bench {
     }
   }
 
+  private final case class Snap(sw: Long, sr: Long, ms: Long, ds: Long,
+                                tasks: Long, failed: Long) {
+    def -(o: Snap): Snap = Snap(sw - o.sw, sr - o.sr, ms - o.ms,
+                                ds - o.ds, tasks - o.tasks,
+                                failed - o.failed)
+    def shuffleTotal: Long = sw + sr
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated exact-name filter (dev: reproduce one
+    // query's per-sweep metrics without paying the full suite).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // Sampled BEFORE any Spark work: from here on the bench's own tasks
     // dominate the 1-minute loadavg, so only this pre-session sample can
     // witness EXTERNAL load. The r10 driver run started at loadavg 9.78
@@ -61,6 +87,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
+    val queries = only match {
+      case Some(keep) => SparkEntry.queries.filter(kv => keep(kv._1))
+      case None       => SparkEntry.queries
+    }
     // Drop any RDD blocks a query's operators left pinned (local
     // checkpoints of iterative plans). Operators release their own
     // intermediates, but each query's RESULT checkpoint stays addressable
@@ -77,7 +107,7 @@ object Bench {
     // round-to-round noisy (the r3 "q37 regression" was exactly this
     // noise plus machine contention — isolated runs never reproduced it).
     // The timed passes below therefore measure steady-state plan execution.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     clearBlocks()
@@ -91,42 +121,42 @@ object Bench {
     // of the unlucky query to the same spike (r10: q258 14→86 s, q219
     // 2→24 s, both at byte-identical shuffle metrics). Per-query
     // loadavg at each sample start is recorded so the reader can see
-    // WHICH samples were loaded. Shuffle bytes are pass-invariant and
-    // come from the last sweep.
+    // WHICH samples were loaded.
+    //
+    // Shuffle/spill bytes and task counts are now metered PER SWEEP
+    // (r11 verdict #1): the old one-snapshot-on-the-last-sweep shape
+    // could not distinguish a re-executed stage from an accounting leak
+    // when the driver's r11 artifact showed q269 at exactly 2× the
+    // same-code builder run. The HEADLINE byte fields are taken from
+    // the sweep with the LOWEST total shuffle bytes — the plan's floor,
+    // the same reasoning as min-of-sweeps wall time — and the full
+    // per-sweep arrays ride next to them so an inflated sweep is
+    // attributable (failed tasks → retry; same tasks at 2× bytes → AQE
+    // plan switch; bytes with no extra tasks or failures → accounting).
     val sweeps = 3
-    val names = SparkEntry.queries.keys.toSeq
-    val metricsPerQuery =
-      collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long)]
-    var shuffleBase = (0L, 0L, 0L, 0L)
+    val names = queries.keys.toSeq
     val loadStart = systemLoadAvg
     val cpuT0 = processCpuNs
     val wallT0 = System.nanoTime()
     val times = Array.fill(sweeps)(
       collection.mutable.LinkedHashMap.empty[String, (Double, Double)])
+    val sweepMetrics = Array.fill(sweeps)(
+      collection.mutable.LinkedHashMap.empty[String, Snap])
     for (s <- 0 until sweeps) {
-      if (s == sweeps - 1) metrics.reset()
-      for ((name, fn) <- SparkEntry.queries) {
+      metrics.reset()
+      var base = Snap(0L, 0L, 0L, 0L, 0L, 0L)
+      for ((name, fn) <- queries) {
         val la = systemLoadAvg
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         clearBlocks()
-        if (s == sweeps - 1) {
-          val snap = metrics.settled
-          times(s)(name) = (dt, la)
-          metricsPerQuery(name) = (snap._1 - shuffleBase._1,
-            snap._2 - shuffleBase._2, snap._3 - shuffleBase._3,
-            snap._4 - shuffleBase._4)
-          shuffleBase = snap
-        } else times(s)(name) = (dt, la)
+        val snap = metrics.settled
+        times(s)(name) = (dt, la)
+        sweepMetrics(s)(name) = snap - base
+        base = snap
       }
     }
-    val results = names.map { name =>
-      val samples = (0 until sweeps).map(s => times(s)(name))
-      val (sw, sr, ms, ds) = metricsPerQuery(name)
-      name -> ((samples.map(_._1).min, sw, sr, ms, ds,
-                samples.map(_._1), samples.map(_._2)))
-    }.toMap
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     val cpuSec = (processCpuNs - cpuT0) / 1e9
     val loadEnd = systemLoadAvg
@@ -136,21 +166,40 @@ object Bench {
     // carry this signal — once the sweeps run, loadavg measures the
     // bench itself.
     val contended = loadPre > cpus.toDouble * 0.25
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+    // Per-query rollup in SUITE ORDER (ADVICE r11: a .toMap here emitted
+    // the JSON objects in hash order, making committed artifacts
+    // diff-noisy whenever the query set changed).
+    final case class QRes(minSec: Double, head: Snap, perSweep: Seq[Snap],
+                          sweepSec: Seq[Double], loads: Seq[Double])
+    val results: Seq[(String, QRes)] = names.map { name =>
+      val samples = (0 until sweeps).map(s => times(s)(name))
+      val snaps = (0 until sweeps).map(s => sweepMetrics(s)(name))
+      val head = snaps.minBy(_.shuffleTotal)
+      name -> QRes(samples.map(_._1).min, head, snaps,
+                   samples.map(_._1), samples.map(_._2))
+    }
+    val qs = results.map { case (k, r) => s"\"" + k + "\":" + r.minSec }
       .mkString("{", ",", "}")
-    val qm = results.map { case (k, (_, sw, sr, ms, ds, ss, ls)) =>
-      s"\"$k\":{\"shuffle_write_bytes\":$sw,\"shuffle_read_bytes\":$sr," +
-        s"\"mem_spill_bytes\":$ms,\"disk_spill_bytes\":$ds," +
-        s"\"sweep_sec\":${ss.mkString("[", ",", "]")}," +
+    val qm = results.map { case (k, r) =>
+      s"\"$k\":{\"shuffle_write_bytes\":${r.head.sw}," +
+        s"\"shuffle_read_bytes\":${r.head.sr}," +
+        s"\"mem_spill_bytes\":${r.head.ms}," +
+        s"\"disk_spill_bytes\":${r.head.ds}," +
+        s"\"sweep_shuffle_bytes\":${r.perSweep.map(_.shuffleTotal).mkString("[", ",", "]")}," +
+        s"\"sweep_spill_bytes\":${r.perSweep.map(x => x.ms + x.ds).mkString("[", ",", "]")}," +
+        s"\"sweep_tasks\":${r.perSweep.map(_.tasks).mkString("[", ",", "]")}," +
+        s"\"sweep_failed_tasks\":${r.perSweep.map(_.failed).mkString("[", ",", "]")}," +
+        s"\"sweep_sec\":${r.sweepSec.mkString("[", ",", "]")}," +
         "\"loadavg_starts\":" +
-        ss.indices.map(i => f"${ls(i)}%.2f").mkString("[", ",", "]") + "}"
+        r.loads.map(l => f"$l%.2f").mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2.minSec).sum else 0.0
     val sweepTotals = (0 until sweeps)
       .map(s => names.map(n => times(s)(n)._1).sum)
     val loadLine =
       f""""load":{"loadavg_1m_presession":$loadPre%.2f,"loadavg_1m_start":$loadStart%.2f,"loadavg_1m_end":$loadEnd%.2f,"cpu_wall_ratio":${if (wallSec > 0) cpuSec / wallSec else 0.0}%.2f,"contended":$contended,"sweep_totals_sec":${sweepTotals.map(t => f"$t%.1f").mkString("[", ",", "]")}}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"sf":"$sfDir","cpus":$cpus,$loadLine,"delta_vs_prev":${deltaVsPrev(results, sfDir, cpus)}}"""
+    val headBytes = results.map { case (k, r) => k -> r.head }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"query_metrics":$qm,"sf":"$sfDir","cpus":$cpus,$loadLine,"delta_vs_prev":${deltaVsPrev(headBytes, sfDir, cpus)}}"""
     println(line)
     // The driver's tail capture truncates stdout at 2000 chars (r06 lost
     // every per-query timing that way) — persist the full JSON as a
@@ -200,9 +249,12 @@ object Bench {
   /** Per-query shuffle-byte growth vs the previous round's committed
     * BENCH_LOCAL artifact: flags any query whose (write + read) shuffle
     * bytes grew > 20% — a plan regression signal wall-clock noise can't
-    * fake. The previous artifact is self-generated JSON with a fixed
-    * shape, so a regex pull of the two counters is sufficient (no JSON
-    * dependency in the library).
+    * fake. Both sides are now min-across-sweeps floors (this run by
+    * construction, the prior artifact's headline fields since r12), so
+    * a single loaded sweep cannot flag a query whose plan is unchanged.
+    * The previous artifact is self-generated JSON with a fixed shape, so
+    * a regex pull of the two counters is sufficient (no JSON dependency
+    * in the library).
     *
     * Only same-scale-factor, same-parallelism artifacts are comparable:
     * shuffle bytes scale with the data (an sf0.01-vs-sf0.1 diff flags
@@ -215,10 +267,8 @@ object Bench {
     * note rather than emitting noise. Artifacts before r8 did not record
     * cpus — an absent field is treated as a mismatch (unknown ≠ equal).
     */
-  private def deltaVsPrev(
-      results: Iterable[(String, (Double, Long, Long, Long, Long,
-                                  Seq[Double], Seq[Double]))],
-      sfDir: String, cpus: String): String = {
+  private def deltaVsPrev(results: Seq[(String, Snap)],
+                          sfDir: String, cpus: String): String = {
     val prevFile = (1 until currentRound).reverse.iterator
       .map(n => n -> new java.io.File(s"BENCH_LOCAL_r$n.json"))
       .find(_._2.isFile)
@@ -244,9 +294,10 @@ object Bench {
         .map(m => m.group(1) -> (m.group(2).toLong + m.group(3).toLong))
         .toMap
       val flagged = results.iterator.collect {
-        case (name, (_, sw, sr, _, _, _, _)) if prev.contains(name) &&
-            sw + sr > prev(name) * 12L / 10L && sw + sr - prev(name) > 4096L =>
-          s"""\"$name\":{\"prev_shuffle_bytes\":${prev(name)},\"now_shuffle_bytes\":${sw + sr}}"""
+        case (name, snap) if prev.contains(name) &&
+            snap.shuffleTotal > prev(name) * 12L / 10L &&
+            snap.shuffleTotal - prev(name) > 4096L =>
+          s"""\"$name\":{\"prev_shuffle_bytes\":${prev(name)},\"now_shuffle_bytes\":${snap.shuffleTotal}}"""
       }.toSeq
       // An object keyed by query (not bare pairs in an array — the r7
       // shape produced invalid JSON the first time the list was non-empty).

@@ -1131,20 +1131,35 @@ object Dedup {
     * the PORTABLE 64-bit hash pair of the L-gram — 16 bytes into the
     * exchange instead of L chars, the shuffle-volume lever that makes
     * 100 TB feasible; duplicated-key detection is one map-combined
-    * hash agg; coverage is a semi-join back on the same key (same
-    * partitioning, AQE-coalesced); region assembly is a per-doc window
-    * (bounded by document length — never corpus-wide). Hash-collision
-    * false positives are ~n²/2⁶⁵ and the oracle applies the identical
-    * md5-derived pair, so the gate is exact.
+    * hash agg; coverage is a join back on the same key whose strategy
+    * is COUNTED, not estimated (see [[spansFromGrams]] — the r11 bench
+    * anomaly was Catalyst nondeterministically planning this join as
+    * shuffle instead of broadcast, paying a second raw-gram exchange);
+    * region assembly is a per-doc window (bounded by document length —
+    * never corpus-wide). Hash-collision false positives are ~n²/2⁶⁵
+    * and the oracle applies the identical md5-derived pair, so the
+    * gate is exact.
+    *
+    * RELEASE CONTRACT: result == handle (the [[minhashDedupPairs]]
+    * convention) — the returned span frame is an eager checkpoint;
+    * release with `GraftColumns.unpersistCheckpoint` once consumed.
     */
   def duplicatedSubstringSpans(docs: DataFrame, idCol: String,
                                textCol: String,
-                               minLen: Int = 25): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                               minLen: Int = 25): DataFrame =
+    spansFromGrams(lGrams(docs, idCol, textCol, minLen), minLen,
+                   keepFirst = false)
+
+  /** (doc_id, pos 1-based, __h1, __h2) for every L-gram start position
+    * of every document — the shared detection input of the
+    * exact-substring family. Hashes ride the exchange, never the L
+    * chars.
+    */
+  private[graft] def lGrams(docs: DataFrame, idCol: String,
+                            textCol: String, L: Int): DataFrame = {
     import graft.functions.PortableHash
-    require(minLen >= 2, s"need minLen >= 2, got $minLen")
-    val L = minLen
-    val grams = Partitioning.spread(docs)
+    require(L >= 2, s"need minLen >= 2, got $L")
+    Partitioning.spread(docs)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .filter(length(col("__t")) >= L)
       .select(col("doc_id"), posexplode(expr(
@@ -1153,13 +1168,61 @@ object Dedup {
       .select(col("doc_id"), (col("__i") + 1).cast("long").as("pos"),
               PortableHash.h32(col("__g")).as("__h1"),
               PortableHash.h32b(col("__g")).as("__h2"))
-    val dup = grams.groupBy("__h1", "__h2")
-      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Shared detection tail of [[duplicatedSubstringSpans]] /
+    * [[keepFirstDuplicatedSubstringSpans]]: aggregate duplicated gram
+    * keys (plus the keep-first keeper field when asked), join coverage
+    * back, assemble maximal regions. Returns the spans CHECKPOINTED
+    * (result == handle).
+    *
+    * The coverage join's strategy is decided by a COUNTED dup-key
+    * cardinality, never left to Catalyst size estimates: the r11 bench
+    * caught this exact join flipping nondeterministically between
+    * broadcast (probe side recomputes grams narrowly from the scan — no
+    * second exchange) and shuffle (a second raw-gram exchange, 2× the
+    * operator's shuffle bytes at sf0.1), because the estimate rides the
+    * input checkpoint's block sizes. Under the cap the dup keys
+    * broadcast — deterministic and strictly cheaper; above it (the
+    * 100 TB regime, where a broadcast would OOM the driver) the shuffle
+    * semi-join is the correct plan and is chosen explicitly. The dup-key
+    * aggregate is checkpointed to pay its shuffle once for the count and
+    * the join, and released before return.
+    */
+  /** The LAZY duplicated-gram-key aggregate (pre-checkpoint) —
+    * private[graft] so `PlanShapeSpec` can pin its map-combine shape
+    * (the keeper election must ride partial_min inside the same hash
+    * agg), which the checkpointed production path hides.
+    */
+  private[graft] def dupGramKeys(grams: DataFrame,
+                                 keepFirst: Boolean): DataFrame = {
+    val agg = grams.groupBy("__h1", "__h2")
+    (if (keepFirst)
+       agg.agg(count(lit(1)).as("__c"),
+               min(struct(col("doc_id"), col("pos"))).as("__k"))
+     else agg.agg(count(lit(1)).as("__c")))
       .filter(col("__c") >= 2)
-      .select("__h1", "__h2")
-    val covered = grams.join(dup, Seq("__h1", "__h2"), "left_semi")
-      .select("doc_id", "pos")
-    coveredToSpans(covered, L)
+      .drop("__c")
+  }
+
+  private def spansFromGrams(grams: DataFrame, L: Int, keepFirst: Boolean,
+                             broadcastKeyCap: Long = DefaultBroadcastPairCap)
+      : DataFrame = {
+    val dup = dupGramKeys(grams, keepFirst).graftCheckpoint()
+    try {
+      val dupJ = if (dup.count() <= broadcastKeyCap) broadcast(dup) else dup
+      val covered =
+        if (keepFirst)
+          grams.join(dupJ, Seq("__h1", "__h2"))
+            .filter(col("doc_id") =!= col("__k.doc_id") ||
+                    col("pos") =!= col("__k.pos"))
+            .select("doc_id", "pos")
+        else
+          grams.join(dupJ, Seq("__h1", "__h2"), "left_semi")
+            .select("doc_id", "pos")
+      coveredToSpans(covered, L).graftCheckpoint()
+    } finally
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(dup)
   }
 
   /** Merge covered L-gram start positions into maximal disjoint
@@ -1184,64 +1247,172 @@ object Dedup {
   }
 
   /** KEEP-FIRST variant of [[duplicatedSubstringSpans]] — the regions
-    * to cut under CANONICAL-COPY election (r10 verdict #8): for every
-    * duplicated L-gram, its globally FIRST occurrence under the
-    * (doc_id, pos) total order is the keeper and keeps its window;
-    * every other occurrence's window is cut. A repeated substring of
-    * any length ≥ L therefore survives exactly once — in the document
-    * where it first occurs — because each of its L-grams' first
-    * occurrences all lie in that earliest copy. This is the actual
-    * Lee et al. training-set REWRITE (one canonical copy per
-    * duplicated span family), where [[duplicatedSubstringSpans]] is
-    * their conservative cut-everywhere detection default.
+    * to cut under PER-GRAM canonical-copy election (r10 verdict #8):
+    * for every duplicated L-gram, its globally FIRST occurrence under
+    * the (doc_id, pos) total order is the keeper and keeps its window;
+    * every other occurrence's window is cut. In the COMMON case — a
+    * span family whose L-grams occur only inside the family's copies —
+    * a repeated substring of any length ≥ L survives exactly once, in
+    * the document where it first occurs, because each of its L-grams'
+    * first occurrences all lie in that earliest copy. The election is
+    * PER GRAM, not per span family (ADVICE r11): when one of a span's
+    * L-grams ALSO occurs at an earlier, unrelated position, that
+    * gram's keeper lies outside the family's earliest copy and the
+    * earliest copy can itself be partially cut — the documented edge
+    * the oracle replays with the identical rule. This is the
+    * Lee et al. training-set REWRITE shape (one canonical copy per
+    * duplicated region in the common case), where
+    * [[duplicatedSubstringSpans]] is their conservative cut-everywhere
+    * detection default.
     *
     * Keeper election is one extra field in the SAME hash agg the
     * detection pass already runs (min of the (doc_id, pos) struct per
     * gram key) — no new shuffle over the detection path; the
     * non-keeper filter rides the coverage join.
+    *
+    * RELEASE CONTRACT: result == handle ([[duplicatedSubstringSpans]]).
     */
   def keepFirstDuplicatedSubstringSpans(docs: DataFrame, idCol: String,
                                         textCol: String,
-                                        minLen: Int = 25): DataFrame = {
-    import graft.functions.PortableHash
-    require(minLen >= 2, s"need minLen >= 2, got $minLen")
-    val L = minLen
-    val grams = Partitioning.spread(docs)
-      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
-      .filter(length(col("__t")) >= L)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, length(__t) - ${L - 1})," +
-          s" p -> substring(__t, p, $L))")).as(Seq("__i", "__g")))
-      .select(col("doc_id"), (col("__i") + 1).cast("long").as("pos"),
-              PortableHash.h32(col("__g")).as("__h1"),
-              PortableHash.h32b(col("__g")).as("__h2"))
-    val keeper = grams.groupBy("__h1", "__h2")
-      .agg(count(lit(1)).as("__c"),
-           min(struct(col("doc_id"), col("pos"))).as("__k"))
-      .filter(col("__c") >= 2)
-      .select(col("__h1"), col("__h2"),
-              col("__k.doc_id").as("__kd"), col("__k.pos").as("__kp"))
-    val covered = grams.join(keeper, Seq("__h1", "__h2"))
-      .filter(col("doc_id") =!= col("__kd") || col("pos") =!= col("__kp"))
-      .select("doc_id", "pos")
-    coveredToSpans(covered, L)
-  }
+                                        minLen: Int = 25): DataFrame =
+    spansFromGrams(lGrams(docs, idCol, textCol, minLen), minLen,
+                   keepFirst = true)
 
   /** APPLY step of [[keepFirstDuplicatedSubstringSpans]]: cut every
     * non-canonical duplicated region and emit the cleaned digests —
     * same output shape as [[removeDuplicatedSubstrings]], but each
     * duplicated span family survives exactly once corpus-wide instead
-    * of zero times.
+    * of zero times (per-gram election — see the span function's edge
+    * case).
+    *
+    * RELEASE CONTRACT: result == handle; the span checkpoint is
+    * released internally once the result materializes.
     */
   def removeDuplicatedSubstringsKeepFirst(docs: DataFrame, idCol: String,
                                           textCol: String,
-                                          minLen: Int = 25): DataFrame =
-    Intervals.cutSpans(
-      Partitioning.spread(docs).withColumnRenamed(idCol, "doc_id"),
-      "doc_id", textCol,
-      keepFirstDuplicatedSubstringSpans(docs, idCol, textCol, minLen),
-      startCol = "span_start", lenCol = "span_len")
+                                          minLen: Int = 25): DataFrame = {
+    val spans =
+      keepFirstDuplicatedSubstringSpans(docs, idCol, textCol, minLen)
+    try Intervals.cutSpans(
+        Partitioning.spread(docs).withColumnRenamed(idCol, "doc_id"),
+        "doc_id", textCol, spans,
+        startCol = "span_start", lenCol = "span_len")
       .withColumnRenamed("cut_md5", "cleaned_md5")
+      .graftCheckpoint()
+    finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(spans)
+  }
+
+  /** Corpus-side STATE of incremental exact-substring dedup: the
+    * distinct L-gram hash keys of the corpus — (gram_h1, gram_h2), one
+    * row per distinct key. Presence is all the batch path needs
+    * (corpus precedence cuts EVERY batch occurrence of a corpus gram,
+    * so neither counts nor keeper positions are carried), which makes
+    * the state INCREMENTALLY MAINTAINABLE with no recount:
+    * postings(corpus ∪ batch) = (postings(corpus) ∪ postings(batch))
+    * distinct — the merge a daily-ingest loop runs after each batch.
+    */
+  def substringGramPostings(corpus: DataFrame, idCol: String,
+                            textCol: String,
+                            minLen: Int = 25): DataFrame =
+    lGrams(corpus, idCol, textCol, minLen)
+      .select(col("__h1").as("gram_h1"), col("__h2").as("gram_h2"))
+      .distinct()
+
+  /** INCREMENTAL (batch-vs-corpus) exact-substring dedup — the daily-
+    * crawl shape of [[keepFirstDuplicatedSubstringSpans]] (r11 verdict
+    * #3): new documents are checked against an EXISTING corpus's gram
+    * postings and spans are cut ONLY in the batch, with keep-first
+    * election respecting CORPUS PRECEDENCE. A batch L-gram window is
+    * covered (cut) iff
+    *
+    *   - its key exists in `corpusPostings` (the corpus copy is the
+    *     canonical one — every batch occurrence is cut), OR
+    *   - the key is corpus-new but occurs ≥ 2 times in the batch, and
+    *     this occurrence is not the batch's first under the
+    *     (doc_id, pos) total order (within-batch keep-first).
+    *
+    * EQUIVALENCE: when every corpus doc_id orders before every batch
+    * doc_id, the output equals
+    * `keepFirstDuplicatedSubstringSpans(corpus ∪ batch)` restricted to
+    * batch documents — the batch-vs-corpus form IS the full recompute,
+    * paid incrementally (`IncrementalSubstringSpec` gates the
+    * identity).
+    *
+    * Scale shape (the [[incrementalMinhashPairs]] asymmetric contract):
+    * the corpus NEVER reshuffles — `corpusPostings` (the persistent
+    * index, 16 B/row) streams through ONE probe join against the
+    * batch's distinct gram keys, broadcast under the counted cap; the
+    * batch side (a day's crawl vs the accumulated corpus) pays one
+    * gram aggregation and one coverage join, both batch-sized. Above
+    * the cap the probe degrades to a shuffle semi-join of key pairs —
+    * 16 bytes per corpus-distinct gram, never document text.
+    *
+    * Output: (doc_id, span_start, span_len) over batch docs only.
+    * RELEASE CONTRACT: result == handle.
+    */
+  def incrementalDuplicatedSubstringSpans(
+      corpusPostings: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 25,
+      broadcastKeyCap: Long = DefaultBroadcastPairCap): DataFrame = {
+    val grams = lGrams(batch, idCol, textCol, minLen)
+    val batchKeys = grams.groupBy("__h1", "__h2")
+      .agg(count(lit(1)).as("__c"),
+           min(struct(col("doc_id"), col("pos"))).as("__k"))
+      .graftCheckpoint()
+    try {
+      val nKeys = batchKeys.count()
+      val probe = batchKeys.select("__h1", "__h2")
+      val probeJ = if (nKeys <= broadcastKeyCap) broadcast(probe) else probe
+      // corpus postings stream once; only batch-present keys survive
+      val hits = corpusPostings
+        .select(col("gram_h1").as("__h1"), col("gram_h2").as("__h2"))
+        .join(probeJ, Seq("__h1", "__h2"), "left_semi")
+        .withColumn("__in_corpus", lit(true))
+      val dupKeys = batchKeys.join(hits, Seq("__h1", "__h2"), "left")
+        .filter(col("__in_corpus").isNotNull || col("__c") >= 2)
+        .select(col("__h1"), col("__h2"),
+                coalesce(col("__in_corpus"), lit(false)).as("__in_corpus"),
+                col("__k"))
+        .graftCheckpoint()
+      try {
+        val dkJ =
+          if (dupKeys.count() <= broadcastKeyCap) broadcast(dupKeys)
+          else dupKeys
+        val covered = grams.join(dkJ, Seq("__h1", "__h2"))
+          .filter(col("__in_corpus") ||
+                  col("doc_id") =!= col("__k.doc_id") ||
+                  col("pos") =!= col("__k.pos"))
+          .select("doc_id", "pos")
+        coveredToSpans(covered, minLen).graftCheckpoint()
+      } finally
+        org.apache.spark.sql.GraftColumns.unpersistCheckpoint(dupKeys)
+    } finally
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(batchKeys)
+  }
+
+  /** APPLY step of [[incrementalDuplicatedSubstringSpans]]: cut the
+    * batch's covered regions and emit the cleaned digests — the same
+    * output shape as [[removeDuplicatedSubstringsKeepFirst]], computed
+    * for the batch only, against the corpus state. Corpus documents
+    * are never rewritten (they hold the canonical copies).
+    *
+    * RELEASE CONTRACT: result == handle; the span checkpoint is
+    * released internally once the result materializes.
+    */
+  def removeIncrementalDuplicatedSubstrings(
+      corpusPostings: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 25,
+      broadcastKeyCap: Long = DefaultBroadcastPairCap): DataFrame = {
+    val spans = incrementalDuplicatedSubstringSpans(
+      corpusPostings, batch, idCol, textCol, minLen, broadcastKeyCap)
+    try Intervals.cutSpans(
+        Partitioning.spread(batch).withColumnRenamed(idCol, "doc_id"),
+        "doc_id", textCol, spans,
+        startCol = "span_start", lenCol = "span_len")
+      .withColumnRenamed("cut_md5", "cleaned_md5")
+      .graftCheckpoint()
+    finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(spans)
+  }
 
   /** Per-document rollup of [[duplicatedSubstringSpans]] — the
     * dedup-decision view: span count, duplicated-char total (regions
@@ -1253,18 +1424,22 @@ object Dedup {
   def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
                         minLen: Int = 25): DataFrame = {
     val spans = duplicatedSubstringSpans(docs, idCol, textCol, minLen)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_chars"))
-    Partitioning.spread(docs)
-      .select(col(idCol).as("doc_id"),
-              length(col(textCol)).cast("long").as("n_chars"))
-      .join(spans, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_chars"),
-              coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-              coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
-      .withColumn("dup_e6",
-        expr("CASE WHEN n_chars = 0 THEN 0" +
-             " ELSE (1000000 * dup_chars) div n_chars END"))
+    try {
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+             sum(col("span_len")).as("dup_chars"))
+      Partitioning.spread(docs)
+        .select(col(idCol).as("doc_id"),
+                length(col(textCol)).cast("long").as("n_chars"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+                coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+                coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+        .withColumn("dup_e6",
+          expr("CASE WHEN n_chars = 0 THEN 0" +
+               " ELSE (1000000 * dup_chars) div n_chars END"))
+        .graftCheckpoint()
+    } finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(spans)
   }
 
   /** APPLY step of [[duplicatedSubstringSpans]] — Lee et al. 2021's
@@ -1286,16 +1461,22 @@ object Dedup {
     * char between them) joined back to the text — the document body
     * crosses the wire exactly once, and the cut itself is a codegen'd
     * `aggregate` fold over the sorted span array, linear in doc bytes.
+    *
+    * RELEASE CONTRACT: result == handle; the span checkpoint is
+    * released internally once the result materializes.
     */
   def removeDuplicatedSubstrings(docs: DataFrame, idCol: String,
                                  textCol: String,
-                                 minLen: Int = 25): DataFrame =
-    Intervals.cutSpans(
-      Partitioning.spread(docs).withColumnRenamed(idCol, "doc_id"),
-      "doc_id", textCol,
-      duplicatedSubstringSpans(docs, idCol, textCol, minLen),
-      startCol = "span_start", lenCol = "span_len")
+                                 minLen: Int = 25): DataFrame = {
+    val spans = duplicatedSubstringSpans(docs, idCol, textCol, minLen)
+    try Intervals.cutSpans(
+        Partitioning.spread(docs).withColumnRenamed(idCol, "doc_id"),
+        "doc_id", textCol, spans,
+        startCol = "span_start", lenCol = "span_len")
       .withColumnRenamed("cut_md5", "cleaned_md5")
+      .graftCheckpoint()
+    finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(spans)
+  }
 
   def applyDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
                  aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =

@@ -8,9 +8,11 @@ import graft.GraftOps._
   * doubling (Manber & Myers 1990; the distributed form is the
   * Flick & Aluru 2015 bulk-synchronous shape) — the index structure
   * under Lee et al. 2021's ExactSubstr dedup. One row per suffix
-  * (doc, pos); ranks START at level 8 (one dense rank over the packed
-  * 8-char substring key at each position), then double per round:
-  * log₂(cap/8) doubling rounds total, not log₂(cap).
+  * (doc, pos); ranks START at level min(16, capChars) (one dense rank
+  * over the packed substring key — two 8-char segments — at each
+  * position), then double per round: log₂(cap/16) doubling rounds
+  * total, not log₂(cap). (ADVICE r11: this header used to say level 8;
+  * the in-body `pack = min(16, capChars)` comment was always right.)
   *
   * Comparisons are CAPPED at `capChars` (default 64): suffixes are
   * ordered by their first `capChars` characters, remaining ties broken

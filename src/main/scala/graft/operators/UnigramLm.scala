@@ -39,8 +39,8 @@ import org.apache.spark.sql.functions._
   * exchange (piece keys are unique, so dense rank IS row_number) —
   * never a global window; the Viterbi DP is ONE codegen'd `aggregate`
   * fold per word (no per-position joins, no UDF); document encode is
-  * a broadcast-size? no — a hash join of doc words against the
-  * segmented vocab, then a per-doc ordered rollup.
+  * a hash join of doc words against the segmented vocab, then a
+  * per-doc ordered rollup.
   *
   * Packing bound: per-token cost ≤ bits(total)+1 ≤ 64, so a word of
   * length ≤ 2¹⁶−1 keeps cost·2³² below 2⁶³ and n, i inside their 16-bit
@@ -107,20 +107,31 @@ object UnigramLm {
     * (best cost / token count / segmentation up to each position).
     * The inner 1-element `aggregate` is a let-binding for the packed
     * best so it is computed once per position.
+    *
+    * UNREACHABLE positions (no edge ends at j, or every predecessor is
+    * itself unreachable — a vocabulary gap) carry the SENTINEL cost
+    * 2³⁰ instead of a null: the bs array's element type is non-null
+    * (seeded by array('')), so a null entry would NPE the unsafe row
+    * writer, and nulls can't survive the packed arithmetic anyway.
+    * 2³⁰ dominates every real path (cost ≤ 64·len < 2²², packing stays
+    * under 2⁶³ even after per-token additions), so a final cost ≥ 2³⁰
+    * IS the uncovered-word witness [[segmentWords]] raises on.
     */
+  private[graft] val UncoveredSentinelCost = 1L << 30
   private val dpExpr: String =
-    """aggregate(
+    s"""aggregate(
       |  sequence(1, length(word)),
       |  named_struct('bc', array(CAST(0 AS BIGINT)),
       |               'bn', array(CAST(0 AS BIGINT)),
       |               'bs', array('')),
       |  (acc, j) -> aggregate(
-      |    array(array_min(transform(filter(__es, e -> e.j = j),
+      |    array(coalesce(array_min(transform(filter(__es, e -> e.j = j),
       |      e -> (element_at(acc.bc, CAST(e.i + 1 AS INT)) + e.c)
       |             * CAST(4294967296 AS BIGINT)
       |           + (element_at(acc.bn, CAST(e.i + 1 AS INT)) + 1)
       |             * CAST(65536 AS BIGINT)
-      |           + e.i))),
+      |           + e.i)),
+      |      CAST(${UncoveredSentinelCost * 4294967296L} AS BIGINT))),
       |    acc,
       |    (a, b) -> named_struct(
       |      'bc', concat(a.bc, array(b div 4294967296)),
@@ -136,9 +147,14 @@ object UnigramLm {
   /** Viterbi-segment every vocab word under the given piece costs:
     * (word, freq, n_tok, seg) with seg = pieces joined by '|'.
     * Deterministic: min over packed (Σcost, n, last-piece-start).
-    * Precondition (loud): every word char appears in `pieceCosts`
-    * (true by construction when costs derive from the same corpus) and
-    * words are shorter than 2¹⁶ chars (the packing bound).
+    * Preconditions, BOTH loud (r11 verdict #5 / ADVICE — the coverage
+    * check used to be an inner join that silently dropped uncovered
+    * words and a DP that folded a vocabulary gap into null segs):
+    * every word must have a full piece cover under `pieceCosts` (true
+    * by construction when costs derive from the same corpus, since
+    * single chars always survive; a FOREIGN piece table with a gap now
+    * raises instead of losing rows), and words must be shorter than
+    * 2¹⁶ chars (the packing bound).
     */
   def segmentWords(wf: DataFrame, pieceCosts: DataFrame,
                    maxPieceLen: Int): DataFrame = {
@@ -162,14 +178,29 @@ object UnigramLm {
             lit("unigram: word exceeds the 65535-char packing bound: "),
             substring(col("word"), 1, 64)))))
       .drop("__len_ok")
-    guarded.join(edges, Seq("word"))
+    // LEFT join: a word with no matching piece at all keeps a null
+    // edge set; both it and a mid-word vocabulary gap drive the DP's
+    // final cost to the uncovered sentinel (see [[dpExpr]]), which the
+    // guard below turns into the promised error instead of a silent
+    // null/garbage row.
+    guarded.join(edges, Seq("word"), "left")
       .withColumn("__dp", expr(dpExpr))
       .select(col("word"), col("freq"),
+              element_at(col("__dp.bc"),
+                         (length(col("word")) + 1).cast("int"))
+                .as("__cost"),
               element_at(col("__dp.bn"),
                          (length(col("word")) + 1).cast("int"))
                 .as("n_tok"),
               element_at(col("__dp.bs"),
                          (length(col("word")) + 1).cast("int")).as("seg"))
+      .select(col("word"), col("freq"),
+              when(col("__cost") < UncoveredSentinelCost, col("n_tok"))
+                .otherwise(raise_error(concat(
+                  lit("unigram: word has no full piece cover under the " +
+                      "given pieceCosts (foreign/gapped vocabulary): "),
+                  substring(col("word"), 1, 64)))).as("n_tok"),
+              col("seg"))
   }
 
   /** Full trainer: seed → cost₀ → E (Viterbi usage recount) → M
@@ -202,9 +233,18 @@ object UnigramLm {
     */
   def encode(docs: DataFrame, textCol: String, keyCols: Seq[String],
              maxPieceLen: Int = 4, minCount: Long = 4,
-             vocabSize: Int = 1024): DataFrame = {
-    val pieces = trainPieces(docs, textCol, maxPieceLen, minCount,
-                             vocabSize)
+             vocabSize: Int = 1024): DataFrame =
+    encodeWith(docs, textCol, keyCols,
+               trainPieces(docs, textCol, maxPieceLen, minCount, vocabSize),
+               maxPieceLen)
+
+  /** [[encode]] under an EXISTING piece table (piece, …, cost_bits) —
+    * the apply path a pipeline runs against a trained-and-persisted
+    * tokenizer ([[TokenizerStore]]): train once, encode any corpus the
+    * vocabulary covers. Same plan as [[encode]] minus the trainer.
+    */
+  def encodeWith(docs: DataFrame, textCol: String, keyCols: Seq[String],
+                 pieces: DataFrame, maxPieceLen: Int = 4): DataFrame = {
     val segs = segmentWords(wordFreqs(docs, textCol), pieces, maxPieceLen)
       .select(col("word"), col("n_tok"), col("seg"))
     val keys = keyCols.map(col)

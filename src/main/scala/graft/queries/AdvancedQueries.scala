@@ -323,9 +323,10 @@ object AdvancedQueries {
     * reader path that CONSUMES the q263 audit. The lineitem projection
     * is laid out as 24 range-clustered parquet files by ship date (the
     * q97 cluster-what-you-filter-on discipline), a per-file min/max
-    * zone map is built from one column-pruned pass, and the narrow
-    * Q1-1996 predicate reads ONLY the surviving files — the rest are
-    * never opened. The oracle is the plain predicate scan over the
+    * zone map is built from PARQUET FOOTER STATISTICS (zero row reads —
+    * r12; the scan-built map remains as its spec-gated oracle twin),
+    * and the narrow Q1-1996 predicate reads ONLY the surviving files —
+    * the rest are never opened. The oracle is the plain predicate scan over the
     * source table: pruning must be row-invisible by construction
     * (zone pruning may only drop files the predicate cannot match),
     * so one wrongly-skipped file breaks the monthly rollup. The
@@ -339,11 +340,21 @@ object AdvancedQueries {
     * Spark's own file-index listing; the data-sized work is only the
     * surviving files' scan.
     */
+  /** q264's clustered layout: keyed by (sf dir, PID) so two concurrent
+    * sessions over the same sf dir cannot overwrite each other's files
+    * mid-scan (ADVICE r11), and written ONCE per JVM so repeated bench
+    * sweeps time the pruned-scan path — the operator under test — not
+    * the layout rewrite.
+    */
+  private val zmWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def q264ZonemapScan(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.ZoneMapScan
     val path = System.getProperty("java.io.tmpdir") +
-      "/graft_zmscan_" + Integer.toHexString(dir.hashCode)
-    ZoneMapScan.writeClustered(
+      "/graft_zmscan_" + Integer.toHexString(dir.hashCode) +
+      "_" + ProcessHandle.current().pid()
+    if (zmWritten.add(path)) ZoneMapScan.writeClustered(
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_shipdate"),
                 col("l_quantity"), col("l_extendedprice")),

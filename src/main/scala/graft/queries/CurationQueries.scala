@@ -1784,7 +1784,15 @@ object CurationQueries {
     val toksCol = size(split(col("text"), " ")).cast("long")
     def tokSum(df: DataFrame): Long =
       df.agg(coalesce(sum(toksCol), lit(0L))).collect()(0).getLong(0)
+    // Stage labels ride the driver-thread-local job description (AQE's
+    // stage-materialization jobs capture it), so per-stage cost shows up
+    // attributable in the UI / listeners instead of 167 anonymous
+    // withThreadLocalCaptured stages — how the r11 shuffle-byte anomaly
+    // was pinned to its fragment.
+    def mark(n: String): Unit =
+      s.sparkContext.setJobDescription(s"q269:$n")
 
+    mark("0_source")
     val d0 = Partitioning.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .graftCheckpoint()
@@ -1803,6 +1811,7 @@ object CurationQueries {
       lit("</h1><!-- chrome --><p>"), col("text"),
       lit("</p><div class=\"footer\">&copy; 2026 Example " +
           "&lt;Corp&gt;</div></body></html>"))
+    mark("1_html")
     val d1 = d0.select(col("doc_id"), col("lang"), col("source"),
         replace(Html.mainText(page), lit("\n"), lit(" ")).as("text"))
       .graftCheckpoint()
@@ -1811,6 +1820,7 @@ object CurationQueries {
     GraftColumns.unpersistCheckpoint(d0)
 
     // 2 — NFC
+    mark("2_nfc")
     val d2 = d1.withColumn("text",
         TextFunctions.unicodeNormalize(col("text"), "NFC"))
       .graftCheckpoint()
@@ -1822,6 +1832,7 @@ object CurationQueries {
     // LABEL, not a hard filter — as a filter it left an all-English,
     // single-label population and the calibrated stage had nothing to
     // separate)
+    mark("3_rules")
     val keep3 = ruleFlags(d2.select(col("doc_id"),
                                     col("text").as("t")))
       .filter(col("keep")).select("doc_id")
@@ -1835,6 +1846,7 @@ object CurationQueries {
     // substring cut: cutting corpus-duplicated spans first strips the
     // very text near-dup families share and starves doc-level dedup
     // (measured: zero J≥0.8 pairs left at sf0.01)
+    mark("4_minhash")
     val pairs4 = Dedup.minhashDedupPairs(d3, "doc_id", "text",
                                          n = 3, num = 4, den = 5)
       .select(col("doc_a"), col("doc_b"))
@@ -1847,14 +1859,16 @@ object CurationQueries {
     GraftColumns.unpersistCheckpoint(d3)
 
     // 5 — exact-substring dedup apply over the family survivors
+    mark("5_substr")
+    val spans5 = Dedup.duplicatedSubstringSpans(d4, "doc_id", "text",
+                                                minLen = 25)
     val cut5 = Intervals.cutSpansText(
-        d4, "doc_id", "text",
-        Dedup.duplicatedSubstringSpans(d4, "doc_id", "text", minLen = 25),
-        "span_start", "span_len")
+        d4, "doc_id", "text", spans5, "span_start", "span_len")
       .select(col("doc_id"), col("cut_text").as("text"))
     val d5 = d4.drop("text").join(cut5, Seq("doc_id")).graftCheckpoint()
     val n5 = d5.count()
     led += ((5L, "substring_dedup", n4, n5, tokSum(d5)))
+    GraftColumns.unpersistCheckpoint(spans5)
     GraftColumns.unpersistCheckpoint(d4)
 
     // 6 — calibrated LANGUAGE-ID filter: perceptron trained to
@@ -1863,6 +1877,7 @@ object CurationQueries {
     // construction), margins isotonic-calibrated, keep p_e6 >= 5e5.
     // The synthetic 'en'/'xx' lang column feeds the SHARED q250
     // feature frame so the label rule lives in exactly one place.
+    mark("6_langid")
     val w6 = TextFunctions.words(col("text"))
     val scores6 = TextFunctions.LangStopwords
       .map { case (l, _) => l -> TextFunctions.langScore(w6, l)
@@ -1892,6 +1907,7 @@ object CurationQueries {
     GraftColumns.unpersistCheckpoint(d5)
 
     // 7 — DSIR top-quartile selection, model fit on the survivors
+    mark("7_dsir")
     val wt7 = Dsir.weights(d6, "doc_id", "text",
                            col("lang") === "en", buckets = 64)
       .withColumn("__one", lit(1L))
@@ -1909,6 +1925,7 @@ object CurationQueries {
 
     // 8 — greedy per-source epoch allocation (q229's rule), scored by
     // the stage-7 DSIR weights; |sources| rows of driver control plane
+    mark("8_epoch")
     val srcRows = d7.groupBy(col("source"))
       .agg(sum(toksCol).as("tokens"),
            expr("sum(weight_e6) div count(1)").as("mean_w"))
@@ -1935,6 +1952,7 @@ object CurationQueries {
 
     // 9 — epoch expansion + 128-token chop over the (epoch, doc_id)
     // stream (q74's rule); sequences touched = the packed artifact
+    mark("9_pack")
     val ex9 = d8.select(col("doc_id"), toksCol.as("toks"),
                         explode(expr("sequence(1, epochs)")).as("ep"))
     val nEx = ex9.count()
@@ -1951,6 +1969,7 @@ object CurationQueries {
     GraftColumns.unpersistCheckpoint(d8)
 
     // 10 — ring-shard the sequence ids (8 shards × 16 vnodes)
+    mark("10_shard")
     val nShards = Sharding.ringAssign(seqs9, "seq_id", 8, 16)
       .select("shard").distinct().count()
     led += ((10L, "ring_shard", nSeqs, nShards, served))

@@ -16,12 +16,13 @@ import org.apache.spark.sql.types.StructType
   *     parquet (one file per range partition, rows sorted within), the
   *     layout that gives zone maps their selectivity (a hash-scattered
   *     layout's zones all span the full domain — q263's null case).
-  *  2. [[buildZoneMap]] — per-file (zone_min, zone_max, n_rows) from a
-  *     single column-pruned scan of the zone column (at warehouse scale
-  *     this is the parquet-footer statistics pass; the explicit scan
-  *     keeps the map an auditable DataFrame). One row PER FILE —
-  *     control-plane sized at any corpus size (~10⁵ rows for a 100 TB
-  *     table at 1 GB files).
+  *  2. [[buildZoneMapFromFooters]] — per-file (zone_min, zone_max,
+  *     n_rows) from PARQUET FOOTER STATISTICS: one ~KB metadata read
+  *     per file, zero row reads (the production build;
+  *     [[buildZoneMap]], the column-pruned data scan, remains as its
+  *     audit/oracle twin — `ZoneMapScanSpec` gates the two identical
+  *     row-for-row). One row PER FILE — control-plane sized at any
+  *     corpus size (~10⁵ rows for a 100 TB table at 1 GB files).
   *  3. [[pruneFiles]] + [[prunedRead]] — survivors are the files whose
   *     [zone_min, zone_max] interval INTERSECTS the predicate range;
   *     everything else is never opened. The collect is the pruning
@@ -49,17 +50,160 @@ object ZoneMapScan {
       .sortWithinPartitions(clusterCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** `file://`-URI normalization shared by the two zone-map builders:
+    * `input_file_name()` renders local files as `file:///p`, Hadoop
+    * `Path.toUri` as `file:/p` — same file, different spelling, and the
+    * map consumers (the footer≡scan spec gate, [[pruneFiles]] set
+    * logic) need ONE spelling. Both forms stay readable by
+    * `spark.read.parquet`.
+    */
+  private def normFile(c: Column): Column =
+    regexp_replace(c, "^file:/+", "file:///")
+
   /** Per-file zone sketch for `zoneCol`:
-    * (file, zone_min, zone_max, n_rows). One column-pruned scan.
+    * (file, zone_min, zone_max, n_rows). One column-pruned scan of the
+    * zone column — the AUDIT/ORACLE twin of
+    * [[buildZoneMapFromFooters]]: same output row-for-row, built by
+    * reading the data instead of trusting writer statistics, so the
+    * spec can gate the footer path against it.
     */
   def buildZoneMap(spark: SparkSession, path: String,
                    zoneCol: String): DataFrame =
     spark.read.parquet(path)
-      .select(input_file_name().as("file"), col(zoneCol))
+      .select(normFile(input_file_name()).as("file"), col(zoneCol))
       .groupBy(col("file"))
       .agg(min(col(zoneCol)).as("zone_min"),
            max(col(zoneCol)).as("zone_max"),
            count(lit(1)).as("n_rows"))
+
+  /** Parquet physical/logical types the footer reader knows how to
+    * order and render canonically. Timestamps/decimals/nested zones are
+    * out of scope — use the scan-built map there (fail-loud below).
+    */
+  private def statToString(
+      tpe: org.apache.parquet.schema.PrimitiveType,
+      v: AnyRef): String = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val logical = tpe.getLogicalTypeAnnotation
+    (tpe.getPrimitiveTypeName, logical) match {
+      case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+        java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[java.lang.Integer].longValue()).toString
+      case (INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+        // epoch count at the annotation's unit → ISO local-datetime
+        // string, castable to TIMESTAMP/TIMESTAMP_NTZ under the UTC
+        // session the library pins
+        val raw = v.asInstanceOf[java.lang.Long].longValue()
+        val micros = ts.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+          case LogicalTypeAnnotation.TimeUnit.MICROS => raw
+          case LogicalTypeAnnotation.TimeUnit.NANOS  => raw / 1000L
+        }
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC).toString
+      // plain ints only: a decimal annotation stores UNSCALED values,
+      // whose toString would cast to the wrong number — fail loud below
+      case (INT32, null) | (INT64, null) | (FLOAT, null) | (DOUBLE, null) |
+           (BOOLEAN, null) => v.toString
+      case (INT32, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) |
+           (INT64, _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) =>
+        v.toString
+      case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+        new String(v.asInstanceOf[org.apache.parquet.io.api.Binary]
+                     .getBytes, java.nio.charset.StandardCharsets.UTF_8)
+      case (p, l) =>
+        throw new IllegalArgumentException(
+          s"zone map from footers: unsupported parquet type $p / $l — " +
+          "use the scan-built map for this column")
+    }
+  }
+
+  /** [[buildZoneMap]] from PARQUET FOOTER STATISTICS — zero row reads
+    * (r11 verdict #4: the scan-built map's setup cost is a full
+    * column read, which at 100 TB undercuts the operator's own
+    * economics; the footer pass reads one ~KB metadata block per
+    * file). The file list is a driver-side listing (the same
+    * control-plane order of work as Spark's own file-index listing);
+    * footer reads are DISTRIBUTED — one task per file partition, each
+    * opening only its footers, so build cost is O(files/parallelism)
+    * with no data-sized work anywhere.
+    *
+    * Per file: n_rows = Σ row-group counts; zone_min/max = min/max over
+    * row-group statistics, rendered canonically and cast back to the
+    * table's column type, so the output is row-for-row the scan-built
+    * map (`ZoneMapScanSpec` gates the identity). Files whose footer
+    * carries NO statistics for the column (foreign writers, all-null
+    * row groups) get null min/max — [[pruneFiles]] keeps null-zone
+    * files by contract, so an absent statistic degrades to "never
+    * pruned", not "wrongly pruned". Unsupported zone types fail loud.
+    */
+  def buildZoneMapFromFooters(spark: SparkSession, path: String,
+                              zoneCol: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val hadoopPath = new Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hadoopPath).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .map(_.toUri.toString)
+      .sorted
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val zoneType = spark.read.parquet(path).schema(zoneCol).dataType
+    val rows = spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        val conf = confB.value.value
+        it.map { f =>
+          val footer = org.apache.parquet.hadoop.ParquetFileReader
+            .readFooter(conf, new Path(f),
+              org.apache.parquet.format.converter.ParquetMetadataConverter
+                .NO_FILTER)
+          val schema = footer.getFileMetaData.getSchema
+          val colIdx = schema.getFieldIndex(zoneCol)
+          val primType = schema.getType(colIdx).asPrimitiveType()
+          var nRows = 0L
+          var minS: String = null
+          var maxS: String = null
+          // String order is NOT parquet's value order (e.g. "9" > "10"),
+          // so min/max across row groups reduce on the DECODED values via
+          // the stats comparator, then render once.
+          var minV: AnyRef = null
+          var maxV: AnyRef = null
+          val cmp = primType.comparator()
+            .asInstanceOf[java.util.Comparator[AnyRef]]
+          footer.getBlocks.asScala.foreach { block =>
+            nRows += block.getRowCount
+            val cc = block.getColumns.get(colIdx)
+            val st = cc.getStatistics
+            if (st != null && !st.isEmpty && st.hasNonNullValue) {
+              val lo = st.genericGetMin.asInstanceOf[AnyRef]
+              val hi = st.genericGetMax.asInstanceOf[AnyRef]
+              if (minV == null || cmp.compare(lo, minV) < 0) minV = lo
+              if (maxV == null || cmp.compare(hi, maxV) > 0) maxV = hi
+            }
+          }
+          if (minV != null) {
+            minS = statToString(primType, minV)
+            maxS = statToString(primType, maxV)
+          }
+          (f, minS, maxS, nRows)
+        }
+      }
+      .toDF("file", "__min_s", "__max_s", "n_rows")
+    rows.select(
+      normFile(col("file")).as("file"),
+      col("__min_s").cast(zoneType).as("zone_min"),
+      col("__max_s").cast(zoneType).as("zone_max"),
+      col("n_rows"))
+  }
 
   /** Files whose zone interval intersects [lo, hi] — sorted for a
     * deterministic read plan. Null zones (all-null files) survive:
@@ -88,7 +232,7 @@ object ZoneMapScan {
     */
   def scan(spark: SparkSession, path: String, zoneCol: String,
            lo: Column, hi: Column): (DataFrame, Int, Int) = {
-    val zones = buildZoneMap(spark, path, zoneCol)
+    val zones = buildZoneMapFromFooters(spark, path, zoneCol)
     val total = zones.count().toInt
     val files = pruneFiles(zones, lo, hi)
     val schema = spark.read.parquet(path).schema

@@ -90,6 +90,35 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("segmentWords fails loud on a foreign piece table: a word with " +
+       "an uncovered char raises; a covered corpus is unchanged") {
+    val docs = docsOf(Seq("abc abq"))
+    val wf = UnigramLm.wordFreqs(docs, "text")
+    // foreign piece table covering a, b, c — but not q
+    val foreign = Seq(("a", 4L), ("b", 4L), ("c", 4L), ("ab", 3L))
+      .toDF("piece", "cnt")
+    val costs = UnigramLm.costs(foreign)
+    val e = intercept[Exception] {
+      UnigramLm.segmentWords(wf, costs, P).collect()
+    }
+    assert(e.getMessage != null &&
+           e.getMessage.contains("no full piece cover"),
+           s"wanted the loud cover error, got: ${e.getMessage}")
+    // a word NONE of whose substrings match any piece (the old inner
+    // join dropped it silently) also raises
+    val wfQ = UnigramLm.wordFreqs(docsOf(Seq("qq")), "text")
+    val e2 = intercept[Exception] {
+      UnigramLm.segmentWords(wfQ, costs, P).collect()
+    }
+    assert(e2.getMessage.contains("no full piece cover"))
+    // covered words still segment — restricting to the covered word
+    // keeps the same output as before the guard
+    val wfAbc = UnigramLm.wordFreqs(docsOf(Seq("abc")), "text")
+    val got = UnigramLm.segmentWords(wfAbc, costs, P)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(("abc", 2L, "ab|c")))
+  }
+
   test("hard-EM prune: an admitted multi the Viterbi never uses is " +
        "dropped; chars survive with add-one smoothing") {
     // 'xy' and 'yz' both seed from "xyz"; the DP picks one of the two

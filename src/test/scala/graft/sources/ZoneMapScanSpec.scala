@@ -105,6 +105,87 @@ class ZoneMapScanSpec extends SparkSpec {
     assert(n == 301L)
   }
 
+  test("footer-statistics map ≡ scan-built map row-for-row (long, " +
+       "date, and string zones; all-null files carry null zones)") {
+    // long zone, clustered
+    val pL = tmp("foot_long")
+    ZoneMapScan.writeClustered(rows.toDF("k", "v", "pad"), pL,
+                               Seq("k"), numFiles = 8)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("file").collect().map(_.toSeq).toSeq
+    assert(sortedRows(ZoneMapScan.buildZoneMapFromFooters(spark, pL, "k"))
+             == sortedRows(ZoneMapScan.buildZoneMap(spark, pL, "k")))
+    // date + string zones in one table (covers INT32/date and
+    // BINARY/UTF8 statistics decoding), plus one all-null date file
+    val pD = tmp("foot_date")
+    val dRows = (1 to 300).map { i =>
+      (i.toLong,
+       if (i <= 100) null
+       else java.sql.Date.valueOf(java.time.LocalDate
+         .ofEpochDay(19000L + i % 37)),
+       s"s_${i % 53}%02d")
+    }
+    dRows.toDF("id", "d", "s")
+      // id-ranged files: file 0 = the all-null-date ids 1..100
+      .repartitionByRange(3, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(pD)
+    for (zc <- Seq("d", "s"))
+      assert(sortedRows(ZoneMapScan.buildZoneMapFromFooters(spark, pD, zc))
+               == sortedRows(ZoneMapScan.buildZoneMap(spark, pD, zc)),
+             s"footer map != scan map for zone column $zc")
+  }
+
+  test("footer build reads no data bytes (the scan build's full column " +
+       "read collapses to per-file metadata)") {
+    val path = tmp("foot_bytes")
+    ZoneMapScan.writeClustered(rows.toDF("k", "v", "pad"), path,
+                               Seq("k"), numFiles = 8)
+    val footerBytes = bytesRead {
+      ZoneMapScan.buildZoneMapFromFooters(spark, path, "k").collect()
+    }
+    val scanBytes = bytesRead {
+      ZoneMapScan.buildZoneMap(spark, path, "k").collect()
+    }
+    // footer reads go through ParquetFileReader directly, not a Spark
+    // input format, so task input metrics see (at most) the tiny
+    // driver-listed path dataset; the scan build reads the data files
+    assert(scanBytes > 0 && footerBytes < scanBytes / 10,
+           s"footer=$footerBytes scan=$scanBytes")
+  }
+
+  test("footer build handles int64-timestamp zones and fails loud on " +
+       "unsupported types (decimal's unscaled stats, legacy INT96)") {
+    val path = tmp("foot_ts")
+    // TIMESTAMP_NTZ (LocalDateTime) always writes INT64 micros; the
+    // driver's testdata timestamps are the same physical shape
+    Seq((1L, java.time.LocalDateTime.of(1995, 11, 20, 1, 2, 3),
+         BigDecimal("1.23")),
+        (2L, java.time.LocalDateTime.of(1996, 2, 1, 4, 5, 6),
+         BigDecimal("4.56")))
+      .toDF("id", "ts", "dec").write.mode("overwrite").parquet(path)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("file").collect().map(_.toSeq).toSeq
+    assert(sortedRows(ZoneMapScan.buildZoneMapFromFooters(spark, path, "ts"))
+             == sortedRows(ZoneMapScan.buildZoneMap(spark, path, "ts")))
+    // decimal statistics are UNSCALED ints — rendering them would cast
+    // to the wrong number, so the footer build must refuse
+    val e = intercept[org.apache.spark.SparkException] {
+      ZoneMapScan.buildZoneMapFromFooters(spark, path, "dec").collect()
+    }
+    assert(e.getMessage != null)
+    // legacy INT96 timestamps: parquet itself distrusts INT96 min/max
+    // ordering (parquet-mr ignores those stats) — must refuse, never
+    // trust them
+    val p96 = tmp("foot_ts96")
+    Seq((1L, new java.sql.Timestamp(1000L)))
+      .toDF("id", "ts").write.mode("overwrite").parquet(p96)
+    val e96 = intercept[org.apache.spark.SparkException] {
+      ZoneMapScan.buildZoneMapFromFooters(spark, p96, "ts").collect()
+    }
+    assert(e96.getMessage != null)
+  }
+
   test("null zones survive pruning (a file of all-null keys may match " +
        "nothing, but pruning must not decide that)") {
     val zones = Seq(
