@@ -1414,6 +1414,39 @@ object Dedup {
     finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(spans)
   }
 
+  /** Per-batch-document rollup of
+    * [[incrementalDuplicatedSubstringSpans]] — [[substringDupStats]]'s
+    * decision view for the incremental form: how much of each NEW
+    * document is already-known (corpus) or within-batch duplicated
+    * text; clean batch docs appear with zeros.
+    *
+    * RELEASE CONTRACT: result == handle; the span checkpoint is
+    * released internally once the result materializes.
+    */
+  def incrementalSubstringDupStats(
+      corpusPostings: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, minLen: Int = 25,
+      broadcastKeyCap: Long = DefaultBroadcastPairCap): DataFrame = {
+    val spans = incrementalDuplicatedSubstringSpans(
+      corpusPostings, batch, idCol, textCol, minLen, broadcastKeyCap)
+    try {
+      val perDoc = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+             sum(col("span_len")).as("dup_chars"))
+      Partitioning.spread(batch)
+        .select(col(idCol).as("doc_id"),
+                length(col(textCol)).cast("long").as("n_chars"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+                coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+                coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+        .withColumn("dup_e6",
+          expr("CASE WHEN n_chars = 0 THEN 0" +
+               " ELSE (1000000 * dup_chars) div n_chars END"))
+        .graftCheckpoint()
+    } finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(spans)
+  }
+
   /** Per-document rollup of [[duplicatedSubstringSpans]] — the
     * dedup-decision view: span count, duplicated-char total (regions
     * are disjoint by construction, so a plain sum IS the union size),

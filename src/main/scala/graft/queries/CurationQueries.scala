@@ -1733,6 +1733,72 @@ object CurationQueries {
       .orderBy("tokenizer", "lang")
   }
 
+  /** Per-JVM unique scratch dir for persisted tokenizer artifacts
+    * (q241/q242): keyed by sf dir and PID — two concurrent sessions
+    * over the same testdata never clobber each other's artifact files
+    * (the q264 path discipline).
+    */
+  private def tokenizerStorePath(dir: String, name: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft_tokstore_" + name +
+      "_" + Integer.toHexString(dir.hashCode) + "_" +
+      ProcessHandle.current().pid()
+
+  /** q241 — BPE TOKENIZER PERSISTENCE ROUND-TRIP (r11 verdict #7):
+    * train q85's merge list, SAVE it as a versioned parquet artifact
+    * ([[graft.operators.TokenizerStore]]), LOAD it back, and encode the
+    * corpus THROUGH THE LOADED ARTIFACT. The oracle is q98's (encode
+    * via the trained merges), so the gate proves encode-via-loaded ≡
+    * encode-via-trained byte-for-byte — the guarantee a pipeline needs
+    * before shipping a tokenizer file trained in one job to the encode
+    * jobs of the next months. Kind/version mismatches fail loud at
+    * load (`TokenizerStoreSpec`).
+    */
+  def q241BpeStoreRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Bpe, TokenizerStore}
+    val docs = Tables.documents(s, dir)
+    val path = tokenizerStorePath(dir, "bpe")
+    TokenizerStore.save(Bpe.trainMerges(docs, "text", rounds = 4),
+                        path, TokenizerStore.KindBpeMerges)
+    val merges = TokenizerStore
+      .load(s, path, TokenizerStore.KindBpeMerges)
+      .filter(col("round") <= 4)
+      .select("round", "left_sym", "right_sym")
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.encode(docs, "text", Seq("doc_id"), merges)
+      .select(col("doc_id"),
+        shiftright(length(col("encoded")) -
+          length(replace(col("encoded"), lit("|"), lit(""))), 1)
+          .cast("long").as("n_tokens"),
+        md5(col("encoded")).as("enc_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q242 — UNIGRAM TOKENIZER PERSISTENCE ROUND-TRIP: q241's contract
+    * for the q266 piece table — save the trained artifact, load it,
+    * encode every document through the LOADED pieces
+    * ([[graft.operators.UnigramLm.encodeWith]]). Gated by q267's
+    * oracle, so a single flipped Viterbi tie under the loaded costs —
+    * i.e. any value damage in the parquet round-trip — breaks a
+    * digest.
+    */
+  def q242UnigramStoreRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TokenizerStore, UnigramLm}
+    val docs = Tables.documents(s, dir)
+    val path = tokenizerStorePath(dir, "unigram")
+    TokenizerStore.save(
+      UnigramLm.trainPieces(docs, "text", maxPieceLen = 4, minCount = 4,
+                            vocabSize = 1024),
+      path, TokenizerStore.KindUnigramPieces)
+    UnigramLm.encodeWith(
+        docs, "text", Seq("doc_id"),
+        TokenizerStore.load(s, path, TokenizerStore.KindUnigramPieces),
+        maxPieceLen = 4)
+      .select(col("doc_id"), col("n_tokens"),
+              md5(col("encoded")).as("encoded_md5"))
+      .orderBy("doc_id")
+  }
+
   /** q269 — THE END-TO-END CURATION DAG (r10 verdict #4): the
     * individually-gated operators of rounds 1–10 composed as ONE
     * pipeline over staged, REWRITTEN text, with a per-stage yield
@@ -2299,6 +2365,8 @@ object CurationQueries {
     "q267_unigram_encode" -> (q267UnigramEncode _),
     "q268_tokenizer_compare" -> (q268TokenizerCompare _),
     "q269_curation_dag" -> (q269CurationDag _),
+    "q241_bpe_store_roundtrip" -> (q241BpeStoreRoundtrip _),
+    "q242_unigram_store_roundtrip" -> (q242UnigramStoreRoundtrip _),
     "q139_pair_lift"       -> (q139PairLift _),
     "q166_frequent_triples" -> (q166FrequentTriples _),
     "q143_clustering_coeff" -> (q143ClusteringCoeff _),
@@ -2650,6 +2718,16 @@ object CurationQueries {
        |${dpCte(1, "k1")}""".stripMargin
   }
 
+  /** q267's full oracle (shared verbatim by q242 — the persistence
+    * round-trip must hash identically to encode-through-trained).
+    */
+  private lazy val unigramEncodeOracleSql: String =
+    s"""WITH RECURSIVE $unigramEncodeCtes
+       |SELECT d.doc_id, COALESCE(en.n_tokens, 0) AS n_tokens,
+       |  md5(COALESCE(en.e, '')) AS encoded_md5
+       |FROM documents d LEFT JOIN en ON en.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Per-doc unigram encode off `sg1`: word order restored from the
     * FILTERED word list's positions (the same order Spark's filtered
     * posexplode yields).
@@ -2896,12 +2974,12 @@ object CurationQueries {
          |SELECT piece, CAST(cnt AS BIGINT) AS uses, cost AS cost_bits
          |FROM k1 ORDER BY piece""".stripMargin,
     // q267: per-doc segmentation digests off the final DP.
-    "q267_unigram_encode" ->
-      s"""WITH RECURSIVE $unigramEncodeCtes
-         |SELECT d.doc_id, COALESCE(en.n_tokens, 0) AS n_tokens,
-         |  md5(COALESCE(en.e, '')) AS encoded_md5
-         |FROM documents d LEFT JOIN en ON en.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "q267_unigram_encode" -> unigramEncodeOracleSql,
+    // q241/q242: encode THROUGH a saved+loaded artifact, gated by the
+    // SAME oracles as encode-through-trained (q98/q267) — the
+    // round-trip identity is exactly that the hashes don't move.
+    "q241_bpe_store_roundtrip" -> bpeEncodeOracleSql,
+    "q242_unigram_store_roundtrip" -> unigramEncodeOracleSql,
     // q268: both tokenizers' fertility from their own gated chains.
     "q268_tokenizer_compare" ->
       s"""WITH RECURSIVE $unigramEncodeCtes,

@@ -1407,6 +1407,72 @@ object PipelineQueries {
         Tables.documents(s, dir), "doc_id", "text", minLen = 25)
       .orderBy("doc_id")
 
+  /** The q239/q240/q243 corpus/batch split: the batch ("today's
+    * crawl") is every 4th document, the corpus the rest. One
+    * definition, used by all three Spark queries AND baked into their
+    * shared oracle CTE — the split cannot drift between them.
+    */
+  private def incrSplit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    (docs.filter(col("doc_id") % 4 =!= 0),
+     docs.filter(col("doc_id") % 4 === 0))
+  }
+
+  /** q239 — INCREMENTAL (batch-vs-corpus) exact-substring dedup,
+    * detection ([[Dedup.incrementalDuplicatedSubstringSpans]]; r11
+    * verdict #3): the q245/q265 family's daily-crawl form. The corpus's
+    * distinct L-gram postings are the persistent state; batch spans are
+    * cut where the gram is corpus-known (corpus precedence — the corpus
+    * copy is canonical) or batch-duplicated past its within-batch first
+    * occurrence. `IncrementalSubstringSpec` proves batch+corpus ≡ the
+    * q265 keep-first recompute on the union; the oracle replays the
+    * corpus probe, the within-batch election, and the gap-25 region
+    * merge independently.
+    *
+    * Scale: the corpus never reshuffles — its postings stream through
+    * one probe join against the (broadcast, counted-cap) batch keys;
+    * everything else is batch-sized.
+    */
+  def q239IncrementalSubstrSpans(s: SparkSession, dir: String)
+      : DataFrame = {
+    val (corpus, batch) = incrSplit(s, dir)
+    Dedup.incrementalDuplicatedSubstringSpans(
+        Dedup.substringGramPostings(corpus, "doc_id", "text", minLen = 25),
+        batch, "doc_id", "text", minLen = 25)
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** q240 — incremental exact-substring dedup, APPLY
+    * ([[Dedup.removeIncrementalDuplicatedSubstrings]]): q239's spans
+    * cut out of the batch documents, cleaned digests gated per doc.
+    * Corpus documents are never rewritten — they hold the canonical
+    * copies; only the new batch pays a rewrite.
+    */
+  def q240IncrementalSubstrApply(s: SparkSession, dir: String)
+      : DataFrame = {
+    val (corpus, batch) = incrSplit(s, dir)
+    Dedup.removeIncrementalDuplicatedSubstrings(
+        Dedup.substringGramPostings(corpus, "doc_id", "text", minLen = 25),
+        batch, "doc_id", "text", minLen = 25)
+      .orderBy("doc_id")
+  }
+
+  /** q243 — incremental exact-substring dedup, DECISION VIEW
+    * ([[Dedup.incrementalSubstringDupStats]]): per-batch-doc rollup of
+    * q239's spans (q246's shape for the incremental form) — the
+    * "how redundant is today's crawl against everything we already
+    * have" report an ingest loop reads before committing a batch.
+    */
+  def q243IncrementalSubstrStats(s: SparkSession, dir: String)
+      : DataFrame = {
+    val (corpus, batch) = incrSplit(s, dir)
+    Dedup.incrementalSubstringDupStats(
+        Dedup.substringGramPostings(corpus, "doc_id", "text", minLen = 25),
+        batch, "doc_id", "text", minLen = 25)
+      .orderBy("doc_id")
+  }
+
   /** q258 — DISTRIBUTED SUFFIX-ARRAY RANKS by prefix doubling
     * ([[graft.operators.SuffixRank.ranks]]): the Manber-Myers index
     * under Lee et al.'s ExactSubstr dedup, built in log₂(64) = 6
@@ -1509,6 +1575,9 @@ object PipelineQueries {
     "q246_substring_stats" -> (q246SubstringStats _),
     "q252_substring_apply" -> (q252SubstringApply _),
     "q265_substring_keepfirst" -> (q265SubstringKeepfirst _),
+    "q239_incr_substr_spans" -> (q239IncrementalSubstrSpans _),
+    "q240_incr_substr_apply" -> (q240IncrementalSubstrApply _),
+    "q243_incr_substr_stats" -> (q243IncrementalSubstrStats _),
     "q258_suffix_ranks"    -> (q258SuffixRanks _),
     "q259_sa_dup_stats"    -> (q259SaDupStats _),
     "q262_archive_walk"    -> (q262ArchiveWalk _),
@@ -1727,6 +1796,54 @@ object PipelineQueries {
        |  FROM p0),
        |dk AS (SELECT h1, h2 FROM g GROUP BY 1, 2 HAVING COUNT(*) >= 2),
        |cv AS (SELECT doc_id, pos FROM g JOIN dk USING (h1, h2)),
+       |sg AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+       |      ORDER BY pos) > $L THEN 1 ELSE 0 END AS brk FROM cv),
+       |sg2 AS (SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS reg FROM sg),
+       |sp AS (SELECT doc_id, MIN(pos) AS span_start,
+       |    MAX(pos) - MIN(pos) + $L AS span_len
+       |  FROM sg2 GROUP BY doc_id, reg)""".stripMargin
+  }
+
+  /** Shared q239/q240/q243 oracle chain: the corpus/batch split (every
+    * 4th doc is the batch — the exact `incrSplit` rule), corpus gram
+    * keys, batch gram occurrences, the coverage rule (corpus-known OR
+    * within-batch non-first of a batch-duplicated gram), and the gap-25
+    * region merge. Ends with `sp` (spans) and keeps `bat` and `cv`
+    * visible for the apply/stats tails.
+    */
+  private val incrSubstrCte: String = {
+    val L = 25
+    def grams(src: String, out: String) =
+      s"""${out}0 AS (
+         |  SELECT doc_id,
+         |    unnest(range(CAST(greatest(length(text) - ${L - 1}, 0)
+         |      AS BIGINT))) + 1 AS pos,
+         |    text
+         |  FROM $src),
+         |$out AS (SELECT doc_id, pos,
+         |    ('0x' || substr(md5(substr(text, CAST(pos AS INT), $L)), 1, 8))
+         |      ::BIGINT AS h1,
+         |    ('0x' || substr(md5(substr(text, CAST(pos AS INT), $L)), 9, 8))
+         |      ::BIGINT AS h2
+         |  FROM ${out}0)""".stripMargin
+    s"""corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+       |bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+       |${grams("corp", "cgo")},
+       |cg AS (SELECT DISTINCT h1, h2 FROM cgo),
+       |${grams("bat", "bg")},
+       |bk AS (SELECT h1, h2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       |oc AS (SELECT bg.doc_id, bg.pos,
+       |    row_number() OVER (PARTITION BY bg.h1, bg.h2
+       |      ORDER BY bg.doc_id, bg.pos) AS rn,
+       |    (cg.h1 IS NOT NULL) AS ic, bk.c AS c
+       |  FROM bg
+       |  JOIN bk ON bk.h1 = bg.h1 AND bk.h2 = bg.h2
+       |  LEFT JOIN cg ON cg.h1 = bg.h1 AND cg.h2 = bg.h2),
+       |cv AS (SELECT doc_id, pos FROM oc
+       |  WHERE ic OR (c >= 2 AND rn > 1)),
        |sg AS (SELECT doc_id, pos,
        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
        |      ORDER BY pos) > $L THEN 1 ELSE 0 END AS brk FROM cv),
@@ -2116,6 +2233,50 @@ object PipelineQueries {
          |SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  MIN(doc_id) AS keep_doc
          |FROM sh GROUP BY span HAVING COUNT(*) >= 2 ORDER BY span""".stripMargin,
+    // q239: incremental detection — corpus gram probe + within-batch
+    // keep-first election + gap-25 merge, all replayed off the shared
+    // CTE (split rule baked in, so Spark and oracle cannot diverge).
+    "q239_incr_substr_spans" ->
+      s"""WITH $incrSubstrCte
+         |SELECT doc_id, span_start, span_len FROM sp
+         |ORDER BY doc_id, span_start""".stripMargin,
+    // q240: the incremental APPLY — batch docs rebuilt from uncovered
+    // characters (the q252 rebuild strategy over the q239 coverage).
+    "q240_incr_substr_apply" ->
+      s"""WITH $incrSubstrCte,
+         |ap AS (SELECT doc_id,
+         |    unnest(range(CAST(length(text) AS BIGINT))) + 1 AS pos, text
+         |  FROM bat),
+         |cw AS (SELECT DISTINCT cv.doc_id, cv.pos + o.off AS pos
+         |  FROM cv CROSS JOIN (SELECT unnest(range(25)) AS off) o),
+         |kp AS (SELECT ap.doc_id, ap.pos,
+         |    substr(ap.text, CAST(ap.pos AS INT), 1) AS ch
+         |  FROM ap LEFT JOIN cw
+         |    ON cw.doc_id = ap.doc_id AND cw.pos = ap.pos
+         |  WHERE cw.pos IS NULL),
+         |cl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    string_agg(ch, '' ORDER BY pos) AS ct
+         |  FROM kp GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(length(b.text) AS BIGINT) AS n_chars,
+         |  CAST(length(b.text) - COALESCE(cl.n_kept, 0) AS BIGINT)
+         |    AS removed_chars,
+         |  md5(COALESCE(cl.ct, '')) AS cleaned_md5
+         |FROM bat b LEFT JOIN cl ON cl.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+    // q243: q239's spans rolled up per batch doc, zeros kept.
+    "q243_incr_substr_stats" ->
+      s"""WITH $incrSubstrCte,
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |          CAST(SUM(span_len) AS BIGINT) AS dup_chars
+         |        FROM sp GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(length(b.text) AS BIGINT) AS n_chars,
+         |  COALESCE(n_spans, 0) AS n_spans,
+         |  COALESCE(dup_chars, 0) AS dup_chars,
+         |  CAST(CASE WHEN length(b.text) = 0 THEN 0
+         |       ELSE (1000000 * COALESCE(dup_chars, 0)) // length(b.text)
+         |       END AS BIGINT) AS dup_e6
+         |FROM bat b LEFT JOIN agg ON agg.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     // q245: the char-level any-length duplicated-region derivation —
     // positions, portable 64-bit gram keys, duplicated keys, covered
     // positions, gap-25 region merge (shared CTE with q246).
