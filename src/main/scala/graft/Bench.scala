@@ -133,7 +133,9 @@ object Bench {
     // per-sweep arrays ride next to them so an inflated sweep is
     // attributable (failed tasks → retry; same tasks at 2× bytes → AQE
     // plan switch; bytes with no extra tasks or failures → accounting).
-    val sweeps = 3
+    // Sweep count: 3 for the official artifact; the sf1.0 growth
+    // harness dials it down (each sweep there is ~10× the work).
+    val sweeps = sys.env.get("SPARK_GRAFT_SWEEPS").map(_.toInt).getOrElse(3)
     val names = queries.keys.toSeq
     val loadStart = systemLoadAvg
     val cpuT0 = processCpuNs

@@ -53,12 +53,18 @@ object GraphOps {
     * decimal label-sum witness was the same contract).
     *
     * Round cost: 2 aggregates + 2 joins + 2 dedups over the EDGE
-    * frame, two eager checkpoints (one per phase — each phase reads
-    * its input through two projections, the shape the r10 A/B showed
-    * AQE will not reliably reuse lazily), and a 1-row witness agg.
-    * Eager-per-phase checkpoints are the measured-fastest shape
-    * (min-of-4 ProfileGraph, sf0.1): the r10 lazy/batched variants
-    * lost by 16-28%%.
+    * frame, ONE eager checkpoint per round (small-star) with the
+    * large-star phase on a LAZY checkpoint shared by its two
+    * consumers, and a 1-row witness agg. Cadence by measurement,
+    * re-taken when the engine under it changed: the r10 A/B
+    * (pre-clampStats) had eager-per-phase winning by 16-28%; the r12
+    * re-run WITH the checkpoint stats clamp (AbCheckpointCadence,
+    * sf0.1 near-dup pair graph, min-of-4) flipped it — the folded
+    * round is ~36% faster (1.18 s vs 1.84 s) because the large-star
+    * blocks persist inside the round's witness job instead of paying
+    * a job of their own, while the lazy checkpoint still gives both
+    * small-star consumers one shared RDD (no duplicated subplan, no
+    * exchange-reuse race).
     *
     * RELEASE CONTRACT: the returned frame is a final localCheckpoint
     * and doubles as the release handle (every per-round intermediate
@@ -109,7 +115,16 @@ object GraphOps {
     var converged = prev._1 == 0L // no edges -> all self-labeled
     while (!converged && iter < maxIter) {
       // LARGE-STAR over the symmetric adjacency: m(u) = min(u, N(u));
-      // each strictly-larger neighbor v of u re-wires to (v, m(u))
+      // each strictly-larger neighbor v of u re-wires to (v, m(u)).
+      // The large-star result rides a LAZY checkpoint (r12 cadence A/B
+      // with clampStats in place: ONE eager checkpoint per star round
+      // instead of two measured 1.18 s vs 1.84 s min-of-4 on the
+      // sf0.1 near-dup pair graph): lineage is truncated and the two
+      // small-star consumers below share one RDD — no duplicated
+      // subplan, no exchange-reuse race (the q269 lesson) — while the
+      // blocks persist inside the round's checksum job instead of a
+      // job of their own. Storage stays O(1): the handle is released
+      // with the round.
       val sym = cur.select(col("a").as("x"), col("b").as("y"))
         .union(cur.select(col("b").as("x"), col("a").as("y")))
       val mins = sym.groupBy(col("x"))
@@ -119,8 +134,7 @@ object GraphOps {
         .join(mins, col("x") === col("mx"))
         .select(col("y").as("a"), col("m").as("b"))
         .distinct()
-        .graftCheckpoint()
-      GraftColumns.unpersistCheckpoint(cur)
+        .graftCheckpointLazy()
       // SMALL-STAR over the canonical edges: a and its smaller
       // neighbors all re-wire to min(N_smaller(a))
       val smin = large.groupBy(col("a"))
@@ -134,6 +148,7 @@ object GraphOps {
         .distinct()
         .graftCheckpoint()
       GraftColumns.unpersistCheckpoint(large)
+      GraftColumns.unpersistCheckpoint(cur)
       cur = small
       val s = checksum(cur)
       // compareTo, not equals: BigDecimal.equals is scale-sensitive
@@ -293,17 +308,24 @@ object GraphOps {
   private def rankLoop(ew: DataFrame, nodesBase: DataFrame,
                        ranks0: DataFrame, iterations: Int,
                        dampNum: Long, dampDen: Long): DataFrame = {
-    // Checkpoints stay PER-ROUND by measurement, not by default:
-    // batching k rounds into one lazy plan before materializing (the
-    // "lazy-checkpoint every k rounds" candidate) was profiled at
-    // sf0.1/local[32] and LOST — min-of-4 wall time rose ~15–30% at
-    // k=4 (deeper stacked plans cost more in codegen/AQE scheduling
-    // than the saved job submissions return), and recurrences whose
-    // round references the previous frame twice (Bellman–Ford's
-    // union+join) double their logical plan per batched round. One
-    // eager checkpoint per round keeps every job the same small,
-    // codegen-cached shape.
+    // Cadence by measurement, re-taken whenever the engine under it
+    // changes: the r10 A/B (pre-clampStats) had eager-per-round winning
+    // by 15-30%; the r12 re-run WITH `GraftColumns.clampStats` in place
+    // (AbCheckpointCadence, sf0.1/local[32], min-of-8 across two
+    // sessions) flipped it — one LAZY checkpoint per round, the whole
+    // chain materialized by a single job, is ~12% faster (2.87 s vs
+    // 3.28 s): lineage stays truncated per round (clamped stats, small
+    // codegen units) but the per-round job-submission latency is paid
+    // once instead of `iterations` times. "Eager every 2nd round" lost
+    // to both (3.75 s). Tradeoff, documented: block storage during the
+    // materializing job is O(iterations)·|V| narrow rows instead of
+    // O(1) — at 5 fixed rounds and MEMORY_AND_DISK blocks that is
+    // bounded and spillable; revisit before raising iteration counts
+    // by 10×. Intermediates are released as soon as the chain is
+    // materialized, so the steady-state contract (result == only live
+    // checkpoint) is unchanged.
     var ranks = ranks0
+    val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var i = 0
     while (i < iterations) {
       val contrib = ew
@@ -318,11 +340,18 @@ object GraphOps {
         .select(col("node"),
                 (col("__base") + coalesce(col("__in"), lit(0L)))
                   .as("rank_units"))
-        .graftCheckpoint()
-      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ranks)
+        .graftCheckpointLazy()
+      handles += next
       ranks = next
       i += 1
     }
+    // ONE materializing job persists the whole chain; then every
+    // intermediate round (and the caller's ranks0 checkpoint) is
+    // released, leaving only the final ranks blocks live.
+    ranks.count()
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ranks0)
+    handles.dropRight(1).foreach(
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(_))
     ranks
   }
 
