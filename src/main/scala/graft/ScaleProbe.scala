@@ -196,6 +196,22 @@ object ScaleProbe {
         docs, batch, "doc_id", "text", 3, 4, 5).count())
     }
 
+    // --- incremental exact-substring dedup (q239 shape): same constant
+    // batch vs inflating corpus. The posting build is the corpus-linear
+    // term (one distinct over corpus grams — the state a real pipeline
+    // maintains incrementally, paid here per probe); detection itself is
+    // batch-sized plus ONE probe pass over the postings, so span time
+    // must grow with corpus only through those two streaming terms,
+    // never corpus × batch.
+    time(s"incr_substr_${mult}x") {
+      val postings = Dedup.substringGramPostings(
+        docs, "doc_id", "text", minLen = 25)
+      val spans = Dedup.incrementalDuplicatedSubstringSpans(
+        postings, batch, "doc_id", "text", minLen = 25)
+      println("  batch spans: " + spans.count())
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(spans)
+    }
+
     // --- bloom-prefiltered anti-join (q66 shape): a LARGE mostly-new
     // batch (the crawl-ingest norm) vs an inflating corpus key set — the
     // bloom must reject the new majority map-side so only the true
