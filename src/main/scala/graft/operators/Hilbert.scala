@@ -17,7 +17,7 @@ import graft.GraftOps._
   *
   * Execution shape, Spark-first: [[withHilbert]] is a chain of
   * per-round projections (each round's x/y/d land in NAMED columns, so
-  * the expression tree stays linear in rounds — folding all 16 rounds
+  * the expression tree stays linear in rounds — folding all Bits rounds
   * into one Column would copy every subtree at each reference and blow
   * up exponentially; Catalyst's CollapseProject keeps multi-referenced
   * non-cheap aliases materialized, so the chain survives optimization
@@ -35,15 +35,22 @@ import graft.GraftOps._
   * subtracted multiple of s cannot borrow into them); Spark, DuckDB,
   * and the JVM all run two's-complement int64 `&`.
   *
-  * Domain contract: dimensions in [0, 2^16) (d fits 32 bits); violations
+  * Domain contract: dimensions in [0, 2^31) — d then fits 62 bits, the
+  * widest that keeps the top round's 3·s² term inside SIGNED int64 on
+  * both engines (Bits = 32 would put 3·2^62 past Long.MaxValue).
+  * Widened from 2^16 in r12: the sf1.0 growth sweep showed real key
+  * domains (remapped l_partkey ≈ 2·10⁶) blowing the old bound, and a
+  * layout operator must cover production key ranges. Violations still
   * fail fast — a curve over a clipped domain silently breaks locality.
   * The SQL oracle generator ([[oracleCtes]]) derives from the SAME round
   * constants, so the two sides cannot drift.
   */
 object Hilbert {
 
-  /** Dimension bit width; d spans [0, 2^(2·Bits)). */
-  val Bits = 16
+  /** Dimension bit width; d spans [0, 2^(2·Bits)) — see the domain
+    * contract above for why 31 is the int64 ceiling.
+    */
+  val Bits = 31
 
   /** Round scales, high bit first — shared with the oracle generator. */
   private[graft] val roundScales: Seq[Long] =
@@ -105,7 +112,7 @@ object Hilbert {
       s"layout: input columns collide with output/internal names: $clash")
     // Materialize the d-values BEFORE the range exchange: the range
     // partitioner's sampling job re-executes its input plan, and the
-    // 16-round arithmetic is expensive enough that evaluating it twice
+    // per-round arithmetic is expensive enough that evaluating it twice
     // (sample pass + shuffle pass) measurably dominates — 13.6 s vs
     // 4 s at sf0.1 for the whole layout. ZOrder skips this because its
     // 5-round shift/mask spread is nearly free to recompute.

@@ -1143,7 +1143,8 @@ object CurationQueries {
     * comparable outputs, and the Hilbert adjacency property
     * (consecutive cells always grid-adjacent, no Morton diagonal
     * jumps) is what tightens boundary-file envelopes. The d-value is
-    * 16 rounds of CASE/AND/XOR integer arithmetic in named per-round
+    * 31 rounds of CASE/AND/XOR integer arithmetic (dims in [0, 2³¹)
+    * since r12 — the sf1.0 key-domain fix) in named per-round
     * columns (linear expression tree — see the operator scaladoc for
     * why folding it into one Column would be exponential), the oracle
     * CTE chain generates from the SAME round constants, and the only

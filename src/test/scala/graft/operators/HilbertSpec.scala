@@ -77,12 +77,24 @@ class HilbertSpec extends SparkSpec {
         s"jump between ($x0,$y0) and ($x1,$y1)")
   }
 
-  test("domain guard: negative or >= 2^16 dimensions raise") {
-    val bad = Seq((70000, 3)).toDF("x", "y")
+  test("domain guard: negative or >= 2^31 dimensions raise; the old " +
+       "2^16 ceiling (sf1.0 key domains) is now inside the domain") {
+    val bad = Seq((1L << 31, 3L)).toDF("x", "y")
     val e = intercept[Exception] {
       Hilbert.withHilbert(bad, "x", "y").collect()
     }
     assert(e.getMessage.contains("hilbert: dimension out of"))
+    val neg = Seq((-1L, 3L)).toDF("x", "y")
+    val e2 = intercept[Exception] {
+      Hilbert.withHilbert(neg, "x", "y").collect()
+    }
+    assert(e2.getMessage.contains("hilbert: dimension out of"))
+    // 2,000,000 (the synthesized-sf1.0 l_partkey range that used to
+    // fail) now matches the reference walk
+    val wide = Seq((2000000L, 70000L)).toDF("x", "y")
+    val h = Hilbert.withHilbert(wide, "x", "y")
+      .select(col("h")).as[Long].collect()(0)
+    assert(h === xy2d(2000000, 70000))
   }
 
   test("layout assigns contiguous equal files in (h, tie) order and " +
