@@ -2042,6 +2042,12 @@ object CurationQueries {
     led += ((10L, "ring_shard", nSeqs, nShards, served))
     GraftColumns.unpersistCheckpoint(seqs9)
 
+    // Clear the thread-local label (ADVICE r12): the bench runs every
+    // query on this driver thread, so a leaked description would tag
+    // every SUBSEQUENT query's jobs "q269:10_shard" — corrupting the
+    // exact attribution signal mark() exists to provide.
+    s.sparkContext.setJobDescription(null)
+
     led.toSeq
       .toDF("stage_idx", "stage", "rows_in", "rows_out", "tokens_out")
       .orderBy("stage_idx")

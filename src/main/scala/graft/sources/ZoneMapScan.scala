@@ -134,11 +134,17 @@ object ZoneMapScan {
     * Per file: n_rows = Σ row-group counts; zone_min/max = min/max over
     * row-group statistics, rendered canonically and cast back to the
     * table's column type, so the output is row-for-row the scan-built
-    * map (`ZoneMapScanSpec` gates the identity). Files whose footer
-    * carries NO statistics for the column (foreign writers, all-null
-    * row groups) get null min/max — [[pruneFiles]] keeps null-zone
-    * files by contract, so an absent statistic degrades to "never
-    * pruned", not "wrongly pruned". Unsupported zone types fail loud.
+    * map (`ZoneMapScanSpec` gates the identity). The statistic-absence
+    * contract is per ROW GROUP, not per file (ADVICE r12): if ANY row
+    * group holding rows lacks usable statistics for the column (foreign
+    * writers; parquet-mr omits stats whose rendered min+max exceed 4 KB)
+    * the WHOLE file gets null min/max — folding only the statted groups
+    * would produce a too-narrow envelope and [[pruneFiles]] could drop a
+    * file containing matches. [[pruneFiles]] keeps null-zone files by
+    * contract, so an absent statistic degrades to "never pruned", not
+    * "wrongly pruned"; a row group whose stats prove it all-null
+    * contributes nothing (nulls cannot match a range predicate).
+    * Unsupported zone types fail loud.
     */
   def buildZoneMapFromFooters(spark: SparkSession, path: String,
                               zoneCol: String): DataFrame = {
@@ -177,20 +183,32 @@ object ZoneMapScan {
           // the stats comparator, then render once.
           var minV: AnyRef = null
           var maxV: AnyRef = null
+          // A row group carrying rows but NO usable statistics (foreign
+          // writer, stats dropped for oversized values) holds values the
+          // envelope cannot see — folding only the statted groups would
+          // yield a too-narrow envelope and pruneFiles could drop a file
+          // containing matches (ADVICE r12). One such group poisons the
+          // WHOLE file to the null zone = never pruned. A group whose
+          // stats say all-null (`!hasNonNullValue`) is different: nulls
+          // cannot match a range predicate, so it safely contributes
+          // nothing.
+          var unknown = false
           val cmp = primType.comparator()
             .asInstanceOf[java.util.Comparator[AnyRef]]
           footer.getBlocks.asScala.foreach { block =>
             nRows += block.getRowCount
             val cc = block.getColumns.get(colIdx)
             val st = cc.getStatistics
-            if (st != null && !st.isEmpty && st.hasNonNullValue) {
+            if (st == null || st.isEmpty) {
+              if (block.getRowCount > 0) unknown = true
+            } else if (st.hasNonNullValue) {
               val lo = st.genericGetMin.asInstanceOf[AnyRef]
               val hi = st.genericGetMax.asInstanceOf[AnyRef]
               if (minV == null || cmp.compare(lo, minV) < 0) minV = lo
               if (maxV == null || cmp.compare(hi, maxV) > 0) maxV = hi
             }
           }
-          if (minV != null) {
+          if (minV != null && !unknown) {
             minS = statToString(primType, minV)
             maxS = statToString(primType, maxV)
           }

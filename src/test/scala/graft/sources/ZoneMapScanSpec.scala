@@ -186,6 +186,63 @@ class ZoneMapScanSpec extends SparkSpec {
     assert(e96.getMessage != null)
   }
 
+  test("a row group without usable statistics poisons the whole file " +
+       "to a null zone — partial envelopes must never prune (ADVICE r12)") {
+    // parquet-mr OMITS footer statistics for a row group whose rendered
+    // min+max exceed 4 KB (ParquetMetadataConverter.MAX_STATS_SIZE), so
+    // one >4 KB key in the last row group yields exactly the mixed file
+    // the contract is about: earlier groups statted, last group not.
+    // Folding only the statted groups would give envelope
+    // [k00001, k02999] and the "zz…" probe below would wrongly prune.
+    val path = tmp("partialstats")
+    val big = "zz" + ("x" * 5000)
+    val data = (1 to 2999).map(i => (f"k$i%05d", i.toLong)) :+ (big, 9999L)
+    data.toDF("k", "v")
+      .coalesce(1)
+      .sortWithinPartitions("k")
+      .write.mode("overwrite")
+      .option("parquet.block.size", 16384)
+      .parquet(path)
+    // precondition: the layout really is one file with >= 2 row groups,
+    // statted early groups and an unstatted last one — otherwise this
+    // test is vacuously green and must fail loud instead.
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pf = fs.listStatus(new Path(path)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    assert(pf.size == 1, s"expected one file, got ${pf.size}")
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      spark.sparkContext.hadoopConfiguration, pf.head,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val colIdx = footer.getFileMetaData.getSchema.getFieldIndex("k")
+    val statted = footer.getBlocks.asScala.map { b =>
+      val st = b.getColumns.get(colIdx).getStatistics
+      st != null && !st.isEmpty && st.hasNonNullValue
+    }
+    assert(statted.size >= 2,
+           s"need >= 2 row groups to exercise the mixed case, " +
+             s"got ${statted.size} — shrink parquet.block.size")
+    assert(statted.count(identity) >= 1 && statted.contains(false),
+           s"need a MIXED statted/unstatted file, got $statted")
+    val zones = ZoneMapScan.buildZoneMapFromFooters(spark, path, "k")
+    val z = zones.collect()
+    assert(z.length == 1)
+    assert(z(0).isNullAt(z(0).fieldIndex("zone_min")) &&
+             z(0).isNullAt(z(0).fieldIndex("zone_max")),
+           s"partial stats must degrade to a null zone, got ${z(0)}")
+    assert(z(0).getLong(z(0).fieldIndex("n_rows")) == 3000L)
+    // the null zone survives pruning, and the composed scan still
+    // returns the row the partial envelope would have hidden
+    val kept = ZoneMapScan.pruneFiles(zones, lit("zz"), lit("zzzz"))
+    assert(kept.size == 1, "null-zone file must never be pruned")
+    val (out, nRead, nTotal) =
+      ZoneMapScan.scan(spark, path, "k", lit("zz"), lit("zzzz"))
+    assert(nRead == 1 && nTotal == 1)
+    assert(out.select("v").collect().map(_.getLong(0)).toSeq == Seq(9999L))
+  }
+
   test("null zones survive pruning (a file of all-null keys may match " +
        "nothing, but pruning must not decide that)") {
     val zones = Seq(
