@@ -895,8 +895,12 @@ object ScaleProbe {
                 levenshtein(col("nm_a"), col("nm_b"), 2) >= 0)
         .count()
       val t1 = System.nanoTime()
+      // autoCellRows = 0: this probe measures the RAW banded curve —
+      // the default auto-fallback would reroute the hot fixture and
+      // measure PassJoin instead (see the auto_default probe below).
       val banded = Dedup.blockedSelfJoin(p, "pk", "nm", Seq("noun"),
-                                         maxDist = 2, bandWidth = 3).count()
+                                         maxDist = 2, bandWidth = 3,
+                                         autoCellRows = 0).count()
       val t2 = System.nanoTime()
       val capped = Dedup.blockedSelfJoin(p, "pk", "nm", Seq("noun"),
                                          maxDist = 2, bandWidth = 3,
@@ -939,11 +943,23 @@ object ScaleProbe {
       val pass = Dedup.passJoinPairs(p, "pk", "nm", Seq("noun"), 2).count()
       val t2 = System.nanoTime()
       val banded = Dedup.blockedSelfJoin(p, "pk", "nm", Seq("noun"),
-                                         maxDist = 2, bandWidth = 3).count()
+                                         maxDist = 2, bandWidth = 3,
+                                         autoCellRows = 0).count()
       val t3 = System.nanoTime()
+      // DEFAULT path on the same fixture: the auto-fallback measures
+      // the cell histogram and (above the bound) reroutes hot blocks
+      // to the signature path — the r12 verdict's "q193 completes the
+      // sweep inside its documented complexity" witness, with the
+      // decision printed by the operator itself.
+      val auto = Dedup.blockedSelfJoin(p, "pk", "nm", Seq("noun"),
+                                       maxDist = 2, bandWidth = 3).count()
+      val t4 = System.nanoTime()
+      assert(auto == banded,
+             s"auto-fallback changed the pair count: $auto != $banded")
       println(f"  n=$n passjoin_cand=$cand (${(t1 - t0) / 1e9}%.2f s) " +
         f"passjoin ${(t2 - t1) / 1e9}%.2f s ($pass pairs) " +
-        f"banded ${(t3 - t2) / 1e9}%.2f s ($banded pairs)")
+        f"banded ${(t3 - t2) / 1e9}%.2f s ($banded pairs) " +
+        f"auto_default ${(t4 - t3) / 1e9}%.2f s")
       p.unpersist()
     }
     // --- PassJoin's WINNING regime: long uniform-length fields (the
@@ -989,7 +1005,8 @@ object ScaleProbe {
       val t1 = System.nanoTime()
       val bandedLine = if (mult <= 30) {
         val bd = Dedup.blockedSelfJoin(f, "id", "field", Seq("lang"),
-                                       maxDist = 2, bandWidth = 3).count()
+                                       maxDist = 2, bandWidth = 3,
+                                       autoCellRows = 0).count()
         f"banded ${(System.nanoTime() - t1) / 1e9}%.2f s ($bd pairs)"
       } else "banded skipped (volume above is the curve)"
       println(f"  n=$n banded_cand=$sameC " +

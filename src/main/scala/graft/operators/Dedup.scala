@@ -173,30 +173,53 @@ object Dedup {
     * key (a hot product noun at 100 TB) splits across length cells
     * instead of holding one reducer hostage.
     *
-    * `maxCellRows` (default 0 = off = exact recall) additionally caps
+    * SCALE-SAFE BY DEFAULT (r12 verdict #1 — the ×10 growth sweep
+    * pinned one task at >21 min of within-cell quadratic verify on a
+    * hot name-noun cell, because a fixed key vocabulary makes blocks
+    * grow ∝ corpus): the call first MEASURES the (blockCols, band)
+    * cell histogram (one tiny count-aggregate job at plan-build time);
+    * any BLOCK owning a cell above `autoCellRows` rows is routed —
+    * whole, so same/adjacent-band pairing never crosses the split —
+    * through [[passJoinPairs]]'s segment-signature path, whose
+    * candidates are linear in block size and EXACTLY equal the banded
+    * join's output (`PassJoinSpec` pins the equivalence; both are
+    * exact, so recall is unchanged and the q193/q197 oracles gate the
+    * routed plan unmodified). Cold blocks keep the banded join — the
+    * cheaper kernel-streaming plan in the dense-short-key regime the
+    * §9 probes measured. The decision is printed
+    * (`[blockedSelfJoin] auto-fallback: …`) so a sweep log shows when
+    * and why the plan switched. `autoCellRows <= 0` disables the
+    * measurement and fallback (the probes use this to measure the raw
+    * banded curve); `maxDist = 0` never reroutes (the signature scheme
+    * needs ≥ 1 and a dist-0 kernel early-exits on first mismatch).
+    *
+    * `maxCellRows` (default 0 = off = exact recall) instead caps
     * each (blockCols, band) cell to the cap smallest ids before the
-    * join — the [[capBuckets]] guard for cells that stay hot even
-    * after banding (all-same-length template families). TRADE: pairs
-    * beyond the sample are missed; audit the cell-size distribution
-    * (`groupBy(blockCols :+ band).count()`) before enabling.
+    * join — the [[capBuckets]] guard for callers that prefer bounded
+    * candidates over exactness. TRADE: pairs beyond the sample are
+    * missed; audit the cell-size distribution
+    * (`groupBy(blockCols :+ band).count()`) before enabling. An
+    * explicit cap already bounds every cell, so it disables the
+    * auto-fallback measurement.
     *
     * Output: (<idCol>_a, <textCol>_a, <idCol>_b, <textCol>_b, dist)
-    * with id_a < id_b and dist ≤ maxDist. Plan: two equi-joins
-    * shuffled on (blockCols…, __band) — same-band pairs ordered by id,
-    * adjacent-band pairs normalized to id order after the join — the
-    * distance filter inside each join stage, one union. The b-side
-    * exchange is identical in both branches (ReusedExchange); no
-    * cartesian product anywhere.
+    * with id_a < id_b and dist ≤ maxDist. Plan (per routed side): two
+    * equi-joins shuffled on (blockCols…, __band) — same-band pairs
+    * ordered by id, adjacent-band pairs normalized to id order after
+    * the join — the distance filter inside each join stage, one union.
+    * The b-side exchange is identical in both branches
+    * (ReusedExchange); no cartesian product anywhere.
     */
   def blockedSelfJoin(records: DataFrame, idCol: String, textCol: String,
                       blockCols: Seq[String], maxDist: Int,
-                      bandWidth: Int, maxCellRows: Int = 0): DataFrame = {
+                      bandWidth: Int, maxCellRows: Int = 0,
+                      autoCellRows: Int = DefaultAutoCellRows): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(bandWidth > maxDist,
       s"bandWidth ($bandWidth) must exceed maxDist ($maxDist): a " +
         "qualifying pair's lengths differ by <= maxDist, and only " +
         "bandWidth > maxDist confines it to same-or-adjacent bands")
-    val reserved = Seq("__id", "__txt", "__band", "__rn")
+    val reserved = Seq("__id", "__txt", "__band", "__rn", "__cnt")
     require(!blockCols.exists(reserved.contains),
       s"blockCols must not use reserved names ${reserved.mkString(", ")}")
     val idA = s"${idCol}_a"; val idB = s"${idCol}_b"
@@ -214,32 +237,60 @@ object Dedup {
         .filter(col("__rn") <= maxCellRows)
         .drop("__rn")
     }
-    def side(ic: String, tc: String): DataFrame =
-      base.select((blockCols.map(col) :+ col("__band") :+
-        col("__id").as(ic) :+ col("__txt").as(tc)): _*)
     val keys = blockCols :+ "__band"
-    val a = side(idA, txtA)
-    val b = side(idB, txtB)
-    def verified(cand: DataFrame): DataFrame = cand
-      .withColumn("dist",
-        levenshtein(col(txtA), col(txtB), maxDist).cast("long"))
-      .filter(col("dist") >= 0L)
-      .select(col(idA), col(txtA), col(idB), col(txtB), col("dist"))
-    // same band: each unordered pair once via the id-order filter
-    val same = verified(a.join(b, keys).filter(col(idA) < col(idB)))
-    // adjacent bands: the lower-band member probes band+1; each such
-    // pair appears exactly once, so normalize to id order via struct
-    // least/greatest (ids are the leading field and must be unique for
-    // the pair-once discipline — same requirement as the bare join).
-    val sa = struct(col(idA).as("id"), col(txtA).as("txt"))
-    val sb = struct(col(idB).as("id"), col(txtB).as("txt"))
-    val adj = verified(
-      a.withColumn("__band", col("__band") + 1L)
-        .join(b, keys)
-        .select(least(sa, sb).as("__p"), greatest(sa, sb).as("__q"))
-        .select(col("__p.id").as(idA), col("__p.txt").as(txtA),
-                col("__q.id").as(idB), col("__q.txt").as(txtB)))
-    same.unionByName(adj)
+    def bandedPairs(in: DataFrame): DataFrame = {
+      def side(ic: String, tc: String): DataFrame =
+        in.select((blockCols.map(col) :+ col("__band") :+
+          col("__id").as(ic) :+ col("__txt").as(tc)): _*)
+      val a = side(idA, txtA)
+      val b = side(idB, txtB)
+      def verified(cand: DataFrame): DataFrame = cand
+        .withColumn("dist",
+          levenshtein(col(txtA), col(txtB), maxDist).cast("long"))
+        .filter(col("dist") >= 0L)
+        .select(col(idA), col(txtA), col(idB), col(txtB), col("dist"))
+      // same band: each unordered pair once via the id-order filter
+      val same = verified(a.join(b, keys).filter(col(idA) < col(idB)))
+      // adjacent bands: the lower-band member probes band+1; each such
+      // pair appears exactly once, so normalize to id order via struct
+      // least/greatest (ids are the leading field and must be unique for
+      // the pair-once discipline — same requirement as the bare join).
+      val sa = struct(col(idA).as("id"), col(txtA).as("txt"))
+      val sb = struct(col(idB).as("id"), col(txtB).as("txt"))
+      val adj = verified(
+        a.withColumn("__band", col("__band") + 1L)
+          .join(b, keys)
+          .select(least(sa, sb).as("__p"), greatest(sa, sb).as("__q"))
+          .select(col("__p.id").as(idA), col("__p.txt").as(txtA),
+                  col("__q.id").as(idB), col("__q.txt").as(txtB)))
+      same.unionByName(adj)
+    }
+    // Auto-fallback measurement: only in exact mode (no explicit cap)
+    // and only when the signature scheme is applicable (maxDist >= 1).
+    if (maxCellRows > 0 || autoCellRows <= 0 || maxDist < 1)
+      return bandedPairs(base)
+    val hotBlocks = base
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > autoCellRows)
+      .select(blockCols.map(col): _*)
+      .distinct()
+    val nHot = hotBlocks.count()
+    if (nHot == 0L) return bandedPairs(base)
+    // COUNTED broadcast (the spansFromGrams discipline): hot-block keys
+    // are bounded by n / autoCellRows rows, but only a measured small
+    // set broadcasts — beyond the cap the split joins shuffle on
+    // blockCols, which is still two scans + key-join, never quadratic.
+    val hotKeys =
+      if (nHot <= 100000L) broadcast(hotBlocks) else hotBlocks
+    println(s"[blockedSelfJoin] auto-fallback: $nHot hot block(s) with " +
+      s"a (block, band) cell > $autoCellRows rows routed to the " +
+      "PassJoin signature path (exact; cold blocks stay banded)")
+    val cold = bandedPairs(base.join(hotKeys, blockCols, "left_anti"))
+    val hotRecords = base.join(hotKeys, blockCols, "left_semi")
+      .select((Seq(col("__id").as(idCol), col("__txt").as(textCol)) ++
+        blockCols.map(col)): _*)
+    val hot = passJoinPairs(hotRecords, idCol, textCol, blockCols, maxDist)
+    cold.unionByName(hot)
   }
 
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin-style,
@@ -632,6 +683,18 @@ object Dedup {
     * raise it via the `minhashDedupPairs*` overloads' `broadcastPairCap`.
     */
   val DefaultBroadcastPairCap = 4000000L
+
+  /** Default [[blockedSelfJoin]] auto-fallback bound: a (blockCols,
+    * band) cell above this many rows routes its block to the PassJoin
+    * signature path. 4096 keeps the worst banded cell at
+    * ~8.4M threshold kernels (seconds on one core — the acceptable
+    * ceiling for a single task), while every testdata SF the oracle
+    * gates (sf0.01/sf0.1) stays below it, so the default changes no
+    * gated plan; the ×10 synthetic regime's hot cells sit far above
+    * and reroute. Exactness does not depend on the value — both routes
+    * produce identical pairs (`BlockedSelfJoinSpec`).
+    */
+  val DefaultAutoCellRows = 4096
 
   /** Byte cap for broadcasting relations whose rows carry full shingle
     * SETS (~KB each) rather than 16 B id pairs — those must be gated on

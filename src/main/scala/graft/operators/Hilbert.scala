@@ -140,6 +140,203 @@ object Hilbert {
            min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
       .orderBy("file_id")
 
+  // ---------------------------------------------------------------
+  // d-dimensional Hilbert (r12 verdict #6) via Skilling's transform
+  // ("Programming the Hilbert curve", J. Skilling, AIP Conf. Proc.
+  // 707 (2004) — the standard public-domain d-D algorithm): walk the
+  // bit planes top-down exchanging/inverting axes against axis 0,
+  // Gray-encode across axes, fold a parity correction from the last
+  // axis, then bit-interleave the transposed axes into one scalar.
+  // Everything is CASE/AND/XOR int64 arithmetic in NAMED per-round
+  // columns (the same linear-expression-tree discipline as the 2-D
+  // chain), and the SQL oracle generator below replays the identical
+  // rounds from the same constants.
+  // ---------------------------------------------------------------
+
+  /** Bit-plane scales for a b-bit transform: Q = 2^(b−1) … 2. */
+  private[graft] def roundScalesB(b: Int): Seq[Long] =
+    (b - 1 to 1 by -1).map(1L << _)
+
+  /** Appends `out` = the d-dimensional Hilbert index of `dims`
+    * (d = dims.length ≥ 2; each value must sit in
+    * [0, 2^bitsPerDim(d)), violations raise). The index spans
+    * [0, 2^(d·bitsPerDim(d))) and inherits the Hilbert adjacency
+    * property in d dimensions: consecutive indices differ by ±1 in
+    * exactly one coordinate (`HilbertSpec` walks a full small domain
+    * to pin it). The 2-D [[withHilbert]] keeps its own xy2d walk —
+    * the two curves are both Hilbert but differently oriented, so
+    * their oracles stay separate.
+    */
+  def withHilbertN(df: DataFrame, dims: Seq[String],
+                   out: String = "h"): DataFrame =
+    withHilbertN(df, dims, out, ZOrder.bitsPerDim(dims.length))
+
+  /** [[withHilbertN]] at an explicit per-dim bit width — private: the
+    * spec walks a FULL small domain (bits = 3 → 8³ cells) to pin the
+    * adjacency/bijectivity properties exhaustively, which the
+    * production width (2^60 cells at d = 3) cannot.
+    */
+  private[graft] def withHilbertN(df: DataFrame, dims: Seq[String],
+                                  out: String, b: Int): DataFrame = {
+    val d = dims.length
+    require(d >= 2, s"need >= 2 dimensions, got $d")
+    val gCols = (0 until d).map(i => s"__g$i")
+    val clash = df.columns.toSet
+      .intersect((gCols ++ Seq(out, "__ht", "__hn")).toSet)
+    require(clash.isEmpty,
+      s"withHilbertN: input columns collide with internal names: $clash")
+    def gN(c: Column): Column =
+      when(c.isNull.or(c < 0).or(c.cast(LongType) >= lit(1L << b)),
+           raise_error(concat(lit(s"hilbertN: dimension out of [0, 2^$b): "),
+                              c.cast("string"))).cast(LongType))
+        .otherwise(c.cast(LongType))
+    var cur = dims.zip(gCols).foldLeft(df) { case (acc, (dim, g)) =>
+      acc.withColumn(g, gN(col(dim)))
+    }
+    // axis exchange/invert rounds, bit plane Q top-down
+    for (q <- roundScalesB(b)) {
+      val p = q - 1
+      cur = cur.withColumn("__g0",
+        when(col("__g0").bitwiseAND(lit(q)) > 0,
+             col("__g0").bitwiseXOR(lit(p))).otherwise(col("__g0")))
+      for (i <- 1 until d) {
+        val gi = s"__g$i"
+        cur = cur
+          .withColumn("__ht",
+            col("__g0").bitwiseXOR(col(gi)).bitwiseAND(lit(p)))
+          .withColumn("__hn",
+            when(col(gi).bitwiseAND(lit(q)) > 0,
+                 col("__g0").bitwiseXOR(lit(p)))
+              .otherwise(col("__g0").bitwiseXOR(col("__ht"))))
+          .withColumn(gi,
+            when(col(gi).bitwiseAND(lit(q)) > 0, col(gi))
+              .otherwise(col(gi).bitwiseXOR(col("__ht"))))
+          .withColumn("__g0", col("__hn"))
+      }
+    }
+    // Gray encode across axes (sequential: uses the UPDATED neighbor)
+    for (i <- 1 until d)
+      cur = cur.withColumn(s"__g$i",
+        col(s"__g$i").bitwiseXOR(col(s"__g${i - 1}")))
+    // parity correction folded from the last axis
+    val t = roundScalesB(b).map { q =>
+      when(col(gCols.last).bitwiseAND(lit(q)) > 0, lit(q - 1))
+        .otherwise(lit(0L))
+    }.reduce(_ bitwiseXOR _)
+    cur = cur.withColumn("__ht", t)
+    for (i <- 0 until d)
+      cur = cur.withColumn(s"__g$i",
+        col(s"__g$i").bitwiseXOR(col("__ht")))
+    // transpose → scalar: bit j of axis i lands at j·d + (d−1−i)
+    val h = (0 until d).map { i =>
+      shiftleft(ZOrder.spreadN(col(s"__g$i"), d, b), d - 1 - i)
+    }.reduce(_ bitwiseOR _)
+    cur.withColumn(out, h).drop(gCols :+ "__ht" :+ "__hn": _*)
+  }
+
+  /** [[layout]] over d dimensions on the Skilling index: appends `h`
+    * and `file_id`. Same scale shape — the index is materialized via
+    * checkpoint before the range exchange (the sampling pass would
+    * otherwise re-run the whole round chain), one range exchange,
+    * [[PrefixSum]] file assignment.
+    */
+  def layoutN(df: DataFrame, dims: Seq[String], tieBreak: Column,
+              rowsPerFile: Long): DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
+    val clash = df.columns.toSet
+      .intersect(Set("h", "file_id", "__tie", "__one", "__rn"))
+    require(clash.isEmpty,
+      s"layoutN: input columns collide with output/internal names: $clash")
+    val withH = withHilbertN(df, dims, out = "h")
+      .withColumn("__tie", tieBreak)
+      .withColumn("__one", lit(1L))
+      .graftCheckpoint()
+    val laid = PrefixSum
+      .runningTotal(withH, "__one", Seq("h", "__tie"), cumCol = "__rn")
+      .withColumn("file_id",
+        floor((col("__rn") - 1) / lit(rowsPerFile)).cast(LongType))
+      .drop("__tie", "__one", "__rn")
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(withH)
+    laid
+  }
+
+  /** Per-file envelopes over a [[layoutN]] result — min/max per
+    * dimension (min_d0/max_d0, …) plus the h-range; the
+    * [[ZOrder.localityReportN]] shape on the Hilbert key.
+    */
+  def localityReportN(laid: DataFrame, dims: Seq[String]): DataFrame =
+    laid.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+           dims.zipWithIndex.flatMap { case (c, i) =>
+             Seq(min(col(c)).as(s"min_d$i"), max(col(c)).as(s"max_d$i"))
+           } :+ min(col("h")).as("h_lo") :+ max(col("h")).as("h_hi"): _*)
+      .orderBy("file_id")
+
+  /** DuckDB oracle fragment for [[withHilbertN]]: the identical
+    * Skilling rounds as a CTE chain `s0..sK`, generated from the SAME
+    * [[roundScalesN]]/[[ZOrder.spreadNSql]] constants. `srcCte` must
+    * provide `xCols` and the passthrough list `keep`; the final CTE
+    * (whose name this returns as the second tuple element) carries
+    * (keep, hd).
+    */
+  private[graft] def oracleCtesN(srcCte: String, xCols: Seq[String],
+                                 keep: String): (String, String) = {
+    val d = xCols.length
+    val b = ZOrder.bitsPerDim(d)
+    val gs = (0 until d).map(i => s"g$i")
+    var k = 0
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val g0Init = xCols.zip(gs)
+      .map { case (x, g) => s"CAST($x AS BIGINT) AS $g" }.mkString(", ")
+    parts += s"s0 AS (SELECT $keep, $g0Init FROM $srcCte)"
+    for (q <- roundScalesB(b)) {
+      val p = q - 1
+      // axis 0 inverts against itself
+      k += 1
+      parts +=
+        s"""s$k AS (SELECT $keep,
+           |  CASE WHEN (g0 & $q) > 0 THEN xor(g0, $p) ELSE g0 END AS g0,
+           |  ${gs.drop(1).mkString(", ")} FROM s${k - 1})""".stripMargin
+      for (i <- 1 until d) {
+        val gi = gs(i)
+        val others = gs.filter(g => g != "g0" && g != gi)
+        val othersSel = if (others.isEmpty) "" else others.mkString(", ", ", ", "")
+        k += 1
+        parts +=
+          s"""s$k AS (SELECT $keep,
+             |  CASE WHEN ($gi & $q) > 0 THEN xor(g0, $p)
+             |       ELSE xor(g0, ht) END AS g0,
+             |  CASE WHEN ($gi & $q) > 0 THEN $gi
+             |       ELSE xor($gi, ht) END AS $gi$othersSel
+             |  FROM (SELECT *, (xor(g0, $gi) & $p) AS ht FROM s${k - 1}))"""
+            .stripMargin
+      }
+    }
+    // Gray encode: final g_i = xor of original g_0..g_i (the unrolled
+    // form of the sequential X[i] ^= X[i-1])
+    k += 1
+    parts += ("s" + k + " AS (SELECT " + keep + ", " +
+      gs.zipWithIndex.map { case (g, i) =>
+        if (i == 0) g
+        else gs.take(i + 1).reduce((a, c) => s"xor($a, $c)") + s" AS $g"
+      }.mkString(", ") + s" FROM s${k - 1})")
+    // parity correction from the last axis
+    val tExpr = roundScalesB(b)
+      .map(q => s"CASE WHEN (${gs.last} & $q) > 0 THEN ${q - 1} ELSE 0 END")
+      .reduce((a, c) => s"xor($a, $c)")
+    k += 1
+    parts += (s"s$k AS (SELECT $keep, " +
+      gs.map(g => s"xor($g, ht) AS $g").mkString(", ") +
+      s" FROM (SELECT *, $tExpr AS ht FROM s${k - 1}))")
+    // interleave to the scalar index
+    val hd = (0 until d).map { i =>
+      s"((${ZOrder.spreadNSql(gs(i), d, b)}) << ${d - 1 - i})"
+    }.mkString(" | ")
+    k += 1
+    parts += s"s$k AS (SELECT $keep, $hd AS hd FROM s${k - 1})"
+    (parts.mkString(",\n"), s"s$k")
+  }
+
   /** DuckDB oracle fragment: the identical round chain as CTEs
     * `h0..h$Bits`, generated from the SAME [[roundScales]]. `srcCte`
     * must provide columns `$xCol`, `$yCol`, and the passthrough list

@@ -97,4 +97,97 @@ object ZOrder {
            min(col(dimB)).as("min_b"), max(col(dimB)).as("max_b"),
            min(col("z")).as("z_lo"), max(col("z")).as("z_hi"))
       .orderBy("file_id")
+
+  // ---------------------------------------------------------------
+  // d-dimensional generalization (r12 verdict #6: production layouts
+  // cluster 3–4 columns). The 2-D API above keeps its 32-bit domain
+  // and magic-mask spread; the N-D path derives everything from the
+  // dimension count so the operator, its guards, and the SQL oracle
+  // generator share one set of constants.
+  // ---------------------------------------------------------------
+
+  /** Bits per dimension for a `d`-dim interleave: the widest equal
+    * split that keeps the code inside NON-NEGATIVE signed int64 on
+    * every engine (62 usable bits — bit 63 is the sign, and capping at
+    * 62 also keeps downstream arithmetic like Hilbert's top-round term
+    * safe). d=2 → 31 (the [[Hilbert.Bits]] domain), d=3 → 20, d=4 → 15.
+    */
+  def bitsPerDim(d: Int): Int = {
+    require(d >= 2, s"need >= 2 dimensions, got $d")
+    62 / d
+  }
+
+  /** Spreads the low `bits` bits of `c` to stride-`d` positions
+    * (bit j → bit j·d) — the d-ary generalization of [[spread32]].
+    * One shift/AND/shift per source bit, OR-folded: ~3·bits integer
+    * ops, branch-free, fully codegen'd; linear cost that is noise next
+    * to the layout's range exchange (the magic-mask doubling of the
+    * 2-D path saves a constant factor only, and does not generalize to
+    * arbitrary (d, bits) without a mask table per pair).
+    */
+  def spreadN(c: Column, d: Int, bits: Int): Column =
+    (0 until bits).map { j =>
+      shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * d)
+    }.reduce(_ bitwiseOR _)
+
+  /** The same spread as DuckDB SQL, generated from the same loop — the
+    * shared-constants discipline that keeps operator and oracle from
+    * drifting.
+    */
+  private[graft] def spreadNSql(expr: String, d: Int, bits: Int): String =
+    (0 until bits)
+      .map(j => s"((($expr >> $j) & 1) << ${j * d})")
+      .mkString(" | ")
+
+  /** Morton code of `dims.length` dimensions: dims(0) on the lowest
+    * stride offset (…so for equal prefixes the FIRST dimension varies
+    * fastest — same convention as [[zValue]]'s even-bits-for-a). Each
+    * dimension must sit in [0, 2^bitsPerDim(d)); violations raise —
+    * a z-curve over a clipped domain silently breaks locality.
+    */
+  def zValueN(dims: Seq[Column]): Column = {
+    val d = dims.length
+    val b = bitsPerDim(d)
+    def guarded(c: Column): Column =
+      when(c.isNull.or(c < 0).or(c.cast(LongType) >= lit(1L << b)),
+           raise_error(concat(lit(s"zValueN: dimension out of [0, 2^$b): "),
+                              c.cast("string"))).cast(LongType))
+        .otherwise(c.cast(LongType))
+    dims.zipWithIndex.map { case (c, i) =>
+      shiftleft(spreadN(guarded(c), d, b), i)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** [[layout]] over d dimensions: appends `z` = [[zValueN]] of `dims`
+    * and `file_id` (0-based, `rowsPerFile` rows each in (z, tieBreak)
+    * order). Same scale shape as the 2-D path: codegen'd per-row key,
+    * ONE range exchange, [[PrefixSum]] file assignment.
+    */
+  def layoutN(df: DataFrame, dims: Seq[String], tieBreak: Column,
+              rowsPerFile: Long): DataFrame = {
+    require(rowsPerFile > 0, s"rowsPerFile must be positive: $rowsPerFile")
+    val clash = df.columns.toSet
+      .intersect(Set("z", "file_id", "__tie", "__one", "__rn"))
+    require(clash.isEmpty,
+      s"layoutN: input columns collide with output/internal names: $clash")
+    val withZ = df
+      .withColumn("z", zValueN(dims.map(col)))
+      .withColumn("__tie", tieBreak)
+      .withColumn("__one", lit(1L))
+    PrefixSum.runningTotal(withZ, "__one", Seq("z", "__tie"), cumCol = "__rn")
+      .withColumn("file_id",
+        floor((col("__rn") - 1) / lit(rowsPerFile)).cast(LongType))
+      .drop("__tie", "__one", "__rn")
+  }
+
+  /** Per-file envelopes over a [[layoutN]] result: min/max per
+    * dimension as min_d0/max_d0, min_d1/max_d1, … plus the z-range.
+    */
+  def localityReportN(laid: DataFrame, dims: Seq[String]): DataFrame =
+    laid.groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+           dims.zipWithIndex.flatMap { case (c, i) =>
+             Seq(min(col(c)).as(s"min_d$i"), max(col(c)).as(s"max_d$i"))
+           } :+ min(col("z")).as("z_lo") :+ max(col("z")).as("z_hi"): _*)
+      .orderBy("file_id")
 }

@@ -612,8 +612,12 @@ object AdvancedQueries {
     * window so same+adjacent-band probing is exact — output identical
     * to the bare noun join) — cost Σ_cells |cell|·(|cell|+|cell₊₁|)
     * instead of Σ_b |block_b|², so a hot noun block splits instead of
-    * holding one reducer hostage; the q184-style `maxCellRows` cap
-    * remains available for cells hot even after banding. Distance is
+    * holding one reducer hostage; cells hot even after banding (the
+    * fixed 92-word vocabulary makes them grow ∝ corpus) auto-reroute
+    * their block to the PassJoin signature path by default — exact,
+    * candidates linear in block size, decision printed (r13); the
+    * q184-style `maxCellRows` cap remains available where a bounded
+    * sample is preferred over exactness. Distance is
     * Spark's codegen'd `levenshtein` (threshold form) — identical
     * integer semantics in DuckDB's `levenshtein`, so the histogram is
     * exactly gateable against the bare-join oracle. dist=0 rows are

@@ -1161,6 +1161,54 @@ object CurationQueries {
     graft.operators.Hilbert.localityReport(laid, "l_partkey", "l_suppkey")
   }
 
+  /** The 3-D layout projection shared by q270/q271: (part, supplier,
+    * ship-day) — the production shape the r12 verdict named (layouts
+    * cluster 3–4 columns: entity keys plus time). d_ship = days since
+    * 1992-01-01, a small non-negative integer on every SF.
+    */
+  private def layout3dSource(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"),
+              datediff(col("l_shipdate"), lit("1992-01-01"))
+                .cast("long").as("d_ship"))
+
+  /** q270 — 3-D Z-ORDER LAYOUT ([[graft.operators.ZOrder.layoutN]]):
+    * q97 generalized to the (l_partkey, l_suppkey, ship-day) triple —
+    * 20 bits per dimension (62/3 — the int64 ceiling split), the d-ary
+    * bit spread per-row codegen'd, one range exchange, PrefixSum file
+    * assignment, per-file min/max envelope on all THREE dimensions.
+    * The oracle replays the interleave from [[graft.operators.ZOrder
+    * .spreadNSql]] — the same loop that generates the Spark-side
+    * arithmetic — so operator and oracle share one constant set.
+    */
+  def q270Zorder3d(s: SparkSession, dir: String): DataFrame = {
+    val li = layout3dSource(s, dir)
+    val laid = graft.operators.ZOrder.layoutN(
+      li, Seq("l_partkey", "l_suppkey", "d_ship"),
+      col("l_orderkey") * 10 + col("l_linenumber"), rowsPerFile = 1000L)
+    graft.operators.ZOrder.localityReportN(
+      laid, Seq("l_partkey", "l_suppkey", "d_ship"))
+  }
+
+  /** q271 — 3-D HILBERT LAYOUT ([[graft.operators.Hilbert.layoutN]],
+    * Skilling's transform): the adjacency-preserving curve on the same
+    * triple, directly comparable to q270's envelopes file-for-file.
+    * 19 exchange/invert rounds × 3 axes of CASE/AND/XOR int64
+    * arithmetic in named per-round columns, Gray encode, parity fold,
+    * then the q270 bit interleave — all codegen'd; the oracle CTE
+    * chain generates from the SAME round constants
+    * ([[graft.operators.Hilbert.oracleCtesN]]).
+    */
+  def q271Hilbert3d(s: SparkSession, dir: String): DataFrame = {
+    val li = layout3dSource(s, dir)
+    val laid = graft.operators.Hilbert.layoutN(
+      li, Seq("l_partkey", "l_suppkey", "d_ship"),
+      col("l_orderkey") * 10 + col("l_linenumber"), rowsPerFile = 1000L)
+    graft.operators.Hilbert.localityReportN(
+      laid, Seq("l_partkey", "l_suppkey", "d_ship"))
+  }
+
   /** Shared q100/q104 oracle fragment: the CDC chunk table (word
     * positions → bigram-window boundary flags → running chunk ids →
     * per-chunk digest), ending at CTE `ch(doc_id, chunk_id, h)`. One
@@ -2355,6 +2403,8 @@ object CurationQueries {
     "q96_data_diff"        -> (q96DataDiff _),
     "q97_zorder"           -> (q97Zorder _),
     "q203_hilbert"         -> (q203Hilbert _),
+    "q270_zorder3d"        -> (q270Zorder3d _),
+    "q271_hilbert3d"       -> (q271Hilbert3d _),
     "q98_bpe_encode"       -> (q98BpeEncode _),
     "q99_cooccur_pairs"    -> (q99CooccurPairs _),
     "q100_cdc_chunks"      -> (q100CdcChunks _),
@@ -3940,6 +3990,55 @@ object CurationQueries {
          |  MIN(l_suppkey) AS min_b, MAX(l_suppkey) AS max_b,
          |  MIN(hd) AS h_lo, MAX(hd) AS h_hi
          |FROM rn GROUP BY 1 ORDER BY file_id""".stripMargin,
+    // q270: the d-ary spread SQL generates from the same loop as the
+    // Spark-side zValueN arithmetic (shared-constants discipline).
+    "q270_zorder3d" -> {
+      import graft.operators.ZOrder.{bitsPerDim, spreadNSql}
+      val b = bitsPerDim(3)
+      s"""WITH src AS (
+         |  SELECT l_orderkey*10 + l_linenumber AS rid,
+         |    l_partkey, l_suppkey,
+         |    CAST(date_diff('day', DATE '1992-01-01',
+         |      CAST(l_shipdate AS DATE)) AS BIGINT) AS d_ship
+         |  FROM lineitem),
+         |z AS (
+         |  SELECT *,
+         |    ((${spreadNSql("l_partkey", 3, b)}) |
+         |     ((${spreadNSql("l_suppkey", 3, b)}) << 1) |
+         |     ((${spreadNSql("d_ship", 3, b)}) << 2)) AS z
+         |  FROM src),
+         |rn AS (SELECT *, row_number() OVER (ORDER BY z, rid) AS rn FROM z)
+         |SELECT CAST((rn-1)//1000 AS BIGINT) AS file_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(l_partkey) AS min_d0, MAX(l_partkey) AS max_d0,
+         |  MIN(l_suppkey) AS min_d1, MAX(l_suppkey) AS max_d1,
+         |  MIN(d_ship) AS min_d2, MAX(d_ship) AS max_d2,
+         |  MIN(z) AS z_lo, MAX(z) AS z_hi
+         |FROM rn GROUP BY 1 ORDER BY file_id""".stripMargin
+    },
+    // q271: the Skilling CTE chain generates from the SAME round
+    // constants as the operator's column chain.
+    "q271_hilbert3d" -> {
+      val (ctes, last) = graft.operators.Hilbert.oracleCtesN(
+        "src", Seq("l_partkey", "l_suppkey", "d_ship"),
+        "rid, l_partkey, l_suppkey, d_ship")
+      s"""WITH src AS (
+         |  SELECT l_orderkey*10 + l_linenumber AS rid,
+         |    l_partkey, l_suppkey,
+         |    CAST(date_diff('day', DATE '1992-01-01',
+         |      CAST(l_shipdate AS DATE)) AS BIGINT) AS d_ship
+         |  FROM lineitem),
+         |$ctes,
+         |rn AS (SELECT *, row_number() OVER (ORDER BY hd, rid) AS rn
+         |       FROM $last)
+         |SELECT CAST((rn-1)//1000 AS BIGINT) AS file_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(l_partkey) AS min_d0, MAX(l_partkey) AS max_d0,
+         |  MIN(l_suppkey) AS min_d1, MAX(l_suppkey) AS max_d1,
+         |  MIN(d_ship) AS min_d2, MAX(d_ship) AS max_d2,
+         |  MIN(hd) AS h_lo, MAX(hd) AS h_hi
+         |FROM rn GROUP BY 1 ORDER BY file_id""".stripMargin
+    },
     // q133: the oracle retrains the SAME bigram model (counts + floor-
     // scaled conditional probabilities, integer division throughout)
     // and rescores every doc — model drift, tokenizer drift, or a

@@ -106,6 +106,49 @@ class BlockedSelfJoinSpec extends SparkSpec {
       "cap must keep the smallest ids (deterministic sample)")
   }
 
+  test("auto-fallback reroutes hot blocks to the signature path and " +
+       "the output is IDENTICAL (r12 verdict #1)") {
+    // block "k": 60 rows over three near-dup texts (lengths 4–6, so
+    // the rerouted block carries cross-length pairs too); block
+    // "cold": the 8-row banded fixture. autoCellRows = 8 marks only
+    // "k" hot — cold rows must keep the banded plan and hot rows the
+    // signature plan, with the union equal to the bare oracle.
+    val texts = Seq("aaaa", "aaaab", "aaaabb")
+    val hotRows = (1L to 60L).map(i =>
+      (100L + i, texts((i % 3).toInt), "k"))
+    val mixed = spark.createDataFrame(
+      hotRows ++ Seq((1L, "bbbb", "cold"), (2L, "bbbc", "cold")))
+      .toDF("id", "name", "key")
+    val expected = bare(mixed, maxDist = 2)
+    assert(expected.contains((1L, 2L, 1L)), "fixture needs a cold pair")
+    val auto = Dedup.blockedSelfJoin(mixed, "id", "name", Seq("key"),
+                                     maxDist = 2, bandWidth = 3,
+                                     autoCellRows = 8)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto === expected)
+    // and the raw banded path agrees (the two routes are interchangeable)
+    val raw = Dedup.blockedSelfJoin(mixed, "id", "name", Seq("key"),
+                                    maxDist = 2, bandWidth = 3,
+                                    autoCellRows = 0)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(raw === expected)
+  }
+
+  test("an explicit maxCellRows cap takes precedence over the " +
+       "auto-fallback (capped sample semantics, not rerouting)") {
+    val hot = spark.createDataFrame(
+      (1L to 40L).map(i => (i, "aaaa", "k"))).toDF("id", "name", "key")
+    val capped = Dedup.blockedSelfJoin(hot, "id", "name", Seq("key"),
+                                       maxDist = 2, bandWidth = 3,
+                                       maxCellRows = 5, autoCellRows = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size === 10, "cap 5 => C(5,2) pairs, not a reroute")
+    assert(capped.forall { case (a, b) => a <= 5 && b <= 5 })
+  }
+
   test("reserved working-column names in blockCols are rejected") {
     intercept[IllegalArgumentException] {
       Dedup.blockedSelfJoin(records, "id", "name", Seq("__band"),

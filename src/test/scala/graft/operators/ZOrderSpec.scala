@@ -75,4 +75,60 @@ class ZOrderSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  /** Reference d-ary interleave: bit j of dim i → bit j·d + i. */
+  private def mortonRefN(xs: Seq[Long], b: Int): Long = {
+    val d = xs.length
+    var z = 0L
+    for (j <- 0 until b; i <- 0 until d)
+      if (((xs(i) >> j) & 1L) != 0) z |= 1L << (j * d + i)
+    z
+  }
+
+  test("zValueN is bit-exact vs the d-ary reference interleave for " +
+       "3 and 4 dims, incl. corners (r12 verdict #6)") {
+    val b3 = ZOrder.bitsPerDim(3)
+    assert(b3 === 20 && ZOrder.bitsPerDim(4) === 15 &&
+           ZOrder.bitsPerDim(2) === 31)
+    val top = (1L << b3) - 1
+    val rng = new scala.util.Random(11)
+    val cases = Seq(Seq(0L, 0L, 0L), Seq(top, top, top), Seq(top, 0L, 1L),
+                    Seq(1L, 2L, 4L)) ++
+      Seq.fill(100)(Seq.fill(3)(rng.nextInt(1 << b3).toLong))
+    val got = cases.map(c => (c(0), c(1), c(2))).toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+              ZOrder.zValueN(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect()
+    got.foreach { r =>
+      val xs = Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) === mortonRefN(xs, b3), xs.toString)
+    }
+    val b4 = ZOrder.bitsPerDim(4)
+    val g4 = Seq((1L, 2L, 3L, (1L << b4) - 1)).toDF("a", "b", "c", "d")
+      .select(ZOrder.zValueN(
+        Seq(col("a"), col("b"), col("c"), col("d"))).as("z"))
+      .collect()(0).getLong(0)
+    assert(g4 === mortonRefN(Seq(1L, 2L, 3L, (1L << b4) - 1), b4))
+  }
+
+  test("layoutN/localityReportN cover every row with ordered disjoint " +
+       "z-ranges; out-of-domain fails fast at the d-derived bound") {
+    val rng = new scala.util.Random(13)
+    val rows = (1L to 499L).map(i =>
+      (i, rng.nextInt(1000).toLong, rng.nextInt(1000).toLong,
+       rng.nextInt(1000).toLong))
+    val laid = ZOrder.layoutN(rows.toDF("id", "a", "b", "c"),
+                              Seq("a", "b", "c"), col("id"), 100L)
+    val rep = ZOrder.localityReportN(laid, Seq("a", "b", "c")).collect()
+    assert(rep.map(_.getLong(1)).sum === 499L)
+    assert(rep.map(_.getLong(0)).toSeq === (0L until 5L).toSeq)
+    val ranges = rep.map(r => (r.getLong(8), r.getLong(9)))
+    for (Array((_, hi0), (lo1, _)) <- ranges.sliding(2).map(_.toArray))
+      assert(hi0 <= lo1, "file z-ranges must be ordered")
+    val bad = Seq((1L, 1L << 20, 0L, 0L)).toDF("id", "a", "b", "c")
+    val ex = intercept[Exception] {
+      ZOrder.layoutN(bad, Seq("a", "b", "c"), col("id"), 10L).collect()
+    }
+    assert(ex.getMessage.contains("zValueN: dimension out of"))
+  }
 }
