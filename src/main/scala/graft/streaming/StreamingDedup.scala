@@ -138,6 +138,110 @@ object StreamingDedup {
         (): Unit
       }
 
+  /** [[dedupAppendBatch]] PLUS corpus-exact-SUBSTRING dedup in the same
+    * micro-batch (r12 verdict #4): the daily-crawl pipeline gets
+    * within-batch → corpus-exact → corpus-near-dup → corpus-substring
+    * in one stream. The substring state is q239's postings table —
+    * 16 B per distinct corpus L-gram — kept as a VERSIONED parquet
+    * table under `postingsRoot` with [[StreamingAgg]]'s discipline:
+    * batch N's pass reads the latest committed version STRICTLY BELOW
+    * N, so a replayed batch sees exactly the predecessor it saw the
+    * first time and recomputes the same cleaned text.
+    *
+    * Stage order is substring-cut FIRST ([[Dedup
+    * .incrementalDuplicatedSubstringSpans]] against the prior postings
+    * + within-batch keep-first via the same op), THEN the exact/near
+    * stages on the CLEANED text. The order is what makes crash replay
+    * a no-op: the text that would be appended is deterministic given
+    * (prior postings, batch), so a replayed batch's cleaned md5 is
+    * already in the corpus and the exact stage drops it — cutting
+    * after the exact stage would re-append a replayed row whose RAW
+    * text differs from its appended cleaned copy.
+    *
+    * Appended rows carry `__batch_id`, and the postings merge derives
+    * its delta FROM THE CORPUS TABLE (`__batch_id = batchId` rows),
+    * not from the in-flight batch: after a crash anywhere between the
+    * corpus append and the state write, the replay re-derives the
+    * identical delta from what actually landed, so the committed
+    * version `batch=<id>` always equals
+    * `substringGramPostings(corpus table)` — the invariant
+    * `StreamingDedupSpec` re-proves after every batch. The corpus this
+    * variant writes includes `__batch_id`; it is not interchangeable
+    * with [[dedupAppendBatch]]'s corpus.
+    */
+  def dedupAppendBatchSubstr(batch: DataFrame, corpusPath: String,
+                             postingsRoot: String, batchId: Long,
+                             minLen: Int = 25,
+                             n: Int = 3, num: Int = 4, den: Int = 5,
+                             minExpectedCorpusKeys: Long = 1000000L)
+      : Long = {
+    import org.apache.spark.sql.GraftColumns.unpersistCheckpoint
+    val spark = batch.sparkSession
+    val postingsPrev = StreamingAgg
+      .latestState(spark, postingsRoot, beforeBatchId = batchId)
+      .map(_._2.select(col("gram_h1"), col("gram_h2")))
+      .getOrElse {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("gram_h1", LongType),
+                         StructField("gram_h2", LongType))))
+      }
+    // corpus-substring + within-batch keep-first cut, text rewritten
+    val spans = Dedup.incrementalDuplicatedSubstringSpans(
+      postingsPrev, batch, "doc_id", "text", minLen)
+    val cleaned = try {
+      batch.drop("text")
+        .join(graft.operators.Intervals
+                .cutSpansText(batch, "doc_id", "text", spans,
+                              startCol = "span_start", lenCol = "span_len")
+                .select(col("doc_id"), col("cut_text").as("text")),
+              Seq("doc_id"))
+        .withColumn("__batch_id", lit(batchId))
+        .graftCheckpoint()
+    } finally unpersistCheckpoint(spans)
+    try {
+      val appended = dedupAppendBatch(cleaned, corpusPath, n, num, den,
+                                      minExpectedCorpusKeys)
+      // postings delta FROM THE TABLE: exactly what landed this batch id
+      // (a batch may empty out entirely — the corpus dir then may not
+      // be readable parquet yet, and the delta is empty by definition)
+      val fs = new org.apache.hadoop.fs.Path(corpusPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val hasParts = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(corpusPath + "/*.parquet")))
+        .exists(_.nonEmpty)
+      val delta =
+        if (!hasParts) postingsPrev.limit(0)
+        else Dedup.substringGramPostings(
+          spark.read.parquet(corpusPath)
+            .filter(col("__batch_id") === batchId),
+          "doc_id", "text", minLen)
+      postingsPrev.unionByName(delta).distinct()
+        .write.mode("overwrite")
+        .parquet(s"$postingsRoot/batch=$batchId")
+      appended
+    } finally unpersistCheckpoint(cleaned)
+  }
+
+  /** The substring-augmented stream: [[dedupAppendBatchSubstr]] per
+    * micro-batch under `foreachBatch`, postings state versioned by
+    * batch id. Same effectively-once contract as [[dedupStream]].
+    */
+  def dedupSubstrStream(docs: DataFrame, corpusPath: String,
+                        postingsRoot: String, checkpointDir: String,
+                        minLen: Int = 25,
+                        n: Int = 3, num: Int = 4, den: Int = 5)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupAppendBatchSubstr(batch, corpusPath, postingsRoot, batchId,
+                               minLen, n, num, den)
+        (): Unit
+      }
+
   /** Drain everything available and stop (cron-style incremental run). */
   def runAvailableNow(writer: DataStreamWriter[Row]): Unit = {
     val q = writer.trigger(Trigger.AvailableNow()).start()

@@ -56,6 +56,93 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(corpusPath).count() == 3)
   }
 
+  test("substring stage: maintained postings equal a full recompute " +
+       "over the corpus after every micro-batch; shared >=25-char runs " +
+       "are cut corpus-first then within-batch; replay is a no-op " +
+       "(r12 verdict #4)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val root = Files.createTempDirectory("graft-sdedup3").toString
+    val corpusPath = root + "/corpus"
+    val postingsRoot = root + "/postings"
+    val ckpt = root + "/ckpt"
+    val P = "the quick brown fox jumps over the lazy dog once more"
+    val Q = "pack my box with five dozen liquor jugs right now"
+
+    def postingsInvariant(): Unit = {
+      val state = StreamingAgg.latestState(spark, postingsRoot)
+        .map(_._2.select("gram_h1", "gram_h2").as[(Long, Long)]
+               .collect().toSet)
+        .getOrElse(Set.empty)
+      val full = Dedup.substringGramPostings(
+          spark.read.parquet(corpusPath), "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      assert(state === full,
+             s"postings state (${state.size}) must equal the corpus " +
+               s"recompute (${full.size}) after every batch")
+    }
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup
+      .dedupSubstrStream(docs, corpusPath, postingsRoot, ckpt).start()
+    try {
+      // batch 0: two distinct docs, doc 1 carrying phrase P
+      mem.addData(
+        (1L, P + " alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "completely unrelated content first corpus entry here"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpusPath).count() == 2)
+      postingsInvariant()
+
+      // batch 1: doc 11 repeats corpus phrase P (cut vs corpus), docs
+      // 13/14 share the corpus-NEW phrase Q (within-batch keep-first:
+      // 13 keeps it, 14 loses it), doc 12 is plain new
+      mem.addData(
+        (11L, P + " one two three four five six seven eight nine ten"),
+        (12L, "another genuinely new document with its own words"),
+        (13L, Q + " continuation that only this document carries on"),
+        (14L, Q + " a different tail so the pair is not an exact dup"))
+      q.processAllAvailable()
+      val after = spark.read.parquet(corpusPath)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toMap
+      assert(after.keySet === Set(1L, 2L, 11L, 12L, 13L, 14L))
+      assert(!after(11L).contains("quick brown fox"),
+             s"corpus phrase must be cut from doc 11: '${after(11L)}'")
+      assert(after(11L).contains("one two three"),
+             "doc 11's own tail must survive the cut")
+      assert(after(13L).contains("five dozen liquor"),
+             "within-batch keep-first: the FIRST occurrence keeps Q")
+      assert(!after(14L).contains("five dozen liquor"),
+             s"doc 14's copy of Q must be cut: '${after(14L)}'")
+      postingsInvariant()
+    } finally q.stop()
+
+    // crash-replay of batch 1 (same batch id, same content, replayed
+    // source ids): the cleaned text of every row is already in the
+    // corpus, so nothing appends, and the overwritten postings version
+    // equals what the first run committed
+    val stateBefore = StreamingAgg.latestState(spark, postingsRoot)
+      .map(_._2.as[(Long, Long)].collect().toSet).get
+    val replay = Seq(
+      (31L, P + " one two three four five six seven eight nine ten"),
+      (32L, "another genuinely new document with its own words"),
+      (33L, Q + " continuation that only this document carries on"),
+      (34L, Q + " a different tail so the pair is not an exact dup"))
+      .toDF("doc_id", "text")
+    val kept = StreamingDedup.dedupAppendBatchSubstr(
+      replay, corpusPath, postingsRoot, batchId = 1L)
+    assert(kept == 0, "replayed content must all dedup away")
+    assert(spark.read.parquet(corpusPath).count() == 6)
+    val stateAfter = StreamingAgg.latestState(spark, postingsRoot)
+      .map(_._2.as[(Long, Long)].collect().toSet).get
+    assert(stateAfter === stateBefore,
+           "replay must overwrite the postings version with identical " +
+             "content")
+  }
+
   test("within-batch NEAR-dups collapse to one keeper before appending") {
     val corpusPath =
       Files.createTempDirectory("graft-sdedup2").toString + "/corpus"
