@@ -20,6 +20,29 @@ object ScaleProbe {
     val only = args.lift(1).map(_.split(',').toSeq)
     val spark = GraftSession.local("scale-probe")
     spark.sparkContext.setLogLevel("WARN")
+    // task-level shuffle meter for the cap-lever probe (the Bench
+    // listener's shape; events are async — settle until stable)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten +
+              m.shuffleReadMetrics.totalBytesRead)
+          ()
+        }
+      })
+    def settledShuffle(): Long = {
+      var prev = -1L; var same = 0
+      while (same < 2) {
+        Thread.sleep(30)
+        val cur = shuffleBytes.get
+        if (cur == prev) same += 1 else { same = 0; prev = cur }
+      }
+      prev
+    }
     val dir = "/root/testdata/sf0.1"
     // expensive setups below are `lazy val`s so a filtered run only pays
     // for the inputs its probes actually consume; time() returns whether
@@ -714,6 +737,90 @@ object ScaleProbe {
       val on = Dedup.minhashDedupPairs(docs, "doc_id", "text", 3, 4, 5,
           maxBucketDocs = 8).count()
       println(s"  pairs: cap_off=$off cap_on(8)=$on")
+    }
+    // --- CAP-LEVER on the four pair-consuming gated queries (r12
+    // verdict #2): §9 asserted the pair families' 74–97× shuffle growth
+    // at ×10 "is bounded in production by the cap knobs" — this probe
+    // asserts it WITH DATA. Each leg replicates its query's pair stage
+    // plus downstream consumer — q205 provenance (jaccard 1/2 + CC +
+    // keeper join), q209 incremental CC (jaccard 1/2 + merge), q225
+    // threshold sensitivity (jaccard 4/5 + strict filter + applyDedup),
+    // q145's text leg (minhash 4/5 + applyDedup; the image leg rides
+    // the linear FeatureStore pass and carries no pair-family knob) —
+    // cap OFF (exact, the gated default) then ON, reporting wall,
+    // task-level shuffle bytes, the pair count, and the downstream
+    // output row count. The out-delta IS the exactness trade: recall
+    // inside over-cap families only (q188's family-size audit names
+    // the tail), precision untouched (capped candidates still verify
+    // against FULL sets).
+    time(s"cap_lever_${mult}x") {
+      val ids = docs.select(col("doc_id"))
+      def leg(name: String)(f: => (Long, Long)): Unit = {
+        val base = settledShuffle()
+        val t0 = System.nanoTime()
+        val (pairs, out) = f
+        val dt = (System.nanoTime() - t0) / 1e9
+        val sh = settledShuffle() - base
+        println(f"  $name pairs=$pairs out=$out " +
+          f"shuffle_mb=${sh / 1e6}%.1f wall=$dt%.2f s")
+      }
+      def withPairs(p: org.apache.spark.sql.DataFrame)
+                   (out: org.apache.spark.sql.DataFrame => Long)
+          : (Long, Long) = {
+        val ck = p.graftCheckpoint()
+        try (ck.count(), out(ck))
+        finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ck)
+      }
+      for (cap <- Seq(0, 8)) {
+        val tag = if (cap == 0) "cap_off" else s"cap_on_$cap"
+        leg(s"q205_provenance_$tag") {
+          withPairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 1, 2,
+                                       maxBucketDocs = cap)) { pairs =>
+            val cc = GraphOps.connectedComponents(
+                pairs.select(col("doc_a"), col("doc_b")),
+                "doc_a", "doc_b")
+              .toDF("doc_id", "component")
+            ids.join(cc, Seq("doc_id"), "left")
+              .filter(col("component").isNull ||
+                      col("doc_id") === col("component"))
+              .count()
+          }
+        }
+        leg(s"q209_incr_cc_$tag") {
+          withPairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 1, 2,
+                                       maxBucketDocs = cap)
+                      .select(col("doc_a"), col("doc_b"))
+                      .withColumn("__new",
+                        pmod(xxhash64(col("doc_a"), col("doc_b")),
+                             lit(5L)) === 0L)) { pairs =>
+            val oldLabels = GraphOps.connectedComponents(
+                pairs.filter(!col("__new")), "doc_a", "doc_b")
+              .toDF("id", "comp")
+            GraphOps.mergeComponents(
+                oldLabels, pairs.filter(col("__new")), "doc_a", "doc_b")
+              .select(col("comp")).distinct().count()
+          }
+        }
+        leg(s"q225_threshold_$tag") {
+          withPairs(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 4, 5,
+                                       maxBucketDocs = cap)) { pairs =>
+            val strict = pairs
+              .filter(col("inter_cnt") * 10 >= col("union_cnt") * 9)
+            Dedup.applyDedup(ids, "doc_id",
+                             strict.select("doc_a", "doc_b"))
+              .filter(col("kept")).count()
+          }
+        }
+        leg(s"q145_text_leg_$tag") {
+          withPairs(Dedup.minhashDedupPairs(docs, "doc_id", "text",
+                                            3, 4, 5,
+                                            maxBucketDocs = cap)
+                      .select("doc_a", "doc_b")) { pairs =>
+            Dedup.applyDedup(ids, "doc_id", pairs)
+              .filter(col("kept")).count()
+          }
+        }
+      }
     }
     // --- bigram LM scoring (q133 shape): model size is bounded by the
     // corpus vocabulary (the perturbed copies add ~one new type each),

@@ -286,7 +286,18 @@ object Dedup {
       s"a (block, band) cell > $autoCellRows rows routed to the " +
       "PassJoin signature path (exact; cold blocks stay banded)")
     val cold = bandedPairs(base.join(hotKeys, blockCols, "left_anti"))
+    // HARD round-robin spread before the signature join: the hot rows
+    // arrive partitioned by whatever produced them (often ONE scan
+    // split — hot blocks are few keys), and Catalyst broadcasts the
+    // small index side, so without this exchange the probe fan-out AND
+    // every levenshtein kernel would run in that single partition
+    // (measured: one 13-min task at ×10 where the spread run takes
+    // seconds). Partitioning.spread is scan-only by design; the
+    // explicit count is respected by AQE (REPARTITION_BY_NUM is never
+    // coalesced), and the shuffled volume is just the hot rows —
+    // linear, tiny next to the kernel work it parallelizes.
     val hotRecords = base.join(hotKeys, blockCols, "left_semi")
+      .repartition(records.sparkSession.sparkContext.defaultParallelism)
       .select((Seq(col("__id").as(idCol), col("__txt").as(textCol)) ++
         blockCols.map(col)): _*)
     val hot = passJoinPairs(hotRecords, idCol, textCol, blockCols, maxDist)
