@@ -304,6 +304,72 @@ object Dedup {
     cold.unionByName(hot)
   }
 
+  /** MULTIPLICITY-COLLAPSED blocked edit-distance pairs — the
+    * aggregate-report plan for corpora where the same text occurs many
+    * times verbatim (crawl snapshots, replicated catalogs, the ×10
+    * synthetic regime where EVERY name has 10 identical copies): the
+    * pair ENUMERATION of [[blockedSelfJoin]] is inherently quadratic
+    * in copy multiplicity (n copies of a text pair with each other and
+    * with every neighbor's copies), but a COUNT-shaped consumer (the
+    * q193 histogram; any per-distance rollup) never needs those pairs
+    * individually. Collapse first: one row per DISTINCT
+    * (blockCols, text) with its count; run the exact banded/signature
+    * machinery on the distinct rows only (kernel work tracks DISTINCT
+    * texts, independent of multiplicity); weight each surviving
+    * distinct pair by cnt_a·cnt_b and add the identical-copy diagonal
+    * C(cnt, 2) at dist 0.
+    *
+    * Output: (<textCol>_a, <textCol>_b, dist, n_pairs) — one row per
+    * unordered DISTINCT-text pair within a block (plus diagonal rows
+    * with _a = _b, dist 0), where Σ n_pairs per dist is EXACTLY
+    * `blockedSelfJoin(...).groupBy(dist).count()` on the uncollapsed
+    * input (`BlockedSelfJoinSpec` pins the identity; q272 shares
+    * q193's bare-join oracle verbatim). Text pairs are ordered
+    * _a < _b lexicographically. NOTE the collapse keys on
+    * (blockCols, text): the same text in two different blocks stays
+    * two rows, preserving blocking semantics; `idCol` is consumed
+    * only as the representative row id the inner join machinery needs.
+    *
+    * RELEASE CONTRACT: result == handle; the collapse checkpoint is
+    * released internally once the result materializes.
+    */
+  def weightedBlockedSelfJoin(records: DataFrame, idCol: String,
+                              textCol: String, blockCols: Seq[String],
+                              maxDist: Int, bandWidth: Int,
+                              autoCellRows: Int = DefaultAutoCellRows)
+      : DataFrame = {
+    val reserved = Seq("__w", "__rid")
+    require(!(blockCols :+ textCol).exists(reserved.contains),
+      s"blockCols/textCol must not use reserved names " +
+        reserved.mkString(", "))
+    val txtA = s"${textCol}_a"; val txtB = s"${textCol}_b"
+    val ridA = "__rid_a"; val ridB = "__rid_b"
+    val d = records
+      .groupBy((blockCols :+ textCol).map(col): _*)
+      .agg(count(lit(1)).as("__w"), min(col(idCol)).as("__rid"))
+      .graftCheckpoint()
+    try {
+      val pairs = blockedSelfJoin(d, "__rid", textCol, blockCols,
+                                  maxDist, bandWidth,
+                                  autoCellRows = autoCellRows)
+      val weighted = pairs
+        .join(d.select(col("__rid").as("__wka"), col("__w").as("__w_a")),
+              col("__wka") === col(ridA))
+        .join(d.select(col("__rid").as("__wkb"), col("__w").as("__w_b")),
+              col("__wkb") === col(ridB))
+        .select(least(col(txtA), col(txtB)).as(txtA),
+                greatest(col(txtA), col(txtB)).as(txtB),
+                col("dist"),
+                (col("__w_a") * col("__w_b")).as("n_pairs"))
+      val diag = d.filter(col("__w") >= 2L)
+        .select(col(textCol).as(txtA), col(textCol).as(txtB),
+                lit(0L).as("dist"),
+                (col("__w") * (col("__w") - 1) / 2).cast("long")
+                  .as("n_pairs"))
+      weighted.unionByName(diag).graftCheckpoint()
+    } finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(d)
+  }
+
   /** Exact n-gram Jaccard pairs via PREFIX FILTERING (PPJoin-style,
     * Xiao et al. 2008) — the third pair-generation strategy next to the
     * full inverted index ([[jaccardPairs]]) and MinHash LSH

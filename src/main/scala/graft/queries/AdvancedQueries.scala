@@ -643,6 +643,41 @@ object AdvancedQueries {
       .orderBy("dist")
   }
 
+  /** q272 — the SAME answer as q193 computed by MULTIPLICITY COLLAPSE
+    * ([[Dedup.weightedBlockedSelfJoin]]): one row per DISTINCT
+    * (noun, name) with its count, the exact banded/signature machinery
+    * on distinct rows only, distinct pairs weighted cnt_a·cnt_b, the
+    * identical-copy diagonal C(cnt, 2) at dist 0 — then one weighted
+    * rollup. Three routes, one oracle (q193 hand-banded / q226
+    * signatures on the quarter / q272 collapsed): the gate itself
+    * proves the weighted arithmetic reproduces the enumeration counts.
+    *
+    * WHY a third route: pair ENUMERATION is quadratic in copy
+    * multiplicity — unavoidable when the pairs themselves are the
+    * product, but a histogram never needs them individually. Kernel
+    * and shuffle cost here track DISTINCT texts, independent of how
+    * many times each repeats: at ×10 copy inflation (§9), where q193's
+    * honest enumeration pays 242 s for its 552M-pair output, the
+    * collapsed plan answers the same question in seconds because the
+    * distinct-name set hasn't grown at all. The report-shaped tool for
+    * the multiplicity-heavy regime; q193 remains the pair-list tool.
+    */
+  def q272EditdistWeighted(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey").as("pk"), col("p_name").as("nm"),
+              coalesce(element_at(split(col("p_name"), " "), 2), lit(""))
+                .as("noun"))
+    val w = Dedup.weightedBlockedSelfJoin(p, "pk", "nm", Seq("noun"),
+                                          maxDist = 2,
+                                          bandWidth = EditBandWidth)
+    val out = w.groupBy(col("dist"))
+      .agg(sum(col("n_pairs")).as("n_pairs"))
+      .orderBy("dist")
+      .graftCheckpoint()
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(w)
+    out
+  }
+
   /** q226 — the SAME answer as q193 computed by the PassJoin
     * segment-signature path ([[Dedup.passJoinPairs]]): candidates are
     * pairs sharing a ~len/3-char ALIGNED substring (pigeonhole over 3
@@ -3401,6 +3436,7 @@ object AdvancedQueries {
     "q191_benford" -> (q191Benford _),
     "q192_split_leakage" -> (q192SplitLeakage _),
     "q193_editdist_blocked" -> (q193EditdistBlocked _),
+    "q272_editdist_weighted" -> (q272EditdistWeighted _),
     "q226_passjoin_editdist" -> (q226PassjoinEditdist _),
     "q230_snm_recall" -> (q230SnmRecall _),
     "q231_snm_multipass" -> (q231SnmMultipass _),
@@ -3894,6 +3930,21 @@ object AdvancedQueries {
     // q193: identical blocking self-join; DuckDB's levenshtein is the
     // same unit-cost edit distance as Spark's.
     "q193_editdist_blocked" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS pk, p_name AS nm,
+        |    split_part(p_name, ' ', 2) AS noun
+        |  FROM part)
+        |SELECT CAST(dist AS BIGINT) AS dist,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM (
+        |  SELECT levenshtein(a.nm, b.nm) AS dist
+        |  FROM p a JOIN p b ON a.noun = b.noun AND a.pk < b.pk)
+        |WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin,
+    // q272: the multiplicity-collapsed weighted route answers to
+    // q193's bare-join oracle VERBATIM — the gate proves the weighted
+    // arithmetic (cnt_a*cnt_b + C(cnt,2) diagonal) reproduces the
+    // enumeration counts.
+    "q272_editdist_weighted" ->
       """WITH p AS (
         |  SELECT p_partkey AS pk, p_name AS nm,
         |    split_part(p_name, ' ', 2) AS noun

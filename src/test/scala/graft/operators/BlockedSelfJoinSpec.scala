@@ -149,6 +149,37 @@ class BlockedSelfJoinSpec extends SparkSpec {
     assert(capped.forall { case (a, b) => a <= 5 && b <= 5 })
   }
 
+  test("weightedBlockedSelfJoin: the collapsed weighted rollup equals " +
+       "the enumeration histogram under heavy multiplicity (q272)") {
+    // multiplicities 1/3/4 within a block plus a second block: the
+    // weighted identity must cover cnt_a*cnt_b cross terms, the
+    // C(cnt,2) diagonal, and block isolation (same text in another
+    // block never pairs across)
+    val rows =
+      Seq.fill(3)(("aaaa", "k")) ++ Seq.fill(4)(("aaaab", "k")) ++
+        Seq(("zzzz", "k")) ++ Seq.fill(2)(("aaaa", "other"))
+    val df = spark.createDataFrame(
+      rows.zipWithIndex.map { case ((t, b), i) => (i.toLong, t, b) })
+      .toDF("id", "name", "key")
+    val enumerated = Dedup.blockedSelfJoin(df, "id", "name", Seq("key"),
+                                           maxDist = 2, bandWidth = 3)
+      .groupBy("dist").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weighted = Dedup.weightedBlockedSelfJoin(
+        df, "id", "name", Seq("key"), maxDist = 2, bandWidth = 3)
+    val rolled = weighted
+      .groupBy("dist").agg(org.apache.spark.sql.functions.sum("n_pairs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rolled === enumerated)
+    // cross-check one closed form: dist 0 = C(3,2)+C(4,2)+C(2,2) = 10
+    assert(rolled(0L) === 10L)
+    // and the weighted frame stays DISTINCT-text-sized: 3 diagonal
+    // rows + cross pairs among {aaaa,aaaab,zzzz} in "k" (aaaa~aaaab
+    // dist 1; zzzz matches nothing) = 4 rows total
+    assert(weighted.count() === 4L)
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(weighted)
+  }
+
   test("reserved working-column names in blockCols are rejected") {
     intercept[IllegalArgumentException] {
       Dedup.blockedSelfJoin(records, "id", "name", Seq("__band"),
