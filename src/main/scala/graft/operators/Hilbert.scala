@@ -341,6 +341,13 @@ object Hilbert {
     * `h0..h$Bits`, generated from the SAME [[roundScales]]. `srcCte`
     * must provide columns `$xCol`, `$yCol`, and the passthrough list
     * `keep`; the final CTE `h$Bits` carries (keep, hd).
+    *
+    * The s² term is explicitly CAST to BIGINT (r13): at s = 2^15,
+    * s² = 2^30 is the one round scale that FITS DuckDB's INT32
+    * literal typing while s²·(2 or 3) does not — an overflow
+    * unreachable below 2^15 key domains (every driver SF) that the
+    * synth10 scale-ladder gate caught on first contact with 2·10^5
+    * keys.
     */
   private[graft] def oracleCtes(srcCte: String, xCol: String, yCol: String,
                                 keep: String): String = {
@@ -355,7 +362,7 @@ object Hilbert {
          |      THEN ${s - 1} - hy ELSE hy END ELSE hx END AS hx,
          |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1
          |      THEN ${s - 1} - hx ELSE hx END ELSE hy END AS hy,
-         |    hd + ${s * s} * xor(3 * rx, ry) AS hd
+         |    hd + CAST(${s * s} AS BIGINT) * xor(3 * rx, ry) AS hd
          |  FROM (SELECT *,
          |          CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
          |          CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
