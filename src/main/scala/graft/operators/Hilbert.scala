@@ -15,16 +15,15 @@ import graft.GraftOps._
   * files per query rectangle; the cost is ~3 CASE branches per bit
   * round instead of pure shift/mask.
   *
-  * Execution shape, Spark-first: [[withHilbert]] is a chain of
-  * per-round projections (each round's x/y/d land in NAMED columns, so
-  * the expression tree stays linear in rounds — folding all Bits rounds
-  * into one Column would copy every subtree at each reference and blow
-  * up exponentially; Catalyst's CollapseProject keeps multi-referenced
-  * non-cheap aliases materialized, so the chain survives optimization
-  * intact). All integer CASE/AND/XOR arithmetic, fully inside
-  * whole-stage codegen; no UDF, no shuffle. [[layout]] pays the one
-  * range exchange any total sort pays and assigns files via
-  * [[PrefixSum]] — never a single-partition window.
+  * Execution shape, Spark-first: [[withHilbert]] is ONE codegen'd
+  * expression — the compact native kernel
+  * [[graft.functions.HilbertIndexXY]] (r13; the earlier per-round
+  * projection chain fused into one whole-stage-codegen stage but its
+  * unrolled consume method ran past HotSpot's 8000-bytecode JIT
+  * ceiling and executed in the bytecode interpreter — see the kernel's
+  * scaladoc for the measurements). No UDF, no shuffle for the value;
+  * [[layout]] pays the one range exchange any total sort pays and
+  * assigns files via [[PrefixSum]] — never a single-partition window.
   *
   * The round recurrence (the standard xy2d walk, top bit down):
   * rx = bit s of x, ry = bit s of y; d += s²·((3·rx) xor ry); then
@@ -56,46 +55,29 @@ object Hilbert {
   private[graft] val roundScales: Seq[Long] =
     (Bits - 1 to 0 by -1).map(1L << _)
 
-  private def guard(c: Column): Column =
-    when(c.isNull.or(c < 0).or(c.cast(LongType) >= lit(1L << Bits)),
-         raise_error(concat(lit(s"hilbert: dimension out of [0, 2^$Bits): "),
-                            c.cast("string"))).cast(LongType))
-      .otherwise(c.cast(LongType))
-
-  /** Appends column `out` = the Hilbert d-value of (dimA, dimB). */
+  /** Appends column `out` = the Hilbert d-value of (dimA, dimB).
+    *
+    * r13: the per-round `withColumn` chain is replaced by the compact
+    * codegen kernel [[graft.functions.HilbertIndexXY]] — the chain
+    * fused into one whole-stage-codegen stage, but its generated
+    * consume method unrolled 31 rounds of CASE arithmetic past
+    * HotSpot's 8000-bytecode DontCompileHugeMethods ceiling and ran in
+    * the JVM BYTECODE INTERPRETER (~18 µs/row; ~11 s for the d-value
+    * alone at sf0.1). The kernel is a few hundred bytecodes, JITs, and
+    * computes identical values (`HilbertSpec` pins it against the
+    * independent imperative walk; the oracle still replays
+    * [[roundScales]], so cross-engine parity stays gated). Same
+    * domain guard, now inside the kernel: null or out-of-[0, 2^31)
+    * dimensions throw.
+    */
   def withHilbert(df: DataFrame, dimA: String, dimB: String,
                   out: String = "h"): DataFrame = {
-    val clash = df.columns.toSet
-      .intersect(Set(out, "__hx", "__hy", "__hd", "__rx", "__ry", "__nx"))
-    require(clash.isEmpty,
-      s"withHilbert: input columns collide with internal names: $clash")
-    var cur = df
-      .withColumn("__hx", guard(col(dimA)))
-      .withColumn("__hy", guard(col(dimB)))
-      .withColumn("__hd", lit(0L))
-    for (s <- roundScales) {
-      cur = cur
-        .withColumn("__rx",
-          when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
-        .withColumn("__ry",
-          when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
-        .withColumn("__hd",
-          col("__hd") +
-            lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
-        .withColumn("__nx",
-          when(col("__ry") === 0,
-               when(col("__rx") === 1, lit(s - 1) - col("__hy"))
-                 .otherwise(col("__hy")))
-            .otherwise(col("__hx")))
-        .withColumn("__hy",
-          when(col("__ry") === 0,
-               when(col("__rx") === 1, lit(s - 1) - col("__hx"))
-                 .otherwise(col("__hx")))
-            .otherwise(col("__hy")))
-        .withColumn("__hx", col("__nx"))
-    }
-    cur.withColumn(out, col("__hd"))
-      .drop("__hx", "__hy", "__hd", "__rx", "__ry", "__nx")
+    require(!df.columns.contains(out),
+      s"withHilbert: input already has a '$out' column")
+    import org.apache.spark.sql.GraftColumns
+    df.withColumn(out, GraftColumns.column(graft.functions.HilbertIndexXY(
+      GraftColumns.expression(col(dimA).cast(LongType)),
+      GraftColumns.expression(col(dimB).cast(LongType)), Bits)))
   }
 
   /** [[ZOrder.layout]] on the Hilbert key: appends `h` and `file_id`
@@ -110,23 +92,19 @@ object Hilbert {
       .intersect(Set("h", "file_id", "__tie", "__one", "__rn"))
     require(clash.isEmpty,
       s"layout: input columns collide with output/internal names: $clash")
-    // Materialize the d-values BEFORE the range exchange: the range
-    // partitioner's sampling job re-executes its input plan, and the
-    // per-round arithmetic is expensive enough that evaluating it twice
-    // (sample pass + shuffle pass) measurably dominates — 13.6 s vs
-    // 4 s at sf0.1 for the whole layout. ZOrder skips this because its
-    // 5-round shift/mask spread is nearly free to recompute.
+    // No pre-exchange checkpoint (r13): the range partitioner's
+    // sampling job re-executes the input plan, which mattered when the
+    // d-value was the interpreted 31-round chain (13.6 s vs 4 s at
+    // sf0.1); the JIT'd kernel is nearly free to recompute, so the
+    // layout takes the same no-materialization shape as ZOrder.
     val withH = withHilbert(df, dimA, dimB, out = "h")
       .withColumn("__tie", tieBreak)
       .withColumn("__one", lit(1L))
-      .graftCheckpoint()
-    val laid = PrefixSum
+    PrefixSum
       .runningTotal(withH, "__one", Seq("h", "__tie"), cumCol = "__rn")
       .withColumn("file_id",
         floor((col("__rn") - 1) / lit(rowsPerFile)).cast(LongType))
       .drop("__tie", "__one", "__rn")
-    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(withH)
-    laid
   }
 
   /** Per-file locality envelopes over a [[layout]] result — the footer
@@ -147,10 +125,10 @@ object Hilbert {
   // bit planes top-down exchanging/inverting axes against axis 0,
   // Gray-encode across axes, fold a parity correction from the last
   // axis, then bit-interleave the transposed axes into one scalar.
-  // Everything is CASE/AND/XOR int64 arithmetic in NAMED per-round
-  // columns (the same linear-expression-tree discipline as the 2-D
-  // chain), and the SQL oracle generator below replays the identical
-  // rounds from the same constants.
+  // Computed by the compact codegen kernel
+  // [[graft.functions.HilbertIndexN]] (r13 — the 2-D kernel's
+  // huge-method reasoning applies ×d), and the SQL oracle generator
+  // below replays the identical rounds from the same constants.
   // ---------------------------------------------------------------
 
   /** Bit-plane scales for a b-bit transform: Q = 2^(b−1) … 2. */
@@ -175,70 +153,30 @@ object Hilbert {
     * spec walks a FULL small domain (bits = 3 → 8³ cells) to pin the
     * adjacency/bijectivity properties exhaustively, which the
     * production width (2^60 cells at d = 3) cannot.
+    *
+    * r13: computed by the compact codegen kernel
+    * [[graft.functions.HilbertIndexN]] (same reasoning as the 2-D
+    * [[withHilbert]] — the unrolled 19×3-round chain ran past
+    * HotSpot's huge-method JIT ceiling); the kernel's loop IS the
+    * Skilling algorithm the [[oracleCtesN]] CTE chain replays from
+    * [[roundScalesB]], and `HilbertSpec` pins it against an
+    * independent imperative reference.
     */
   private[graft] def withHilbertN(df: DataFrame, dims: Seq[String],
                                   out: String, b: Int): DataFrame = {
     val d = dims.length
     require(d >= 2, s"need >= 2 dimensions, got $d")
-    val gCols = (0 until d).map(i => s"__g$i")
-    val clash = df.columns.toSet
-      .intersect((gCols ++ Seq(out, "__ht", "__hn")).toSet)
-    require(clash.isEmpty,
-      s"withHilbertN: input columns collide with internal names: $clash")
-    def gN(c: Column): Column =
-      when(c.isNull.or(c < 0).or(c.cast(LongType) >= lit(1L << b)),
-           raise_error(concat(lit(s"hilbertN: dimension out of [0, 2^$b): "),
-                              c.cast("string"))).cast(LongType))
-        .otherwise(c.cast(LongType))
-    var cur = dims.zip(gCols).foldLeft(df) { case (acc, (dim, g)) =>
-      acc.withColumn(g, gN(col(dim)))
-    }
-    // axis exchange/invert rounds, bit plane Q top-down
-    for (q <- roundScalesB(b)) {
-      val p = q - 1
-      cur = cur.withColumn("__g0",
-        when(col("__g0").bitwiseAND(lit(q)) > 0,
-             col("__g0").bitwiseXOR(lit(p))).otherwise(col("__g0")))
-      for (i <- 1 until d) {
-        val gi = s"__g$i"
-        cur = cur
-          .withColumn("__ht",
-            col("__g0").bitwiseXOR(col(gi)).bitwiseAND(lit(p)))
-          .withColumn("__hn",
-            when(col(gi).bitwiseAND(lit(q)) > 0,
-                 col("__g0").bitwiseXOR(lit(p)))
-              .otherwise(col("__g0").bitwiseXOR(col("__ht"))))
-          .withColumn(gi,
-            when(col(gi).bitwiseAND(lit(q)) > 0, col(gi))
-              .otherwise(col(gi).bitwiseXOR(col("__ht"))))
-          .withColumn("__g0", col("__hn"))
-      }
-    }
-    // Gray encode across axes (sequential: uses the UPDATED neighbor)
-    for (i <- 1 until d)
-      cur = cur.withColumn(s"__g$i",
-        col(s"__g$i").bitwiseXOR(col(s"__g${i - 1}")))
-    // parity correction folded from the last axis
-    val t = roundScalesB(b).map { q =>
-      when(col(gCols.last).bitwiseAND(lit(q)) > 0, lit(q - 1))
-        .otherwise(lit(0L))
-    }.reduce(_ bitwiseXOR _)
-    cur = cur.withColumn("__ht", t)
-    for (i <- 0 until d)
-      cur = cur.withColumn(s"__g$i",
-        col(s"__g$i").bitwiseXOR(col("__ht")))
-    // transpose → scalar: bit j of axis i lands at j·d + (d−1−i)
-    val h = (0 until d).map { i =>
-      shiftleft(ZOrder.spreadN(col(s"__g$i"), d, b), d - 1 - i)
-    }.reduce(_ bitwiseOR _)
-    cur.withColumn(out, h).drop(gCols :+ "__ht" :+ "__hn": _*)
+    require(!df.columns.contains(out),
+      s"withHilbertN: input already has a '$out' column")
+    import org.apache.spark.sql.GraftColumns
+    df.withColumn(out, GraftColumns.column(graft.functions.HilbertIndexN(
+      dims.map(c => GraftColumns.expression(col(c).cast(LongType))), b)))
   }
 
   /** [[layout]] over d dimensions on the Skilling index: appends `h`
-    * and `file_id`. Same scale shape — the index is materialized via
-    * checkpoint before the range exchange (the sampling pass would
-    * otherwise re-run the whole round chain), one range exchange,
-    * [[PrefixSum]] file assignment.
+    * and `file_id`. Same scale shape: a codegen'd per-row key
+    * (cheap to recompute, so no pre-exchange materialization), ONE
+    * range exchange, [[PrefixSum]] file assignment.
     */
   def layoutN(df: DataFrame, dims: Seq[String], tieBreak: Column,
               rowsPerFile: Long): DataFrame = {
@@ -250,14 +188,11 @@ object Hilbert {
     val withH = withHilbertN(df, dims, out = "h")
       .withColumn("__tie", tieBreak)
       .withColumn("__one", lit(1L))
-      .graftCheckpoint()
-    val laid = PrefixSum
+    PrefixSum
       .runningTotal(withH, "__one", Seq("h", "__tie"), cumCol = "__rn")
       .withColumn("file_id",
         floor((col("__rn") - 1) / lit(rowsPerFile)).cast(LongType))
       .drop("__tie", "__one", "__rn")
-    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(withH)
-    laid
   }
 
   /** Per-file envelopes over a [[layoutN]] result — min/max per
@@ -274,7 +209,7 @@ object Hilbert {
 
   /** DuckDB oracle fragment for [[withHilbertN]]: the identical
     * Skilling rounds as a CTE chain `s0..sK`, generated from the SAME
-    * [[roundScalesN]]/[[ZOrder.spreadNSql]] constants. `srcCte` must
+    * [[roundScalesB]]/[[ZOrder.spreadNSql]] constants. `srcCte` must
     * provide `xCols` and the passthrough list `keep`; the final CTE
     * (whose name this returns as the second tuple element) carries
     * (keep, hd).

@@ -1143,13 +1143,15 @@ object CurationQueries {
     * comparable outputs, and the Hilbert adjacency property
     * (consecutive cells always grid-adjacent, no Morton diagonal
     * jumps) is what tightens boundary-file envelopes. The d-value is
-    * 31 rounds of CASE/AND/XOR integer arithmetic (dims in [0, 2³¹)
-    * since r12 — the sf1.0 key-domain fix) in named per-round
-    * columns (linear expression tree — see the operator scaladoc for
-    * why folding it into one Column would be exponential), the oracle
-    * CTE chain generates from the SAME round constants, and the only
-    * full-data exchange is the sort's range partition; file assignment
-    * rides [[graft.operators.PrefixSum]].
+    * the compact codegen kernel [[graft.functions.HilbertIndexXY]]
+    * (r13 — the unrolled 31-round column chain fused into one
+    * codegen stage but ran past HotSpot's huge-method JIT ceiling,
+    * executing interpreted; the kernel cut this query 10.5 → 1.5 s at
+    * sf0.1, now equal to q97), dims in [0, 2³¹) since r12 (the sf1.0
+    * key-domain fix); the oracle CTE chain generates from the SAME
+    * round constants, and the only full-data exchange is the sort's
+    * range partition; file assignment rides
+    * [[graft.operators.PrefixSum]].
     */
   def q203Hilbert(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
@@ -1194,9 +1196,10 @@ object CurationQueries {
   /** q271 — 3-D HILBERT LAYOUT ([[graft.operators.Hilbert.layoutN]],
     * Skilling's transform): the adjacency-preserving curve on the same
     * triple, directly comparable to q270's envelopes file-for-file.
-    * 19 exchange/invert rounds × 3 axes of CASE/AND/XOR int64
-    * arithmetic in named per-round columns, Gray encode, parity fold,
-    * then the q270 bit interleave — all codegen'd; the oracle CTE
+    * computed by the [[graft.functions.HilbertIndexN]] codegen kernel
+    * (19 exchange/invert rounds × 3 axes, Gray encode, parity fold,
+    * then the q270 bit interleave — one JIT'd loop per row; 13.4 →
+    * 2.2 s at sf0.1 vs the unrolled column chain); the oracle CTE
     * chain generates from the SAME round constants
     * ([[graft.operators.Hilbert.oracleCtesN]]).
     */
