@@ -177,7 +177,16 @@ object Dedup {
     * pinned one task at >21 min of within-cell quadratic verify on a
     * hot name-noun cell, because a fixed key vocabulary makes blocks
     * grow ∝ corpus): the call first MEASURES the (blockCols, band)
-    * cell histogram (one tiny count-aggregate job at plan-build time);
+    * cell histogram. CONTRACT: in this default mode, CONSTRUCTING the
+    * result runs eager Spark jobs (a tagged local checkpoint of the
+    * prepared input, then the tiny cell count-aggregate) even if the
+    * returned frame is never executed — the checkpoint guarantees an
+    * expensive or nondeterministic input evaluates exactly once across
+    * the measurement and both routed sides, and the result is the
+    * release handle (`GraftColumns.unpersistCheckpoint(result)` after
+    * consumption; otherwise the ContextCleaner reclaims the blocks).
+    * `autoCellRows <= 0` or an explicit `maxCellRows` restores fully
+    * lazy construction. After the measurement,
     * any BLOCK owning a cell above `autoCellRows` rows is routed —
     * whole, so same/adjacent-band pairing never crosses the split —
     * through [[passJoinPairs]]'s segment-signature path, whose
@@ -269,13 +278,34 @@ object Dedup {
     // and only when the signature scheme is applicable (maxDist >= 1).
     if (maxCellRows > 0 || autoCellRows <= 0 || maxDist < 1)
       return bandedPairs(base)
-    val hotBlocks = base
+    // The measurement consumes the prepared input up to three times
+    // (cell histogram, cold side, hot side) — checkpoint it ONCE so an
+    // expensive or nondeterministic `records` evaluates exactly once
+    // (ADVICE r13). The checkpoint rides inside the returned plan;
+    // result == handle (pass the result to
+    // GraftColumns.unpersistCheckpoint after consumption to release
+    // the blocks early — otherwise the ContextCleaner reclaims them).
+    val baseCk = base.graftCheckpoint()
+    val hotBlocks = baseCk
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > autoCellRows)
       .select(blockCols.map(col): _*)
       .distinct()
     val nHot = hotBlocks.count()
-    if (nHot == 0L) return bandedPairs(base)
+    if (nHot == 0L) return bandedPairs(baseCk)
+    // Empty blockCols = ONE global block: per-block routing has no key
+    // to split on (a zero-column anti/semi join degenerates to
+    // everything-hot), so route the whole input through the signature
+    // path deliberately (ADVICE r13) — same output, stated plan.
+    if (blockCols.isEmpty) {
+      println(s"[blockedSelfJoin] auto-fallback: the single global " +
+        s"block has a band cell > $autoCellRows rows; whole input " +
+        "routed to the PassJoin signature path (exact)")
+      val spreadAll = baseCk
+        .repartition(records.sparkSession.sparkContext.defaultParallelism)
+        .select(col("__id").as(idCol), col("__txt").as(textCol))
+      return passJoinPairs(spreadAll, idCol, textCol, Nil, maxDist)
+    }
     // COUNTED broadcast (the spansFromGrams discipline): hot-block keys
     // are bounded by n / autoCellRows rows, but only a measured small
     // set broadcasts — beyond the cap the split joins shuffle on
@@ -285,7 +315,7 @@ object Dedup {
     println(s"[blockedSelfJoin] auto-fallback: $nHot hot block(s) with " +
       s"a (block, band) cell > $autoCellRows rows routed to the " +
       "PassJoin signature path (exact; cold blocks stay banded)")
-    val cold = bandedPairs(base.join(hotKeys, blockCols, "left_anti"))
+    val cold = bandedPairs(baseCk.join(hotKeys, blockCols, "left_anti"))
     // HARD round-robin spread before the signature join: the hot rows
     // arrive partitioned by whatever produced them (often ONE scan
     // split — hot blocks are few keys), and Catalyst broadcasts the
@@ -296,7 +326,7 @@ object Dedup {
     // explicit count is respected by AQE (REPARTITION_BY_NUM is never
     // coalesced), and the shuffled volume is just the hot rows —
     // linear, tiny next to the kernel work it parallelizes.
-    val hotRecords = base.join(hotKeys, blockCols, "left_semi")
+    val hotRecords = baseCk.join(hotKeys, blockCols, "left_semi")
       .repartition(records.sparkSession.sparkContext.defaultParallelism)
       .select((Seq(col("__id").as(idCol), col("__txt").as(textCol)) ++
         blockCols.map(col)): _*)
@@ -352,6 +382,10 @@ object Dedup {
       val pairs = blockedSelfJoin(d, "__rid", textCol, blockCols,
                                   maxDist, bandWidth,
                                   autoCellRows = autoCellRows)
+      // pairs may embed blockedSelfJoin's own measurement checkpoint
+      // (result == handle); release it once the final result below has
+      // materialized — the outer finally covers d either way.
+      try {
       val weighted = pairs
         .join(d.select(col("__rid").as("__wka"), col("__w").as("__w_a")),
               col("__wka") === col(ridA))
@@ -364,9 +398,13 @@ object Dedup {
       val diag = d.filter(col("__w") >= 2L)
         .select(col(textCol).as(txtA), col(textCol).as(txtB),
                 lit(0L).as("dist"),
-                (col("__w") * (col("__w") - 1) / 2).cast("long")
-                  .as("n_pairs"))
+                // integer `div`, NOT fractional `/`: Divide casts the
+                // longs to double first, losing exactness past 2^53 —
+                // the surrounding contract is bit-exactness vs the
+                // enumeration oracle (ADVICE r13)
+                expr("(__w * (__w - 1)) div 2").as("n_pairs"))
       weighted.unionByName(diag).graftCheckpoint()
+      } finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(pairs)
     } finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(d)
   }
 

@@ -39,6 +39,40 @@ import org.apache.spark.sql.types.StructType
   */
 object ZoneMapScan {
 
+  /** One row group's contribution to its file's zone envelope. */
+  private[sources] sealed trait GroupContribution
+  /** Usable min/max — fold them into the envelope. */
+  private[sources] case object GroupBounded extends GroupContribution
+  /** Provably no matchable rows (zero rows, or all-null PROVEN) —
+    * contributes nothing; nulls cannot match a range predicate. */
+  private[sources] case object GroupNothing extends GroupContribution
+  /** Rows whose values the stats cannot see — poisons the WHOLE file
+    * to the null zone (never pruned). */
+  private[sources] case object GroupUnknown extends GroupContribution
+
+  /** Decide how a row group contributes to the file envelope. A group
+    * carrying rows but NO usable statistics (foreign writer, stats
+    * dropped) holds values the envelope cannot see — folding only the
+    * statted groups would yield a too-narrow envelope and pruneFiles
+    * could drop a file containing matches (ADVICE r12). "All-null" must
+    * be PROVEN, not inferred from min/max absence: parquet permits a
+    * chunk to carry only null_count while min/max were dropped
+    * (oversized values, foreign writers), so absence of a non-null
+    * value bound only proves all-null when the null count is set AND
+    * equals the group's row count (ADVICE r13). Factored out of the
+    * footer fold for direct spec coverage — no writer in this container
+    * produces the null-count-only stats shape.
+    */
+  private[sources] def groupContribution(
+      rowCount: Long,
+      st: org.apache.parquet.column.statistics.Statistics[_])
+      : GroupContribution =
+    if (rowCount <= 0) GroupNothing
+    else if (st == null || st.isEmpty) GroupUnknown
+    else if (st.hasNonNullValue) GroupBounded
+    else if (st.isNumNullsSet && st.getNumNulls == rowCount) GroupNothing
+    else GroupUnknown
+
   /** Write `df` as `numFiles` range-clustered parquet files under
     * `path` (overwrite), clustered and sorted by `clusterCols` — the
     * q97 discipline (cluster what you filter on) producing the layout
@@ -199,13 +233,14 @@ object ZoneMapScan {
             nRows += block.getRowCount
             val cc = block.getColumns.get(colIdx)
             val st = cc.getStatistics
-            if (st == null || st.isEmpty) {
-              if (block.getRowCount > 0) unknown = true
-            } else if (st.hasNonNullValue) {
-              val lo = st.genericGetMin.asInstanceOf[AnyRef]
-              val hi = st.genericGetMax.asInstanceOf[AnyRef]
-              if (minV == null || cmp.compare(lo, minV) < 0) minV = lo
-              if (maxV == null || cmp.compare(hi, maxV) > 0) maxV = hi
+            groupContribution(block.getRowCount, st) match {
+              case GroupBounded =>
+                val lo = st.genericGetMin.asInstanceOf[AnyRef]
+                val hi = st.genericGetMax.asInstanceOf[AnyRef]
+                if (minV == null || cmp.compare(lo, minV) < 0) minV = lo
+                if (maxV == null || cmp.compare(hi, maxV) > 0) maxV = hi
+              case GroupUnknown => unknown = true
+              case GroupNothing => ()
             }
           }
           if (minV != null && !unknown) {

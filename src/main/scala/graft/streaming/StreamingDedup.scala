@@ -177,6 +177,34 @@ object StreamingDedup {
       : Long = {
     import org.apache.spark.sql.GraftColumns.unpersistCheckpoint
     val spark = batch.sparkSession
+    // Fail LOUD on a corpus layout this derivation does not understand
+    // BEFORE appending to it (ADVICE r13): the postings delta below is
+    // derived from the corpus's flat top-level *.parquet part files
+    // (the only layout [[dedupAppendBatch]] ever writes). A partitioned
+    // or nested corpus (a foreign writer's layout) would make the flat
+    // glob see nothing — the delta silently lands empty, breaking the
+    // postings == recompute invariant with no error — and our flat
+    // append would corrupt the foreign layout on top.
+    locally {
+      val cp = new org.apache.hadoop.fs.Path(corpusPath)
+      val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(cp)) {
+        val entries = fs.listStatus(cp).filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+        val nonFlat = entries.filter(s =>
+          s.isDirectory || !s.getPath.getName.endsWith(".parquet"))
+        require(nonFlat.isEmpty,
+          s"corpus at $corpusPath holds non-flat entries " +
+            s"(${nonFlat.take(3).map(_.getPath.getName).mkString(", ")}" +
+            s"${if (nonFlat.length > 3) ", …" else ""}): the postings " +
+            "delta derivation requires a FLAT directory of *.parquet " +
+            "part files; a partitioned/nested corpus layout would " +
+            "silently yield an empty delta and break the " +
+            "postings == recompute invariant")
+      }
+    }
     val postingsPrev = StreamingAgg
       .latestState(spark, postingsRoot, beforeBatchId = batchId)
       .map(_._2.select(col("gram_h1"), col("gram_h2")))

@@ -136,6 +136,42 @@ class BlockedSelfJoinSpec extends SparkSpec {
     assert(raw === expected)
   }
 
+  test("empty blockCols with a hot cell: the WHOLE input routes through " +
+       "the signature path deliberately and stays exact (ADVICE r13)") {
+    // one global block, 30 rows over three near-dup texts: with
+    // autoCellRows = 8 the single (global, band) cell is hot, and with
+    // no block key to split on the per-block anti/semi routing would
+    // degenerate — the guard must route everything, identically.
+    val texts = Seq("aaaa", "aaaab", "aaaabb")
+    val rows = (1L to 30L).map(i => (i, texts((i % 3).toInt)))
+    val df = spark.createDataFrame(rows).toDF("id", "name")
+    val expected = df
+      .select(col("id").as("id_a"), col("name").as("nm_a"))
+      .crossJoin(df.select(col("id").as("id_b"), col("name").as("nm_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        levenshtein(col("nm_a"), col("nm_b")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val auto = Dedup.blockedSelfJoin(df, "id", "name", Nil,
+                                     maxDist = 2, bandWidth = 3,
+                                     autoCellRows = 8)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto === expected)
+    // cold global block (no hot cell) keeps the banded plan, same output
+    val small = spark.createDataFrame(
+      Seq((1L, "bbbb"), (2L, "bbbc"), (3L, "zzzzzzzz")))
+      .toDF("id", "name")
+    val bandedOut = Dedup.blockedSelfJoin(small, "id", "name", Nil,
+                                          maxDist = 2, bandWidth = 3,
+                                          autoCellRows = 8)
+      .select("id_a", "id_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bandedOut === Set((1L, 2L, 1L)))
+  }
+
   test("an explicit maxCellRows cap takes precedence over the " +
        "auto-fallback (capped sample semantics, not rerouting)") {
     val hot = spark.createDataFrame(

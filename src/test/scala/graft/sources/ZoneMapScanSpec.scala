@@ -256,4 +256,43 @@ class ZoneMapScanSpec extends SparkSpec {
     val files = ZoneMapScan.pruneFiles(zones, lit(100L), lit(400L))
     assert(files.toSet == Set("f_null", "f_hit"))
   }
+
+  test("null-count-only statistics (min/max dropped, nulls < rows) " +
+       "poison the envelope; all-null must be PROVEN by the null count " +
+       "(ADVICE r13)") {
+    import org.apache.parquet.column.statistics.Statistics
+    import org.apache.parquet.schema.{PrimitiveType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val prim: PrimitiveType = Types.optional(PrimitiveTypeName.INT64)
+      .named("k")
+    def nullCountOnly(n: Long): Statistics[_] =
+      Statistics.getBuilderForReading(prim).withNumNulls(n).build()
+    // min/max absent, 3 of 10 rows null: 7 non-null values the stats
+    // cannot see — the group MUST poison the file, not read as all-null
+    assert(ZoneMapScan.groupContribution(10L, nullCountOnly(3L)) ===
+      ZoneMapScan.GroupUnknown)
+    // min/max absent, null count == row count: provably all-null, and
+    // nulls cannot match a range predicate — contributes nothing
+    assert(ZoneMapScan.groupContribution(10L, nullCountOnly(10L)) ===
+      ZoneMapScan.GroupNothing)
+    // min/max absent, null count UNSET: nothing proven — poison
+    val noCount = Statistics.getBuilderForReading(prim).build()
+    assert(ZoneMapScan.groupContribution(10L, noCount) ===
+      ZoneMapScan.GroupUnknown)
+    // empty/absent stats on a non-empty group: poison (the r12 case)
+    assert(ZoneMapScan.groupContribution(10L, null) ===
+      ZoneMapScan.GroupUnknown)
+    // zero-row group contributes nothing regardless of stats shape
+    assert(ZoneMapScan.groupContribution(0L, null) ===
+      ZoneMapScan.GroupNothing)
+    // usable min/max: bounded
+    val bounded = Statistics.getBuilderForReading(prim)
+      .withMin(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(1L).array())
+      .withMax(java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(9L).array())
+      .withNumNulls(0L).build()
+    assert(ZoneMapScan.groupContribution(10L, bounded) ===
+      ZoneMapScan.GroupBounded)
+  }
 }

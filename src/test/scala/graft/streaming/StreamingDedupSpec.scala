@@ -157,4 +157,29 @@ class StreamingDedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(ids.toSeq == Seq(5L, 7L), s"min-id keeper expected, got ${ids.toSeq}")
   }
+
+  test("substring stage fails LOUD on a non-flat corpus layout instead " +
+       "of writing an empty postings delta (ADVICE r13)") {
+    val root = Files.createTempDirectory("graft-sdedup-nested")
+    val corpusPath = root.toString + "/corpus"
+    val postingsRoot = root.toString + "/postings"
+    // a PARTITIONED corpus: data exists, but none of it at the top
+    // level — the flat *.parquet glob the delta derivation uses sees
+    // nothing, which without the guard silently breaks the
+    // postings == recompute invariant
+    import org.apache.spark.sql.functions.{col, lit, md5}
+    Seq((1L, words(0, 60))).toDF("doc_id", "text")
+      .withColumn("content_md5", md5(col("text")))
+      .withColumn("__batch_id", lit(0L))
+      .withColumn("part", lit(0))
+      .write.partitionBy("part").parquet(corpusPath)
+    // an all-duplicate batch appends nothing new at the top level
+    val batch = Seq((2L, words(0, 60))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.dedupAppendBatchSubstr(
+        batch, corpusPath, postingsRoot, batchId = 1L)
+    }
+    assert(e.getMessage.contains("FLAT directory"),
+      s"expected the flat-layout message, got: ${e.getMessage}")
+  }
 }
