@@ -115,6 +115,67 @@ object Dedup {
       .select("doc_a", "doc_b", "inter_cnt", "union_cnt")
   }
 
+  /** MULTIPLICITY-COLLAPSED n-gram Jaccard pairs — [[jaccardPairs]]'s
+    * aggregate-report plan, the [[weightedBlockedSelfJoin]] discipline
+    * applied to the shingle family (r13 verdict #7): a COUNT-shaped
+    * consumer (a similarity histogram, a threshold-sensitivity count,
+    * any per-(inter, union) rollup) never needs the enumerated pairs
+    * individually, and the enumeration is inherently quadratic in copy
+    * multiplicity (w copies of a text pair with each other and with
+    * every neighbor's copies — the crawl-snapshot regime). Collapse
+    * first: one row per DISTINCT text with its count; shingle + index
+    * + verify the distinct rows only (index work tracks DISTINCT
+    * texts, independent of multiplicity); weight each surviving
+    * distinct pair by w_a·w_b and add the identical-copy diagonal
+    * C(w, 2) — Jaccard exactly 1, inter = union = |shingle set| —
+    * which survives any num/den ≤ 1 threshold. Docs with an EMPTY
+    * shingle set never enter the enumeration's postings and are
+    * excluded from the diagonal the same way.
+    *
+    * Output: (doc_a, doc_b, inter_cnt, union_cnt, n_pairs) — doc_a/
+    * doc_b are the min-id representatives of the two distinct texts
+    * (equal on diagonal rows), and Σ n_pairs per (inter_cnt,
+    * union_cnt) EXACTLY equals `jaccardPairs(...)` grouped the same
+    * way on the uncollapsed input (`JaccardWeightedSpec` pins the
+    * identity; q273 shares q21's oracle CTE verbatim, reshaped).
+    *
+    * RELEASE CONTRACT: result == handle; the collapse checkpoint is
+    * released internally once the result materializes.
+    */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String,
+                           textCol: String, n: Int, num: Int,
+                           den: Int): DataFrame = {
+    val reserved = Seq("__w", "__rid", "__sz")
+    require(textCol != idCol && !reserved.contains(textCol),
+      s"textCol must not use reserved names ${reserved.mkString(", ")}")
+    val d = docs
+      .groupBy(col(textCol))
+      .agg(count(lit(1)).as("__w"), min(col(idCol)).as("__rid"))
+      .graftCheckpoint()
+    try {
+      val pairs = jaccardPairs(d, "__rid", textCol, n, num, den)
+      val weighted = pairs
+        .join(d.select(col("__rid").as("doc_a"), col("__w").as("__w_a")),
+              Seq("doc_a"))
+        .join(d.select(col("__rid").as("doc_b"), col("__w").as("__w_b")),
+              Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+                col("inter_cnt"), col("union_cnt"),
+                (col("__w_a") * col("__w_b")).as("n_pairs"))
+      val diag = d.filter(col("__w") >= 2L)
+        .withColumn("__sz",
+          size(TextFunctions.shingles(col(textCol), n)).cast("long"))
+        .filter(col("__sz") > 0L)
+        // J = sz/sz = 1; keep the generic threshold form so num > den
+        // (a nonsense cut the enumeration would also empty) stays exact
+        .filter(col("__sz") * den >= col("__sz") * num)
+        .select(col("__rid").as("doc_a"), col("__rid").as("doc_b"),
+                col("__sz").as("inter_cnt"), col("__sz").as("union_cnt"),
+                expr("(__w * (__w - 1)) div 2").as("n_pairs"))
+      weighted.unionByName(diag).graftCheckpoint()
+    } finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(d)
+  }
+
   /** [[jaccardPairs]] with the family-size cap ON: candidates come from
     * the CAPPED index, verification from the FULL sets (exact Jaccard
     * per surviving pair — same output schema and per-pair arithmetic

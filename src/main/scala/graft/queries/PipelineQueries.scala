@@ -68,6 +68,23 @@ object PipelineQueries {
                        n = 3, num = 1, den = 2)
       .orderBy("doc_a", "doc_b")
 
+  /** q273 — Jaccard-similarity HISTOGRAM via multiplicity collapse
+    * ([[Dedup.weightedJaccardPairs]]): q21's enumerated pair list
+    * rolled up per (inter_cnt, union_cnt) — but computed on DISTINCT
+    * texts only, each surviving distinct pair weighted w_a·w_b plus
+    * the C(w, 2) identical-copy diagonal (q272's report-shaped
+    * discipline applied to the shingle family, r13 verdict #7), so
+    * index and verify work track distinct texts, independent of copy
+    * multiplicity. The oracle is q21's CTE verbatim, GROUP BY'd —
+    * Σ n_pairs must match the enumeration EXACTLY, bucket for bucket.
+    */
+  def q273JaccardHist(s: SparkSession, dir: String): DataFrame =
+    Dedup.weightedJaccardPairs(Tables.documents(s, dir), "doc_id",
+                               "text", n = 3, num = 1, den = 2)
+      .groupBy("inter_cnt", "union_cnt")
+      .agg(sum("n_pairs").as("n_pairs"))
+      .orderBy("inter_cnt", "union_cnt")
+
   /** q184 — the FAMILY-SIZE CAP live on the inverted-index path
     * ([[Dedup.jaccardPairs]] `maxBucketDocs = 2`): every shingle's
     * posting list samples its 2 smallest doc_ids before the candidate
@@ -1532,6 +1549,7 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact_docs" -> (q20DedupExactDocs _),
     "q21_ngram_jaccard"    -> (q21NgramJaccard _),
+    "q273_jaccard_hist"    -> (q273JaccardHist _),
     "q107_ppjoin_jaccard"  -> (q107PpjoinJaccard _),
     "q160_containment"     -> (q160Containment _),
     "q22_minhash_lsh"      -> (q22MinhashLsh _),
@@ -2455,6 +2473,21 @@ object PipelineQueries {
         |  md5(COALESCE(trimmed, '')) AS trimmed_md5
         |FROM t LEFT JOIN reb USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "q21_ngram_jaccard" -> jaccardSql(1, 2),
+    // q273: q21's CTE verbatim, rolled up per (inter, union) bucket —
+    // the weighted-collapse plan must reproduce the enumeration's
+    // histogram exactly.
+    "q273_jaccard_hist" ->
+      s"""WITH $shingleCte,
+         |joined AS (
+         |  SELECT doc_a, doc_b, inter_cnt,
+         |    sa.sz + sb.sz - inter_cnt AS union_cnt
+         |  FROM pairs
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE inter_cnt * 2 >= (sa.sz + sb.sz - inter_cnt) * 1)
+         |SELECT inter_cnt, union_cnt, COUNT(*) AS n_pairs
+         |FROM joined GROUP BY 1, 2
+         |ORDER BY inter_cnt, union_cnt""".stripMargin,
     // q211: the q21 pair CTEs + source lookups + the unordered cell agg
     // + exact possible-pair denominators.
     "q211_source_overlap" ->
