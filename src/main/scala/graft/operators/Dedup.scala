@@ -915,16 +915,20 @@ object Dedup {
   }
 
   private def bandKeys(sets: DataFrame, numPerm: Int, bands: Int): DataFrame = {
-    val rows = numPerm / bands
+    // Loop-shaped kernel, not an unrolled per-band Column chain: the
+    // 32-band unroll fused into an 8.5 KB whole-stage method — past
+    // HotSpot's 8000-byte JIT ceiling, so the banding projection ran
+    // INTERPRETED (r14 JIT audit: q22/q52/q64/q218). Keys are
+    // bit-identical to xxhash64(slice(sig, b·rows+1, rows))
+    // (`LshKernelsSpec` pins it); posexplode's index IS the band id.
+    import org.apache.spark.sql.GraftColumns
     sets
       .withColumn("sig", minhashSignature(col("sh"), numPerm))
       .select(
         col("doc_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-                 xxhash64(slice(col("sig"), b * rows + 1, rows)).as("key"))
-        }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+        posexplode(GraftColumns.column(graft.functions.MinHashBandKeys(
+          GraftColumns.expression(col("sig")), bands))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("key"))
   }
 
   private def pairsFromShingleSets(sets: DataFrame, num: Int, den: Int,

@@ -75,17 +75,21 @@ object Similarity {
     */
   def lshBuckets(emb: DataFrame, tables: Int, planesPerTable: Int)
       : DataFrame = {
-    val tableBuckets = (0 until tables).map { t =>
-      val bucket = (0 until planesPerTable).map { i =>
-        val p = t * planesPerTable + i
-        when(planeDot(col("embedding"), p, 64) >= 0, lit(1L << i))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("t"), bucket.as("bucket"))
-    }
+    // Loop-shaped kernel, not an unrolled per-table Column chain: the
+    // 16×4 unroll (64 hyperplane dot products + the when/struct chain)
+    // fused into a 15.2 KB whole-stage method — past HotSpot's
+    // 8000-byte JIT ceiling, so the bucketing projection ran
+    // INTERPRETED (r14 JIT audit: q25/q93/q215/q251). Buckets are
+    // bit-identical to the planeDot/sign-bit form (`LshKernelsSpec`
+    // pins it); posexplode's index IS the table id.
+    import org.apache.spark.sql.GraftColumns
     Partitioning.spread(emb)
-      .select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .select(
+        col("vec_id"),
+        posexplode(GraftColumns.column(graft.functions.LshTableBuckets(
+          GraftColumns.expression(col("embedding")),
+          tables, planesPerTable, 64))))
+      .select(col("vec_id"), col("pos").as("t"), col("col").as("bucket"))
   }
 
   /** ANN top-k: candidates = union over tables of same-bucket vectors,

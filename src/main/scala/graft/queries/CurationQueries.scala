@@ -1892,14 +1892,51 @@ object CurationQueries {
     * greedy) + the perceptron/isotonic/DSIR control-plane collects the
     * standalone operators already make.
     */
-  def q269CurationDag(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{Classification, Dedup, Dsir, Html,
-      Intervals, Isotonic, Partitioning, PrefixSum, Sharding}
+  def q269CurationDag(s: SparkSession, dir: String): DataFrame =
+    curationDagLedger(s, Tables.documents(s, dir))
+
+  /** The q269 DAG over an explicit document frame — q269's body,
+    * factored so the STREAMING composition
+    * ([[graft.streaming.StreamingCuration]], r13 verdict #6) and its
+    * spec can run the identical stages over accumulated micro-batch
+    * unions. Splits as [[curationStages0to3]] (per-document: commutes
+    * with union, so a stream runs it on each batch alone) +
+    * [[curationStages4to10]] (corpus-global: keeper election,
+    * calibration, DSIR and the epoch mix all read the whole
+    * population, so the stream recomputes them over the accumulated
+    * survivors — the only composition that preserves the batch DAG's
+    * semantics exactly).
+    */
+  private[graft] def curationDagLedger(s: SparkSession,
+                                       docs: DataFrame): DataFrame = {
+    val sEnc = s
+    import sEnc.implicits._
+    val (d3, led03) = curationStages0to3(s, docs)
+    val n3 = led03.last._4
+    val led410 = curationStages4to10(s, d3, n3) // releases d3 (stage 4)
+    (led03 ++ led410)
+      .toDF("stage_idx", "stage", "rows_in", "rows_out", "tokens_out")
+      .orderBy("stage_idx")
+  }
+
+  private def curationToksCol =
+    size(split(col("text"), " ")).cast("long")
+
+  /** Stages 0–3 (source, HTML main-content, NFC, quality rules) — all
+    * PER-DOCUMENT maps/filters. Returns the stage-3 survivor frame
+    * (CHECKPOINTED — ownership passes to [[curationStages4to10]], or
+    * the caller releases it) plus ledger rows 0–3. Leaves the last
+    * stage's job-description label set; the stage-4+ half (or the
+    * caller) overwrites/clears it.
+    */
+  private[graft] def curationStages0to3(s: SparkSession, docs: DataFrame)
+      : (DataFrame, Seq[(Long, String, Long, Long, Long)]) = {
+    import graft.operators.{Html, Partitioning}
     import org.apache.spark.sql.GraftColumns
     val led =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long,
                                                   Long, Long)]
-    val toksCol = size(split(col("text"), " ")).cast("long")
+    val toksCol = curationToksCol
     def tokSum(df: DataFrame): Long =
       df.agg(coalesce(sum(toksCol), lit(0L))).collect()(0).getLong(0)
     // Stage labels ride the driver-thread-local job description (AQE's
@@ -1911,7 +1948,7 @@ object CurationQueries {
       s.sparkContext.setJobDescription(s"q269:$n")
 
     mark("0_source")
-    val d0 = Partitioning.spread(Tables.documents(s, dir))
+    val d0 = Partitioning.spread(docs)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .graftCheckpoint()
     val n0 = d0.count()
@@ -1959,6 +1996,31 @@ object CurationQueries {
     val n3 = d3.count()
     led += ((3L, "quality_rules", n2, n3, tokSum(d3)))
     GraftColumns.unpersistCheckpoint(d2)
+    (d3, led.toSeq)
+  }
+
+  /** Stages 4–10 (minhash family dedup, substring cut, calibrated
+    * lang-id, DSIR, epoch mix, packing, sharding) — all CORPUS-GLOBAL.
+    * Takes OWNERSHIP of `d3`'s graft checkpoint (released as soon as
+    * stage 4 materializes — the O(1)-storage discipline; a no-op when
+    * `d3` carries none, e.g. the streaming state read). `n3` is the
+    * stage-3 survivor count (stage 4's rows_in). Clears the job
+    * description on exit.
+    */
+  private[graft] def curationStages4to10(s: SparkSession, d3: DataFrame,
+                                         n3: Long)
+      : Seq[(Long, String, Long, Long, Long)] = {
+    import graft.operators.{Classification, Dedup, Dsir,
+      Intervals, Isotonic, PrefixSum, Sharding}
+    import org.apache.spark.sql.GraftColumns
+    val led =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long,
+                                                  Long, Long)]
+    val toksCol = curationToksCol
+    def tokSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(toksCol), lit(0L))).collect()(0).getLong(0)
+    def mark(n: String): Unit =
+      s.sparkContext.setJobDescription(s"q269:$n")
 
     // 4 — MinHash family dedup, component-min keeper. BEFORE the
     // substring cut: cutting corpus-duplicated spans first strips the
@@ -2100,8 +2162,6 @@ object CurationQueries {
     s.sparkContext.setJobDescription(null)
 
     led.toSeq
-      .toDF("stage_idx", "stage", "rows_in", "rows_out", "tokens_out")
-      .orderBy("stage_idx")
   }
 
   /** q227 — SCORE–LENGTH BIAS AUDIT, the documented failure mode of
