@@ -1539,7 +1539,8 @@ object Dedup {
     try Intervals.cutSpans(
         Partitioning.spread(docs).withColumnRenamed(idCol, "doc_id"),
         "doc_id", textCol, spans,
-        startCol = "span_start", lenCol = "span_len")
+        startCol = "span_start", lenCol = "span_len",
+        broadcastSpanCap = Intervals.DefaultBroadcastSpanCap)
       .withColumnRenamed("cut_md5", "cleaned_md5")
       .graftCheckpoint()
     finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(spans)
@@ -1651,7 +1652,8 @@ object Dedup {
     try Intervals.cutSpans(
         Partitioning.spread(batch).withColumnRenamed(idCol, "doc_id"),
         "doc_id", textCol, spans,
-        startCol = "span_start", lenCol = "span_len")
+        startCol = "span_start", lenCol = "span_len",
+        broadcastSpanCap = Intervals.DefaultBroadcastSpanCap)
       .withColumnRenamed("cut_md5", "cleaned_md5")
       .graftCheckpoint()
     finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(spans)
@@ -1748,7 +1750,8 @@ object Dedup {
     try Intervals.cutSpans(
         Partitioning.spread(docs).withColumnRenamed(idCol, "doc_id"),
         "doc_id", textCol, spans,
-        startCol = "span_start", lenCol = "span_len")
+        startCol = "span_start", lenCol = "span_len",
+        broadcastSpanCap = Intervals.DefaultBroadcastSpanCap)
       .withColumnRenamed("cut_md5", "cleaned_md5")
       .graftCheckpoint()
     finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(spans)

@@ -54,10 +54,20 @@ object Intervals {
     */
   def cutSpans(docs: DataFrame, idCol: String, textCol: String,
                spans: DataFrame, startCol: String = "start",
-               lenCol: String = "len"): DataFrame =
-    cutSpansText(docs, idCol, textCol, spans, startCol, lenCol)
+               lenCol: String = "len",
+               broadcastSpanCap: Long = -1L): DataFrame =
+    cutSpansText(docs, idCol, textCol, spans, startCol, lenCol,
+                 broadcastSpanCap)
       .select(col(idCol), col("n_chars"), col("removed_chars"),
               md5(col("cut_text")).as("cut_md5"))
+
+  /** Span-side broadcast cap for [[cutSpansText]] (rows, not bytes):
+    * a per-doc span entry collects to ~16 B of (start, len) payload,
+    * so 4M spans keeps the driver-built HashedRelation inside a modest
+    * heap — the [[graft.operators.Dedup.DefaultBroadcastPairCap]]
+    * rationale.
+    */
+  val DefaultBroadcastSpanCap = 4000000L
 
   /** [[cutSpans]] keeping the CUT TEXT itself (`cut_text`) instead of
     * its digest — the form downstream pipeline stages consume
@@ -68,15 +78,35 @@ object Intervals {
     */
   def cutSpansText(docs: DataFrame, idCol: String, textCol: String,
                    spans: DataFrame, startCol: String = "start",
-                   lenCol: String = "len"): DataFrame = {
+                   lenCol: String = "len",
+                   broadcastSpanCap: Long = -1L): DataFrame = {
     val perDoc = spans
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(
              struct(col(startCol).cast("long").as("s"),
                     col(lenCol).cast("long").as("l")))).as("__spans"),
            sum(col(lenCol)).cast("long").as("__rm"))
+    // COUNTED broadcast (the spansFromGrams discipline, r14): with the
+    // default estimate carry, the span side of this left join reaches
+    // Catalyst with its grams-ancestry's clamped (huge) size, so the
+    // initial plan is a SortMergeJoin and AQE must rescue it into a
+    // broadcast at runtime — a RACE against the probe side's exchange
+    // materialization. Lost (cold JVM, suite position), the probe pays
+    // a full extra document shuffle: q265's two plans, 2.2 s vs 3.4 s
+    // at sf0.1, all three r13 sweeps on the slow one. A positive
+    // `broadcastSpanCap` counts `spans` (callers pass materialized
+    // checkpoints — the count is a block scan) and DECLARES the
+    // broadcast under the cap, which pins the fast plan in the initial
+    // planning pass; above the cap (the 100 TB regime where a span
+    // table outgrows the driver) the shuffle join is kept untouched.
+    // Default -1 preserves fully-lazy construction for callers whose
+    // spans are not materialized (q257's redaction chain).
+    val perDocJ =
+      if (broadcastSpanCap > 0L && spans.count() <= broadcastSpanCap)
+        broadcast(perDoc)
+      else perDoc
     docs.select(col(idCol), col(textCol).as("__t"))
-      .join(perDoc, Seq(idCol), "left")
+      .join(perDocJ, Seq(idCol), "left")
       .select(
         col(idCol),
         length(col("__t")).cast("long").as("n_chars"),

@@ -2043,7 +2043,8 @@ object CurationQueries {
     val spans5 = Dedup.duplicatedSubstringSpans(d4, "doc_id", "text",
                                                 minLen = 25)
     val cut5 = Intervals.cutSpansText(
-        d4, "doc_id", "text", spans5, "span_start", "span_len")
+        d4, "doc_id", "text", spans5, "span_start", "span_len",
+        broadcastSpanCap = Intervals.DefaultBroadcastSpanCap)
       .select(col("doc_id"), col("cut_text").as("text"))
     val d5 = d4.drop("text").join(cut5, Seq("doc_id")).graftCheckpoint()
     val n5 = d5.count()

@@ -222,7 +222,9 @@ object StreamingDedup {
       batch.drop("text")
         .join(graft.operators.Intervals
                 .cutSpansText(batch, "doc_id", "text", spans,
-                              startCol = "span_start", lenCol = "span_len")
+                              startCol = "span_start", lenCol = "span_len",
+                              broadcastSpanCap = graft.operators.Intervals
+                                .DefaultBroadcastSpanCap)
                 .select(col("doc_id"), col("cut_text").as("text")),
               Seq("doc_id"))
         .withColumn("__batch_id", lit(batchId))
