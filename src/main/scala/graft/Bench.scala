@@ -188,7 +188,18 @@ object Bench {
     val results: Seq[(String, QRes)] = names.map { name =>
       val samples = (0 until sweeps).map(s => times(s)(name))
       val snaps = (0 until sweeps).map(s => sweepMetrics(s)(name))
-      val head = snaps.minBy(_.shuffleTotal)
+      // Headline bytes from the MEDIAN-shuffle sweep, not the min
+      // (r13 verdict #3's root cause): listener attribution can
+      // under-credit one sweep (a neighbor's async task events
+      // straggle across the settle window — q237's official r13 run
+      // recorded [63.3, 45.9, 63.3] KB on a plan ReproPlanFlip proves
+      // deterministic), and a min headline turns that single bad
+      // sample into the floor every later round is diffed against.
+      // The median of 3+ sweeps ignores one straggler in either
+      // direction; a REAL plan switch moves every sweep and moves the
+      // median with it. Wall time keeps the min (contention robust —
+      // wall noise is one-sided, byte attribution noise is not).
+      val head = snaps.sortBy(_.shuffleTotal).apply(snaps.size / 2)
       name -> QRes(samples.map(_._1).min, head, snaps,
                    samples.map(_._1), samples.map(_._2))
     }
@@ -295,9 +306,13 @@ object Bench {
   /** Per-query shuffle-byte growth vs the previous round's committed
     * BENCH_LOCAL artifact: flags any query whose (write + read) shuffle
     * bytes grew > 20% — a plan regression signal wall-clock noise can't
-    * fake. Both sides are now min-across-sweeps floors (this run by
-    * construction, the prior artifact's headline fields since r12), so
-    * a single loaded sweep cannot flag a query whose plan is unchanged.
+    * fake. Both sides are MEDIAN-across-sweeps (r14: this run's
+    * headline by construction; the prior artifact via its per-sweep
+    * arrays, min-floor headline fallback for pre-r12 artifacts), so a
+    * single bad sweep on EITHER side — a loaded sweep here, an
+    * attribution straggler there — cannot flag a query whose plan is
+    * unchanged; a real plan switch moves every sweep and the median
+    * with it.
     * The previous artifact is self-generated JSON with a fixed shape, so
     * a regex pull of the two counters is sufficient (no JSON dependency
     * in the library).
@@ -334,11 +349,26 @@ object Bench {
     } else if (prevCpus != cpus) {
       s"""{"prev_round":$prevRound,"skipped":"cpus_mismatch: prev=${if (prevCpus.isEmpty) "unrecorded" else prevCpus} now=$cpus","flagged":{}}"""
     } else {
+      // Prefer the prev artifact's per-sweep arrays (present since r12)
+      // and take their MEDIAN — the headline fields of r13-and-earlier
+      // artifacts are min-sweep floors, and one under-attributed sweep
+      // in a PRIOR round would otherwise flag an unchanged plan forever
+      // (q237: prev [63.3, 45.9, 63.3] KB min-floor 45.9 vs a normal
+      // 63.3 run = a bogus +38%). Headline fields remain the fallback
+      // for pre-r12 artifacts without arrays.
+      val sweepRx =
+        ("\"(q[^\"]+)\":\\{[^{}]*\"sweep_shuffle_bytes\":\\[([0-9,]+)\\]").r
+      val prevSweeps: Map[String, Long] = sweepRx.findAllMatchIn(prevText)
+        .map { m =>
+          val xs = m.group(2).split(",").map(_.toLong).sorted
+          m.group(1) -> xs(xs.length / 2)
+        }.toMap
       val rx = ("\"(q[^\"]+)\":\\{\"shuffle_write_bytes\":(\\d+)," +
                 "\"shuffle_read_bytes\":(\\d+)").r
-      val prev: Map[String, Long] = rx.findAllMatchIn(prevText)
+      val prevHead: Map[String, Long] = rx.findAllMatchIn(prevText)
         .map(m => m.group(1) -> (m.group(2).toLong + m.group(3).toLong))
         .toMap
+      val prev = prevHead ++ prevSweeps
       val flagged = results.iterator.collect {
         case (name, snap) if prev.contains(name) &&
             snap.shuffleTotal > prev(name) * 12L / 10L &&
