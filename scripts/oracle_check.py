@@ -70,6 +70,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             p = f"{p}/*.parquet"
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if t == "events":
+            # Driver testdata stores ts as TIMESTAMP(NANOS); a
+            # Spark-written synth corpus stores BIGINT nanos (Spark 4 has
+            # no nanos type — graft reads with nanosAsLong and normalizes
+            # in Tables.events: timestamp_micros(ts DIV 1000)). Mirror
+            # that normalization here so ts-based oracles run unchanged
+            # at every rung of the scale ladder.
+            (ts_type,) = con.execute(
+                "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
+            if ts_type == "BIGINT":
+                con.execute("DROP VIEW events")
+                con.execute(
+                    "CREATE VIEW events AS SELECT event_id, "
+                    "make_timestamp(ts // 1000) AS ts, user_id, "
+                    f"event_type, value, props FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

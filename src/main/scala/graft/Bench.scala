@@ -76,13 +76,13 @@ object Bench {
     // on a 32-cpu box and the old 1.5×cpus threshold waved it through —
     // wall times came out 1.6× the same-code quiet-box run.
     val loadPre = systemLoadAvg
-    val spark = SparkSession.builder()
+    val spark = GraftSession.envProfile(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new MetricsListener
@@ -246,7 +246,12 @@ object Bench {
     // owns BENCH_LOCAL_r<N>.json; any later official rerun in the same
     // round lands in `_refresh<k>`. SPARK_GRAFT_BENCH_TAG names a dev
     // experiment explicitly (e.g. `clusterprofile`) and never collides.
-    val tag = sys.env.get("SPARK_GRAFT_BENCH_TAG").map("_" + _).getOrElse("")
+    // A profiled run (SPARK_GRAFT_PROFILE) is an experiment by
+    // definition — default its tag to the profile name so it can never
+    // claim the official round artifact even at default sweeps.
+    val tag = sys.env.get("SPARK_GRAFT_BENCH_TAG")
+      .orElse(sys.env.get("SPARK_GRAFT_PROFILE").map(p => s"${p}profile"))
+      .map("_" + _).getOrElse("")
     val artifact = {
       val base =
         s"BENCH_LOCAL_r$currentRound$tag${if (official) "" else "_partial"}"

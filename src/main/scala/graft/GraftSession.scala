@@ -44,6 +44,21 @@ object GraftSession {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
 
+  /** Env-selected profile for the driver mains: `SPARK_GRAFT_PROFILE=
+    * cluster` layers [[clusterProfile]] onto any builder so Verify/Bench
+    * can run the whole suite under the 100 TB sizing (the raised 64 MiB
+    * broadcast threshold is the config that can flip join selection —
+    * hash changes under it are bugs, not configuration effects). Unset
+    * or any other value = no-op.
+    */
+  def envProfile(b: SparkSession.Builder): SparkSession.Builder =
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("cluster")) {
+      // loud by design: a profiled run must be identifiable from its log
+      println("[graft] SPARK_GRAFT_PROFILE=cluster: 256m splits, " +
+        "64m advisory partitions, 64m broadcast threshold")
+      clusterProfile(b)
+    } else b
+
   /** Apply graft's standard configuration to any builder (local or cluster).
     * Kept separate so cluster deployments get identical semantics.
     */

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Count–min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) as a
+  * relational aggregate.
+  *
+  * The sketch is a depth×width counter table: every element increments
+  * one counter per row r, at column h_r(key) mod width; a point query
+  * reads the MIN over its depth counters — an overestimate by at most
+  * the collision mass in the element's lightest cell (est ≥ exact
+  * always; est ≤ exact + εN with probability 1−δ at width = ⌈e/ε⌉,
+  * depth = ⌈ln 1/δ⌉). The streaming-sketch answer to "how often does X
+  * occur in 100 TB" when X isn't known until after the scan — the
+  * batch complement to the Misra–Gries heavy-hitter aggregate
+  * ([[graft.functions.MisraGriesAgg]]), which needs no width but only
+  * answers for the heaviest keys.
+  *
+  * Shape: ONE map-combined aggregate over a depth-fold row explode —
+  * at most depth·width output rows regardless of input size, so the
+  * shuffle is CONSTANT in the corpus (the point of a sketch) and the
+  * build parallelizes per-partition exactly like a groupBy count.
+  * Hashes are [[PortableHash.h32]] over `"r:key"` so an external SQL
+  * engine replays the exact counter table — estimates here are
+  * DETERMINISTIC and oracle-comparable, not merely banded (contrast
+  * the q40/q45 envelope gates for HLL/GK, whose hashes are
+  * engine-private).
+  */
+object CountMin {
+
+  /** Counter column for row `r`: portable 32-bit hash of "r:key" mod
+    * width. Callers pass the SAME (depth, width) to build and probe.
+    */
+  def cellOf(r: Column, key: Column, width: Int): Column =
+    pmod(PortableHash.h32(concat_ws(":", r, key)), lit(width.toLong))
+
+  /** Build the depth×width counter table for `df(keyCol)` occurrences:
+    * columns (r, cell, cnt), at most depth·width rows.
+    */
+  def sketch(df: DataFrame, keyCol: String,
+             depth: Int, width: Int): DataFrame =
+    df.select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
+              col(keyCol))
+      .groupBy(col("r"), cellOf(col("r"), col(keyCol), width).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for every row of `keys` (its `keyCol` plus any
+    * carried columns survive): adds `cm_est` = min over the depth
+    * counters. The sketch side is broadcast — it is ≤ depth·width rows
+    * BY CONSTRUCTION, the caller sized it, and that bound is why a
+    * sketch exists at all. LEFT join + coalesce(0): a key the sketch
+    * never saw has empty cells, and min-over-missing must read 0, not
+    * drop rows (an inner join would silently under-join unseen keys).
+    */
+  def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+               depth: Int, width: Int): DataFrame = {
+    val carried = keys.columns.map(col)
+    keys
+      .select(carried :+
+        explode(sequence(lit(0), lit(depth - 1))).as("r"): _*)
+      .withColumn("cell", cellOf(col("r"), col(keyCol), width))
+      .join(broadcast(sketch), Seq("r", "cell"), "left")
+      .groupBy(carried: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+  }
+}

@@ -678,6 +678,32 @@ object AdvancedQueries {
     out
   }
 
+  /** q274 — count–min sketch audit ([[graft.operators.CountMin]]):
+    * the depth-4 × width-512 counter table over 100k event user_ids
+    * (1.5k distinct — 3 keys per counter on average, so collisions are
+    * REAL and the min actually selects), probed for the 60 tracked
+    * users (user_id ≡ 0 mod 25) against their exact counts. Output =
+    * per-key (exact, estimate, overcount); est ≥ exact is the CM
+    * invariant, and because the hashes are portable md5 the oracle
+    * replays the ENTIRE counter table — the estimate itself is gated
+    * bit-for-bit, not banded (contrast q40/q45's envelope gates for
+    * engine-private sketches). Shape: one map-combined agg to ≤ 2048
+    * cells (constant in corpus size — the sketch contract), one
+    * broadcast probe join; nothing here grows at 100 TB except the
+    * linear scan.
+    */
+  def q274CountMin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val tracked = ev.filter(col("user_id") % 25 === 0)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    graft.operators.CountMin
+      .estimate(graft.operators.CountMin.sketch(ev, "user_id", 4, 512),
+                tracked, "user_id", 4, 512)
+      .select(col("user_id"), col("exact_cnt"), col("cm_est"),
+              (col("cm_est") - col("exact_cnt")).as("overcount"))
+      .orderBy("user_id")
+  }
+
   /** q226 — the SAME answer as q193 computed by the PassJoin
     * segment-signature path ([[Dedup.passJoinPairs]]): candidates are
     * pairs sharing a ~len/3-char ALIGNED substring (pigeonhole over 3
@@ -3437,6 +3463,7 @@ object AdvancedQueries {
     "q192_split_leakage" -> (q192SplitLeakage _),
     "q193_editdist_blocked" -> (q193EditdistBlocked _),
     "q272_editdist_weighted" -> (q272EditdistWeighted _),
+    "q274_countmin" -> (q274CountMin _),
     "q226_passjoin_editdist" -> (q226PassjoinEditdist _),
     "q230_snm_recall" -> (q230SnmRecall _),
     "q231_snm_multipass" -> (q231SnmMultipass _),
@@ -3955,6 +3982,28 @@ object AdvancedQueries {
         |  SELECT levenshtein(a.nm, b.nm) AS dist
         |  FROM p a JOIN p b ON a.noun = b.noun AND a.pk < b.pk)
         |WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin,
+    // q274: the oracle replays the ENTIRE count-min counter table
+    // (portable md5 cell hashes) — the estimate is gated exactly.
+    "q274_countmin" ->
+      """WITH cells AS (
+        |  SELECT t.r,
+        |    ('0x' || substr(md5(t.r::varchar || ':' ||
+        |      e.user_id::varchar), 1, 8))::bigint % 512 AS cell,
+        |    COUNT(*) AS cnt
+        |  FROM events e CROSS JOIN range(4) t(r)
+        |  GROUP BY 1, 2),
+        |tracked AS (
+        |  SELECT user_id, COUNT(*) AS exact_cnt FROM events
+        |  WHERE user_id % 25 = 0 GROUP BY 1),
+        |probes AS (
+        |  SELECT user_id, exact_cnt, t.r,
+        |    ('0x' || substr(md5(t.r::varchar || ':' ||
+        |      user_id::varchar), 1, 8))::bigint % 512 AS cell
+        |  FROM tracked CROSS JOIN range(4) t(r))
+        |SELECT p.user_id, p.exact_cnt, MIN(c.cnt) AS cm_est,
+        |  MIN(c.cnt) - p.exact_cnt AS overcount
+        |FROM probes p JOIN cells c USING (r, cell)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // q226: the PassJoin signature path answers to the SAME bare-join
     // oracle shape as q193 (on the deterministic quarter) — the shared
     // gate proves the banded and segment-signature candidate

@@ -85,6 +85,48 @@ object PipelineQueries {
       .agg(sum("n_pairs").as("n_pairs"))
       .orderBy("inter_cnt", "union_cnt")
 
+  /** q275 — corpus-overlap matrix: exact Jaccard between each pair of
+    * SOURCES over their distinct 3-gram shingle sets — the
+    * dataset-mixing tool (is src3 just a re-crawl of src7? how much
+    * does adding a source actually add?), group-level raw-content
+    * overlap where q21 is document-level and q211 counts cross-source
+    * NEAR-DUP PAIRS. All 45 source pairs appear, zero-intersection
+    * included (sizes cross-joined first, intersections LEFT-joined —
+    * an inner-only plan would silently drop disjoint pairs). Shape:
+    * one distinct (source, shingle) agg (corpus-linear), a self-join
+    * on shingle emitting ≤ C(|sources|, 2) rows per distinct shingle
+    * (|sources| is small by definition — this measures DATASETS, not
+    * documents), one broadcast size join; no quadratic blowup exists
+    * for any corpus size at fixed source count.
+    */
+  def q275SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("source"),
+              explode(TextFunctions.shingles(col("text"), 3))
+                .as("shingle"))
+      .distinct()
+    val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("source").as("src_a"), col("shingle"))
+      .join(sh.select(col("source").as("src_b"), col("shingle")),
+            Seq("shingle"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter_cnt"))
+    val pairs = broadcast(sz.select(col("source").as("src_a"),
+                                    col("sz").as("sz_a")))
+      .join(broadcast(sz.select(col("source").as("src_b"),
+                                col("sz").as("sz_b"))),
+            col("src_a") < col("src_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+              coalesce(col("inter_cnt"), lit(0L)).as("inter_cnt"),
+              (col("sz_a") + col("sz_b") -
+                coalesce(col("inter_cnt"), lit(0L))).as("union_cnt"))
+      .withColumn("jaccard_e6",
+                  expr("(1000000 * inter_cnt) div union_cnt"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q184 — the FAMILY-SIZE CAP live on the inverted-index path
     * ([[Dedup.jaccardPairs]] `maxBucketDocs = 2`): every shingle's
     * posting list samples its 2 smallest doc_ids before the candidate
@@ -1550,6 +1592,7 @@ object PipelineQueries {
     "q20_dedup_exact_docs" -> (q20DedupExactDocs _),
     "q21_ngram_jaccard"    -> (q21NgramJaccard _),
     "q273_jaccard_hist"    -> (q273JaccardHist _),
+    "q275_corpus_jaccard"  -> (q275SourceOverlap _),
     "q107_ppjoin_jaccard"  -> (q107PpjoinJaccard _),
     "q160_containment"     -> (q160Containment _),
     "q22_minhash_lsh"      -> (q22MinhashLsh _),
@@ -2488,6 +2531,30 @@ object PipelineQueries {
          |SELECT inter_cnt, union_cnt, COUNT(*) AS n_pairs
          |FROM joined GROUP BY 1, 2
          |ORDER BY inter_cnt, union_cnt""".stripMargin,
+    // q275: the shared shingle word-split, keyed by SOURCE — sizes
+    // cross-joined so disjoint pairs surface with inter_cnt = 0.
+    "q275_corpus_jaccard" ->
+      """WITH words AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents),
+        |ssh AS (SELECT DISTINCT source, shingle FROM (
+        |  SELECT source, unnest(list_transform(range(len(w) - 2),
+        |    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        |  FROM words WHERE len(w) >= 3)),
+        |ssz AS (SELECT source, COUNT(*) AS sz FROM ssh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    COUNT(*) AS inter_cnt
+        |  FROM ssh a JOIN ssh b USING (shingle)
+        |  WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT sa.source AS src_a, sb.source AS src_b,
+        |  COALESCE(i.inter_cnt, 0) AS inter_cnt,
+        |  sa.sz + sb.sz - COALESCE(i.inter_cnt, 0) AS union_cnt,
+        |  (1000000 * COALESCE(i.inter_cnt, 0))
+        |    // (sa.sz + sb.sz - COALESCE(i.inter_cnt, 0)) AS jaccard_e6
+        |FROM ssz sa JOIN ssz sb ON sa.source < sb.source
+        |LEFT JOIN inter i
+        |  ON i.src_a = sa.source AND i.src_b = sb.source
+        |ORDER BY 1, 2""".stripMargin,
     // q211: the q21 pair CTEs + source lookups + the unordered cell agg
     // + exact possible-pair denominators.
     "q211_source_overlap" ->

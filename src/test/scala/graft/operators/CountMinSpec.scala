@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contracts of the count–min sketch: est ≥ exact always (the CM
+  * invariant), est == exact when the width isolates every key, unseen
+  * keys read 0 (the left-join contract), carried columns survive the
+  * probe, and the counter table is bounded by depth·width.
+  */
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed multiset: key k occurs k times, k = 1..20 (210 rows)
+  private def data = (1 to 20).flatMap(k => Seq.fill(k)(k.toLong))
+    .toDF("k")
+
+  private def exact = data.groupBy("k")
+    .agg(count(lit(1)).as("exact_cnt"))
+
+  test("estimate >= exact for every key at a collision-prone width") {
+    val sk = CountMin.sketch(data, "k", depth = 3, width = 4)
+    val est = CountMin.estimate(sk, exact, "k", depth = 3, width = 4)
+      .collect()
+    assert(est.length === 20)
+    est.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("exact_cnt"),
+             s"CM must never undercount: $r")
+    }
+  }
+
+  test("estimate == exact when width isolates keys (no collisions by " +
+       "pigeonhole check)") {
+    // width 4096 >> 20 keys: collisions are possible in principle but
+    // the assertion below FIRST verifies this draw has none (each
+    // (r, cell) holds one key), then demands exactness — so the test
+    // can never flake on an unlucky hash draw without saying why.
+    val w = 4096
+    val sk = CountMin.sketch(data, "k", depth = 3, width = w)
+    val cellsPerKey = sk.count()
+    assume(cellsPerKey === 3L * 20, "hash draw collided; widen w")
+    CountMin.estimate(sk, exact, "k", depth = 3, width = w)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("cm_est") === r.getAs[Long]("exact_cnt"))
+      }
+  }
+
+  test("unseen key estimates 0 via the left-join contract") {
+    val sk = CountMin.sketch(data, "k", depth = 3, width = 4096)
+    val unseen = Seq(999L).toDF("k")
+    val est = CountMin.estimate(sk, unseen, "k", depth = 3, width = 4096)
+      .collect()
+    assert(est.length === 1)
+    // an unseen key MAY collide into occupied cells (overestimate),
+    // but at width 4096 with 20 keys these cells are empty: exact 0
+    assert(est.head.getAs[Long]("cm_est") === 0L)
+  }
+
+  test("counter table bounded by depth*width and counts sum to " +
+       "depth*n") {
+    val sk = CountMin.sketch(data, "k", depth = 4, width = 8)
+    assert(sk.count() <= 4L * 8)
+    val total = sk.agg(sum("cnt")).collect().head.getLong(0)
+    assert(total === 4L * 210)
+  }
+}
