@@ -1276,4 +1276,31 @@ class PlanShapeSpec extends SparkSpec {
       "q265_substring_keepfirst")(spark, sf))
     assert(!full.contains("CartesianProduct"))
   }
+
+  test("q274: the count-min build is ONE map-combined aggregate and " +
+       "the probe broadcasts the sketch — nothing scales past d*w") {
+    val plan = finalPlan(AdvancedQueries.queries("q274_countmin")(
+      spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"sketch build must map-combine before the exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the d*w counter table must broadcast into the probe")
+    assert(!plan.contains("SortMergeJoin"),
+      "no shuffle join anywhere — both join sides are control-plane")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q275: corpus-pair Jaccard broadcasts the size frames; the only " +
+       "corpus-scale work is the distinct + per-shingle self-join") {
+    val plan = finalPlan(PipelineQueries.queries("q275_corpus_jaccard")(
+      spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |sources|-row size frames must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "the src_a < src_b pair frame is broadcast-nested-loop at worst, " +
+        "never a shuffled cartesian")
+    // intersection rolls up map-side before its exchange
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"pair counts must map-combine:\n$plan")
+  }
 }
