@@ -127,6 +127,42 @@ object PipelineQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** q276 — embedding-space shard drift: exact integer centroid
+    * distance between every pair of deterministic ingest shards (md5
+    * doc-hash split, the q62 discipline) — the EMBEDDING-space
+    * complement to q275's content overlap: shards of one corpus are
+    * i.i.d. by construction, so a shard whose centroid sits far from
+    * the others flags an ingest bug (a stuck source, a half-written
+    * file) before any model sees the data. All arithmetic is integer
+    * (e6-quantized coordinates via the gated q68 kernel, truncating
+    * `div` centroid means — Spark `div` ≡ DuckDB `//` toward zero for
+    * negatives, tested), so the distance matrix is oracle-exact, not
+    * banded. Shape: ONE map-combined (shard, dim) sum over a 64-fold
+    * posexplode (corpus-linear, map-combined to |shards|·64 rows),
+    * then control-plane pair joins; nothing quadratic at any scale.
+    */
+  def q276CentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    val nShards = 4
+    val q = Tables.embeddings(s, dir)
+      .select(pmod(PortableHash.h32(col("vec_id").cast("string")),
+                   lit(nShards.toLong)).as("shard"),
+              posexplode(graft.operators.Clustering
+                .quantize(col("embedding"), 64)).as(Seq("d", "x")))
+    val cent = q.groupBy(col("shard"), col("d"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .select(col("shard"), col("d"), expr("sx div n").as("c"))
+    val dist = cent.select(col("shard").as("shard_a"), col("d"),
+                           col("c").as("ca"))
+      .join(cent.select(col("shard").as("shard_b"), col("d"),
+                        col("c").as("cb")), Seq("d"))
+      .filter(col("shard_a") < col("shard_b"))
+      .groupBy(col("shard_a"), col("shard_b"))
+      .agg(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))
+        .as("dist_sq"))
+    dist.orderBy("shard_a", "shard_b")
+  }
+
   /** q184 — the FAMILY-SIZE CAP live on the inverted-index path
     * ([[Dedup.jaccardPairs]] `maxBucketDocs = 2`): every shingle's
     * posting list samples its 2 smallest doc_ids before the candidate
@@ -1593,6 +1629,7 @@ object PipelineQueries {
     "q21_ngram_jaccard"    -> (q21NgramJaccard _),
     "q273_jaccard_hist"    -> (q273JaccardHist _),
     "q275_corpus_jaccard"  -> (q275SourceOverlap _),
+    "q276_centroid_drift"  -> (q276CentroidDrift _),
     "q107_ppjoin_jaccard"  -> (q107PpjoinJaccard _),
     "q160_containment"     -> (q160Containment _),
     "q22_minhash_lsh"      -> (q22MinhashLsh _),
@@ -2555,6 +2592,23 @@ object PipelineQueries {
         |LEFT JOIN inter i
         |  ON i.src_a = sa.source AND i.src_b = sb.source
         |ORDER BY 1, 2""".stripMargin,
+    // q276: the q68 quantization + md5 shard + truncating-div centroid
+    // means, replayed exactly — the distance matrix is integer-exact.
+    "q276_centroid_drift" ->
+      """WITH q AS (
+        |  SELECT ('0x' || substr(md5(vec_id::varchar), 1, 8))::bigint
+        |      % 4 AS shard,
+        |    t.d,
+        |    CAST(floor(embedding[t.d + 1]::DOUBLE * 1000000) AS BIGINT)
+        |      AS x
+        |  FROM embeddings CROSS JOIN range(64) t(d)),
+        |cent AS (
+        |  SELECT shard, d, SUM(x) // COUNT(*) AS c
+        |  FROM q GROUP BY 1, 2)
+        |SELECT a.shard AS shard_a, b.shard AS shard_b,
+        |  CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist_sq
+        |FROM cent a JOIN cent b ON a.d = b.d AND a.shard < b.shard
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q211: the q21 pair CTEs + source lookups + the unordered cell agg
     // + exact possible-pair denominators.
     "q211_source_overlap" ->

@@ -1303,4 +1303,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial_"),
       s"pair counts must map-combine:\n$plan")
   }
+
+  test("q276: shard centroids map-combine over the posexplode; the " +
+       "pair stage is control-plane (broadcast, no corpus shuffle)") {
+    val plan = finalPlan(PipelineQueries.queries("q276_centroid_drift")(
+      spark, sf))
+    assert(plan.contains("partial_sum"),
+      s"(shard, dim) sums must map-combine before the exchange:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "the |shards|*64-row centroid frames must broadcast-join")
+    assert(!plan.contains("SortMergeJoin") &&
+           !plan.contains("CartesianProduct"))
+  }
 }
