@@ -47,6 +47,17 @@ object CountMin {
       .groupBy(col("r"), cellOf(col("r"), col(keyCol), width).as("cell"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Merge sketches built over disjoint slices of one corpus: CM is
+    * LINEAR (every counter is a sum over rows), so cell-wise addition
+    * of per-slice tables IS the global table — the property that lets
+    * 1000 executors sketch their partitions independently and a
+    * reduce-side add produce the exact corpus sketch. Input: any
+    * union/frame of (r, cell, cnt) rows; output: one row per (r, cell).
+    */
+  def merge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("r"), col("cell"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point estimates for every row of `keys` (its `keyCol` plus any
     * carried columns survive): adds `cm_est` = min over the depth
     * counters. The sketch side is broadcast — it is ≤ depth·width rows

@@ -704,6 +704,41 @@ object AdvancedQueries {
       .orderBy("user_id")
   }
 
+  /** q277 — the SAME answer as q274 computed by SKETCH MERGE
+    * ([[graft.operators.CountMin.merge]]): one independent count–min
+    * table per event_type slice, cell-wise added into the corpus
+    * sketch, then probed identically. Two routes, one oracle (the
+    * q193/q226/q272 convention): the gate itself proves CM's
+    * LINEARITY — the property that lets 1000 executors sketch their
+    * partitions independently and a reduce-side add produce the exact
+    * corpus table (the distributed-build contract; `sketch()` itself
+    * exploits it implicitly via partial aggregation, this query pins
+    * it explicitly across an arbitrary slicing). Shape: identical to
+    * q274 plus one ≤ slices·d·w-row re-aggregate — still constant in
+    * corpus size.
+    */
+  def q277CountMinMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"))
+    val (d, w) = (4, 512)
+    val sliced = ev
+      .select(col("event_type"),
+              explode(sequence(lit(0), lit(d - 1))).as("r"),
+              col("user_id"))
+      .groupBy(col("event_type"), col("r"),
+               graft.operators.CountMin
+                 .cellOf(col("r"), col("user_id"), w).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = graft.operators.CountMin
+      .merge(sliced.select(col("r"), col("cell"), col("cnt")))
+    val tracked = ev.filter(col("user_id") % 25 === 0)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    graft.operators.CountMin.estimate(merged, tracked, "user_id", d, w)
+      .select(col("user_id"), col("exact_cnt"), col("cm_est"),
+              (col("cm_est") - col("exact_cnt")).as("overcount"))
+      .orderBy("user_id")
+  }
+
   /** q226 — the SAME answer as q193 computed by the PassJoin
     * segment-signature path ([[Dedup.passJoinPairs]]): candidates are
     * pairs sharing a ~len/3-char ALIGNED substring (pigeonhole over 3
@@ -3181,6 +3216,32 @@ object AdvancedQueries {
     * count per trade relation as the edge weight (w = 1 otherwise),
     * dividing by total out-weight exactly as the operator does.
     */
+  /** Shared q274/q277 oracle: the ENTIRE 4×512 count–min counter
+    * table replayed with portable md5 cell hashes, probed for the 60
+    * tracked users. Two builds (direct / per-slice merged), one SQL —
+    * the gate proves CM linearity.
+    */
+  private val countMinSql: String =
+    """WITH cells AS (
+      |  SELECT t.r,
+      |    ('0x' || substr(md5(t.r::varchar || ':' ||
+      |      e.user_id::varchar), 1, 8))::bigint % 512 AS cell,
+      |    COUNT(*) AS cnt
+      |  FROM events e CROSS JOIN range(4) t(r)
+      |  GROUP BY 1, 2),
+      |tracked AS (
+      |  SELECT user_id, COUNT(*) AS exact_cnt FROM events
+      |  WHERE user_id % 25 = 0 GROUP BY 1),
+      |probes AS (
+      |  SELECT user_id, exact_cnt, t.r,
+      |    ('0x' || substr(md5(t.r::varchar || ':' ||
+      |      user_id::varchar), 1, 8))::bigint % 512 AS cell
+      |  FROM tracked CROSS JOIN range(4) t(r))
+      |SELECT p.user_id, p.exact_cnt, MIN(c.cnt) AS cm_est,
+      |  MIN(c.cnt) - p.exact_cnt AS overcount
+      |FROM probes p JOIN cells c USING (r, cell)
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   private def pagerankOracle(weighted: Boolean): String = {
     def iterCte(i: Int): String =
       s"""c$i AS (
@@ -3464,6 +3525,7 @@ object AdvancedQueries {
     "q193_editdist_blocked" -> (q193EditdistBlocked _),
     "q272_editdist_weighted" -> (q272EditdistWeighted _),
     "q274_countmin" -> (q274CountMin _),
+    "q277_countmin_merge" -> (q277CountMinMerge _),
     "q226_passjoin_editdist" -> (q226PassjoinEditdist _),
     "q230_snm_recall" -> (q230SnmRecall _),
     "q231_snm_multipass" -> (q231SnmMultipass _),
@@ -3984,26 +4046,10 @@ object AdvancedQueries {
         |WHERE dist <= 2 GROUP BY dist ORDER BY dist""".stripMargin,
     // q274: the oracle replays the ENTIRE count-min counter table
     // (portable md5 cell hashes) — the estimate is gated exactly.
-    "q274_countmin" ->
-      """WITH cells AS (
-        |  SELECT t.r,
-        |    ('0x' || substr(md5(t.r::varchar || ':' ||
-        |      e.user_id::varchar), 1, 8))::bigint % 512 AS cell,
-        |    COUNT(*) AS cnt
-        |  FROM events e CROSS JOIN range(4) t(r)
-        |  GROUP BY 1, 2),
-        |tracked AS (
-        |  SELECT user_id, COUNT(*) AS exact_cnt FROM events
-        |  WHERE user_id % 25 = 0 GROUP BY 1),
-        |probes AS (
-        |  SELECT user_id, exact_cnt, t.r,
-        |    ('0x' || substr(md5(t.r::varchar || ':' ||
-        |      user_id::varchar), 1, 8))::bigint % 512 AS cell
-        |  FROM tracked CROSS JOIN range(4) t(r))
-        |SELECT p.user_id, p.exact_cnt, MIN(c.cnt) AS cm_est,
-        |  MIN(c.cnt) - p.exact_cnt AS overcount
-        |FROM probes p JOIN cells c USING (r, cell)
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // q277 (merge route) answers the SAME SQL verbatim: the gate
+    // proves CM linearity (per-slice tables add to the corpus table).
+    "q274_countmin" -> countMinSql,
+    "q277_countmin_merge" -> countMinSql,
     // q226: the PassJoin signature path answers to the SAME bare-join
     // oracle shape as q193 (on the deterministic quarter) — the shared
     // gate proves the banded and segment-signature candidate

@@ -57,6 +57,22 @@ class CountMinSpec extends SparkSpec {
     assert(est.head.getAs[Long]("cm_est") === 0L)
   }
 
+  test("merge of per-slice sketches equals the direct corpus sketch " +
+       "(linearity) for any slicing") {
+    val sliced = data.withColumn("slice", pmod(col("k"), lit(3)))
+    val parts = (0 until 3).map { s =>
+      CountMin.sketch(sliced.filter(col("slice") === s), "k",
+                      depth = 3, width = 8)
+    }
+    val merged = CountMin.merge(parts.reduce(_ unionByName _))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val direct = CountMin.sketch(data, "k", depth = 3, width = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(merged === direct)
+  }
+
   test("counter table bounded by depth*width and counts sum to " +
        "depth*n") {
     val sk = CountMin.sketch(data, "k", depth = 4, width = 8)
