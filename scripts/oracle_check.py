@@ -77,9 +77,12 @@ def main(sf_dir: str, out_dir: str) -> int:
             # in Tables.events: timestamp_micros(ts DIV 1000)). Mirror
             # that normalization here so ts-based oracles run unchanged
             # at every rung of the scale ladder.
-            (ts_type,) = con.execute(
+            # fetchone() is None on an empty events table (ADVICE r14):
+            # guard it so the whole oracle gate doesn't crash on a corpus
+            # with no events rows — the view rewrite is just skipped.
+            row = con.execute(
                 "SELECT typeof(ts) FROM events LIMIT 1").fetchone()
-            if ts_type == "BIGINT":
+            if row is not None and row[0] == "BIGINT":
                 con.execute("DROP VIEW events")
                 con.execute(
                     "CREATE VIEW events AS SELECT event_id, "

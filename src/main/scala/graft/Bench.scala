@@ -156,7 +156,14 @@ object Bench {
       collection.mutable.LinkedHashMap.empty[String, (Double, Double)])
     val sweepMetrics = Array.fill(sweeps)(
       collection.mutable.LinkedHashMap.empty[String, Snap])
+    // Host calibration point BEFORE each sweep (r14 verdict #1): fixed,
+    // data-independent CPU + memory kernels whose wall time measures
+    // the HOST, not the code — the quantitative anchor that lets a
+    // +25% wall round be attributed (factor dropped 25% → environment)
+    // or flagged (factor flat → regression) instead of argued in prose.
+    val calPoints = Array.ofDim[HostCalibration.Point](sweeps)
     for (s <- 0 until sweeps) {
+      calPoints(s) = HostCalibration.measure()
       metrics.reset()
       var base = Snap(0L, 0L, 0L, 0L, 0L, 0L)
       for ((name, fn) <- queries) {
@@ -205,6 +212,22 @@ object Bench {
     }
     val qs = results.map { case (k, r) => s"\"" + k + "\":" + r.minSec }
       .mkString("{", ",", "}")
+    // CALIBRATED wall: each sweep's raw seconds × that sweep's host
+    // factor (measured at sweep start) converts to reference-box
+    // seconds; the per-query headline is the min over calibrated
+    // sweeps — same contention-robust min discipline as raw wall, but
+    // now a sweep that ran on a degraded box is scaled before it
+    // competes for the min rather than silently losing it.
+    val sweepFactors = calPoints.map(_.factor)
+    val calQ: Seq[(String, Double)] = names.map { name =>
+      name -> (0 until sweeps)
+        .map(s => times(s)(name)._1 * sweepFactors(s)).min
+    }
+    val calTotal = calQ.map(_._2).sum
+    val calQs = calQ.map { case (k, v) => f""""$k":$v%.4f""" }
+      .mkString("{", ",", "}")
+    val calLine =
+      f""""calibration":{"ref":{"st_arith_mops":${HostCalibration.RefStArithMops}%.1f,"mt_arith_mops":${HostCalibration.RefMtArithMops}%.1f,"mem_gbps":${HostCalibration.RefMemGBps}%.2f},"sweep_points":${calPoints.map(_.json).mkString("[", ",", "]")},"sweep_factors":${sweepFactors.map(f => f"$f%.4f").mkString("[", ",", "]")},"factor_median":${sweepFactors.sorted.apply(sweeps / 2)}%.4f}"""
     val qm = results.map { case (k, r) =>
       s"\"$k\":{\"shuffle_write_bytes\":${r.head.sw}," +
         s"\"shuffle_read_bytes\":${r.head.sr}," +
@@ -228,7 +251,7 @@ object Bench {
     // detail landed in a file named r13 and a future reader would diff
     // the wrong pair — the stamp makes the artifact self-describing
     // regardless of the file it ends up in).
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","round":$currentRound,"queries":$qs,"query_metrics":$qm,"sf":"$sfDir","cpus":$cpus,$loadLine,"delta_vs_prev":${deltaVsPrev(headBytes, sfDir, cpus)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","round":$currentRound,"queries":$qs,"calibrated_total_sec":$calTotal,"calibrated_queries":$calQs,$calLine,"query_metrics":$qm,"sf":"$sfDir","cpus":$cpus,$loadLine,"delta_vs_prev":${deltaVsPrev(headBytes, calQ, sfDir, cpus)}}"""
     println(line)
     // The driver's tail capture truncates stdout at 2000 chars (r06 lost
     // every per-query timing that way) — persist the full JSON as a
@@ -272,7 +295,7 @@ object Bench {
     // JSON object that always fits; it carries the contention evidence
     // (pre-session loadavg, per-sweep totals) and points at the
     // committed BENCH_LOCAL artifact for the per-query map.
-    println(f"""{"metric":"total","value":$total,"unit":"sec","round":$currentRound,"n_queries":${results.size},"sf":"$sfDir","cpus":$cpus,"contended":$contended,"loadavg_1m_presession":$loadPre%.2f,"sweep_totals_sec":${sweepTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"detail":"$artifact"}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","round":$currentRound,"n_queries":${results.size},"calibrated_total_sec":$calTotal%.1f,"host_factor_median":${sweepFactors.sorted.apply(sweeps / 2)}%.4f,"sf":"$sfDir","cpus":$cpus,"contended":$contended,"loadavg_1m_presession":$loadPre%.2f,"sweep_totals_sec":${sweepTotals.map(t => f"$t%.1f").mkString("[", ",", "]")},"detail":"$artifact"}""")
     spark.stop()
   }
 
@@ -334,6 +357,7 @@ object Bench {
     * cpus — an absent field is treated as a mismatch (unknown ≠ equal).
     */
   private def deltaVsPrev(results: Seq[(String, Snap)],
+                          calibrated: Seq[(String, Double)],
                           sfDir: String, cpus: String): String = {
     val prevFile = (1 until currentRound).reverse.iterator
       .map(n => n -> new java.io.File(s"BENCH_LOCAL_r$n.json"))
@@ -348,11 +372,11 @@ object Bench {
       .map(_.group(1)).getOrElse("")
     val prevRound = prevFile.map(_._1).getOrElse(-1)
     if (prevFile.isEmpty) {
-      s"""{"prev_round":-1,"flagged":{}}"""
+      s"""{"prev_round":-1,"flagged":{},"wall_flagged":{}}"""
     } else if (prevSf != sfDir) {
-      s"""{"prev_round":$prevRound,"skipped":"sf_mismatch: prev=$prevSf now=$sfDir","flagged":{}}"""
+      s"""{"prev_round":$prevRound,"skipped":"sf_mismatch: prev=$prevSf now=$sfDir","flagged":{},"wall_flagged":{}}"""
     } else if (prevCpus != cpus) {
-      s"""{"prev_round":$prevRound,"skipped":"cpus_mismatch: prev=${if (prevCpus.isEmpty) "unrecorded" else prevCpus} now=$cpus","flagged":{}}"""
+      s"""{"prev_round":$prevRound,"skipped":"cpus_mismatch: prev=${if (prevCpus.isEmpty) "unrecorded" else prevCpus} now=$cpus","flagged":{},"wall_flagged":{}}"""
     } else {
       // Prefer the prev artifact's per-sweep arrays (present since r12)
       // and take their MEDIAN — the headline fields of r13-and-earlier
@@ -380,9 +404,28 @@ object Bench {
             snap.shuffleTotal - prev(name) > 4096L =>
           s"""\"$name\":{\"prev_shuffle_bytes\":${prev(name)},\"now_shuffle_bytes\":${snap.shuffleTotal}}"""
       }.toSeq
+      // CALIBRATED-WALL compare (r14 verdict #1): both sides are
+      // host-normalized seconds, so this gate flags real per-query
+      // slowdowns the byte gate can't see (per-row CPU changes, an
+      // interpreter drop) without drowning in host noise. Thresholds
+      // deliberately loose — >50% AND >0.3 s — because even calibrated
+      // wall keeps scheduler jitter; the byte gate stays the precise
+      // plan witness. Skipped (empty) against pre-r15 artifacts, which
+      // carry no calibrated_queries map.
+      val calRx = "\"calibrated_queries\":\\{([^}]*)\\}".r
+      val prevCal: Map[String, Double] = calRx.findFirstMatchIn(prevText)
+        .map { m =>
+          "\"(q[^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(m.group(1))
+            .map(p => p.group(1) -> p.group(2).toDouble).toMap
+        }.getOrElse(Map.empty)
+      val wallFlagged = calibrated.iterator.collect {
+        case (name, sec) if prevCal.contains(name) &&
+            sec > prevCal(name) * 1.5 && sec - prevCal(name) > 0.3 =>
+          f""""$name":{"prev_calibrated_sec":${prevCal(name)}%.4f,"now_calibrated_sec":$sec%.4f}"""
+      }.toSeq
       // An object keyed by query (not bare pairs in an array — the r7
       // shape produced invalid JSON the first time the list was non-empty).
-      s"""{"prev_round":$prevRound,"flagged":${flagged.mkString("{", ",", "}")}}"""
+      s"""{"prev_round":$prevRound,"flagged":${flagged.mkString("{", ",", "}")},"wall_flagged":${wallFlagged.mkString("{", ",", "}")}}"""
     }
   }
 }

@@ -49,15 +49,25 @@ object GraftSession {
     * can run the whole suite under the 100 TB sizing (the raised 64 MiB
     * broadcast threshold is the config that can flip join selection —
     * hash changes under it are bugs, not configuration effects). Unset
-    * or any other value = no-op.
+    * or empty = no-op. Any OTHER non-empty value fails loudly (ADVICE
+    * r14): Bench tags its artifact from ANY profile value, so a typo
+    * (`PROFILE=Cluster`) used to produce a stock-config run whose
+    * artifact claimed a profile — mislabeled experiment data. A tagged
+    * artifact must correspond to an actually-applied profile.
     */
   def envProfile(b: SparkSession.Builder): SparkSession.Builder =
-    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("cluster")) {
-      // loud by design: a profiled run must be identifiable from its log
-      println("[graft] SPARK_GRAFT_PROFILE=cluster: 256m splits, " +
-        "64m advisory partitions, 64m broadcast threshold")
-      clusterProfile(b)
-    } else b
+    sys.env.get("SPARK_GRAFT_PROFILE").filter(_.nonEmpty) match {
+      case Some("cluster") =>
+        // loud by design: a profiled run must be identifiable from its log
+        println("[graft] SPARK_GRAFT_PROFILE=cluster: 256m splits, " +
+          "64m advisory partitions, 64m broadcast threshold")
+        clusterProfile(b)
+      case Some(other) =>
+        sys.error(s"[graft] unrecognized SPARK_GRAFT_PROFILE='$other' " +
+          "(only 'cluster' is defined) — refusing to run: the bench " +
+          "would label its artifact with a profile that was never applied")
+      case None => b
+    }
 
   /** Apply graft's standard configuration to any builder (local or cluster).
     * Kept separate so cluster deployments get identical semantics.

@@ -55,6 +55,34 @@ object LshKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-band RAW SLICES of a MinHash signature: slice(b) =
+    * sig[b·rows … b·rows+rows) for b in [0, bands). The un-hashed
+    * sibling of [[bandKeys]] for consumers whose band join must be
+    * replayable by an external SQL engine on VALUE equality (q204's
+    * calibration oracle joins on `list(m ORDER BY perm)` — an
+    * xxhash64'd key would be engine-private). Same JIT motivation:
+    * the 32-way `struct(lit(b), slice(sig, …))` unroll fused into a
+    * 7.5 KB whole-stage method (r14 audit `near_limit`), one fused
+    * expression away from the interpreter cliff.
+    */
+  def bandSlices(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val rows = n / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val s = new Array[Long](rows)
+      var j = 0
+      while (j < rows) {
+        s(j) = sig.getLong(b * rows + j)
+        j += 1
+      }
+      out(b) = new GenericArrayData(s)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-table random-hyperplane buckets of an embedding: bucket(t) =
     * Σ_i [dot(v, plane(t·ppt + i)) ≥ 0] · 2^i, planes and fold exactly
     * [[VectorFunctions.planeDot]] (w(p,d) = ((k ⊻ (k ≫ 5)) mod 7) − 3,
@@ -119,6 +147,38 @@ case class MinHashBandKeys(child: Expression, bands: Int)
       c => s"graft.functions.LshKernels.bandKeys($c, $bands)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
+/** `array<array<long>>` of per-band raw signature slices (see
+  * [[LshKernels.bandSlices]]); index = band id, so `posexplode` yields
+  * the (band, slice-key) rows a value-equality banding join shuffles on.
+  */
+case class MinHashBandSlices(child: Expression, bands: Int)
+    extends UnaryExpression {
+
+  require(bands >= 1, s"bands must be >= 1, got $bands")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> (a MinHash signature), " +
+        s"got ${t.sql}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+
+  override def prettyName: String = "minhash_band_slices"
+
+  override protected def nullSafeEval(v: Any): Any =
+    LshKernels.bandSlices(v.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LshKernels.bandSlices($c, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandSlices =
     copy(child = newChild)
 }
 

@@ -39,10 +39,18 @@ object CountMin {
 
   /** Build the depth×width counter table for `df(keyCol)` occurrences:
     * columns (r, cell, cnt), at most depth·width rows.
+    *
+    * NULL keys are EXCLUDED (ADVICE r14): `concat_ws` would silently
+    * hash a null key as just `"<r>"`, incrementing real counters the
+    * DuckDB oracle's `r || ':' || key` (NULL-propagating) never sees —
+    * a latent estimate/oracle divergence on any nullable key column.
+    * Matching SQL semantics (COUNT over a key excludes NULLs) is both
+    * the oracle-stable and the least-surprising contract.
     */
   def sketch(df: DataFrame, keyCol: String,
              depth: Int, width: Int): DataFrame =
-    df.select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
+    df.filter(col(keyCol).isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
               col(keyCol))
       .groupBy(col("r"), cellOf(col("r"), col(keyCol), width).as("cell"))
       .agg(count(lit(1)).as("cnt"))
@@ -65,16 +73,28 @@ object CountMin {
     * sketch exists at all. LEFT join + coalesce(0): a key the sketch
     * never saw has empty cells, and min-over-missing must read 0, not
     * drop rows (an inner join would silently under-join unseen keys).
+    *
+    * NULL probe keys are dropped, mirroring [[sketch]]'s exclusion (a
+    * null key has no counters to read; see the null note there). The
+    * probe-side working columns use collision-proof internal names
+    * (`__cm_*`, ADVICE r14) so a caller's frame may freely carry
+    * columns named `r`, `cell`, or `cnt` — the sketch side is renamed
+    * to match before the join and every internal column is dropped by
+    * the closing groupBy over the carried columns.
     */
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
                depth: Int, width: Int): DataFrame = {
     val carried = keys.columns.map(col)
+    val sk = sketch.select(col("r").as("__cm_r"),
+                           col("cell").as("__cm_cell"),
+                           col("cnt").as("__cm_cnt"))
     keys
+      .filter(col(keyCol).isNotNull)
       .select(carried :+
-        explode(sequence(lit(0), lit(depth - 1))).as("r"): _*)
-      .withColumn("cell", cellOf(col("r"), col(keyCol), width))
-      .join(broadcast(sketch), Seq("r", "cell"), "left")
+        explode(sequence(lit(0), lit(depth - 1))).as("__cm_r"): _*)
+      .withColumn("__cm_cell", cellOf(col("__cm_r"), col(keyCol), width))
+      .join(broadcast(sk), Seq("__cm_r", "__cm_cell"), "left")
       .groupBy(carried: _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+      .agg(min(coalesce(col("__cm_cnt"), lit(0L))).as("cm_est"))
   }
 }

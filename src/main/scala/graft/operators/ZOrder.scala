@@ -144,18 +144,20 @@ object ZOrder {
     * fastest — same convention as [[zValue]]'s even-bits-for-a). Each
     * dimension must sit in [0, 2^bitsPerDim(d)); violations raise —
     * a z-curve over a clipped domain silently breaks locality.
+    *
+    * Computed by the [[graft.functions.ZValueN]] loop kernel, not the
+    * unrolled [[spreadN]] Column chain: the 3-dim unroll fused into a
+    * 6.4 KB whole-stage method (r14 JIT audit near_limit — one more
+    * fused expression from HotSpot's 8000-byte interpreter cliff).
+    * Bit-identical values; the guard (same message) moved inside the
+    * kernel. [[spreadN]] stays as the spec's independent reference and
+    * the [[spreadNSql]] oracle generator's Spark-side mirror.
     */
   def zValueN(dims: Seq[Column]): Column = {
-    val d = dims.length
-    val b = bitsPerDim(d)
-    def guarded(c: Column): Column =
-      when(c.isNull.or(c < 0).or(c.cast(LongType) >= lit(1L << b)),
-           raise_error(concat(lit(s"zValueN: dimension out of [0, 2^$b): "),
-                              c.cast("string"))).cast(LongType))
-        .otherwise(c.cast(LongType))
-    dims.zipWithIndex.map { case (c, i) =>
-      shiftleft(spreadN(guarded(c), d, b), i)
-    }.reduce(_ bitwiseOR _)
+    import org.apache.spark.sql.GraftColumns
+    val b = bitsPerDim(dims.length)
+    GraftColumns.column(graft.functions.ZValueN(
+      dims.map(c => GraftColumns.expression(c.cast(LongType))), b))
   }
 
   /** [[layout]] over d dimensions: appends `z` = [[zValueN]] of `dims`

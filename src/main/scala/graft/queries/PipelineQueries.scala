@@ -927,14 +927,22 @@ object PipelineQueries {
     val sig = sets
       .withColumn("sig", Dedup.minhashSignature(col("sh"), 128))
       .graftCheckpoint()
-    val banded = sig.select(
-        col("doc_id"),
-        explode(array((0 until 32).map { b =>
-          struct(lit(b.toLong).as("band"),
-                 slice(col("sig"), b * 4 + 1, 4).as("key"))
-        }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
-              col("bk.key").as("key"))
+    // Loop-shaped slice kernel, not the 32-way struct(lit, slice(sig,…))
+    // unroll: the unrolled banding fused into a 7.5 KB whole-stage
+    // method (r14 JIT audit near_limit — one more fused expression from
+    // the interpreter cliff). Values identical: posexplode's index IS
+    // the band id and each element is the raw 4-long slice the oracle's
+    // `list(m ORDER BY perm)` join replays on value equality.
+    val banded = {
+      import org.apache.spark.sql.GraftColumns
+      sig.select(
+          col("doc_id"),
+          posexplode(GraftColumns.column(
+            graft.functions.MinHashBandSlices(
+              GraftColumns.expression(col("sig")), 32))))
+        .select(col("doc_id"), col("pos").cast("long").as("band"),
+                col("col").as("key"))
+    }
     val cand = banded.as("x")
       .join(banded.as("y"),
             col("x.band") === col("y.band") &&

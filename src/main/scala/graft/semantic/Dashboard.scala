@@ -69,7 +69,25 @@ final class Dashboard(gamesFact: DataFrame) {
     val daily = filtered
       .groupBy(col("date_ymd").as("date"))
       .agg(count(lit(1)).as("games"), sum(winExpr).as("wins"))
-    val scaffold = DateDim.spanning(spark, filtered, "date_ymd")
+    Dashboard.rollingFromDaily(spark, daily, days)
+  }
+}
+
+object Dashboard {
+
+  /** The rolling visual's tail from a DAY-GRAIN aggregate
+    * `daily(date, games, wins)`: scaffold-join the spanning DateTable
+    * (zero-game days must exist in the frame), trailing range window,
+    * null-safe rate. Factored out of [[Dashboard.rollingWinRate]] so
+    * the STREAMING dashboard (whose daily grain is maintained
+    * incrementally, [[graft.streaming.StreamingDashboard]]) runs the
+    * IDENTICAL plan over its state — one definition, no batch/stream
+    * drift. The scaffold spans `daily`'s min→max date, which equals
+    * the fact's span (groupBy preserves the distinct date set).
+    */
+  private[graft] def rollingFromDaily(spark: SparkSession, daily: DataFrame,
+                                      days: Int): DataFrame = {
+    val scaffold = DateDim.spanning(spark, daily, "date")
     val dense = scaffold.join(daily, Seq("date"), "left")
       .select(col("date"), col("year"), col("month"), col("month_name"),
               col("day"),

@@ -27,6 +27,18 @@ import graft.SparkEntry
   * were WSCG `processNext` bodies).
   */
 object CodegenAudit {
+
+  /** Queries ALLOWED to sit in the near-limit band (≥ 75% of the JIT
+    * ceiling), each with a written justification. Empty by policy (r14
+    * verdict #4: q204/q270 sat one fused expression from the silent
+    * 7–10× interpreter cliff for a round before being kernel-ized —
+    * the audit now FAILS, not warns, when a query enters the band, so
+    * the fix happens the round the fusion lands, not after the wall
+    * regresses). Pin a query here ONLY with a reason the next reader
+    * can re-check.
+    */
+  val PinnedNearLimit: Map[String, String] = Map.empty
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
                                   "/root/testdata/sf0.1")
@@ -137,5 +149,28 @@ object CodegenAudit {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
     println(s"[CodegenAudit] over_limit=$flagged near_limit=$near -> $outFile")
     spark.stop()
+    // GATE (r14 verdict #4): any over-limit stage, or any near-limit
+    // query without a pinned justification, fails the run — a warning
+    // in a JSON nobody diffs is how q203/q271 ran interpreted for four
+    // rounds. Exit AFTER the artifact is written so the evidence of
+    // WHAT failed is always on disk.
+    val overNames = results.collect {
+      case (name, p, c)
+          if p.exists(_.overJitLimit) || c.exists(_.overJitLimit) => name
+    }
+    val nearNames = results.collect {
+      case (name, p, c)
+          if maxOf(p, c) > nearLimit &&
+             !(p.exists(_.overJitLimit) || c.exists(_.overJitLimit)) => name
+    }
+    val unpinned = nearNames.filterNot(PinnedNearLimit.contains)
+    if (overNames.nonEmpty || unpinned.nonEmpty) {
+      System.err.println(
+        s"[CodegenAudit] FAIL: over_limit=${overNames.mkString(",")} " +
+          s"unpinned_near_limit=${unpinned.mkString(",")} " +
+          "(kernel-ize the projection or pin with a justification in " +
+          "CodegenAudit.PinnedNearLimit)")
+      sys.exit(1)
+    }
   }
 }

@@ -42,6 +42,34 @@ class LshKernelsSpec extends SparkSpec {
     assert(k.size === sigs.size * bands)
   }
 
+  test("minhash_band_slices ≡ slice(sig, b*rows+1, rows) for every " +
+       "band (the raw-value banding q204's oracle joins on)") {
+    val sigs = Seq(
+      (1L, (0 until 128).map(i => i * 2654435761L - 1000L).toArray),
+      (2L, (0 until 128).map(i => -i * 40503L).toArray),
+      (3L, Array.fill(128)(7L)))
+    val df = sigs.toDF("id", "sig")
+    val bands = 32; val rows = 128 / bands
+    val viaKernel = df.select(
+        col("id"),
+        posexplode(GraftColumns.column(MinHashBandSlices(
+          GraftColumns.expression(col("sig")), bands))))
+      .select(col("id"), col("pos").as("band"), col("col").as("key"))
+    val viaUnroll = df.select(
+        col("id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+                 slice(col("sig"), b * rows + 1, rows).as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    def slurp(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toList)).toSet
+    val k = slurp(viaKernel)
+    assert(k === slurp(viaUnroll))
+    assert(k.size === sigs.size * bands)
+    assert(k.forall(_._3.length === rows))
+  }
+
   test("lsh_table_buckets ≡ the unrolled planeDot sign-bit form for " +
        "every table (16 x 4 over 64 dims)") {
     val vecs = Seq(

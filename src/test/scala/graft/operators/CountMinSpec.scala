@@ -73,6 +73,37 @@ class CountMinSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("null keys are excluded from sketch and probe (SQL COUNT " +
+       "semantics; oracle's r||':'||key is NULL-propagating)") {
+    val withNulls = data.unionByName(
+      Seq.fill(5)(Option.empty[Long]).toDF("k"))
+    val sk = CountMin.sketch(withNulls, "k", depth = 3, width = 4096)
+    // counts sum to depth * 210, NOT depth * 215: nulls never counted
+    assert(sk.agg(sum("cnt")).collect().head.getLong(0) === 3L * 210)
+    // a null probe row is dropped, not estimated against phantom cells
+    val probes = Seq(Some(20L), None).toDF("k")
+    val est = CountMin.estimate(sk, probes, "k", depth = 3, width = 4096)
+      .collect()
+    assert(est.length === 1 && est.head.getAs[Long]("k") === 20L)
+  }
+
+  test("probe frame may carry columns named r/cell/cnt (collision-proof " +
+       "internal names)") {
+    val sk = CountMin.sketch(data, "k", depth = 3, width = 4096)
+    val probes = exact
+      .withColumnRenamed("exact_cnt", "cnt")
+      .withColumn("r", lit("carried-r"))
+      .withColumn("cell", lit(7))
+    val est = CountMin.estimate(sk, probes, "k", depth = 3, width = 4096)
+    assert(est.columns.sorted.toSeq === Seq("cell", "cm_est", "cnt", "k", "r"))
+    est.collect().foreach { row =>
+      assert(row.getAs[String]("r") === "carried-r")
+      assert(row.getAs[Int]("cell") === 7)
+      assert(row.getAs[Long]("cm_est") === row.getAs[Long]("cnt"),
+             s"carried cnt column must not perturb the estimate: $row")
+    }
+  }
+
   test("counter table bounded by depth*width and counts sum to " +
        "depth*n") {
     val sk = CountMin.sketch(data, "k", depth = 4, width = 8)
