@@ -356,6 +356,26 @@ object Bench {
     * note rather than emitting noise. Artifacts before r8 did not record
     * cpus — an absent field is treated as a mismatch (unknown ≠ equal).
     */
+  /** The prior artifact's calibrated per-query map. Pulled by regex
+    * like the byte fields (self-generated fixed-shape JSON, no JSON
+    * dependency in the library); extracted + spec-pinned because this
+    * gate first FIRES a round after it ships — a parse bug here would
+    * silently never flag (`BenchDeltaSpec`).
+    */
+  private[graft] def parseCalibratedQueries(text: String): Map[String, Double] =
+    "\"calibrated_queries\":\\{([^}]*)\\}".r.findFirstMatchIn(text)
+      .map { m =>
+        "\"(q[^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(m.group(1))
+          .map(p => p.group(1) -> p.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+
+  /** Calibrated-wall regression predicate: >50% AND >0.3 s absolute —
+    * deliberately loose (calibrated wall keeps scheduler jitter; the
+    * byte gate stays the precise plan witness).
+    */
+  private[graft] def wallRegressed(prevSec: Double, nowSec: Double): Boolean =
+    nowSec > prevSec * 1.5 && nowSec - prevSec > 0.3
+
   private def deltaVsPrev(results: Seq[(String, Snap)],
                           calibrated: Seq[(String, Double)],
                           sfDir: String, cpus: String): String = {
@@ -412,15 +432,10 @@ object Bench {
       // wall keeps scheduler jitter; the byte gate stays the precise
       // plan witness. Skipped (empty) against pre-r15 artifacts, which
       // carry no calibrated_queries map.
-      val calRx = "\"calibrated_queries\":\\{([^}]*)\\}".r
-      val prevCal: Map[String, Double] = calRx.findFirstMatchIn(prevText)
-        .map { m =>
-          "\"(q[^\"]+)\":([0-9.eE+-]+)".r.findAllMatchIn(m.group(1))
-            .map(p => p.group(1) -> p.group(2).toDouble).toMap
-        }.getOrElse(Map.empty)
+      val prevCal = parseCalibratedQueries(prevText)
       val wallFlagged = calibrated.iterator.collect {
         case (name, sec) if prevCal.contains(name) &&
-            sec > prevCal(name) * 1.5 && sec - prevCal(name) > 0.3 =>
+            wallRegressed(prevCal(name), sec) =>
           f""""$name":{"prev_calibrated_sec":${prevCal(name)}%.4f,"now_calibrated_sec":$sec%.4f}"""
       }.toSeq
       // An object keyed by query (not bare pairs in an array — the r7
