@@ -66,6 +66,40 @@ object CountMin {
     sketches.groupBy(col("r"), col("cell"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Inner-product estimate of an equi-join's CARDINALITY from the two
+    * sides' key sketches (the count–min form of the AGMS join-size
+    * estimate, Alon–Gilbert–Matias–Szegedy SIGMOD'99 / Cormode &
+    * Muthukrishnan §4.2): est = min over rows r of
+    * Σ_cell cntA(r,cell)·cntB(r,cell). Per row the sum is
+    * Σ_k fA(k)·fB(k) plus nonnegative collision cross-terms, so
+    * est ≥ |A ⋈ B| ALWAYS, and ≤ exact + ε·|A|·|B| w.p. 1−δ at the
+    * usual (depth, width) sizing — the planner's answer to "how large
+    * is this join" for the price of two constant-size sketches,
+    * BEFORE paying the join's shuffle at 100 TB (self-join form =
+    * the second frequency moment F2, the skew witness). Both sketches
+    * must share (depth, width) and the portable cell hash.
+    *
+    * Returns ONE row (`cm_join_est`). The per-(r,cell) join touches
+    * ≤ depth·width rows per side; rows r with ZERO overlapping cells
+    * must read 0 (a disjoint-key join has true size 0), so the
+    * per-row sums are LEFT-joined from the full 0..depth-1 row frame
+    * — an inner-only min would silently skip empty rows and
+    * overestimate from the others.
+    */
+  def innerProduct(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    val sa = a.select(col("r").as("__cm_r"), col("cell").as("__cm_cell"),
+                      col("cnt").as("__cm_ca"))
+    val sb = b.select(col("r").as("__cm_r"), col("cell").as("__cm_cell"),
+                      col("cnt").as("__cm_cb"))
+    val perRow = sa.join(sb, Seq("__cm_r", "__cm_cell"))
+      .groupBy(col("__cm_r"))
+      .agg(sum(col("__cm_ca") * col("__cm_cb")).as("__cm_ip"))
+    a.sparkSession.range(depth)
+      .select(col("id").cast("int").as("__cm_r"))
+      .join(broadcast(perRow), Seq("__cm_r"), "left")
+      .agg(min(coalesce(col("__cm_ip"), lit(0L))).as("cm_join_est"))
+  }
+
   /** Point estimates for every row of `keys` (its `keyCol` plus any
     * carried columns survive): adds `cm_est` = min over the depth
     * counters. The sketch side is broadcast — it is ≤ depth·width rows

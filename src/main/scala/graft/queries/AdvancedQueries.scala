@@ -739,6 +739,56 @@ object AdvancedQueries {
       .orderBy("user_id")
   }
 
+  /** q278 — JOIN-SIZE ESTIMATION from sketches
+    * ([[graft.operators.CountMin.innerProduct]], the AGMS estimate in
+    * count–min form): how large is a join BEFORE paying its shuffle —
+    * the planning question a 100 TB engine answers from two
+    * constant-size counter tables, never a scan. Two estimates, one
+    * row: the events self-join size on user_id (= the second frequency
+    * moment F2, the canonical SKEW witness — a hot key inflates F2
+    * quadratically long before it inflates a row count) and the
+    * events ⋈ orders cross-relation size on user_id = o_custkey. Both
+    * carry their exact values and e6 overestimate margins; est ≥ exact
+    * is the inner-product invariant (collision cross-terms only ADD),
+    * and the portable md5 cell hashes mean the oracle replays BOTH
+    * counter tables — the estimates are gated bit-for-bit, like
+    * q274/q277. Shape: two constant-size sketches (map-combined,
+    * ≤ d·w rows), per-(r,cell) broadcast joins, 1-row broadcast
+    * cross-joins for the report — nothing grows with the corpus but
+    * the scans.
+    */
+  def q278CountMinJoinEst(s: SparkSession, dir: String): DataFrame = {
+    // Width sizing is the whole game for inner products: expected
+    // collision mass is (Σf_A)(Σf_B)/w, so w must sit well above
+    // |A|·|B| / |A ⋈ B| for the estimate to be usable — at w=512 the
+    // cross estimate measured 29× exact; at 16384 it is planning-grade.
+    // 4×16384 cells is still a constant-size broadcastable table.
+    val (d, w) = (4, 16384)
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val ord = Tables.orders(s, dir).select(col("o_custkey"))
+    val skE = graft.operators.CountMin.sketch(ev, "user_id", d, w)
+    val skO = graft.operators.CountMin.sketch(ord, "o_custkey", d, w)
+    val f2est = graft.operators.CountMin.innerProduct(skE, skE, d)
+      .select(col("cm_join_est").as("cm_f2_est"))
+    val xjest = graft.operators.CountMin.innerProduct(skE, skO, d)
+    val f2exact = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("exact_f2"))
+    val en = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_e"))
+    val on = ord.groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_o"))
+    val xjexact = en.join(on, Seq("user_id"))
+      .agg(coalesce(sum(col("n_e") * col("n_o")), lit(0L))
+        .as("exact_join"))
+    f2est.crossJoin(f2exact).crossJoin(xjest).crossJoin(xjexact)
+      .select(col("cm_f2_est"), col("exact_f2"),
+        expr("(1000000 * (cm_f2_est - exact_f2)) div exact_f2")
+          .as("f2_overest_e6"),
+        col("cm_join_est"), col("exact_join"),
+        expr("(1000000 * (cm_join_est - exact_join)) div exact_join")
+          .as("join_overest_e6"))
+  }
+
   /** q226 — the SAME answer as q193 computed by the PassJoin
     * segment-signature path ([[Dedup.passJoinPairs]]): candidates are
     * pairs sharing a ~len/3-char ALIGNED substring (pigeonhole over 3
@@ -3526,6 +3576,7 @@ object AdvancedQueries {
     "q272_editdist_weighted" -> (q272EditdistWeighted _),
     "q274_countmin" -> (q274CountMin _),
     "q277_countmin_merge" -> (q277CountMinMerge _),
+    "q278_countmin_join_est" -> (q278CountMinJoinEst _),
     "q226_passjoin_editdist" -> (q226PassjoinEditdist _),
     "q230_snm_recall" -> (q230SnmRecall _),
     "q231_snm_multipass" -> (q231SnmMultipass _),
@@ -4050,6 +4101,48 @@ object AdvancedQueries {
     // proves CM linearity (per-slice tables add to the corpus table).
     "q274_countmin" -> countMinSql,
     "q277_countmin_merge" -> countMinSql,
+    // q278: both counter tables replayed from the shared md5 cell hash,
+    // per-row inner products LEFT-joined over the full row frame
+    // (zero-overlap rows read 0), exact sizes from plain group-bys.
+    "q278_countmin_join_est" ->
+      """WITH ecells AS (
+        |  SELECT t.r,
+        |    ('0x' || substr(md5(t.r::varchar || ':' ||
+        |      e.user_id::varchar), 1, 8))::bigint % 16384 AS cell,
+        |    COUNT(*) AS cnt
+        |  FROM events e CROSS JOIN range(4) t(r)
+        |  GROUP BY 1, 2),
+        |ocells AS (
+        |  SELECT t.r,
+        |    ('0x' || substr(md5(t.r::varchar || ':' ||
+        |      o.o_custkey::varchar), 1, 8))::bigint % 16384 AS cell,
+        |    COUNT(*) AS cnt
+        |  FROM orders o CROSS JOIN range(4) t(r)
+        |  GROUP BY 1, 2),
+        |f2r AS (SELECT a.r, SUM(a.cnt * b.cnt) AS ip
+        |        FROM ecells a JOIN ecells b USING (r, cell) GROUP BY 1),
+        |xjr AS (SELECT a.r, SUM(a.cnt * b.cnt) AS ip
+        |        FROM ecells a JOIN ocells b USING (r, cell) GROUP BY 1),
+        |f2est AS (SELECT MIN(COALESCE(f.ip, 0)) AS v
+        |          FROM range(4) t(r) LEFT JOIN f2r f ON f.r = t.r),
+        |xjest AS (SELECT MIN(COALESCE(x.ip, 0)) AS v
+        |          FROM range(4) t(r) LEFT JOIN xjr x ON x.r = t.r),
+        |f2ex AS (SELECT SUM(n * n) AS v FROM
+        |           (SELECT COUNT(*) AS n FROM events GROUP BY user_id)),
+        |xjex AS (SELECT COALESCE(SUM(e.n * o.n), 0) AS v
+        |         FROM (SELECT user_id, COUNT(*) AS n FROM events
+        |               GROUP BY 1) e
+        |         JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders
+        |               GROUP BY 1) o ON e.user_id = o.o_custkey)
+        |SELECT
+        |  CAST((SELECT v FROM f2est) AS BIGINT) AS cm_f2_est,
+        |  CAST((SELECT v FROM f2ex) AS BIGINT) AS exact_f2,
+        |  CAST((1000000 * ((SELECT v FROM f2est) - (SELECT v FROM f2ex)))
+        |    // (SELECT v FROM f2ex) AS BIGINT) AS f2_overest_e6,
+        |  CAST((SELECT v FROM xjest) AS BIGINT) AS cm_join_est,
+        |  CAST((SELECT v FROM xjex) AS BIGINT) AS exact_join,
+        |  CAST((1000000 * ((SELECT v FROM xjest) - (SELECT v FROM xjex)))
+        |    // (SELECT v FROM xjex) AS BIGINT) AS join_overest_e6""".stripMargin,
     // q226: the PassJoin signature path answers to the SAME bare-join
     // oracle shape as q193 (on the deterministic quarter) — the shared
     // gate proves the banded and segment-signature candidate

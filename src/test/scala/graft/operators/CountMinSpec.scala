@@ -111,4 +111,57 @@ class CountMinSpec extends SparkSpec {
     val total = sk.agg(sum("cnt")).collect().head.getLong(0)
     assert(total === 4L * 210)
   }
+
+  // exact join size of two multisets on their key: sum over shared
+  // keys of the frequency product — the quantity innerProduct estimates
+  private def exactJoinSize(a: Seq[Long], b: Seq[Long]): Long = {
+    val fa = a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    fa.keysIterator.map(k => fa(k) * fb.getOrElse(k, 0L)).sum
+  }
+
+  test("innerProduct >= exact join size always, == at isolating width " +
+       "(the AGMS invariant)") {
+    val a = (1 to 20).flatMap(k => Seq.fill(k)(k.toLong))
+    val b = (10 to 30).flatMap(k => Seq.fill(31 - k)(k.toLong))
+    val exact = exactJoinSize(a, b)
+    assert(exact > 0)
+    for (w <- Seq(4, 4096)) {
+      val sa = CountMin.sketch(a.toDF("k"), "k", depth = 3, width = w)
+      val sb = CountMin.sketch(b.toDF("k"), "k", depth = 3, width = w)
+      val est = CountMin.innerProduct(sa, sb, 3)
+        .collect().head.getAs[Long]("cm_join_est")
+      assert(est >= exact, s"w=$w: inner product must never undercount")
+      if (w == 4096) assert(est === exact,
+        "isolating width must be exact (collision check: widen w)")
+    }
+  }
+
+  test("innerProduct of disjoint key sets reads 0 when no cells " +
+       "collide (the left-join-over-row-frame contract)") {
+    val sa = CountMin.sketch(Seq(1L, 2L, 3L).toDF("k"), "k", 3, 65536)
+    val sb = CountMin.sketch(Seq(100L, 200L).toDF("k"), "k", 3, 65536)
+    val est = CountMin.innerProduct(sa, sb, 3)
+      .collect().head.getAs[Long]("cm_join_est")
+    assert(est === 0L,
+      "zero-overlap rows must contribute 0, not vanish from the min")
+  }
+
+  test("self innerProduct estimates F2 and respects merge linearity") {
+    val f2 = exactJoinSize(data.collect().map(_.getLong(0)).toSeq,
+                           data.collect().map(_.getLong(0)).toSeq)
+    val sk = CountMin.sketch(data, "k", depth = 3, width = 4096)
+    val direct = CountMin.innerProduct(sk, sk, 3)
+      .collect().head.getAs[Long]("cm_join_est")
+    assert(direct === f2)
+    // per-slice sketches merged, then inner-producted: same answer
+    val sliced = data.withColumn("slice", pmod(col("k"), lit(2)))
+    val merged = CountMin.merge(
+      (0 until 2).map(sl => CountMin.sketch(
+        sliced.filter(col("slice") === sl), "k", 3, 4096))
+        .reduce(_ unionByName _))
+    val viaMerge = CountMin.innerProduct(merged, merged, 3)
+      .collect().head.getAs[Long]("cm_join_est")
+    assert(viaMerge === direct)
+  }
 }
