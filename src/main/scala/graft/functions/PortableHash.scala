@@ -29,6 +29,20 @@ object PortableHash {
   def h24(c: Column): Column =
     conv(substring(md5(c), 1, 6), 16, 10).cast("long")
 
+  /** 52-bit hash (13 hex digits) as a non-negative long in [0, 2^52) —
+    * collision-safe to ~2^26 distinct keys (birthday bound), the right
+    * width for order-statistic sketches ([[graft.operators.Kmv]])
+    * where a 32-bit space would collide at corpus-scale key counts
+    * and silently merge distinct values.
+    */
+  def h52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** 2^52 — the size of the [[h52]] value space, the numerator scale
+    * for order-statistic estimators over it.
+    */
+  val H52Space: Long = 4503599627370496L
+
   /** Second 32-bit half (md5 hex digits 9–16). The pair
     * ([[h32]], h32b) is an effectively 64-bit portable key — collision
     * odds ~n²/2⁶⁵ — for group keys where a single 32-bit half would

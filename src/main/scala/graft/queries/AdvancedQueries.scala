@@ -789,6 +789,179 @@ object AdvancedQueries {
           .as("join_overest_e6"))
   }
 
+  /** q279 — BLOOM-FILTER RUNTIME JOIN PRE-FILTER
+    * ([[graft.operators.Bloom]]): build a constant-size bit table over
+    * the SMALL side's join keys (events' ~1% user slice), prune the
+    * FACT side (orders) with a per-row codegen membership predicate
+    * before paying the join's shuffle — at 100 TB, the difference
+    * between shuffling every fact row and shuffling ~the matches.
+    * Two widths run side by side (the q278 convention): a deliberately
+    * undersized 512-bit filter whose false-positive leak is large and
+    * MEASURED, and a 4096-bit one sized for the key count. The gated
+    * row carries the full contract: `rows_match_after_sized` ≡
+    * `rows_match` is the NO-FALSE-NEGATIVES guarantee driven through
+    * the filter+join chain, the fp_*_e6 margins are the
+    * (1−e^(−kn/m))^k curve made visible, and the portable hashes mean
+    * the oracle replays every pass/reject decision bit-for-bit.
+    * Shape: two ≤ m/32-row build aggregates, broadcast 1-row packed
+    * arrays, per-row k-term conjunctions in the probe scans, tiny
+    * semi/anti joins against the 150-key dim — nothing grows with the
+    * corpus but the scans.
+    */
+  def q279BloomJoinFilter(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val (mCoarse, mSized) = (512, 4096)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id")).filter(col("user_id").isNotNull)
+    val ord = Tables.orders(s, dir)
+      .select(col("o_custkey")).filter(col("o_custkey").isNotNull)
+    val evKeys = ev.distinct()
+    val packCoarse = graft.operators.Bloom.pack(
+      graft.operators.Bloom.build(ev, "user_id", mCoarse, k), mCoarse)
+    val packSized = graft.operators.Bloom.pack(
+      graft.operators.Bloom.build(ev, "user_id", mSized, k), mSized)
+    val passCoarse = graft.operators.Bloom.filterMaybe(
+      ord, "o_custkey", packCoarse, mCoarse, k)
+    val passSized = graft.operators.Bloom.filterMaybe(
+      ord, "o_custkey", packSized, mSized, k)
+    def semiCount(df: DataFrame, as: String) =
+      df.join(broadcast(evKeys), col("o_custkey") === col("user_id"),
+        "left_semi").agg(count(lit(1)).as(as))
+    def fpKeys(pass: DataFrame, as: String) =
+      pass.select(col("o_custkey")).distinct()
+        .join(broadcast(evKeys), col("o_custkey") === col("user_id"),
+          "left_anti").agg(count(lit(1)).as(as))
+    val nProbe = ord.agg(count(lit(1)).as("n_probe_rows"))
+    val nonMatch = ord.distinct()
+      .join(broadcast(evKeys), col("o_custkey") === col("user_id"),
+        "left_anti").agg(count(lit(1)).as("nonmatch_keys"))
+    nProbe
+      .crossJoin(semiCount(ord, "rows_match"))
+      .crossJoin(semiCount(passSized, "rows_match_after_sized"))
+      .crossJoin(passCoarse.agg(count(lit(1)).as("rows_pass_coarse")))
+      .crossJoin(passSized.agg(count(lit(1)).as("rows_pass_sized")))
+      .crossJoin(fpKeys(passCoarse, "fp_keys_coarse"))
+      .crossJoin(fpKeys(passSized, "fp_keys_sized"))
+      .crossJoin(nonMatch)
+      .select(col("n_probe_rows"), col("rows_match"),
+        col("rows_match_after_sized"), col("rows_pass_coarse"),
+        col("rows_pass_sized"), col("fp_keys_coarse"),
+        col("fp_keys_sized"), col("nonmatch_keys"),
+        expr("(1000000 * fp_keys_coarse) div nonmatch_keys")
+          .as("fp_coarse_e6"),
+        expr("(1000000 * fp_keys_sized) div nonmatch_keys")
+          .as("fp_sized_e6"))
+  }
+
+  /** q280 — KMV DISTINCT-VALUE SKETCH + SET-OPERATION ESTIMATES
+    * ([[graft.operators.Kmv]], Bar-Yossef et al. RANDOM'02 / Beyer et
+    * al. SIGMOD'07): distinct counts, union size, Jaccard, and
+    * intersection size between two key populations from two ≤ k-row
+    * sketches — corpus-overlap questions answered WITHOUT a join over
+    * the data. Deliberately spans both estimator regimes at sf0.01:
+    * events' 150 distinct users sit UNDER k=256 (the sketch holds the
+    * whole set — estimate must be EXACT), orders' 1500 custkeys sit
+    * over it (the (k−1)·2^52 div h_k order-statistic regime). Exact
+    * values and signed e6 error margins ride alongside (KMV is
+    * unbiased, not one-sided like CM — the margin column is allowed to
+    * go negative, and the gate pins whatever it is bit-for-bit, since
+    * [[graft.functions.PortableHash.h52]] lets the oracle replay the
+    * exact k-minimum sets). Shape: builds shuffle DISTINCT HASHES
+    * (map-combined) into a distributed top-k, everything downstream
+    * runs on ≤ 2k-row broadcast frames.
+    */
+  def q280KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val ord = Tables.orders(s, dir).select(col("o_custkey"))
+    val skE = graft.operators.Kmv.sketch(ev, "user_id", k)
+    val skO = graft.operators.Kmv.sketch(ord, "o_custkey", k)
+    val estE = graft.operators.Kmv.estimateDistinct(skE, k)
+      .select(col("kmv_est").as("est_users"))
+    val estO = graft.operators.Kmv.estimateDistinct(skO, k)
+      .select(col("kmv_est").as("est_custs"))
+    val setops = graft.operators.Kmv.setOps(skE, skO, k)
+    val exE = ev.agg(count_distinct(col("user_id")).as("exact_users"))
+    val exO = ord.agg(count_distinct(col("o_custkey")).as("exact_custs"))
+    val exUnion = ev.filter(col("user_id").isNotNull).distinct()
+      .withColumnRenamed("user_id", "key")
+      .unionByName(ord.filter(col("o_custkey").isNotNull).distinct()
+        .withColumnRenamed("o_custkey", "key"))
+      .distinct().agg(count(lit(1)).as("exact_union"))
+    val exInter = ev.distinct()
+      .join(ord.distinct(),
+        col("user_id") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("exact_inter"))
+    estE.crossJoin(exE).crossJoin(estO).crossJoin(exO)
+      .crossJoin(setops).crossJoin(exUnion)
+      .crossJoin(exInter)
+      .select(col("est_users"), col("exact_users"),
+        col("est_custs"), col("exact_custs"),
+        expr("(1000000 * (est_custs - exact_custs)) div exact_custs")
+          .as("cust_err_e6"),
+        col("kmv_union_est"), col("exact_union"),
+        col("kmv_jaccard_e6"),
+        expr("(1000000 * exact_inter) div exact_union")
+          .as("exact_jaccard_e6"),
+        col("kmv_inter_est"), col("exact_inter"))
+  }
+
+  /** q281 — SKETCH-DRIVEN JOIN ORDERING: q278's inner-product estimate
+    * promoted to the decision it exists for — given three candidate
+    * equi-joins on the shared customer-key domain (events⋈orders,
+    * events⋈customer, orders⋈customer), RANK them by estimated size
+    * from three constant-size sketches and gate the ranking against
+    * the exact sizes — the cheapest-join-first call a cost-based
+    * planner makes before paying any shuffle at 100 TB. Ranks are
+    * integer CASE sums with a deterministic pair-id tie-break (eo <
+    * ec < oc), `order_agrees` = 1 iff the estimated permutation IS
+    * the exact permutation; every estimate, exact, and rank is gated
+    * bit-for-bit (the shared md5 cell hashes replay all three counter
+    * tables). Shape: three ≤ d·w-row sketches (map-combined), three
+    * broadcast per-(r,cell) joins, 1-row broadcast cross-joins —
+    * nothing grows with the corpus but the scans.
+    */
+  def q281SketchJoinOrder(s: SparkSession, dir: String): DataFrame = {
+    val (d, w) = (4, 16384)
+    val ev = Tables.events(s, dir).select(col("user_id").as("k"))
+    val ord = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+    val skE = graft.operators.CountMin.sketch(ev, "k", d, w)
+    val skO = graft.operators.CountMin.sketch(ord, "k", d, w)
+    val skC = graft.operators.CountMin.sketch(cust, "k", d, w)
+    def est(a: DataFrame, b: DataFrame, as: String) =
+      graft.operators.CountMin.innerProduct(a, b, d)
+        .select(col("cm_join_est").as(as))
+    def exact(a: DataFrame, b: DataFrame, as: String) =
+      a.groupBy(col("k")).agg(count(lit(1)).as("__na"))
+        .join(b.groupBy(col("k")).agg(count(lit(1)).as("__nb")), Seq("k"))
+        .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as(as))
+    // rank = 1 + #{q: est_q < est_p, or == with smaller pair id};
+    // pair ids eo(1) < ec(2) < oc(3) break ties deterministically
+    def ranks(pre: String) = Seq(
+      expr(s"CAST(1 + (CASE WHEN ${pre}_ec < ${pre}_eo THEN 1 ELSE 0 " +
+        s"END) + (CASE WHEN ${pre}_oc < ${pre}_eo THEN 1 ELSE 0 END) " +
+        "AS BIGINT)").as(s"rank_${pre}_eo"),
+      expr(s"CAST(1 + (CASE WHEN ${pre}_eo <= ${pre}_ec THEN 1 ELSE 0 " +
+        s"END) + (CASE WHEN ${pre}_oc < ${pre}_ec THEN 1 ELSE 0 END) " +
+        "AS BIGINT)").as(s"rank_${pre}_ec"),
+      expr(s"CAST(1 + (CASE WHEN ${pre}_eo <= ${pre}_oc THEN 1 ELSE 0 " +
+        s"END) + (CASE WHEN ${pre}_ec <= ${pre}_oc THEN 1 ELSE 0 END) " +
+        "AS BIGINT)").as(s"rank_${pre}_oc"))
+    est(skE, skO, "est_eo").crossJoin(exact(ev, ord, "exact_eo"))
+      .crossJoin(est(skE, skC, "est_ec"))
+      .crossJoin(exact(ev, cust, "exact_ec"))
+      .crossJoin(est(skO, skC, "est_oc"))
+      .crossJoin(exact(ord, cust, "exact_oc"))
+      .select(Seq(col("est_eo"), col("exact_eo"), col("est_ec"),
+        col("exact_ec"), col("est_oc"), col("exact_oc")) ++
+        ranks("est") ++ ranks("exact"): _*)
+      .withColumn("order_agrees",
+        expr("CAST(CASE WHEN rank_est_eo = rank_exact_eo AND " +
+          "rank_est_ec = rank_exact_ec AND " +
+          "rank_est_oc = rank_exact_oc THEN 1 ELSE 0 END AS BIGINT)"))
+  }
+
   /** q226 — the SAME answer as q193 computed by the PassJoin
     * segment-signature path ([[Dedup.passJoinPairs]]): candidates are
     * pairs sharing a ~len/3-char ALIGNED substring (pigeonhole over 3
@@ -3577,6 +3750,9 @@ object AdvancedQueries {
     "q274_countmin" -> (q274CountMin _),
     "q277_countmin_merge" -> (q277CountMinMerge _),
     "q278_countmin_join_est" -> (q278CountMinJoinEst _),
+    "q279_bloom_join_filter" -> (q279BloomJoinFilter _),
+    "q280_kmv_distinct" -> (q280KmvDistinct _),
+    "q281_sketch_join_order" -> (q281SketchJoinOrder _),
     "q226_passjoin_editdist" -> (q226PassjoinEditdist _),
     "q230_snm_recall" -> (q230SnmRecall _),
     "q231_snm_multipass" -> (q231SnmMultipass _),
@@ -4143,6 +4319,237 @@ object AdvancedQueries {
         |  CAST((SELECT v FROM xjex) AS BIGINT) AS exact_join,
         |  CAST((1000000 * ((SELECT v FROM xjest) - (SELECT v FROM xjex)))
         |    // (SELECT v FROM xjex) AS BIGINT) AS join_overest_e6""".stripMargin,
+    // q279: both bit tables replayed from the shared md5 probe hashes
+    // (32-bit words — neither engine can shift into a signed 64-bit
+    // sign bit); a key passes iff all 5 probe bits are set (COUNT = 5
+    // over the per-probe bit-test join ≡ Spark's 5-term conjunction).
+    "q279_bloom_join_filter" ->
+      """WITH bkeys AS (SELECT DISTINCT user_id AS bkey FROM events
+        |               WHERE user_id IS NOT NULL),
+        |probe AS (SELECT o_custkey AS pkey FROM orders
+        |          WHERE o_custkey IS NOT NULL),
+        |pkeys AS (SELECT DISTINCT pkey FROM probe),
+        |bc AS (SELECT pos // 32 AS word,
+        |         bit_or((1::BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        |       FROM (SELECT ('0x' || substr(md5(t.j::varchar || ':' ||
+        |           e.user_id::varchar), 1, 8))::bigint % 512 AS pos
+        |         FROM events e CROSS JOIN range(5) t(j)
+        |         WHERE e.user_id IS NOT NULL)
+        |       GROUP BY 1),
+        |bs AS (SELECT pos // 32 AS word,
+        |         bit_or((1::BIGINT) << CAST(pos % 32 AS INT)) AS bits
+        |       FROM (SELECT ('0x' || substr(md5(t.j::varchar || ':' ||
+        |           e.user_id::varchar), 1, 8))::bigint % 4096 AS pos
+        |         FROM events e CROSS JOIN range(5) t(j)
+        |         WHERE e.user_id IS NOT NULL)
+        |       GROUP BY 1),
+        |pposc AS (SELECT p.pkey,
+        |            ('0x' || substr(md5(t.j::varchar || ':' ||
+        |              p.pkey::varchar), 1, 8))::bigint % 512 AS pos
+        |          FROM pkeys p CROSS JOIN range(5) t(j)),
+        |pposs AS (SELECT p.pkey,
+        |            ('0x' || substr(md5(t.j::varchar || ':' ||
+        |              p.pkey::varchar), 1, 8))::bigint % 4096 AS pos
+        |          FROM pkeys p CROSS JOIN range(5) t(j)),
+        |passc AS (SELECT q.pkey FROM pposc q
+        |          JOIN bc b ON b.word = q.pos // 32
+        |           AND ((b.bits >> CAST(q.pos % 32 AS INT)) & 1) = 1
+        |          GROUP BY 1 HAVING COUNT(*) = 5),
+        |passs AS (SELECT q.pkey FROM pposs q
+        |          JOIN bs b ON b.word = q.pos // 32
+        |           AND ((b.bits >> CAST(q.pos % 32 AS INT)) & 1) = 1
+        |          GROUP BY 1 HAVING COUNT(*) = 5),
+        |nprobe AS (SELECT COUNT(*) AS v FROM probe),
+        |rmatch AS (SELECT COUNT(*) AS v FROM probe
+        |           JOIN bkeys ON probe.pkey = bkeys.bkey),
+        |rmatchafter AS (SELECT COUNT(*) AS v FROM probe
+        |            JOIN passs ON probe.pkey = passs.pkey
+        |            JOIN bkeys ON probe.pkey = bkeys.bkey),
+        |rpassc AS (SELECT COUNT(*) AS v FROM probe
+        |           JOIN passc ON probe.pkey = passc.pkey),
+        |rpasss AS (SELECT COUNT(*) AS v FROM probe
+        |           JOIN passs ON probe.pkey = passs.pkey),
+        |fpc AS (SELECT COUNT(*) AS v FROM passc
+        |        LEFT JOIN bkeys ON passc.pkey = bkeys.bkey
+        |        WHERE bkeys.bkey IS NULL),
+        |fps AS (SELECT COUNT(*) AS v FROM passs
+        |        LEFT JOIN bkeys ON passs.pkey = bkeys.bkey
+        |        WHERE bkeys.bkey IS NULL),
+        |nonm AS (SELECT COUNT(*) AS v FROM pkeys
+        |         LEFT JOIN bkeys ON pkeys.pkey = bkeys.bkey
+        |         WHERE bkeys.bkey IS NULL)
+        |SELECT
+        |  CAST((SELECT v FROM nprobe) AS BIGINT) AS n_probe_rows,
+        |  CAST((SELECT v FROM rmatch) AS BIGINT) AS rows_match,
+        |  CAST((SELECT v FROM rmatchafter) AS BIGINT)
+        |    AS rows_match_after_sized,
+        |  CAST((SELECT v FROM rpassc) AS BIGINT) AS rows_pass_coarse,
+        |  CAST((SELECT v FROM rpasss) AS BIGINT) AS rows_pass_sized,
+        |  CAST((SELECT v FROM fpc) AS BIGINT) AS fp_keys_coarse,
+        |  CAST((SELECT v FROM fps) AS BIGINT) AS fp_keys_sized,
+        |  CAST((SELECT v FROM nonm) AS BIGINT) AS nonmatch_keys,
+        |  CAST((1000000 * (SELECT v FROM fpc))
+        |    // (SELECT v FROM nonm) AS BIGINT) AS fp_coarse_e6,
+        |  CAST((1000000 * (SELECT v FROM fps))
+        |    // (SELECT v FROM nonm) AS BIGINT) AS fp_sized_e6""".stripMargin,
+    // q280: the k-minimum md5 hash sets replayed verbatim (DISTINCT +
+    // ORDER BY + LIMIT k), estimates = the same integer order-statistic
+    // arithmetic; UNION (not ALL) dedups the combined sketch.
+    "q280_kmv_distinct" ->
+      """WITH se AS (SELECT DISTINCT ('0x' || substr(md5(
+        |      user_id::varchar), 1, 13))::bigint AS hv
+        |    FROM events WHERE user_id IS NOT NULL
+        |    ORDER BY 1 LIMIT 256),
+        |so AS (SELECT DISTINCT ('0x' || substr(md5(
+        |      o_custkey::varchar), 1, 13))::bigint AS hv
+        |    FROM orders WHERE o_custkey IS NOT NULL
+        |    ORDER BY 1 LIMIT 256),
+        |este AS (SELECT CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+        |    ELSE (255::BIGINT * 4503599627370496::BIGINT) // MAX(hv)
+        |    END AS v FROM se),
+        |esto AS (SELECT CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+        |    ELSE (255::BIGINT * 4503599627370496::BIGINT) // MAX(hv)
+        |    END AS v FROM so),
+        |s AS (SELECT hv FROM (SELECT hv FROM se UNION
+        |                      SELECT hv FROM so)
+        |      ORDER BY hv LIMIT 256),
+        |sflag AS (SELECT COUNT(*) AS n_s,
+        |    SUM(CASE WHEN a.hv IS NOT NULL AND b.hv IS NOT NULL
+        |        THEN 1 ELSE 0 END) AS n_both,
+        |    MAX(s.hv) AS hk
+        |  FROM s LEFT JOIN se a ON s.hv = a.hv
+        |         LEFT JOIN so b ON s.hv = b.hv),
+        |uj AS (SELECT
+        |    CASE WHEN n_s < 256 THEN n_s
+        |      ELSE (255::BIGINT * 4503599627370496::BIGINT) // hk
+        |    END AS u_est,
+        |    CASE WHEN n_s = 0 THEN 0
+        |      ELSE (1000000 * n_both) // n_s END AS j_e6
+        |  FROM sflag),
+        |exe AS (SELECT COUNT(DISTINCT user_id) AS v FROM events),
+        |exo AS (SELECT COUNT(DISTINCT o_custkey) AS v FROM orders),
+        |exu AS (SELECT COUNT(*) AS v FROM (
+        |    SELECT user_id AS key FROM events WHERE user_id IS NOT NULL
+        |    UNION
+        |    SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)),
+        |exi AS (SELECT COUNT(*) AS v
+        |  FROM (SELECT DISTINCT user_id FROM events
+        |        WHERE user_id IS NOT NULL) e
+        |  JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |    ON e.user_id = o.o_custkey)
+        |SELECT
+        |  CAST((SELECT v FROM este) AS BIGINT) AS est_users,
+        |  CAST((SELECT v FROM exe) AS BIGINT) AS exact_users,
+        |  CAST((SELECT v FROM esto) AS BIGINT) AS est_custs,
+        |  CAST((SELECT v FROM exo) AS BIGINT) AS exact_custs,
+        |  CAST((1000000 * ((SELECT v FROM esto) - (SELECT v FROM exo)))
+        |    // (SELECT v FROM exo) AS BIGINT) AS cust_err_e6,
+        |  CAST((SELECT u_est FROM uj) AS BIGINT) AS kmv_union_est,
+        |  CAST((SELECT v FROM exu) AS BIGINT) AS exact_union,
+        |  CAST((SELECT j_e6 FROM uj) AS BIGINT) AS kmv_jaccard_e6,
+        |  CAST((1000000 * (SELECT v FROM exi))
+        |    // (SELECT v FROM exu) AS BIGINT) AS exact_jaccard_e6,
+        |  CAST(((SELECT u_est FROM uj) * (SELECT j_e6 FROM uj))
+        |    // 1000000 AS BIGINT) AS kmv_inter_est,
+        |  CAST((SELECT v FROM exi) AS BIGINT) AS exact_inter""".stripMargin,
+    // q281: three counter tables replayed from the shared md5 cell
+    // hash (the q278 pattern x3), exact sizes from plain group-bys,
+    // ranks = the same CASE sums with the eo<ec<oc tie-break.
+    "q281_sketch_join_order" ->
+      """WITH ec AS (
+        |  SELECT t.r,
+        |    ('0x' || substr(md5(t.r::varchar || ':' ||
+        |      e.user_id::varchar), 1, 8))::bigint % 16384 AS cell,
+        |    COUNT(*) AS cnt
+        |  FROM events e CROSS JOIN range(4) t(r)
+        |  WHERE e.user_id IS NOT NULL GROUP BY 1, 2),
+        |oc AS (
+        |  SELECT t.r,
+        |    ('0x' || substr(md5(t.r::varchar || ':' ||
+        |      o.o_custkey::varchar), 1, 8))::bigint % 16384 AS cell,
+        |    COUNT(*) AS cnt
+        |  FROM orders o CROSS JOIN range(4) t(r)
+        |  WHERE o.o_custkey IS NOT NULL GROUP BY 1, 2),
+        |cc AS (
+        |  SELECT t.r,
+        |    ('0x' || substr(md5(t.r::varchar || ':' ||
+        |      c.c_custkey::varchar), 1, 8))::bigint % 16384 AS cell,
+        |    COUNT(*) AS cnt
+        |  FROM customer c CROSS JOIN range(4) t(r)
+        |  WHERE c.c_custkey IS NOT NULL GROUP BY 1, 2),
+        |ipeo AS (SELECT a.r, SUM(a.cnt * b.cnt) AS ip
+        |         FROM ec a JOIN oc b USING (r, cell) GROUP BY 1),
+        |ipec AS (SELECT a.r, SUM(a.cnt * b.cnt) AS ip
+        |         FROM ec a JOIN cc b USING (r, cell) GROUP BY 1),
+        |ipoc AS (SELECT a.r, SUM(a.cnt * b.cnt) AS ip
+        |         FROM oc a JOIN cc b USING (r, cell) GROUP BY 1),
+        |eeo AS (SELECT MIN(COALESCE(i.ip, 0)) AS v
+        |        FROM range(4) t(r) LEFT JOIN ipeo i ON i.r = t.r),
+        |eec AS (SELECT MIN(COALESCE(i.ip, 0)) AS v
+        |        FROM range(4) t(r) LEFT JOIN ipec i ON i.r = t.r),
+        |eoc AS (SELECT MIN(COALESCE(i.ip, 0)) AS v
+        |        FROM range(4) t(r) LEFT JOIN ipoc i ON i.r = t.r),
+        |xeo AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS v
+        |  FROM (SELECT user_id AS k, COUNT(*) AS n FROM events
+        |        WHERE user_id IS NOT NULL GROUP BY 1) a
+        |  JOIN (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+        |        WHERE o_custkey IS NOT NULL GROUP BY 1) b USING (k)),
+        |xec AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS v
+        |  FROM (SELECT user_id AS k, COUNT(*) AS n FROM events
+        |        WHERE user_id IS NOT NULL GROUP BY 1) a
+        |  JOIN (SELECT c_custkey AS k, COUNT(*) AS n FROM customer
+        |        WHERE c_custkey IS NOT NULL GROUP BY 1) b USING (k)),
+        |xoc AS (SELECT COALESCE(SUM(a.n * b.n), 0) AS v
+        |  FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+        |        WHERE o_custkey IS NOT NULL GROUP BY 1) a
+        |  JOIN (SELECT c_custkey AS k, COUNT(*) AS n FROM customer
+        |        WHERE c_custkey IS NOT NULL GROUP BY 1) b USING (k)),
+        |vals AS (SELECT
+        |    (SELECT v FROM eeo) AS est_eo, (SELECT v FROM xeo) AS exact_eo,
+        |    (SELECT v FROM eec) AS est_ec, (SELECT v FROM xec) AS exact_ec,
+        |    (SELECT v FROM eoc) AS est_oc, (SELECT v FROM xoc) AS exact_oc)
+        |SELECT
+        |  CAST(est_eo AS BIGINT) AS est_eo,
+        |  CAST(exact_eo AS BIGINT) AS exact_eo,
+        |  CAST(est_ec AS BIGINT) AS est_ec,
+        |  CAST(exact_ec AS BIGINT) AS exact_ec,
+        |  CAST(est_oc AS BIGINT) AS est_oc,
+        |  CAST(exact_oc AS BIGINT) AS exact_oc,
+        |  CAST(1 + (CASE WHEN est_ec < est_eo THEN 1 ELSE 0 END)
+        |    + (CASE WHEN est_oc < est_eo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rank_est_eo,
+        |  CAST(1 + (CASE WHEN est_eo <= est_ec THEN 1 ELSE 0 END)
+        |    + (CASE WHEN est_oc < est_ec THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rank_est_ec,
+        |  CAST(1 + (CASE WHEN est_eo <= est_oc THEN 1 ELSE 0 END)
+        |    + (CASE WHEN est_ec <= est_oc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rank_est_oc,
+        |  CAST(1 + (CASE WHEN exact_ec < exact_eo THEN 1 ELSE 0 END)
+        |    + (CASE WHEN exact_oc < exact_eo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rank_exact_eo,
+        |  CAST(1 + (CASE WHEN exact_eo <= exact_ec THEN 1 ELSE 0 END)
+        |    + (CASE WHEN exact_oc < exact_ec THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rank_exact_ec,
+        |  CAST(1 + (CASE WHEN exact_eo <= exact_oc THEN 1 ELSE 0 END)
+        |    + (CASE WHEN exact_ec <= exact_oc THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS rank_exact_oc,
+        |  CAST(CASE WHEN
+        |      1 + (CASE WHEN est_ec < est_eo THEN 1 ELSE 0 END)
+        |        + (CASE WHEN est_oc < est_eo THEN 1 ELSE 0 END) =
+        |      1 + (CASE WHEN exact_ec < exact_eo THEN 1 ELSE 0 END)
+        |        + (CASE WHEN exact_oc < exact_eo THEN 1 ELSE 0 END)
+        |    AND
+        |      1 + (CASE WHEN est_eo <= est_ec THEN 1 ELSE 0 END)
+        |        + (CASE WHEN est_oc < est_ec THEN 1 ELSE 0 END) =
+        |      1 + (CASE WHEN exact_eo <= exact_ec THEN 1 ELSE 0 END)
+        |        + (CASE WHEN exact_oc < exact_ec THEN 1 ELSE 0 END)
+        |    AND
+        |      1 + (CASE WHEN est_eo <= est_oc THEN 1 ELSE 0 END)
+        |        + (CASE WHEN est_ec <= est_oc THEN 1 ELSE 0 END) =
+        |      1 + (CASE WHEN exact_eo <= exact_oc THEN 1 ELSE 0 END)
+        |        + (CASE WHEN exact_ec <= exact_oc THEN 1 ELSE 0 END)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS order_agrees
+        |FROM vals""".stripMargin,
     // q226: the PassJoin signature path answers to the SAME bare-join
     // oracle shape as q193 (on the deterministic quarter) — the shared
     // gate proves the banded and segment-signature candidate

@@ -1315,4 +1315,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") &&
            !plan.contains("CartesianProduct"))
   }
+
+  test("bloom probe: the packed filter broadcasts as one row and the " +
+       "membership conjunction runs scan-side — no shuffle, no SMJ " +
+       "on the probe path") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Bloom
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"))
+    val packed = Bloom.pack(Bloom.build(ev, "user_id", 4096, 5), 4096)
+    val probe = Bloom.filterMaybe(ord, "o_custkey", packed, 4096, 5)
+    val plan = finalPlan(probe)
+    // the 1-row packed array joins by broadcast nested loop (it has no
+    // key); the probe side itself must never sort-merge or repartition
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"packed filter must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+    val probeStages = plan.linesIterator
+      .filter(_.contains("o_custkey")).mkString("\n")
+    assert(!probeStages.contains("Exchange hashpartitioning"),
+      s"probe rows must not shuffle for the membership test:\n$plan")
+  }
+
+  test("kmv build: distinct hashes map-combine and the top-k plans as " +
+       "TakeOrderedAndProject (bounded heap, no global sort)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Kmv
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"))
+    val plan = finalPlan(Kmv.sketch(ord, "o_custkey", 256))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"min-k must be a bounded per-partition heap:\n$plan")
+    val n = "HashAggregate".r.findAllIn(plan).length
+    assert(n >= 2,
+      s"distinct must keep map-side partials (partial+final), got $n:\n$plan")
+  }
 }
