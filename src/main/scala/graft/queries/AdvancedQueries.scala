@@ -962,6 +962,49 @@ object AdvancedQueries {
           "rank_est_oc = rank_exact_oc THEN 1 ELSE 0 END AS BIGINT)"))
   }
 
+  /** q282 — EQUI-DEPTH HISTOGRAM RANGE-SELECTIVITY ESTIMATION
+    * ([[graft.operators.Histogram]]): the fourth leg of the
+    * sketch-planner quartet — join size (q278/q281), membership
+    * (q279), distinct count (q280), and now "how many rows match
+    * `v BETWEEN a AND b`" from a 64-row summary instead of a scan.
+    * Three fixed ranges probe the interpolation's regimes over
+    * cents-quantized l_extendedprice (`floor(x·100)` — the q68/q276
+    * portable-double convention): a narrow 1%-selectivity band, a
+    * mid-width band, and a near-full-domain band. Every estimate,
+    * exact count, and signed e6 error is gated bit-for-bit — the
+    * oracle replays the distinct-value prefix sum, the bucket
+    * assignment, and the uniform-spread arithmetic. The histogram
+    * rebuilds per estimate here (a 64-row frame; a planner caches
+    * it) — corpus work is the map-combined value grouping, and the
+    * single-partition prefix sum is bounded by the cents DOMAIN, not
+    * the corpus (see the operator scaladoc).
+    */
+  def q282HistogramSelectivity(s: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    val ranges = Seq(
+      ("narrow", 1000000L, 1099999L),
+      ("mid", 1000000L, 4999999L),
+      ("wide", 200000L, 9999999L))
+    val cents = Tables.lineitem(s, dir)
+      .select(floor(col("l_extendedprice") * 100).cast("long")
+        .as("cents"))
+      .filter(col("cents").isNotNull)
+    val hist = graft.operators.Histogram.equiDepth(cents, "cents", B)
+    val nb = hist.agg(count(lit(1)).as("n_buckets"))
+    val parts = ranges.map { case (tag, a, b) =>
+      graft.operators.Histogram.estimateRange(hist, a, b)
+        .select(col("est_rows").as(s"est_$tag"))
+        .crossJoin(cents.filter(col("cents").between(a, b))
+          .agg(count(lit(1)).as(s"exact_$tag")))
+    }
+    parts.foldLeft(nb)(_ crossJoin _)
+      .select(col("n_buckets") +: ranges.flatMap { case (tag, _, _) =>
+        Seq(col(s"est_$tag"), col(s"exact_$tag"),
+          expr(s"(1000000 * (est_$tag - exact_$tag)) div exact_$tag")
+            .as(s"err_${tag}_e6"))
+      }: _*)
+  }
+
   /** q226 — the SAME answer as q193 computed by the PassJoin
     * segment-signature path ([[Dedup.passJoinPairs]]): candidates are
     * pairs sharing a ~len/3-char ALIGNED substring (pigeonhole over 3
@@ -3753,6 +3796,7 @@ object AdvancedQueries {
     "q279_bloom_join_filter" -> (q279BloomJoinFilter _),
     "q280_kmv_distinct" -> (q280KmvDistinct _),
     "q281_sketch_join_order" -> (q281SketchJoinOrder _),
+    "q282_histogram_selectivity" -> (q282HistogramSelectivity _),
     "q226_passjoin_editdist" -> (q226PassjoinEditdist _),
     "q230_snm_recall" -> (q230SnmRecall _),
     "q231_snm_multipass" -> (q231SnmMultipass _),
@@ -4550,6 +4594,59 @@ object AdvancedQueries {
         |        + (CASE WHEN exact_ec <= exact_oc THEN 1 ELSE 0 END)
         |    THEN 1 ELSE 0 END AS BIGINT) AS order_agrees
         |FROM vals""".stripMargin,
+    // q282: the histogram replayed at distinct-value granularity (no
+    // ntile tie-lottery): prefix sum over grouped cents, bucket =
+    // (cum_before * 64) // N, then the same uniform-spread CASE per
+    // range. floor(x*100) is the portable double quantization.
+    "q282_histogram_selectivity" ->
+      """WITH vals AS (SELECT CAST(floor(l_extendedprice * 100)
+        |      AS BIGINT) AS v
+        |    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |g AS (SELECT v, COUNT(*) AS n FROM vals GROUP BY 1),
+        |cum AS (SELECT v, n,
+        |    SUM(n) OVER (ORDER BY v) - n AS cb FROM g),
+        |tot AS (SELECT SUM(n) AS t FROM g),
+        |bkt AS (SELECT (cb * 64) // (SELECT t FROM tot) AS bucket,
+        |    MIN(v) AS lo, MAX(v) AS hi, SUM(n) AS cnt
+        |  FROM cum GROUP BY 1),
+        |estn AS (SELECT COALESCE(SUM(CASE
+        |    WHEN lo >= 1000000 AND hi <= 1099999 THEN cnt
+        |    WHEN hi >= 1000000 AND lo <= 1099999 THEN
+        |      (cnt * (LEAST(hi, 1099999) - GREATEST(lo, 1000000) + 1))
+        |        // (hi - lo + 1)
+        |    ELSE 0 END), 0) AS v FROM bkt),
+        |estm AS (SELECT COALESCE(SUM(CASE
+        |    WHEN lo >= 1000000 AND hi <= 4999999 THEN cnt
+        |    WHEN hi >= 1000000 AND lo <= 4999999 THEN
+        |      (cnt * (LEAST(hi, 4999999) - GREATEST(lo, 1000000) + 1))
+        |        // (hi - lo + 1)
+        |    ELSE 0 END), 0) AS v FROM bkt),
+        |estw AS (SELECT COALESCE(SUM(CASE
+        |    WHEN lo >= 200000 AND hi <= 9999999 THEN cnt
+        |    WHEN hi >= 200000 AND lo <= 9999999 THEN
+        |      (cnt * (LEAST(hi, 9999999) - GREATEST(lo, 200000) + 1))
+        |        // (hi - lo + 1)
+        |    ELSE 0 END), 0) AS v FROM bkt),
+        |exn AS (SELECT COUNT(*) AS v FROM vals
+        |        WHERE v BETWEEN 1000000 AND 1099999),
+        |exm AS (SELECT COUNT(*) AS v FROM vals
+        |        WHERE v BETWEEN 1000000 AND 4999999),
+        |exw AS (SELECT COUNT(*) AS v FROM vals
+        |        WHERE v BETWEEN 200000 AND 9999999)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM bkt) AS BIGINT) AS n_buckets,
+        |  CAST((SELECT v FROM estn) AS BIGINT) AS est_narrow,
+        |  CAST((SELECT v FROM exn) AS BIGINT) AS exact_narrow,
+        |  CAST((1000000 * ((SELECT v FROM estn) - (SELECT v FROM exn)))
+        |    // (SELECT v FROM exn) AS BIGINT) AS err_narrow_e6,
+        |  CAST((SELECT v FROM estm) AS BIGINT) AS est_mid,
+        |  CAST((SELECT v FROM exm) AS BIGINT) AS exact_mid,
+        |  CAST((1000000 * ((SELECT v FROM estm) - (SELECT v FROM exm)))
+        |    // (SELECT v FROM exm) AS BIGINT) AS err_mid_e6,
+        |  CAST((SELECT v FROM estw) AS BIGINT) AS est_wide,
+        |  CAST((SELECT v FROM exw) AS BIGINT) AS exact_wide,
+        |  CAST((1000000 * ((SELECT v FROM estw) - (SELECT v FROM exw)))
+        |    // (SELECT v FROM exw) AS BIGINT) AS err_wide_e6""".stripMargin,
     // q226: the PassJoin signature path answers to the SAME bare-join
     // oracle shape as q193 (on the deterministic quarter) — the shared
     // gate proves the banded and segment-signature candidate
