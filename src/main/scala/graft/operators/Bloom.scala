@@ -94,7 +94,10 @@ object Bloom {
     * rate and are eliminated by the join itself. NULL keys are dropped
     * (they cannot match an equi-join). The packed filter broadcasts as
     * one row; the k-term conjunction runs per row inside codegen —
-    * probe cost is k md5 calls, no shuffle.
+    * probe cost is k md5 calls, no shuffle. Internal column names are
+    * collision-proofed `__bloom_*` (the [[CountMin]] `__cm_*`
+    * convention): a caller's frame may freely carry any non-reserved
+    * columns through the probe.
     */
   def filterMaybe(df: DataFrame, keyCol: String, packed: DataFrame,
                   mBits: Int, k: Int): DataFrame = {

@@ -56,11 +56,14 @@ object Histogram {
     * full buckets whole, straddled buckets by uniform-spread
     * interpolation. One row (`est_rows`), integer arithmetic only.
     */
-  def estimateRange(hist: DataFrame, a: Long, b: Long): DataFrame =
+  def estimateRange(hist: DataFrame, a: Long, b: Long): DataFrame = {
+    require(a <= b, s"empty range [$a, $b]: the straddle interpolation" +
+      " would go negative — reject loudly instead")
     hist.agg(coalesce(sum(
       when(col("lo") >= a && col("hi") <= b, col("cnt"))
         .otherwise(when(col("hi") >= a && col("lo") <= b,
           expr(s"(cnt * (least(hi, ${b}L) - greatest(lo, ${a}L) + 1))" +
             " div (hi - lo + 1)"))
           .otherwise(lit(0L)))), lit(0L)).as("est_rows"))
+  }
 }

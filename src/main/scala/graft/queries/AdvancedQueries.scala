@@ -820,29 +820,34 @@ object AdvancedQueries {
       graft.operators.Bloom.build(ev, "user_id", mCoarse, k), mCoarse)
     val packSized = graft.operators.Bloom.pack(
       graft.operators.Bloom.build(ev, "user_id", mSized, k), mSized)
-    val passCoarse = graft.operators.Bloom.filterMaybe(
-      ord, "o_custkey", packCoarse, mCoarse, k)
-    val passSized = graft.operators.Bloom.filterMaybe(
-      ord, "o_custkey", packSized, mSized, k)
-    def semiCount(df: DataFrame, as: String) =
-      df.join(broadcast(evKeys), col("o_custkey") === col("user_id"),
-        "left_semi").agg(count(lit(1)).as(as))
-    def fpKeys(pass: DataFrame, as: String) =
-      pass.select(col("o_custkey")).distinct()
-        .join(broadcast(evKeys), col("o_custkey") === col("user_id"),
-          "left_anti").agg(count(lit(1)).as(as))
-    val nProbe = ord.agg(count(lit(1)).as("n_probe_rows"))
-    val nonMatch = ord.distinct()
-      .join(broadcast(evKeys), col("o_custkey") === col("user_id"),
-        "left_anti").agg(count(lit(1)).as("nonmatch_keys"))
-    nProbe
-      .crossJoin(semiCount(ord, "rows_match"))
-      .crossJoin(semiCount(passSized, "rows_match_after_sized"))
-      .crossJoin(passCoarse.agg(count(lit(1)).as("rows_pass_coarse")))
-      .crossJoin(passSized.agg(count(lit(1)).as("rows_pass_sized")))
-      .crossJoin(fpKeys(passCoarse, "fp_keys_coarse"))
-      .crossJoin(fpKeys(passSized, "fp_keys_sized"))
-      .crossJoin(nonMatch)
+    // each probe pass costs k md5 calls per row — so every frame is
+    // consumed by exactly ONE aggregate pass: a broadcast left join
+    // against the key dim marks matches, then count/conditional-count/
+    // count_distinct read all the measures in one scan (3 scans total,
+    // not one per measure)
+    def marked(df: DataFrame) = df.join(broadcast(evKeys),
+      col("o_custkey") === col("user_id"), "left")
+    def passStats(pass: DataFrame, tag: String, withMatch: Boolean) = {
+      val base = Seq(
+        count(lit(1)).as(s"rows_pass_$tag"),
+        count_distinct(when(col("user_id").isNull, col("o_custkey")))
+          .as(s"fp_keys_$tag"))
+      marked(pass).agg(base.head, (if (withMatch)
+        base.tail :+ count(col("user_id")).as("rows_match_after_sized")
+      else base.tail): _*)
+    }
+    val probeStats = marked(ord).agg(
+      count(lit(1)).as("n_probe_rows"),
+      count(col("user_id")).as("rows_match"),
+      count_distinct(when(col("user_id").isNull, col("o_custkey")))
+        .as("nonmatch_keys"))
+    probeStats
+      .crossJoin(passStats(graft.operators.Bloom.filterMaybe(
+        ord, "o_custkey", packCoarse, mCoarse, k), "coarse",
+        withMatch = false))
+      .crossJoin(passStats(graft.operators.Bloom.filterMaybe(
+        ord, "o_custkey", packSized, mSized, k), "sized",
+        withMatch = true))
       .select(col("n_probe_rows"), col("rows_match"),
         col("rows_match_after_sized"), col("rows_pass_coarse"),
         col("rows_pass_sized"), col("fp_keys_coarse"),
