@@ -294,7 +294,16 @@ object Dedup {
       s"blockCols must not use reserved names ${reserved.mkString(", ")}")
     val idA = s"${idCol}_a"; val idB = s"${idCol}_b"
     val txtA = s"${textCol}_a"; val txtB = s"${textCol}_b"
-    val base0 = records
+    // Kernel-parallelism guard (r15 optimization): the banded join
+    // executes as a broadcast-hash join whose PROBE side keeps the
+    // input's partitioning, and the levenshtein verify runs inside
+    // that probe stage — so a small input arriving as 1–2 scan splits
+    // serializes the entire O(pairs·maxDist·len) kernel on as many
+    // cores (measured: q193 spent 12.8 s with 11 tasks total, the
+    // 5.5M-pair verify in ONE task). Partitioning.spread is the
+    // no-op-at-scale fix: inputs already at ≥ defaultParallelism
+    // partitions (any real 100 TB scan) pay nothing.
+    val base0 = Partitioning.spread(records)
       .select((Seq(col(idCol).as("__id"), col(textCol).as("__txt")) ++
         blockCols.map(col)): _*)
       .withColumn("__band",

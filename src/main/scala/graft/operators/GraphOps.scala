@@ -12,6 +12,87 @@ import graft.GraftOps._
   */
 object GraphOps {
 
+  /** Vertex-sized broadcast cap (rows, not bytes) for the counted
+    * per-round broadcasts below: a (vertex) row collects to ~16–24 B,
+    * so 4M rows keeps the driver-built HashedRelation inside a modest
+    * heap — the [[graft.operators.Dedup.DefaultBroadcastPairCap]]
+    * rationale. Above the cap the operators keep their keyed-shuffle
+    * plans unchanged (never quadratic, never driver-sized).
+    */
+  val BroadcastVertexCap = 4000000L
+
+  /** Checkpoint `df` HASH-PARTITIONED and SORTED by `key`: the
+    * checkpointed `LogicalRDD` carries that partitioning and ordering
+    * into every downstream plan, so an iterative loop that joins the
+    * frame on `key` every round exchanges (and sorts) only the other,
+    * vertex-sized side — the adjacency is shuffled ONCE per operator
+    * instead of once per iteration (guide §2.4: operations keyed the
+    * same way share one exchange; measured r15: the rank loops were
+    * re-exchanging ~25 MB of edges per round at sf0.1, ~90% of those
+    * queries' total shuffle, and the r15 keyed plans read the edge
+    * scan directly under the per-round SortMergeJoin with no Exchange
+    * and no Sort).
+    *
+    * The partition count is SCALE-ADAPTIVE, not the raw
+    * shuffle-partition constant: `sizeHint` must be an eager graft
+    * checkpoint sized like `df` (often `df`'s own dominant input);
+    * its MEASURED block bytes divided by AQE's advisory partition
+    * size — the same sizing rule AQE's coalescing applies to
+    * shuffles — give the count, clamped to [1, shuffle partitions].
+    * A fixed count of `spark.sql.shuffle.partitions` measured +13%
+    * wall at sf0.1 (hundreds of micro-task stages per loop); letting
+    * AQE coalesce instead loses the partitioning entirely (below), so
+    * the operator re-derives AQE's own answer from ground truth and
+    * keeps the layout. Unknown size (no blocks) falls back to the
+    * shuffle-partition count — the conservative wide side.
+    *
+    * The checkpoint is MATERIALIZED WITH AQE OFF: under AQE the
+    * executed plan is an AdaptiveSparkPlanExec, whose
+    * outputPartitioning is UnknownPartitioning(0) (it never overrides
+    * SparkPlan's default), so `LogicalRDD.fromDataset` would forget
+    * the layout this exchange just paid for and every later join
+    * would re-shuffle the frame anyway. The statement's plan is a
+    * fixed repartition + sort — AQE has nothing to adapt — and the
+    * toggle is restored before anything else plans; the iterative
+    * consumers run their per-round plans under AQE unchanged.
+    *
+    * Skew caveat: a hot `key` concentrates in one partition exactly
+    * as it did in the per-round exchanges this replaces — no new skew
+    * exposure.
+    */
+  private def keyedCheckpoint(df: DataFrame, key: String,
+                              sizeHint: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumns
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    val maxP = conf.numShufflePartitions
+    val bytes = GraftColumns.materializedBytes(sizeHint)
+    val advisory = math.max(1L, conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val p =
+      if (bytes <= 0L) maxP
+      else math.max(1L, math.min(maxP.toLong,
+        (bytes + advisory - 1L) / advisory)).toInt
+    val keyed = df.repartition(p, col(key)).sortWithinPartitions(key)
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try keyed.graftCheckpoint()
+    finally spark.conf.set(aqeKey, prev)
+  }
+
+  /** [[keyedCheckpoint]] for a frame with no sibling checkpoint to
+    * size from: materializes `df` once (plain checkpoint), measures
+    * it, re-keys from the blocks, releases the unkeyed copy. The
+    * extra pass is one local block read — the hoisted cost that
+    * replaces an exchange PER ROUND.
+    */
+  private def keyedCheckpoint(df: DataFrame, key: String): DataFrame = {
+    val ck = df.graftCheckpoint()
+    try keyedCheckpoint(ck, key, sizeHint = ck)
+    finally org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ck)
+  }
+
   /** Connected components by ALTERNATING STAR CONTRACTION (the
     * large-star / small-star algorithm of Kiveris et al. 2014,
     * "Connected Components in MapReduce and Beyond") — the round
@@ -127,9 +208,18 @@ object GraphOps {
       // with the round.
       val sym = cur.select(col("a").as("x"), col("b").as("y"))
         .union(cur.select(col("b").as("x"), col("a").as("y")))
-      val mins = sym.groupBy(col("x"))
+      // COUNTED broadcast of the per-vertex minima (r15): `prev._1` is
+      // the round's already-known edge count and vertices ≤ edges (the
+      // symmetric adjacency gives every vertex a row), so under the cap
+      // the vertex-sized min maps ship as broadcasts and the two
+      // edge-sized join-side exchanges per round disappear — the
+      // distinct()s stay the only edge-sized exchanges. Above the cap
+      // the keyed-shuffle plan is unchanged (never quadratic).
+      def cntBcast(df: DataFrame): DataFrame =
+        if (prev._1 <= BroadcastVertexCap) broadcast(df) else df
+      val mins = cntBcast(sym.groupBy(col("x"))
         .agg(least(min(col("y")), col("x")).as("m"))
-        .select(col("x").as("mx"), col("m"))
+        .select(col("x").as("mx"), col("m")))
       val large = sym.filter(col("y") > col("x"))
         .join(mins, col("x") === col("mx"))
         .select(col("y").as("a"), col("m").as("b"))
@@ -141,7 +231,7 @@ object GraphOps {
         .agg(min(col("b")).as("m"))
         .select(col("a").as("sa"), col("m"))
       val small = large
-        .join(smin, col("a") === col("sa"))
+        .join(cntBcast(smin), col("a") === col("sa"))
         .select(col("b").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
         .unionByName(smin.select(col("sa").as("a"), col("m").as("b")))
@@ -280,14 +370,21 @@ object GraphOps {
         s"times dampDen=$dampDen exceeds int64; rescale the weights " +
         "(mass flow is ratio-invariant).")
     }
-    val ew = e
-      .join(outw, Seq("src"))
-      .graftCheckpoint()
+    // keyed by the loop's join key: the rounds then exchange only the
+    // vertex-sized rank frame (see [[keyedCheckpoint]]; e's measured
+    // blocks size the partitioning — ew is e plus two long columns)
+    val ew = keyedCheckpoint(e.join(outw, Seq("src")), "src", sizeHint = e)
 
     val ranks = rankLoop(
       ew, nodes.withColumn("__base", lit(base)),
       nodes.withColumn("rank_units", lit(totalUnits / n)).graftCheckpoint(),
-      iterations, dampNum, dampDen)
+      iterations, dampNum, dampDen,
+      // COUNTED broadcast: n is the exact node count (already a
+      // control-plane scalar above); under the cap the per-round rank
+      // frame ships as a broadcast and the round is ONE probe+agg
+      // stage over the keyed adjacency — no exchange, no sort. Above
+      // the cap the keyed SortMergeJoin plan is unchanged.
+      broadcastRanks = n <= BroadcastVertexCap)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ew)
     // ranks is itself checkpointed (materialized), so releasing the node
@@ -307,7 +404,8 @@ object GraphOps {
     */
   private def rankLoop(ew: DataFrame, nodesBase: DataFrame,
                        ranks0: DataFrame, iterations: Int,
-                       dampNum: Long, dampDen: Long): DataFrame = {
+                       dampNum: Long, dampDen: Long,
+                       broadcastRanks: Boolean = false): DataFrame = {
     // Cadence by measurement, re-taken whenever the engine under it
     // changes: the r10 A/B (pre-clampStats) had eager-per-round winning
     // by 15-30%; the r12 re-run WITH `GraftColumns.clampStats` in place
@@ -328,19 +426,31 @@ object GraphOps {
     val handles = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var i = 0
     while (i < iterations) {
+      val rankSide = ranks.select(col("node").as("src"),
+                                  col("rank_units").as("__r"))
       val contrib = ew
-        .join(ranks.select(col("node").as("src"),
-                           col("rank_units").as("__r")), Seq("src"))
+        .join(if (broadcastRanks) broadcast(rankSide) else rankSide,
+              Seq("src"))
         .select(col("dst").as("node"),
                 expr(s"(__r * $dampNum * __w) div ($dampDen * __outw)")
                   .as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__in"))
-      val next = nodesBase
+      val nextRaw = nodesBase
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
                 (col("__base") + coalesce(col("__in"), lit(0L)))
                   .as("rank_units"))
-        .graftCheckpointLazy()
+      if (i == 0 && sys.env.contains("GRAFT_RANK_DEBUG")) {
+        // debug-only plan-shape probe (the GRAFT_CC_DEBUG convention):
+        // execute round 1 standalone via the noop sink and print its
+        // final (post-AQE) plan — the lazy checkpoint below hides the
+        // round internals behind a LogicalRDD scan
+        nextRaw.write.format("noop").mode("overwrite").save()
+        println(nextRaw
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.executedPlan.toString)
+      }
+      val next = nextRaw.graftCheckpointLazy()
       handles += next
       ranks = next
       i += 1
@@ -416,17 +526,20 @@ object GraphOps {
               when(col("__s").isNotNull, lit(base)).otherwise(lit(0L))
                 .as("__base"))
       .graftCheckpoint()
-    val ew = e
-      .join(e.groupBy(col("src")).agg(sum(col("__w")).as("__outw")),
-            Seq("src"))
-      .graftCheckpoint()
+    val ew = keyedCheckpoint(
+      e.join(e.groupBy(col("src")).agg(sum(col("__w")).as("__outw")),
+             Seq("src")), "src", sizeHint = e)
     val ranks0 = nodesBase
       .select(col("node"),
               when(col("__base") > 0, lit(rInit)).otherwise(lit(0L))
                 .as("rank_units"))
       .graftCheckpoint()
     val ranks = rankLoop(ew, nodesBase, ranks0, iterations,
-                         dampNum, dampDen)
+                         dampNum, dampDen,
+                         // counted broadcast gate — the [[pageRank]]
+                         // rationale; the count rides the materialized
+                         // nodes checkpoint
+                         broadcastRanks = nodes.count() <= BroadcastVertexCap)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ew)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodes)
@@ -510,6 +623,11 @@ object GraphOps {
                 expr(s"($c * $scale) div __mx").as(c))
     }
 
+    // NOT keyed-checkpointed (r15 A/B): the half-step score frames are
+    // eager checkpoints with small EXACT stats, so the planner already
+    // broadcasts them and the edge frame is never exchanged per round —
+    // keyed copies only ADDED two full edge exchanges (q141 shuffle
+    // 125 → 191 MB, wall +2 s). Leave the broadcast plan alone.
     var hub = nodes.withColumn("hub_e6", lit(scale)).graftCheckpoint()
     var auth = nodes.withColumn("auth_e6", lit(scale)).graftCheckpoint()
     var i = 0
@@ -736,6 +854,11 @@ object GraphOps {
     val raw = edges
       .select(col(uCol).as("u"), col(vCol).as("v"))
       .filter(col("u") =!= col("v"))
+    // NOT keyed-checkpointed and the keep set NOT broadcast (r15 A/B:
+    // keying + per-round counted broadcasts measured q156 5.0 → 5.7 s
+    // and +23% shuffle — the keying exchange outweighs what the
+    // already-small per-round frames save, and each broadcast is a
+    // per-round driver collect, the r14 measured-stats lesson).
     var sym = raw.union(raw.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .graftCheckpoint()
@@ -908,7 +1031,9 @@ object GraphOps {
   private def relaxDistances(edges: DataFrame, seeds: DataFrame,
                              seedCol: String, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val e = edges.graftCheckpoint()
+    // keyed by the relaxation's join key: every round then exchanges
+    // only the vertex-sized dist frame (see [[keyedCheckpoint]])
+    val e = keyedCheckpoint(edges, "src")
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
       .graftCheckpoint()
@@ -985,9 +1110,9 @@ object GraphOps {
                  seed: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val d38 = "decimal(38,0)"
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-      .graftCheckpoint()
+    val e = keyedCheckpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct(), "src")
     var settled = e.sparkSession.range(1)
       .select(lit(seed).as("node"), lit(0L).as("dist"),
               lit(1L).cast(d38).as("sigma"))
@@ -1031,6 +1156,11 @@ object GraphOps {
                   seeds: DataFrame, seedCol: String,
                   maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // NOT keyed-checkpointed (r15 A/B: q195 6.6 → 9.0 s under the keyed
+    // plan — here the per-round exchange is dominated by the
+    // (seed × node)-sized dist frame, not the edges, and pinning the
+    // edge partitioning only dragged the dist exchange down to the
+    // edge frame's low adaptive partition count)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .graftCheckpoint()

@@ -186,6 +186,29 @@ object GraftColumns {
     }
   }
 
+  /** ACTUAL materialized size (memory + disk block bytes) of an EAGER
+    * graft checkpoint, or -1 when unavailable (not a checkpoint scan,
+    * blocks evicted, empty frame). Unlike the plan-carried ESTIMATES
+    * ([[clampStats]]' subject) this is ground truth from the block
+    * manager — the number an operator can size a deliberate
+    * re-partitioning from (e.g. [[graft.operators.GraphOps]]'
+    * keyed adjacency checkpoints derive their partition count as
+    * bytes / advisoryPartitionSize, the same sizing rule AQE's
+    * coalescing applies to shuffles). In-memory deserialized sizes run
+    * larger than shuffle-serialized bytes, so a consumer dividing by a
+    * byte target errs toward MORE partitions — the safe side.
+    */
+  def materializedBytes(df: Dataset[_]): Long =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == l.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .filter(_ > 0L)
+          .getOrElse(-1L)
+      case _ => -1L
+    }
+
   /** Release the block-manager storage behind graft-created
     * `localCheckpoint`s ([[checkpoint]]) in a Dataset's plan.
     * `Dataset.unpersist` only covers cache-manager entries, not the RDD
