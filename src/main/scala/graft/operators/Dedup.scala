@@ -294,16 +294,7 @@ object Dedup {
       s"blockCols must not use reserved names ${reserved.mkString(", ")}")
     val idA = s"${idCol}_a"; val idB = s"${idCol}_b"
     val txtA = s"${textCol}_a"; val txtB = s"${textCol}_b"
-    // Kernel-parallelism guard (r15 optimization): the banded join
-    // executes as a broadcast-hash join whose PROBE side keeps the
-    // input's partitioning, and the levenshtein verify runs inside
-    // that probe stage — so a small input arriving as 1–2 scan splits
-    // serializes the entire O(pairs·maxDist·len) kernel on as many
-    // cores (measured: q193 spent 12.8 s with 11 tasks total, the
-    // 5.5M-pair verify in ONE task). Partitioning.spread is the
-    // no-op-at-scale fix: inputs already at ≥ defaultParallelism
-    // partitions (any real 100 TB scan) pay nothing.
-    val base0 = Partitioning.spread(records)
+    val base0 = records
       .select((Seq(col(idCol).as("__id"), col(textCol).as("__txt")) ++
         blockCols.map(col)): _*)
       .withColumn("__band",
@@ -355,9 +346,28 @@ object Dedup {
     // result == handle (pass the result to
     // GraftColumns.unpersistCheckpoint after consumption to release
     // the blocks early — otherwise the ContextCleaner reclaims them).
-    val baseCk = base.graftCheckpoint()
-    val hotBlocks = baseCk
+    val baseCk0 = base.graftCheckpoint()
+    val cells = baseCk0
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    // KERNEL-PARALLELISM guard (r15), MEASURED not blanket: the banded
+    // join runs its levenshtein verify inside the broadcast probe
+    // stage, which keeps the input's partitioning — a 1–2-split input
+    // serializes the whole kernel (q193: 12.8 s, the 5.5M-pair verify
+    // in ONE task). Σ cnt² over the cell histogram (already being
+    // aggregated for the hot-block routing) estimates the verify
+    // workload; only when it clears [[KernelSpreadPairs]] is the
+    // prepared input spread to defaultParallelism (q193 → 3.6 s at
+    // 198 tasks). A blanket spread measured q197 (tiny cells,
+    // maxDist 1) at +2.8 s from 370 added micro-tasks — the width must
+    // follow the KERNEL work, not the input. `spread` no-ops for
+    // inputs already at ≥ defaultParallelism partitions.
+    val pairEst = cells
+      .agg(coalesce(sum(col("__cnt") * col("__cnt")), lit(0L)))
+      .head().getLong(0)
+    val baseCk =
+      if (pairEst >= KernelSpreadPairs) Partitioning.spread(baseCk0)
+      else baseCk0
+    val hotBlocks = cells
       .filter(col("__cnt") > autoCellRows)
       .select(blockCols.map(col): _*)
       .distinct()
@@ -880,6 +890,21 @@ object Dedup {
     * produce identical pairs (`BlockedSelfJoinSpec`).
     */
   val DefaultAutoCellRows = 4096
+
+  /** [[blockedSelfJoin]] kernel-spread bound: when the MEASURED
+    * candidate estimate Σ cnt² over the (blockCols, band) cell
+    * histogram reaches this many pairs, the prepared input is spread
+    * to defaultParallelism before the banded join so the levenshtein
+    * verify (which runs in the probe stage at the input's partition
+    * count) parallelizes. 8M kernels ≈ ~10 s on one core — the same
+    * single-task ceiling [[DefaultAutoCellRows]] documents (~8.4M
+    * kernels for the worst cell), applied to the WHOLE verify:
+    * measured both ways at sf0.1, q193 (Σ cnt² = 35.9M) gains 10.6 s
+    * from spreading while q197 (Σ cnt² = 1.5M, cheap maxDist-1
+    * kernels) loses 2.5 s to the micro-task stages its spread cascades
+    * into the downstream CC. Exactness never depends on partitioning.
+    */
+  val KernelSpreadPairs = 8000000L
 
   /** Byte cap for broadcasting relations whose rows carry full shingle
     * SETS (~KB each) rather than 16 B id pairs — those must be gated on

@@ -73,12 +73,7 @@ object GraphOps {
       if (bytes <= 0L) maxP
       else math.max(1L, math.min(maxP.toLong,
         (bytes + advisory - 1L) / advisory)).toInt
-    val keyed = df.repartition(p, col(key)).sortWithinPartitions(key)
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try keyed.graftCheckpoint()
-    finally spark.conf.set(aqeKey, prev)
+    GraftColumns.keyedCheckpoint(df, p, Seq(col(key)), Seq(col(key)))
   }
 
   /** [[keyedCheckpoint]] for a frame with no sibling checkpoint to

@@ -120,7 +120,9 @@ object Multimodal {
     */
   def withPayload(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // spread: the codec pass below runs at the scan's split count (1-2
+    // partitions for a small single-file table) — a no-op at scale
+    Partitioning.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, encodePng(id))))
   }
 
@@ -128,7 +130,7 @@ object Multimodal {
   def withGridPayload(spark: SparkSession, docs: DataFrame)
       : Dataset[MediaRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => MediaRow(id, encodePngGrid(id))))
   }
 

@@ -85,27 +85,68 @@ object SuffixRank {
     // capped order (pairs differing within `pack` chars order the same
     // at any longer cap) — skip the doubling entirely
     var distinctAll = mx0 == n
+    // PAIR RANKS BY WINDOW, NOT SELF-JOIN (r15): positions are
+    // CONTIGUOUS 1..len within each doc (the explode above), so
+    // rank(pos + h) is exactly lead(rank, h) over (doc_id, pos) —
+    // absent (pos + h > len) ⟹ lead's null ⟹ the same 0 sentinel the
+    // old left join coalesced. The round's (doc_id)-keyed checkpoint
+    // (hash-partitioned, sorted (doc_id, pos), AQE-off so the layout
+    // survives — [[org.apache.spark.sql.GraftColumns.keyedCheckpoint]])
+    // then feeds the window with ZERO exchange and ZERO sort: per
+    // round the old plan paid two suffix-sized join exchanges + two
+    // sorts; the new plan pays one keyed exchange when re-checkpointing
+    // the round's output and nothing at consumption. Per-doc window
+    // concentration is the engine's existing per-doc discipline (the
+    // substring operators window per doc the same way); partition
+    // count tracks the measured block bytes of the previous round's
+    // checkpoint against AQE's advisory size.
+    def keyedByDoc(df: org.apache.spark.sql.DataFrame,
+                   sizeHint: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.GraftColumns
+      val conf = df.sparkSession.sessionState.conf
+      val bytes = GraftColumns.materializedBytes(sizeHint)
+      val advisory = math.max(1L, conf.getConf(
+        org.apache.spark.sql.internal.SQLConf
+          .ADVISORY_PARTITION_SIZE_IN_BYTES))
+      val p =
+        if (bytes <= 0L) conf.numShufflePartitions
+        else math.max(1L, math.min(conf.numShufflePartitions.toLong,
+          (bytes + advisory - 1L) / advisory)).toInt
+      GraftColumns.keyedCheckpoint(df, p, Seq(col("doc_id")),
+                                   Seq(col("doc_id"), col("pos")))
+    }
+    if (!distinctAll && h < capChars) {
+      val rk = keyedByDoc(r, sizeHint = r)
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(r)
+      r = rk
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     while (h < capChars && !distinctAll) {
-      val shifted = r.select(col("doc_id").as("__d2"),
-                             (col("pos") - h).as("__p2"),
-                             col("rank").as("__r2"))
-      val paired = r.join(shifted,
-          col("doc_id") === col("__d2") && col("pos") === col("__p2"),
-          "left")
+      val paired = r
         .select(col("doc_id"), col("pos"), col("rank").as("__r1"),
-                coalesce(col("__r2"), lit(0L)).as("__r2"))
+                coalesce(lead(col("rank"), h).over(w), lit(0L))
+                  .as("__r2"))
       // re-rank the pairs IN PLACE: denseRank's one range exchange
       // replaces the distinct + rank + join-back round trip the first
       // cut of this loop paid (3 exchanges per round -> 1, measured
       // the dominant cost of the whole construction at sf0.1)
-      val next = PrefixSum.denseRank(paired, Seq("__r1", "__r2"),
-                                     rankCol = "__nr")
+      val next0 = PrefixSum.denseRank(paired, Seq("__r1", "__r2"),
+                                      rankCol = "__nr")
         .select(col("doc_id"), col("pos"), col("__nr").as("rank"))
-      val mx = next.agg(max(col("rank")).as("m")).collect()(0).getLong(0)
-      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(r)
-      r = next
+      val mx = next0.agg(max(col("rank")).as("m")).collect()(0).getLong(0)
       distinctAll = mx == n
       h *= 2
+      val next =
+        if (h < capChars && !distinctAll) {
+          // another round will consume the window — restore the layout
+          val nk = keyedByDoc(next0, sizeHint = next0)
+          org.apache.spark.sql.GraftColumns.unpersistCheckpoint(next0)
+          nk
+        } else next0
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(r)
+      r = next
     }
     // finalize: ranks are dense over capped-prefix classes; ties (equal
     // capped prefixes — exact-duplicate regions) break by (doc_id, pos)

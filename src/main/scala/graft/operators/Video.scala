@@ -206,7 +206,8 @@ object Video {
   /** Attach a fixture video payload to the documents table. */
   def withPayload(spark: SparkSession, docs: DataFrame): Dataset[VideoRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    // spread: codec parallelism guard, no-op at scale
+    Partitioning.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => VideoRow(id, encodeVideo(id))))
   }
 
@@ -216,7 +217,7 @@ object Video {
   def withDupPayload(spark: SparkSession, docs: DataFrame)
       : Dataset[VideoRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => VideoRow(id, encodeDupVideo(id))))
   }
 
@@ -226,7 +227,7 @@ object Video {
   def withScenePayload(spark: SparkSession, docs: DataFrame)
       : Dataset[VideoRow] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long]
+    Partitioning.spread(docs.select(col("doc_id"))).as[Long]
       .mapPartitions(_.map(id => VideoRow(id, encodeSceneVideo(id))))
   }
 

@@ -47,8 +47,13 @@ object Winnowing {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
                    window: Int = 4): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
-    val d = docs.select(col(idCol).as("doc_id"),
-                        TextFunctions.words(col(textCol)).as("__w"))
+    // spread: the O(len·window) selection arithmetic below runs inside
+    // this projection at the scan's split count — 1–2 partitions for a
+    // small single-file table serializes it (q223 ran on 7 tasks); a
+    // no-op for scans already at >= defaultParallelism splits
+    val d = Partitioning.spread(docs)
+      .select(col(idCol).as("doc_id"),
+              TextFunctions.words(col(textCol)).as("__w"))
     // The 21-bit position bound is enforced INSIDE the same projection
     // that packs the keys (a raise_error branch ahead of the packing),
     // so the guard rides the single existing pass lazily — an eager

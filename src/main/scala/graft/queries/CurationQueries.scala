@@ -1937,8 +1937,14 @@ object CurationQueries {
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long,
                                                   Long, Long)]
     val toksCol = curationToksCol
-    def tokSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(toksCol), lit(0L))).collect()(0).getLong(0)
+    // ONE aggregate job per stage for the (rows, tokens) ledger pair
+    // (r15: separate count + sum jobs paid one extra scheduler round
+    // trip per stage — 11 stages × 2 sweeps of the checkpoint blocks)
+    def countToks(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+                     coalesce(sum(toksCol), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
     // Stage labels ride the driver-thread-local job description (AQE's
     // stage-materialization jobs capture it), so per-stage cost shows up
     // attributable in the UI / listeners instead of 167 anonymous
@@ -1951,8 +1957,8 @@ object CurationQueries {
     val d0 = Partitioning.spread(docs)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
       .graftCheckpoint()
-    val n0 = d0.count()
-    led += ((0L, "source", n0, n0, tokSum(d0)))
+    val (n0, t0) = countToks(d0)
+    led += ((0L, "source", n0, n0, t0))
 
     // 1 — the q248 page around each doc, main-content extraction,
     // lines joined to one line (words() splits on ' ' only)
@@ -1970,8 +1976,8 @@ object CurationQueries {
     val d1 = d0.select(col("doc_id"), col("lang"), col("source"),
         replace(Html.mainText(page), lit("\n"), lit(" ")).as("text"))
       .graftCheckpoint()
-    val n1 = d1.count()
-    led += ((1L, "html_main_extract", n0, n1, tokSum(d1)))
+    val (n1, t1) = countToks(d1)
+    led += ((1L, "html_main_extract", n0, n1, t1))
     GraftColumns.unpersistCheckpoint(d0)
 
     // 2 — NFC
@@ -1979,8 +1985,8 @@ object CurationQueries {
     val d2 = d1.withColumn("text",
         TextFunctions.unicodeNormalize(col("text"), "NFC"))
       .graftCheckpoint()
-    val n2 = d2.count()
-    led += ((2L, "nfc_normalize", n1, n2, tokSum(d2)))
+    val (n2, t2) = countToks(d2)
+    led += ((2L, "nfc_normalize", n1, n2, t2))
     GraftColumns.unpersistCheckpoint(d1)
 
     // 3 — the q61 quality-rule gate (language-ID becomes the stage-6
@@ -1993,8 +1999,8 @@ object CurationQueries {
       .filter(col("keep")).select("doc_id")
     val d3 = d2.join(keep3, Seq("doc_id"), "left_semi")
       .graftCheckpoint()
-    val n3 = d3.count()
-    led += ((3L, "quality_rules", n2, n3, tokSum(d3)))
+    val (n3, t3) = countToks(d3)
+    led += ((3L, "quality_rules", n2, n3, t3))
     GraftColumns.unpersistCheckpoint(d2)
     (d3, led.toSeq)
   }
@@ -2017,8 +2023,13 @@ object CurationQueries {
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long,
                                                   Long, Long)]
     val toksCol = curationToksCol
-    def tokSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(toksCol), lit(0L))).collect()(0).getLong(0)
+    // ONE aggregate job per stage for the (rows, tokens) ledger pair —
+    // the [[curationStages0to3]] discipline
+    def countToks(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+                     coalesce(sum(toksCol), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
     def mark(n: String): Unit =
       s.sparkContext.setJobDescription(s"q269:$n")
 
@@ -2033,8 +2044,8 @@ object CurationQueries {
     val (applied4, cc4) = Dedup.applyDedupReleasable(d3, "doc_id", pairs4)
     val d4 = applied4.filter(col("kept")).drop("component", "kept")
       .graftCheckpoint()
-    val n4 = d4.count()
-    led += ((4L, "minhash_family_dedup", n3, n4, tokSum(d4)))
+    val (n4, t4) = countToks(d4)
+    led += ((4L, "minhash_family_dedup", n3, n4, t4))
     GraftColumns.unpersistCheckpoint(cc4)
     GraftColumns.unpersistCheckpoint(d3)
 
@@ -2047,8 +2058,8 @@ object CurationQueries {
         broadcastSpanCap = Intervals.DefaultBroadcastSpanCap)
       .select(col("doc_id"), col("cut_text").as("text"))
     val d5 = d4.drop("text").join(cut5, Seq("doc_id")).graftCheckpoint()
-    val n5 = d5.count()
-    led += ((5L, "substring_dedup", n4, n5, tokSum(d5)))
+    val (n5, t5) = countToks(d5)
+    led += ((5L, "substring_dedup", n4, n5, t5))
     GraftColumns.unpersistCheckpoint(spans5)
     GraftColumns.unpersistCheckpoint(d4)
 
@@ -2083,8 +2094,8 @@ object CurationQueries {
     val keep6 = Isotonic.calibrated(margins6, "margin", "doc_id", "y01")
       .filter(col("p_e6") > lit(base6)).select("doc_id")
     val d6 = d5.join(keep6, Seq("doc_id"), "left_semi").graftCheckpoint()
-    val n6 = d6.count()
-    led += ((6L, "calibrated_langid_filter", n5, n6, tokSum(d6)))
+    val (n6, t6) = countToks(d6)
+    led += ((6L, "calibrated_langid_filter", n5, n6, t6))
     GraftColumns.unpersistCheckpoint(d5)
 
     // 7 — DSIR top-quartile selection, model fit on the survivors
@@ -2099,8 +2110,8 @@ object CurationQueries {
       .filter(expr("((rank - 1) * 4) div n") === 3L)
       .select(col("doc_id"), col("weight_e6"))
     val d7 = d6.join(sel7, Seq("doc_id")).graftCheckpoint()
-    val n7 = d7.count()
-    led += ((7L, "dsir_select", n6, n7, tokSum(d7)))
+    val (n7, t7) = countToks(d7)
+    led += ((7L, "dsir_select", n6, n7, t7))
     GraftColumns.unpersistCheckpoint(ranked7)
     GraftColumns.unpersistCheckpoint(d6)
 
@@ -2124,10 +2135,13 @@ object CurationQueries {
     val d8 = d7.join(broadcast(epochRows.toSeq.toDF("source", "epochs")),
                      Seq("source"))
       .graftCheckpoint()
-    val n8 = d8.count()
-    val served = d8
-      .agg(coalesce(sum(toksCol * col("epochs")), lit(0L)))
-      .collect()(0).getLong(0)
+    // one agg job for the (rows, served-tokens) pair — the countToks
+    // discipline with the stage's own weighted token measure
+    val r8 = d8.agg(count(lit(1)),
+                    coalesce(sum(toksCol * col("epochs")), lit(0L)))
+      .collect()(0)
+    val n8 = r8.getLong(0)
+    val served = r8.getLong(1)
     led += ((8L, "epoch_mix", n7, n8, served))
     GraftColumns.unpersistCheckpoint(d7)
 

@@ -186,6 +186,33 @@ object GraftColumns {
     }
   }
 
+  /** [[checkpoint]] of `ds` hash-partitioned by `partCols` into
+    * `numParts` partitions and sorted within partitions by `sortCols`,
+    * MATERIALIZED WITH AQE OFF so the resulting `LogicalRDD` carries
+    * the HashPartitioning + ordering into downstream plans (under AQE
+    * the executed plan is an AdaptiveSparkPlanExec, whose
+    * outputPartitioning is UnknownPartitioning(0) — it never overrides
+    * SparkPlan's default — so the layout this exchange pays for would
+    * be forgotten and every later join/aggregate/window keyed the same
+    * way would re-shuffle). The statement's plan is a fixed
+    * repartition + sort — AQE has nothing to adapt — and the toggle is
+    * restored before anything else plans; consumers keep running under
+    * AQE unchanged. This is the iterative-loop shuffle lever: pay the
+    * keyed exchange ONCE, let every round's keyed operation reuse it.
+    */
+  def keyedCheckpoint[T](ds: Dataset[T], numParts: Int,
+                         partCols: Seq[Column],
+                         sortCols: Seq[Column]): Dataset[T] = {
+    val keyed = ds.repartition(numParts, partCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val spark = ds.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try checkpoint(keyed)
+    finally spark.conf.set(aqeKey, prev)
+  }
+
   /** ACTUAL materialized size (memory + disk block bytes) of an EAGER
     * graft checkpoint, or -1 when unavailable (not a checkpoint scan,
     * blocks evicted, empty frame). Unlike the plan-carried ESTIMATES
