@@ -477,8 +477,18 @@ class PlanShapeSpec extends SparkSpec {
       "audio decode + features must be one narrow pass")
     val video = Video.frameFeatures(spark, Video.withPayload(spark, docs),
                                     stride = 4)
-    assert(!video.queryExecution.executedPlan.toString.contains("Exchange"),
-      "video container walk + sampled decode must be one narrow pass")
+    // The r15 codec-parallelism spread may round-robin the 8-byte
+    // doc_id rows BEFORE the payload exists (Partitioning.spread in
+    // withPayload — a no-op at scale). The contract stays: no exchange
+    // may sit ABOVE the payload-producing MapPartitions, i.e. payload
+    // bytes never enter an exchange. Assert on the plan ABOVE the
+    // codec operator instead of the whole tree.
+    val vplan = video.queryExecution.executedPlan.toString
+    val codecAt = vplan.indexOf("MapPartitions")
+    assert(codecAt >= 0, "video decode must be a MapPartitions pass")
+    assert(!vplan.substring(0, codecAt).contains("Exchange"),
+      "video container walk + sampled decode must stay narrow above " +
+        "the codec pass — payload bytes never enter an exchange")
   }
 
   test("q149/q151/q183: media near-dup candidates come from keyed " +
