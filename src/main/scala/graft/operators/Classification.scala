@@ -117,6 +117,16 @@ object Classification {
     val y = col(labelCol)
     val k = featureCols.size
     var w = Array.fill(k)(0L)
+    // every epoch is a full agg pass over the examples; persist the
+    // (narrow: label + k longs) projection once so epochs 2..n read
+    // blocks instead of re-running the caller's feature-extraction
+    // kernels per epoch (r16 — the cache-the-training-set discipline
+    // kmeansFitMulti already applies). Released before return; the
+    // caller's frame is untouched.
+    val cached = examples
+      .select((labelCol +: featureCols).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val rows = Seq.newBuilder[Row]
     for (e <- 1 to epochs) {
       val margin = featureCols.zip(w)
@@ -127,7 +137,7 @@ object Classification {
         featureCols.zipWithIndex.map { case (c, i) =>
           coalesce(sum(when(mis, y * col(c))), lit(0L)).as(s"__g$i")
         }
-      val r = examples.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val r = cached.agg(aggs.head, aggs.tail: _*).collect()(0)
       val nMis = if (r.isNullAt(0)) 0L else r.getLong(0)
       w = Array.tabulate(k)(i => w(i) + r.getLong(i + 1))
       require(w.forall(x => math.abs(x) < 1000000000000000L),
@@ -141,6 +151,7 @@ object Classification {
         StructField("epoch", LongType, nullable = false) +:
         StructField("n_mis", LongType, nullable = false) +:
         (0 until k).map(i => StructField(s"w$i", LongType, nullable = false))))
+    } finally cached.unpersist(blocking = false)
   }
 
   /** Score `examples` with the FINAL weights of a

@@ -106,8 +106,18 @@ object Dedup {
                      col("sz").as("sz_a"))
     val b = p.select(col("shingle"), col("doc_id").as("doc_b"),
                      col("sz").as("sz_b"))
+    // LENGTH FILTER (lossless, the classic set-similarity prune):
+    // inter ≤ min(sz_a, sz_b) and union ≥ max(sz_a, sz_b), so
+    // J ≤ min/max — any pair failing den·min ≥ num·max fails the final
+    // threshold too and can be dropped BEFORE the counting aggregate
+    // (guide §2.3: fewer rows into the agg's partial/exchange; at the
+    // q225 cut num/den = 4/5 this prunes every candidate whose sizes
+    // differ by more than 25%). Expressed as the symmetric conjunction
+    // so it holds whichever side is larger.
     a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sz_a") * den >= col("sz_b") * num &&
+        col("sz_b") * den >= col("sz_a") * num)
       .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter_cnt"))
       .withColumn("union_cnt", col("sz_a") + col("sz_b") - col("inter_cnt"))
@@ -347,8 +357,17 @@ object Dedup {
     // GraftColumns.unpersistCheckpoint after consumption to release
     // the blocks early — otherwise the ContextCleaner reclaims them).
     val baseCk0 = base.graftCheckpoint()
+    // The cell histogram feeds BOTH the Σ cnt² kernel estimate and the
+    // hot-block routing — checkpoint it once (r15 verdict #8: the two
+    // consumers each re-aggregated the full prepared input, a second
+    // complete pass at 100 TB). Cell rows are bounded by the distinct
+    // (blockCols, band) count. The checkpoint is released on the
+    // return paths that do not embed it; when hot routing fires it
+    // rides the returned plan via `hotBlocks` and the result-==-handle
+    // release covers it.
     val cells = baseCk0
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt"))
+      .graftCheckpoint()
     // KERNEL-PARALLELISM guard (r15), MEASURED not blanket: the banded
     // join runs its levenshtein verify inside the broadcast probe
     // stage, which keeps the input's partitioning — a 1–2-split input
@@ -372,7 +391,11 @@ object Dedup {
       .select(blockCols.map(col): _*)
       .distinct()
     val nHot = hotBlocks.count()
-    if (nHot == 0L) return bandedPairs(baseCk)
+    if (nHot == 0L) {
+      // cells is not part of the returned plan here — release it now
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(cells)
+      return bandedPairs(baseCk)
+    }
     // Empty blockCols = ONE global block: per-block routing has no key
     // to split on (a zero-column anti/semi join degenerates to
     // everything-hot), so route the whole input through the signature
@@ -381,6 +404,7 @@ object Dedup {
       println(s"[blockedSelfJoin] auto-fallback: the single global " +
         s"block has a band cell > $autoCellRows rows; whole input " +
         "routed to the PassJoin signature path (exact)")
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(cells)
       val spreadAll = baseCk
         .repartition(records.sparkSession.sparkContext.defaultParallelism)
         .select(col("__id").as(idCol), col("__txt").as(textCol))

@@ -61,20 +61,9 @@ object GraphOps {
     * exposure.
     */
   private def keyedCheckpoint(df: DataFrame, key: String,
-                              sizeHint: DataFrame): DataFrame = {
-    import org.apache.spark.sql.GraftColumns
-    val spark = df.sparkSession
-    val conf = spark.sessionState.conf
-    val maxP = conf.numShufflePartitions
-    val bytes = GraftColumns.materializedBytes(sizeHint)
-    val advisory = math.max(1L, conf.getConf(
-      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
-    val p =
-      if (bytes <= 0L) maxP
-      else math.max(1L, math.min(maxP.toLong,
-        (bytes + advisory - 1L) / advisory)).toInt
-    GraftColumns.keyedCheckpoint(df, p, Seq(col(key)), Seq(col(key)))
-  }
+                              sizeHint: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftColumns.keyedCheckpoint(
+      df, adaptiveParts(sizeHint), Seq(col(key)), Seq(col(key)))
 
   /** [[keyedCheckpoint]] for a frame with no sibling checkpoint to
     * size from: materializes `df` once (plain checkpoint), measures
@@ -129,9 +118,11 @@ object GraphOps {
     * decimal label-sum witness was the same contract).
     *
     * Round cost: 2 aggregates + 2 joins + 2 dedups over the EDGE
-    * frame, ONE eager checkpoint per round (small-star) with the
-    * large-star phase on a LAZY checkpoint shared by its two
-    * consumers, and a 1-row witness agg. Cadence by measurement,
+    * frame in ONE job per round — both star phases ride LAZY
+    * checkpoints (large shared by its two small-star consumers) and
+    * the 1-row witness agg is the materializing action (r16; r15 paid
+    * a dedicated eager small-star checkpoint job plus the witness
+    * sweep). Cadence by measurement,
     * re-taken when the engine under it changed: the r10 A/B
     * (pre-clampStats) had eager-per-phase winning by 16-28%; the r12
     * re-run WITH the checkpoint stats clamp (AbCheckpointCadence,
@@ -204,14 +195,17 @@ object GraphOps {
       val sym = cur.select(col("a").as("x"), col("b").as("y"))
         .union(cur.select(col("b").as("x"), col("a").as("y")))
       // COUNTED broadcast of the per-vertex minima (r15): `prev._1` is
-      // the round's already-known edge count and vertices ≤ edges (the
-      // symmetric adjacency gives every vertex a row), so under the cap
-      // the vertex-sized min maps ship as broadcasts and the two
-      // edge-sized join-side exchanges per round disappear — the
-      // distinct()s stay the only edge-sized exchanges. Above the cap
-      // the keyed-shuffle plan is unchanged (never quadratic).
+      // the round's already-known edge count, and the min maps carry
+      // one row per DISTINCT ENDPOINT — up to 2·edges of them (a
+      // perfect matching), so the witness is 2·prev._1 (r15 ADVICE:
+      // gating on prev._1 alone could admit ~8M-row broadcasts, double
+      // the cap's documented driver-heap budget). Under the cap the
+      // vertex-sized min maps ship as broadcasts and the two edge-sized
+      // join-side exchanges per round disappear — the distinct()s stay
+      // the only edge-sized exchanges. Above the cap the keyed-shuffle
+      // plan is unchanged (never quadratic).
       def cntBcast(df: DataFrame): DataFrame =
-        if (prev._1 <= BroadcastVertexCap) broadcast(df) else df
+        if (2L * prev._1 <= BroadcastVertexCap) broadcast(df) else df
       val mins = cntBcast(sym.groupBy(col("x"))
         .agg(least(min(col("y")), col("x")).as("m"))
         .select(col("x").as("mx"), col("m")))
@@ -225,17 +219,39 @@ object GraphOps {
       val smin = large.groupBy(col("a"))
         .agg(min(col("b")).as("m"))
         .select(col("a").as("sa"), col("m"))
-      val small = large
+      // The round's result rides a LAZY checkpoint whose materializing
+      // action IS the convergence witness below (r16): the checksum
+      // job computes large → small, persists both, and aggregates in
+      // ONE job — the r15 shape paid a dedicated eager-checkpoint job
+      // per round plus the witness sweep of the fresh blocks. The
+      // previous round's blocks are released only AFTER the witness
+      // materializes this round (a truncated localCheckpoint cannot be
+      // recomputed once unpersisted).
+      val smallRaw = large
         .join(cntBcast(smin), col("a") === col("sa"))
         .select(col("b").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
         .unionByName(smin.select(col("sa").as("a"), col("m").as("b")))
         .distinct()
-        .graftCheckpoint()
-      GraftColumns.unpersistCheckpoint(large)
-      GraftColumns.unpersistCheckpoint(cur)
+      if (iter == 0 && sys.env.contains("GRAFT_CC_DEBUG")) {
+        // debug-only round-1 plan probe (the GRAFT_RANK_DEBUG
+        // convention): execute the un-checkpointed round through its
+        // own QueryExecution and print the finalized post-AQE plan —
+        // the evidence hook for the counted star-min broadcasts, which
+        // the final frame's plan cannot show (each round hides behind
+        // a LogicalRDD scan)
+        val dbgQe = smallRaw
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution
+        dbgQe.toRdd.count()
+        println(dbgQe.executedPlan.toString)
+      }
+      val small = smallRaw.graftCheckpointLazy()
+      val prevCur = cur
       cur = small
       val s = checksum(cur)
+      GraftColumns.unpersistCheckpoint(large)
+      GraftColumns.unpersistCheckpoint(prevCur)
       // compareTo, not equals: BigDecimal.equals is scale-sensitive
       converged = s._1 == prev._1 && s._2.compareTo(prev._2) == 0
       prev = s
@@ -365,27 +381,85 @@ object GraphOps {
         s"times dampDen=$dampDen exceeds int64; rescale the weights " +
         "(mass flow is ratio-invariant).")
     }
-    // keyed by the loop's join key: the rounds then exchange only the
-    // vertex-sized rank frame (see [[keyedCheckpoint]]; e's measured
-    // blocks size the partitioning — ew is e plus two long columns)
-    val ew = keyedCheckpoint(e.join(outw, Seq("src")), "src", sizeHint = e)
+    // COUNTED broadcast gate decided up front (n is the exact node
+    // count, a control-plane scalar): under the cap the per-round rank
+    // frame ships as a broadcast; above it the keyed SortMergeJoin
+    // plan on src is unchanged.
+    val bcastRanks = n <= BroadcastVertexCap
+    // Adjacency keyed by the layout the ROUND actually consumes (r16,
+    // guide §2.4 second bite): under the broadcast gate the per-round
+    // join needs no src layout (the rank side is the broadcast), but
+    // the contribution aggregate groups by dst and the restart join
+    // keys on node — so key the adjacency by DST and co-key nodesBase
+    // by node at the SAME partition count, and the whole round plans
+    // with ZERO exchange (probe → partial-only agg on the dst layout →
+    // co-partitioned left join). r15 kept src keying, which left one
+    // vertex-sized agg exchange + the base-join exchanges per round.
+    // Above the cap the src keying stays (the SMJ joins on src).
+    val (ew, nodesBase) =
+      if (bcastRanks) {
+        val p = adaptiveParts(e)
+        // outw is vertex-sized and n ≤ BroadcastVertexCap here, so the
+        // outdegree attachment rides a broadcast probe — the dst keying
+        // then pays exactly ONE edge exchange, same as the src keying
+        // (which reused the src-join's layout; a shuffled src join
+        // followed by a dst repartition would pay two).
+        (org.apache.spark.sql.GraftColumns.keyedCheckpoint(
+           e.join(broadcast(outw), Seq("src")), p,
+           Seq(col("dst")), Seq(col("dst"))),
+         org.apache.spark.sql.GraftColumns.keyedCheckpoint(
+           nodes.withColumn("__base", lit(base)), p,
+           Seq(col("node")), Seq(col("node"))))
+      } else
+        (keyedCheckpoint(e.join(outw, Seq("src")), "src", sizeHint = e),
+         nodes.withColumn("__base", lit(base)))
 
+    if (sys.env.contains("GRAFT_RANK_DEBUG")) {
+      def part(df: DataFrame): String =
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+          .queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            s"${l.outputPartitioning}"
+          case o => s"not-a-LogicalRDD: ${o.getClass.getSimpleName}"
+        }
+      println(s"[rank] p from e bytes: ew=${part(ew)} " +
+        s"nodesBase=${part(nodesBase)}")
+    }
     val ranks = rankLoop(
-      ew, nodes.withColumn("__base", lit(base)),
+      ew, nodesBase,
       nodes.withColumn("rank_units", lit(totalUnits / n)).graftCheckpoint(),
       iterations, dampNum, dampDen,
-      // COUNTED broadcast: n is the exact node count (already a
-      // control-plane scalar above); under the cap the per-round rank
-      // frame ships as a broadcast and the round is ONE probe+agg
-      // stage over the keyed adjacency — no exchange, no sort. Above
-      // the cap the keyed SortMergeJoin plan is unchanged.
-      broadcastRanks = n <= BroadcastVertexCap)
+      broadcastRanks = bcastRanks)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ew)
+    if (bcastRanks)
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodesBase)
     // ranks is itself checkpointed (materialized), so releasing the node
     // blocks here cannot recompute anything downstream
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodes)
     ranks
+  }
+
+  /** The scale-adaptive partition count [[keyedCheckpoint]] derives —
+    * exposed so two frames that must be CO-PARTITIONED (the dst-keyed
+    * adjacency and the node-keyed base frame of the broadcast-gated
+    * rank loop) are keyed with one agreed count.
+    */
+  private def adaptiveParts(sizeHint: DataFrame): Int = {
+    import org.apache.spark.sql.GraftColumns
+    val conf = sizeHint.sparkSession.sessionState.conf
+    val maxP = conf.numShufflePartitions
+    val bytes = GraftColumns.materializedBytes(sizeHint)
+    val advisory = math.max(1L, conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    // Floor at 2, not 1: a 1-partition keyed checkpoint's LogicalRDD
+    // claims SinglePartition, and EnsureRequirements re-shuffles BOTH
+    // sides of a join whose co-partitioning rests on a SinglePartition
+    // spec (measured: the p=1 round plan exchanged both sides to the
+    // shuffle-partition count; p=2 plans the zero-exchange round).
+    if (bytes <= 0L) maxP
+    else math.max(2L, math.min(maxP.toLong,
+      (bytes + advisory - 1L) / advisory)).toInt
   }
 
   /** The shared PageRank recurrence: per iteration ONE keyed join of
@@ -437,13 +511,16 @@ object GraphOps {
                   .as("rank_units"))
       if (i == 0 && sys.env.contains("GRAFT_RANK_DEBUG")) {
         // debug-only plan-shape probe (the GRAFT_CC_DEBUG convention):
-        // execute round 1 standalone via the noop sink and print its
-        // final (post-AQE) plan — the lazy checkpoint below hides the
-        // round internals behind a LogicalRDD scan
-        nextRaw.write.format("noop").mode("overwrite").save()
-        println(nextRaw
+        // execute round 1 standalone THROUGH ITS OWN QueryExecution
+        // (r15 ADVICE: the old noop write ran a separate QE, so the
+        // printed plan was the never-executed initial adaptive plan)
+        // and print the finalized post-AQE plan — the lazy checkpoint
+        // below hides the round internals behind a LogicalRDD scan
+        val dbgQe = nextRaw
           .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-          .queryExecution.executedPlan.toString)
+          .queryExecution
+        dbgQe.toRdd.count()
+        println(dbgQe.executedPlan.toString)
       }
       val next = nextRaw.graftCheckpointLazy()
       handles += next
@@ -515,31 +592,45 @@ object GraphOps {
     val rInit = totalUnits / nSeeds
     // seed flag joined ONCE, materialized, and reused by both the base
     // column and the initial ranks — the per-node restart vector
-    val nodesBase = nodes
+    val nodesBase0 = nodes
       .join(sd.withColumn("__s", lit(1L)), Seq("node"), "left")
       .select(col("node"),
               when(col("__s").isNotNull, lit(base)).otherwise(lit(0L))
                 .as("__base"))
       .graftCheckpoint()
-    val ew = keyedCheckpoint(
-      e.join(e.groupBy(col("src")).agg(sum(col("__w")).as("__outw")),
-             Seq("src")), "src", sizeHint = e)
-    val ranks0 = nodesBase
+    // counted broadcast gate — the [[pageRank]] rationale; the count
+    // rides the materialized nodes checkpoint. Under the gate the
+    // adjacency keys by DST and the base frame co-keys by node (the
+    // pageRank zero-exchange-round layout); above it src keying stands.
+    val bcastRanks = nodes.count() <= BroadcastVertexCap
+    val outw = e.groupBy(col("src")).agg(sum(col("__w")).as("__outw"))
+    val (ew, nodesBase) =
+      if (bcastRanks) {
+        val p = adaptiveParts(e)
+        // broadcast-probed outdegree attachment — the [[pageRank]]
+        // rationale: one edge exchange total for the dst keying
+        (org.apache.spark.sql.GraftColumns.keyedCheckpoint(
+           e.join(broadcast(outw), Seq("src")), p,
+           Seq(col("dst")), Seq(col("dst"))),
+         org.apache.spark.sql.GraftColumns.keyedCheckpoint(
+           nodesBase0, p, Seq(col("node")), Seq(col("node"))))
+      } else (keyedCheckpoint(e.join(outw, Seq("src")), "src",
+                              sizeHint = e), nodesBase0)
+    val ranks0 = nodesBase0
       .select(col("node"),
               when(col("__base") > 0, lit(rInit)).otherwise(lit(0L))
                 .as("rank_units"))
       .graftCheckpoint()
     val ranks = rankLoop(ew, nodesBase, ranks0, iterations,
                          dampNum, dampDen,
-                         // counted broadcast gate — the [[pageRank]]
-                         // rationale; the count rides the materialized
-                         // nodes checkpoint
-                         broadcastRanks = nodes.count() <= BroadcastVertexCap)
+                         broadcastRanks = bcastRanks)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(e)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(ew)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodes)
     org.apache.spark.sql.GraftColumns.unpersistCheckpoint(sd)
-    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodesBase)
+    if (bcastRanks)
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodesBase)
+    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(nodesBase0)
     ranks
   }
 

@@ -109,9 +109,14 @@ object SuffixRank {
       val advisory = math.max(1L, conf.getConf(
         org.apache.spark.sql.internal.SQLConf
           .ADVISORY_PARTITION_SIZE_IN_BYTES))
+      // floor 2, not 1 (r16): a 1-partition keyed checkpoint claims
+      // SinglePartition — legal for the window, but it serializes the
+      // whole lead() pass on one core (and a SinglePartition spec
+      // breaks EnsureRequirements co-partitioning for any join
+      // consumer — the GraphOps.adaptiveParts measurement)
       val p =
         if (bytes <= 0L) conf.numShufflePartitions
-        else math.max(1L, math.min(conf.numShufflePartitions.toLong,
+        else math.max(2L, math.min(conf.numShufflePartitions.toLong,
           (bytes + advisory - 1L) / advisory)).toInt
       GraftColumns.keyedCheckpoint(df, p, Seq(col("doc_id")),
                                    Seq(col("doc_id"), col("pos")))
@@ -149,13 +154,22 @@ object SuffixRank {
       r = next
     }
     // finalize: ranks are dense over capped-prefix classes; ties (equal
-    // capped prefixes — exact-duplicate regions) break by (doc_id, pos)
-    val out = PrefixSum.runningTotal(
-        r.withColumn("__one", lit(1L)),
-        "__one", Seq("rank", "doc_id", "pos"), cumCol = "sa_rank")
-      .select(col("doc_id"), col("pos"), col("sa_rank"))
-    org.apache.spark.sql.GraftColumns.unpersistCheckpoint(r)
-    out
+    // capped prefixes — exact-duplicate regions) break by (doc_id, pos).
+    // When the loop ended with ALL ranks distinct the dense rank is a
+    // bijection onto 1..n, so the (rank, doc_id, pos) row_number IS the
+    // rank itself — skip the whole finalize pass (one range exchange +
+    // its sampling job) and rename in place; the returned projection
+    // keeps r's checkpoint live as the result's handle (r16).
+    if (distinctAll)
+      r.select(col("doc_id"), col("pos"), col("rank").as("sa_rank"))
+    else {
+      val out = PrefixSum.runningTotal(
+          r.withColumn("__one", lit(1L)),
+          "__one", Seq("rank", "doc_id", "pos"), cumCol = "sa_rank")
+        .select(col("doc_id"), col("pos"), col("sa_rank"))
+      org.apache.spark.sql.GraftColumns.unpersistCheckpoint(r)
+      out
+    }
   }
 
   /** Per-document duplicate profile READ OFF THE SUFFIX ARRAY: for

@@ -1937,9 +1937,12 @@ object CurationQueries {
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long,
                                                   Long, Long)]
     val toksCol = curationToksCol
-    // ONE aggregate job per stage for the (rows, tokens) ledger pair
-    // (r15: separate count + sum jobs paid one extra scheduler round
-    // trip per stage — 11 stages × 2 sweeps of the checkpoint blocks)
+    // ONE job per stage, full stop (r16): each stage's frame rides a
+    // LAZY checkpoint and this ledger aggregate IS the materializing
+    // action — the stage's final pass computes, persists, and counts
+    // in one job instead of an eager-checkpoint job plus a ledger
+    // sweep of the fresh blocks (r15 had already fused the separate
+    // count + sum jobs into one aggregate).
     def countToks(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
                      coalesce(sum(toksCol), lit(0L))).collect()(0)
@@ -1956,7 +1959,7 @@ object CurationQueries {
     mark("0_source")
     val d0 = Partitioning.spread(docs)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
-      .graftCheckpoint()
+      .graftCheckpointLazy()
     val (n0, t0) = countToks(d0)
     led += ((0L, "source", n0, n0, t0))
 
@@ -1975,7 +1978,7 @@ object CurationQueries {
     mark("1_html")
     val d1 = d0.select(col("doc_id"), col("lang"), col("source"),
         replace(Html.mainText(page), lit("\n"), lit(" ")).as("text"))
-      .graftCheckpoint()
+      .graftCheckpointLazy()
     val (n1, t1) = countToks(d1)
     led += ((1L, "html_main_extract", n0, n1, t1))
     GraftColumns.unpersistCheckpoint(d0)
@@ -1984,7 +1987,7 @@ object CurationQueries {
     mark("2_nfc")
     val d2 = d1.withColumn("text",
         TextFunctions.unicodeNormalize(col("text"), "NFC"))
-      .graftCheckpoint()
+      .graftCheckpointLazy()
     val (n2, t2) = countToks(d2)
     led += ((2L, "nfc_normalize", n1, n2, t2))
     GraftColumns.unpersistCheckpoint(d1)
@@ -1998,7 +2001,7 @@ object CurationQueries {
                                     col("text").as("t")))
       .filter(col("keep")).select("doc_id")
     val d3 = d2.join(keep3, Seq("doc_id"), "left_semi")
-      .graftCheckpoint()
+      .graftCheckpointLazy()
     val (n3, t3) = countToks(d3)
     led += ((3L, "quality_rules", n2, n3, t3))
     GraftColumns.unpersistCheckpoint(d2)
@@ -2023,8 +2026,9 @@ object CurationQueries {
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long,
                                                   Long, Long)]
     val toksCol = curationToksCol
-    // ONE aggregate job per stage for the (rows, tokens) ledger pair —
-    // the [[curationStages0to3]] discipline
+    // ONE job per stage: the ledger aggregate doubles as the lazy
+    // checkpoint's materializing action — the [[curationStages0to3]]
+    // discipline
     def countToks(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
                      coalesce(sum(toksCol), lit(0L))).collect()(0)
@@ -2043,7 +2047,7 @@ object CurationQueries {
       .select(col("doc_a"), col("doc_b"))
     val (applied4, cc4) = Dedup.applyDedupReleasable(d3, "doc_id", pairs4)
     val d4 = applied4.filter(col("kept")).drop("component", "kept")
-      .graftCheckpoint()
+      .graftCheckpointLazy()
     val (n4, t4) = countToks(d4)
     led += ((4L, "minhash_family_dedup", n3, n4, t4))
     GraftColumns.unpersistCheckpoint(cc4)
@@ -2057,7 +2061,8 @@ object CurationQueries {
         d4, "doc_id", "text", spans5, "span_start", "span_len",
         broadcastSpanCap = Intervals.DefaultBroadcastSpanCap)
       .select(col("doc_id"), col("cut_text").as("text"))
-    val d5 = d4.drop("text").join(cut5, Seq("doc_id")).graftCheckpoint()
+    val d5 = d4.drop("text").join(cut5, Seq("doc_id"))
+      .graftCheckpointLazy()
     val (n5, t5) = countToks(d5)
     led += ((5L, "substring_dedup", n4, n5, t5))
     GraftColumns.unpersistCheckpoint(spans5)
@@ -2079,8 +2084,14 @@ object CurationQueries {
       when(TextFunctions.langPredict(scores6) === col("lang"),
            lit("en")).otherwise(lit("xx")).as("lang"),
       col("text"))
+    // features checkpointed ONCE (r16): the stage makes ~7 passes over
+    // them (3 training epochs, the scoring scan, isotonic's sampling +
+    // ranged passes, d6's materialization), and each pass previously
+    // re-ran the words/regex/langScore text kernels over d5 — the
+    // feature frame itself is 8 long columns, block-read cheap
+    val feats6 = perceptronFeaturesFrom(labeled6).graftCheckpoint()
     val margins6 = Classification.perceptronScored(
-        perceptronFeaturesFrom(labeled6), "y", PerceptronX,
+        feats6, "y", PerceptronX,
         epochs = PerceptronEpochs)
       .select(col("doc_id"), col("margin"),
               expr("(y + 1) div 2").as("y01"))
@@ -2093,23 +2104,38 @@ object CurationQueries {
       .collect()(0).getLong(0)
     val keep6 = Isotonic.calibrated(margins6, "margin", "doc_id", "y01")
       .filter(col("p_e6") > lit(base6)).select("doc_id")
-    val d6 = d5.join(keep6, Seq("doc_id"), "left_semi").graftCheckpoint()
+    val d6 = d5.join(keep6, Seq("doc_id"), "left_semi")
+      .graftCheckpointLazy()
     val (n6, t6) = countToks(d6)
     led += ((6L, "calibrated_langid_filter", n5, n6, t6))
+    GraftColumns.unpersistCheckpoint(feats6)
     GraftColumns.unpersistCheckpoint(d5)
 
     // 7 — DSIR top-quartile selection, model fit on the survivors
     mark("7_dsir")
+    // weights checkpointed before the prefix sum (r16): runningTotal's
+    // range partitioner SAMPLES its input (one full compute) before the
+    // exchange (a second) — without the checkpoint each pass re-ran the
+    // whole DSIR feature/model pipeline; with it both are block reads
+    // of (id, n_tokens, weight_e6) rows
     val wt7 = Dsir.weights(d6, "doc_id", "text",
                            col("lang") === "en", buckets = 64)
       .withColumn("__one", lit(1L))
+      .graftCheckpoint()
     val ranked7 = PrefixSum.runningTotal(
       wt7, "__one", Seq("weight_e6", "doc_id"), cumCol = "rank")
+    // runningTotal is eager — ranked7 is materialized and is wt7's only
+    // consumer (the count and sel7 read ranked7), so release now
+    GraftColumns.unpersistCheckpoint(wt7)
     val sel7 = ranked7
-      .crossJoin(broadcast(wt7.agg(count(lit(1)).as("n"))))
+      // the count rides the ALREADY-MATERIALIZED rank checkpoint
+      // (runningTotal preserves rows, so count(ranked7) == count(wt7)
+      // by construction) — counting wt7 itself re-ran the whole DSIR
+      // feature/model pipeline a second time (r16)
+      .crossJoin(broadcast(ranked7.agg(count(lit(1)).as("n"))))
       .filter(expr("((rank - 1) * 4) div n") === 3L)
       .select(col("doc_id"), col("weight_e6"))
-    val d7 = d6.join(sel7, Seq("doc_id")).graftCheckpoint()
+    val d7 = d6.join(sel7, Seq("doc_id")).graftCheckpointLazy()
     val (n7, t7) = countToks(d7)
     led += ((7L, "dsir_select", n6, n7, t7))
     GraftColumns.unpersistCheckpoint(ranked7)
@@ -2134,9 +2160,10 @@ object CurationQueries {
     import sEnc.implicits._
     val d8 = d7.join(broadcast(epochRows.toSeq.toDF("source", "epochs")),
                      Seq("source"))
-      .graftCheckpoint()
+      .graftCheckpointLazy()
     // one agg job for the (rows, served-tokens) pair — the countToks
-    // discipline with the stage's own weighted token measure
+    // discipline (it materializes d8's lazy checkpoint) with the
+    // stage's own weighted token measure
     val r8 = d8.agg(count(lit(1)),
                     coalesce(sum(toksCol * col("epochs")), lit(0L)))
       .collect()(0)
@@ -2157,7 +2184,7 @@ object CurationQueries {
       .select(explode(expr(
         "sequence((cum - toks) div 128, (cum - 1) div 128)"))
         .as("seq_id"))
-      .distinct().graftCheckpoint()
+      .distinct().graftCheckpointLazy()
     val nSeqs = seqs9.count()
     led += ((9L, "pack_128", nEx, nSeqs, served))
     GraftColumns.unpersistCheckpoint(packed9)

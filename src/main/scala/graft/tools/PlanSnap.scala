@@ -41,14 +41,20 @@ object PlanSnap {
       val qe = df.queryExecution
       val formatted = qe.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      // materialize so the AQE plan finalizes (noop sink: every column of
-      // every row computed, nothing written — guide §1.4)
-      df.write.format("noop").mode("overwrite").save()
+      // Execute df's OWN QueryExecution so the AdaptiveSparkPlan in
+      // THIS tree finalizes (r15 ADVICE: a noop WRITE runs a separate
+      // QueryExecution for the write command, so qe.executedPlan here
+      // stayed planned-but-never-executed — every r15 snapshot showed
+      // isFinalPlan=false, i.e. the initial adaptive plan, and runtime
+      // BHJ conversions/coalescing were invisible). toRdd.count()
+      // computes every column of every row and discards, the same
+      // work-shape as the noop sink.
+      qe.toRdd.count()
       val executed = qe.executedPlan.toString
       val out =
         s"""== explain("formatted") ==
            |$formatted
-           |== executed plan (post-AQE, after one noop-sink run) ==
+           |== executed plan (post-AQE, isFinalPlan — captured after executing this QueryExecution) ==
            |$executed
            |""".stripMargin
       Files.writeString(Paths.get(outDir, s"${name}_$tag.txt"), out)

@@ -205,12 +205,33 @@ object GraftColumns {
                          sortCols: Seq[Column]): Dataset[T] = {
     val keyed = ds.repartition(numParts, partCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val spark = ds.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try checkpoint(keyed)
-    finally spark.conf.set(aqeKey, prev)
+    // AQE is disabled on a CLONED session (shared SparkContext, copied
+    // session state), never on the caller's: a statement planned
+    // concurrently on the shared session during this materialization
+    // window must not silently lose AQE (r15 verdict #7 — the old form
+    // set/restored the conf on the shared session, which was safe only
+    // under a single-threaded driver). The keyed frame is re-bound to
+    // the clone for planning/execution; the materialized LogicalRDD is
+    // then re-hosted on the caller's session so the returned Dataset
+    // composes with the caller's frames as before.
+    val cd = keyed.asInstanceOf[classic.Dataset[T]]
+    val origin = cd.sparkSession
+    val clone = origin.cloneSession()
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    val onClone = new classic.Dataset[T](
+      clone, cd.queryExecution.logical, cd.exprEnc)
+    val ckpt = checkpoint(onClone).asInstanceOf[classic.Dataset[T]]
+    ckpt.queryExecution.analyzed match {
+      case l: execution.LogicalRDD =>
+        val cons = originConstraintsField.get(l)
+          .asInstanceOf[Option[
+            org.apache.spark.sql.catalyst.expressions.ExpressionSet]]
+        val np = new execution.LogicalRDD(
+          l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+          l.isStreaming, l.stream)(origin, Some(l.stats), cons)
+        new classic.Dataset[T](origin, np, ckpt.exprEnc)
+      case _ => ckpt.asInstanceOf[Dataset[T]]
+    }
   }
 
   /** ACTUAL materialized size (memory + disk block bytes) of an EAGER
@@ -226,15 +247,25 @@ object GraftColumns {
     * byte target errs toward MORE partitions — the safe side.
     */
   def materializedBytes(df: Dataset[_]): Long =
-    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
-      case l: execution.LogicalRDD =>
+    // collectFirst over the WHOLE analyzed tree, not a bare-root match
+    // (r15 ADVICE): a size hint is routinely a Project over the
+    // checkpoint (e.g. `denseRank(...).select(...)`), and the bare
+    // match returned -1 for it — silently sending every keyed
+    // checkpoint sized from such a hint to the fixed shuffle-partition
+    // fallback (the measured +13%-wall micro-task regime). Only tagged
+    // graft checkpoints count (a foreign cached RDD embedded in the
+    // plan must not size someone else's partitioning); the first one
+    // found is the hint's own materialization by construction. The
+    // checkpoint's blocks can only OVERSTATE a projection of it, which
+    // errs toward more partitions — the safe side.
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.collectFirst {
+      case l: execution.LogicalRDD if l.rdd.name == CheckpointTag =>
         df.sparkSession.sparkContext.getRDDStorageInfo
           .find(_.id == l.rdd.id)
           .map(i => i.memSize + i.diskSize)
           .filter(_ > 0L)
           .getOrElse(-1L)
-      case _ => -1L
-    }
+    }.getOrElse(-1L)
 
   /** Release the block-manager storage behind graft-created
     * `localCheckpoint`s ([[checkpoint]]) in a Dataset's plan.

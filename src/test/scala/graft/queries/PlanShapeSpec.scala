@@ -484,7 +484,12 @@ class PlanShapeSpec extends SparkSpec {
     // bytes never enter an exchange. Assert on the plan ABOVE the
     // codec operator instead of the whole tree.
     val vplan = video.queryExecution.executedPlan.toString
-    val codecAt = vplan.indexOf("MapPartitions")
+    // lastIndexOf, not indexOf (r15 ADVICE): the topmost MapPartitions
+    // is frameFeatures' flatMap, not the payload-producing withPayload
+    // pass below it — anchoring on the DEEPEST MapPartitions makes the
+    // checked region span everything above the codec pass, so an
+    // exchange carrying payload bytes between the two passes fails.
+    val codecAt = vplan.lastIndexOf("MapPartitions")
     assert(codecAt >= 0, "video decode must be a MapPartitions pass")
     assert(!vplan.substring(0, codecAt).contains("Exchange"),
       "video container walk + sampled decode must stay narrow above " +
