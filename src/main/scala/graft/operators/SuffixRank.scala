@@ -109,15 +109,24 @@ object SuffixRank {
       val advisory = math.max(1L, conf.getConf(
         org.apache.spark.sql.internal.SQLConf
           .ADVISORY_PARTITION_SIZE_IN_BYTES))
-      // floor 2, not 1 (r16): a 1-partition keyed checkpoint claims
-      // SinglePartition — legal for the window, but it serializes the
-      // whole lead() pass on one core (and a SinglePartition spec
-      // breaks EnsureRequirements co-partitioning for any join
-      // consumer — the GraphOps.adaptiveParts measurement)
+      // Sizing rule (r16, after the materializedBytes fix made the
+      // byte-derived count actually engage): the loop's consumer is a
+      // WINDOW pass computed 2–3× per round (the range partitioner's
+      // sampling pass plus the exchange pass re-evaluate it), i.e. a
+      // per-row compute stage — so the partition count floors at the
+      // CORE count (defaultParallelism), not at the shuffle-byte
+      // optimum. Measured: pure byte sizing gave p=2 at sf0.1 and
+      // q258 lost ~2 s serializing the lead() passes on two cores; the
+      // byte term takes over only past cores·advisory bytes — the
+      // 100 TB regime, where it bounds per-task partition size exactly
+      // like AQE's coalescing. Cap stays numShufflePartitions (the
+      // cluster-scale knob).
+      val cores = df.sparkSession.sparkContext.defaultParallelism.toLong
       val p =
         if (bytes <= 0L) conf.numShufflePartitions
-        else math.max(2L, math.min(conf.numShufflePartitions.toLong,
-          (bytes + advisory - 1L) / advisory)).toInt
+        else math.max(math.min(cores, conf.numShufflePartitions.toLong),
+          math.min(conf.numShufflePartitions.toLong,
+            (bytes + advisory - 1L) / advisory)).toInt
       GraftColumns.keyedCheckpoint(df, p, Seq(col("doc_id")),
                                    Seq(col("doc_id"), col("pos")))
     }
